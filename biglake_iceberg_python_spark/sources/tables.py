@@ -1,0 +1,48 @@
+"""Sources: parquet scans over the driver testdata (reference parity: A6).
+
+The reference's only source is a schema-inferred parquet glob read
+(pyspark_jobs/iceberg_table_creation.py:77). Here every query reads the
+driver-generated TPC-H-ish tables the same way; CSV/JSON readers live in
+``readers.py``.
+
+Scale notes: ``spark.read.parquet`` gives the vectorized columnar reader,
+footer-driven schema, predicate pushdown and column pruning for free — at
+100 TB the same call reads a partitioned directory tree and Catalyst prunes
+partitions from the filters. Nothing here collects to the driver.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Dimensions small enough to broadcast at any realistic scale factor (TPC-H
+# region=5 rows, nation=25 rows always; supplier/part grow slowly).
+BROADCAST_DIMS = ("region", "nation")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one testdata table (vectorized parquet scan, schema from footer)."""
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def load_tables(
+    spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES
+) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in names}
