@@ -1,1 +1,371 @@
-"""(stub — filled in below)"""
+"""Join family: inner/outer/semi/anti/broadcast/theta/as-of (SURVEY.md §2B).
+
+The reference contains no joins (SURVEY.md §2 Part A, exhaustive) — this is
+contract-mandated surface. All joins are declared via the DataFrame API so
+Catalyst picks the physical strategy; broadcast hints are applied exactly
+where a dimension stays small at every scale factor.
+
+Scale notes per operator are in the docstrings. Common rules applied here:
+  * region/nation are O(10-100) rows at ANY scale factor → always broadcast.
+  * supplier/part/customer grow with sf → broadcast only when the filtered
+    side is provably small, else let sort-merge + AQE decide.
+  * theta joins (non-equi) are BroadcastNestedLoop — only valid with a
+    bounded broadcast side; the query keeps that side a filtered aggregate.
+  * the as-of join avoids any join at all: it is a per-key ordered window
+    (single shuffle on user_id), the scalable plan for "nearest earlier
+    event" — no range-join explosion.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from biglake_iceberg_python_spark.functions.exprs import dsum, oracle_dsum
+from biglake_iceberg_python_spark.plans.registry import query
+from biglake_iceberg_python_spark.sources.tables import load_table
+
+
+@query(
+    "join_inner",
+    oracle=f"""
+    SELECT
+      c.c_mktsegment,
+      COUNT(*) AS order_cnt,
+      {oracle_dsum('o.o_totalprice')} AS total_revenue
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+    tags=("join",),
+    bench=True,
+)
+def join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inner equi-join orders⋈customer + hash agg by market segment.
+
+    Shuffle on c_custkey/o_custkey only if neither side broadcasts; at
+    sf<=0.1 customer fits the 10 MB broadcast threshold so Catalyst emits a
+    BroadcastHashJoin. At 100 TB both sides shuffle — AQE coalesces.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey, "inner")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("order_cnt"),
+            dsum("o_totalprice", "total_revenue"),
+        )
+    )
+
+
+@query(
+    "join_left_outer",
+    oracle="""
+    SELECT
+      c.c_custkey,
+      c.c_name,
+      COUNT(o.o_orderkey) AS order_cnt,
+      COALESCE(MAX(o.o_totalprice), 0.0) AS max_order_price
+    FROM customer c
+    LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_custkey, c.c_name
+    """,
+    tags=("join",),
+)
+def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join preserving customers with zero orders.
+
+    COUNT(col) (not COUNT(*)) so unmatched customers count 0 — same
+    null-skipping semantics in both engines. MAX of a double is
+    order-independent, so no decimal detour is needed.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        c.join(o, o.o_custkey == c.c_custkey, "left")
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.count("o_orderkey").alias("order_cnt"),
+            F.coalesce(F.max("o_totalprice"), F.lit(0.0)).alias("max_order_price"),
+        )
+    )
+
+
+@query(
+    "join_full_outer",
+    oracle="""
+    WITH cn AS (
+      SELECT c_nationkey AS nkey, COUNT(*) AS cust_cnt FROM customer GROUP BY c_nationkey
+    ), sn AS (
+      SELECT s_nationkey AS nkey, COUNT(*) AS supp_cnt FROM supplier GROUP BY s_nationkey
+    )
+    SELECT
+      COALESCE(cn.nkey, sn.nkey) AS nationkey,
+      COALESCE(cn.cust_cnt, 0) AS cust_cnt,
+      COALESCE(sn.supp_cnt, 0) AS supp_cnt
+    FROM cn
+    FULL OUTER JOIN sn ON cn.nkey = sn.nkey
+    """,
+    tags=("join",),
+)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join of two pre-aggregated sides (customers vs suppliers
+    per nation). Aggregating BEFORE the join shrinks both sides to <=25 rows
+    — the scale-correct shape for reconciliation joins (never full-outer two
+    fact tables directly)."""
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    cn = c.groupBy(F.col("c_nationkey").alias("nkey")).agg(
+        F.count(F.lit(1)).alias("cust_cnt")
+    )
+    sn = s.groupBy(F.col("s_nationkey").alias("nkey")).agg(
+        F.count(F.lit(1)).alias("supp_cnt")
+    )
+    return cn.join(sn, cn.nkey == sn.nkey, "full").select(
+        F.coalesce(cn.nkey, sn.nkey).alias("nationkey"),
+        F.coalesce("cust_cnt", F.lit(0)).alias("cust_cnt"),
+        F.coalesce("supp_cnt", F.lit(0)).alias("supp_cnt"),
+    )
+
+
+@query(
+    "join_semi",
+    oracle="""
+    SELECT c.c_mktsegment, COUNT(*) AS cust_with_urgent
+    FROM customer c
+    WHERE EXISTS (
+      SELECT 1 FROM orders o
+      WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT'
+    )
+    GROUP BY c.c_mktsegment
+    """,
+    tags=("join",),
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join: customers having >=1 urgent order (EXISTS semantics —
+    no row duplication from multiple matches). The priority filter is pushed
+    below the join so the build side shrinks before shuffling."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("cust_with_urgent"))
+    )
+
+
+@query(
+    "join_anti",
+    oracle="""
+    SELECT c.c_mktsegment, COUNT(*) AS cust_without_orders
+    FROM customer c
+    WHERE NOT EXISTS (
+      SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+    )
+    GROUP BY c.c_mktsegment
+    """,
+    tags=("join",),
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join: customers with no orders (NOT EXISTS)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("cust_without_orders"))
+    )
+
+
+@query(
+    "join_broadcast_star",
+    oracle=f"""
+    SELECT
+      n.n_name,
+      {oracle_dsum('l.l_extendedprice * (1 - l.l_discount)')} AS revenue,
+      COUNT(*) AS line_cnt
+    FROM lineitem l
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name IN ('ASIA', 'EUROPE')
+    GROUP BY n.n_name
+    """,
+    tags=("join", "broadcast"),
+    bench=True,
+)
+def join_broadcast_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-style star join with explicit broadcast of every dimension.
+
+    lineitem (the fact) never shuffles for the joins: supplier, nation and
+    region are broadcast, so the only shuffle is the final 25-group agg.
+    This is the canonical 100 TB plan — fact-table-stays-put; at real scale
+    supplier may exceed the broadcast threshold, at which point dropping the
+    hint lets AQE decide, but region/nation broadcasts are always right.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(
+        F.col("r_name").isin("ASIA", "EUROPE")
+    )
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            dsum(revenue, "revenue"),
+            F.count(F.lit(1)).alias("line_cnt"),
+        )
+    )
+
+
+@query(
+    "join_theta_range",
+    oracle="""
+    SELECT
+      s.s_suppkey,
+      s.s_name,
+      COUNT(c.c_custkey) AS richer_than_cust_cnt
+    FROM supplier s
+    LEFT JOIN customer c ON s.s_acctbal > c.c_acctbal AND c.c_acctbal > 9000
+    GROUP BY s.s_suppkey, s.s_name
+    """,
+    tags=("join", "theta"),
+)
+def join_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta (non-equi) join: for each supplier, how many high-balance
+    customers it out-balances.
+
+    Non-equi predicates force a nested-loop strategy; the scalable shape is
+    (a) filter the probe side hard first (c_acctbal > 9000 here) and (b)
+    broadcast the SMALL side so the big side streams. For truly large both
+    sides, the production pattern is band-bucketing (join on a coarse bucket
+    equi-key + residual predicate) — demonstrated in dedup.py's LSH join.
+    """
+    s = load_table(spark, sf_dir, "supplier")
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 9000)
+    return (
+        s.join(F.broadcast(c), s.s_acctbal > c.c_acctbal, "left")
+        .groupBy("s_suppkey", "s_name")
+        .agg(F.count("c_custkey").alias("richer_than_cust_cnt"))
+    )
+
+
+@query(
+    "join_asof",
+    oracle="""
+    WITH w AS (
+      SELECT
+        user_id,
+        event_type,
+        ts,
+        last_value(CASE WHEN event_type = 'purchase' THEN ts END IGNORE NULLS)
+          OVER (PARTITION BY user_id ORDER BY ts
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_purchase_ts
+      FROM events
+    )
+    SELECT
+      user_id,
+      COUNT(*) AS n_events,
+      COUNT(prev_purchase_ts) AS n_with_prior_purchase,
+      MAX(date_diff('second', prev_purchase_ts, ts)) AS max_gap_s
+    FROM w
+    GROUP BY user_id
+    """,
+    tags=("join", "asof"),
+    bench=True,
+)
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (nearest earlier match) without a join: for every event,
+    the most recent STRICTLY PRIOR 'purchase' by the same user.
+
+    Spark has no ASOF JOIN; a range join would explode. The scalable
+    re-expression is a single shuffle on user_id + an ordered window with
+    last(..., ignorenulls) over ROWS UNBOUNDED PRECEDING..1 PRECEDING —
+    O(n log n) per key, no pair blowup, identical semantics to DuckDB's
+    ASOF JOIN against the filtered purchase stream (oracle uses the same
+    window form since it is plain ANSI SQL).
+
+    Gap is computed on epoch seconds (floor) so Spark's µs timestamps and
+    DuckDB's ns timestamps agree.
+    """
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prev = F.last(
+        F.when(F.col("event_type") == "purchase", F.col("ts")), ignorenulls=True
+    ).over(w)
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.col("prev_purchase_ts"))
+    return (
+        e.withColumn("prev_purchase_ts", prev)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count("prev_purchase_ts").alias("n_with_prior_purchase"),
+            F.max(gap).alias("max_gap_s"),
+        )
+    )
+
+
+@query(
+    "join_shipping_priority",
+    oracle=f"""
+    SELECT
+      l.l_orderkey,
+      {oracle_dsum('l.l_extendedprice * (1 - l.l_discount)')} AS revenue,
+      strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate,
+      o.o_orderpriority
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '2000-01-01 00:00:00'
+      AND l.l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+    tags=("join", "agg", "topk"),
+    bench=True,
+)
+def join_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-style: 3-way join, filtered on both fact and dims, grouped,
+    global top-10 by revenue.
+
+    customer(filtered) broadcasts into orders; orders⋈lineitem shuffles on
+    orderkey (the unavoidable one); TakeOrderedAndProject gives top-k
+    without a global sort. Dates surface as strings so both engines agree.
+    """
+    c = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("2000-01-01").cast("timestamp")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp")
+    )
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(dsum(revenue, "revenue"))
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "o_orderpriority",
+        )
+        .orderBy(F.col("revenue").desc(), "l_orderkey")
+        .limit(10)
+    )

@@ -36,10 +36,25 @@ BROADCAST_DIMS = ("region", "nation")
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Read one testdata table (vectorized parquet scan, schema from footer)."""
+    """Read one testdata table (vectorized parquet scan, schema from footer).
+
+    ``events.ts`` is TIMESTAMP(NANOS) in parquet, which Spark 4 refuses by
+    default; it is read as a nanosecond long (legacy conf) and converted to
+    a microsecond TimestampType via exact integer division — same wall-clock
+    truncation DuckDB applies when formatting, so cross-engine comparisons
+    at second precision agree.
+    """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        from pyspark.sql import functions as F
+
+        return spark.read.parquet(path).withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        )
+    return spark.read.parquet(path)
 
 
 def load_tables(
