@@ -1,1 +1,260 @@
-"""(stub — filled in below)"""
+"""Aggregation family: hash agg, distinct, approx, rollup/cube/grouping sets.
+
+Reference parity: none (the reference has zero aggregations — SURVEY.md §2
+Part A); this is contract-mandated surface (§2 Part B).
+
+Scale notes: every groupBy here is a partial (map-side) aggregation first —
+the shuffle carries one row per (partition × group), not per input row.
+count_distinct over a high-cardinality key rewrites to a two-phase expand +
+agg; approx_count_distinct (HLL) is the 100 TB answer when exactness is not
+required (fixed-size sketch per group, mergeable, no second shuffle).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from biglake_iceberg_python_spark.functions.exprs import (
+    davg,
+    dsum,
+    oracle_davg,
+    oracle_dsum,
+)
+from biglake_iceberg_python_spark.plans.registry import query
+from biglake_iceberg_python_spark.sources.tables import load_table
+
+
+@query(
+    "agg_stats",
+    oracle=f"""
+    SELECT
+      o_orderstatus,
+      o_orderpriority,
+      COUNT(*) AS n_orders,
+      {oracle_dsum('o_totalprice')} AS sum_price,
+      {oracle_davg('o_totalprice')} AS avg_price,
+      MIN(o_totalprice) AS min_price,
+      MAX(o_totalprice) AS max_price,
+      CAST(MIN(o_custkey) AS BIGINT) AS min_custkey
+    FROM orders
+    GROUP BY o_orderstatus, o_orderpriority
+    """,
+    tags=("agg",),
+)
+def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-measure hash aggregation over a composite key (15 groups).
+    MIN/MAX are order-independent so they stay plain doubles; SUM/AVG go
+    through the exact decimal path."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum("o_totalprice", "sum_price"),
+        davg("o_totalprice", "avg_price"),
+        F.min("o_totalprice").alias("min_price"),
+        F.max("o_totalprice").alias("max_price"),
+        F.min("o_custkey").cast("long").alias("min_custkey"),
+    )
+
+
+@query(
+    "agg_distinct",
+    oracle="""
+    SELECT
+      l_returnflag,
+      COUNT(DISTINCT l_suppkey) AS n_suppliers,
+      COUNT(DISTINCT l_partkey) AS n_parts,
+      COUNT(*) AS n_lines
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    tags=("agg", "distinct"),
+    bench=True,
+)
+def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiple COUNT(DISTINCT) in one aggregation — Catalyst plans this as
+    an Expand (one replica per distinct column) + two-phase agg; at 100 TB
+    prefer one distinct column per query or the HLL variant below."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count_distinct("l_suppkey").alias("n_suppliers"),
+        F.count_distinct("l_partkey").alias("n_parts"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+@query(
+    "agg_dropduplicates",
+    oracle="""
+    SELECT COUNT(*) AS n_unique_pairs
+    FROM (SELECT DISTINCT l_suppkey, l_partkey FROM lineitem)
+    """,
+    tags=("agg", "distinct"),
+)
+def agg_dropduplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level dedup via dropDuplicates (DISTINCT) — one shuffle on the
+    pair key with map-side partial dedup."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.select("l_suppkey", "l_partkey")
+        .dropDuplicates()
+        .agg(F.count(F.lit(1)).alias("n_unique_pairs"))
+    )
+
+
+@query(
+    "agg_approx",
+    oracle=None,  # sketch families differ across engines → rows-only check;
+    # the exactness bound is asserted in tests/test_operators.py against the
+    # exact distinct counts.
+    tags=("agg", "approx"),
+)
+def agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate aggregates: HLL count-distinct + quantile sketch.
+
+    THE scale-out answer for distincts/percentiles at 100 TB: fixed-memory
+    mergeable sketches, single shuffle, no expand. Not oracle-checkable
+    (Spark HLL++ vs DuckDB approx_count_distinct produce different
+    estimates); tests assert relative error < 5% vs exact.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
+        F.percentile_approx("l_extendedprice", [0.5, 0.95], 10000).alias(
+            "price_p50_p95"
+        ),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+@query(
+    "agg_percentile_exact",
+    oracle="""
+    SELECT
+      l_returnflag,
+      quantile_cont(l_extendedprice, 0.5) AS median_price,
+      quantile_cont(l_extendedprice, 0.95) AS p95_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    tags=("agg", "percentile"),
+)
+def agg_percentile_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact continuous percentiles (Spark ``percentile`` == DuckDB
+    ``quantile_cont``: linear interpolation on the sorted set — deterministic,
+    so hash-comparable). Exact percentiles need the full value set per group;
+    at 100 TB use agg_approx instead."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_extendedprice, 0.5)").alias("median_price"),
+        F.expr("percentile(l_extendedprice, 0.95)").alias("p95_price"),
+    )
+
+
+@query(
+    "agg_rollup",
+    oracle=f"""
+    SELECT
+      l_returnflag,
+      l_linestatus,
+      COUNT(*) AS n_lines,
+      {oracle_dsum('l_quantity')} AS sum_qty
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    tags=("agg", "rollup"),
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP subtotal lattice: (flag,status), (flag), () — Expand operator
+    replicates each input row once per grouping set before one shuffle."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        dsum("l_quantity", "sum_qty"),
+    )
+
+
+@query(
+    "agg_cube",
+    oracle=f"""
+    SELECT
+      o_orderstatus,
+      o_orderpriority,
+      COUNT(*) AS n_orders,
+      {oracle_dsum('o_totalprice')} AS sum_price
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    tags=("agg", "cube"),
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE: all 4 grouping-set combinations of (status, priority)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum("o_totalprice", "sum_price"),
+    )
+
+
+@query(
+    "agg_grouping_sets",
+    oracle=f"""
+    SELECT
+      l_returnflag,
+      l_linestatus,
+      GROUPING(l_returnflag) AS g_flag,
+      GROUPING(l_linestatus) AS g_status,
+      {oracle_dsum('l_extendedprice')} AS sum_price
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+    tags=("agg", "grouping-sets"),
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS with GROUPING() markers disambiguating
+    "NULL because subtotal" from "NULL in data"."""
+    li = load_table(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("lineitem_gs")
+    return spark.sql(
+        f"""
+        SELECT
+          l_returnflag,
+          l_linestatus,
+          GROUPING(l_returnflag) AS g_flag,
+          GROUPING(l_linestatus) AS g_status,
+          {oracle_dsum('l_extendedprice')} AS sum_price
+        FROM lineitem_gs
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    )
+
+
+@query(
+    "agg_variance",
+    oracle="""
+    SELECT
+      l_returnflag,
+      (CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(30,6))) AS DOUBLE)
+       - CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE)
+         * CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) / COUNT(*))
+      / (COUNT(*) - 1) AS var_qty
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    tags=("agg", "stats"),
+)
+def agg_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample variance via exact decimal moments (sum, sum-of-squares) —
+    order-independent, unlike the builtin Welford-style var_samp whose
+    result depends on partial-merge order. One shuffle, two extra decimal
+    sums; same shape scales to any node count with reproducible output."""
+    li = load_table(spark, sf_dir, "lineitem")
+    # Exact decimal sums → cast to double → IEEE arithmetic, so both engines
+    # perform the identical final operations on identical operands.
+    sq = F.sum(
+        (F.col("l_quantity") * F.col("l_quantity")).cast("decimal(30,6)")
+    ).cast("double")
+    s = F.sum(F.col("l_quantity").cast("decimal(30,6)")).cast("double")
+    n = F.count(F.lit(1))
+    var = (sq - s * s / n) / (n - 1)
+    return li.groupBy("l_returnflag").agg(var.alias("var_qty"))

@@ -1,1 +1,221 @@
-"""(stub — filled in below)"""
+"""Window functions: ranking, analytic (lag/lead/first/last), frames.
+
+Contract-mandated surface (SURVEY.md §2 Part B); the reference has none.
+
+Scale notes: a window = one shuffle on partitionBy keys + per-partition
+sort. The cardinal rule at 100 TB is to never use a window WITHOUT a
+partitionBy (single-partition global sort); every query here partitions on
+a real key. Running/sliding frames evaluate incrementally (no O(n²)).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from biglake_iceberg_python_spark.plans.registry import query
+from biglake_iceberg_python_spark.sources.tables import load_table
+
+
+@query(
+    "window_ranking",
+    oracle="""
+    WITH w AS (
+      SELECT
+        o_custkey,
+        o_orderkey,
+        o_totalprice,
+        ROW_NUMBER() OVER pw AS rn,
+        RANK() OVER pw AS rnk,
+        DENSE_RANK() OVER pw AS drnk,
+        NTILE(4) OVER pw AS quartile
+      FROM orders
+      WINDOW pw AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+    )
+    SELECT o_custkey, o_orderkey, o_totalprice, rn, rnk, drnk, quartile
+    FROM w WHERE rn <= 3
+    """,
+    tags=("window", "ranking"),
+)
+def window_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """row_number / rank / dense_rank / ntile per customer, top-3 rows kept.
+
+    The o_orderkey tiebreak makes every ranking deterministic (o_totalprice
+    alone could tie → nondeterministic row_number). The rn<=3 filter is the
+    per-group top-k idiom: Spark pushes a WindowGroupLimit below the sort.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    pw = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(pw).alias("rn"),
+            F.rank().over(pw).alias("rnk"),
+            F.dense_rank().over(pw).alias("drnk"),
+            F.ntile(4).over(pw).alias("quartile"),
+        )
+        .filter(F.col("rn") <= 3)
+    )
+
+
+@query(
+    "window_analytic",
+    oracle="""
+    SELECT
+      o_custkey,
+      o_orderkey,
+      o_totalprice,
+      LAG(o_totalprice) OVER pw AS prev_price,
+      LEAD(o_totalprice) OVER pw AS next_price,
+      FIRST_VALUE(o_totalprice) OVER pw AS first_price,
+      o_totalprice - COALESCE(LAG(o_totalprice) OVER pw, o_totalprice) AS price_delta
+    FROM orders
+    WHERE o_custkey < 100
+    WINDOW pw AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+    tags=("window", "analytic"),
+)
+def window_analytic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead/first_value over each customer's order history in date
+    order (orderkey tiebreak for determinism)."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") < 100)
+    pw = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    lag_price = F.lag("o_totalprice").over(pw)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_totalprice",
+        lag_price.alias("prev_price"),
+        F.lead("o_totalprice").over(pw).alias("next_price"),
+        F.first("o_totalprice").over(pw).alias("first_price"),
+        (F.col("o_totalprice") - F.coalesce(lag_price, F.col("o_totalprice"))).alias(
+            "price_delta"
+        ),
+    )
+
+
+@query(
+    "window_frames",
+    oracle="""
+    SELECT
+      o_custkey,
+      o_orderkey,
+      CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6)))
+        OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        AS running_total,
+      CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6)))
+        OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
+        AS sliding_3_sum,
+      COUNT(*) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        AS orders_so_far
+    FROM orders
+    WHERE o_custkey < 50
+    """,
+    tags=("window", "frames"),
+)
+def window_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running and sliding frame sums (ROWS BETWEEN): cumulative customer
+    spend and a 3-order moving sum. Decimal sums inside the frame keep the
+    running totals bit-identical across engines regardless of frame
+    evaluation order."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") < 50)
+    ordering = [F.col("o_orderdate"), F.col("o_orderkey")]
+    run = (
+        Window.partitionBy("o_custkey")
+        .orderBy(*ordering)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    slide = (
+        Window.partitionBy("o_custkey")
+        .orderBy(*ordering)
+        .rowsBetween(-2, Window.currentRow)
+    )
+    price_dec = F.col("o_totalprice").cast("decimal(30,6)")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(price_dec).over(run).cast("double").alias("running_total"),
+        F.sum(price_dec).over(slide).cast("double").alias("sliding_3_sum"),
+        F.count(F.lit(1)).over(run).alias("orders_so_far"),
+    )
+
+
+@query(
+    "window_range_frame",
+    oracle="""
+    SELECT
+      user_id,
+      event_id,
+      COUNT(*) OVER (
+        PARTITION BY user_id ORDER BY epoch_s
+        RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW
+      ) AS events_last_hour
+    FROM (
+      SELECT user_id, event_id,
+             date_diff('second', TIMESTAMP '1970-01-01 00:00:00', ts) AS epoch_s
+      FROM events
+    )
+    """,
+    tags=("window", "frames", "range"),
+)
+def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame over event time: per event, how many events the same
+    user produced in the trailing hour. The range key is epoch seconds
+    (integer) so Spark-µs and DuckDB-ns timestamps agree exactly."""
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("epoch_s")
+        .rangeBetween(-3600, Window.currentRow)
+    )
+    return (
+        e.withColumn("epoch_s", F.unix_timestamp("ts"))
+        .select(
+            "user_id",
+            "event_id",
+            F.count(F.lit(1)).over(w).alias("events_last_hour"),
+        )
+    )
+
+
+@query(
+    "window_topk_per_group",
+    oracle="""
+    WITH ranked AS (
+      SELECT
+        p_brand,
+        p_partkey,
+        p_retailprice,
+        ROW_NUMBER() OVER (PARTITION BY p_brand
+                           ORDER BY p_retailprice DESC, p_partkey) AS rn
+      FROM part
+    )
+    SELECT p_brand, p_partkey, p_retailprice, rn
+    FROM ranked WHERE rn <= 2
+    """,
+    tags=("window", "topk"),
+)
+def window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group top-k: 2 priciest parts per brand. Spark 3.5+/4 rewrites
+    rn<=k into WindowGroupLimit (per-partition heap before the shuffle) —
+    the right top-k-per-key plan at any scale."""
+    p = load_table(spark, sf_dir, "part")
+    w = Window.partitionBy("p_brand").orderBy(
+        F.col("p_retailprice").desc(), F.col("p_partkey")
+    )
+    return (
+        p.select(
+            "p_brand",
+            "p_partkey",
+            "p_retailprice",
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") <= 2)
+    )
