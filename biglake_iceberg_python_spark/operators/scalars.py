@@ -1,1 +1,335 @@
-"""(stub — filled in below)"""
+"""Scalar function batteries: string, date/time, math, conditional, array,
+JSON (SURVEY.md §2 Part B).
+
+Reference parity: the reference *imports* ``col, year, month, dayofmonth,
+hour, minute`` without calling them (bigquery_stored_procedures/
+iceberg_stored_procedure.sql:38) — evidence of intended date-part surface;
+everything else here is contract-mandated.
+
+Cross-engine notes: DuckDB date parts return BIGINT while Spark returns INT,
+so every extracted part is cast explicitly; array outputs are serialized to
+deterministically-ordered joined strings (collect_list order is partition-
+dependent, so raw arrays are never surfaced). All functions here run inside
+whole-stage codegen — zero Python, zero shuffles beyond the final agg.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from biglake_iceberg_python_spark.plans.registry import query
+from biglake_iceberg_python_spark.sources.tables import load_table
+
+
+@query(
+    "scalar_string",
+    oracle="""
+    SELECT
+      p_partkey,
+      upper(p_name) AS name_upper,
+      lower(p_brand) AS brand_lower,
+      substr(p_name, 1, 5) AS name_prefix,
+      length(p_name) AS name_len,
+      concat(p_brand, ':', p_type) AS brand_type,
+      trim('  ' || p_type || ' ') AS type_trimmed,
+      replace(p_name, ' ', '_') AS name_snake,
+      regexp_extract(p_brand, '[0-9]+') AS brand_num,
+      CAST(strpos(p_name, 'a') AS INTEGER) AS first_a
+    FROM part
+    WHERE p_partkey % 10 = 0
+    """,
+    tags=("scalar", "string"),
+)
+def scalar_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String battery: case, substr, length, concat, trim, replace,
+    regexp_extract, position."""
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_partkey") % 10 == 0)
+    return p.select(
+        "p_partkey",
+        F.upper("p_name").alias("name_upper"),
+        F.lower("p_brand").alias("brand_lower"),
+        F.substring("p_name", 1, 5).alias("name_prefix"),
+        F.length("p_name").alias("name_len"),
+        F.concat_ws(":", "p_brand", "p_type").alias("brand_type"),
+        F.trim(F.concat(F.lit("  "), F.col("p_type"), F.lit(" "))).alias(
+            "type_trimmed"
+        ),
+        F.regexp_replace("p_name", " ", "_").alias("name_snake"),
+        F.regexp_extract("p_brand", "[0-9]+", 0).alias("brand_num"),
+        F.instr("p_name", "a").alias("first_a"),
+    )
+
+
+@query(
+    "scalar_datetime",
+    oracle="""
+    SELECT
+      o_orderkey,
+      CAST(year(o_orderdate) AS INTEGER) AS order_year,
+      CAST(month(o_orderdate) AS INTEGER) AS order_month,
+      CAST(day(o_orderdate) AS INTEGER) AS order_day,
+      CAST(dayofweek(o_orderdate) AS INTEGER) + 1 AS order_dow,
+      strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
+      CAST(date_diff('day', o_orderdate, TIMESTAMP '2002-01-01 00:00:00') AS INTEGER)
+        AS days_to_2002,
+      strftime(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY, '%Y-%m-%d') AS due_date,
+      strftime(o_orderdate, '%Y-%m-%d') AS orderdate_str
+    FROM orders
+    WHERE o_orderkey % 20 = 0
+    """,
+    tags=("scalar", "datetime"),
+)
+def scalar_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time battery: parts (the reference's intended-but-unused import
+    set), trunc, diff, add, format. DuckDB dayofweek is 0-based Sunday vs
+    Spark 1-based — the oracle shifts by 1 to align."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 20 == 0)
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("order_year"),
+        F.month("o_orderdate").alias("order_month"),
+        F.dayofmonth("o_orderdate").alias("order_day"),
+        F.dayofweek("o_orderdate").alias("order_dow"),
+        F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM-dd").alias(
+            "month_start"
+        ),
+        F.datediff(F.lit("2002-01-01").cast("date"), F.col("o_orderdate")).alias(
+            "days_to_2002"
+        ),
+        F.date_format(F.date_add(F.col("o_orderdate").cast("date"), 30), "yyyy-MM-dd").alias(
+            "due_date"
+        ),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate_str"),
+    )
+
+
+@query(
+    "scalar_datetime_events",
+    oracle="""
+    SELECT
+      CAST(hour(ts) AS INTEGER) AS h,
+      CAST(minute(ts) AS INTEGER) AS m,
+      COUNT(*) AS n_events
+    FROM events
+    GROUP BY 1, 2
+    """,
+    tags=("scalar", "datetime"),
+)
+def scalar_datetime_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """hour/minute extraction on the ns-precision events stream (grouped so
+    the output is compact at any scale)."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.select(F.hour("ts").alias("h"), F.minute("ts").alias("m"))
+        .groupBy("h", "m")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+
+
+@query(
+    "scalar_math",
+    oracle="""
+    SELECT
+      l_orderkey,
+      l_linenumber,
+      round(l_extendedprice, 1) AS price_round1,
+      abs(l_discount - 0.05) AS disc_dev,
+      ceil(l_quantity / 7) AS qty_ceil,
+      floor(l_extendedprice / 1000) AS price_kfloor,
+      pow(l_discount, 2) AS disc_sq,
+      ln(l_extendedprice) AS price_ln,
+      sqrt(l_quantity) AS qty_sqrt,
+      CAST(l_orderkey % 7 AS BIGINT) AS key_mod7
+    FROM lineitem
+    WHERE l_orderkey % 50 = 0
+    """,
+    tags=("scalar", "math"),
+)
+def scalar_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math battery: round/abs/ceil/floor/pow/ln/sqrt/mod — all IEEE-double
+    ops with identical results in both engines (libm ln/sqrt/pow are
+    correctly-rounded for these inputs)."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 50 == 0)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round("l_extendedprice", 1).alias("price_round1"),
+        F.abs(F.col("l_discount") - 0.05).alias("disc_dev"),
+        F.ceil(F.col("l_quantity") / 7).alias("qty_ceil"),
+        F.floor(F.col("l_extendedprice") / 1000).alias("price_kfloor"),
+        F.pow("l_discount", F.lit(2)).alias("disc_sq"),
+        F.log(F.col("l_extendedprice")).alias("price_ln"),
+        F.sqrt("l_quantity").alias("qty_sqrt"),
+        (F.col("l_orderkey") % 7).cast("long").alias("key_mod7"),
+    )
+
+
+@query(
+    "scalar_conditional",
+    oracle="""
+    SELECT
+      o_orderkey,
+      CASE
+        WHEN o_totalprice > 300000 THEN 'high'
+        WHEN o_totalprice > 100000 THEN 'mid'
+        ELSE 'low'
+      END AS price_band,
+      coalesce(nullif(o_orderstatus, 'O'), 'OPEN') AS status_label,
+      CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END
+        AS is_priority,
+      ifnull(nullif(o_custkey, 0), -1) AS custkey_or_neg1
+    FROM orders
+    WHERE o_orderkey % 15 = 0
+    """,
+    tags=("scalar", "conditional"),
+)
+def scalar_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CASE WHEN / coalesce / nullif / ifnull battery."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 15 == 0)
+    return o.select(
+        "o_orderkey",
+        F.when(F.col("o_totalprice") > 300000, "high")
+        .when(F.col("o_totalprice") > 100000, "mid")
+        .otherwise("low")
+        .alias("price_band"),
+        F.coalesce(F.nullif("o_orderstatus", F.lit("O")), F.lit("OPEN")).alias(
+            "status_label"
+        ),
+        F.when(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1)
+        .otherwise(0)
+        .alias("is_priority"),
+        F.ifnull(F.nullif("o_custkey", F.lit(0)), F.lit(-1)).alias("custkey_or_neg1"),
+    )
+
+
+@query(
+    "scalar_array",
+    oracle="""
+    WITH toks AS (
+      SELECT
+        doc_id,
+        list_filter(string_split(text, ' '), x -> x <> '') AS words
+      FROM documents
+    )
+    SELECT
+      doc_id,
+      CAST(len(words) AS INTEGER) AS n_words,
+      CAST(list_contains(words, 'spark') AS INTEGER) AS has_spark,
+      array_to_string(list_sort(list_distinct(words)), ',') AS vocab,
+      array_to_string(list_transform(words, x -> upper(x)), ',') AS words_upper,
+      CAST(len(list_filter(words, x -> length(x) > 4)) AS INTEGER) AS n_long_words
+    FROM toks
+    WHERE doc_id % 25 = 0
+    """,
+    tags=("scalar", "array", "hof"),
+)
+def scalar_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array battery + higher-order functions: split, size, contains,
+    distinct+sort (deterministic serialization), transform, filter.
+    All HOFs run in codegen — no UDFs."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 25 == 0)
+    words = F.filter(F.split("text", " "), lambda x: x != "")
+    return d.select(
+        "doc_id",
+        F.size(words).alias("n_words"),
+        F.array_contains(words, "spark").cast("int").alias("has_spark"),
+        F.array_join(F.array_sort(F.array_distinct(words)), ",").alias("vocab"),
+        F.array_join(F.transform(words, lambda x: F.upper(x)), ",").alias(
+            "words_upper"
+        ),
+        F.size(F.filter(words, lambda x: F.length(x) > 4)).alias("n_long_words"),
+    )
+
+
+@query(
+    "scalar_array_explode",
+    oracle="""
+    SELECT word, COUNT(*) AS freq
+    FROM (
+      SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS word
+      FROM documents
+    )
+    GROUP BY word
+    ORDER BY freq DESC, word
+    LIMIT 20
+    """,
+    tags=("scalar", "array", "explode"),
+    bench=True,
+)
+def scalar_array_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """explode/UNNEST to a word-frequency top-20 — the tokenize→explode→
+    count shape that underlies every corpus statistic at scale. Generator
+    (explode) stays in the JVM; one agg shuffle; top-k via ordered limit."""
+    d = load_table(spark, sf_dir, "documents")
+    words = F.filter(F.split("text", " "), lambda x: x != "")
+    return (
+        d.select(F.explode(words).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.col("freq").desc(), "word")
+        .limit(20)
+    )
+
+
+@query(
+    "scalar_json",
+    oracle="""
+    SELECT
+      json_extract_string(props, '$.k') AS k_str,
+      CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_int,
+      COUNT(*) AS n,
+      CAST(SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k
+    FROM events
+    WHERE event_type = 'purchase'
+    GROUP BY 1, 2
+    """,
+    tags=("scalar", "json"),
+)
+def scalar_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON extraction from the events.props string column (reference's
+    events fixture carries JSON props — FIXTURES.md): get_json_object +
+    typed cast + aggregation over the extracted key."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    k = F.get_json_object("props", "$.k")
+    return (
+        e.select(
+            k.alias("k_str"),
+            k.cast("int").alias("k_int"),
+        )
+        .groupBy("k_str", "k_int")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k_int").cast("long").alias("sum_k"),
+        )
+    )
+
+
+@query(
+    "scalar_json_struct",
+    oracle="""
+    SELECT
+      event_type,
+      CAST(MAX(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS INTEGER) AS max_k,
+      CAST(MIN(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS INTEGER) AS min_k
+    FROM events
+    GROUP BY event_type
+    """,
+    tags=("scalar", "json"),
+)
+def scalar_json_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """from_json into a typed struct then aggregate — schema-on-read over a
+    JSON payload column (the scale-correct alternative to repeated
+    get_json_object calls when many keys are extracted)."""
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    e = load_table(spark, sf_dir, "events")
+    schema = StructType([StructField("k", IntegerType())])
+    return (
+        e.withColumn("p", F.from_json("props", schema))
+        .groupBy("event_type")
+        .agg(
+            F.max(F.col("p.k")).alias("max_k"),
+            F.min(F.col("p.k")).alias("min_k"),
+        )
+    )
