@@ -1,1 +1,373 @@
-"""(stub — filled in below)"""
+"""Deduplication operators for LLM training-data pipelines (SURVEY.md §2B).
+
+Four tiers, each the idiomatic Spark shape for its scale:
+
+  * exact          — hash-groupBy on normalized text (sha2 inside codegen)
+  * n-gram Jaccard — exact near-dup: rare-shingle inverted index join
+  * MinHash + LSH  — approximate near-dup: banded signature bucket join
+  * SimHash        — near-dup via Hamming-close bit signatures
+
+Scale notes: the inverted-index and LSH shapes replace the O(n²) pairwise
+compare with joins whose fan-out is controlled explicitly (doc-frequency cap
+/ band width). That is the 100 TB design: candidate generation is a few
+shuffles on short keys; verification touches only candidate pairs. All
+hashing is deterministic (xxhash64 with fixed seed; no RNG), so reruns and
+resized clusters produce identical output.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from biglake_iceberg_python_spark.plans.registry import query
+from biglake_iceberg_python_spark.sources.tables import load_table
+
+# Shingles occurring in more than this many docs carry no near-dup signal
+# (they are the corpus' stop-phrases) and explode the candidate join —
+# pruned identically in the oracle, so semantics match by construction.
+_DF_CAP = 20
+_JACCARD_THRESHOLD = 0.5
+
+# MinHash parameters: 32 permutations in 8 bands of 4 → catches pairs with
+# J ≳ 0.5 with high probability (p = 1-(1-J^4)^8).
+_N_PERM = 32
+_BAND_SIZE = 4
+_MERSENNE = (1 << 61) - 1
+
+
+def _words(col: str = "text"):
+    return F.filter(F.split(col, " "), lambda x: x != "")
+
+
+def _shingles(words_col, n: int = 3):
+    """Word n-gram shingles as an array column (codegen, no UDF)."""
+    return F.expr(
+        f"""
+        CASE WHEN size({words_col}) >= {n}
+        THEN transform(
+               sequence(0, size({words_col}) - {n}),
+               i -> concat_ws(' ', slice({words_col}, i + 1, {n})))
+        ELSE array(concat_ws(' ', {words_col})) END
+        """
+    )
+
+
+@query(
+    "dedup_exact",
+    oracle="""
+    WITH hashed AS (
+      SELECT
+        doc_id,
+        source,
+        sha256(lower(trim(text))) AS text_hash
+      FROM documents
+    ), winners AS (
+      SELECT text_hash, MIN(doc_id) AS keep_doc_id, COUNT(*) AS dup_count
+      FROM hashed GROUP BY text_hash
+    )
+    SELECT
+      CAST(COUNT(*) AS BIGINT) AS n_unique,
+      CAST(SUM(dup_count) AS BIGINT) AS n_total,
+      CAST(SUM(dup_count) - COUNT(*) AS BIGINT) AS n_removed,
+      CAST(MIN(keep_doc_id) AS BIGINT) AS first_keeper
+    FROM winners
+    """,
+    tags=("llm", "dedup"),
+    bench=True,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by normalized-text hash: sha2(lower(trim(text))), keep the
+    min doc_id per hash.
+
+    One shuffle on a 64-hex-char key; at 100 TB hash first (256-bit → no
+    practical collisions) so the shuffle never carries document bodies.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    hashed = d.select(
+        "doc_id",
+        F.sha2(F.lower(F.trim(F.col("text"))), 256).alias("text_hash"),
+    )
+    winners = hashed.groupBy("text_hash").agg(
+        F.min("doc_id").alias("keep_doc_id"),
+        F.count(F.lit(1)).alias("dup_count"),
+    )
+    return winners.agg(
+        F.count(F.lit(1)).alias("n_unique"),
+        F.sum("dup_count").cast("long").alias("n_total"),
+        (F.sum("dup_count") - F.count(F.lit(1))).cast("long").alias("n_removed"),
+        F.min("keep_doc_id").cast("long").alias("first_keeper"),
+    )
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH words AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+      FROM documents
+    ), pos AS (
+      SELECT doc_id, unnest(w) AS word, generate_subscripts(w, 1) AS p, len(w) AS nw
+      FROM words
+    ), sh AS (
+      SELECT DISTINCT a.doc_id,
+             a.word || ' ' || b.word || ' ' || c.word AS shingle
+      FROM pos a
+      JOIN pos b ON b.doc_id = a.doc_id AND b.p = a.p + 1
+      JOIN pos c ON c.doc_id = a.doc_id AND c.p = a.p + 2
+    ), rare AS (
+      SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= {_DF_CAP}
+    ), rs AS (
+      SELECT sh.doc_id, sh.shingle FROM sh JOIN rare USING (shingle)
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS n_sh FROM rs GROUP BY doc_id
+    ), inter AS (
+      SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, COUNT(*) AS n_inter
+      FROM rs x JOIN rs y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+      GROUP BY x.doc_id, y.doc_id
+    )
+    SELECT
+      i.doc_a, i.doc_b,
+      CAST(i.n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - i.n_inter) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.doc_a
+    JOIN sizes sb ON sb.doc_id = i.doc_b
+    WHERE CAST(i.n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - i.n_inter)
+          >= {_JACCARD_THRESHOLD}
+    """,
+    tags=("llm", "dedup", "jaccard"),
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs via a rare-shingle inverted index.
+
+    Pipeline: word 3-shingles per doc (codegen transform, no UDF) → distinct
+    postings → drop shingles with doc-frequency > {cap} (stop-phrases add no
+    signal and square the join fan-out) → self-join postings on shingle →
+    per-pair intersection counts → Jaccard over the rare-shingle sets.
+
+    Scale: the only quadratic term is per-shingle df², capped at {cap}² —
+    candidate volume grows linearly with corpus size. Integer counts and one
+    double division keep it bit-deterministic.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    sh = (
+        d.select("doc_id", _words().alias("w"))
+        .select("doc_id", F.explode(_shingles("w")).alias("shingle"))
+        .distinct()
+    )
+    sh.cache()
+    rare = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= _DF_CAP)
+        .select("shingle")
+    )
+    rs = sh.join(rare, "shingle")
+    sizes = rs.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    x = rs.alias("x")
+    y = rs.alias("y")
+    inter = (
+        x.join(
+            y,
+            (F.col("x.shingle") == F.col("y.shingle"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .groupBy(
+            F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    jac = F.col("n_inter").cast("double") / (
+        F.col("sa.n_sh") + F.col("sb.n_sh") - F.col("n_inter")
+    )
+    return (
+        inter.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= _JACCARD_THRESHOLD)
+    )
+
+
+def _minhash_signature(df: DataFrame, id_col: str, shingle_col: str) -> DataFrame:
+    """doc → array of _N_PERM minhash values (deterministic, no RNG).
+
+    h_i(s) = (a_i * xxhash64(s) + b_i) mod M61, with fixed odd coefficients
+    derived from the permutation index. Computed as _N_PERM min-aggregates
+    over the exploded posting list — one shuffle on the id, partial mins
+    map-side, no UDF.
+    """
+    base = df.withColumn("h", F.xxhash64(F.col(shingle_col)))
+    aggs = []
+    for i in range(_N_PERM):
+        a = 2 * i + 1
+        b = 104729 * (i + 1)
+        # pmod keeps the permuted value non-negative; arithmetic stays in
+        # long range because M61 bounds the product's magnitude post-mod.
+        perm = F.pmod(F.col("h") * F.lit(a) + F.lit(b), F.lit(_MERSENNE))
+        aggs.append(F.min(perm).alias(f"mh_{i}"))
+    sig = base.groupBy(id_col).agg(*aggs)
+    return sig.select(
+        id_col, F.array(*[F.col(f"mh_{i}") for i in range(_N_PERM)]).alias("sig")
+    )
+
+
+@query(
+    "dedup_minhash_lsh",
+    oracle=None,  # hash-family specific → rows-only here; recall vs the
+    # exact-jaccard operator is asserted in tests/test_operators.py.
+    tags=("llm", "dedup", "minhash", "lsh"),
+    bench=True,
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + banded LSH near-dup candidates with estimated Jaccard.
+
+    shingle → xxhash64 → 32 deterministic permutations → per-doc min
+    (signature) → 8 bands of 4 hashes → bucket-join on (band, band-hash) →
+    candidate pairs → estimated J = fraction of equal signature positions.
+
+    Scale: signatures are 32 longs per doc regardless of doc length; the
+    bucket join only pairs docs agreeing on a full band. This is the shape
+    that near-dups 100 TB of text — no pairwise scan, bounded bucket sizes,
+    deterministic output (reruns identical).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    sh = (
+        d.select("doc_id", _words().alias("w"))
+        .select("doc_id", F.explode(_shingles("w")).alias("shingle"))
+        .distinct()
+    )
+    sig = _minhash_signature(sh, "doc_id", "shingle").cache()
+
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band"),
+                        F.xxhash64(
+                            *[
+                                F.col("sig")[bi * _BAND_SIZE + j]
+                                for j in range(_BAND_SIZE)
+                            ]
+                        ).alias("bh"),
+                    )
+                    for bi in range(_N_PERM // _BAND_SIZE)
+                ]
+            )
+        ).alias("b"),
+    ).select("doc_id", "b.band", "b.bh")
+
+    x = bands.alias("x")
+    y = bands.alias("y")
+    cand = (
+        x.join(
+            y,
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.bh") == F.col("y.bh"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(
+            F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+
+    sa = sig.alias("sa")
+    sb = sig.alias("sb")
+    est = (
+        F.size(
+            F.filter(
+                F.zip_with(F.col("sa.sig"), F.col("sb.sig"), lambda p, q: p == q),
+                lambda eq: eq,
+            )
+        ).cast("double")
+        / _N_PERM
+    )
+    return (
+        cand.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .select("doc_a", "doc_b", est.alias("est_jaccard"))
+        .filter(F.col("est_jaccard") >= _JACCARD_THRESHOLD)
+    )
+
+
+@query(
+    "dedup_simhash",
+    oracle=None,  # depends on xxhash64 bit patterns → rows-only.
+    tags=("llm", "dedup", "simhash"),
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: 32-bit signed-sum signature over word hashes,
+    candidates = docs sharing a 16-bit half, verified by Hamming distance.
+
+    Per doc: bit_j = sign( Σ_words ±1 by bit_j(xxhash64(word)) ). Near-dups
+    differ in few bits; splitting the signature into 2 halves guarantees any
+    pair within Hamming distance 1 shares at least one exact half
+    (pigeonhole) — the bucket join then only verifies those.
+
+    Scale: signature is one int per doc; the half-join is two equi-joins on
+    16-bit keys. The full 64-bit/4-band production variant is the same plan.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(_words()).alias("word")).withColumn(
+        "h", F.xxhash64("word")
+    )
+    bit_aggs = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(
+                -1
+            )
+        ).alias(f"s_{j}")
+        for j in range(32)
+    ]
+    sums = tok.groupBy("doc_id").agg(*bit_aggs)
+    simhash = sums.select(
+        "doc_id",
+        sum(
+            (F.when(F.col(f"s_{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0)))
+            for j in range(32)
+        ).alias("simhash"),
+    ).cache()
+
+    halves = simhash.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit(0).alias("half"),
+                    (F.col("simhash").bitwiseAND(F.lit(0xFFFF))).alias("hv"),
+                ),
+                F.struct(
+                    F.lit(1).alias("half"),
+                    F.shiftrightunsigned(F.col("simhash"), 16)
+                    .bitwiseAND(F.lit(0xFFFF))
+                    .alias("hv"),
+                ),
+            )
+        ).alias("hb"),
+    ).select("doc_id", "simhash", "hb.half", "hb.hv")
+
+    x = halves.alias("x")
+    y = halves.alias("y")
+    hamming = F.bit_count(
+        F.col("x.simhash").bitwiseXOR(F.col("y.simhash"))
+    )
+    return (
+        x.join(
+            y,
+            (F.col("x.half") == F.col("y.half"))
+            & (F.col("x.hv") == F.col("y.hv"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(
+            F.col("x.doc_id").alias("doc_a"),
+            F.col("y.doc_id").alias("doc_b"),
+            hamming.alias("hamming_dist"),
+        )
+        .distinct()
+        .filter(F.col("hamming_dist") <= 1)
+    )
