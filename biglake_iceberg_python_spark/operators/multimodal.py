@@ -1,1 +1,166 @@
-"""(stub — filled in below)"""
+"""Multimodal columns: opaque binary payloads + typed metadata (SURVEY.md
+§2B [EXT]).
+
+The pattern for image/audio/video at 100 TB: the payload is a BinaryType
+column (or a reference to object storage), metadata is a typed struct
+sibling, and decode/feature-extraction runs as Arrow-batched pandas
+functions over ``mapInPandas`` — Spark never interprets the bytes, so the
+plan (partitioning, pushdown on metadata, column pruning that skips the
+payload entirely) is unaffected by payload size.
+
+The container has no image/audio codecs, so the decode step is a
+deterministic stub behind ``decode_image_stub`` (documented NotImplemented
+path for real codecs); the Spark-side plumbing — schema, batching, UDF
+signatures — is real and tested.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from biglake_iceberg_python_spark.plans.registry import query
+from biglake_iceberg_python_spark.sources.tables import load_table
+
+# Schema of the decoded-feature output of the mapInPandas stage.
+_DECODED_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("media_type", StringType()),
+        StructField("payload_bytes", IntegerType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("checksum", LongType()),
+    ]
+)
+
+
+def decode_image_stub(payload: bytes) -> tuple[int, int, int]:
+    """Deterministic stand-in for an image decoder.
+
+    Real implementation would be e.g. ``PIL.Image.open(io.BytesIO(payload))``
+    — unavailable in this container. The stub derives (width, height,
+    checksum) from the bytes themselves so tests are reproducible.
+
+    Raises NotImplementedError for payloads tagged as real codecs, making
+    the seam where a codec library plugs in explicit.
+    """
+    if payload[:4] in (b"\x89PNG", b"RIFF", b"\xff\xd8\xff\xe0"):
+        raise NotImplementedError("real image codecs not available in this build")
+    checksum = 0
+    for b in payload[:64]:
+        checksum = (checksum * 31 + b) % (1 << 31)
+    width = 16 + checksum % 1024
+    height = 16 + (checksum // 1024) % 1024
+    return width, height, checksum
+
+
+def _decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas worker: Arrow batches in, decoded-feature batches out.
+
+    Batch-at-a-time (not row-at-a-time Python UDF): amortizes serialization
+    and lets a real decoder release the GIL / use vectorized libs.
+    """
+    for pdf in batches:
+        decoded = [decode_image_stub(p) for p in pdf["payload"]]
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"].values,
+                "media_type": pdf["media_type"].values,
+                "payload_bytes": pdf["payload"].map(len).astype("int32"),
+                "width": pd.Series([d[0] for d in decoded], dtype="int32"),
+                "height": pd.Series([d[1] for d in decoded], dtype="int32"),
+                "checksum": pd.Series([d[2] for d in decoded], dtype="int64"),
+            }
+        )
+
+
+def _with_binary_payload(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → multimodal frame: binary payload + typed metadata struct.
+
+    (The testdata has no real media files; text bytes stand in for the
+    payload. With real data this is ``spark.read.format("binaryFile")`` or a
+    parquet table with a binary column — identical downstream plan.)
+    """
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.encode(F.col("text"), "UTF-8").alias("payload").cast(BinaryType()),
+        F.struct(
+            F.col("lang").alias("lang"),
+            F.col("source").alias("source"),
+            F.col("n_chars").alias("n_chars"),
+            F.lit("text/plain").alias("mime"),
+        ).alias("meta"),
+        F.lit("synthetic").alias("media_type"),
+    )
+
+
+@query(
+    "multimodal_binary_meta",
+    oracle="""
+    SELECT
+      source,
+      CAST(COUNT(*) AS BIGINT) AS n_payloads,
+      CAST(SUM(length(text)) AS BIGINT) AS total_payload_bytes,
+      CAST(MAX(length(text)) AS BIGINT) AS max_payload_bytes,
+      min(md5(text)) AS min_payload_md5
+    FROM documents
+    GROUP BY source
+    """,
+    tags=("llm", "multimodal"),
+)
+def multimodal_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column metadata pass: byte sizes + content digest per source,
+    computed on the BinaryType payload without ever decoding it.
+
+    Column pruning matters here: queries touching only ``meta`` never read
+    payload bytes from parquet — the core reason to model media as a
+    sibling binary column. (ASCII text ⇒ payload bytes == text chars, which
+    is what lets DuckDB oracle-check the binary path.)
+    """
+    mm = _with_binary_payload(spark, sf_dir)
+    return mm.groupBy(F.col("meta.source").alias("source")).agg(
+        F.count(F.lit(1)).alias("n_payloads"),
+        F.sum(F.length("payload")).cast("long").alias("total_payload_bytes"),
+        F.max(F.length("payload")).cast("long").alias("max_payload_bytes"),
+        F.min(F.md5("payload")).alias("min_payload_md5"),
+    )
+
+
+@query(
+    "multimodal_decode_features",
+    oracle=None,  # decode stub is engine-local → rows-only check; shape and
+    # determinism are asserted in tests/test_operators.py.
+    tags=("llm", "multimodal", "mapInPandas"),
+)
+def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode/feature-extract pipeline over binary payloads via mapInPandas:
+    payload → (width, height, checksum) per doc, aggregated per media_type.
+
+    The Arrow batch path is the pattern for real decoders (resize, frame
+    sample, spectrogram): payload partitions stream through Python workers
+    batch-wise; downstream aggregation stays JVM-side.
+    """
+    mm = _with_binary_payload(spark, sf_dir)
+    decoded = mm.select("doc_id", "media_type", "payload").mapInPandas(
+        _decode_batches, schema=_DECODED_SCHEMA
+    )
+    return decoded.groupBy("media_type").agg(
+        F.count(F.lit(1)).alias("n_decoded"),
+        F.sum("payload_bytes").cast("long").alias("total_bytes"),
+        F.min("width").alias("min_width"),
+        F.max("height").alias("max_height"),
+        F.sum("checksum").cast("long").alias("checksum_sum"),
+    )

@@ -1,1 +1,221 @@
-"""(stub — filled in below)"""
+"""Similarity search over embedding vectors (SURVEY.md §2B [EXT]).
+
+Three operators over the ``embeddings`` table (array<float>, 64-dim):
+
+  * sim_bruteforce_topk — exact cosine top-k, the correctness baseline
+  * sim_ann_lsh         — random-hyperplane LSH bucketed ANN (scale path)
+  * sim_label_centroids — vector aggregation (per-label mean vector)
+
+Scale notes: brute force is O(|Q|·|C|) — valid only because Q is tiny
+(broadcast); the plan keeps the big candidate side streaming with no
+shuffle, computes dot products inside codegen (zip_with + aggregate — no
+Python), and takes per-query top-k through a WindowGroupLimit rather than a
+global sort. The LSH variant buckets both sides by deterministic hyperplane
+sign bits so each query only scores its bucket — the 100 TB shape (candidate
+generation by equi-join on a short key). An IVF variant would follow the
+same plan with learned centroids as the bucket key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from biglake_iceberg_python_spark.plans.registry import query
+from biglake_iceberg_python_spark.sources.tables import load_table
+
+_N_QUERIES = 5  # vec_id < 5 are the query vectors
+_TOP_K = 10
+_N_PLANES = 8
+_DIM = 64
+
+
+def _dot(a: Column, b: Column) -> Column:
+    """Sequential-fold dot product in double — bit-identical to DuckDB's
+    list_dot_product over double lists (same order, same IEEE ops)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _as_double(col: str) -> Column:
+    return F.transform(F.col(col), lambda x: x.cast("double"))
+
+
+@query(
+    "sim_bruteforce_topk",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+      FROM embeddings WHERE vec_id < {_N_QUERIES}
+    ), c AS (
+      SELECT vec_id AS cid, label, embedding::DOUBLE[] AS cv
+      FROM embeddings
+    ), scored AS (
+      SELECT
+        q.qid, c.cid, c.label,
+        list_dot_product(q.qv, c.cv)
+          / sqrt(list_dot_product(q.qv, q.qv) * list_dot_product(c.cv, c.cv))
+          AS cosine
+      FROM q CROSS JOIN c
+      WHERE q.qid <> c.cid
+    ), ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+                                   ORDER BY cosine DESC, cid) AS rk
+      FROM scored
+    )
+    SELECT qid, cid, label, cosine, rk FROM ranked WHERE rk <= {_TOP_K}
+    """,
+    tags=("llm", "similarity", "knn"),
+    bench=True,
+)
+def sim_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-k: tiny broadcast query set × streaming candidates.
+
+    The candidate side never shuffles for the join (queries broadcast); the
+    only shuffle is the per-query top-k window over |Q|·k rows. Dot products
+    are a codegen fold — identical arithmetic order to the DuckDB oracle, so
+    scores hash-match exactly with no tolerance.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("qid"), _as_double("embedding").alias("qv")
+    )
+    c = e.select(
+        F.col("vec_id").alias("cid"), "label", _as_double("embedding").alias("cv")
+    )
+    scored = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .filter(F.col("qid") != F.col("cid"))
+        .select(
+            "qid",
+            "cid",
+            "label",
+            (
+                _dot(F.col("qv"), F.col("cv"))
+                / F.sqrt(
+                    _dot(F.col("qv"), F.col("qv")) * _dot(F.col("cv"), F.col("cv"))
+                )
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("cid"))
+    return scored.withColumn("rk", F.row_number().over(w)).filter(
+        F.col("rk") <= _TOP_K
+    )
+
+
+def _lsh_bucket(vec_col: str) -> Column:
+    """Deterministic random-hyperplane bucket id (no RNG — plane weights are
+    a fixed pseudo-random integer lattice, so reruns/other engines agree).
+
+    plane_j[d] = ((j+1)*73856093 + d*19349663) mod 2001 - 1000, scaled.
+    Bucket = Σ_j sign_bit_j · 2^j over _N_PLANES hyperplanes.
+    """
+    bucket = F.lit(0)
+    for j in range(_N_PLANES):
+        weights = F.array(
+            *[
+                F.lit((((j + 1) * 73856093 + d * 19349663) % 2001 - 1000) / 1000.0)
+                for d in range(_DIM)
+            ]
+        )
+        proj = _dot(F.col(vec_col), weights)
+        bucket = bucket + F.when(proj > 0, F.lit(1 << j)).otherwise(F.lit(0))
+    return bucket
+
+
+@query(
+    "sim_ann_lsh",
+    oracle=None,  # approximate by design → rows-only; recall vs brute force
+    # is asserted in tests/test_operators.py.
+    tags=("llm", "similarity", "ann", "lsh"),
+)
+def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate NN: random-hyperplane LSH buckets, scoring only
+    bucket-mates of each query.
+
+    Both sides get an 8-bit signature from deterministic hyperplanes; the
+    join is an equi-join on the bucket id (plus query broadcast), so each
+    query scores ~|C|/256 candidates. More planes / multi-probe widen or
+    sharpen recall; same plan shape at any corpus size.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    vecs = e.select(
+        "vec_id", "label", _as_double("embedding").alias("v")
+    ).withColumn("bucket", _lsh_bucket("v"))
+    q = vecs.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("qid"),
+        F.col("v").alias("qv"),
+        F.col("bucket").alias("qbucket"),
+    )
+    c = vecs.select(
+        F.col("vec_id").alias("cid"),
+        "label",
+        F.col("v").alias("cv"),
+        "bucket",
+    )
+    scored = (
+        F.broadcast(q)
+        .join(c, (F.col("qbucket") == F.col("bucket")) & (F.col("qid") != F.col("cid")))
+        .select(
+            "qid",
+            "cid",
+            "label",
+            (
+                _dot(F.col("qv"), F.col("cv"))
+                / F.sqrt(
+                    _dot(F.col("qv"), F.col("qv")) * _dot(F.col("cv"), F.col("cv"))
+                )
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("cid"))
+    return scored.withColumn("rk", F.row_number().over(w)).filter(
+        F.col("rk") <= _TOP_K
+    )
+
+
+@query(
+    "sim_label_centroids",
+    oracle="""
+    WITH expanded AS (
+      SELECT
+        label,
+        generate_subscripts(embedding, 1) AS dim,
+        CAST(unnest(embedding) AS DOUBLE) AS comp
+      FROM embeddings
+    )
+    SELECT
+      label,
+      CAST(COUNT(*) / 64 AS BIGINT) AS n_vectors,
+      CAST(SUM(CAST(comp AS DECIMAL(30,12))) AS DOUBLE) AS sum_all_components,
+      MAX(comp) AS max_component
+    FROM expanded
+    GROUP BY label
+    """,
+    tags=("llm", "similarity", "vector-agg"),
+)
+def sim_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector aggregation: per-label component sums (the centroid numerator
+    — the building block of IVF/k-means partitioning for ANN at scale).
+
+    posexplode → (label, dim) partial sums map-side → one shuffle. Component
+    sums use the exact-decimal path (scale 12: float components are ~1e-1,
+    and float→double→decimal(30,12) is exact for these magnitudes... see
+    tests for the parity assertion).
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    expanded = e.select(
+        "label", F.posexplode(_as_double("embedding")).alias("dim", "comp")
+    )
+    return expanded.groupBy("label").agg(
+        (F.count(F.lit(1)) / _DIM).cast("long").alias("n_vectors"),
+        F.sum(F.col("comp").cast("decimal(30,12)")).cast("double").alias(
+            "sum_all_components"
+        ),
+        F.max("comp").alias("max_component"),
+    )

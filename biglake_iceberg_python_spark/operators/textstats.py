@@ -1,1 +1,280 @@
-"""(stub — filled in below)"""
+"""Text analysis for LLM training-data pipelines (SURVEY.md §2B [EXT]):
+quality scoring, language ID, token counting, document fingerprinting.
+
+Every operator is pure codegen SQL expressions over the ``documents`` table
+— no Python in the hot path — so each runs at full scan speed and is
+oracle-checkable. At 100 TB these are one-pass map-side computations with a
+single small aggregation shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from biglake_iceberg_python_spark.functions.exprs import oracle_davg
+from biglake_iceberg_python_spark.plans.registry import query
+from biglake_iceberg_python_spark.sources.tables import load_table
+
+_STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it")
+_STOP_SQL = "', '".join(_STOPWORDS)
+
+# Tiny per-language marker lexicons for the heuristic language scorer.
+_LANG_MARKERS = {
+    "en": ("the", "fast", "key"),
+    "es": ("data", "valor", "tabla"),
+    "de": ("der", "schnell", "wert"),
+    "fr": ("le", "vite", "valeur"),
+    "zh": ("shu", "ju", "biao"),
+}
+
+
+def _words(col: str = "text") -> Column:
+    return F.filter(F.split(col, " "), lambda x: x != "")
+
+
+@query(
+    "text_quality_stats",
+    oracle=f"""
+    WITH per_doc AS (
+      SELECT
+        lang,
+        len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_words,
+        length(text) AS n_chars_actual,
+        length(text) - length(replace(text, ' ', '')) AS n_spaces,
+        len(list_filter(string_split(text, ' '),
+                        x -> x IN ('{_STOP_SQL}'))) AS n_stop
+      FROM documents
+    )
+    SELECT
+      lang,
+      COUNT(*) AS n_docs,
+      {oracle_davg('n_words')} AS avg_words,
+      {oracle_davg('CAST(n_chars_actual AS DOUBLE) / n_words')} AS avg_chars_per_word,
+      {oracle_davg('CAST(n_stop AS DOUBLE) / n_words')} AS avg_stopword_ratio,
+      CAST(MIN(n_words) AS BIGINT) AS min_words,
+      CAST(MAX(n_words) AS BIGINT) AS max_words
+    FROM per_doc
+    GROUP BY lang
+    """,
+    tags=("llm", "text", "quality"),
+    bench=True,
+)
+def text_quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-score features per language: word counts, chars/word,
+    stopword ratio — the standard cheap filters before expensive pipeline
+    stages. One pass, one 5-group shuffle."""
+    d = load_table(spark, sf_dir, "documents")
+    w = _words()
+    stop_arr = F.array(*[F.lit(s) for s in _STOPWORDS])
+    per_doc = d.select(
+        "lang",
+        F.size(w).alias("n_words"),
+        F.length("text").alias("n_chars_actual"),
+        F.size(F.filter(w, lambda x: F.array_contains(stop_arr, x))).alias("n_stop"),
+    )
+    return per_doc.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum(F.col("n_words").cast("decimal(30,6)")).cast("double") / F.count(F.lit(1))).alias("avg_words"),
+        (
+            F.sum(
+                (F.col("n_chars_actual").cast("double") / F.col("n_words")).cast(
+                    "decimal(30,6)"
+                )
+            ).cast("double")
+            / F.count(F.lit(1))
+        ).alias("avg_chars_per_word"),
+        (
+            F.sum(
+                (F.col("n_stop").cast("double") / F.col("n_words")).cast(
+                    "decimal(30,6)"
+                )
+            ).cast("double")
+            / F.count(F.lit(1))
+        ).alias("avg_stopword_ratio"),
+        F.min("n_words").cast("long").alias("min_words"),
+        F.max("n_words").cast("long").alias("max_words"),
+    )
+
+
+def _lang_score_sql(lang: str) -> str:
+    m = "', '".join(_LANG_MARKERS[lang])
+    return (
+        f"len(list_filter(list_filter(string_split(text, ' '), x -> x <> ''),"
+        f" x -> x IN ('{m}')))"
+    )
+
+
+@query(
+    "text_langid",
+    oracle=f"""
+    WITH scored AS (
+      SELECT
+        lang AS actual_lang,
+        CASE
+          WHEN {_lang_score_sql('en')} >= {_lang_score_sql('de')}
+           AND {_lang_score_sql('en')} > 0 THEN 'en'
+          WHEN {_lang_score_sql('de')} > 0 THEN 'de'
+          ELSE 'unknown'
+        END AS predicted_lang
+      FROM documents
+    )
+    SELECT actual_lang, predicted_lang, COUNT(*) AS n_docs
+    FROM scored
+    GROUP BY actual_lang, predicted_lang
+    """,
+    tags=("llm", "text", "langid"),
+)
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language ID: score each doc against tiny marker lexicons,
+    emit the confusion matrix vs the labeled lang column.
+
+    (The synthetic corpus shares one vocabulary across langs, so the
+    heuristic mostly answers 'en' — the operator under test is the scoring/
+    argmax machinery, which is what a real fastText-style scorer would
+    replace per-row. Pure codegen, no UDF.)
+    """
+    d = load_table(spark, sf_dir, "documents")
+    w = _words()
+
+    def score(lang: str) -> Column:
+        markers = F.array(*[F.lit(s) for s in _LANG_MARKERS[lang]])
+        return F.size(F.filter(w, lambda x: F.array_contains(markers, x)))
+
+    predicted = (
+        F.when((score("en") >= score("de")) & (score("en") > 0), "en")
+        .when(score("de") > 0, "de")
+        .otherwise("unknown")
+    )
+    return (
+        d.select(F.col("lang").alias("actual_lang"), predicted.alias("predicted_lang"))
+        .groupBy("actual_lang", "predicted_lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+@query(
+    "text_token_count",
+    oracle=r"""
+    SELECT
+      source,
+      CAST(SUM(len(list_filter(string_split(text, ' '), x -> x <> '')))
+        AS BIGINT) AS ws_tokens,
+      CAST(SUM(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')))
+        AS BIGINT) AS bpe_ish_tokens,
+      CAST(SUM(length(text)) AS BIGINT) AS total_chars
+    FROM documents
+    GROUP BY source
+    """,
+    tags=("llm", "text", "tokens"),
+)
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways: whitespace split and a BPE-ish regex
+    lexer (letter runs / digit runs / single punctuation) — the standard
+    pre-tokenizer shape. regexp_extract_all stays JVM-side."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.groupBy("source").agg(
+        F.sum(F.size(_words())).cast("long").alias("ws_tokens"),
+        F.sum(
+            F.size(F.regexp_extract_all("text", F.lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), 0))
+        )
+        .cast("long")
+        .alias("bpe_ish_tokens"),
+        F.sum(F.length("text")).cast("long").alias("total_chars"),
+    )
+
+
+@query(
+    "text_fingerprint",
+    oracle="""
+    WITH toks AS (
+      SELECT
+        doc_id,
+        unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS word,
+        generate_subscripts(list_filter(string_split(text, ' '), x -> x <> ''), 1)
+          AS pos
+      FROM documents
+    ), fp AS (
+      SELECT
+        doc_id,
+        CAST(SUM(pos * ascii(word) * length(word)) AS BIGINT) AS fingerprint
+      FROM toks GROUP BY doc_id
+    )
+    SELECT
+      CAST(COUNT(*) AS BIGINT) AS n_docs,
+      CAST(COUNT(DISTINCT fingerprint) AS BIGINT) AS n_distinct_fp,
+      CAST(MIN(fingerprint) AS BIGINT) AS min_fp,
+      CAST(MAX(fingerprint) AS BIGINT) AS max_fp
+    FROM fp
+    """,
+    tags=("llm", "text", "fingerprint"),
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-sensitive document fingerprint: Σ pos·ascii(word₀)·len(word)
+    over tokens — a rolling-hash-style signature that distinguishes
+    reordered token sequences (unlike bag-of-words hashes), expressible as
+    exact integer arithmetic in any engine.
+
+    posexplode keeps positions; integer sums are order-independent in
+    aggregation, so the same doc fingerprints identically on any cluster.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.posexplode(_words()).alias("pos0", "word")
+    ).select(
+        "doc_id",
+        (F.col("pos0") + 1).alias("pos"),  # align with 1-based subscripts
+        "word",
+    )
+    fp = toks.groupBy("doc_id").agg(
+        F.sum(
+            F.col("pos") * F.ascii("word") * F.length("word")
+        ).cast("long").alias("fingerprint")
+    )
+    return fp.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_distinct("fingerprint").alias("n_distinct_fp"),
+        F.min("fingerprint").alias("min_fp"),
+        F.max("fingerprint").alias("max_fp"),
+    )
+
+
+@query(
+    "text_tfidf_top_terms",
+    oracle="""
+    WITH toks AS (
+      SELECT DISTINCT doc_id,
+        unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS word
+      FROM documents
+    ), df AS (
+      SELECT word, COUNT(*) AS doc_freq FROM toks GROUP BY word
+    ), n AS (
+      SELECT COUNT(*) AS n_docs FROM documents
+    )
+    SELECT
+      word,
+      doc_freq,
+      ln(CAST(n.n_docs AS DOUBLE) / doc_freq) AS idf
+    FROM df CROSS JOIN n
+    ORDER BY idf DESC, word
+    LIMIT 15
+    """,
+    tags=("llm", "text", "tfidf"),
+)
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IDF table: distinct (doc, word) postings → doc-frequency → ln(N/df),
+    top-15 most distinctive terms. The distributed shape of TF-IDF: both
+    stages are partial-aggregated; N is a broadcast scalar."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(_words()).alias("word")).distinct()
+    df_tbl = toks.groupBy("word").agg(F.count(F.lit(1)).alias("doc_freq"))
+    n_docs = d.count()  # scalar; at scale use a broadcast subquery join
+    return (
+        df_tbl.select(
+            "word",
+            "doc_freq",
+            F.log(F.lit(float(n_docs)) / F.col("doc_freq")).alias("idf"),
+        )
+        .orderBy(F.col("idf").desc(), "word")
+        .limit(15)
+    )
