@@ -1,1 +1,248 @@
-"""(stub)"""
+"""Registered queries exercising the lakehouse lifecycle end-to-end.
+
+Each query is self-contained (unique namespace / temp dir per invocation)
+and returns a DataFrame whose content is independent of the side-effect
+machinery — so the DDL → ingest → read-back loop itself is what the DuckDB
+oracle verifies (the oracle reads the same source parquet directly: if the
+lifecycle loses or mangles rows, the hash mismatches).
+"""
+
+from __future__ import annotations
+
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from biglake_iceberg_python_spark.lakehouse.catalog import (
+    LakehouseCatalog,
+    run_reference_pipeline,
+)
+from biglake_iceberg_python_spark.lakehouse.merge import merge_into
+from biglake_iceberg_python_spark.lakehouse.snapshots import SnapshotTable
+from biglake_iceberg_python_spark.plans.registry import query
+from biglake_iceberg_python_spark.sources.tables import load_table
+
+
+def _uniq(prefix: str) -> str:
+    return f"{prefix}_{uuid.uuid4().hex[:8]}"
+
+
+@query(
+    "lakehouse_roundtrip",
+    oracle="SELECT r_regionkey, r_name FROM region",
+    tags=("lakehouse", "ddl", "ingest"),
+)
+def lakehouse_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference pipeline end-to-end (SURVEY.md A2-A8): CREATE NAMESPACE
+    → CREATE TABLE (declared schema + TBLPROPERTIES) → parquet → temp view →
+    INSERT INTO ... SELECT * → read back. Oracle = the source parquet: a
+    lossless lifecycle hash-matches it."""
+    db = _uniq("lh_rt")
+    df = run_reference_pipeline(
+        spark,
+        source_parquet=f"{sf_dir}/region.parquet",
+        db=db,
+        table="region_managed",
+        schema_ddl="r_regionkey INT, r_name STRING",
+        columns=["r_regionkey", "r_name"],
+    )
+    out = df.select("r_regionkey", "r_name")
+    out = out.localCheckpoint(eager=True)  # materialize before cleanup
+    LakehouseCatalog(spark).drop_namespace(db)
+    return out
+
+
+@query(
+    "lakehouse_insert_overwrite",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS n
+    FROM orders WHERE o_orderstatus = 'O'
+    GROUP BY o_orderpriority
+    """,
+    tags=("lakehouse", "overwrite"),
+)
+def lakehouse_insert_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INSERT OVERWRITE semantics: seed a managed table with 'F' orders,
+    overwrite with 'O' orders, read back — surviving rows must be exactly
+    the overwrite set."""
+    db = _uniq("lh_ow")
+    cat = LakehouseCatalog(spark)
+    cat.create_namespace(db)
+    cat.create_table(
+        db,
+        "orders_managed",
+        "o_orderkey BIGINT, o_orderstatus STRING, o_orderpriority STRING",
+    )
+    o = load_table(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("lh_ow_src")
+    spark.sql(
+        f"INSERT INTO spark_catalog.{db}.orders_managed "
+        "SELECT o_orderkey, o_orderstatus, o_orderpriority FROM lh_ow_src "
+        "WHERE o_orderstatus = 'F'"
+    )
+    cat.insert_overwrite(
+        db,
+        "orders_managed",
+        "SELECT o_orderkey, o_orderstatus, o_orderpriority FROM lh_ow_src "
+        "WHERE o_orderstatus = 'O'",
+    )
+    out = (
+        cat.table(db, "orders_managed")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    out = out.localCheckpoint(eager=True)
+    cat.drop_namespace(db)
+    return out
+
+
+@query(
+    "lakehouse_merge_upsert",
+    oracle="""
+    WITH t AS (
+      SELECT c_custkey, c_name, c_acctbal FROM customer WHERE c_custkey % 2 = 0
+    ), s AS (
+      SELECT c_custkey, c_name, c_acctbal + 1000 AS c_acctbal
+      FROM customer WHERE c_custkey % 3 = 0
+    )
+    SELECT
+      COALESCE(t.c_custkey, s.c_custkey) AS c_custkey,
+      COALESCE(s.c_name, t.c_name) AS c_name,
+      CASE WHEN s.c_custkey IS NOT NULL THEN s.c_acctbal
+           ELSE t.c_acctbal END AS c_acctbal
+    FROM t FULL OUTER JOIN s ON t.c_custkey = s.c_custkey
+    """,
+    tags=("lakehouse", "merge"),
+)
+def lakehouse_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO (upsert): target = even custkeys, source = custkeys
+    divisible by 3 with +1000 balance. Matched rows take the source balance,
+    unmatched source rows are inserted, other target rows pass through —
+    the full-outer-join re-expression from lakehouse/merge.py."""
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+    target = c.filter(F.col("c_custkey") % 2 == 0)
+    source = c.filter(F.col("c_custkey") % 3 == 0).withColumn(
+        "c_acctbal", F.col("c_acctbal") + 1000
+    )
+    return merge_into(target, source, on=["c_custkey"])
+
+
+@query(
+    "lakehouse_time_travel",
+    oracle="""
+    SELECT
+      CAST((SELECT COUNT(*) FROM orders WHERE o_orderstatus = 'F') AS BIGINT)
+        AS v1_rows,
+      CAST((SELECT COUNT(*) FROM orders WHERE o_orderstatus IN ('F','O')) AS BIGINT)
+        AS v2_rows,
+      CAST((SELECT COUNT(*) FROM orders WHERE o_orderstatus = 'P') AS BIGINT)
+        AS v3_rows
+    """,
+    tags=("lakehouse", "snapshots", "time-travel"),
+)
+def lakehouse_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot commits + time travel (the Iceberg metadata surface the
+    reference inspects — SURVEY.md A12): v1 append 'F' orders, v2 append
+    'O' orders, v3 overwrite with 'P' orders; read each version by id.
+    Row counts per version must equal the source-side filters."""
+    o = load_table(spark, sf_dir, "orders")
+    with tempfile.TemporaryDirectory(prefix="lh_tt_") as root:
+        t = SnapshotTable(spark, root)
+        v1 = t.write(o.filter(F.col("o_orderstatus") == "F"), mode="append")
+        v2 = t.write(o.filter(F.col("o_orderstatus") == "O"), mode="append")
+        v3 = t.write(o.filter(F.col("o_orderstatus") == "P"), mode="overwrite")
+        row = spark.range(1).select(
+            F.lit(t.read(v1).count()).cast("long").alias("v1_rows"),
+            F.lit(t.read(v2).count()).cast("long").alias("v2_rows"),
+            F.lit(t.read(v3).count()).cast("long").alias("v3_rows"),
+        )
+        return row.localCheckpoint(eager=True)
+
+
+@query(
+    "lakehouse_metadata_log",
+    oracle="""
+    SELECT * FROM (VALUES
+      (1, 'append',    1, CAST(0 AS INTEGER)),
+      (2, 'append',    2, CAST(0 AS INTEGER)),
+      (3, 'overwrite', 1, CAST(1 AS INTEGER))
+    ) AS t(snapshot_id, operation, n_data_dirs, is_current)
+    """,
+    tags=("lakehouse", "snapshots", "metadata"),
+)
+def lakehouse_metadata_log(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """metadata_log_entries scan (reference notebook cell 11): after
+    append/append/overwrite the log must show the lineage — dir counts grow
+    under append and reset under overwrite; only the last entry is current."""
+    n = load_table(spark, sf_dir, "nation")
+    with tempfile.TemporaryDirectory(prefix="lh_ml_") as root:
+        t = SnapshotTable(spark, root)
+        t.write(n.filter(F.col("n_nationkey") < 10), mode="append")
+        t.write(n.filter(F.col("n_nationkey") >= 10), mode="append")
+        t.write(n.filter(F.col("n_regionkey") == 0), mode="overwrite")
+        out = t.metadata_log_entries().select(
+            "snapshot_id",
+            "operation",
+            "n_data_dirs",
+            F.col("is_current").cast("int").alias("is_current"),
+        )
+        return out.localCheckpoint(eager=True)
+
+
+@query(
+    "lakehouse_tblproperties",
+    oracle="""
+    SELECT * FROM (VALUES
+      ('has_pii', 'false'),
+      ('steward', 'data-eng'),
+      ('retention_days', '90')
+    ) AS t(key, value)
+    """,
+    tags=("lakehouse", "ddl", "governance"),
+)
+def lakehouse_tblproperties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Governance tags as table properties (the portable analog of the
+    reference's Data Catalog has_pii tag — SURVEY.md A19): ALTER TABLE SET
+    TBLPROPERTIES then read back via SHOW TBLPROPERTIES."""
+    db = _uniq("lh_props")
+    cat = LakehouseCatalog(spark)
+    cat.create_namespace(db)
+    cat.create_table(db, "tagged", "id INT", properties={"has_pii": "false"})
+    cat.set_properties(db, "tagged", {"steward": "data-eng", "retention_days": "90"})
+    props = cat.get_properties(db, "tagged").filter(
+        F.col("key").isin("has_pii", "steward", "retention_days")
+    )
+    out = props.localCheckpoint(eager=True)
+    cat.drop_namespace(db)
+    return out
+
+
+@query(
+    "lakehouse_catalog_introspection",
+    oracle=None,  # environment-dependent listing → rows-only.
+    tags=("lakehouse", "introspection"),
+)
+def lakehouse_catalog_introspection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHOW CATALOGS / NAMESPACES / TABLES (reference notebook cells 4-5,
+    A13-A14): create a namespace with two tables, list them, count both
+    levels."""
+    db = _uniq("lh_intro")
+    cat = LakehouseCatalog(spark)
+    cat.create_namespace(db)
+    cat.create_table(db, "t1", "id INT")
+    cat.create_table(db, "t2", "id INT")
+    n_catalogs = cat.list_catalogs().count()
+    n_namespaces = cat.list_namespaces().filter(F.col("namespace") == db).count()
+    n_tables = cat.list_tables(db).count()
+    out = spark.range(1).select(
+        F.lit(n_catalogs).cast("long").alias("n_catalogs"),
+        F.lit(n_namespaces).cast("long").alias("n_namespaces_matched"),
+        F.lit(n_tables).cast("long").alias("n_tables"),
+    )
+    out = out.localCheckpoint(eager=True)
+    cat.drop_namespace(db)
+    return out

@@ -1,0 +1,129 @@
+"""Snapshot layer: versioned parquet tables with a metadata log — the
+portable analog of the Iceberg metadata surface the reference exercises
+(metadata_log_entries scan, notebook cell 11; metadata pointers
+README.md:539-552 — SURVEY.md A12).
+
+Model (mirrors Iceberg's copy-on-write at directory granularity):
+  * every commit writes data files under ``data/snap-<n>/`` and appends an
+    entry to ``_metadata/metadata_log.json``
+  * a snapshot's manifest is the list of data dirs it comprises:
+    append  → parent dirs + new dir
+    overwrite → [new dir]
+  * reads resolve a snapshot (latest or time-travel by id) to its dir list
+    and hand Spark a multi-path parquet scan — pruning/pushdown intact.
+
+Scale notes: commits are O(metadata) on the driver (a JSON append — the
+same "metadata pointer swap" Iceberg does); data I/O is fully distributed.
+The log never stores row data. For production durability this JSON would be
+swapped for an atomic rename / catalog pointer, which is exactly what the
+reference's BLMS provides (README.md:543-548).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+
+from pyspark.sql import DataFrame, Row, SparkSession
+
+
+class SnapshotTable:
+    """A versioned parquet table with append/overwrite commits, time
+    travel, and an inspectable metadata log."""
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        self.meta_path = os.path.join(root, "_metadata", "metadata_log.json")
+        os.makedirs(os.path.dirname(self.meta_path), exist_ok=True)
+        if not os.path.exists(self.meta_path):
+            self._write_log([])
+
+    # -- commit protocol --
+
+    def write(self, df: DataFrame, mode: str = "append") -> int:
+        """Commit a new snapshot; returns its snapshot id.
+
+        The data write is a normal distributed parquet write; only the log
+        append runs on the driver.
+        """
+        if mode not in ("append", "overwrite"):
+            raise ValueError(f"mode must be append|overwrite, got {mode!r}")
+        log = self._read_log()
+        snap_id = len(log) + 1
+        data_dir = os.path.join(self.root, "data", f"snap-{snap_id}-{uuid.uuid4().hex[:8]}")
+        df.write.mode("errorifexists").parquet(data_dir)
+        parent_dirs = log[-1]["data_dirs"] if (log and mode == "append") else []
+        log.append(
+            {
+                "snapshot_id": snap_id,
+                "operation": mode,
+                "data_dirs": parent_dirs + [data_dir],
+                "added_dir": data_dir,
+            }
+        )
+        self._write_log(log)
+        return snap_id
+
+    def merge(
+        self,
+        source: DataFrame,
+        on: list[str],
+        update_cols: list[str] | None = None,
+    ) -> int:
+        """MERGE INTO (upsert) committed as an overwrite snapshot — COW
+        semantics, same as Iceberg's copy-on-write MERGE. Logic lives in
+        merge.py (a full-outer-join re-expression, Catalyst-optimizable)."""
+        from biglake_iceberg_python_spark.lakehouse.merge import merge_into
+
+        merged = merge_into(self.read(), source, on=on, update_cols=update_cols)
+        return self.write(merged, mode="overwrite")
+
+    # -- reads --
+
+    def read(self, snapshot_id: int | None = None) -> DataFrame:
+        """Read latest, or time-travel to ``snapshot_id`` (the analog of
+        Iceberg's VERSION AS OF)."""
+        log = self._read_log()
+        if not log:
+            raise ValueError("table has no snapshots")
+        if snapshot_id is None:
+            entry = log[-1]
+        else:
+            matches = [e for e in log if e["snapshot_id"] == snapshot_id]
+            if not matches:
+                raise ValueError(f"no snapshot {snapshot_id}; log has {len(log)}")
+            entry = matches[0]
+        return self.spark.read.parquet(*entry["data_dirs"])
+
+    def metadata_log_entries(self) -> DataFrame:
+        """The metadata log as a DataFrame — the analog of the reference's
+        ``SELECT * FROM t.metadata_log_entries`` (notebook cell 11)."""
+        log = self._read_log()
+        rows = [
+            Row(
+                snapshot_id=e["snapshot_id"],
+                operation=e["operation"],
+                n_data_dirs=len(e["data_dirs"]),
+                is_current=(e is log[-1]),
+            )
+            for e in log
+        ]
+        return self.spark.createDataFrame(rows)
+
+    def current_snapshot_id(self) -> int:
+        log = self._read_log()
+        return log[-1]["snapshot_id"] if log else 0
+
+    # -- log IO (driver-side, O(snapshots)) --
+
+    def _read_log(self) -> list[dict]:
+        with open(self.meta_path) as f:
+            return json.load(f)
+
+    def _write_log(self, log: list[dict]) -> None:
+        tmp = self.meta_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(log, f, indent=1)
+        os.replace(tmp, self.meta_path)  # atomic pointer swap
