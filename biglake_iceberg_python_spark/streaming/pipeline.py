@@ -1,0 +1,88 @@
+"""Structured Streaming plumbing: chunked file-source replay of the
+``events`` table (SURVEY.md §2B streaming rows; M3 in the build plan).
+
+The driver testdata is static parquet, so streams are simulated the
+standard way: split events into N files in a temp dir, stream them with
+``maxFilesPerTrigger=1`` → N deterministic micro-batches. Everything
+downstream (watermarks, windows, stateful dedup, foreachBatch sinks) is
+exactly the code that would run against Kafka/files in production — only
+the source line changes.
+
+Scale notes: a file-source stream partitions each micro-batch like any
+parquet scan; stateful operators shuffle on their keys with state kept in
+the state store (RocksDB on a real cluster). Watermarks bound that state —
+every windowed query here sets one.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from biglake_iceberg_python_spark.sources.tables import load_table
+
+
+def stage_event_chunks(
+    spark: SparkSession,
+    sf_dir: str,
+    n_chunks: int = 4,
+    inject_dup_every: int | None = None,
+) -> tuple[str, str]:
+    """Write events as ``n_chunks`` time-ranged parquet files for replay.
+
+    ``inject_dup_every=k`` duplicates every k-th event (same event_id) to
+    exercise stateful dedup. Returns (input_dir, checkpoint_dir).
+    """
+    base = tempfile.mkdtemp(prefix="stream_events_")
+    input_dir = os.path.join(base, "input")
+    checkpoint_dir = os.path.join(base, "checkpoint")
+    e = load_table(spark, sf_dir, "events")
+    if inject_dup_every:
+        dups = e.filter(F.col("event_id") % inject_dup_every == 0)
+        e = e.unionAll(dups)
+    # Range-partition by ts so chunks replay in rough time order — the
+    # realistic arrival pattern for watermark semantics.
+    e.repartitionByRange(n_chunks, "ts").write.parquet(input_dir)
+    return input_dir, checkpoint_dir
+
+
+def read_event_stream(spark: SparkSession, input_dir: str) -> DataFrame:
+    """File-source stream over the staged chunks, one file per trigger."""
+    schema = spark.read.parquet(input_dir).schema
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(input_dir)
+    )
+
+
+def run_stream_to_memory(
+    sdf: DataFrame, name: str, output_mode: str, checkpoint_dir: str
+) -> None:
+    """Run the streaming query to completion (availableNow) into a memory
+    sink table called ``name``."""
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def run_stream_foreach_batch(
+    sdf: DataFrame, batch_fn, checkpoint_dir: str
+) -> None:
+    """Run the stream to completion through a foreachBatch sink."""
+    q = (
+        sdf.writeStream.foreachBatch(batch_fn)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

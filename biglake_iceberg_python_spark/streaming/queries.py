@@ -1,1 +1,274 @@
-"""(stub)"""
+"""Registered streaming queries: tumbling/sliding/session windows,
+stateful dedup, foreachBatch incremental upsert.
+
+Correctness strategy (SURVEY.md §5 / M3): every streaming query replays the
+full events table deterministically and is compared against its BATCH TWIN
+— the identical window semantics in plain SQL — executed by DuckDB. The
+streaming machinery (micro-batches, state store, triggers) must therefore
+reproduce the batch answer exactly, which is Spark's own exactly-once
+guarantee under test.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from biglake_iceberg_python_spark.functions.exprs import oracle_dsum
+from biglake_iceberg_python_spark.plans.registry import query
+from biglake_iceberg_python_spark.streaming.pipeline import (
+    read_event_stream,
+    run_stream_foreach_batch,
+    run_stream_to_memory,
+    stage_event_chunks,
+)
+
+_TS_FMT = "yyyy-MM-dd HH:mm:ss"
+
+
+@query(
+    "stream_tumbling_window",
+    oracle=f"""
+    SELECT
+      strftime(time_bucket(INTERVAL '10 minutes', ts), '%Y-%m-%d %H:%M:%S')
+        AS window_start,
+      event_type,
+      COUNT(*) AS n_events,
+      {oracle_dsum('value')} AS sum_value
+    FROM events
+    WHERE event_type IN ('purchase', 'error')
+    GROUP BY 1, 2
+    """,
+    tags=("streaming", "window"),
+    bench=True,
+)
+def stream_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming tumbling-window aggregation (10-min windows) replayed over
+    chunked events; must equal the batch twin.
+
+    Watermark bounds state on a live stream (windows older than the delay
+    are finalized and evicted). The delay here covers the whole replay
+    horizon because the simulated file source may process chunks out of
+    time order — with a tight delay whole chunks would be discarded as
+    late. On a quasi-ordered production stream the delay would be minutes.
+    """
+    input_dir, ckpt = stage_event_chunks(spark, sf_dir, n_chunks=4)
+    s = read_event_stream(spark, input_dir).filter(
+        F.col("event_type").isin("purchase", "error")
+    )
+    agg = (
+        s.withWatermark("ts", "35 days")
+        .groupBy(F.window("ts", "10 minutes"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(30,6)")).alias("sum_dec"),
+        )
+    )
+    name = f"tumbling_{uuid.uuid4().hex[:8]}"
+    run_stream_to_memory(agg, name, "complete", ckpt)
+    return spark.table(name).select(
+        F.date_format(F.col("window.start"), _TS_FMT).alias("window_start"),
+        "event_type",
+        "n_events",
+        F.col("sum_dec").cast("double").alias("sum_value"),
+    )
+
+
+@query(
+    "stream_sliding_window",
+    oracle=f"""
+    WITH offs AS (SELECT unnest([0, 10]) AS off_min),
+    assigned AS (
+      SELECT
+        time_bucket(INTERVAL '10 minutes', e.ts)
+          - to_minutes(CAST(o.off_min AS BIGINT)) AS window_start,
+        e.value
+      FROM events e CROSS JOIN offs o
+      WHERE e.event_type = 'purchase'
+    )
+    SELECT
+      strftime(window_start, '%Y-%m-%d %H:%M:%S') AS window_start,
+      COUNT(*) AS n_events,
+      {oracle_dsum('value')} AS sum_value
+    FROM assigned
+    GROUP BY 1
+    """,
+    tags=("streaming", "window", "sliding"),
+)
+def stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows (20-min length, 10-min slide):every event lands in 2
+    windows. Batch twin assigns each event to both candidate window starts
+    (bucket − {0,10} minutes) — identical overlap semantics in plain SQL.
+    """
+    input_dir, ckpt = stage_event_chunks(spark, sf_dir, n_chunks=4)
+    s = read_event_stream(spark, input_dir).filter(
+        F.col("event_type") == "purchase"
+    )
+    agg = (
+        s.withWatermark("ts", "35 days")
+        .groupBy(F.window("ts", "20 minutes", "10 minutes"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(30,6)")).alias("sum_dec"),
+        )
+    )
+    name = f"sliding_{uuid.uuid4().hex[:8]}"
+    run_stream_to_memory(agg, name, "complete", ckpt)
+    return spark.table(name).select(
+        F.date_format(F.col("window.start"), _TS_FMT).alias("window_start"),
+        "n_events",
+        F.col("sum_dec").cast("double").alias("sum_value"),
+    )
+
+
+@query(
+    "stream_session_window",
+    oracle=f"""
+    WITH ordered AS (
+      SELECT
+        user_id, ts, value,
+        CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                  > INTERVAL '30 minutes'
+             OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+             THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ), sessions AS (
+      SELECT
+        user_id, ts, value,
+        SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS UNBOUNDED PRECEDING) AS session_no
+      FROM ordered
+    )
+    SELECT
+      user_id,
+      strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+      COUNT(*) AS n_events,
+      {oracle_dsum('value')} AS sum_value
+    FROM sessions
+    GROUP BY user_id, session_no
+    """,
+    tags=("streaming", "window", "session"),
+    bench=True,
+)
+def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (30-min inactivity gap) per user — Spark's
+    session_window merges events into variable-length sessions in the state
+    store; the batch twin is the classic gaps-and-islands SQL (lag → gap
+    flag → running sum → group), proving the semantics line up exactly.
+    """
+    input_dir, ckpt = stage_event_chunks(spark, sf_dir, n_chunks=4)
+    s = read_event_stream(spark, input_dir)
+    agg = (
+        s.withWatermark("ts", "35 days")
+        .groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(30,6)")).alias("sum_dec"),
+        )
+    )
+    name = f"session_{uuid.uuid4().hex[:8]}"
+    run_stream_to_memory(agg, name, "complete", ckpt)
+    return spark.table(name).select(
+        "user_id",
+        F.date_format(F.col("session_window.start"), _TS_FMT).alias("session_start"),
+        "n_events",
+        F.col("sum_dec").cast("double").alias("sum_value"),
+    )
+
+
+@query(
+    "stream_dedup",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n_unique_events
+    FROM events
+    GROUP BY event_type
+    """,
+    tags=("streaming", "dedup", "stateful"),
+)
+def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful exactly-once dedup by event_id: the replay INJECTS a
+    duplicate of every 10th event across chunk boundaries; streaming
+    dropDuplicates must restore the original unique set (batch twin: plain
+    per-type counts of the undoctored table).
+
+    Production note: unbounded dedup state grows forever — pair the key
+    with a watermark (dropDuplicatesWithinWatermark) when ids can't recur
+    after a horizon. Here the id space is finite so plain state is right.
+    """
+    input_dir, ckpt = stage_event_chunks(
+        spark, sf_dir, n_chunks=4, inject_dup_every=10
+    )
+    s = read_event_stream(spark, input_dir)
+    deduped = s.dropDuplicates(["event_id"])
+    name = f"dedup_{uuid.uuid4().hex[:8]}"
+    run_stream_to_memory(deduped.select("event_id", "event_type"), name, "append", ckpt)
+    return (
+        spark.table(name)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_unique_events"))
+    )
+
+
+@query(
+    "stream_foreachbatch_upsert",
+    oracle=f"""
+    SELECT
+      user_id,
+      COUNT(*) AS n_events,
+      {oracle_dsum('value')} AS total_value
+    FROM events
+    GROUP BY user_id
+    """,
+    tags=("streaming", "foreachBatch", "merge"),
+)
+def stream_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """foreachBatch incremental MERGE: each micro-batch's per-user partials
+    are upserted (add counts / decimal sums) into a snapshot table — the
+    streaming-materialized-view pattern (reference's Iceberg sink A8 made
+    incremental). After 4 batches the state must equal the batch aggregate.
+
+    State arithmetic stays decimal end-to-end; only the final read casts to
+    double, so cross-batch addition order cannot perturb the result.
+    """
+    import tempfile
+
+    from biglake_iceberg_python_spark.lakehouse.snapshots import SnapshotTable
+
+    input_dir, ckpt = stage_event_chunks(spark, sf_dir, n_chunks=4)
+    root = tempfile.mkdtemp(prefix="stream_upsert_")
+    state = SnapshotTable(spark, root)
+
+    def upsert_batch(bdf: DataFrame, batch_id: int) -> None:
+        partial = bdf.groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(30,6)")).alias("sum_dec"),
+        )
+        if state.current_snapshot_id() == 0:
+            state.write(partial, mode="overwrite")
+            return
+        prev = state.read().alias("p")
+        cur = partial.alias("c")
+        merged = prev.join(
+            cur, F.col("p.user_id") == F.col("c.user_id"), "full_outer"
+        ).select(
+            F.coalesce(F.col("p.user_id"), F.col("c.user_id")).alias("user_id"),
+            (
+                F.coalesce(F.col("p.n_events"), F.lit(0))
+                + F.coalesce(F.col("c.n_events"), F.lit(0))
+            ).alias("n_events"),
+            (
+                F.coalesce(F.col("p.sum_dec"), F.lit(0).cast("decimal(30,6)"))
+                + F.coalesce(F.col("c.sum_dec"), F.lit(0).cast("decimal(30,6)"))
+            ).cast("decimal(30,6)").alias("sum_dec"),
+        )
+        state.write(merged, mode="overwrite")
+
+    s = read_event_stream(spark, input_dir)
+    run_stream_foreach_batch(s, upsert_batch, ckpt)
+    return state.read().select(
+        "user_id",
+        "n_events",
+        F.col("sum_dec").cast("double").alias("total_value"),
+    )
