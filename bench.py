@@ -1,0 +1,60 @@
+#!/usr/bin/env python
+"""Benchmark runner: times the engine's headline queries at the bench scale
+factor and prints ONE JSON line (driver contract — BASELINE.md).
+
+Usage:  python bench.py            # $SPARK_GRAFT_SF_DIR, default sf0.1
+        python bench.py q1 q2 ...  # subset by name
+
+Each query runs end-to-end (scan → plan → execute → collect); results are
+small aggregates by construction, so collect cost is negligible and the
+measured time is the distributed compute. A JVM warm-up action runs first so
+session startup is not billed to the first query.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1")
+
+    from biglake_iceberg_python_spark.plans.registry import load_all
+    from biglake_iceberg_python_spark.session import build_session
+
+    registry = load_all()
+    names = sys.argv[1:] or [n for n, s in registry.items() if s.bench]
+
+    spark = build_session("bench")
+    spark.range(1_000_000).selectExpr("sum(id)").collect()  # JVM warm-up
+
+    timings: dict[str, float] = {}
+    for name in names:
+        spec = registry[name]
+        t0 = time.time()
+        df = spec.fn(spark, sf_dir)
+        n = len(df.collect())
+        timings[name] = round(time.time() - t0, 3)
+        print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "bench_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -26,7 +26,12 @@ from biglake_iceberg_python_spark.sources.tables import load_table
 
 _N_QUERIES = 5  # vec_id < 5 are the query vectors
 _TOP_K = 10
-_N_PLANES = 8
+# Multi-table hyperplane LSH: L tables of k planes each. Collision prob for
+# a pair at angle θ is (1-θ/π)^k per table; with the corpus' top-1 cosines
+# (~0.35 → p≈0.61) k=4, L=16 gives ≥0.9 recall. k grows with log(corpus),
+# L buys recall linearly in cost.
+_LSH_K = 4
+_LSH_L = 16
 _DIM = 64
 
 
@@ -108,24 +113,33 @@ def sim_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _lsh_bucket(vec_col: str) -> Column:
-    """Deterministic random-hyperplane bucket id (no RNG — plane weights are
-    a fixed pseudo-random integer lattice, so reruns/other engines agree).
+def _plane(global_j: int) -> Column:
+    """Deterministic pseudo-random hyperplane (no RNG — a fixed integer
+    lattice, so reruns and resized clusters agree bit-for-bit)."""
+    return F.array(
+        *[
+            F.lit(
+                (((global_j + 1) * 73856093 + d * 19349663 + global_j * d * 83492791)
+                 % 2001 - 1000) / 1000.0
+            )
+            for d in range(_DIM)
+        ]
+    )
 
-    plane_j[d] = ((j+1)*73856093 + d*19349663) mod 2001 - 1000, scaled.
-    Bucket = Σ_j sign_bit_j · 2^j over _N_PLANES hyperplanes.
-    """
-    bucket = F.lit(0)
-    for j in range(_N_PLANES):
-        weights = F.array(
-            *[
-                F.lit((((j + 1) * 73856093 + d * 19349663) % 2001 - 1000) / 1000.0)
-                for d in range(_DIM)
-            ]
+
+def _lsh_table_buckets(vec_col: str) -> Column:
+    """array of (table, bucket) structs: for each of the _LSH_L tables, the
+    _LSH_K sign bits of the vector against that table's hyperplanes."""
+    entries = []
+    for t in range(_LSH_L):
+        bucket = F.lit(0)
+        for j in range(_LSH_K):
+            proj = _dot(F.col(vec_col), _plane(t * _LSH_K + j))
+            bucket = bucket + F.when(proj > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        entries.append(
+            F.struct(F.lit(t).alias("tbl"), bucket.alias("bucket"))
         )
-        proj = _dot(F.col(vec_col), weights)
-        bucket = bucket + F.when(proj > 0, F.lit(1 << j)).otherwise(F.lit(0))
-    return bucket
+    return F.array(*entries)
 
 
 @query(
@@ -135,32 +149,38 @@ def _lsh_bucket(vec_col: str) -> Column:
     tags=("llm", "similarity", "ann", "lsh"),
 )
 def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate NN: random-hyperplane LSH buckets, scoring only
-    bucket-mates of each query.
+    """Approximate NN: multi-table random-hyperplane LSH — each side gets L
+    (table, bucket) keys; candidates are pairs colliding in ANY table.
 
-    Both sides get an 8-bit signature from deterministic hyperplanes; the
-    join is an equi-join on the bucket id (plus query broadcast), so each
-    query scores ~|C|/256 candidates. More planes / multi-probe widen or
-    sharpen recall; same plan shape at any corpus size.
+    The join is an equi-join on (table, bucket) with the tiny query side
+    broadcast, then distinct pairs are scored exactly. Scale: candidate
+    volume per query ≈ L·|C|/2^k — tune k to log(corpus) and L to the
+    recall target; the plan shape (explode → equi-join → distinct → score →
+    per-query top-k) is unchanged at any corpus size, and no pairwise scan
+    ever happens.
     """
     e = load_table(spark, sf_dir, "embeddings")
-    vecs = e.select(
-        "vec_id", "label", _as_double("embedding").alias("v")
-    ).withColumn("bucket", _lsh_bucket("v"))
-    q = vecs.filter(F.col("vec_id") < _N_QUERIES).select(
-        F.col("vec_id").alias("qid"),
-        F.col("v").alias("qv"),
-        F.col("bucket").alias("qbucket"),
+    vecs = e.select("vec_id", "label", _as_double("embedding").alias("v"))
+    keys = vecs.select(
+        "vec_id", F.explode(_lsh_table_buckets("v")).alias("tb")
+    ).select("vec_id", "tb.tbl", "tb.bucket")
+
+    q_keys = keys.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("qid"), "tbl", "bucket"
     )
-    c = vecs.select(
-        F.col("vec_id").alias("cid"),
-        "label",
-        F.col("v").alias("cv"),
-        "bucket",
+    cand = (
+        F.broadcast(q_keys)
+        .join(keys.withColumnRenamed("vec_id", "cid"), ["tbl", "bucket"])
+        .filter(F.col("qid") != F.col("cid"))
+        .select("qid", "cid")
+        .distinct()
     )
+
+    q = vecs.select(F.col("vec_id").alias("qid"), F.col("v").alias("qv"))
+    c = vecs.select(F.col("vec_id").alias("cid"), "label", F.col("v").alias("cv"))
     scored = (
-        F.broadcast(q)
-        .join(c, (F.col("qbucket") == F.col("bucket")) & (F.col("qid") != F.col("cid")))
+        cand.join(F.broadcast(q), "qid")
+        .join(c, "cid")
         .select(
             "qid",
             "cid",

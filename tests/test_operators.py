@@ -1,0 +1,137 @@
+"""Semantic assertions for operators whose output the DuckDB oracle cannot
+hash-check (approx sketches, LSH families, multimodal stubs) plus unit tests
+for merge/snapshot building blocks. (SURVEY.md §5 supplementary strategy.)"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from biglake_iceberg_python_spark.plans.registry import load_all
+
+REGISTRY = load_all()
+
+
+def test_approx_count_distinct_error_bound(spark, sf_dir):
+    """HLL estimates within 5% of exact per group."""
+    approx = {
+        r["l_returnflag"]: r["approx_parts"]
+        for r in REGISTRY["agg_approx"].fn(spark, sf_dir).collect()
+    }
+    from biglake_iceberg_python_spark.sources.tables import load_table
+
+    exact = {
+        r["l_returnflag"]: r["n"]
+        for r in load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(F.count_distinct("l_partkey").alias("n"))
+        .collect()
+    }
+    for flag, est in approx.items():
+        assert abs(est - exact[flag]) / exact[flag] < 0.05, (flag, est, exact[flag])
+
+
+def test_minhash_lsh_recall_vs_exact_jaccard(spark, sf_dir):
+    """LSH candidates must recover most true near-dup pairs (J >= 0.6) and
+    estimated Jaccard must track the exact value."""
+    exact = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in REGISTRY["dedup_ngram_jaccard"].fn(spark, sf_dir).collect()
+    }
+    approx = {
+        (r["doc_a"], r["doc_b"]): r["est_jaccard"]
+        for r in REGISTRY["dedup_minhash_lsh"].fn(spark, sf_dir).collect()
+    }
+    strong_true = {p for p, j in exact.items() if j >= 0.6}
+    if strong_true:
+        recall = len(strong_true & set(approx)) / len(strong_true)
+        assert recall >= 0.8, f"LSH recall {recall} over {len(strong_true)} pairs"
+    for pair in strong_true & set(approx):
+        assert abs(approx[pair] - exact[pair]) < 0.4
+
+
+def test_simhash_pairs_are_near_dups(spark, sf_dir):
+    """Hamming<=1 simhash pairs should overlap the exact near-dup set."""
+    sim_pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in REGISTRY["dedup_simhash"].fn(spark, sf_dir).collect()
+    }
+    exact_pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in REGISTRY["dedup_ngram_jaccard"].fn(spark, sf_dir).collect()
+    }
+    assert sim_pairs, "simhash produced no candidate pairs"
+    # simhash catches bag-of-words-level similarity; require real overlap
+    assert len(sim_pairs & exact_pairs) >= len(exact_pairs) // 4
+
+
+def test_ann_lsh_recall_vs_bruteforce(spark, sf_dir):
+    """Bucketed ANN must place the true top-1 neighbour in its candidate
+    top-k for most queries (hyperplane LSH recall)."""
+    brute = REGISTRY["sim_bruteforce_topk"].fn(spark, sf_dir).collect()
+    ann = REGISTRY["sim_ann_lsh"].fn(spark, sf_dir).collect()
+    top1 = {r["qid"]: r["cid"] for r in brute if r["rk"] == 1}
+    ann_by_q: dict[int, set[int]] = {}
+    for r in ann:
+        ann_by_q.setdefault(r["qid"], set()).add(r["cid"])
+    hits = sum(1 for q, c in top1.items() if c in ann_by_q.get(q, set()))
+    assert hits >= max(1, int(0.4 * len(top1))), (hits, len(top1))
+
+
+def test_multimodal_decode_deterministic(spark, sf_dir):
+    """The mapInPandas decode stub must be deterministic across runs."""
+    a = sorted(map(tuple, REGISTRY["multimodal_decode_features"].fn(spark, sf_dir).collect()))
+    b = sorted(map(tuple, REGISTRY["multimodal_decode_features"].fn(spark, sf_dir).collect()))
+    assert a == b
+
+
+def test_decode_stub_rejects_real_codecs():
+    from biglake_iceberg_python_spark.operators.multimodal import decode_image_stub
+
+    with pytest.raises(NotImplementedError):
+        decode_image_stub(b"\x89PNG\r\n\x1a\n....")
+    w, h, c = decode_image_stub(b"plain text payload")
+    assert w >= 16 and h >= 16 and c >= 0
+
+
+def test_merge_into_semantics(spark):
+    """Unit check of the three MERGE branches: update / insert / passthrough."""
+    from biglake_iceberg_python_spark.lakehouse.merge import merge_into
+
+    target = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0)], "k INT, name STRING, v DOUBLE"
+    )
+    source = spark.createDataFrame(
+        [(2, "b2", 99.0), (3, "c", 30.0)], "k INT, name STRING, v DOUBLE"
+    )
+    got = {r["k"]: (r["name"], r["v"]) for r in merge_into(target, source, on=["k"]).collect()}
+    assert got == {1: ("a", 10.0), 2: ("b2", 99.0), 3: ("c", 30.0)}
+
+
+def test_snapshot_table_lineage(spark, sf_dir, tmp_path):
+    """append/append/overwrite lineage, time travel, and log integrity."""
+    from biglake_iceberg_python_spark.lakehouse.snapshots import SnapshotTable
+    from biglake_iceberg_python_spark.sources.tables import load_table
+
+    n = load_table(spark, sf_dir, "nation")
+    t = SnapshotTable(spark, str(tmp_path / "snap"))
+    v1 = t.write(n.limit(5), mode="append")
+    v2 = t.write(n.limit(3), mode="append")
+    v3 = t.write(n.limit(2), mode="overwrite")
+    assert (t.read(v1).count(), t.read(v2).count(), t.read(v3).count()) == (5, 8, 2)
+    assert t.read().count() == 2  # latest
+    log = {r["snapshot_id"]: r for r in t.metadata_log_entries().collect()}
+    assert log[3]["operation"] == "overwrite" and log[3]["is_current"]
+    with pytest.raises(ValueError):
+        t.read(99)
+
+
+def test_entry_contract(spark):
+    """Driver t1 smoke: entry() returns >0 rows with a stable schema."""
+    import __spark_entry__ as entry_mod
+
+    df = entry_mod.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert df.columns[:2] == ["l_returnflag", "l_linestatus"]
+    assert set(entry_mod.oracle_sql()) <= set(entry_mod.queries())
