@@ -190,27 +190,28 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _minhash_signature(df: DataFrame, id_col: str, shingle_col: str) -> DataFrame:
-    """doc → array of _N_PERM minhash values (deterministic, no RNG).
+def _minhash_signature(df: DataFrame, id_col: str, shingles_col: str) -> DataFrame:
+    """doc (with shingle ARRAY column) → array of _N_PERM minhash values.
 
     h_i(s) = (a_i * xxhash64(s) + b_i) mod M61, with fixed odd coefficients
-    derived from the permutation index. Computed as _N_PERM min-aggregates
-    over the exploded posting list — one shuffle on the id, partial mins
-    map-side, no UDF.
+    derived from the permutation index — deterministic, no RNG. The whole
+    signature is computed per-row inside codegen (hash the shingle array
+    once, then _N_PERM array_min-of-transform folds): ZERO shuffles — the
+    map-side cost is O(|shingles|·perms) arithmetic, and at 100 TB the
+    signature stage is pure scan parallelism.
     """
-    base = df.withColumn("h", F.xxhash64(F.col(shingle_col)))
-    aggs = []
-    for i in range(_N_PERM):
-        a = 2 * i + 1
-        b = 104729 * (i + 1)
-        # pmod keeps the permuted value non-negative; arithmetic stays in
-        # long range because M61 bounds the product's magnitude post-mod.
-        perm = F.pmod(F.col("h") * F.lit(a) + F.lit(b), F.lit(_MERSENNE))
-        aggs.append(F.min(perm).alias(f"mh_{i}"))
-    sig = base.groupBy(id_col).agg(*aggs)
-    return sig.select(
-        id_col, F.array(*[F.col(f"mh_{i}") for i in range(_N_PERM)]).alias("sig")
+    hashed = df.select(
+        id_col,
+        F.transform(F.col(shingles_col), lambda s: F.xxhash64(s)).alias("hs"),
     )
+    def perm_fn(i: int):
+        a, b = 2 * i + 1, 104729 * (i + 1)
+        return lambda h: F.pmod(h * F.lit(a) + F.lit(b), F.lit(_MERSENNE))
+
+    mins = [
+        F.array_min(F.transform(F.col("hs"), perm_fn(i))) for i in range(_N_PERM)
+    ]
+    return hashed.select(id_col, F.array(*mins).alias("sig"))
 
 
 @query(
@@ -233,12 +234,10 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic output (reruns identical).
     """
     d = load_table(spark, sf_dir, "documents")
-    sh = (
-        d.select("doc_id", _words().alias("w"))
-        .select("doc_id", F.explode(_shingles("w")).alias("shingle"))
-        .distinct()
+    docs = d.select("doc_id", _words().alias("w")).select(
+        "doc_id", F.array_distinct(_shingles("w")).alias("shingles")
     )
-    sig = _minhash_signature(sh, "doc_id", "shingle").cache()
+    sig = _minhash_signature(docs, "doc_id", "shingles").cache()
 
     bands = sig.select(
         "doc_id",

@@ -63,16 +63,28 @@ def run_stream_to_memory(
     sdf: DataFrame, name: str, output_mode: str, checkpoint_dir: str
 ) -> None:
     """Run the streaming query to completion (availableNow) into a memory
-    sink table called ``name``."""
-    q = (
-        sdf.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    sink table called ``name``.
+
+    State-store partition count is pinned low for the replay: each
+    micro-batch pays a fixed cost per state partition, and the replay's
+    state is tiny. On a real cluster this would be sized to executor count
+    (it is fixed at the first checkpoint for the life of the query).
+    """
+    spark = sdf.sparkSession
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            sdf.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
 def run_stream_foreach_batch(
