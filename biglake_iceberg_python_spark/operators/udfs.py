@@ -1,0 +1,166 @@
+"""UDF tiers (SURVEY.md §2B): Arrow-batched pandas UDF, grouped-map
+applyInPandas, and the row-at-a-time Python UDF (demonstrated, discouraged).
+
+Scale doctrine (pyspark_guide): built-ins > pandas UDF > Python UDF. Every
+UDF here computes something a built-in could also express — deliberately,
+so the DuckDB oracle can verify the UDF machinery itself (serialization,
+batching, grouping) rather than trusting it.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import DoubleType, LongType
+
+from biglake_iceberg_python_spark.plans.registry import query
+from biglake_iceberg_python_spark.sources.tables import load_table
+
+
+@pandas_udf(DoubleType())
+def _net_price_vec(price: pd.Series, discount: pd.Series, tax: pd.Series) -> pd.Series:
+    """Vectorized net price: elementwise IEEE double ops on Arrow batches —
+    bit-identical to the SQL expression in any engine."""
+    return price * (1.0 - discount) * (1.0 + tax)
+
+
+@pandas_udf(LongType())
+def _qty_band_vec(qty: pd.Series) -> pd.Series:
+    return (qty // 10).astype("int64")
+
+
+@query(
+    "udf_pandas_scalar",
+    oracle="""
+    SELECT
+      CAST(floor(l_quantity / 10) AS BIGINT) AS qty_band,
+      COUNT(*) AS n,
+      CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+                    AS DECIMAL(30,6))) AS DOUBLE) AS sum_net
+    FROM lineitem
+    WHERE l_orderkey % 4 = 0
+    GROUP BY 1
+    """,
+    tags=("udf", "pandas"),
+)
+def udf_pandas_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched pandas UDFs in the hot path: per-row math runs in
+    numpy over Arrow batches (no per-row Python), aggregation stays JVM-side
+    on the exact-decimal path. ~10-100× the row-at-a-time UDF throughput;
+    still dominated by pure codegen — use only when the logic genuinely
+    needs Python (model scoring, custom libs)."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 4 == 0)
+    with_udf = li.select(
+        _qty_band_vec("l_quantity").alias("qty_band"),
+        _net_price_vec("l_extendedprice", "l_discount", "l_tax").alias("net"),
+    )
+    return with_udf.groupBy("qty_band").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("net").cast("decimal(30,6)")).cast("double").alias("sum_net"),
+    )
+
+
+def _zscore_group(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Grouped-map worker: z-score l_quantity within the group.
+
+    Sorted by line id first so float reductions see a deterministic order;
+    quantities are whole numbers, so the float64 sums are exact and the
+    result is engine-independent.
+    """
+    pdf = pdf.sort_values(["l_orderkey", "l_linenumber"]).reset_index(drop=True)
+    q = pdf["l_quantity"]
+    n = len(q)
+    mean = q.sum() / n
+    if n > 1:
+        var = ((q - mean) ** 2).sum() / (n - 1)
+        std = var**0.5
+    else:
+        std = 0.0
+    pdf["qty_z"] = 0.0 if std == 0.0 else (q - mean) / std
+    return pdf[["l_returnflag", "l_orderkey", "l_linenumber", "l_quantity", "qty_z"]]
+
+
+@query(
+    "udf_grouped_map",
+    oracle="""
+    WITH g AS (
+      SELECT
+        l_returnflag, l_orderkey, l_linenumber, l_quantity,
+        SUM(l_quantity) OVER (PARTITION BY l_returnflag) AS s,
+        COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+      FROM lineitem
+      WHERE l_orderkey % 25 = 0
+    ), m AS (
+      SELECT *, s / n AS mean FROM g
+    ), v AS (
+      SELECT
+        l_returnflag, l_orderkey, l_linenumber, l_quantity, mean, n,
+        SUM((l_quantity - mean) * (l_quantity - mean))
+          OVER (PARTITION BY l_returnflag) AS ss
+      FROM m
+    )
+    SELECT
+      l_returnflag, l_orderkey, l_linenumber, l_quantity,
+      CASE WHEN n > 1 AND ss > 0
+           THEN (l_quantity - mean) / sqrt(ss / (n - 1))
+           ELSE 0.0 END AS qty_z
+    FROM v
+    """,
+    tags=("udf", "applyInPandas", "grouped-map"),
+)
+def udf_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """applyInPandas grouped-map: per-group z-score normalization — the
+    custom-stateful-per-group shape (each group lands in one Python worker
+    as a pandas frame; shuffle on the group key is the only data movement).
+
+    Oracle twin re-derives the same z-scores with window functions, proving
+    the grouped-map path computes exactly what the declarative form would.
+    Caveat at scale: a group must fit in one worker's memory — keys here are
+    3 flags; for high-cardinality keys this is the right tool, for few fat
+    keys use window functions instead.
+    """
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 25 == 0)
+    out_schema = (
+        "l_returnflag string, l_orderkey bigint, l_linenumber int, "
+        "l_quantity double, qty_z double"
+    )
+    return (
+        li.select("l_returnflag", "l_orderkey", "l_linenumber", "l_quantity")
+        .groupBy("l_returnflag")
+        .applyInPandas(_zscore_group, schema=out_schema)
+    )
+
+
+@query(
+    "udf_python_scalar",
+    oracle="""
+    SELECT
+      o_orderpriority,
+      COUNT(*) AS n,
+      CAST(SUM(CASE WHEN o_orderpriority LIKE '1-%' OR o_orderpriority LIKE '2-%'
+               THEN 2 ELSE 1 END) AS BIGINT) AS weight_sum
+    FROM orders
+    WHERE o_orderkey % 100 = 0
+    GROUP BY o_orderpriority
+    """,
+    tags=("udf", "python-scalar"),
+)
+def udf_python_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-at-a-time Python UDF — THE SLOW PATH, included for surface
+    completeness on a deliberately pre-filtered 1% slice. Each row round-
+    trips through pickle + the Python interpreter; at 100 TB this is never
+    acceptable in a hot path — use the pandas UDF above or pure SQL."""
+    weight = F.udf(
+        lambda prio: 2 if prio and prio[0] in ("1", "2") else 1, "int"
+    )
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 100 == 0)
+    return (
+        o.withColumn("w", weight("o_orderpriority"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("w").cast("long").alias("weight_sum"),
+        )
+    )

@@ -38,11 +38,13 @@ REGISTRY: dict[str, QuerySpec] = {}
 # Modules that register queries on import. Order is the SURVEY.md §2 order.
 _QUERY_MODULES = [
     "biglake_iceberg_python_spark.operators.relational",
+    "biglake_iceberg_python_spark.sources.readers",
     "biglake_iceberg_python_spark.operators.joins",
     "biglake_iceberg_python_spark.operators.aggregates",
     "biglake_iceberg_python_spark.operators.windows",
     "biglake_iceberg_python_spark.operators.setops",
     "biglake_iceberg_python_spark.operators.scalars",
+    "biglake_iceberg_python_spark.operators.udfs",
     "biglake_iceberg_python_spark.operators.dedup",
     "biglake_iceberg_python_spark.operators.similarity",
     "biglake_iceberg_python_spark.operators.textstats",

@@ -1,0 +1,116 @@
+"""CSV / JSON sources (SURVEY.md §2B "Sources" row).
+
+The reference reads only parquet (A6); CSV/JSON complete the ingest surface.
+Queries below round-trip a parquet table through each format and verify the
+re-read against the original via the DuckDB oracle — exercising write-out,
+schema declaration, and typed parse in one oracle-checkable loop.
+
+Scale notes: CSV/JSON scans are line-splittable (parallel at any size) but
+row-oriented — no column pruning, no predicate pushdown to row groups, no
+stats. The pattern at 100 TB is exactly this round-trip: land raw CSV/JSON
+once, convert to parquet/Iceberg, query columnar thereafter.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from biglake_iceberg_python_spark.plans.registry import query
+from biglake_iceberg_python_spark.sources.tables import load_table
+
+
+def read_csv(spark: SparkSession, path: str, schema: str) -> DataFrame:
+    """Typed CSV read — explicit schema (never inferSchema at scale: it
+    triggers an extra full scan) with header."""
+    return spark.read.schema(schema).option("header", "true").csv(path)
+
+
+def read_json(spark: SparkSession, path: str, schema: str) -> DataFrame:
+    """Typed JSON-lines read — explicit schema for the same reason."""
+    return spark.read.schema(schema).json(path)
+
+
+@query(
+    "source_csv_roundtrip",
+    oracle="""
+    SELECT c_mktsegment, COUNT(*) AS n,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(30,6))) AS DOUBLE) AS sum_bal
+    FROM customer
+    GROUP BY c_mktsegment
+    """,
+    tags=("source", "csv"),
+)
+def source_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """parquet → CSV files → typed CSV scan → aggregate; must equal the
+    aggregate over the original parquet (lossless round-trip incl. doubles
+    — Spark writes round-trippable float text)."""
+    c = load_table(spark, sf_dir, "customer")
+    out = os.path.join(tempfile.mkdtemp(prefix="src_csv_"), "customer_csv")
+    c.write.option("header", "true").csv(out)
+    schema = (
+        "c_custkey bigint, c_name string, c_nationkey int, "
+        "c_acctbal double, c_mktsegment string"
+    )
+    back = read_csv(spark, out, schema)
+    return back.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("c_acctbal").cast("decimal(30,6)")).cast("double").alias(
+            "sum_bal"
+        ),
+    )
+
+
+@query(
+    "source_json_roundtrip",
+    oracle="""
+    SELECT o_orderstatus, COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS sum_price
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+    tags=("source", "json"),
+)
+def source_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """parquet → JSON-lines → typed JSON scan → aggregate vs original."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    out = os.path.join(tempfile.mkdtemp(prefix="src_json_"), "orders_json")
+    o.write.json(out)
+    schema = "o_orderkey bigint, o_orderstatus string, o_totalprice double"
+    back = read_json(spark, out, schema)
+    return back.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(30,6)")).cast("double").alias(
+            "sum_price"
+        ),
+    )
+
+
+@query(
+    "source_partitioned_write_prune",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_urgent,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_custs
+    FROM orders WHERE o_orderpriority = '1-URGENT'
+    """,
+    tags=("source", "partitioning", "prune"),
+)
+def source_partitioned_write_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-partitioned write + partition-pruned read: orders written
+    partitionBy(o_orderpriority); the filtered read lists ONLY the matching
+    partition directory (PartitionFilters in the scan — no data files from
+    other partitions are opened). The core 100 TB scan-avoidance mechanism;
+    Iceberg hidden partitioning is the same idea with transforms."""
+    o = load_table(spark, sf_dir, "orders")
+    out = os.path.join(tempfile.mkdtemp(prefix="src_part_"), "orders_part")
+    o.write.partitionBy("o_orderpriority").parquet(out)
+    back = spark.read.parquet(out).filter(F.col("o_orderpriority") == "1-URGENT")
+    return back.agg(
+        F.count(F.lit(1)).alias("n_urgent"),
+        F.count_distinct("o_custkey").alias("n_custs"),
+    )
