@@ -1,0 +1,100 @@
+"""Physical-plan assertions — the scale contract, enforced by pytest.
+
+Correct rows are necessary but not sufficient at 100 TB; these tests pin
+the plan SHAPES that make the queries scale: filters pushed into the
+parquet scan, column pruning, broadcast joins where a side is provably
+small, TakeOrderedAndProject for global top-k, WindowGroupLimit for
+per-group top-k, partial aggregation before the shuffle.
+"""
+
+from __future__ import annotations
+
+
+from biglake_iceberg_python_spark.plans.registry import load_all
+
+REGISTRY = load_all()
+
+
+def plan_of(spark, sf_dir, name: str) -> str:
+    df = REGISTRY[name].fn(spark, sf_dir)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_pricing_summary_pushdown_and_pruning(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "pricing_summary")
+    # shipdate filter reaches the parquet reader
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    # column pruning: the 11-column table is read as only the 7 needed cols
+    read_schema = plan.split("ReadSchema: ")[1].splitlines()[0]
+    assert "l_orderkey" not in read_schema and "l_partkey" not in read_schema
+    assert "l_quantity" in read_schema
+    # two-phase aggregation (map-side partial before the shuffle)
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_filter_predicates_pushdown(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "filter_predicates")
+    assert "PushedFilters: [IsNotNull" in plan
+    assert "GreaterThanOrEqual(o_totalprice,50000.0)" in plan
+
+
+def test_star_join_broadcasts_all_dims(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "join_broadcast_star")
+    assert plan.count("BroadcastHashJoin") == 3
+    assert "SortMergeJoin" not in plan  # the fact table never shuffles
+
+
+def test_shipping_priority_broadcasts_filtered_dim(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "join_shipping_priority")
+    assert "BroadcastHashJoin" in plan
+    # top-10 without a global sort
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_global_topk_avoids_full_sort(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "scan_limit_topk")
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange rangepartitioning" not in plan
+
+
+def test_per_group_topk_uses_window_group_limit(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "window_topk_per_group")
+    assert "WindowGroupLimit" in plan
+
+
+def test_semi_anti_join_strategies(spark, sf_dir):
+    assert "LeftSemi" in plan_of(spark, sf_dir, "join_semi")
+    assert "LeftAnti" in plan_of(spark, sf_dir, "join_anti")
+
+
+def test_theta_join_broadcasts_small_side(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "join_theta_range")
+    assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_partitioned_read_prunes(spark, sf_dir):
+    # The partition filter must land in PartitionFilters, not a post-scan
+    # Filter over all partitions.
+    df = REGISTRY["source_partitioned_write_prune"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    assert "isnotnull(o_orderpriority" in plan or "o_orderpriority" in plan.split(
+        "PartitionFilters: ["
+    )[1].splitlines()[0]
+
+
+def test_no_cartesian_in_registry(spark, sf_dir):
+    """No registered query may contain an unbounded CartesianProduct — the
+    one plan shape that can never scale. (Broadcast nested loops with a
+    bounded side are fine.)"""
+    bad = []
+    for name in REGISTRY:
+        if name.startswith(("stream_", "lakehouse_")):
+            continue  # side-effecting; covered by their own tests
+        try:
+            plan = plan_of(spark, "/root/testdata/sf0.001", name)
+        except Exception:
+            continue
+        if "CartesianProduct" in plan:
+            bad.append(name)
+    assert not bad, f"cartesian products in: {bad}"
