@@ -28,6 +28,13 @@ def main() -> int:
 
     registry = load_all()
     names = sys.argv[1:] or [n for n, s in registry.items() if s.bench]
+    unknown = [n for n in names if n not in registry]
+    if unknown:
+        print(
+            f"error: unknown queries {unknown}; available: {sorted(registry)}",
+            file=sys.stderr,
+        )
+        return 2
 
     spark = build_session("bench")
     spark.range(1_000_000).selectExpr("sum(id)").collect()  # JVM warm-up

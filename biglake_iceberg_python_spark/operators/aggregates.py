@@ -258,3 +258,106 @@ def agg_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = F.count(F.lit(1))
     var = (sq - s * s / n) / (n - 1)
     return li.groupBy("l_returnflag").agg(var.alias("var_qty"))
+
+
+@query(
+    "agg_pivot",
+    oracle=f"""
+    SELECT
+      l_returnflag,
+      {oracle_dsum("CASE WHEN l_linestatus = 'F' THEN l_quantity END")} AS qty_F,
+      {oracle_dsum("CASE WHEN l_linestatus = 'O' THEN l_quantity END")} AS qty_O,
+      CAST(COUNT(CASE WHEN l_linestatus = 'F' THEN 1 END) AS BIGINT) AS n_F,
+      CAST(COUNT(CASE WHEN l_linestatus = 'O' THEN 1 END) AS BIGINT) AS n_O
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    tags=("agg", "pivot"),
+)
+def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: rows→columns over an explicit value list.
+
+    Always pass the pivot values explicitly — without them Spark runs an
+    extra distinct scan to discover them, and unbounded pivot width is a
+    driver OOM at scale. Pivot compiles to conditional aggregates (the same
+    CASE WHEN form as the oracle), so it shuffles once like any agg.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    pivoted = (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(
+            dsum("l_quantity", "qty"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    return pivoted.select(
+        "l_returnflag",
+        F.col("F_qty").alias("qty_F"),
+        F.col("O_qty").alias("qty_O"),
+        F.coalesce("F_n", F.lit(0)).alias("n_F"),
+        F.coalesce("O_n", F.lit(0)).alias("n_O"),
+    )
+
+
+@query(
+    "subquery_scalar",
+    oracle="""
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    WHERE o_totalprice > 2 * (SELECT AVG(o_totalprice) FROM orders)
+    """,
+    tags=("subquery",),
+)
+def subquery_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar subquery in a predicate: orders above 2× the global average.
+
+    Catalyst evaluates the subquery once as a broadcast scalar — two scans,
+    no correlation re-execution. AVG here feeds a strict > comparison
+    against values well away from the threshold, so cross-engine float
+    averaging cannot flip any row's verdict (and row values, not the
+    average, are what's compared).
+    """
+    o = load_table(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("orders_sq")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_totalprice
+        FROM orders_sq
+        WHERE o_totalprice > 2 * (SELECT AVG(o_totalprice) FROM orders_sq)
+        """
+    )
+
+
+@query(
+    "subquery_correlated",
+    oracle="""
+    SELECT c_custkey, c_acctbal
+    FROM customer c
+    WHERE c_acctbal > (
+      SELECT COALESCE(AVG(c2.c_acctbal), 0)
+      FROM customer c2
+      WHERE c2.c_nationkey = c.c_nationkey AND c2.c_custkey <> c.c_custkey
+    )
+    """,
+    tags=("subquery", "correlated"),
+)
+def subquery_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery: customers above their nation's leave-one-
+    out average balance. Catalyst decorrelates this into an aggregate +
+    join — it never re-executes the inner query per row (the naive O(n²)
+    a row-at-a-time engine would do).
+    """
+    c = load_table(spark, sf_dir, "customer")
+    c.createOrReplaceTempView("customer_sq")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_acctbal
+        FROM customer_sq c
+        WHERE c_acctbal > (
+          SELECT COALESCE(AVG(c2.c_acctbal), 0)
+          FROM customer_sq c2
+          WHERE c2.c_nationkey = c.c_nationkey AND c2.c_custkey <> c.c_custkey
+        )
+        """
+    )

@@ -304,7 +304,13 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     prev = F.last(
         F.when(F.col("event_type") == "purchase", F.col("ts")), ignorenulls=True
     ).over(w)
-    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.col("prev_purchase_ts"))
+    # boundary-crossing count (floor each, then diff) to match DuckDB
+    # date_diff semantics; plain timestampdiff truncates the elapsed
+    # interval instead and is off by one when prev has a later sub-second.
+    gap = F.expr(
+        "timestampdiff(SECOND, date_trunc('second', prev_purchase_ts),"
+        " date_trunc('second', ts))"
+    )
     return (
         e.withColumn("prev_purchase_ts", prev)
         .groupBy("user_id")
@@ -368,4 +374,57 @@ def join_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("revenue").desc(), "l_orderkey")
         .limit(10)
+    )
+
+
+@query(
+    "join_q5_local_supplier",
+    oracle=f"""
+    SELECT
+      n.n_name,
+      {oracle_dsum('l.l_extendedprice * (1 - l.l_discount)')} AS revenue
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND c.c_nationkey = s.s_nationkey
+      AND o.o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'
+      AND o.o_orderdate < TIMESTAMP '2000-01-01 00:00:00'
+    GROUP BY n.n_name
+    """,
+    tags=("join", "agg", "tpch"),
+    bench=True,
+)
+def join_q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 (local supplier volume): six-table join with the
+    customer-nation = supplier-nation locality condition.
+
+    Join order matters at scale: lineitem⋈orders shuffles on orderkey (the
+    one unavoidable big shuffle); customer joins on custkey; supplier/
+    nation/region broadcast. The locality predicate c_nationkey =
+    s_nationkey is applied as a post-join filter the optimizer can push
+    between the joins.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1998-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("2000-01-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(dsum(revenue, "revenue"))
     )

@@ -239,3 +239,59 @@ def sim_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.max("comp").alias("max_component"),
     )
+
+
+@query(
+    "dedup_embedding_cosine",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, label, embedding::DOUBLE[] AS ev FROM embeddings
+    ), pairs AS (
+      SELECT
+        a.vec_id AS vec_a, b.vec_id AS vec_b,
+        CAST(a.label = b.label AS INTEGER) AS same_label,
+        list_dot_product(a.ev, b.ev)
+          / sqrt(list_dot_product(a.ev, a.ev) * list_dot_product(b.ev, b.ev))
+          AS cosine
+      FROM v a JOIN v b ON a.vec_id < b.vec_id
+    )
+    SELECT vec_a, vec_b, same_label, cosine
+    FROM pairs WHERE cosine >= 0.5
+    """,
+    tags=("llm", "dedup", "embedding"),
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (cosine >= 0.5), exact.
+
+    Exhaustive pairwise scoring via a broadcast self-join — exact by
+    definition, which is what lets the oracle verify it, and affordable to
+    ~1e4 vectors per broadcast block. At 100 TB corpus scale the SAME
+    threshold semantics run behind the multi-table LSH candidate generator
+    (sim_ann_lsh's plan) so only bucket-mates are scored; this operator is
+    the ground-truth/verification tier of that pipeline.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    a = e.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("label").alias("la"),
+        _as_double("embedding").alias("va"),
+    )
+    b = e.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("label").alias("lb"),
+        _as_double("embedding").alias("vb"),
+    )
+    cos = _dot(F.col("va"), F.col("vb")) / F.sqrt(
+        _dot(F.col("va"), F.col("va")) * _dot(F.col("vb"), F.col("vb"))
+    )
+    return (
+        F.broadcast(a)
+        .join(b, F.col("vec_a") < F.col("vec_b"))
+        .select(
+            "vec_a",
+            "vec_b",
+            (F.col("la") == F.col("lb")).cast("int").alias("same_label"),
+            cos.alias("cosine"),
+        )
+        .filter(F.col("cosine") >= 0.5)
+    )

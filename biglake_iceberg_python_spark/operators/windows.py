@@ -176,7 +176,10 @@ def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rangeBetween(-3600, Window.currentRow)
     )
     return (
-        e.withColumn("epoch_s", F.unix_timestamp("ts"))
+        e.withColumn(
+            "epoch_s",
+            F.expr("timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"),
+        )
         .select(
             "user_id",
             "event_id",
@@ -218,4 +221,32 @@ def window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.row_number().over(w).alias("rn"),
         )
         .filter(F.col("rn") <= 2)
+    )
+
+
+@query(
+    "window_distribution",
+    oracle="""
+    SELECT
+      p_brand,
+      p_partkey,
+      percent_rank() OVER pw AS pr,
+      cume_dist() OVER pw AS cd
+    FROM part
+    WHERE p_size > 40
+    WINDOW pw AS (PARTITION BY p_brand ORDER BY p_retailprice, p_partkey)
+    """,
+    tags=("window", "distribution"),
+)
+def window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank / cume_dist distribution functions per brand — rank
+    normalization, the window form of quantile features (both are exact
+    rational values n/m so they hash identically across engines)."""
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_size") > 40)
+    pw = Window.partitionBy("p_brand").orderBy("p_retailprice", "p_partkey")
+    return p.select(
+        "p_brand",
+        "p_partkey",
+        F.percent_rank().over(pw).alias("pr"),
+        F.cume_dist().over(pw).alias("cd"),
     )

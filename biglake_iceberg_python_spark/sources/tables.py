@@ -51,8 +51,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         from pyspark.sql import functions as F
 
+        # TIMESTAMP_NTZ via pure epoch arithmetic — NOT timestamp_micros(),
+        # whose rendering depends on the session timezone: the driver may
+        # run with any local TZ, and the other tables already read as NTZ.
         return spark.read.parquet(path).withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+            "ts",
+            F.expr(
+                "timestampadd(MICROSECOND, ts div 1000,"
+                " TIMESTAMP_NTZ '1970-01-01 00:00:00')"
+            ),
         )
     return spark.read.parquet(path)
 

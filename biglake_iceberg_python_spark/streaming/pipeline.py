@@ -39,7 +39,14 @@ def stage_event_chunks(
     base = tempfile.mkdtemp(prefix="stream_events_")
     input_dir = os.path.join(base, "input")
     checkpoint_dir = os.path.join(base, "checkpoint")
-    e = load_table(spark, sf_dir, "events")
+    # Watermarks require TIMESTAMP (an instant), not TIMESTAMP_NTZ. Pin the
+    # session to UTC so the NTZ→instant cast and every downstream
+    # window-start rendering are timezone-independent, whatever TZ the host
+    # session was built with.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    e = load_table(spark, sf_dir, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
     if inject_dup_every:
         dups = e.filter(F.col("event_id") % inject_dup_every == 0)
         e = e.unionAll(dups)
