@@ -246,3 +246,96 @@ def lakehouse_catalog_introspection(spark: SparkSession, sf_dir: str) -> DataFra
     out = out.localCheckpoint(eager=True)
     cat.drop_namespace(db)
     return out
+
+
+@query(
+    "lakehouse_bucketed_join",
+    oracle="""
+    SELECT o.o_orderpriority, COUNT(*) AS n_lines,
+           CAST(SUM(CAST(l.l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS sum_qty
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderpriority
+    """,
+    tags=("lakehouse", "bucketing", "join"),
+)
+def lakehouse_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed co-located join: both fact tables written bucketBy(8,
+    orderkey) as managed tables, then joined WITHOUT a shuffle on either
+    side — Spark recognizes the matching bucketing and plans a local
+    sort-merge per bucket.
+
+    This is the pre-shuffle pattern for 100 TB fact⋈fact joins: pay the
+    partitioning once at write time, amortize over every subsequent join.
+    tests/test_plans.py asserts the no-Exchange property of this plan.
+    """
+    db = _uniq("lh_bkt")
+    cat = LakehouseCatalog(spark)
+    cat.create_namespace(db)
+    spark.sql(f"USE {db}")
+    try:
+        o = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderpriority"
+        )
+        li = load_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_quantity"
+        )
+        o.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable(
+            f"{db}.orders_bkt"
+        )
+        li.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable(
+            f"{db}.lineitem_bkt"
+        )
+        ob = spark.table(f"{db}.orders_bkt")
+        lb = spark.table(f"{db}.lineitem_bkt")
+        out = (
+            lb.join(ob, lb.l_orderkey == ob.o_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(
+                F.count(F.lit(1)).alias("n_lines"),
+                F.sum(F.col("l_quantity").cast("decimal(30,6)"))
+                .cast("double")
+                .alias("sum_qty"),
+            )
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        spark.sql("USE default")
+        cat.drop_namespace(db)
+
+
+@query(
+    "lakehouse_compaction",
+    oracle="""
+    SELECT o_orderstatus, COUNT(*) AS n
+    FROM orders GROUP BY o_orderstatus
+    """,
+    tags=("lakehouse", "compaction", "maintenance"),
+)
+def lakehouse_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction (the Iceberg rewrite_data_files analog): three
+    fragmented append snapshots are rewritten into one coalesced overwrite
+    snapshot; row content must be byte-identical to the source.
+
+    Small files are the silent killer at 100 TB (per-file open cost, tiny
+    row groups, metadata bloat); periodic compaction keeps scan throughput
+    at sequential-read speed. The rewrite is a distributed read→repartition
+    →write; only the metadata swap is driver-side.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    with tempfile.TemporaryDirectory(prefix="lh_cmp_") as root:
+        t = SnapshotTable(spark, root)
+        for st in ("F", "O", "P"):  # three fragmented appends
+            t.write(
+                o.filter(F.col("o_orderstatus") == st).repartition(6),
+                mode="append",
+            )
+        before = t.read()
+        compacted_id = t.write(before.coalesce(2), mode="overwrite")
+        log = {r["snapshot_id"]: r for r in t.metadata_log_entries().collect()}
+        assert log[compacted_id]["n_data_dirs"] == 1
+        out = (
+            t.read(compacted_id)
+            .groupBy("o_orderstatus")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        return out.localCheckpoint(eager=True)

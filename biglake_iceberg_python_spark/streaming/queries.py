@@ -272,3 +272,70 @@ def stream_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         F.col("sum_dec").cast("double").alias("total_value"),
     )
+
+
+@query(
+    "stream_custom_stateful",
+    oracle="""
+    SELECT
+      user_id,
+      COUNT(*) AS n_events,
+      CAST(COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS BIGINT)
+        AS n_purchases
+    FROM events
+    GROUP BY user_id
+    """,
+    tags=("streaming", "stateful", "applyInPandasWithState"),
+)
+def stream_custom_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: a per-user
+    running counter (events seen, purchases seen) carried across
+    micro-batches in explicit GroupState, emitted on stream end.
+
+    This is the escape hatch when built-in windows/dedup can't express the
+    state machine (sessionization with custom logic, fraud counters, CDC
+    folding). State is a tiny tuple per key, partitioned by user_id in the
+    state store — memory is O(active keys), not O(events).
+
+    The batch twin (plain per-user counts) is exact, so even the custom
+    state path is oracle-verified.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    input_dir, ckpt = stage_event_chunks(spark, sf_dir, n_chunks=4)
+    s = read_event_stream(spark, input_dir)
+
+    def count_events(key, pdfs, state: GroupState):
+        n, np_ = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            n += len(pdf)
+            np_ += int((pdf["event_type"] == "purchase").sum())
+        state.update((n, np_))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "n_purchases": [np_]}
+        )
+
+    out = (
+        s.groupBy("user_id")
+        .applyInPandasWithState(
+            count_events,
+            outputStructType="user_id bigint, n_events bigint, n_purchases bigint",
+            stateStructType="n bigint, np bigint",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    name = f"stateful_{uuid.uuid4().hex[:8]}"
+    run_stream_to_memory(out, name, "update", ckpt)
+    # update mode emits one row per (user, batch); the final state per user
+    # is the row with the max n_events.
+    final = (
+        spark.table(name)
+        .groupBy("user_id")
+        .agg(
+            F.max("n_events").alias("n_events"),
+            F.max("n_purchases").alias("n_purchases"),
+        )
+    )
+    return final

@@ -98,3 +98,43 @@ def test_no_cartesian_in_registry(spark, sf_dir):
         if "CartesianProduct" in plan:
             bad.append(name)
     assert not bad, f"cartesian products in: {bad}"
+
+
+def test_bucketed_join_has_no_shuffle(spark, sf_dir):
+    """Matching bucketBy on both sides must eliminate the join shuffle."""
+    import uuid
+
+    from biglake_iceberg_python_spark.lakehouse.catalog import LakehouseCatalog
+    from biglake_iceberg_python_spark.sources.tables import load_table
+
+    db = f"bkt_test_{uuid.uuid4().hex[:8]}"
+    cat = LakehouseCatalog(spark)
+    cat.create_namespace(db)
+    try:
+        load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderpriority"
+        ).write.bucketBy(4, "o_orderkey").sortBy("o_orderkey").saveAsTable(
+            f"{db}.o_bkt"
+        )
+        load_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_quantity"
+        ).write.bucketBy(4, "l_orderkey").sortBy("l_orderkey").saveAsTable(
+            f"{db}.l_bkt"
+        )
+        ob, lb = spark.table(f"{db}.o_bkt"), spark.table(f"{db}.l_bkt")
+        # At sf0.001 the optimizer (rightly) prefers broadcast; disable it
+        # to expose the fact⋈fact shape this pattern exists for.
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        try:
+            joined = lb.join(ob, lb.l_orderkey == ob.o_orderkey)
+            plan = joined._jdf.queryExecution().executedPlan().toString()
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+            spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+        assert "Exchange hashpartitioning" not in plan
+        assert "SortMergeJoin" in plan
+        assert "Bucketed: true" in plan
+    finally:
+        cat.drop_namespace(db)
