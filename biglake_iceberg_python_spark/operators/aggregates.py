@@ -75,7 +75,7 @@ def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multiple COUNT(DISTINCT) in one aggregation — Catalyst plans this as
     an Expand (one replica per distinct column) + two-phase agg; at 100 TB
     prefer one distinct column per query or the HLL variant below."""
-    li = load_table(spark, sf_dir, "lineitem")
+    li = load_table(spark, sf_dir, "lineitem", widen=True)
     return li.groupBy("l_returnflag").agg(
         F.count_distinct("l_suppkey").alias("n_suppliers"),
         F.count_distinct("l_partkey").alias("n_parts"),

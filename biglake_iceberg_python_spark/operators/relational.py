@@ -54,7 +54,7 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     (partial agg map-side, 6 groups); the shipdate filter and 7-column
     projection reach the parquet scan.
     """
-    li = load_table(spark, sf_dir, "lineitem")
+    li = load_table(spark, sf_dir, "lineitem", widen=True)
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     charge = disc_price * (1 + F.col("l_tax"))
     return (

@@ -35,7 +35,9 @@ TABLES = (
 BROADCAST_DIMS = ("region", "nation")
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def load_table(
+    spark: SparkSession, sf_dir: str, name: str, widen: bool = False
+) -> DataFrame:
     """Read one testdata table (vectorized parquet scan, schema from footer).
 
     ``events.ts`` is TIMESTAMP(NANOS) in parquet, which Spark 4 refuses by
@@ -43,10 +45,24 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     a microsecond TimestampType via exact integer division — same wall-clock
     truncation DuckDB applies when formatting, so cross-engine comparisons
     at second precision agree.
+
+    ``widen=True``: repartition to full core count when the scan's natural
+    split count is degenerate (the testdata ships single-row-group files, so
+    a scan-bound aggregation would otherwise run one-threaded). On real
+    multi-row-group / multi-file data the condition never fires and no
+    shuffle is added — use it only for scan-dominated aggregations, never
+    before a join (the join's own hash exchange would make it a double
+    shuffle).
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     path = os.path.join(sf_dir, f"{name}.parquet")
+    if widen:
+        df = load_table(spark, sf_dir, name)
+        cores = spark.sparkContext.defaultParallelism
+        if df.rdd.getNumPartitions() < max(2, cores // 2):
+            df = df.repartition(cores)
+        return df
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         from pyspark.sql import functions as F

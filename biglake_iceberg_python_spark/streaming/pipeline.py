@@ -50,9 +50,11 @@ def stage_event_chunks(
     if inject_dup_every:
         dups = e.filter(F.col("event_id") % inject_dup_every == 0)
         e = e.unionAll(dups)
-    # Range-partition by ts so chunks replay in rough time order — the
-    # realistic arrival pattern for watermark semantics.
-    e.repartitionByRange(n_chunks, "ts").write.parquet(input_dir)
+    # Round-robin chunking (repartitionByRange would add a sampling pass):
+    # chunks replay in arbitrary time order, which models out-of-order
+    # arrival — the windowed queries' watermark delay covers the full
+    # horizon precisely so this is safe (see stream_tumbling_window).
+    e.repartition(n_chunks).write.parquet(input_dir)
     return input_dir, checkpoint_dir
 
 
