@@ -83,6 +83,35 @@ def test_partitioned_read_prunes(spark, sf_dir):
     )[1].splitlines()[0]
 
 
+def test_q10_topk_and_pushdown(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "tpch_q10_returned_items")
+    # returnflag filter reaches the lineitem scan; top-20 avoids global sort
+    assert "EqualTo(l_returnflag,R)" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_q18_semi_join_then_topk(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "tpch_q18_large_volume")
+    assert "LeftSemi" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_q19_single_pass_broadcast(spark, sf_dir):
+    # OR-of-ANDs predicate must stay one lineitem pass: exactly one join,
+    # part broadcast, no union of three scans.
+    plan = plan_of(spark, sf_dir, "tpch_q19_discounted_revenue")
+    assert plan.count("BroadcastHashJoin") == 1
+    assert "Union" not in plan
+    assert plan.count("Scan parquet") == 2  # lineitem once, part once
+
+
+def test_q7_dims_broadcast(spark, sf_dir):
+    # supplier + both nation role-aliases broadcast; the only wide joins are
+    # the fact-side orderkey/custkey ones.
+    plan = plan_of(spark, sf_dir, "tpch_q7_volume_shipping")
+    assert plan.count("BroadcastHashJoin") >= 3
+
+
 def test_no_cartesian_in_registry(spark, sf_dir):
     """No registered query may contain an unbounded CartesianProduct — the
     one plan shape that can never scale. (Broadcast nested loops with a
