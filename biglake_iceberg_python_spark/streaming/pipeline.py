@@ -25,25 +25,38 @@ from pyspark.sql import functions as F
 from biglake_iceberg_python_spark.sources.tables import load_table
 
 
+# Staged-chunk cache: the replay input is a pure function of
+# (sf_dir, n_chunks, inject_dup_every), so queries sharing a config reuse
+# one on-disk staging — each call still gets a FRESH checkpoint dir (a
+# checkpoint is per-query state and must never be shared).
+_STAGED: dict[tuple[str, int, int | None], str] = {}
+
+
 def stage_event_chunks(
     spark: SparkSession,
     sf_dir: str,
     n_chunks: int = 4,
     inject_dup_every: int | None = None,
 ) -> tuple[str, str]:
-    """Write events as ``n_chunks`` time-ranged parquet files for replay.
+    """Write events as ``n_chunks`` parquet files for replay (cached per
+    config).
 
     ``inject_dup_every=k`` duplicates every k-th event (same event_id) to
     exercise stateful dedup. Returns (input_dir, checkpoint_dir).
     """
-    base = tempfile.mkdtemp(prefix="stream_events_")
-    input_dir = os.path.join(base, "input")
-    checkpoint_dir = os.path.join(base, "checkpoint")
     # Watermarks require TIMESTAMP (an instant), not TIMESTAMP_NTZ. Pin the
     # session to UTC so the NTZ→instant cast and every downstream
     # window-start rendering are timezone-independent, whatever TZ the host
-    # session was built with.
+    # session was built with. Must happen on every call (cached or not).
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    key = (sf_dir, n_chunks, inject_dup_every)
+    cached = _STAGED.get(key)
+    if cached is not None and os.path.isdir(cached):
+        ckpt = tempfile.mkdtemp(prefix="stream_ckpt_")
+        return cached, ckpt
+    base = tempfile.mkdtemp(prefix="stream_events_")
+    input_dir = os.path.join(base, "input")
+    checkpoint_dir = os.path.join(base, "checkpoint")
     e = load_table(spark, sf_dir, "events").withColumn(
         "ts", F.col("ts").cast("timestamp")
     )
@@ -55,6 +68,7 @@ def stage_event_chunks(
     # arrival — the windowed queries' watermark delay covers the full
     # horizon precisely so this is safe (see stream_tumbling_window).
     e.repartition(n_chunks).write.parquet(input_dir)
+    _STAGED[key] = input_dir
     return input_dir, checkpoint_dir
 
 
