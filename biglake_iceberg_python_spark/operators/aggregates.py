@@ -361,3 +361,74 @@ def subquery_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         """
     )
+
+
+@query(
+    "agg_time_rollup_hypertable",
+    oracle=f"""
+    WITH e AS (
+      SELECT
+        date_trunc('day', ts) AS b_day,
+        date_trunc('hour', ts) AS b_hour,
+        time_bucket(INTERVAL '10 minutes', ts) AS b_10m,
+        value
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT
+      COALESCE(strftime(b_day, '%Y-%m-%d %H:%M:%S'), 'ALL') AS bucket_day,
+      COALESCE(strftime(b_hour, '%Y-%m-%d %H:%M:%S'), 'ALL') AS bucket_hour,
+      COALESCE(strftime(b_10m, '%Y-%m-%d %H:%M:%S'), 'ALL') AS bucket_10m,
+      CAST(GROUPING(b_day, b_hour, b_10m) AS INTEGER) AS grain,
+      COUNT(*) AS n_events,
+      {oracle_dsum('value')} AS sum_value
+    FROM e
+    GROUP BY ROLLUP (b_day, b_hour, b_10m)
+    """,
+    tags=("agg", "rollup", "timeseries"),
+)
+def agg_time_rollup_hypertable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style multi-resolution time rollup: one pass over events
+    produces day, hour, and 10-minute continuous-aggregate grains plus the
+    grand total, distinguished by the grouping bitmask.
+
+    ROLLUP over the hierarchical (day ⊃ hour ⊃ 10-min) bucket columns plans
+    as a single Expand + two-phase agg — one shuffle for all four grains,
+    which is exactly how a continuous-aggregate refresh should run at 100 TB
+    (never one query per grain). The 10-min bucket is minute arithmetic on
+    the NTZ timestamp (timezone-proof, equals DuckDB's epoch-aligned
+    time_bucket for divisors of 60).
+    """
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    b = e.select(
+        F.date_trunc("day", "ts").alias("b_day"),
+        F.date_trunc("hour", "ts").alias("b_hour"),
+        F.expr(
+            "timestampadd(MINUTE, -(minute(ts) % 10), date_trunc('minute', ts))"
+        ).alias("b_10m"),
+        "value",
+    )
+    fmt = "yyyy-MM-dd HH:mm:ss"
+    return (
+        b.rollup("b_day", "b_hour", "b_10m")
+        .agg(
+            F.grouping_id().cast("int").alias("grain"),
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value", "sum_value"),
+        )
+        .select(
+            F.coalesce(F.date_format("b_day", fmt), F.lit("ALL")).alias(
+                "bucket_day"
+            ),
+            F.coalesce(F.date_format("b_hour", fmt), F.lit("ALL")).alias(
+                "bucket_hour"
+            ),
+            F.coalesce(F.date_format("b_10m", fmt), F.lit("ALL")).alias(
+                "bucket_10m"
+            ),
+            "grain",
+            "n_events",
+            "sum_value",
+        )
+    )

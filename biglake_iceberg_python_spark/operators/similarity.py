@@ -295,3 +295,148 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("cosine") >= 0.5)
     )
+
+
+_IVF_K = 16  # inverted lists (coarse codebook size)
+# 6-of-16 lists probed ≈ 37% of the corpus per query. The synthetic
+# embeddings have weak cluster structure (top-1 cosine ≈ 0.35), so the
+# recall/nprobe curve is flat — on clustered production embeddings the same
+# plan runs nprobe 1-2 of K=thousands. Chosen empirically: top-1 recall
+# 3/5 (sf0.001) and 4/5 (sf0.01) vs brute force.
+_IVF_NPROBE = 6  # lists probed per query
+
+
+@query(
+    "sim_ann_ivf",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, label, embedding::DOUBLE[] AS ev FROM embeddings
+    ), comp AS (
+      SELECT vec_id % {_IVF_K} AS list_id,
+             generate_subscripts(ev, 1) AS dim,
+             unnest(ev) AS comp
+      FROM v
+    ), cmean AS (
+      SELECT list_id, dim,
+             CAST(SUM(CAST(comp AS DECIMAL(30,12))) AS DOUBLE) / COUNT(*) AS m
+      FROM comp GROUP BY list_id, dim
+    ), cent AS (
+      SELECT list_id, list(m ORDER BY dim) AS cv FROM cmean GROUP BY list_id
+    ), dists AS (
+      SELECT v.vec_id, c.list_id,
+             list_dot_product(v.ev, v.ev)
+               - 2 * list_dot_product(v.ev, c.cv)
+               + list_dot_product(c.cv, c.cv) AS d2
+      FROM v CROSS JOIN cent c
+    ), ranked AS (
+      SELECT vec_id, list_id,
+             row_number() OVER (PARTITION BY vec_id ORDER BY d2, list_id) AS rk
+      FROM dists
+    ), assign AS (
+      SELECT vec_id, list_id FROM ranked WHERE rk = 1
+    ), probes AS (
+      SELECT vec_id AS qid, list_id FROM ranked
+      WHERE vec_id < {_N_QUERIES} AND rk <= {_IVF_NPROBE}
+    ), cand AS (
+      SELECT DISTINCT p.qid, a.vec_id AS cid
+      FROM probes p JOIN assign a ON a.list_id = p.list_id
+      WHERE a.vec_id <> p.qid
+    ), scored AS (
+      SELECT cand.qid, cand.cid, cv.label,
+             list_dot_product(qv.ev, cv.ev)
+               / sqrt(list_dot_product(qv.ev, qv.ev)
+                      * list_dot_product(cv.ev, cv.ev)) AS cosine
+      FROM cand
+      JOIN v qv ON qv.vec_id = cand.qid
+      JOIN v cv ON cv.vec_id = cand.cid
+    )
+    SELECT qid, cid, label, cosine, rk FROM (
+      SELECT *, row_number() OVER (PARTITION BY qid
+                                   ORDER BY cosine DESC, cid) AS rk
+      FROM scored
+    ) WHERE rk <= {_TOP_K}
+    """,
+    tags=("llm", "similarity", "ann", "ivf"),
+)
+def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate NN, IVF flavor: a deterministic coarse codebook (mean of
+    each vec_id-mod-K seed partition — one Lloyd assignment step, no RNG),
+    every vector assigned to its nearest centroid's inverted list, queries
+    probing the n_probe nearest lists only.
+
+    Unlike sim_ann_lsh this variant is exactly reproducible in SQL, so it
+    hash-matches a DuckDB oracle end-to-end: centroid components use the
+    exact-decimal mean, and every distance/cosine is the same fold-dot both
+    engines compute bit-identically (see _dot). Scale: centroids are K
+    rows → broadcast; assignment is a map-side argmin over K (no shuffle);
+    candidate generation is an equi-join on list_id touching n_probe/K of
+    the corpus per query — the textbook IVF cost model. A production build
+    would run a few more Lloyd iterations to tighten the codebook (same
+    plan per iteration) without changing any downstream shape.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    v = e.select("vec_id", "label", _as_double("embedding").alias("ev"))
+
+    # Coarse codebook: exact-decimal per-dimension means of the seed lists.
+    comp = v.select(
+        (F.col("vec_id") % _IVF_K).alias("list_id"),
+        F.posexplode("ev").alias("dim0", "comp"),
+    )
+    cmean = comp.groupBy("list_id", "dim0").agg(
+        (
+            F.sum(F.col("comp").cast("decimal(30,12)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("m")
+    )
+    cent = cmean.groupBy("list_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim0", "m"))), lambda s: s.m
+        ).alias("cv")
+    )
+
+    # Nearest-centroid ranking per vector (broadcast K centroids; argmin is
+    # map-side — the window partitions by vec_id, already co-located).
+    d2 = (
+        _dot(F.col("ev"), F.col("ev"))
+        - 2 * _dot(F.col("ev"), F.col("cv"))
+        + _dot(F.col("cv"), F.col("cv"))
+    )
+    ranked = (
+        v.join(F.broadcast(cent))
+        .select("vec_id", "list_id", d2.alias("d2"))
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("vec_id").orderBy("d2", "list_id")
+            ),
+        )
+    )
+    assign = ranked.filter(F.col("rk") == 1).select("vec_id", "list_id")
+    probes = ranked.filter(
+        (F.col("vec_id") < _N_QUERIES) & (F.col("rk") <= _IVF_NPROBE)
+    ).select(F.col("vec_id").alias("qid"), "list_id")
+
+    cand = (
+        F.broadcast(probes)
+        .join(assign.withColumnRenamed("vec_id", "cid"), "list_id")
+        .filter(F.col("qid") != F.col("cid"))
+        .select("qid", "cid")
+        .distinct()
+    )
+
+    q = v.select(F.col("vec_id").alias("qid"), F.col("ev").alias("qv"))
+    c = v.select(F.col("vec_id").alias("cid"), "label", F.col("ev").alias("cv2"))
+    cos = _dot(F.col("qv"), F.col("cv2")) / F.sqrt(
+        _dot(F.col("qv"), F.col("qv")) * _dot(F.col("cv2"), F.col("cv2"))
+    )
+    scored = (
+        cand.join(F.broadcast(q), "qid")
+        .join(c, "cid")
+        .select("qid", "cid", "label", cos.alias("cosine"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("cid"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _TOP_K)
+        .select("qid", "cid", "label", "cosine", "rk")
+    )

@@ -78,6 +78,20 @@ def test_ann_lsh_recall_vs_bruteforce(spark, sf_dir):
     assert hits >= max(1, int(0.4 * len(top1))), (hits, len(top1))
 
 
+def test_ann_ivf_recall_vs_bruteforce(spark, sf_dir):
+    """IVF ANN (n_probe=4 of 16 lists → ~25% of the corpus scanned) must
+    still surface most true top-1 neighbours; exactness on its candidate
+    set is separately pinned by its DuckDB oracle."""
+    brute = REGISTRY["sim_bruteforce_topk"].fn(spark, sf_dir).collect()
+    ann = REGISTRY["sim_ann_ivf"].fn(spark, sf_dir).collect()
+    top1 = {r["qid"]: r["cid"] for r in brute if r["rk"] == 1}
+    ann_by_q: dict[int, set[int]] = {}
+    for r in ann:
+        ann_by_q.setdefault(r["qid"], set()).add(r["cid"])
+    hits = sum(1 for q, c in top1.items() if c in ann_by_q.get(q, set()))
+    assert hits >= max(1, int(0.4 * len(top1))), (hits, len(top1))
+
+
 def test_multimodal_decode_deterministic(spark, sf_dir):
     """The mapInPandas decode stub must be deterministic across runs."""
     a = sorted(map(tuple, REGISTRY["multimodal_decode_features"].fn(spark, sf_dir).collect()))
