@@ -428,3 +428,131 @@ def join_q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_name")
         .agg(dsum(revenue, "revenue"))
     )
+
+
+# Epoch seconds of a (sub-second) NTZ timestamp, truncated — identical
+# integers in both engines (boundary-crossing count from truncated values).
+_ES_SPARK = (
+    "timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00',"
+    " date_trunc('second', ts))"
+)
+_ES_DUCK = "date_diff('second', TIMESTAMP '1970-01-01', date_trunc('second', ts))"
+
+
+@query(
+    "join_range_bucketed",
+    oracle=f"""
+    WITH e AS (
+      SELECT user_id, event_id, {_ES_DUCK} AS es
+      FROM events WHERE event_type = 'error'
+    ), p AS (
+      SELECT user_id, {_ES_DUCK} AS es
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT
+      e.user_id,
+      COUNT(*) AS n_pairs,
+      COUNT(DISTINCT e.event_id) AS n_errors_with_nearby
+    FROM e JOIN p ON e.user_id = p.user_id AND abs(e.es - p.es) <= 300
+    GROUP BY e.user_id
+    """,
+    tags=("join", "range", "bucketed"),
+)
+def join_range_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join (interval overlap) the scalable way: purchases within
+    ±5 min of each error by the same user.
+
+    A naive range join is a per-user cross product. The 100 TB shape is
+    band bucketing: bucket time into windows ≥ the band width (10 min ≥
+    2×5 min), key purchases by their single bucket, explode each error to
+    the ≤2 buckets its band can touch, EQUI-join on (user_id, bucket), then
+    apply the exact |Δt| ≤ 300 s residual. Candidate volume is O(events in
+    adjacent buckets), never O(n²); the join is an ordinary shuffled hash
+    join AQE can also skew-split. Each (error, purchase) pair meets exactly
+    once because a purchase lives in exactly one bucket.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    es = F.expr(_ES_SPARK)
+    e = ev.filter(F.col("event_type") == "error").select(
+        "user_id", "event_id", es.alias("es_e")
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", es.alias("es_p")
+    ).withColumn("bucket", F.expr("es_p div 600"))
+    e_exploded = e.select(
+        "user_id",
+        "event_id",
+        "es_e",
+        F.explode(
+            F.array_distinct(
+                F.array(
+                    F.expr("(es_e - 300) div 600"), F.expr("(es_e + 300) div 600")
+                )
+            )
+        ).alias("bucket"),
+    )
+    return (
+        e_exploded.join(p, ["user_id", "bucket"])
+        .filter(F.abs(F.col("es_e") - F.col("es_p")) <= 300)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.count_distinct("event_id").alias("n_errors_with_nearby"),
+        )
+    )
+
+
+_SALT_N = 8
+
+
+@query(
+    "join_skew_salted",
+    oracle=f"""
+    SELECT
+      s.s_name,
+      COUNT(*) AS line_cnt,
+      {oracle_dsum('l.l_extendedprice * (1 - l.l_discount)')} AS revenue
+    FROM lineitem l
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    GROUP BY s.s_name
+    """,
+    tags=("join", "skew", "salt"),
+)
+def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-proof shuffled join via salting: fact keys get a deterministic
+    salt in [0, {_SALT_N}), the dim side is replicated ×{_SALT_N}, and the
+    join runs on (key, salt) — a hot supplier's rows now spread over
+    {_SALT_N} reducers instead of one.
+
+    Results are provably identical to the plain join (oracle IS the plain
+    join). When to use: a shuffled fact⋈dim where key frequency is heavy-
+    tailed and the dim side is too big to broadcast (broadcast makes skew
+    moot — see join_broadcast_star) and AQE's skew-split (on by default in
+    this engine's sessions) can't help because one KEY, not one partition,
+    is hot. Salt factor sizes to hottest-key-rows / target-partition-rows.
+    The dim replication is a flatmap of a {_SALT_N}-element array — cheap
+    when dim ≪ fact, the only regime where salting applies.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    salted_fact = li.withColumn(
+        "_salt", F.pmod(F.hash("l_orderkey", "l_linenumber"), F.lit(_SALT_N))
+    )
+    replicated_dim = s.select(
+        "s_suppkey",
+        "s_name",
+        F.explode(F.sequence(F.lit(0), F.lit(_SALT_N - 1))).alias("_salt"),
+    )
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        salted_fact.join(
+            replicated_dim,
+            (salted_fact.l_suppkey == replicated_dim.s_suppkey)
+            & (salted_fact._salt == replicated_dim._salt),
+        )
+        .groupBy("s_name")
+        .agg(
+            F.count(F.lit(1)).alias("line_cnt"),
+            dsum(revenue, "revenue"),
+        )
+    )
