@@ -458,3 +458,80 @@ def tpch_q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(bundle)
         .agg(dsum(revenue, "revenue"))
     )
+
+
+@query(
+    "tpch_q4_order_priority",
+    oracle="""
+    SELECT o.o_orderpriority, COUNT(*) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1999-01-01 00:00:00'
+      AND o.o_orderdate < TIMESTAMP '1999-04-01 00:00:00'
+      AND EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey
+          AND l.l_shipdate > o.o_orderdate
+      )
+    GROUP BY o.o_orderpriority
+    """,
+    tags=("join", "subquery", "tpch"),
+)
+def tpch_q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 (order priority checking): orders in one quarter having at
+    least one lineitem shipped after the order date (testdata has no
+    l_commitdate/l_receiptdate; shipdate > orderdate keeps the correlated-
+    EXISTS shape).
+
+    EXISTS with a cross-table predicate needs the join before the filter:
+    declared as an inner join + the residual predicate + dropDuplicates on
+    the order key, then agg — Catalyst cannot use a plain left-semi here
+    because the EXISTS condition references both sides. The quarter filter
+    prunes orders at the scan, bounding the shuffle.
+    """
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1999-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1999-04-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .filter(F.col("l_shipdate") > F.col("o_orderdate"))
+        .select("o_orderkey", "o_orderpriority")
+        .dropDuplicates(["o_orderkey"])
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+@query(
+    "tpch_q6_revenue_forecast",
+    oracle="""
+    SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(30,6)))
+                AS DOUBLE) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1999-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '2000-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+    tags=("filter", "agg", "tpch"),
+)
+def tpch_q6_revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 (forecasting revenue change): pure scan-filter-aggregate —
+    the query whose entire cost is how little you read.
+
+    All three predicates reach the parquet reader (PushedFilters) and only
+    4 of 11 columns are decoded (ReadSchema); the aggregate is a one-row
+    partial+final. At 100 TB this is the canonical test that pushdown
+    works — the plan reads row groups whose min/max statistics pass.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1999-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("2000-01-01").cast("timestamp"))
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(dsum(F.col("l_extendedprice") * F.col("l_discount"), "revenue"))
+    )

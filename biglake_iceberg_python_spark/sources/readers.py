@@ -114,3 +114,33 @@ def source_partitioned_write_prune(spark: SparkSession, sf_dir: str) -> DataFram
         F.count(F.lit(1)).alias("n_urgent"),
         F.count_distinct("o_custkey").alias("n_custs"),
     )
+
+
+@query(
+    "source_orc_roundtrip",
+    oracle="""
+    SELECT p_brand, COUNT(*) AS n,
+           CAST(SUM(CAST(p_retailprice AS DECIMAL(30,6))) AS DOUBLE)
+             AS sum_price
+    FROM part
+    GROUP BY p_brand
+    """,
+    tags=("source", "orc"),
+)
+def source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """parquet → ORC files → ORC scan → aggregate vs original.
+
+    ORC is Spark's second columnar native format (vectorized reader,
+    predicate pushdown, column pruning — same scan machinery as parquet);
+    binary columnar round-trips are exact, so the oracle is the same
+    aggregate over the original table."""
+    p = load_table(spark, sf_dir, "part")
+    out = os.path.join(tempfile.mkdtemp(prefix="src_orc_"), "part_orc")
+    p.write.orc(out)
+    back = spark.read.orc(out)
+    return back.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("p_retailprice").cast("decimal(30,6)")).cast("double").alias(
+            "sum_price"
+        ),
+    )
