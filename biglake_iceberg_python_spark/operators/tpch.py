@@ -535,3 +535,149 @@ def tpch_q6_revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(dsum(F.col("l_extendedprice") * F.col("l_discount"), "revenue"))
     )
+
+
+@query(
+    "tpch_q13_customer_distribution",
+    oracle="""
+    WITH c_orders AS (
+      SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+      FROM customer c
+      LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+        AND o.o_orderpriority <> '4-NOT SPECIFIED'
+      GROUP BY c.c_custkey
+    )
+    SELECT c_count, COUNT(*) AS custdist
+    FROM c_orders
+    GROUP BY c_count
+    """,
+    tags=("join", "agg", "tpch"),
+)
+def tpch_q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 (customer distribution): histogram of per-customer order
+    counts, keeping zero-order customers (the outer-join-with-filter-in-ON
+    pattern — the filter must NOT drop unmatched customers, so it lives in
+    the join condition, not a WHERE).
+
+    Two aggregations: the first shuffles on custkey (wide), the second on
+    c_count (tiny — at most a few hundred distinct counts at any scale).
+    COUNT(col) gives 0 for unmatched rows in both engines.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    joined = c.join(
+        o,
+        (c.c_custkey == o.o_custkey)
+        & (o.o_orderpriority != "4-NOT SPECIFIED"),
+        "left",
+    )
+    per_cust = joined.groupBy("c_custkey").agg(
+        F.count("o_orderkey").alias("c_count")
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@query(
+    "tpch_q15_top_supplier",
+    oracle=f"""
+    WITH revenue0 AS (
+      SELECT l_suppkey AS supplier_no,
+             {oracle_dsum('l_extendedprice * (1 - l_discount)')} AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1999-01-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1999-04-01 00:00:00'
+      GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, r.total_revenue
+    FROM supplier s
+    JOIN revenue0 r ON s.s_suppkey = r.supplier_no
+    WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM revenue0)
+    """,
+    tags=("join", "agg", "subquery", "tpch"),
+)
+def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 (top supplier): supplier(s) with the maximum quarterly
+    revenue — the create-view + scalar-max-subquery query.
+
+    The revenue view aggregates ONCE on suppkey; the scalar max is a one-row
+    broadcast compared as a filter (no second aggregation pass of lineitem,
+    no window over the full view). Equality on total_revenue is safe
+    cross-engine because both revenues come from the exact decimal sum.
+    """
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1999-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1999-04-01").cast("timestamp"))
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    rev0 = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        dsum(revenue, "total_revenue")
+    )
+    max_rev = rev0.agg(F.max("total_revenue").alias("m"))
+    return (
+        rev0.join(F.broadcast(max_rev), rev0.total_revenue == F.col("m"))
+        .join(s, rev0.supplier_no == s.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+@query(
+    "tpch_q17_small_quantity_revenue",
+    oracle="""
+    SELECT
+      CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(30,6))) AS DOUBLE) / 7.0
+        AS avg_yearly
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#23'
+      AND l.l_quantity < (
+        SELECT 0.2 * AVG(l2.l_quantity)
+        FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey
+      )
+    """,
+    tags=("join", "agg", "subquery", "tpch"),
+)
+def tpch_q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 (small-quantity-order revenue): lineitems below 20% of
+    their part's average quantity, for one brand.
+
+    The correlated average is de-correlated the scalable way: aggregate
+    lineitem per partkey ONCE (restricted to the brand's parts — the
+    broadcast filter prunes before the agg), broadcast the tiny per-part
+    threshold table back, and filter. AVG is computed as exact-decimal
+    sum/count; the 0.2× threshold comparison then happens on identical
+    doubles in both engines.
+
+    Oracle note: DuckDB's correlated form computes the same per-part AVG
+    over ALL lineitems of that part — the brand filter applies only to the
+    outer row — so the Spark per-part aggregate must NOT brand-filter the
+    inner side; it restricts to the brand's partkey SET (semi-join), which
+    preserves the average's population.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#23")
+    pk = p.select("p_partkey")
+    li_brand = li.join(F.broadcast(pk), li.l_partkey == pk.p_partkey)
+    thresholds = li_brand.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
+        (
+            F.lit(0.2)
+            * (
+                F.sum(F.col("l_quantity").cast("decimal(30,6)")).cast("double")
+                / F.count("l_quantity")
+            )
+        ).alias("qty_threshold")
+    )
+    return (
+        li_brand.join(
+            F.broadcast(thresholds), li_brand.l_partkey == F.col("t_partkey")
+        )
+        .filter(F.col("l_quantity") < F.col("qty_threshold"))
+        .agg(
+            (
+                F.sum(F.col("l_extendedprice").cast("decimal(30,6)")).cast(
+                    "double"
+                )
+                / 7.0
+            ).alias("avg_yearly")
+        )
+    )
