@@ -681,3 +681,170 @@ def tpch_q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFra
             ).alias("avg_yearly")
         )
     )
+
+
+@query(
+    "tpch_q9_product_profit",
+    oracle="""
+    SELECT
+      n.n_name AS nation,
+      CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
+      CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                    - p.p_retailprice * l.l_quantity
+               AS DECIMAL(30,6))) AS DOUBLE) AS sum_profit
+    FROM lineitem l
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE p.p_type = 'STANDARD'
+    GROUP BY n.n_name, CAST(year(o.o_orderdate) AS INTEGER)
+    """,
+    tags=("join", "agg", "tpch"),
+)
+def tpch_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (product type profit): per supplier-nation, per order
+    year. The testdata has no partsupp.ps_supplycost, so unit cost is
+    proxied by p_retailprice — the operator shape (5-table join, derived
+    measure, two-level group) is unchanged.
+
+    lineitem⋈orders shuffles on orderkey; part (type-filtered), supplier
+    and nation broadcast. The profit expression folds into the partial agg
+    as one decimal term — no second pass.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "STANDARD")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    profit = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.col(
+        "p_retailprice"
+    ) * F.col("l_quantity")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(dsum(profit, "sum_profit"))
+    )
+
+
+@query(
+    "tpch_q21_waiting_supplier",
+    oracle="""
+    WITH lo AS (
+      SELECT l.l_orderkey, l.l_suppkey,
+             CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+                  THEN l.l_suppkey END AS late_supp
+      FROM lineitem l
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      WHERE o.o_orderstatus = 'F'
+    ), per_order AS (
+      SELECT l_orderkey,
+             COUNT(DISTINCT l_suppkey) AS n_supp,
+             COUNT(DISTINCT late_supp) AS n_late,
+             MIN(late_supp) AS the_late_supp
+      FROM lo GROUP BY l_orderkey
+    )
+    SELECT s.s_name, COUNT(*) AS numwait
+    FROM per_order po
+    JOIN supplier s ON s.s_suppkey = po.the_late_supp
+    WHERE po.n_supp > 1 AND po.n_late = 1
+    GROUP BY s.s_name
+    """,
+    tags=("join", "agg", "subquery", "tpch"),
+)
+def tpch_q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (suppliers who kept orders waiting): for finished
+    orders with >1 supplier, find the orders where EXACTLY ONE supplier
+    shipped late, and charge that supplier. Late = shipped >60 days after
+    the order date (testdata has no l_receiptdate/l_commitdate).
+
+    The reference Q21 uses EXISTS + NOT EXISTS self-joins on lineitem; the
+    scalable de-correlation is ONE aggregation per orderkey computing
+    (distinct suppliers, distinct late suppliers, the late supplier) — the
+    exists/not-exists pair becomes n_supp > 1 AND n_late = 1. lineitem is
+    touched once; three self-join passes become zero.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    s = load_table(spark, sf_dir, "supplier")
+    late_supp = F.when(
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"),
+        F.col("l_suppkey"),
+    )
+    per_order = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select("l_orderkey", "l_suppkey", late_supp.alias("late_supp"))
+        .groupBy("l_orderkey")
+        .agg(
+            F.count_distinct("l_suppkey").alias("n_supp"),
+            F.count_distinct("late_supp").alias("n_late"),
+            F.min("late_supp").alias("the_late_supp"),
+        )
+        .filter((F.col("n_supp") > 1) & (F.col("n_late") == 1))
+    )
+    return (
+        per_order.join(F.broadcast(s), per_order.the_late_supp == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+
+
+@query(
+    "tpch_q22_sales_opportunity",
+    oracle="""
+    WITH avg_bal AS (
+      SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(30,6))) AS DOUBLE)
+               / COUNT(c_acctbal) AS a
+      FROM customer WHERE c_acctbal > 0.0
+    )
+    SELECT
+      c.c_nationkey,
+      COUNT(*) AS numcust,
+      CAST(SUM(CAST(c.c_acctbal AS DECIMAL(30,6))) AS DOUBLE) AS totacctbal
+    FROM customer c, avg_bal
+    WHERE c.c_acctbal > avg_bal.a
+      AND NOT EXISTS (
+        SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+      )
+    GROUP BY c.c_nationkey
+    """,
+    tags=("join", "agg", "subquery", "tpch"),
+)
+def tpch_q22_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (global sales opportunity): rich customers with no
+    orders, grouped by nation (testdata has no c_phone, so the country-code
+    substring becomes c_nationkey directly).
+
+    The scalar AVG subquery is a one-row broadcast cross join (NOT a
+    collect() to the driver — the plan stays fully distributed); NOT EXISTS
+    is a left-anti join on custkey. The threshold average uses the exact
+    decimal sum (plain double AVG is partial-sum-order-dependent, so the
+    last ulp — and therefore boundary rows — could differ across engines
+    or cluster sizes).
+    """
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    avg_bal = c.filter(F.col("c_acctbal") > 0.0).agg(
+        (
+            F.sum(F.col("c_acctbal").cast("decimal(30,6)")).cast("double")
+            / F.count("c_acctbal")
+        ).alias("a")
+    )
+    return (
+        c.join(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("a"))
+        .join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum(F.col("c_acctbal").cast("decimal(30,6)")).cast("double").alias(
+                "totacctbal"
+            ),
+        )
+    )
