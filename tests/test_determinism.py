@@ -1,0 +1,78 @@
+"""Properties behind the engine's cross-engine hashing guarantees.
+
+The whole correctness gate rests on two claims (functions/exprs.py):
+  1. casting a ≤2-decimal money double to DECIMAL(30,6) recovers its exact
+     decimal value (no rounding ties), and
+  2. decimal sums are partitioning-independent — any repartitioning of the
+     same rows yields bit-identical aggregates.
+Claim 1 is checked exhaustively-ish with hypothesis (pure Python, no JVM);
+claim 2 with real Spark jobs under adversarial partitionings.
+"""
+
+from __future__ import annotations
+
+from decimal import Decimal
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from pyspark.sql import functions as F
+
+
+@given(
+    cents=st.integers(min_value=-(10**12), max_value=10**12),
+)
+@settings(max_examples=500, deadline=None)
+def test_two_decimal_double_to_decimal6_is_exact(cents: int):
+    """Every 2-decimal money value, stored as the nearest double, quantizes
+    back to its true decimal at scale 6 — the float→decimal(30,6) cast can
+    never land on a rounding tie."""
+    true = Decimal(cents) / 100  # the intended money value
+    dbl = float(true)  # what parquet stores
+    # scale-6 quantization of the double (round-half-even, like both engines'
+    # shortest-roundtrip-then-quantize path)
+    q = Decimal(repr(dbl)).quantize(Decimal("0.000001"))
+    assert q == true.quantize(Decimal("0.000001"))
+
+
+def test_dsum_partitioning_invariant(spark):
+    """dsum must be bit-identical under 1, 7, and 32 partitions, including a
+    catastrophic-cancellation mix that breaks plain double sums."""
+    from biglake_iceberg_python_spark.functions.exprs import dsum
+
+    vals = (
+        [0.01] * 1000
+        + [123456789.12, -123456789.12] * 50
+        + [9.99, -0.03, 1e8, -1e8] * 25
+    )
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    results = set()
+    for n in (1, 7, 32):
+        out = df.repartition(n).agg(dsum("x", "s")).collect()[0]["s"]
+        results.add(out.hex())  # bit pattern, not ==, to catch -0.0/ulp drift
+    assert len(results) == 1, results
+
+
+def test_fold_dot_matches_duckdb_bit_for_bit(spark):
+    """The codegen fold-dot (zip_with + aggregate) must equal DuckDB's
+    list_dot_product on the same doubles — the invariant every cosine
+    score in similarity.py relies on."""
+    import duckdb
+
+    from biglake_iceberg_python_spark.operators.similarity import _dot
+
+    a = [0.1, -2.5, 3.75, 1e-8, 123.456] * 4
+    b = [7.25, 0.3, -1.125, 2e8, -0.001] * 4
+    spark_val = (
+        spark.range(1)
+        .select(
+            _dot(
+                F.array(*[F.lit(x) for x in a]), F.array(*[F.lit(y) for y in b])
+            ).alias("d")
+        )
+        .collect()[0]["d"]
+    )
+    duck_val = duckdb.connect().execute(
+        "SELECT list_dot_product(?::DOUBLE[], ?::DOUBLE[])", [a, b]
+    ).fetchone()[0]
+    assert spark_val.hex() == duck_val.hex()
