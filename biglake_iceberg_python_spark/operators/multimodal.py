@@ -33,6 +33,17 @@ from pyspark.sql.types import (
 from biglake_iceberg_python_spark.plans.registry import query
 from biglake_iceberg_python_spark.sources.tables import load_table
 
+# Ship this module's pandas functions BY VALUE: the driver that owns the
+# SparkSession may import this package from a path its Python workers don't
+# have on sys.path (cloudpickle's default by-reference pickling would then
+# raise ModuleNotFoundError worker-side). Registration makes every closure
+# defined here self-contained on the wire.
+import sys as _sys
+
+from pyspark import cloudpickle as _cloudpickle
+
+_cloudpickle.register_pickle_by_value(_sys.modules[__name__])
+
 # Schema of the decoded-feature output of the mapInPandas stage.
 _DECODED_SCHEMA = StructType(
     [
@@ -163,4 +174,75 @@ def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("width").alias("min_width"),
         F.max("height").alias("max_height"),
         F.sum("checksum").cast("long").alias("checksum_sum"),
+    )
+
+
+# Frame sampling: fixed-size byte windows at a fixed stride — the
+# deterministic stand-in for "every Nth video frame" that keeps the real
+# 1→N mapInPandas shape (one input row explodes to a variable number of
+# output rows inside the Arrow batch).
+_FRAME_LEN = 64
+_FRAME_STRIDE = 256
+_MAX_FRAMES = 8
+
+_FRAME_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("frame_md5", StringType()),
+    ]
+)
+
+
+def _frame_sample_batches(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    import hashlib
+
+    for pdf in batches:
+        out: dict[str, list] = {"doc_id": [], "frame_idx": [], "frame_md5": []}
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            data = bytes(payload)
+            for i in range(_MAX_FRAMES):
+                start = i * _FRAME_STRIDE
+                if start + _FRAME_LEN > len(data):
+                    break
+                frame = data[start : start + _FRAME_LEN]
+                out["doc_id"].append(doc_id)
+                out["frame_idx"].append(i)
+                out["frame_md5"].append(hashlib.md5(frame).hexdigest())
+        yield pd.DataFrame(out)
+
+
+@query(
+    "multimodal_frame_sample",
+    oracle=f"""
+    SELECT
+      d.doc_id,
+      CAST(g.i AS INTEGER) AS frame_idx,
+      md5(substr(d.text, CAST(g.i AS INTEGER) * {_FRAME_STRIDE} + 1,
+                 {_FRAME_LEN})) AS frame_md5
+    FROM documents d
+    JOIN generate_series(0, {_MAX_FRAMES - 1}) AS g(i)
+      ON CAST(g.i AS INTEGER) * {_FRAME_STRIDE} + {_FRAME_LEN}
+         <= length(d.text)
+    """,
+    tags=("llm", "multimodal", "mapInPandas"),
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over binary payloads via mapInPandas: each payload
+    explodes to ≤{_MAX_FRAMES} fixed-size frames (every {_FRAME_STRIDE}th
+    byte offset), digested per frame — the plumbing shape of real video
+    frame extraction (1 row in → N rows out inside an Arrow batch).
+
+    Unlike the decode stub, this operator is fully oracle-checked: the
+    frame windows are byte slices of ASCII text, so DuckDB reproduces them
+    with substr+md5 — proving the Python-worker path (Arrow transfer, batch
+    explode, schema) returns exactly what the declarative twin computes.
+    At 100 TB the same pipeline carries real frame tensors; digests/
+    features flow back to JVM aggregation, payloads never do.
+    """
+    mm = _with_binary_payload(spark, sf_dir)
+    return mm.select("doc_id", "payload").mapInPandas(
+        _frame_sample_batches, schema=_FRAME_SCHEMA
     )

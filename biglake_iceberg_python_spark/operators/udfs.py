@@ -18,6 +18,14 @@ from pyspark.sql.types import DoubleType, LongType
 from biglake_iceberg_python_spark.plans.registry import query
 from biglake_iceberg_python_spark.sources.tables import load_table
 
+# Ship this module's UDF functions by value — the session owner may import
+# this package from a path the Python workers can't (see multimodal.py).
+import sys as _sys
+
+from pyspark import cloudpickle as _cloudpickle
+
+_cloudpickle.register_pickle_by_value(_sys.modules[__name__])
+
 
 @pandas_udf(DoubleType())
 def _net_price_vec(price: pd.Series, discount: pd.Series, tax: pd.Series) -> pd.Series:
