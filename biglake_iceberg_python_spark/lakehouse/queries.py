@@ -339,3 +339,73 @@ def lakehouse_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("n"))
         )
         return out.localCheckpoint(eager=True)
+
+
+@query(
+    "lakehouse_schema_evolution",
+    oracle="""
+    WITH unioned AS (
+      SELECT o_orderkey, o_totalprice, NULL::VARCHAR AS o_channel
+      FROM orders WHERE o_orderstatus = 'F'
+      UNION ALL
+      SELECT o_orderkey, o_totalprice, 'web' AS o_channel
+      FROM orders WHERE o_orderstatus = 'O'
+    )
+    SELECT
+      COALESCE(o_channel, 'unknown') AS channel,
+      COUNT(*) AS n,
+      CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS sum_price
+    FROM unioned
+    GROUP BY COALESCE(o_channel, 'unknown')
+    """,
+    tags=("lakehouse", "schema-evolution"),
+)
+def lakehouse_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution (Iceberg's flagship DDL: ALTER TABLE ADD COLUMN):
+    write generation 1 without the column, ALTER TABLE ADD COLUMNS, append
+    generation 2 with it — reads see the union schema with generation-1
+    rows NULL for the new column, no rewrite of old files.
+
+    This is the portable analog of Iceberg metadata-level evolution
+    (reference: README.md's Iceberg schema section): Spark's managed-table
+    ALTER updates catalog metadata only; existing parquet files are
+    schema-projected at read time. At 100 TB that property — O(1) DDL, no
+    data migration — is the reason to run a table format at all.
+    """
+    db = _uniq("lh_ev")
+    cat = LakehouseCatalog(spark)
+    cat.create_namespace(db)
+    cat.create_table(
+        db, "orders_evolving", "o_orderkey BIGINT, o_totalprice DOUBLE"
+    )
+    o = load_table(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("lh_ev_src")
+    spark.sql(
+        f"INSERT INTO spark_catalog.{db}.orders_evolving "
+        "SELECT o_orderkey, o_totalprice FROM lh_ev_src "
+        "WHERE o_orderstatus = 'F'"
+    )
+    spark.sql(
+        f"ALTER TABLE spark_catalog.{db}.orders_evolving "
+        "ADD COLUMNS (o_channel STRING)"
+    )
+    spark.sql(
+        f"INSERT INTO spark_catalog.{db}.orders_evolving "
+        "SELECT o_orderkey, o_totalprice, 'web' AS o_channel FROM lh_ev_src "
+        "WHERE o_orderstatus = 'O'"
+    )
+    out = (
+        cat.table(db, "orders_evolving")
+        .groupBy(
+            F.coalesce(F.col("o_channel"), F.lit("unknown")).alias("channel")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(30,6)"))
+            .cast("double")
+            .alias("sum_price"),
+        )
+    )
+    out = out.localCheckpoint(eager=True)
+    cat.drop_namespace(db)
+    return out

@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 
 from biglake_iceberg_python_spark.functions.exprs import oracle_dsum
 from biglake_iceberg_python_spark.plans.registry import query
+from biglake_iceberg_python_spark.sources.tables import load_table
 from biglake_iceberg_python_spark.streaming.pipeline import (
     read_event_stream,
     run_stream_foreach_batch,
@@ -339,3 +340,47 @@ def stream_custom_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return final
+
+
+@query(
+    "stream_static_join",
+    oracle=f"""
+    SELECT
+      c.c_mktsegment,
+      e.event_type,
+      COUNT(*) AS n_events,
+      {oracle_dsum('e.value')} AS sum_value
+    FROM events e
+    JOIN customer c ON e.user_id = c.c_custkey
+    WHERE e.event_type IN ('purchase', 'error')
+    GROUP BY c.c_mktsegment, e.event_type
+    """,
+    tags=("streaming", "join"),
+)
+def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join: the replayed event stream enriched against the
+    static customer dimension per micro-batch, then aggregated.
+
+    The static side is re-planned each micro-batch (so dim updates between
+    batches are picked up) and broadcasts — the standard enrichment shape
+    for streams at scale: the stream NEVER shuffles for the join, only for
+    its own aggregation. Batch twin = the same join in plain SQL.
+    """
+    input_dir, ckpt = stage_event_chunks(spark, sf_dir, n_chunks=4)
+    s = read_event_stream(spark, input_dir).filter(
+        F.col("event_type").isin("purchase", "error")
+    )
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    joined = s.join(F.broadcast(c), s.user_id == c.c_custkey)
+    agg = joined.groupBy("c_mktsegment", "event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(30,6)")).alias("sum_dec"),
+    )
+    name = f"static_join_{uuid.uuid4().hex[:8]}"
+    run_stream_to_memory(agg, name, "complete", ckpt)
+    return spark.table(name).select(
+        "c_mktsegment",
+        "event_type",
+        "n_events",
+        F.col("sum_dec").cast("double").alias("sum_value"),
+    )
