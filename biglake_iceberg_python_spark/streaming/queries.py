@@ -384,3 +384,83 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         F.col("sum_dec").cast("double").alias("sum_value"),
     )
+
+
+@query(
+    "stream_stream_join",
+    oracle=f"""
+    WITH p AS (
+      SELECT user_id, date_trunc('second', ts) AS ts_p, value
+      FROM events WHERE event_type = 'purchase'
+    ), e AS (
+      SELECT user_id, event_id, date_trunc('second', ts) AS ts_e
+      FROM events WHERE event_type = 'error'
+    )
+    SELECT
+      p.user_id,
+      COUNT(*) AS n_pairs,
+      {oracle_dsum('p.value')} AS sum_purchase_value
+    FROM p JOIN e ON p.user_id = e.user_id
+      AND e.ts_e >= p.ts_p AND e.ts_e <= p.ts_p + INTERVAL 10 MINUTE
+    GROUP BY p.user_id
+    """,
+    tags=("streaming", "join", "stream-stream"),
+)
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join with a time-interval condition: purchases
+    joined to errors by the same user arriving within the following 10
+    minutes — both sides are live streams with watermarks.
+
+    This is the hardest streaming shape: BOTH sides buffer state, and the
+    join's time-range condition plus the two watermarks bound how long each
+    row is retained (purchases evict once the error watermark passes
+    ts_p + 10 min). The replay horizon forces wide watermarks here (chunks
+    arrive out of time order — see stream_tumbling_window); on a live
+    quasi-ordered stream the same query runs with minutes of state. The
+    batch twin is the identical interval join in SQL. Joined timestamps are
+    pre-truncated to seconds so the µs-vs-ns engines agree on boundary
+    rows.
+    """
+    input_dir, ckpt = stage_event_chunks(spark, sf_dir, n_chunks=4)
+    src = read_event_stream(spark, input_dir)
+    p = (
+        src.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.date_trunc("second", "ts").alias("ts_p"),
+            "value",
+        )
+        .withWatermark("ts_p", "35 days")
+    )
+    e = (
+        src.filter(F.col("event_type") == "error")
+        .select(
+            F.col("user_id").alias("e_user"),
+            F.date_trunc("second", "ts").alias("ts_e"),
+        )
+        .withWatermark("ts_e", "35 days")
+    )
+    joined = p.join(
+        e,
+        (F.col("p_user") == F.col("e_user"))
+        & (F.col("ts_e") >= F.col("ts_p"))
+        & (F.col("ts_e") <= F.col("ts_p") + F.expr("INTERVAL 10 MINUTES")),
+        "inner",
+    )
+    # Stream-stream joins emit in APPEND mode only (each matched pair is
+    # final once both watermarks pass it) — so the streaming stage is the
+    # join itself; the per-user rollup is a batch query over the sink.
+    name = f"ss_join_{uuid.uuid4().hex[:8]}"
+    run_stream_to_memory(
+        joined.select("p_user", "value"), name, "append", ckpt
+    )
+    return (
+        spark.table(name)
+        .groupBy(F.col("p_user").alias("user_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum(F.col("value").cast("decimal(30,6)"))
+            .cast("double")
+            .alias("sum_purchase_value"),
+        )
+    )
