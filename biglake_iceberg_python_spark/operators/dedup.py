@@ -100,9 +100,10 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "dedup_ngram_jaccard",
-    oracle=f"""
+# Complete SELECT yielding (doc_a, doc_b, jaccard) near-dup pairs — the
+# dedup_ngram_jaccard oracle, and reusable as a subquery by downstream
+# oracles (duplicate-cluster connected components in operators/pipeline.py).
+NEAR_DUP_PAIRS_SQL = f"""
     WITH words AS (
       SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
       FROM documents
@@ -134,7 +135,12 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN sizes sb ON sb.doc_id = i.doc_b
     WHERE CAST(i.n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - i.n_inter)
           >= {_JACCARD_THRESHOLD}
-    """,
+"""
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle=NEAR_DUP_PAIRS_SQL,
     tags=("llm", "dedup", "jaccard"),
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:

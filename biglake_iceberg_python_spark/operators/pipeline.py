@@ -1,0 +1,348 @@
+"""Training-data pipeline operators beyond per-query analytics (SURVEY.md
+§2B [EXT]): duplicate-cluster resolution, deterministic sampling, and
+token-budget sharding — the steps that sit between "near-dup pairs found"
+and "training shards written" in a 100 TB corpus build.
+
+No reference file:line exists for these (the reference executes no
+analytics — SURVEY.md §2A); they are contract-mandated extensions, so the
+Spark shape below IS the design:
+
+  * connected components — pair list → duplicate CLUSTERS via iterative
+    min-label propagation (O(diameter) shuffle rounds, each a short-key
+    join; the classic alternative, large-star/small-star, has the same
+    per-round shape). No driver-side graph: edges and labels stay
+    DataFrames throughout; the only driver values are the convergence
+    checksum and iteration count.
+  * hash-stratified sampling — reproducible per-stratum rates from a
+    content-independent hash bucket. Zero shuffles: pure map-side filter
+    (the aggregate summary here shuffles only the 5-row per-lang rollup).
+  * deterministic reservoir (top-k by hash per stratum) — fixed-size
+    uniform sample per group as a window top-k: one shuffle on the stratum
+    key, early-pruned by AQE; no RNG, so resized clusters and reruns pick
+    identical rows.
+  * token-budget sharding — global exclusive prefix-sum of token counts
+    WITHOUT a single-partition window: per-range partial sums (tiny table)
+    → windowed prefix over ranges → broadcast join back. This is the
+    two-phase scan shape that survives 100 TB; a bare
+    ``Window.orderBy(...)`` with no partitionBy would serialize the corpus
+    through one task.
+
+All four are bit-deterministic (md5 buckets, integer token counts) and
+hash-checked against DuckDB oracles, including a WITH RECURSIVE transitive
+closure for the component structure.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from biglake_iceberg_python_spark.operators.dedup import (
+    NEAR_DUP_PAIRS_SQL,
+    dedup_ngram_jaccard,
+)
+from biglake_iceberg_python_spark.plans.registry import query
+from biglake_iceberg_python_spark.sources.tables import load_table
+
+# Label propagation is O(cluster diameter) rounds; near-dup clusters are
+# shallow (dup families, not social graphs), so this cap is generous.
+_MAX_CC_ITERS = 20
+
+# Per-mille keep rates per language stratum: downsample the dominant
+# language, keep the tail. Mirrors corpus rebalancing in LLM data mixes.
+_SAMPLE_PERMILLE = {"en": 250, "de": 600, "es": 600, "fr": 600, "zh": 600}
+_SAMPLE_DEFAULT_PERMILLE = 500
+_RESERVOIR_K = 8
+_SHARD_TOKEN_BUDGET = 2048
+# doc_id range width per prefix-sum bucket: contiguous doc_id intervals,
+# so (bucket, doc_id) ordering == global doc_id ordering by construction.
+_SHARD_BUCKET_WIDTH = 64
+
+
+def _md5_bucket(col, salt: str, mod: int):
+    """Deterministic uniform bucket in [0, mod): first 8 md5 hex digits of
+    ``value:salt`` as an integer. DuckDB twin: ``('0x' || substr(md5(..),
+    1, 8))::BIGINT % mod`` — both engines hash the UTF-8 bytes and emit
+    lowercase hex, so buckets agree bit-for-bit."""
+    hexpart = F.substring(F.md5(F.concat_ws(":", col.cast("string"), F.lit(salt))), 1, 8)
+    return F.conv(hexpart, 16, 10).cast("long") % mod
+
+
+def _oracle_md5_bucket(expr: str, salt: str, mod: int) -> str:
+    return (
+        f"('0x' || substr(md5(CAST({expr} AS VARCHAR) || ':{salt}'), 1, 8))"
+        f"::BIGINT % {mod}"
+    )
+
+
+@query(
+    "dedup_connected_components",
+    oracle=f"""
+    WITH RECURSIVE pairs AS ({NEAR_DUP_PAIRS_SQL}),
+    sym AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION ALL
+      SELECT doc_b AS src, doc_a AS dst FROM pairs
+    ),
+    reach(a, b) AS (
+      SELECT src, src FROM sym
+      UNION
+      SELECT r.a, s.dst FROM reach r JOIN sym s ON s.src = r.b
+    ),
+    lab AS (SELECT a AS node, MIN(b) AS label FROM reach GROUP BY a)
+    SELECT
+      CAST(label AS BIGINT) AS component_id,
+      CAST(COUNT(*) AS BIGINT) AS n_members,
+      CAST(COUNT(*) - 1 AS BIGINT) AS n_removed,
+      string_agg(CAST(node AS VARCHAR), ',' ORDER BY node) AS members
+    FROM lab GROUP BY label
+    """,
+    tags=("llm", "dedup", "graph", "iterative"),
+)
+def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate clusters from near-dup pairs: connected components by
+    iterative min-label propagation, one canonical keeper per cluster.
+
+    Near-dup detection yields PAIRS; dedup must drop transitive families
+    (A~B, B~C ⇒ {A,B,C} is one cluster even if A≁C). Each round joins the
+    symmetric edge list with current labels and takes the per-node min —
+    labels fall monotonically to the component minimum in ≤ diameter
+    rounds. Convergence is detected by the label-sum checksum going flat
+    (monotone ⇒ sum strictly decreases until fixpoint), one scalar action
+    per round. ``localCheckpoint`` truncates the per-round lineage so the
+    plan does not grow with iteration count.
+
+    Oracle: DuckDB WITH RECURSIVE transitive closure over the same pairs —
+    the structural ground truth the propagation must reproduce exactly.
+    """
+    edges = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    sym = (
+        edges.union(edges.select(F.col("doc_b"), F.col("doc_a")))
+        .toDF("src", "dst")
+        .localCheckpoint()  # pair-gen plan runs once, not once per round
+    )
+    labels = sym.select(F.col("src").alias("node")).distinct().withColumn(
+        "label", F.col("node")
+    ).localCheckpoint()
+
+    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
+    for _ in range(_MAX_CC_ITERS):
+        nbr = (
+            sym.join(labels, sym.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_min"))
+        )
+        labels = (
+            labels.join(nbr, labels.node == nbr.src, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce("nbr_min", F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        cur_sum = labels.agg(F.sum("label")).collect()[0][0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    else:
+        raise RuntimeError(
+            f"label propagation did not converge in {_MAX_CC_ITERS} rounds"
+        )
+
+    return labels.groupBy(F.col("label").alias("component_id")).agg(
+        F.count(F.lit(1)).alias("n_members"),
+        (F.count(F.lit(1)) - F.lit(1)).alias("n_removed"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list("node")),
+                lambda x: x.cast("string"),
+            ),
+            ",",
+        ).alias("members"),
+    )
+
+
+_PERMILLE_CASE_ARMS = " ".join(
+    "WHEN '%s' THEN %d" % kv for kv in _SAMPLE_PERMILLE.items()
+)
+
+
+@query(
+    "sample_hash_stratified",
+    oracle=f"""
+    WITH tagged AS (
+      SELECT
+        lang, n_chars,
+        {_oracle_md5_bucket("doc_id", "strat", 1000)} AS bucket,
+        CASE lang
+          {_PERMILLE_CASE_ARMS}
+          ELSE {_SAMPLE_DEFAULT_PERMILLE} END AS permille
+      FROM documents
+    )
+    SELECT
+      lang,
+      CAST(COUNT(*) AS BIGINT) AS n_total,
+      CAST(COUNT(*) FILTER (WHERE bucket < permille) AS BIGINT) AS n_sampled,
+      CAST(COALESCE(SUM(n_chars) FILTER (WHERE bucket < permille), 0)
+           AS BIGINT) AS sampled_chars
+    FROM tagged GROUP BY lang
+    """,
+    tags=("llm", "sampling"),
+)
+def sample_hash_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible stratified downsampling by hash bucket: keep a doc iff
+    md5-bucket(doc_id) falls under its language's per-mille rate.
+
+    The hash-bucket filter is the 100 TB sampling primitive: content- and
+    order-independent, so any worker (or a later rerun, or a different
+    engine) makes the identical keep/drop decision with no RNG state, no
+    seed plumbing, and zero shuffles — it composes with partition pruning
+    and pushes down as a plain filter. Rates are per-stratum to rebalance
+    the language mix, the usual LLM-corpus shaping step.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    permille = F.coalesce(
+        *[
+            F.when(F.col("lang") == k, F.lit(v))
+            for k, v in _SAMPLE_PERMILLE.items()
+        ],
+        F.lit(_SAMPLE_DEFAULT_PERMILLE),
+    )
+    tagged = d.select(
+        "lang",
+        "n_chars",
+        (_md5_bucket(F.col("doc_id"), "strat", 1000) < permille).alias("keep"),
+    )
+    return tagged.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.count(F.when(F.col("keep"), 1)).alias("n_sampled"),
+        F.coalesce(
+            F.sum(F.when(F.col("keep"), F.col("n_chars"))), F.lit(0)
+        ).alias("sampled_chars"),
+    )
+
+
+@query(
+    "sample_reservoir_pergroup",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT
+        lang, doc_id,
+        ROW_NUMBER() OVER (
+          PARTITION BY lang
+          ORDER BY md5(CAST(doc_id AS VARCHAR) || ':rsv'), doc_id
+        ) AS rk
+      FROM documents
+    )
+    SELECT lang, doc_id, CAST(rk AS BIGINT) AS rk
+    FROM ranked WHERE rk <= {_RESERVOIR_K}
+    """,
+    tags=("llm", "sampling", "window"),
+)
+def sample_reservoir_pergroup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size uniform sample per stratum — reservoir sampling
+    re-expressed deterministically as top-k by hash order.
+
+    Ordering each stratum by md5(doc_id) is a uniform random permutation
+    with no RNG: the first k rows are a simple random sample, identical
+    across reruns, partitionings, and engines. One shuffle on the stratum
+    key; rank pruning happens before anything wide. (A sequential
+    reservoir would serialize the scan — hash-rank is how you do it on a
+    cluster.)
+    """
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":rsv"))),
+        "doc_id",
+    )
+    return (
+        d.select("lang", "doc_id", F.row_number().over(w).alias("rk"))
+        .filter(F.col("rk") <= _RESERVOIR_K)
+        .withColumn("rk", F.col("rk").cast("long"))
+    )
+
+
+@query(
+    "pack_token_shards",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tok
+      FROM documents
+    ), o AS (
+      SELECT doc_id, n_tok,
+             CAST(COALESCE(SUM(n_tok) OVER (
+               ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             AS BIGINT) AS off
+      FROM t
+    )
+    SELECT
+      CAST(off // {_SHARD_TOKEN_BUDGET} AS BIGINT) AS shard_id,
+      CAST(COUNT(*) AS BIGINT) AS n_docs,
+      CAST(SUM(n_tok) AS BIGINT) AS shard_tokens,
+      CAST(MIN(doc_id) AS BIGINT) AS first_doc,
+      CAST(MAX(doc_id) AS BIGINT) AS last_doc
+    FROM o GROUP BY 1
+    """,
+    tags=("llm", "sharding", "prefix-sum"),
+)
+def pack_token_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pack the corpus into fixed token-budget training shards: global
+    exclusive prefix-sum of per-doc token counts in doc_id order, shard =
+    offset DIV budget.
+
+    The prefix-sum is two-phase, never a global single-partition window:
+    (1) bucket docs by contiguous doc_id range and window-cumsum WITHIN
+    each bucket (parallel, partitioned); (2) window the per-bucket totals
+    — a table with one row per bucket, thousands of rows at 100 TB, not
+    billions — into bucket base offsets, broadcast-joined back. Offsets
+    are integers, so this is exact and engine-independent; the oracle is
+    the naive global window DuckDB can afford at test scale.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id",
+        F.size(F.filter(F.split("text", " "), lambda x: x != "")).alias("n_tok"),
+        (F.col("doc_id") / _SHARD_BUCKET_WIDTH).cast("long").alias("bucket"),
+    )
+    within = F.coalesce(
+        F.sum("n_tok").over(
+            Window.partitionBy("bucket")
+            .orderBy("doc_id")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        ),
+        F.lit(0),
+    )
+    t = t.withColumn("within_off", within)
+    bucket_base = (
+        t.groupBy("bucket")
+        .agg(F.sum("n_tok").alias("bucket_tok"))
+        .withColumn(
+            "base",
+            F.coalesce(
+                F.sum("bucket_tok").over(
+                    Window.orderBy("bucket").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("bucket", "base")
+    )
+    packed = t.join(F.broadcast(bucket_base), "bucket").select(
+        "doc_id",
+        "n_tok",
+        (F.col("base") + F.col("within_off")).alias("off"),
+    )
+    return packed.groupBy(
+        F.expr(f"CAST(off DIV {_SHARD_TOKEN_BUDGET} AS BIGINT)").alias("shard_id")
+    ).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("shard_tokens"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )

@@ -149,3 +149,65 @@ def test_entry_contract(spark):
     assert len(rows) > 0
     assert df.columns[:2] == ["l_returnflag", "l_linestatus"]
     assert set(entry_mod.oracle_sql()) <= set(entry_mod.queries())
+
+
+def test_connected_components_structure(spark, sf_dir):
+    """Components partition the edge-endpoint set; every near-dup pair lands
+    inside one component; component_id is the min member."""
+    comps = REGISTRY["dedup_connected_components"].fn(spark, sf_dir).collect()
+    membership: dict[int, int] = {}
+    for c in comps:
+        members = [int(m) for m in c["members"].split(",")]
+        assert c["n_members"] == len(members) == c["n_removed"] + 1
+        assert c["component_id"] == min(members)
+        assert members == sorted(members)
+        for m in members:
+            assert m not in membership, f"doc {m} in two components"
+            membership[m] = c["component_id"]
+    pairs = REGISTRY["dedup_ngram_jaccard"].fn(spark, sf_dir).collect()
+    assert pairs, "test corpus should contain near-dup pairs"
+    for p in pairs:
+        assert membership[p["doc_a"]] == membership[p["doc_b"]]
+
+
+def test_pack_token_shards_cover_corpus(spark, sf_dir):
+    """Shards are contiguous 0..max, doc ranges are disjoint and increasing,
+    and shard token counts sum to the corpus total."""
+    from biglake_iceberg_python_spark.sources.tables import load_table
+
+    rows = sorted(
+        REGISTRY["pack_token_shards"].fn(spark, sf_dir).collect(),
+        key=lambda r: r["shard_id"],
+    )
+    assert [r["shard_id"] for r in rows] == list(range(len(rows)))
+    for a, b in zip(rows, rows[1:]):
+        assert a["last_doc"] < b["first_doc"]
+    total = (
+        load_table(spark, sf_dir, "documents")
+        .select(F.size(F.filter(F.split("text", " "), lambda x: x != "")).alias("n"))
+        .agg(F.sum("n"))
+        .collect()[0][0]
+    )
+    assert sum(r["shard_tokens"] for r in rows) == total
+    assert len(rows) > 1, "budget should split the corpus into several shards"
+
+
+def test_reservoir_fixed_size_and_determinism(spark, sf_dir):
+    """Each stratum yields min(k, |stratum|) rows with ranks 1..n, and the
+    selection is identical across runs (no RNG)."""
+    from biglake_iceberg_python_spark.operators.pipeline import _RESERVOIR_K
+    from biglake_iceberg_python_spark.sources.tables import load_table
+
+    fn = REGISTRY["sample_reservoir_pergroup"].fn
+    got = sorted(map(tuple, fn(spark, sf_dir).collect()))
+    sizes = {
+        r["lang"]: r["n"]
+        for r in load_table(spark, sf_dir, "documents")
+        .groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    by_lang: dict[str, list[int]] = {}
+    for lang, _doc, rk in got:
+        by_lang.setdefault(lang, []).append(rk)
+    for lang, rks in by_lang.items():
+        assert sorted(rks) == list(range(1, min(_RESERVOIR_K, sizes[lang]) + 1))
+    assert got == sorted(map(tuple, fn(spark, sf_dir).collect()))
