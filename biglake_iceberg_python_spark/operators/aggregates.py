@@ -12,7 +12,7 @@ required (fixed-size sketch per group, mergeable, no second shuffle).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from biglake_iceberg_python_spark.functions.exprs import (
@@ -431,4 +431,83 @@ def agg_time_rollup_hypertable(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
             "sum_value",
         )
+    )
+
+
+@query(
+    "agg_sessionize_events",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_id,
+             CAST(date_diff('second', TIMESTAMP '1970-01-01',
+                            date_trunc('second', ts)) AS BIGINT) AS es
+      FROM events
+    ), flagged AS (
+      SELECT user_id, event_id, es,
+             CASE WHEN LAG(es) OVER w IS NULL
+                    OR es - LAG(es) OVER w > 1800 THEN 1 ELSE 0 END AS new_s
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY es, event_id)
+    ), numbered AS (
+      SELECT user_id, es,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY es, event_id
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM flagged
+    ), sessions AS (
+      SELECT user_id, sid, COUNT(*) AS n_ev, MAX(es) - MIN(es) AS span_s
+      FROM numbered GROUP BY user_id, sid
+    )
+    SELECT
+      user_id,
+      CAST(COUNT(*) AS BIGINT) AS n_sessions,
+      CAST(SUM(n_ev) AS BIGINT) AS n_events,
+      CAST(MAX(n_ev) AS BIGINT) AS max_session_events,
+      CAST(MAX(span_s) AS BIGINT) AS max_session_span_s
+    FROM sessions GROUP BY user_id
+    """,
+    tags=("agg", "window", "timeseries", "sessionization"),
+)
+def agg_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization: split each user's event stream into sessions at
+    >30-minute inactivity gaps (lag + running flag-sum), then roll up
+    per-user session stats. Batch twin of the streaming ``session_window``
+    operator (streaming/queries.py), and the standard warehouse shape for
+    gap-based sessions.
+
+    One shuffle on user_id serves both windows (lag and the running sum
+    share partitioning and sort order — Spark plans a single sort); the
+    session- and user-level aggregations re-use the same key prefix. Gap
+    arithmetic is integer epoch-seconds on second-truncated NTZ timestamps,
+    so both engines count the same boundaries regardless of session TZ or
+    sub-second precision (SURVEY.md §1.3; cross-engine cookbook).
+    """
+    w = Window.partitionBy("user_id").orderBy("es", "event_id")
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.expr(
+            "timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00',"
+            " date_trunc('second', ts))"
+        ).cast("long").alias("es"),
+    )
+    flagged = e.withColumn(
+        "new_s",
+        F.when(
+            F.lag("es").over(w).isNull()
+            | ((F.col("es") - F.lag("es").over(w)) > 1800),
+            1,
+        ).otherwise(0),
+    )
+    numbered = flagged.withColumn(
+        "sid",
+        F.sum("new_s").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    sessions = numbered.groupBy("user_id", "sid").agg(
+        F.count(F.lit(1)).alias("n_ev"),
+        (F.max("es") - F.min("es")).alias("span_s"),
+    )
+    return sessions.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum("n_ev").cast("long").alias("n_events"),
+        F.max("n_ev").cast("long").alias("max_session_events"),
+        F.max("span_s").cast("long").alias("max_session_span_s"),
     )

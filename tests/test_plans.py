@@ -167,3 +167,25 @@ def test_bucketed_join_has_no_shuffle(spark, sf_dir):
         assert "Bucketed: true" in plan
     finally:
         cat.drop_namespace(db)
+
+
+def test_sessionize_single_shuffle(spark, sf_dir):
+    """Both windows (lag, running flag-sum) and both rollups (session-,
+    user-level) must ride ONE exchange on user_id — the grouping keys are
+    prefixes of the window partitioning, so no further shuffle is legal."""
+    plan = plan_of(spark, sf_dir, "agg_sessionize_events")
+    assert plan.count("Exchange") == 1
+    assert plan.count("Window") == 2
+    assert plan.count("Sort") == 1
+
+
+def test_pack_token_shards_no_global_window_over_rows(spark, sf_dir):
+    """The corpus-wide prefix-sum must come from the two-phase shape: the
+    only empty-partitioning window runs over the per-bucket table (after
+    an aggregation), never over the raw per-document rows."""
+    plan = plan_of(spark, sf_dir, "pack_token_shards")
+    assert "SinglePartition" in plan  # tiny bucket-base table window
+    # the per-doc cumsum window is partitioned by bucket
+    assert "windowspecdefinition(bucket" in plan
+    # bucket base offsets come back via broadcast, not a shuffle join
+    assert "BroadcastHashJoin" in plan
