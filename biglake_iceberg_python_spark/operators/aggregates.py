@@ -435,6 +435,104 @@ def agg_time_rollup_hypertable(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "agg_unpivot",
+    oracle=f"""
+    WITH a AS (
+      SELECT l_returnflag,
+             {oracle_dsum('l_quantity')} AS sum_qty,
+             {oracle_dsum('l_extendedprice')} AS sum_price,
+             {oracle_dsum('l_discount')} AS sum_disc
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, 'sum_qty' AS measure, sum_qty AS amount FROM a
+    UNION ALL
+    SELECT l_returnflag, 'sum_price', sum_price FROM a
+    UNION ALL
+    SELECT l_returnflag, 'sum_disc', sum_disc FROM a
+    """,
+    tags=("agg", "unpivot", "reshape"),
+)
+def agg_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide-to-long reshape (UNPIVOT): per-returnflag measure columns
+    melted into (measure, amount) rows — the inverse of ``agg_pivot``.
+
+    ``DataFrame.unpivot`` is a zero-shuffle Expand over the already
+    aggregated 3-row table: the narrow→long explosion happens AFTER the
+    rollup, so at 100 TB the expansion multiplies group rows, never input
+    rows. Measures are exact decimal sums cast to double (functions/
+    exprs.py), so the melted values hash-match the UNION ALL oracle.
+    """
+    base = (
+        load_table(spark, sf_dir, "lineitem", widen=True)
+        .groupBy("l_returnflag")
+        .agg(
+            dsum("l_quantity", "sum_qty"),
+            dsum("l_extendedprice", "sum_price"),
+            dsum("l_discount", "sum_disc"),
+        )
+    )
+    return base.unpivot(
+        ["l_returnflag"],
+        ["sum_qty", "sum_price", "sum_disc"],
+        "measure",
+        "amount",
+    )
+
+
+@query(
+    "agg_heavy_hitters",
+    oracle="""
+    WITH c AS (
+      SELECT l_partkey, COUNT(*) AS cnt FROM lineitem GROUP BY l_partkey
+    ), s AS (
+      SELECT SUM(cnt) AS total, COUNT(*) AS nkeys FROM c
+    )
+    SELECT
+      l_partkey,
+      CAST(cnt AS BIGINT) AS cnt,
+      CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE) AS support
+    FROM c, s
+    WHERE 10 * cnt * nkeys > 13 * total
+    """,
+    tags=("agg", "frequent-items"),
+)
+def agg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact frequent-items: keys whose observed frequency exceeds 1.3× the
+    mean key frequency, with their support ratio.
+
+    One shuffle (the per-key count, map-side combined); the corpus total and
+    key count derive from the tiny counts table and come back as a 1-row
+    broadcast, so the threshold filter is map-side — no driver collect, no
+    second scan of the fact table. The 1.3× cutoff is compared in exact
+    integer cross-multiplication (10·cnt·nkeys > 13·total), never floats,
+    so both engines keep/drop identical keys; support divides two exact
+    integers once, as double.
+    """
+    counts = (
+        load_table(spark, sf_dir, "lineitem", widen=True)
+        .groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    stats = counts.agg(
+        F.sum("cnt").alias("total"), F.count(F.lit(1)).alias("nkeys")
+    )
+    return (
+        counts.join(F.broadcast(stats))
+        .filter(
+            F.lit(10) * F.col("cnt") * F.col("nkeys")
+            > F.lit(13) * F.col("total")
+        )
+        .select(
+            "l_partkey",
+            "cnt",
+            (F.col("cnt").cast("double") / F.col("total").cast("double")).alias(
+                "support"
+            ),
+        )
+    )
+
+
+@query(
     "agg_sessionize_events",
     oracle="""
     WITH e AS (

@@ -1,0 +1,256 @@
+"""Event-flow analytics over the ``events`` table: funnel conversion,
+cohort retention, and time-series gap-fill (LOCF).
+
+No reference file:line exists (the reference executes no analytics —
+SURVEY.md §2A); these are contract-mandated [EXT] operators, the product-
+analytics battery every event warehouse ships. The Spark shapes are the
+design:
+
+  * funnel — stage tables shrink monotonically (view ⊇ click ⊇ purchase
+    converters); every join and groupBy keys on ``user_id``, so one hash
+    partitioning is reused across all three stages and AQE broadcasts the
+    shrinking right sides. No window over the full event set.
+  * cohort retention — distinct (user, week) first (the big shuffle,
+    map-side combined), then per-user min and the offset rollup ride the
+    same user_id partitioning.
+  * gap-fill — the dense calendar grid is generated from the per-key
+    BOUNDS table (one row per user), never materialized driver-side:
+    ``sequence()`` + ``explode`` is map-side row generation, and the LOCF
+    window runs on the same (user_id, day) partitioning the left join
+    already established.
+
+All three use integer epoch arithmetic on second-truncated NTZ timestamps
+(cross-engine cookbook): gap/window boundaries agree with DuckDB under any
+driver session timezone.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from biglake_iceberg_python_spark.plans.registry import query
+from biglake_iceberg_python_spark.sources.tables import load_table
+
+# Epoch seconds from a second-truncated NTZ timestamp — the TZ-independent
+# integer both engines agree on (see agg_sessionize_events).
+_ES = (
+    "timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00',"
+    " date_trunc('second', ts))"
+)
+_ORACLE_ES = (
+    "CAST(date_diff('second', TIMESTAMP '1970-01-01',"
+    " date_trunc('second', ts)) AS BIGINT)"
+)
+
+_WEEK_S = 7 * 86400
+_DAY_S = 86400
+
+
+def _events_es(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.expr(_ES).cast("long").alias("es"),
+    )
+
+
+@query(
+    "funnel_conversion",
+    oracle=f"""
+    WITH e AS (
+      SELECT user_id, event_type, {_ORACLE_ES} AS es FROM events
+    ), s1 AS (
+      SELECT user_id, MIN(es) AS t1 FROM e
+      WHERE event_type = 'view' GROUP BY user_id
+    ), s2 AS (
+      SELECT e.user_id, MIN(es) AS t2, MIN(t1) AS t1
+      FROM e JOIN s1 USING (user_id)
+      WHERE event_type = 'click' AND es > t1 GROUP BY e.user_id
+    ), s3 AS (
+      SELECT e.user_id, MIN(es) AS t3, MIN(t2) AS t2
+      FROM e JOIN s2 USING (user_id)
+      WHERE event_type = 'purchase' AND es > t2 GROUP BY e.user_id
+    )
+    SELECT '1_view' AS stage, CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(NULL AS DOUBLE) AS avg_step_s FROM s1
+    UNION ALL
+    SELECT '2_click', CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(t2 - t1) AS DOUBLE) / COUNT(*) FROM s2
+    UNION ALL
+    SELECT '3_purchase', CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(t3 - t2) AS DOUBLE) / COUNT(*) FROM s3
+    """,
+    tags=("events", "funnel", "join"),
+)
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel: users who viewed, then clicked strictly after their
+    first view, then purchased strictly after that click — per-stage user
+    counts plus mean step latency.
+
+    Each stage is min-timestamp-after-previous-stage: a groupBy on user_id
+    joined to the prior (already aggregated, strictly smaller) stage table.
+    All shuffles share the user_id key, so the three stages reuse one
+    partitioning; the per-stage rollup to 3 rows is the only tiny exchange.
+    Latency is an exact integer sum divided once as double, so both engines
+    produce the same bits.
+    """
+    e = _events_es(spark, sf_dir)
+    s1 = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("es").alias("t1"))
+    )
+    s2 = (
+        e.filter(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .filter(F.col("es") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("es").alias("t2"), F.min("t1").alias("t1"))
+    )
+    s3 = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .filter(F.col("es") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("es").alias("t3"), F.min("t2").alias("t2"))
+    )
+
+    def stage_row(df: DataFrame, label: str, lat) -> DataFrame:
+        return df.agg(
+            F.count(F.lit(1)).alias("n_users"),
+            lat.alias("avg_step_s"),
+        ).select(F.lit(label).alias("stage"), "n_users", "avg_step_s")
+
+    null_lat = F.max(F.lit(None)).cast("double")
+    return (
+        stage_row(s1, "1_view", null_lat)
+        .unionAll(
+            stage_row(
+                s2,
+                "2_click",
+                F.sum(F.col("t2") - F.col("t1")).cast("double")
+                / F.count(F.lit(1)),
+            )
+        )
+        .unionAll(
+            stage_row(
+                s3,
+                "3_purchase",
+                F.sum(F.col("t3") - F.col("t2")).cast("double")
+                / F.count(F.lit(1)),
+            )
+        )
+    )
+
+
+@query(
+    "cohort_retention",
+    oracle=f"""
+    WITH e AS (
+      SELECT DISTINCT user_id, ({_ORACLE_ES}) // {_WEEK_S} AS w FROM events
+    ), cohort AS (
+      SELECT user_id, MIN(w) AS cw FROM e GROUP BY user_id
+    )
+    SELECT
+      CAST(cw AS BIGINT) AS cohort_week,
+      CAST(w - cw AS BIGINT) AS week_offset,
+      CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM e JOIN cohort USING (user_id)
+    GROUP BY cw, w - cw
+    """,
+    tags=("events", "cohort", "retention"),
+)
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention triangle: users grouped by first-active epoch-week,
+    counted in each subsequent week they return.
+
+    distinct(user, week) first — the only pass over the raw events, with
+    map-side combine — then the per-user cohort min and the
+    (cohort, offset) rollup both ride the same user_id partitioning. Week
+    index is integer epoch-seconds DIV 604800: no calendar/TZ semantics to
+    disagree on across engines.
+    """
+    e = (
+        _events_es(spark, sf_dir)
+        .select("user_id", (F.col("es") / _WEEK_S).cast("long").alias("w"))
+        .distinct()
+    )
+    cohort = e.groupBy("user_id").agg(F.min("w").alias("cw"))
+    return (
+        e.join(cohort, "user_id")
+        .groupBy(
+            F.col("cw").alias("cohort_week"),
+            (F.col("w") - F.col("cw")).alias("week_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+@query(
+    "ts_gap_fill_locf",
+    oracle=f"""
+    WITH e AS (
+      SELECT user_id, ({_ORACLE_ES}) // {_DAY_S} AS day FROM events
+    ), daily AS (
+      SELECT user_id, day, COUNT(*) AS n_ev FROM e GROUP BY user_id, day
+    ), bounds AS (
+      SELECT user_id, MIN(day) AS d0, MAX(day) AS d1 FROM daily
+      GROUP BY user_id
+    ), grid AS (
+      SELECT user_id, unnest(generate_series(d0, d1)) AS day FROM bounds
+    ), j AS (
+      SELECT g.user_id, g.day, d.n_ev
+      FROM grid g LEFT JOIN daily d USING (user_id, day)
+    )
+    SELECT
+      user_id,
+      CAST(day AS BIGINT) AS day,
+      CAST(last_value(n_ev IGNORE NULLS) OVER (
+        PARTITION BY user_id ORDER BY day
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        AS n_ev_filled,
+      CAST(CASE WHEN n_ev IS NULL THEN 1 ELSE 0 END AS INTEGER) AS is_filled
+    FROM j
+    """,
+    tags=("events", "timeseries", "gapfill", "window"),
+)
+def ts_gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense per-user daily series with last-observation-carried-forward:
+    generate the missing calendar days between each user's first and last
+    active day and forward-fill the daily event count.
+
+    The calendar grid comes from ``sequence(d0, d1)`` exploded over the
+    per-user BOUNDS table — one input row per user, so grid generation is
+    map-side and never collects a calendar to the driver. The left join
+    back to the daily aggregate and the LOCF window
+    (``last(ignorenulls=True)``) share the user_id hash partitioning: one
+    shuffle for the daily rollup, one for the join/window pair. Day index
+    is integer epoch-seconds DIV 86400 (TZ-free on both engines).
+    """
+    e = _events_es(spark, sf_dir).select(
+        "user_id", (F.col("es") / _DAY_S).cast("long").alias("day")
+    )
+    daily = e.groupBy("user_id", "day").agg(F.count(F.lit(1)).alias("n_ev"))
+    bounds = daily.groupBy("user_id").agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    grid = bounds.select(
+        "user_id", F.explode(F.sequence("d0", "d1")).alias("day")
+    )
+    j = grid.join(daily, ["user_id", "day"], "left")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return j.select(
+        "user_id",
+        "day",
+        F.last("n_ev", ignorenulls=True).over(w).cast("long").alias(
+            "n_ev_filled"
+        ),
+        F.when(F.col("n_ev").isNull(), 1).otherwise(0).cast("int").alias(
+            "is_filled"
+        ),
+    )

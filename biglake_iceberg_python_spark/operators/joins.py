@@ -556,3 +556,56 @@ def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum(revenue, "revenue"),
         )
     )
+
+
+@query(
+    "join_fuzzy_levenshtein",
+    oracle="""
+    SELECT
+      a.p_partkey AS part_a,
+      b.p_partkey AS part_b,
+      a.p_name AS name_a,
+      b.p_name AS name_b,
+      CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS edit_dist
+    FROM part a JOIN part b
+      ON a.p_brand = b.p_brand AND a.p_size = b.p_size
+     AND a.p_partkey < b.p_partkey
+    WHERE levenshtein(a.p_name, b.p_name) <= 3
+    """,
+    tags=("join", "fuzzy", "entity-resolution"),
+)
+def join_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy self-join (entity resolution): candidate part pairs
+    inside a (brand, size) block whose names are within Levenshtein
+    distance 3.
+
+    Edit distance can't be indexed, so the scale move is BLOCKING: the
+    equi-join on (p_brand, p_size) hash-co-locates each block, and the
+    quadratic distance evaluation runs only within blocks — candidate
+    pairs shrink from O(n²) to Σ block², the standard record-linkage
+    shape. ``levenshtein`` evaluates JVM-side inside the join's generated
+    code (no UDF); the key inequality halves the pair space and makes
+    output canonical.
+    """
+    p = load_table(spark, sf_dir, "part")
+    a = p.select(
+        F.col("p_partkey").alias("part_a"),
+        F.col("p_name").alias("name_a"),
+        "p_brand",
+        "p_size",
+    )
+    b = p.select(
+        F.col("p_partkey").alias("part_b"),
+        F.col("p_name").alias("name_b"),
+        "p_brand",
+        "p_size",
+    )
+    return (
+        a.join(b, ["p_brand", "p_size"])
+        .filter(F.col("part_a") < F.col("part_b"))
+        .withColumn(
+            "edit_dist", F.levenshtein("name_a", "name_b").cast("long")
+        )
+        .filter(F.col("edit_dist") <= 3)
+        .select("part_a", "part_b", "name_a", "name_b", "edit_dist")
+    )
