@@ -254,3 +254,132 @@ def ts_gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
             "is_filled"
         ),
     )
+
+
+@query(
+    "events_transition_matrix",
+    oracle=f"""
+    WITH e AS (
+      SELECT user_id, event_id, event_type, {_ORACLE_ES} AS es FROM events
+    ), pairs AS (
+      SELECT
+        LAG(event_type) OVER (
+          PARTITION BY user_id ORDER BY es, event_id) AS prev_type,
+        event_type AS next_type
+      FROM e
+    ), c AS (
+      SELECT prev_type, next_type, COUNT(*) AS n_transitions
+      FROM pairs WHERE prev_type IS NOT NULL
+      GROUP BY prev_type, next_type
+    )
+    SELECT
+      prev_type, next_type,
+      CAST(n_transitions AS BIGINT) AS n_transitions,
+      CAST(n_transitions AS DOUBLE)
+        / CAST(SUM(n_transitions) OVER (PARTITION BY prev_type) AS DOUBLE)
+        AS p
+    FROM c
+    """,
+    tags=("events", "markov", "window"),
+)
+def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event sequences:
+    count and row-normalized probability of each (prev, next) event-type
+    pair.
+
+    The lag window and the pair count both key on user_id (one exchange
+    carries the sequence ordering); the transition table itself is
+    |types|² rows — 25 here, tiny at any corpus scale — so the
+    normalizing per-prev-type window is effectively free. Probabilities
+    divide two exact integers once as double, so both engines emit the
+    same bits.
+    """
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.expr(_ES).cast("long").alias("es"),
+    )
+    w = Window.partitionBy("user_id").orderBy("es", "event_id")
+    pairs = e.select(
+        F.lag("event_type").over(w).alias("prev_type"),
+        F.col("event_type").alias("next_type"),
+    ).filter(F.col("prev_type").isNotNull())
+    c = pairs.groupBy("prev_type", "next_type").agg(
+        F.count(F.lit(1)).alias("n_transitions")
+    )
+    norm = Window.partitionBy("prev_type")
+    return c.select(
+        "prev_type",
+        "next_type",
+        "n_transitions",
+        (
+            F.col("n_transitions").cast("double")
+            / F.sum("n_transitions").over(norm).cast("double")
+        ).alias("p"),
+    )
+
+
+@query(
+    "anomaly_zscore_daily",
+    oracle=f"""
+    WITH e AS (
+      SELECT user_id, ({_ORACLE_ES}) // {_DAY_S} AS day FROM events
+    ), daily AS (
+      SELECT user_id, day, COUNT(*) AS n_ev FROM e GROUP BY user_id, day
+    ), stats AS (
+      SELECT user_id,
+             COUNT(*) AS n,
+             SUM(n_ev) AS s1,
+             SUM(n_ev * n_ev) AS s2
+      FROM daily GROUP BY user_id
+    ), scored AS (
+      SELECT
+        d.user_id, d.day, d.n_ev,
+        (CAST(d.n_ev AS DOUBLE) - CAST(s.s1 AS DOUBLE) / s.n)
+          / sqrt((CAST(s.s2 AS DOUBLE)
+                  - CAST(s.s1 AS DOUBLE) * s.s1 / s.n) / (s.n - 1)) AS z
+      FROM daily d JOIN stats s ON d.user_id = s.user_id
+      WHERE s.n > 1
+        AND (CAST(s.s2 AS DOUBLE) - CAST(s.s1 AS DOUBLE) * s.s1 / s.n) > 0
+    )
+    SELECT user_id, CAST(day AS BIGINT) AS day,
+           CAST(n_ev AS BIGINT) AS n_ev, z
+    FROM scored WHERE abs(z) > 2.0
+    """,
+    tags=("events", "anomaly", "timeseries"),
+)
+def anomaly_zscore_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user daily-activity anomaly detection: days whose event count
+    sits more than 2 sample standard deviations from that user's mean.
+
+    The statistics come from EXACT integer moments (count, sum, sum of
+    squares — all BIGINT, map-side combined in one user_id shuffle), and
+    mean/variance/z are derived from those integers with an identical
+    fixed sequence of double operations in both engines — so the z-scores
+    hash-match bit-for-bit, which a naive ``stddev_samp`` over doubles
+    (order-dependent partial sums) never would. The stats-to-daily join
+    re-uses the user_id partitioning.
+    """
+    e = _events_es(spark, sf_dir).select(
+        "user_id", (F.col("es") / _DAY_S).cast("long").alias("day")
+    )
+    daily = e.groupBy("user_id", "day").agg(F.count(F.lit(1)).alias("n_ev"))
+    stats = daily.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("n_ev").alias("s1"),
+        F.sum(F.col("n_ev") * F.col("n_ev")).alias("s2"),
+    )
+    mean = F.col("s1").cast("double") / F.col("n")
+    ssq = F.col("s2").cast("double") - F.col("s1").cast("double") * F.col(
+        "s1"
+    ) / F.col("n")
+    z = (F.col("n_ev").cast("double") - mean) / F.sqrt(
+        ssq / (F.col("n") - 1)
+    )
+    return (
+        daily.join(stats, "user_id")
+        .filter((F.col("n") > 1) & (ssq > 0))
+        .select("user_id", "day", "n_ev", z.alias("z"))
+        .filter(F.abs(F.col("z")) > 2.0)
+    )
