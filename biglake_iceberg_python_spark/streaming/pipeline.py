@@ -20,9 +20,6 @@ import os
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
-
-from biglake_iceberg_python_spark.sources.tables import load_table
 
 
 # Staged-chunk cache: the replay input is a pure function of
@@ -57,17 +54,36 @@ def stage_event_chunks(
     base = tempfile.mkdtemp(prefix="stream_events_")
     input_dir = os.path.join(base, "input")
     checkpoint_dir = os.path.join(base, "checkpoint")
-    e = load_table(spark, sf_dir, "events").withColumn(
-        "ts", F.col("ts").cast("timestamp")
+    os.makedirs(input_dir)
+    # Stage with pyarrow, not a Spark write job: this is test-harness
+    # plumbing (simulating a stream source from static parquet), so the
+    # ~seconds of Spark job overhead would be pure bench noise. The ns→µs
+    # truncation matches Spark's `ts div 1000`; tagging the column UTC
+    # makes Spark read it as TIMESTAMP (an instant) — identical to the
+    # previous NTZ-cast-under-UTC-session staging, which watermarks need.
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(os.path.join(sf_dir, "events.parquet"))
+    idx = t.schema.get_field_index("ts")
+    ts_utc = t.column("ts").cast(pa.timestamp("us"), safe=False).cast(
+        pa.timestamp("us", tz="UTC")
     )
+    t = t.set_column(idx, "ts", ts_utc)
     if inject_dup_every:
-        dups = e.filter(F.col("event_id") % inject_dup_every == 0)
-        e = e.unionAll(dups)
-    # Round-robin chunking (repartitionByRange would add a sampling pass):
-    # chunks replay in arbitrary time order, which models out-of-order
-    # arrival — the windowed queries' watermark delay covers the full
-    # horizon precisely so this is safe (see stream_tumbling_window).
-    e.repartition(n_chunks).write.parquet(input_dir)
+        ids = t.column("event_id").to_numpy()
+        t = pa.concat_tables([t, t.filter(pa.array(ids % inject_dup_every == 0))])
+    # Contiguous slices (order within/across chunks is irrelevant: chunks
+    # replay in arbitrary time order, modeling out-of-order arrival — the
+    # windowed queries' watermark delay covers the full horizon precisely
+    # so this is safe, see stream_tumbling_window).
+    n = t.num_rows
+    bounds = [n * i // n_chunks for i in range(n_chunks + 1)]
+    for i in range(n_chunks):
+        pq.write_table(
+            t.slice(bounds[i], bounds[i + 1] - bounds[i]),
+            os.path.join(input_dir, f"chunk_{i}.parquet"),
+        )
     _STAGED[key] = input_dir
     return input_dir, checkpoint_dir
 
@@ -95,7 +111,7 @@ def run_stream_to_memory(
     """
     spark = sdf.sparkSession
     prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
     try:
         q = (
             sdf.writeStream.format("memory")
