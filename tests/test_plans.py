@@ -189,3 +189,34 @@ def test_pack_token_shards_no_global_window_over_rows(spark, sf_dir):
     assert "windowspecdefinition(bucket" in plan
     # bucket base offsets come back via broadcast, not a shuffle join
     assert "BroadcastHashJoin" in plan
+
+
+def test_funnel_stage_filters_pushed_to_scan(spark, sf_dir):
+    """Each funnel stage must read only its event_type from parquet (the
+    stage selectivity is the whole point at 100 TB) and stage tables, being
+    pre-aggregated and shrinking, should join via broadcast, never
+    sort-merge."""
+    plan = plan_of(spark, sf_dir, "funnel_conversion")
+    for etype in ("view", "click", "purchase"):
+        assert f"EqualTo(event_type,{etype})" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_heavy_hitters_threshold_is_broadcast(spark, sf_dir):
+    """The corpus total/key-count must come back as a broadcast of the
+    1-row stats table — a nested-loop join against one row, never a
+    shuffle or a driver-side collect baked into the plan."""
+    plan = plan_of(spark, sf_dir, "agg_heavy_hitters")
+    assert "BroadcastNestedLoopJoin" in plan
+    # one shuffle for the per-key count; the stats derivation reuses it
+    assert plan.count("Exchange hashpartitioning") <= 2
+
+
+def test_gap_fill_grid_is_generated_not_joined(spark, sf_dir):
+    """The dense calendar must come from sequence()+explode over the
+    per-user bounds (Generate in-plan), not from any driver-side range
+    table; LOCF rides a single partitioned window."""
+    plan = plan_of(spark, sf_dir, "ts_gap_fill_locf")
+    assert "Generate explode(sequence(" in plan
+    assert plan.count("Window") == 1
+    assert "SinglePartition" not in plan
