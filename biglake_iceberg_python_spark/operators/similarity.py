@@ -440,3 +440,72 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= _TOP_K)
         .select("qid", "cid", "label", "cosine", "rk")
     )
+
+
+@query(
+    "sim_knn_classify",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id AS qid, embedding::DOUBLE[] AS qv, label AS true_label
+      FROM embeddings WHERE vec_id < {_N_QUERIES}
+    ), c AS (
+      SELECT vec_id AS cid, label, embedding::DOUBLE[] AS cv
+      FROM embeddings
+    ), scored AS (
+      SELECT
+        q.qid, c.cid, c.label,
+        list_dot_product(q.qv, c.cv)
+          / sqrt(list_dot_product(q.qv, q.qv) * list_dot_product(c.cv, c.cv))
+          AS cosine
+      FROM q CROSS JOIN c
+      WHERE q.qid <> c.cid
+    ), ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+                                   ORDER BY cosine DESC, cid) AS rk
+      FROM scored
+    ), votes AS (
+      SELECT qid, label, COUNT(*) AS n_votes
+      FROM ranked WHERE rk <= {_TOP_K}
+      GROUP BY qid, label
+    ), best AS (
+      SELECT qid, label AS pred_label, n_votes,
+             ROW_NUMBER() OVER (PARTITION BY qid
+                                ORDER BY n_votes DESC, label) AS vrk
+      FROM votes
+    )
+    SELECT b.qid, q.true_label, b.pred_label,
+           CAST(b.n_votes AS BIGINT) AS n_votes
+    FROM best b JOIN q ON b.qid = q.qid
+    WHERE b.vrk = 1
+    """,
+    tags=("llm", "similarity", "knn", "classify"),
+)
+def sim_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN majority-vote classification: predict each query vector's label
+    from its {_TOP_K} nearest neighbors' labels (ties broken by smallest
+    label), reported against the true label.
+
+    Builds directly on the exact top-k (sim_bruteforce_topk): the label
+    vote is a |Q|·k-row groupBy plus an argmax window — both negligible
+    next to the scan — and the truth join broadcasts the |Q|-row query
+    set. At corpus scale the same two stages sit unchanged on top of the
+    IVF candidate generation instead of the brute-force scan.
+    """
+    knn = sim_bruteforce_topk(spark, sf_dir)
+    votes = knn.groupBy("qid", "label").agg(
+        F.count(F.lit(1)).alias("n_votes")
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("n_votes").desc(), "label")
+    pred = (
+        votes.withColumn("vrk", F.row_number().over(w))
+        .filter(F.col("vrk") == 1)
+        .select("qid", F.col("label").alias("pred_label"), "n_votes")
+    )
+    truth = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < _N_QUERIES)
+        .select(F.col("vec_id").alias("qid"), F.col("label").alias("true_label"))
+    )
+    return pred.join(F.broadcast(truth), "qid").select(
+        "qid", "true_label", "pred_label", "n_votes"
+    )

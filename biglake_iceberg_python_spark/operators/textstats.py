@@ -278,3 +278,72 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("idf").desc(), "word")
         .limit(15)
     )
+
+
+@query(
+    "text_bigram_novelty",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
+      FROM documents
+    ), ti AS (
+      SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 1)) AS i FROM t
+    ), b AS (
+      SELECT doc_id, ws[i] || ' ' || ws[i+1] AS bigram FROM ti
+    ), cnt AS (
+      SELECT bigram, COUNT(*) AS c FROM b GROUP BY bigram
+    )
+    SELECT
+      b.doc_id,
+      CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+      CAST(COUNT(*) FILTER (WHERE cnt.c = 1) AS BIGINT) AS n_singletons,
+      CAST(COUNT(*) FILTER (WHERE cnt.c = 1) AS DOUBLE) / COUNT(*)
+        AS novelty,
+      CAST(SUM(cnt.c) AS DOUBLE) / COUNT(*) AS avg_bigram_freq
+    FROM b JOIN cnt USING (bigram)
+    GROUP BY b.doc_id
+    """,
+    tags=("llm", "text", "ngram", "quality"),
+)
+def text_bigram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-grounded bigram novelty score per document: the fraction of a
+    doc's bigrams that occur nowhere else in the corpus (singletons), plus
+    the mean corpus frequency of its bigrams — a cliché-vs-novel text
+    quality signal, and the exactly-computable core of an n-gram LM score
+    (a log-prob sum would be order-dependent floating point; singleton and
+    frequency counts are integers, so both engines agree bit-for-bit).
+
+    Bigrams come from zip_with over the token array (map-side, no
+    positional window); the corpus count and the doc join shuffle on the
+    bigram string — the same key, so Spark reuses one exchange of the
+    exploded bigram set for both sides. The final rollup shuffles on
+    doc_id.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    ws = F.filter(F.split("text", " "), lambda x: x != "")
+    bigs = d.select(
+        "doc_id",
+        F.explode(
+            F.zip_with(
+                F.slice(ws, 1, F.size(ws) - 1),
+                F.slice(ws, 2, F.size(ws) - 1),
+                lambda a, b: F.concat_ws(" ", a, b),
+            )
+        ).alias("bigram"),
+    )
+    cnt = bigs.groupBy("bigram").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        bigs.join(cnt, "bigram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.count(F.when(F.col("c") == 1, 1)).alias("n_singletons"),
+            (
+                F.count(F.when(F.col("c") == 1, 1)).cast("double")
+                / F.count(F.lit(1))
+            ).alias("novelty"),
+            (F.sum("c").cast("double") / F.count(F.lit(1))).alias(
+                "avg_bigram_freq"
+            ),
+        )
+    )
