@@ -409,3 +409,42 @@ def lakehouse_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = out.localCheckpoint(eager=True)
     cat.drop_namespace(db)
     return out
+
+
+@query(
+    "lakehouse_incremental_read",
+    oracle="""
+    SELECT
+      o_orderstatus,
+      CAST(COUNT(*) AS BIGINT) AS n,
+      CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS sum_price
+    FROM orders
+    WHERE o_orderstatus IN ('O', 'P')
+    GROUP BY o_orderstatus
+    """,
+    tags=("lakehouse", "snapshots", "incremental", "cdc"),
+)
+def lakehouse_incremental_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental (CDC-style) append scan: after three append commits,
+    read ONLY the rows added after the first snapshot — the Iceberg
+    ``start-snapshot-id``/``end-snapshot-id`` consumption pattern that
+    feeds downstream incremental pipelines without rescanning the table.
+
+    The scan cost is proportional to the delta (only the added data
+    directories are read); the rollup proves the delta is exactly the
+    v2+v3 rows. Overwrites in the range are rejected, as in Iceberg.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    with tempfile.TemporaryDirectory(prefix="lh_inc_") as root:
+        t = SnapshotTable(spark, root)
+        v1 = t.write(o.filter(F.col("o_orderstatus") == "F"), mode="append")
+        t.write(o.filter(F.col("o_orderstatus") == "O"), mode="append")
+        v3 = t.write(o.filter(F.col("o_orderstatus") == "P"), mode="append")
+        delta = t.read_incremental(v1, v3)
+        out = delta.groupBy("o_orderstatus").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(30,6)"))
+            .cast("double")
+            .alias("sum_price"),
+        )
+        return out.localCheckpoint(eager=True)

@@ -97,6 +97,30 @@ class SnapshotTable:
             entry = matches[0]
         return self.spark.read.parquet(*entry["data_dirs"])
 
+    def read_incremental(self, from_snap: int, to_snap: int) -> DataFrame:
+        """Rows ADDED by snapshots in ``(from_snap, to_snap]`` — the
+        CDC-style incremental append scan (the analog of Iceberg's
+        ``start-snapshot-id``/``end-snapshot-id`` read).
+
+        Only the per-snapshot added directories are scanned — cost is
+        proportional to the delta, not the table. Raises if the range
+        contains an overwrite commit, matching Iceberg's incremental scan,
+        which supports append-only history.
+        """
+        log = self._read_log()
+        sel = [e for e in log if from_snap < e["snapshot_id"] <= to_snap]
+        if not sel:
+            raise ValueError(
+                f"no snapshots in ({from_snap}, {to_snap}]; log has {len(log)}"
+            )
+        bad = [e["snapshot_id"] for e in sel if e["operation"] != "append"]
+        if bad:
+            raise ValueError(
+                f"incremental read over non-append snapshots {bad}; "
+                "overwrite breaks append-delta semantics"
+            )
+        return self.spark.read.parquet(*[e["added_dir"] for e in sel])
+
     def metadata_log_entries(self) -> DataFrame:
         """The metadata log as a DataFrame — the analog of the reference's
         ``SELECT * FROM t.metadata_log_entries`` (notebook cell 11)."""

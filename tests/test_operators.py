@@ -140,6 +140,26 @@ def test_snapshot_table_lineage(spark, sf_dir, tmp_path):
         t.read(99)
 
 
+def test_incremental_read_delta_and_overwrite_rejection(spark, sf_dir, tmp_path):
+    """read_incremental returns exactly the appended delta and refuses
+    ranges containing an overwrite (Iceberg append-scan semantics)."""
+    from biglake_iceberg_python_spark.lakehouse.snapshots import SnapshotTable
+    from biglake_iceberg_python_spark.sources.tables import load_table
+
+    n = load_table(spark, sf_dir, "nation")
+    t = SnapshotTable(spark, str(tmp_path / "snap"))
+    v1 = t.write(n.filter(F.col("n_nationkey") < 5), mode="append")
+    v2 = t.write(n.filter(F.col("n_nationkey").between(5, 9)), mode="append")
+    v3 = t.write(n.limit(2), mode="overwrite")
+    delta = t.read_incremental(v1, v2)
+    assert delta.count() == 5
+    assert {r["n_nationkey"] for r in delta.collect()} == {5, 6, 7, 8, 9}
+    with pytest.raises(ValueError, match="non-append"):
+        t.read_incremental(v2, v3)
+    with pytest.raises(ValueError, match="no snapshots"):
+        t.read_incremental(v3, v3)
+
+
 def test_entry_contract(spark):
     """Driver t1 smoke: entry() returns >0 rows with a stable schema."""
     import __spark_entry__ as entry_mod
