@@ -609,3 +609,51 @@ def agg_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("n_ev").cast("long").alias("max_session_events"),
         F.max("span_s").cast("long").alias("max_session_span_s"),
     )
+
+
+@query(
+    "agg_mode_deterministic",
+    oracle="""
+    WITH c AS (
+      SELECT c_mktsegment, c_nationkey, COUNT(*) AS cnt
+      FROM customer GROUP BY c_mktsegment, c_nationkey
+    ), ranked AS (
+      SELECT c_mktsegment, c_nationkey, cnt,
+             ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                                ORDER BY cnt DESC, c_nationkey) AS rk
+      FROM c
+    )
+    SELECT c_mktsegment,
+           c_nationkey AS modal_nation,
+           CAST(cnt AS BIGINT) AS n_customers
+    FROM ranked WHERE rk = 1
+    """,
+    tags=("agg", "mode", "window"),
+)
+def agg_mode_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group mode with a deterministic tie-break: the most common
+    customer nation per market segment, smallest key winning ties.
+
+    Built-in ``mode()`` leaves ties engine-defined (Spark and DuckDB may
+    disagree), so the portable shape is count-then-argmax: one shuffle for
+    the (group, value) count, then a window over the counts — which are
+    |groups|·|values| rows, not input rows, so the rank is nearly free and
+    the result is reproducible everywhere.
+    """
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .groupBy("c_mktsegment", "c_nationkey")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("cnt").desc(), "c_nationkey"
+    )
+    return (
+        c.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "c_mktsegment",
+            F.col("c_nationkey").alias("modal_nation"),
+            F.col("cnt").alias("n_customers"),
+        )
+    )
