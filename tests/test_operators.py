@@ -231,3 +231,65 @@ def test_reservoir_fixed_size_and_determinism(spark, sf_dir):
     for lang, rks in by_lang.items():
         assert sorted(rks) == list(range(1, min(_RESERVOIR_K, sizes[lang]) + 1))
     assert got == sorted(map(tuple, fn(spark, sf_dir).collect()))
+
+
+def test_gap_fill_covers_range_and_conserves_counts(spark, sf_dir):
+    """Gap-fill output must be a dense day range per user, carry no nulls
+    after LOCF, and the unfilled rows' counts must sum to the raw event
+    total (fill adds rows, never events)."""
+    from biglake_iceberg_python_spark.sources.tables import load_table
+
+    out = REGISTRY["ts_gap_fill_locf"].fn(spark, sf_dir).collect()
+    from collections import defaultdict
+
+    days = defaultdict(list)
+    for r in out:
+        days[r["user_id"]].append(r)
+        assert r["n_ev_filled"] is not None and r["n_ev_filled"] > 0
+    for _, rows in days.items():
+        ds = sorted(r["day"] for r in rows)
+        assert ds == list(range(ds[0], ds[-1] + 1))  # dense, no dup days
+    n_raw = (
+        load_table(spark, sf_dir, "events").count()
+    )
+    n_unfilled = sum(r["n_ev_filled"] for r in out if r["is_filled"] == 0)
+    assert n_unfilled == n_raw
+
+
+def test_funnel_is_monotone(spark, sf_dir):
+    """Stage user counts must shrink (or hold) down the funnel, and step
+    latencies must be positive."""
+    rows = {
+        r["stage"]: r
+        for r in REGISTRY["funnel_conversion"].fn(spark, sf_dir).collect()
+    }
+    assert (
+        rows["1_view"]["n_users"]
+        >= rows["2_click"]["n_users"]
+        >= rows["3_purchase"]["n_users"]
+    )
+    assert rows["1_view"]["avg_step_s"] is None
+    for s in ("2_click", "3_purchase"):
+        if rows[s]["n_users"]:
+            assert rows[s]["avg_step_s"] > 0
+
+
+def test_transition_matrix_is_row_stochastic(spark, sf_dir):
+    """Outgoing probabilities per prev_type must sum to 1 and transition
+    counts must total events minus one per active user sequence."""
+    from biglake_iceberg_python_spark.sources.tables import load_table
+
+    out = REGISTRY["events_transition_matrix"].fn(spark, sf_dir).collect()
+    from collections import defaultdict
+
+    psum = defaultdict(float)
+    total = 0
+    for r in out:
+        psum[r["prev_type"]] += r["p"]
+        total += r["n_transitions"]
+    for prev, s in psum.items():
+        assert abs(s - 1.0) < 1e-9, (prev, s)
+    e = load_table(spark, sf_dir, "events")
+    n_events = e.count()
+    n_users = e.select("user_id").distinct().count()
+    assert total == n_events - n_users
