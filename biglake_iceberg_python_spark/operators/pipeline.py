@@ -346,3 +346,133 @@ def pack_token_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").alias("first_doc"),
         F.max("doc_id").alias("last_doc"),
     )
+
+
+_MIN_TOKENS = 20
+
+
+@query(
+    "pipeline_corpus_build",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, lang,
+             list_filter(string_split(text, ' '), x -> x <> '') AS ws
+      FROM documents
+    ), q AS (
+      SELECT doc_id, lang, len(ws) AS n_tok,
+             md5(array_to_string(list_sort(list_distinct(ws)), ' ')) AS fp
+      FROM tok WHERE len(ws) >= {_MIN_TOKENS}
+    ), kept AS (
+      SELECT doc_id, lang, n_tok,
+             ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS dup_rk
+      FROM q
+    ), sampled AS (
+      SELECT doc_id, n_tok FROM kept
+      WHERE dup_rk = 1
+        AND {_oracle_md5_bucket("doc_id", "strat", 1000)} <
+              CASE lang {_PERMILLE_CASE_ARMS}
+                   ELSE {_SAMPLE_DEFAULT_PERMILLE} END
+    ), o AS (
+      SELECT doc_id, n_tok,
+             CAST(COALESCE(SUM(n_tok) OVER (
+               ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             AS BIGINT) AS off
+      FROM sampled
+    )
+    SELECT
+      CAST(off // {_SHARD_TOKEN_BUDGET} AS BIGINT) AS shard_id,
+      CAST(COUNT(*) AS BIGINT) AS n_docs,
+      CAST(SUM(n_tok) AS BIGINT) AS shard_tokens,
+      CAST(MIN(doc_id) AS BIGINT) AS first_doc,
+      CAST(MAX(doc_id) AS BIGINT) AS last_doc
+    FROM o GROUP BY 1
+    """,
+    tags=("llm", "pipeline", "composite"),
+)
+def pipeline_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full corpus-build pipeline as ONE declarative dataflow: quality
+    filter (min token count) → exact dedup on a bag-of-words fingerprint
+    (min doc_id kept per family) → hash-stratified language rebalancing →
+    token-budget shard packing. What a 100 TB training-data build actually
+    runs, end to end, with every stage deterministic and the whole chain
+    hash-checked against a single DuckDB oracle.
+
+    Stage shapes (each individually plan-tested elsewhere): the filter and
+    fingerprint are map-side; dedup is one shuffle on the fingerprint; the
+    sample filter is shuffle-free (md5 bucket vs per-lang rate); packing is
+    the two-phase prefix-sum (partitioned cumsum + tiny bucket-base
+    broadcast). Catalyst pipelines the whole thing — intermediate corpora
+    never materialize.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    ws = F.filter(F.split("text", " "), lambda x: x != "")
+    q = d.select(
+        "doc_id",
+        "lang",
+        F.size(ws).alias("n_tok"),
+        F.md5(F.array_join(F.array_sort(F.array_distinct(ws)), " ")).alias(
+            "fp"
+        ),
+    ).filter(F.col("n_tok") >= _MIN_TOKENS)
+    kept = (
+        q.withColumn(
+            "dup_rk",
+            F.row_number().over(Window.partitionBy("fp").orderBy("doc_id")),
+        )
+        .filter(F.col("dup_rk") == 1)
+    )
+    permille = F.coalesce(
+        *[
+            F.when(F.col("lang") == k, F.lit(v))
+            for k, v in _SAMPLE_PERMILLE.items()
+        ],
+        F.lit(_SAMPLE_DEFAULT_PERMILLE),
+    )
+    sampled = kept.filter(
+        _md5_bucket(F.col("doc_id"), "strat", 1000) < permille
+    ).select(
+        "doc_id",
+        "n_tok",
+        (F.col("doc_id") / _SHARD_BUCKET_WIDTH).cast("long").alias("bucket"),
+    )
+    within = F.coalesce(
+        F.sum("n_tok").over(
+            Window.partitionBy("bucket")
+            .orderBy("doc_id")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        ),
+        F.lit(0),
+    )
+    t = sampled.withColumn("within_off", within)
+    bucket_base = (
+        t.groupBy("bucket")
+        .agg(F.sum("n_tok").alias("bucket_tok"))
+        .withColumn(
+            "base",
+            F.coalesce(
+                F.sum("bucket_tok").over(
+                    Window.orderBy("bucket").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("bucket", "base")
+    )
+    packed = t.join(F.broadcast(bucket_base), "bucket").select(
+        "doc_id",
+        "n_tok",
+        (F.col("base") + F.col("within_off")).alias("off"),
+    )
+    return packed.groupBy(
+        F.expr(f"CAST(off DIV {_SHARD_TOKEN_BUDGET} AS BIGINT)").alias(
+            "shard_id"
+        )
+    ).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("shard_tokens"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )
