@@ -657,3 +657,41 @@ def agg_mode_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("cnt").alias("n_customers"),
         )
     )
+
+
+@query(
+    "agg_histogram",
+    oracle="""
+    WITH b AS (
+      SELECT CAST(floor(o_totalprice / 25000) AS BIGINT) AS bucket,
+             o_totalprice
+      FROM orders
+    )
+    SELECT
+      bucket,
+      CAST(bucket * 25000 AS DOUBLE) AS bucket_low,
+      CAST(COUNT(*) AS BIGINT) AS n_orders,
+      MIN(o_totalprice) AS min_price,
+      MAX(o_totalprice) AS max_price
+    FROM b GROUP BY bucket
+    """,
+    tags=("agg", "histogram"),
+)
+def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram of order value: one map-side bucket expression
+    + one groupBy — the distributed histogram shape (never a sort, never a
+    driver-side binning pass). Bucket boundaries are exact-integer
+    multiples of the width, the only values a 2-decimal money double can
+    land on exactly, so both engines bin identically; MIN/MAX per bucket
+    are order-independent doubles.
+    """
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_totalprice",
+        F.floor(F.col("o_totalprice") / 25000).alias("bucket"),
+    )
+    return o.groupBy("bucket").agg(
+        (F.col("bucket") * 25000).cast("double").alias("bucket_low"),
+        F.count(F.lit(1)).alias("n_orders"),
+        F.min("o_totalprice").alias("min_price"),
+        F.max("o_totalprice").alias("max_price"),
+    )

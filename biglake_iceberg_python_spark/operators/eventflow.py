@@ -383,3 +383,54 @@ def anomaly_zscore_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "day", "n_ev", z.alias("z"))
         .filter(F.abs(F.col("z")) > 2.0)
     )
+
+
+@query(
+    "events_dau_wau_stickiness",
+    oracle=f"""
+    WITH ud AS (
+      SELECT DISTINCT user_id, ({_ORACLE_ES}) // {_DAY_S} AS day FROM events
+    ), dau AS (
+      SELECT day, COUNT(*) AS dau FROM ud GROUP BY day
+    ), cover AS (
+      SELECT DISTINCT user_id, day + off AS w_day
+      FROM ud, (SELECT unnest(generate_series(0, 6)) AS off)
+    ), wau AS (
+      SELECT w_day, COUNT(*) AS wau FROM cover GROUP BY w_day
+    )
+    SELECT
+      CAST(d.day AS BIGINT) AS day,
+      CAST(d.dau AS BIGINT) AS dau,
+      CAST(w.wau AS BIGINT) AS wau,
+      CAST(d.dau AS DOUBLE) / w.wau AS stickiness
+    FROM dau d JOIN wau w ON d.day = w.w_day
+    """,
+    tags=("events", "engagement", "dau-wau"),
+)
+def events_dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily engagement stickiness: DAU / trailing-7-day WAU per day.
+
+    Sliding-window COUNT(DISTINCT) has no distributed builtin; the scale
+    shape is the cover-set expansion — each (user, active-day) pair emits
+    the 7 window-end days it makes the user 'weekly-active' for (a fixed
+    7× map-side fanout of the already-distinct user-day table, NOT of raw
+    events), then WAU is a plain distinct count per day. Every shuffle
+    keys on (user, day) or day; stickiness divides two exact integers.
+    """
+    ud = (
+        _events_es(spark, sf_dir)
+        .select("user_id", (F.col("es") / _DAY_S).cast("long").alias("day"))
+        .distinct()
+    )
+    dau = ud.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
+    cover = ud.select(
+        "user_id",
+        F.explode(F.sequence(F.col("day"), F.col("day") + 6)).alias("w_day"),
+    ).distinct()
+    wau = cover.groupBy("w_day").agg(F.count(F.lit(1)).alias("wau"))
+    return dau.join(wau, dau.day == wau.w_day).select(
+        "day",
+        "dau",
+        "wau",
+        (F.col("dau").cast("double") / F.col("wau")).alias("stickiness"),
+    )
