@@ -1,0 +1,209 @@
+"""Business-analytics composites over the order history: RFM customer
+segmentation and Pareto (ABC) supplier analysis.
+
+No reference file:line exists (the reference executes no analytics —
+SURVEY.md §2A); contract-mandated [EXT] surface. Scale notes:
+
+  * RFM — quintile scores are assigned by comparing each customer's
+    metrics against GLOBAL quantile cutoffs (a 1-row aggregate broadcast
+    back), not by a global ``ntile`` sort: the scoring pass is map-side,
+    so the plan has no SinglePartition window over customers. Cutoffs use
+    exact continuous percentiles (Spark ``percentile`` == DuckDB
+    ``quantile_cont`` — interpolation matches bit-for-bit, proven by
+    agg_percentile_exact).
+  * Pareto — revenue ranks and the running share are windows over the
+    SUPPLIER rollup (rows = suppliers, not lineitems), so the unavoidable
+    global ordering touches a table thousands of times smaller than the
+    fact input. Cumulative sums run over exact decimals.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from biglake_iceberg_python_spark.functions.exprs import dsum, oracle_dsum
+from biglake_iceberg_python_spark.plans.registry import query
+from biglake_iceberg_python_spark.sources.tables import load_table
+
+# Observation date for recency: the day after the last order in the data.
+_RFM_METRICS = ("rec_days", "freq", "monetary")
+
+
+def _score(metric: str) -> F.Column:
+    """1..5 score: 1 + count of quantile cutoffs strictly below the value."""
+    c = F.col(metric)
+    return (
+        F.lit(1)
+        + (c > F.col(f"{metric}_q20")).cast("int")
+        + (c > F.col(f"{metric}_q40")).cast("int")
+        + (c > F.col(f"{metric}_q60")).cast("int")
+        + (c > F.col(f"{metric}_q80")).cast("int")
+    )
+
+
+def _oracle_score(metric: str) -> str:
+    return (
+        f"1 + CAST({metric} > {metric}_q20 AS INTEGER)"
+        f" + CAST({metric} > {metric}_q40 AS INTEGER)"
+        f" + CAST({metric} > {metric}_q60 AS INTEGER)"
+        f" + CAST({metric} > {metric}_q80 AS INTEGER)"
+    )
+
+
+_ORACLE_CUTOFFS = ", ".join(
+    f"quantile_cont({m}, {q / 100}) AS {m}_q{q}"
+    for m in _RFM_METRICS
+    for q in (20, 40, 60, 80)
+)
+
+_ORACLE_RFM = f"""
+    WITH per_cust AS (
+      SELECT
+        o_custkey,
+        date_diff('day', MAX(o_orderdate),
+                  (SELECT MAX(o_orderdate) FROM orders)) AS rec_days,
+        COUNT(*) AS freq,
+        {oracle_dsum('o_totalprice')} AS monetary
+      FROM orders GROUP BY o_custkey
+    ), cutoffs AS (
+      SELECT {_ORACLE_CUTOFFS} FROM per_cust
+    ), scored AS (
+      SELECT
+        {_oracle_score('rec_days')} AS r,
+        {_oracle_score('freq')} AS f,
+        {_oracle_score('monetary')} AS m,
+        monetary
+      FROM per_cust, cutoffs
+    )
+    SELECT
+      CAST(r AS INTEGER) AS r_score,
+      CAST(f AS INTEGER) AS f_score,
+      CAST(m AS INTEGER) AS m_score,
+      CAST(COUNT(*) AS BIGINT) AS n_customers,
+      CAST(SUM(CAST(monetary AS DECIMAL(30,6))) AS DOUBLE) AS segment_value
+    FROM scored GROUP BY r, f, m
+"""
+
+
+@query(
+    "customer_rfm_segments",
+    oracle=_ORACLE_RFM,
+    tags=("business", "rfm", "segmentation"),
+)
+def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: score every customer 1-5 on recency, frequency,
+    and monetary value against global quintile cutoffs, then roll up
+    segment sizes and value.
+
+    One shuffle builds the per-customer metrics (map-side combined); the
+    12 cutoffs come back as a broadcast 1-row table so scoring is
+    map-side — no global ntile sort, which is what makes quintile scoring
+    survive a billion customers. Recency is an integer day difference
+    against the corpus max order date (midnight-aligned timestamps, so
+    both engines count identical day boundaries).
+    """
+    o = load_table(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count(F.lit(1)).alias("freq"),
+        dsum("o_totalprice", "monetary"),
+    )
+    maxdate = o.agg(F.max("o_orderdate").alias("corpus_max"))
+    per_cust = per_cust.join(F.broadcast(maxdate)).select(
+        F.datediff(F.col("corpus_max"), F.col("last_order")).alias("rec_days"),
+        "freq",
+        "monetary",
+    )
+    cutoffs = per_cust.agg(
+        *[
+            F.expr(f"percentile({m}, {q / 100})").alias(f"{m}_q{q}")
+            for m in _RFM_METRICS
+            for q in (20, 40, 60, 80)
+        ]
+    )
+    scored = per_cust.join(F.broadcast(cutoffs)).select(
+        _score("rec_days").alias("r_score"),
+        _score("freq").alias("f_score"),
+        _score("monetary").alias("m_score"),
+        "monetary",
+    )
+    return scored.groupBy("r_score", "f_score", "m_score").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        dsum("monetary", "segment_value"),
+    )
+
+
+@query(
+    "supplier_pareto",
+    oracle=f"""
+    WITH rev AS (
+      SELECT
+        l_suppkey,
+        {oracle_dsum('l_extendedprice * (1 - l_discount)')} AS revenue
+      FROM lineitem GROUP BY l_suppkey
+    ), ranked AS (
+      SELECT
+        l_suppkey, revenue,
+        ROW_NUMBER() OVER (ORDER BY revenue DESC, l_suppkey) AS rk,
+        CAST(SUM(CAST(revenue AS DECIMAL(30,6))) OVER (
+          ORDER BY revenue DESC, l_suppkey
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+          AS cum_revenue,
+        CAST(SUM(CAST(revenue AS DECIMAL(30,6))) OVER () AS DOUBLE)
+          AS total_revenue
+      FROM rev
+    )
+    SELECT
+      l_suppkey,
+      CAST(rk AS BIGINT) AS rk,
+      revenue,
+      cum_revenue,
+      cum_revenue / total_revenue AS cum_share,
+      CASE WHEN cum_revenue / total_revenue <= 0.8 THEN 'A'
+           WHEN cum_revenue / total_revenue <= 0.95 THEN 'B'
+           ELSE 'C' END AS abc_class
+    FROM ranked
+    """,
+    tags=("business", "pareto", "window"),
+)
+def supplier_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto / ABC analysis: suppliers ranked by revenue with cumulative
+    share, classed A (first 80% of revenue), B (to 95%), C (tail).
+
+    The global ordering runs over the per-supplier rollup — suppliers,
+    not line items — so the single-partition window sees thousands of
+    rows where the input had billions; the heavy work (the revenue
+    rollup) is an ordinary partial-agg shuffle. Cumulative and total sums
+    stay in exact decimal until the final share division, so the running
+    shares match DuckDB bit-for-bit.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = li.groupBy("l_suppkey").agg(
+        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue")
+    )
+    order = [F.col("revenue").desc(), F.col("l_suppkey")]
+    w_cum = Window.orderBy(*order).rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.orderBy(*order).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    dec = F.col("revenue").cast("decimal(30,6)")
+    ranked = rev.select(
+        "l_suppkey",
+        F.row_number().over(Window.orderBy(*order)).cast("long").alias("rk"),
+        "revenue",
+        F.sum(dec).over(w_cum).cast("double").alias("cum_revenue"),
+        F.sum(dec).over(w_all).cast("double").alias("total_revenue"),
+    )
+    share = F.col("cum_revenue") / F.col("total_revenue")
+    return ranked.select(
+        "l_suppkey",
+        "rk",
+        "revenue",
+        "cum_revenue",
+        share.alias("cum_share"),
+        F.when(share <= 0.8, "A")
+        .when(share <= 0.95, "B")
+        .otherwise("C")
+        .alias("abc_class"),
+    )

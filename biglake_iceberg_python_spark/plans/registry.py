@@ -47,6 +47,7 @@ _QUERY_MODULES = [
     "biglake_iceberg_python_spark.operators.scalars",
     "biglake_iceberg_python_spark.operators.udfs",
     "biglake_iceberg_python_spark.operators.eventflow",
+    "biglake_iceberg_python_spark.operators.business",
     "biglake_iceberg_python_spark.operators.dedup",
     "biglake_iceberg_python_spark.operators.pipeline",
     "biglake_iceberg_python_spark.operators.similarity",
