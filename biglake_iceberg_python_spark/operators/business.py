@@ -207,3 +207,85 @@ def supplier_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("C")
         .alias("abc_class"),
     )
+
+
+@query(
+    "basket_copurchase_lift",
+    oracle="""
+    WITH op AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ), n AS (
+      SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM lineitem
+    ), pk AS (
+      SELECT l_partkey, COUNT(*) AS c FROM op GROUP BY l_partkey
+    ), pairs AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+             COUNT(*) AS c_ab
+      FROM op a JOIN op b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY a.l_partkey, b.l_partkey
+      HAVING COUNT(*) >= 3
+    )
+    SELECT
+      part_a, part_b,
+      CAST(c_ab AS BIGINT) AS n_cooccur,
+      CAST(c_ab AS DOUBLE) / n.n_orders AS support,
+      CAST(c_ab AS DOUBLE) / ca.c AS confidence,
+      CAST(c_ab * n.n_orders AS DOUBLE) / (ca.c * cb.c) AS lift
+    FROM pairs
+    JOIN pk ca ON ca.l_partkey = part_a
+    JOIN pk cb ON cb.l_partkey = part_b
+    CROSS JOIN n
+    """,
+    tags=("business", "basket", "association"),
+)
+def basket_copurchase_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association mining: co-purchased part pairs with
+    support, confidence, and lift.
+
+    The pair space is generated by a SELF-JOIN ON THE ORDER KEY — pairs
+    per order are basket-size², never catalog², which is what bounds this
+    at scale (the naive part×part cross join is structurally impossible
+    here). The per-part counts broadcast back onto the surviving
+    (thresholded) pairs. Support/confidence/lift each divide exact
+    integers once, so scores hash-match across engines; the min-support
+    HAVING prunes the pair tail before any metric math.
+    """
+    op = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    n = op.select("l_orderkey").distinct().agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+    pk = op.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("c"))
+    a = op.select(F.col("l_orderkey"), F.col("l_partkey").alias("part_a"))
+    b = op.select(F.col("l_orderkey"), F.col("l_partkey").alias("part_b"))
+    pairs = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+        .filter(F.col("c_ab") >= 3)
+    )
+    ca = pk.select(F.col("l_partkey").alias("part_a"), F.col("c").alias("ca"))
+    cb = pk.select(F.col("l_partkey").alias("part_b"), F.col("c").alias("cb"))
+    return (
+        pairs.join(ca, "part_a")
+        .join(cb, "part_b")
+        .join(F.broadcast(n))
+        .select(
+            "part_a",
+            "part_b",
+            F.col("c_ab").alias("n_cooccur"),
+            (F.col("c_ab").cast("double") / F.col("n_orders")).alias(
+                "support"
+            ),
+            (F.col("c_ab").cast("double") / F.col("ca")).alias("confidence"),
+            (
+                (F.col("c_ab") * F.col("n_orders")).cast("double")
+                / (F.col("ca") * F.col("cb"))
+            ).alias("lift"),
+        )
+    )
