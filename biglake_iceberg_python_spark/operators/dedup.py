@@ -33,7 +33,12 @@ _JACCARD_THRESHOLD = 0.5
 # J ≳ 0.5 with high probability (p = 1-(1-J^4)^8).
 _N_PERM = 32
 _BAND_SIZE = 4
-_MERSENNE = (1 << 61) - 1
+# Minhash permutation modulus: the Mersenne prime 2^31-1. The family is
+# h_i(x) = (a_i * (x mod p) + b_i) mod p with a_i, b_i < p, so every
+# intermediate fits in 62 bits — no long overflow under ANSI mode (the
+# driver's plain SparkSession runs Spark 4 defaults, where overflow is an
+# ERROR, not a wrap; a 2^61 modulus would need the wraparound).
+_MERSENNE = (1 << 31) - 1
 
 
 def _words(col: str = "text"):
@@ -199,8 +204,10 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _minhash_signature(df: DataFrame, id_col: str, shingles_col: str) -> DataFrame:
     """doc (with shingle ARRAY column) → array of _N_PERM minhash values.
 
-    h_i(s) = (a_i * xxhash64(s) + b_i) mod M61, with fixed odd coefficients
-    derived from the permutation index — deterministic, no RNG. The whole
+    h_i(s) = (a_i * (xxhash64(s) mod p) + b_i) mod p over the Mersenne
+    prime p = 2^31-1, with fixed coefficients derived from the permutation
+    index — deterministic, no RNG, and every intermediate fits in 62 bits
+    so the arithmetic is ANSI-overflow-safe. The whole
     signature is computed per-row inside codegen (hash the shingle array
     once, then _N_PERM array_min-of-transform folds): ZERO shuffles — the
     map-side cost is O(|shingles|·perms) arithmetic, and at 100 TB the
@@ -208,10 +215,16 @@ def _minhash_signature(df: DataFrame, id_col: str, shingles_col: str) -> DataFra
     """
     hashed = df.select(
         id_col,
-        F.transform(F.col(shingles_col), lambda s: F.xxhash64(s)).alias("hs"),
+        F.transform(
+            F.col(shingles_col),
+            lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE)),
+        ).alias("hs"),
     )
+
     def perm_fn(i: int):
-        a, b = 2 * i + 1, 104729 * (i + 1)
+        a = (73856093 * (i + 1) + 19349663) % _MERSENNE or 1
+        b = (83492791 * (i + 1) + 104729) % _MERSENNE
+        # h already lies in [0, p); a, b < p ⇒ a*h + b < 2^62: no overflow.
         return lambda h: F.pmod(h * F.lit(a) + F.lit(b), F.lit(_MERSENNE))
 
     mins = [

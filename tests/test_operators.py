@@ -293,3 +293,16 @@ def test_transition_matrix_is_row_stochastic(spark, sf_dir):
     n_events = e.count()
     n_users = e.select("user_id").distinct().count()
     assert total == n_events - n_users
+
+
+def test_minhash_survives_ansi_mode(spark, sf_dir):
+    """The driver's plain Spark-4 session runs ANSI mode, where long
+    overflow is an ERROR: the minhash permutation family must stay inside
+    63 bits (mod-2^31-1 affine hashing), not rely on wraparound."""
+    prev = spark.conf.get("spark.sql.ansi.enabled")
+    spark.conf.set("spark.sql.ansi.enabled", "true")
+    try:
+        out = REGISTRY["dedup_minhash_lsh"].fn(spark, sf_dir)
+        assert out.count() >= 0
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", prev)
