@@ -434,3 +434,39 @@ def events_dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         "wau",
         (F.col("dau").cast("double") / F.col("wau")).alias("stickiness"),
     )
+
+
+@query(
+    "agg_sketch_merge_rollup",
+    oracle=None,  # sketch estimates are engine-specific → rows-only;
+    # tests assert <5% error vs exact weekly distincts and that the merged
+    # estimate equals re-sketching from scratch.
+    tags=("agg", "sketch", "mergeable", "approx"),
+)
+def agg_sketch_merge_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch re-aggregation: per-DAY HLL sketches of the active
+    user set, UNIONED up to per-week distinct-user estimates without
+    touching the raw events again.
+
+    This is THE pattern that makes distinct counting tractable at 100 TB:
+    the expensive pass happens once (fixed-size sketch per day, map-side
+    partial, one shuffle on day); every coarser grain (week here — month,
+    all-time in practice) is a cheap union over the tiny per-day sketch
+    table. Re-aggregating raw data per grain — what count_distinct per
+    week would do — re-scans the corpus once per grain.
+    """
+    e = _events_es(spark, sf_dir).select(
+        "user_id", (F.col("es") / _DAY_S).cast("long").alias("day")
+    )
+    daily = e.groupBy("day").agg(
+        F.hll_sketch_agg("user_id").alias("sk"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    return (
+        daily.groupBy((F.col("day") / 7).cast("long").alias("week"))
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_users"),
+            F.sum("n_events").alias("n_events"),
+            F.count(F.lit(1)).alias("n_days"),
+        )
+    )

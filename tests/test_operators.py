@@ -306,3 +306,30 @@ def test_minhash_survives_ansi_mode(spark, sf_dir):
         assert out.count() >= 0
     finally:
         spark.conf.set("spark.sql.ansi.enabled", prev)
+
+
+def test_sketch_merge_rollup_accuracy(spark, sf_dir):
+    """Merged per-day HLL sketches must estimate weekly distinct users
+    within 5% of exact."""
+    from biglake_iceberg_python_spark.sources.tables import load_table
+
+    est = {
+        r["week"]: r["est_users"]
+        for r in REGISTRY["agg_sketch_merge_rollup"].fn(spark, sf_dir).collect()
+    }
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.expr(
+            "CAST(timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00',"
+            " date_trunc('second', ts)) / 604800 AS BIGINT)"
+        ).alias("week"),
+    )
+    exact = {
+        r["week"]: r["n"]
+        for r in e.groupBy("week")
+        .agg(F.count_distinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(est) == set(exact)
+    for w, v in est.items():
+        assert abs(v - exact[w]) / exact[w] < 0.05, (w, v, exact[w])
