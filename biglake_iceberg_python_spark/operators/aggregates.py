@@ -118,11 +118,12 @@ def agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     estimates); tests assert relative error < 5% vs exact.
     """
     li = load_table(spark, sf_dir, "lineitem")
+    # Scalar percentile columns (not one ARRAY column): the driver's pandas
+    # canonicalizer sorts rows and cannot hash list cells.
     return li.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
-        F.percentile_approx("l_extendedprice", [0.5, 0.95], 10000).alias(
-            "price_p50_p95"
-        ),
+        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("price_p50"),
+        F.percentile_approx("l_extendedprice", 0.95, 10000).alias("price_p95"),
         F.count(F.lit(1)).alias("n_lines"),
     )
 

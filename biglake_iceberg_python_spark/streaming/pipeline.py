@@ -18,8 +18,10 @@ from __future__ import annotations
 
 import os
 import tempfile
+import time
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.streaming import StreamingQuery
 
 
 # Staged-chunk cache: the replay input is a pure function of
@@ -73,17 +75,23 @@ def stage_event_chunks(
     if inject_dup_every:
         ids = t.column("event_id").to_numpy()
         t = pa.concat_tables([t, t.filter(pa.array(ids % inject_dup_every == 0))])
-    # Contiguous slices (order within/across chunks is irrelevant: chunks
-    # replay in arbitrary time order, modeling out-of-order arrival — the
-    # windowed queries' watermark delay covers the full horizon precisely
-    # so this is safe, see stream_tumbling_window).
+    # Event-time-ordered replay: sort by ts (AFTER dup injection, so an
+    # injected duplicate lands at its original event time), slice into
+    # contiguous time ranges, and stage with strictly increasing mtimes —
+    # Spark's file source orders files by (mtime, path), so chunk i replays
+    # before chunk i+1. This models a quasi-ordered production stream
+    # (Kafka with bounded disorder) and is what lets the windowed queries
+    # run APPEND output with a minutes-scale watermark: chunk i+1's min ts
+    # >= chunk i's max ts, so nothing is ever late, while the watermark
+    # still finalizes + evicts old windows batch by batch.
+    t = t.sort_by([("ts", "ascending")])
     n = t.num_rows
     bounds = [n * i // n_chunks for i in range(n_chunks + 1)]
+    now = time.time()
     for i in range(n_chunks):
-        pq.write_table(
-            t.slice(bounds[i], bounds[i + 1] - bounds[i]),
-            os.path.join(input_dir, f"chunk_{i}.parquet"),
-        )
+        path = os.path.join(input_dir, f"chunk_{i:03d}.parquet")
+        pq.write_table(t.slice(bounds[i], bounds[i + 1] - bounds[i]), path)
+        os.utime(path, (now + 10 * i, now + 10 * i))
     _STAGED[key] = input_dir
     return input_dir, checkpoint_dir
 
@@ -100,9 +108,11 @@ def read_event_stream(spark: SparkSession, input_dir: str) -> DataFrame:
 
 def run_stream_to_memory(
     sdf: DataFrame, name: str, output_mode: str, checkpoint_dir: str
-) -> None:
+) -> StreamingQuery:
     """Run the streaming query to completion (availableNow) into a memory
-    sink table called ``name``.
+    sink table called ``name``; returns the terminated query so callers
+    (tests) can inspect ``lastProgress`` state-store metrics — e.g. assert
+    that the watermark actually evicted finalized windows.
 
     State-store partition count is pinned low for the replay: each
     micro-batch pays a fixed cost per state partition, and the replay's
@@ -122,6 +132,7 @@ def run_stream_to_memory(
             .start()
         )
         q.awaitTermination()
+        return q
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
 
