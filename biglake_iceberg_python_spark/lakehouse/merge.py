@@ -42,26 +42,35 @@ def merge_into(
     if missing:
         raise ValueError(f"source lacks merge columns: {missing}")
 
-    t = target.alias("t")
-    s = source.alias("s")
+    # Row-presence markers: `eqNullSafe` lets a NULL source key match a NULL
+    # target key, so presence must be detected with a non-nullable marker —
+    # testing `s.<key> IS NOT NULL` would misclassify that matched row as
+    # unmatched and silently keep target values for its update columns.
+    t = target.withColumn("__t_present", F.lit(1)).alias("t")
+    s = source.withColumn("__s_present", F.lit(1)).alias("s")
     cond = reduce(
         lambda a, b: a & b, [F.col(f"t.{k}").eqNullSafe(F.col(f"s.{k}")) for k in on]
     )
     joined = t.join(s, cond, "full_outer")
 
-    matched = reduce(lambda a, b: a & b, [F.col(f"s.{k}").isNotNull() for k in on])
+    src_present = F.col("s.__s_present").isNotNull()
+    tgt_present = F.col("t.__t_present").isNotNull()
     out_cols = []
     for c in t_cols:
-        if c in on:
-            out_cols.append(F.coalesce(F.col(f"t.{c}"), F.col(f"s.{c}")).alias(c))
-        elif c in update_cols:
+        if c in update_cols:
             # matched → source value; insert → source value; else target
             out_cols.append(
-                F.when(matched, F.col(f"s.{c}")).otherwise(F.col(f"t.{c}")).alias(c)
+                F.when(src_present, F.col(f"s.{c}")).otherwise(F.col(f"t.{c}"))
+                .alias(c)
             )
         elif c in source.columns:
-            # not an update col, but needed to materialize inserted rows
-            out_cols.append(F.coalesce(F.col(f"t.{c}"), F.col(f"s.{c}")).alias(c))
+            # keys and passthrough columns: the target's value whenever the
+            # target row exists (even a NULL one — coalesce would wrongly
+            # pull the source value there); source only for pure inserts.
+            out_cols.append(
+                F.when(tgt_present, F.col(f"t.{c}")).otherwise(F.col(f"s.{c}"))
+                .alias(c)
+            )
         else:
             out_cols.append(F.col(f"t.{c}").alias(c))
     return joined.select(*out_cols)

@@ -439,8 +439,8 @@ def events_dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "agg_sketch_merge_rollup",
     oracle=None,  # sketch estimates are engine-specific → rows-only;
-    # tests assert <5% error vs exact weekly distincts and that the merged
-    # estimate equals re-sketching from scratch.
+    # tests/test_operators.py asserts <5% error vs exact weekly distincts
+    # AND that the merged estimate equals re-sketching from scratch.
     tags=("agg", "sketch", "mergeable", "approx"),
 )
 def agg_sketch_merge_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:

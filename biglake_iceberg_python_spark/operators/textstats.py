@@ -268,12 +268,16 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     toks = d.select("doc_id", F.explode(_words()).alias("word")).distinct()
     df_tbl = toks.groupBy("word").agg(F.count(F.lit(1)).alias("doc_freq"))
-    n_docs = d.count()  # scalar; at scale use a broadcast subquery join
+    # N as a broadcast 1-row cross join (same shape as the oracle): the doc
+    # count stays inside the one job instead of a separate driver-side
+    # d.count() action that re-scans documents.
+    n = d.agg(F.count(F.lit(1)).cast("double").alias("__n_docs"))
     return (
-        df_tbl.select(
+        df_tbl.crossJoin(F.broadcast(n))
+        .select(
             "word",
             "doc_freq",
-            F.log(F.lit(float(n_docs)) / F.col("doc_freq")).alias("idf"),
+            F.log(F.col("__n_docs") / F.col("doc_freq")).alias("idf"),
         )
         .orderBy(F.col("idf").desc(), "word")
         .limit(15)

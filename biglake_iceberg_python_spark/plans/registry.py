@@ -15,6 +15,7 @@ every spec is written with explicit aliases on both sides.
 from __future__ import annotations
 
 import importlib
+import logging
 from collections.abc import Callable
 from dataclasses import dataclass, field
 
@@ -131,15 +132,24 @@ _PRIORITY_WINDOW = [
 
 def load_all() -> dict[str, QuerySpec]:
     """Import every operator module, then order the registry so the
-    round's priority window occupies the driver-verified prefix."""
+    round's priority window occupies the driver-verified prefix.
+
+    The window guard is deliberately NON-FATAL: a name in the window that no
+    module registered is logged and skipped, never raised — a single typo
+    must not brick the whole registry (and with it bench, tests, and every
+    driver artifact). tests/test_registry.py asserts the window is exactly
+    registered, so a stray name still fails CI loudly.
+    """
     global _loaded
     if not _loaded:
         for mod in _QUERY_MODULES:
             importlib.import_module(mod)
         missing = [n for n in _PRIORITY_WINDOW if n not in REGISTRY]
         if missing:
-            raise ValueError(f"priority window names not registered: {missing}")
-        ordered = {n: REGISTRY[n] for n in _PRIORITY_WINDOW}
+            logging.getLogger(__name__).warning(
+                "priority window names not registered — skipping: %s", missing
+            )
+        ordered = {n: REGISTRY[n] for n in _PRIORITY_WINDOW if n in REGISTRY}
         ordered.update(
             (n, s) for n, s in REGISTRY.items() if n not in ordered
         )

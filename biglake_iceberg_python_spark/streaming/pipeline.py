@@ -25,10 +25,20 @@ from pyspark.sql.streaming import StreamingQuery
 
 
 # Staged-chunk cache: the replay input is a pure function of
-# (sf_dir, n_chunks, inject_dup_every), so queries sharing a config reuse
-# one on-disk staging — each call still gets a FRESH checkpoint dir (a
-# checkpoint is per-query state and must never be shared).
-_STAGED: dict[tuple[str, int, int | None], str] = {}
+# (sf_dir, n_chunks, inject_dup_every, flush_sentinel, ordered), so queries
+# sharing a config reuse one on-disk staging — each call still gets a FRESH
+# checkpoint dir (a checkpoint is per-query state and must never be shared).
+_STAGED: dict[tuple[str, int, int | None, bool, bool], str] = {}
+
+# Event type of the watermark-flush sentinel row (see stage_event_chunks).
+# Consumers running APPEND output filter it out AFTER withWatermark so it
+# advances the watermark without entering any aggregate.
+SENTINEL_EVENT_TYPE = "__flush__"
+
+# How far past the last real event the sentinel sits. Must exceed every
+# consumer's watermark delay + longest window/gap so the final watermark
+# passes every window end and all state flushes + evicts.
+_SENTINEL_HORIZON_S = 2 * 24 * 3600
 
 
 def stage_event_chunks(
@@ -36,19 +46,36 @@ def stage_event_chunks(
     sf_dir: str,
     n_chunks: int = 4,
     inject_dup_every: int | None = None,
+    flush_sentinel: bool = False,
+    ordered: bool = True,
 ) -> tuple[str, str]:
     """Write events as ``n_chunks`` parquet files for replay (cached per
     config).
 
     ``inject_dup_every=k`` duplicates every k-th event (same event_id) to
-    exercise stateful dedup. Returns (input_dir, checkpoint_dir).
+    exercise stateful dedup. ``flush_sentinel=True`` appends one extra
+    chunk holding a single ``SENTINEL_EVENT_TYPE`` row 2 days past the max
+    event time — the standard trick to close out APPEND-mode windows on a
+    finite replay: the sentinel batch advances the watermark beyond every
+    real window's end, so the engine finalizes, emits, and evicts them all
+    before the availableNow trigger terminates. On a live stream new
+    events play this role and no sentinel is needed.
+
+    ``ordered=False`` stages the same time-contiguous chunks but permutes
+    their ARRIVAL order (odd-index chunks first, then even) — the
+    out-of-order arrival case: a late chunk lands after the watermark has
+    already advanced past it, so the late-data query exercises watermark
+    DROPS rather than a clean ordered replay. (The events table's natural
+    row order is itself time-sorted, so disorder must come from arrival
+    order, not row order.)
+    Returns (input_dir, checkpoint_dir).
     """
     # Watermarks require TIMESTAMP (an instant), not TIMESTAMP_NTZ. Pin the
     # session to UTC so the NTZ→instant cast and every downstream
     # window-start rendering are timezone-independent, whatever TZ the host
     # session was built with. Must happen on every call (cached or not).
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    key = (sf_dir, n_chunks, inject_dup_every)
+    key = (sf_dir, n_chunks, inject_dup_every, flush_sentinel, ordered)
     cached = _STAGED.get(key)
     if cached is not None and os.path.isdir(cached):
         ckpt = tempfile.mkdtemp(prefix="stream_ckpt_")
@@ -88,10 +115,40 @@ def stage_event_chunks(
     n = t.num_rows
     bounds = [n * i // n_chunks for i in range(n_chunks + 1)]
     now = time.time()
-    for i in range(n_chunks):
+    # Arrival order: identity for the ordered replay; odds-then-evens for
+    # the out-of-order case (chunk 1 and 3 arrive before 0 and 2, so the
+    # watermark races ahead and the even chunks arrive late).
+    arrival = (
+        list(range(n_chunks))
+        if ordered
+        else [i for i in range(n_chunks) if i % 2] + [i for i in range(n_chunks) if not i % 2]
+    )
+    for pos, i in enumerate(arrival):
         path = os.path.join(input_dir, f"chunk_{i:03d}.parquet")
         pq.write_table(t.slice(bounds[i], bounds[i + 1] - bounds[i]), path)
-        os.utime(path, (now + 10 * i, now + 10 * i))
+        os.utime(path, (now + 10 * pos, now + 10 * pos))
+    if flush_sentinel:
+        import pyarrow.compute as pc
+
+        max_us = pc.max(t.column("ts")).cast(pa.int64()).as_py()
+        sentinel_ts = pa.scalar(
+            max_us + _SENTINEL_HORIZON_S * 1_000_000, pa.timestamp("us", tz="UTC")
+        )
+        row = {
+            "event_id": [-1],
+            "ts": [sentinel_ts],
+            "user_id": [-1],
+            "event_type": [SENTINEL_EVENT_TYPE],
+            "value": [0.0],
+            "props": [""],
+        }
+        sent = pa.table(
+            {f.name: pa.array(row[f.name], f.type) for f in t.schema},
+            schema=t.schema,
+        )
+        path = os.path.join(input_dir, f"chunk_{n_chunks:03d}_flush.parquet")
+        pq.write_table(sent, path)
+        os.utime(path, (now + 10 * n_chunks, now + 10 * n_chunks))
     _STAGED[key] = input_dir
     return input_dir, checkpoint_dir
 

@@ -20,6 +20,7 @@ from biglake_iceberg_python_spark.functions.exprs import oracle_dsum
 from biglake_iceberg_python_spark.plans.registry import query
 from biglake_iceberg_python_spark.sources.tables import load_table
 from biglake_iceberg_python_spark.streaming.pipeline import (
+    SENTINEL_EVENT_TYPE,
     read_event_stream,
     run_stream_foreach_batch,
     run_stream_to_memory,
@@ -27,6 +28,11 @@ from biglake_iceberg_python_spark.streaming.pipeline import (
 )
 
 _TS_FMT = "yyyy-MM-dd HH:mm:ss"
+
+# Terminated StreamingQuery handles by registered query name, recorded on
+# every run so tests can assert state-store behavior (eviction, watermark
+# drops) from lastProgress without re-plumbing the queries.
+LAST_STREAMING_QUERIES: dict[str, object] = {}
 
 
 @query(
@@ -46,21 +52,26 @@ _TS_FMT = "yyyy-MM-dd HH:mm:ss"
     bench=True,
 )
 def stream_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Streaming tumbling-window aggregation (10-min windows) replayed over
-    chunked events; must equal the batch twin.
+    """Streaming tumbling-window aggregation (10-min windows) in APPEND
+    output with a 10-minute watermark over the event-time-ordered replay;
+    must equal the batch twin.
 
-    Watermark bounds state on a live stream (windows older than the delay
-    are finalized and evicted). The delay here covers the whole replay
-    horizon because the simulated file source may process chunks out of
-    time order — with a tight delay whole chunks would be discarded as
-    late. On a quasi-ordered production stream the delay would be minutes.
+    This is the bounded-state shape: each window is finalized, emitted
+    once, and EVICTED as soon as the watermark moves 10 minutes past its
+    end — state is O(open windows), not O(stream history). The staged
+    flush sentinel (2 days past the last real event) closes out the final
+    windows; it passes the filter so it reaches the watermark node, but its
+    own far-future window is never finalized before the trigger ends, so it
+    cannot leak into the output. Tests assert eviction via lastProgress.
     """
-    input_dir, ckpt = stage_event_chunks(spark, sf_dir, n_chunks=4)
+    input_dir, ckpt = stage_event_chunks(
+        spark, sf_dir, n_chunks=4, flush_sentinel=True
+    )
     s = read_event_stream(spark, input_dir).filter(
-        F.col("event_type").isin("purchase", "error")
+        F.col("event_type").isin("purchase", "error", SENTINEL_EVENT_TYPE)
     )
     agg = (
-        s.withWatermark("ts", "35 days")
+        s.withWatermark("ts", "10 minutes")
         .groupBy(F.window("ts", "10 minutes"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
@@ -68,7 +79,9 @@ def stream_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     name = f"tumbling_{uuid.uuid4().hex[:8]}"
-    run_stream_to_memory(agg, name, "complete", ckpt)
+    LAST_STREAMING_QUERIES["stream_tumbling_window"] = run_stream_to_memory(
+        agg, name, "append", ckpt
+    )
     return spark.table(name).select(
         F.date_format(F.col("window.start"), _TS_FMT).alias("window_start"),
         "event_type",
@@ -102,13 +115,19 @@ def stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding windows (20-min length, 10-min slide):every event lands in 2
     windows. Batch twin assigns each event to both candidate window starts
     (bucket − {0,10} minutes) — identical overlap semantics in plain SQL.
+
+    APPEND output + 10-min watermark (see stream_tumbling_window): both of
+    the sentinel's far-future windows stay unfinalized, every real window
+    is flushed and evicted.
     """
-    input_dir, ckpt = stage_event_chunks(spark, sf_dir, n_chunks=4)
+    input_dir, ckpt = stage_event_chunks(
+        spark, sf_dir, n_chunks=4, flush_sentinel=True
+    )
     s = read_event_stream(spark, input_dir).filter(
-        F.col("event_type") == "purchase"
+        F.col("event_type").isin("purchase", SENTINEL_EVENT_TYPE)
     )
     agg = (
-        s.withWatermark("ts", "35 days")
+        s.withWatermark("ts", "10 minutes")
         .groupBy(F.window("ts", "20 minutes", "10 minutes"))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
@@ -116,7 +135,9 @@ def stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     name = f"sliding_{uuid.uuid4().hex[:8]}"
-    run_stream_to_memory(agg, name, "complete", ckpt)
+    LAST_STREAMING_QUERIES["stream_sliding_window"] = run_stream_to_memory(
+        agg, name, "append", ckpt
+    )
     return spark.table(name).select(
         F.date_format(F.col("window.start"), _TS_FMT).alias("window_start"),
         "n_events",
@@ -158,11 +179,20 @@ def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     session_window merges events into variable-length sessions in the state
     store; the batch twin is the classic gaps-and-islands SQL (lag → gap
     flag → running sum → group), proving the semantics line up exactly.
+
+    APPEND output + 10-min watermark: a session is finalized and evicted
+    once the watermark passes its last event + the 30-min gap — state holds
+    only sessions that could still grow. The ordered replay means a
+    session can still merge across chunk boundaries before its close. The
+    sentinel (user_id −1, 2 days ahead) flushes the last real sessions; its
+    own session never closes, so it never reaches the sink.
     """
-    input_dir, ckpt = stage_event_chunks(spark, sf_dir, n_chunks=4)
+    input_dir, ckpt = stage_event_chunks(
+        spark, sf_dir, n_chunks=4, flush_sentinel=True
+    )
     s = read_event_stream(spark, input_dir)
     agg = (
-        s.withWatermark("ts", "35 days")
+        s.withWatermark("ts", "10 minutes")
         .groupBy(F.session_window("ts", "30 minutes"), "user_id")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
@@ -170,7 +200,9 @@ def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     name = f"session_{uuid.uuid4().hex[:8]}"
-    run_stream_to_memory(agg, name, "complete", ckpt)
+    LAST_STREAMING_QUERIES["stream_session_window"] = run_stream_to_memory(
+        agg, name, "append", ckpt
+    )
     return spark.table(name).select(
         "user_id",
         F.date_format(F.col("session_window.start"), _TS_FMT).alias("session_start"),
@@ -209,6 +241,91 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.table(name)
         .groupBy("event_type")
         .agg(F.count(F.lit(1)).alias("n_unique_events"))
+    )
+
+
+@query(
+    "stream_dedup_within_watermark",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n_unique_events
+    FROM events
+    GROUP BY event_type
+    """,
+    tags=("streaming", "dedup", "stateful", "watermark"),
+)
+def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark-bounded stateful dedup: dropDuplicatesWithinWatermark
+    keeps each event_id in state only until the watermark passes its event
+    time + the 30-min delay — the production shape when duplicates (retries,
+    at-least-once sources) can only recur within a bounded horizon, unlike
+    stream_dedup's grow-forever key set.
+
+    Correctness on the replay: injected duplicates carry their original
+    event time, and the event-time-ordered chunks mean a duplicate always
+    arrives while the watermark is still behind its timestamp — squarely
+    inside the dedup horizon — so the exact unique set is restored and the
+    batch twin (per-type counts of the undoctored table) holds. The flush
+    sentinel drives the final watermark 2 days ahead so ALL real keys are
+    evicted before termination (tests assert ≤1 state row remains); the
+    sentinel row itself is first-seen, hence emitted, and filtered out in
+    the batch-side rollup.
+    """
+    input_dir, ckpt = stage_event_chunks(
+        spark, sf_dir, n_chunks=4, inject_dup_every=10, flush_sentinel=True
+    )
+    s = read_event_stream(spark, input_dir)
+    deduped = s.withWatermark("ts", "30 minutes").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+    name = f"dedup_wm_{uuid.uuid4().hex[:8]}"
+    LAST_STREAMING_QUERIES["stream_dedup_within_watermark"] = run_stream_to_memory(
+        deduped.select("event_id", "event_type"), name, "append", ckpt
+    )
+    return (
+        spark.table(name)
+        .filter(F.col("event_type") != SENTINEL_EVENT_TYPE)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_unique_events"))
+    )
+
+
+@query(
+    "stream_late_data_drop",
+    oracle=None,  # which rows are late depends on micro-batch watermark
+    # progression — deterministic under the fixed staging but not
+    # SQL-expressible; rows-only check + pytest asserts drops happened.
+    tags=("streaming", "watermark", "late-data"),
+)
+def stream_late_data_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-data handling: an OUT-OF-ORDER replay (time-contiguous chunks
+    arrive odds-first, so even chunks land after the watermark has raced
+    past them) against a tight 10-min watermark — rows arriving after the
+    watermark passed their window are DROPPED, exactly what protects state
+    size on a disordered production stream. Complements the ordered-replay
+    window queries, which exercise the nothing-late path.
+
+    No SQL oracle (the drop set depends on watermark progression across
+    micro-batches); the pytest twin asserts via lastProgress that
+    numRowsDroppedByWatermark > 0 and the surviving count < the full count.
+    """
+    input_dir, ckpt = stage_event_chunks(
+        spark, sf_dir, n_chunks=4, flush_sentinel=True, ordered=False
+    )
+    s = read_event_stream(spark, input_dir).filter(
+        F.col("event_type").isin("purchase", "error", SENTINEL_EVENT_TYPE)
+    )
+    agg = (
+        s.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "10 minutes"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    name = f"late_{uuid.uuid4().hex[:8]}"
+    LAST_STREAMING_QUERIES["stream_late_data_drop"] = run_stream_to_memory(
+        agg, name, "append", ckpt
+    )
+    return spark.table(name).agg(
+        F.count(F.lit(1)).alias("n_windows"),
+        F.sum("n_events").cast("long").alias("n_surviving_events"),
     )
 
 
@@ -414,12 +531,14 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     This is the hardest streaming shape: BOTH sides buffer state, and the
     join's time-range condition plus the two watermarks bound how long each
     row is retained (purchases evict once the error watermark passes
-    ts_p + 10 min). The replay horizon forces wide watermarks here (chunks
-    arrive out of time order — see stream_tumbling_window); on a live
-    quasi-ordered stream the same query runs with minutes of state. The
-    batch twin is the identical interval join in SQL. Joined timestamps are
-    pre-truncated to seconds so the µs-vs-ns engines agree on boundary
-    rows.
+    ts_p + 10 min). The event-time-ordered replay lets both sides run
+    10-minute watermarks — minutes of state, the 100 TB shape: an inner
+    join emits each matched pair eagerly, and eviction can never outrun a
+    still-matchable row because a purchase old enough to evict (watermark
+    > ts_p + 10 min) is too old for any future error to satisfy
+    ts_e ≤ ts_p + 10 min. The batch twin is the identical interval join in
+    SQL. Joined timestamps are pre-truncated to seconds so the µs-vs-ns
+    engines agree on boundary rows.
     """
     input_dir, ckpt = stage_event_chunks(spark, sf_dir, n_chunks=4)
     src = read_event_stream(spark, input_dir)
@@ -430,7 +549,7 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.date_trunc("second", "ts").alias("ts_p"),
             "value",
         )
-        .withWatermark("ts_p", "35 days")
+        .withWatermark("ts_p", "10 minutes")
     )
     e = (
         src.filter(F.col("event_type") == "error")
@@ -438,7 +557,7 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("user_id").alias("e_user"),
             F.date_trunc("second", "ts").alias("ts_e"),
         )
-        .withWatermark("ts_e", "35 days")
+        .withWatermark("ts_e", "10 minutes")
     )
     joined = p.join(
         e,

@@ -122,6 +122,29 @@ def test_merge_into_semantics(spark):
     assert got == {1: ("a", 10.0), 2: ("b2", 99.0), 3: ("c", 30.0)}
 
 
+def test_merge_into_null_keys(spark):
+    """NULL merge keys on both sides: eqNullSafe matches them, so the NULL
+    target row must take the NULL source row's update values (not silently
+    keep its own), and neither row may duplicate. Also: a matched row whose
+    non-update target column is NULL keeps that NULL (no coalesce leak)."""
+    from biglake_iceberg_python_spark.lakehouse.merge import merge_into
+
+    target = spark.createDataFrame(
+        [(None, "null-t", 1.0), (1, None, 10.0)], "k INT, name STRING, v DOUBLE"
+    )
+    source = spark.createDataFrame(
+        [(None, "null-s", 2.0), (1, "one", 11.0)], "k INT, name STRING, v DOUBLE"
+    )
+    rows = merge_into(target, source, on=["k"], update_cols=["v"]).collect()
+    assert len(rows) == 2
+    got = {r["k"]: (r["name"], r["v"]) for r in rows}
+    # NULL key matched: v updated from source; name is a passthrough column
+    # and keeps the target's value.
+    assert got[None] == ("null-t", 2.0)
+    # k=1 matched: v updated, passthrough name keeps the target's NULL.
+    assert got[1] == (None, 11.0)
+
+
 def test_snapshot_table_lineage(spark, sf_dir, tmp_path):
     """append/append/overwrite lineage, time travel, and log integrity."""
     from biglake_iceberg_python_spark.lakehouse.snapshots import SnapshotTable
@@ -333,3 +356,14 @@ def test_sketch_merge_rollup_accuracy(spark, sf_dir):
     assert set(est) == set(exact)
     for w, v in est.items():
         assert abs(v - exact[w]) / exact[w] < 0.05, (w, v, exact[w])
+    # Merge-vs-rescratch equivalence: unioning per-day sketches must give
+    # EXACTLY the estimate of sketching each week's users directly — HLL
+    # union is lossless (register-wise max), which is what makes the
+    # rollup-without-rescan pattern sound.
+    rescratch = {
+        r["week"]: r["est"]
+        for r in e.groupBy("week")
+        .agg(F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("est"))
+        .collect()
+    }
+    assert est == rescratch

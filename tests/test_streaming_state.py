@@ -1,0 +1,101 @@
+"""State-store behavior assertions for the streaming queries: APPEND-mode
+windows must EVICT finalized state (the 100 TB-safety property the batch-twin
+oracle can't see), and the out-of-order replay must actually DROP late rows.
+
+All assertions read the terminated StreamingQuery's progress telemetry
+(lastProgress / recentProgress), recorded per query name in
+streaming.queries.LAST_STREAMING_QUERIES.
+"""
+
+from __future__ import annotations
+
+from biglake_iceberg_python_spark.plans.registry import load_all
+from biglake_iceberg_python_spark.streaming import queries as sq
+
+REGISTRY = load_all()
+
+
+def _final_state_rows(q) -> int:
+    return sum(op["numRowsTotal"] for op in q.lastProgress["stateOperators"])
+
+
+def _total_removed(q) -> int:
+    return sum(
+        op.get("numRowsRemoved", 0)
+        for p in q.recentProgress
+        for op in p["stateOperators"]
+    )
+
+
+def _total_dropped_by_watermark(q) -> int:
+    return sum(
+        op.get("numRowsDroppedByWatermark", 0)
+        for p in q.recentProgress
+        for op in p["stateOperators"]
+    )
+
+
+def _run(name, spark, sf_dir):
+    REGISTRY[name].fn(spark, sf_dir).collect()
+    return sq.LAST_STREAMING_QUERIES[name]
+
+
+def test_tumbling_window_evicts_state(spark, sf_dir):
+    q = _run("stream_tumbling_window", spark, sf_dir)
+    # Every real window was finalized + evicted; only the sentinel's
+    # never-finalized window may remain in the store.
+    assert _final_state_rows(q) <= 1
+    assert _total_removed(q) > 0
+
+
+def test_sliding_window_evicts_state(spark, sf_dir):
+    q = _run("stream_sliding_window", spark, sf_dir)
+    # The sentinel lands in 2 overlapping windows, both unfinalized.
+    assert _final_state_rows(q) <= 2
+    assert _total_removed(q) > 0
+
+
+def test_session_window_evicts_state(spark, sf_dir):
+    q = _run("stream_session_window", spark, sf_dir)
+    # Only the sentinel's never-closed session may remain.
+    assert _final_state_rows(q) <= 1
+    assert _total_removed(q) > 0
+
+
+def test_dedup_within_watermark_bounds_state(spark, sf_dir):
+    q = _run("stream_dedup_within_watermark", spark, sf_dir)
+    # The final watermark (sentinel − 30 min) is past every real event's
+    # ts + delay, so every real key was evicted — unlike plain stream_dedup,
+    # whose state holds the full key set forever.
+    assert _final_state_rows(q) <= 1
+    assert _total_removed(q) > 0
+
+
+def test_late_data_is_dropped(spark, sf_dir):
+    n_surviving = (
+        REGISTRY["stream_late_data_drop"].fn(spark, sf_dir).collect()[0][
+            "n_surviving_events"
+        ]
+    )
+    q = sq.LAST_STREAMING_QUERIES["stream_late_data_drop"]
+    dropped = _total_dropped_by_watermark(q)
+    assert dropped > 0
+    # The two late chunks were dropped wholesale, so survivors must be
+    # strictly fewer than the full filtered input. No exact raw-row
+    # conservation against the metric: numRowsDroppedByWatermark counts
+    # post-partial-aggregation groups (the map-side combine runs before the
+    # state store's late filter), not raw input rows — observed 212 groups
+    # dropped for 219 raw late rows at sf0.001.
+    from biglake_iceberg_python_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    n_full = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("purchase", "error"))
+        .count()
+    )
+    assert 0 < n_surviving < n_full
+    assert n_surviving + dropped <= n_full
+    # And the store itself ends bounded: the sentinel's window plus at most
+    # the last real chunk's unfinalized tail.
+    assert _final_state_rows(q) <= 2
