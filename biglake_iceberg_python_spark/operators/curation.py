@@ -1,0 +1,371 @@
+"""Corpus-curation operators for LLM training-data pipelines (SURVEY.md §2B
+[EXT] — the shaping steps between "raw corpus" and "training shards" that
+the dedup/sampling families don't cover):
+
+  * quality-rule filtering — Gopher/C4-style per-document rule battery
+    (length bounds, mean word length, repetition, stopword presence) with
+    per-rule drop accounting. All rules are INTEGER comparisons (e.g. mean
+    word length ≥ 4 is written ``sum_len >= 4*n_words``), so the keep/drop
+    decision is bit-identical across engines and reruns — no float
+    thresholds at partition boundaries.
+  * domain mixing — token-budget allocation across sources: upweighted
+    domains get a larger share of a global token budget, realized as a
+    per-source hash-bucket keep rate. The rate derivation is pure int64
+    arithmetic; the keep decision is the same zero-shuffle md5-bucket
+    filter as hash-stratified sampling.
+  * train-shard assignment — epoch-deterministic global shuffle WITHOUT a
+    global sort: shard = md5(doc_id:epoch) mod N is a pure map-side
+    assignment (the only shuffle is the N-row shard summary), and a new
+    epoch salt reshuffles every doc with zero state.
+  * decontamination — train/eval n-gram overlap: eval-set shingles are a
+    tiny DISTINCT set (benchmarks are small by construction) broadcast
+    against the training corpus' shingle postings — the asymmetric variant
+    of near-dup dedup, linear in corpus size, never corpus × corpus.
+
+No reference file:line exists for these (the reference executes no
+analytics — SURVEY.md §2A); they are contract-mandated extensions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from biglake_iceberg_python_spark.operators.dedup import _shingles, _words
+from biglake_iceberg_python_spark.operators.pipeline import (
+    _md5_bucket,
+    _oracle_md5_bucket,
+)
+from biglake_iceberg_python_spark.plans.registry import query
+from biglake_iceberg_python_spark.sources.tables import load_table
+
+# Gopher-style rule thresholds, expressed so every rule is an integer
+# comparison. Tuned to be non-degenerate on the synthetic corpus (every
+# rule fires on some docs; ~28% of sf0.001 passes all four).
+_MIN_WORDS, _MAX_WORDS = 20, 80
+_MWL_MIN = 4  # mean word length >= 4  ⇔  sum_len >= 4 * n_words
+_STOPWORDS = ("the", "a", "of", "to", "and")
+
+# Domain mixing: upweighted "high-quality" sources and the global token
+# budget as a fraction of the corpus (numerator/denominator kept integer).
+_PREMIUM_SOURCES = ("src0", "src1", "src2", "src3", "src4")
+_PREMIUM_WEIGHT, _BASE_WEIGHT = 3, 1
+_BUDGET_NUM, _BUDGET_DEN = 1, 2  # budget = total_tokens / 2
+
+_N_SHARDS = 8
+_EPOCH_SALT = "epoch0"
+
+# Decontamination: eval set = benchmark-sized fixed id range; 4-gram
+# shingles; ≥2 distinct overlapping shingles flags a doc.
+_EVAL_MAX_DOC = 40
+_DECONTAM_NGRAM = 4
+_DECONTAM_MIN_HITS = 2
+
+_STOP_SQL = "[" + ", ".join(f"'{s}'" for s in _STOPWORDS) + "]"
+
+
+@query(
+    "curate_gopher_filter",
+    oracle=f"""
+    WITH m AS (
+      SELECT
+        lang,
+        len(ws) AS n,
+        list_sum(list_transform(ws, x -> len(x))) AS sum_len,
+        len(list_distinct(ws)) AS n_dist,
+        len(list_intersect(ws, {_STOP_SQL})) > 0 AS has_stop
+      FROM (
+        SELECT lang, list_filter(string_split(text, ' '), x -> x <> '') AS ws
+        FROM documents
+      )
+    ), r AS (
+      SELECT
+        lang, n,
+        n BETWEEN {_MIN_WORDS} AND {_MAX_WORDS} AS p_len,
+        sum_len >= {_MWL_MIN} * n AS p_mwl,
+        2 * n_dist >= n AS p_rep,
+        has_stop AS p_stop
+      FROM m
+    )
+    SELECT
+      lang,
+      CAST(COUNT(*) AS BIGINT) AS n_docs,
+      CAST(COUNT(*) FILTER (WHERE NOT p_len) AS BIGINT) AS f_len,
+      CAST(COUNT(*) FILTER (WHERE NOT p_mwl) AS BIGINT) AS f_mwl,
+      CAST(COUNT(*) FILTER (WHERE NOT p_rep) AS BIGINT) AS f_rep,
+      CAST(COUNT(*) FILTER (WHERE NOT p_stop) AS BIGINT) AS f_stop,
+      CAST(COUNT(*) FILTER (WHERE p_len AND p_mwl AND p_rep AND p_stop)
+           AS BIGINT) AS n_kept,
+      CAST(COALESCE(SUM(n) FILTER (WHERE p_len AND p_mwl AND p_rep
+                                   AND p_stop), 0) AS BIGINT) AS kept_words
+    FROM r GROUP BY lang
+    """,
+    tags=("llm", "curation", "quality-filter"),
+)
+def curate_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/C4-style quality-rule filter with per-rule drop accounting:
+    word-count bounds, mean word length, repetition (distinct ratio), and
+    stopword presence, rolled up per language.
+
+    Every rule is a per-row integer comparison inside codegen — the filter
+    is a pure map over the scan (predicate-pushdown friendly, zero
+    shuffles before the per-lang rollup), and the keep/drop decision is
+    engine- and partitioning-independent. Per-rule failure counts are what
+    a production curation run ships to its data-quality dashboard.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    m = d.select("lang", _words().alias("w")).select(
+        "lang",
+        F.size("w").alias("n"),
+        F.aggregate(
+            "w", F.lit(0).cast("long"), lambda a, x: a + F.length(x)
+        ).alias("sum_len"),
+        F.size(F.array_distinct("w")).alias("n_dist"),
+        F.arrays_overlap(
+            "w", F.array(*[F.lit(s) for s in _STOPWORDS])
+        ).alias("has_stop"),
+    )
+    r = m.select(
+        "lang",
+        "n",
+        F.col("n").between(_MIN_WORDS, _MAX_WORDS).alias("p_len"),
+        (F.col("sum_len") >= _MWL_MIN * F.col("n")).alias("p_mwl"),
+        (2 * F.col("n_dist") >= F.col("n")).alias("p_rep"),
+        F.col("has_stop").alias("p_stop"),
+    )
+    kept = F.col("p_len") & F.col("p_mwl") & F.col("p_rep") & F.col("p_stop")
+    return r.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count(F.when(~F.col("p_len"), 1)).alias("f_len"),
+        F.count(F.when(~F.col("p_mwl"), 1)).alias("f_mwl"),
+        F.count(F.when(~F.col("p_rep"), 1)).alias("f_rep"),
+        F.count(F.when(~F.col("p_stop"), 1)).alias("f_stop"),
+        F.count(F.when(kept, 1)).alias("n_kept"),
+        F.coalesce(F.sum(F.when(kept, F.col("n"))), F.lit(0)).alias("kept_words"),
+    )
+
+
+_PREMIUM_SQL = "(" + ", ".join(f"'{s}'" for s in _PREMIUM_SOURCES) + ")"
+
+
+@query(
+    "curate_domain_mix",
+    oracle=f"""
+    WITH tok AS (
+      SELECT
+        doc_id, source,
+        len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tok,
+        CASE WHEN source IN {_PREMIUM_SQL}
+             THEN {_PREMIUM_WEIGHT} ELSE {_BASE_WEIGHT} END AS w
+      FROM documents
+    ), per_src AS (
+      SELECT source, w, COUNT(*) AS n_docs, SUM(n_tok) AS src_tokens
+      FROM tok GROUP BY source, w
+    ), g AS (
+      SELECT SUM(src_tokens) AS total_tokens, SUM(w) AS sum_w FROM per_src
+    ), rates AS (
+      SELECT
+        s.source, s.n_docs, s.src_tokens,
+        LEAST(1000, (1000 * {_BUDGET_NUM} * g.total_tokens * s.w)
+                    // ({_BUDGET_DEN} * g.sum_w * s.src_tokens)) AS permille
+      FROM per_src s CROSS JOIN g
+    )
+    SELECT
+      t.source,
+      CAST(r.n_docs AS BIGINT) AS n_docs,
+      CAST(r.src_tokens AS BIGINT) AS src_tokens,
+      CAST(r.permille AS BIGINT) AS permille,
+      CAST(COUNT(*) FILTER (
+        WHERE {_oracle_md5_bucket("t.doc_id", "mix", 1000)} < r.permille
+      ) AS BIGINT) AS n_kept,
+      CAST(COALESCE(SUM(t.n_tok) FILTER (
+        WHERE {_oracle_md5_bucket("t.doc_id", "mix", 1000)} < r.permille
+      ), 0) AS BIGINT) AS kept_tokens
+    FROM tok t JOIN rates r USING (source)
+    GROUP BY t.source, r.n_docs, r.src_tokens, r.permille
+    """,
+    tags=("llm", "curation", "domain-mix"),
+)
+def curate_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget domain mixing: allocate a global token budget (half the
+    corpus) across sources proportionally to quality weights (premium
+    sources 3×), derive each source's keep rate, and realize it as the
+    deterministic md5-bucket filter.
+
+    Scale shape: per-source totals are a tiny aggregate (|sources| rows)
+    broadcast back onto the corpus — the wide data is touched by exactly
+    one map-side filter and one per-source rollup. Rate derivation stays
+    in int64 ((1000·B·w) div (sum_w·tokens)), so the mix is bit-stable
+    however the corpus is partitioned. A changed weight table re-mixes
+    with no other moving parts — this is the knob LLM data engineers turn
+    between training runs.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id",
+        "source",
+        F.size(_words()).alias("n_tok"),
+        F.when(F.col("source").isin(*_PREMIUM_SOURCES), F.lit(_PREMIUM_WEIGHT))
+        .otherwise(F.lit(_BASE_WEIGHT))
+        .alias("w"),
+    )
+    per_src = tok.groupBy("source", "w").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").alias("src_tokens"),
+    )
+    g = per_src.agg(
+        F.sum("src_tokens").alias("total_tokens"), F.sum("w").alias("sum_w")
+    )
+    rates = per_src.crossJoin(F.broadcast(g)).select(
+        "source",
+        "n_docs",
+        "src_tokens",
+        F.least(
+            F.lit(1000),
+            F.expr(
+                f"(1000 * {_BUDGET_NUM} * total_tokens * w)"
+                f" div ({_BUDGET_DEN} * sum_w * src_tokens)"
+            ),
+        ).alias("permille"),
+    )
+    keep = _md5_bucket(F.col("doc_id"), "mix", 1000) < F.col("permille")
+    return (
+        tok.join(F.broadcast(rates), "source")
+        .groupBy("source", "n_docs", "src_tokens", "permille")
+        .agg(
+            F.count(F.when(keep, 1)).alias("n_kept"),
+            F.coalesce(F.sum(F.when(keep, F.col("n_tok"))), F.lit(0)).alias(
+                "kept_tokens"
+            ),
+        )
+        .select(
+            "source",
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.col("src_tokens").cast("long").alias("src_tokens"),
+            F.col("permille").cast("long").alias("permille"),
+            "n_kept",
+            "kept_tokens",
+        )
+    )
+
+
+@query(
+    "curate_train_shards",
+    oracle=f"""
+    WITH t AS (
+      SELECT
+        doc_id,
+        len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tok,
+        {_oracle_md5_bucket("doc_id", _EPOCH_SALT, _N_SHARDS)} AS shard_id,
+        md5(CAST(doc_id AS VARCHAR) || ':{_EPOCH_SALT}') AS h
+      FROM documents
+    )
+    SELECT
+      CAST(shard_id AS BIGINT) AS shard_id,
+      CAST(COUNT(*) AS BIGINT) AS n_docs,
+      CAST(SUM(n_tok) AS BIGINT) AS shard_tokens,
+      CAST(arg_min(doc_id, h) AS BIGINT) AS first_doc
+    FROM t GROUP BY shard_id
+    """,
+    tags=("llm", "curation", "sharding"),
+)
+def curate_train_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch-deterministic training-order shuffle: shard assignment is
+    md5(doc_id:epoch) mod N — a pure map-side computation with NO global
+    sort and NO RNG state; within a shard, hash order is the read order
+    (first_doc exposes it for verification). A new epoch salt is a full
+    reshuffle for free.
+
+    This is how training-data order works at 100 TB: a global
+    ``ORDER BY rand()`` would range-partition the entire corpus through a
+    sort, while the hash assignment shuffles nothing but the N-row
+    summary. Shard sizes concentrate around corpus/N (md5 is uniform), so
+    downstream readers stay balanced.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id",
+        F.size(_words()).alias("n_tok"),
+        _md5_bucket(F.col("doc_id"), _EPOCH_SALT, _N_SHARDS).alias("shard_id"),
+        F.md5(
+            F.concat_ws(":", F.col("doc_id").cast("string"), F.lit(_EPOCH_SALT))
+        ).alias("h"),
+    )
+    return t.groupBy("shard_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("shard_tokens"),
+        F.min_by("doc_id", "h").cast("long").alias("first_doc"),
+    )
+
+
+@query(
+    "curate_decontaminate",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
+      FROM documents
+    ), sh AS (
+      SELECT DISTINCT doc_id, md5(g0) AS g FROM (
+        SELECT doc_id,
+          unnest(list_transform(
+            range(1, len(ws) - {_DECONTAM_NGRAM - 2}),
+            i -> array_to_string(ws[i:i + {_DECONTAM_NGRAM - 1}], ' '))) AS g0
+        FROM w
+      )
+    ), ev AS (
+      SELECT DISTINCT g FROM sh WHERE doc_id < {_EVAL_MAX_DOC}
+    ), tr AS (
+      SELECT doc_id, g FROM sh WHERE doc_id >= {_EVAL_MAX_DOC}
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS n_shingles FROM tr GROUP BY doc_id
+    ), hits AS (
+      SELECT tr.doc_id, COUNT(*) AS n_hits
+      FROM tr JOIN ev USING (g) GROUP BY tr.doc_id
+    )
+    SELECT
+      CAST(h.doc_id AS BIGINT) AS doc_id,
+      CAST(h.n_hits AS BIGINT) AS n_hits,
+      CAST(s.n_shingles AS BIGINT) AS n_shingles
+    FROM hits h JOIN sizes s USING (doc_id)
+    WHERE h.n_hits >= {_DECONTAM_MIN_HITS}
+    """,
+    tags=("llm", "curation", "decontamination"),
+)
+def curate_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval decontamination: flag training docs sharing ≥2 distinct
+    4-gram shingles with the (small, fixed) eval set — the asymmetric
+    cousin of near-dup dedup, and a mandatory pre-training step so
+    benchmark text doesn't leak into the corpus.
+
+    Scale shape: the eval side is DISTINCT shingles of a benchmark-sized
+    set — kilobytes, broadcast — so the corpus side is one scan + explode
+    + broadcast-hash-join, linear in corpus size with no shuffle of the
+    training text. Shingles are md5-shortened so the join carries 32-byte
+    keys, not raw n-gram strings.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    sh = (
+        d.select("doc_id", _words().alias("w"))
+        .select(
+            "doc_id",
+            F.explode(_shingles("w", _DECONTAM_NGRAM)).alias("raw_g"),
+        )
+        .select("doc_id", F.md5("raw_g").alias("g"))
+        .distinct()
+    )
+    ev = (
+        sh.filter(F.col("doc_id") < _EVAL_MAX_DOC).select("g").distinct()
+    )
+    tr = sh.filter(F.col("doc_id") >= _EVAL_MAX_DOC)
+    sizes = tr.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    hits = (
+        tr.join(F.broadcast(ev), "g")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+        .filter(F.col("n_hits") >= _DECONTAM_MIN_HITS)
+    )
+    return hits.join(sizes, "doc_id").select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("n_hits").cast("long").alias("n_hits"),
+        F.col("n_shingles").cast("long").alias("n_shingles"),
+    )

@@ -51,6 +51,7 @@ _QUERY_MODULES = [
     "biglake_iceberg_python_spark.operators.business",
     "biglake_iceberg_python_spark.operators.dedup",
     "biglake_iceberg_python_spark.operators.pipeline",
+    "biglake_iceberg_python_spark.operators.curation",
     "biglake_iceberg_python_spark.operators.similarity",
     "biglake_iceberg_python_spark.operators.textstats",
     "biglake_iceberg_python_spark.operators.multimodal",

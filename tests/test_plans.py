@@ -220,3 +220,28 @@ def test_gap_fill_grid_is_generated_not_joined(spark, sf_dir):
     assert "Generate explode(sequence(" in plan
     assert plan.count("Window") == 1
     assert "SinglePartition" not in plan
+
+
+def test_decontaminate_broadcasts_eval_side(spark, sf_dir):
+    """The eval shingle set is benchmark-sized — it must come to the train
+    postings as a broadcast, never a shuffle of the corpus side; and the
+    tfidf-style doc count must not appear as a driver-side collect (the
+    whole query is one job)."""
+    plan = plan_of(spark, sf_dir, "curate_decontaminate")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_train_shards_no_corpus_shuffle(spark, sf_dir):
+    """Shard assignment is map-side hash arithmetic; the only exchange is
+    the N-row shard rollup — no range partitioning, no sort of the
+    corpus."""
+    plan = plan_of(spark, sf_dir, "curate_train_shards")
+    assert "Exchange rangepartitioning" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_tfidf_doc_count_is_broadcast_not_collected(spark, sf_dir):
+    """text_tfidf_top_terms must derive N inside the plan (broadcast 1-row
+    aggregate), not via a separate driver-side count() job."""
+    plan = plan_of(spark, sf_dir, "text_tfidf_top_terms")
+    assert "BroadcastNestedLoopJoin" in plan
