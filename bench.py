@@ -37,10 +37,25 @@ def main() -> int:
         return 2
 
     spark = build_session("bench")
-    # Warm-up: JVM + whole-stage-codegen compilation of the flagship's
-    # operator pipeline on the tiny sf (never the bench data itself).
+    # Warm-up: JVM + whole-stage-codegen compilation, one pass of every
+    # selected query at the tiny sf (never the bench data itself) — each
+    # query's generated code is distinct, so warming only one plan leaves
+    # the rest paying janino/JIT compilation inside their measured run.
+    # sf0.1 scans, shuffles, and stream staging are still fully paid in the
+    # measured pass below.
     spark.range(1_000_000).selectExpr("sum(id)").collect()
-    registry["pricing_summary"].fn(spark, "/root/testdata/sf0.001").collect()
+    # Streaming queries are excluded from warm-up: their cost is micro-batch
+    # machinery, not codegen, and each warm-up run leaves state-store
+    # providers + memory-sink tables resident in the JVM that measurably
+    # slow the whole measured pass.
+    warm_dir = "/root/testdata/sf0.001"
+    for name in names:
+        if "streaming" in registry[name].tags:
+            continue
+        try:
+            registry[name].fn(spark, warm_dir).collect()
+        except Exception as exc:  # warm-up must never fail the bench
+            print(f"# warm-up skip {name}: {exc}", file=sys.stderr)
 
     timings: dict[str, float] = {}
     for name in names:

@@ -153,9 +153,20 @@ def stage_event_chunks(
     return input_dir, checkpoint_dir
 
 
+_SCHEMA_CACHE: dict[str, object] = {}
+
+
 def read_event_stream(spark: SparkSession, input_dir: str) -> DataFrame:
-    """File-source stream over the staged chunks, one file per trigger."""
-    schema = spark.read.parquet(input_dir).schema
+    """File-source stream over the staged chunks, one file per trigger.
+
+    The staged schema is cached per input dir — file-source streams require
+    a user-supplied schema, and re-inferring it is a full footer-listing
+    Spark job per query for a schema that never changes within a staging.
+    """
+    schema = _SCHEMA_CACHE.get(input_dir)
+    if schema is None:
+        schema = spark.read.parquet(input_dir).schema
+        _SCHEMA_CACHE[input_dir] = schema
     return (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)
