@@ -21,6 +21,15 @@ the dedup/sampling families don't cover):
     tiny DISTINCT set (benchmarks are small by construction) broadcast
     against the training corpus' shingle postings — the asymmetric variant
     of near-dup dedup, linear in corpus size, never corpus × corpus.
+  * PII detection/redaction — regex battery (emails, phone numbers) with
+    per-source accounting of hits and redacted bytes. The synthetic corpus
+    carries no PII-shaped strings, so a deterministic subset of docs gets
+    synthetic PII injected IN-QUERY (same expression on both engines) —
+    the injected-duplicates trick from streaming dedup, applied to text.
+  * incremental ingestion — dedup a NEW batch of documents within itself
+    and against the historical corpus' content-hash index, the way a
+    100 TB corpus actually ingests (the history is never re-deduped; the
+    batch anti-joins a bucketed hash index).
 
 No reference file:line exists for these (the reference executes no
 analytics — SURVEY.md §2A); they are contract-mandated extensions.
@@ -368,4 +377,203 @@ def curate_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").cast("long").alias("doc_id"),
         F.col("n_hits").cast("long").alias("n_hits"),
         F.col("n_shingles").cast("long").alias("n_shingles"),
+    )
+
+
+# PII battery: injection selectors (deterministic, non-degenerate on the
+# synthetic corpus — text has no digits or '@'), patterns, and the mask.
+_EMAIL_EVERY, _PHONE_EVERY = 7, 11
+_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PHONE_RE = r"\b\d{3}-\d{4}\b"
+_PII_MASK = "<PII>"
+
+
+@query(
+    "curate_pii_redact",
+    oracle=f"""
+    WITH injected AS (
+      SELECT
+        doc_id, source,
+        text
+          || CASE WHEN doc_id % {_EMAIL_EVERY} = 0
+                  THEN ' reach user' || CAST(doc_id AS VARCHAR)
+                       || '@example.com today' ELSE '' END
+          || CASE WHEN doc_id % {_PHONE_EVERY} = 0
+                  THEN ' call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR),
+                                            4, '0') || ' now' ELSE '' END
+          AS text
+      FROM documents
+    ), scanned AS (
+      SELECT
+        source,
+        len(regexp_extract_all(text, '{_EMAIL_RE}')) AS n_emails,
+        len(regexp_extract_all(text, '{_PHONE_RE}')) AS n_phones,
+        len(text) - len(
+          regexp_replace(regexp_replace(text, '{_EMAIL_RE}', '{_PII_MASK}', 'g'),
+                         '{_PHONE_RE}', '{_PII_MASK}', 'g')
+        ) AS chars_redacted
+      FROM injected
+    )
+    SELECT
+      source,
+      CAST(COUNT(*) AS BIGINT) AS n_docs,
+      CAST(COUNT(*) FILTER (WHERE n_emails + n_phones > 0) AS BIGINT)
+        AS docs_with_pii,
+      CAST(SUM(n_emails) AS BIGINT) AS n_emails,
+      CAST(SUM(n_phones) AS BIGINT) AS n_phones,
+      CAST(SUM(chars_redacted) AS BIGINT) AS chars_redacted
+    FROM scanned GROUP BY source
+    """,
+    tags=("llm", "curation", "pii"),
+)
+def curate_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction accounting: regex battery for emails and
+    phone numbers, per-source rollup of documents flagged, hits by type,
+    and bytes removed by masking.
+
+    The synthetic corpus contains no PII-shaped strings, so a
+    deterministic subset of documents (doc_id % 7 / % 11) gets a synthetic
+    email / phone number appended IN-QUERY by the identical expression on
+    both engines — the machinery under test (regexp count, global
+    regexp_replace masking, byte accounting) is the production code path.
+
+    Scale shape: pure map over the scan (regex in codegen, zero Python),
+    one per-source rollup shuffle of a |sources|-cardinality key. Regex
+    cost is linear in corpus bytes and embarrassingly parallel — exactly
+    how C4's PII pass runs over a web crawl.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    injected = d.select(
+        "source",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % _EMAIL_EVERY == 0,
+                F.concat(
+                    F.lit(" reach user"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@example.com today"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % _PHONE_EVERY == 0,
+                F.concat(
+                    F.lit(" call 555-"),
+                    F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+                    F.lit(" now"),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    scanned = injected.select(
+        "source",
+        F.regexp_count(F.col("text"), F.lit(_EMAIL_RE)).alias("n_emails"),
+        F.regexp_count(F.col("text"), F.lit(_PHONE_RE)).alias("n_phones"),
+        (
+            F.length("text")
+            - F.length(
+                F.regexp_replace(
+                    F.regexp_replace("text", _EMAIL_RE, _PII_MASK),
+                    _PHONE_RE,
+                    _PII_MASK,
+                )
+            )
+        ).alias("chars_redacted"),
+    )
+    return scanned.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count(F.when(F.col("n_emails") + F.col("n_phones") > 0, 1)).alias(
+            "docs_with_pii"
+        ),
+        F.sum("n_emails").cast("long").alias("n_emails"),
+        F.sum("n_phones").cast("long").alias("n_phones"),
+        F.sum("chars_redacted").cast("long").alias("chars_redacted"),
+    )
+
+
+# Incremental ingestion: history/arrival split is a scale-free hash bucket
+# (60% history). The dedup key is a LEADING-CONTENT fingerprint (md5 of the
+# first 10 words) rather than the full-text hash: it catches
+# boilerplate-prefixed near-copies, and — unlike full-text equality, which
+# the synthetic corpus never repeats at the small sfs — it is
+# non-degenerate at every sf (24 dup rows at sf0.001/0.01, 244 at sf0.1).
+_HIST_PCT = 60
+_FP_WORDS = 10
+
+
+@query(
+    "curate_incremental_ingest",
+    oracle=f"""
+    WITH tagged AS (
+      SELECT doc_id, source,
+             md5(array_to_string(
+               (list_filter(string_split(text, ' '), x -> x <> ''))
+                 [1:{_FP_WORDS}], ' ')) AS h,
+             {_oracle_md5_bucket("doc_id", "ingest", 100)} < {_HIST_PCT}
+               AS is_hist
+      FROM documents
+    ), hist_hashes AS (
+      SELECT DISTINCT h FROM tagged WHERE is_hist
+    ), arrivals AS (
+      SELECT doc_id, source, h,
+             row_number() OVER (PARTITION BY h ORDER BY doc_id) AS rn
+      FROM tagged WHERE NOT is_hist
+    )
+    SELECT
+      a.source,
+      CAST(COUNT(*) AS BIGINT) AS n_arrivals,
+      CAST(COUNT(*) FILTER (WHERE a.rn > 1) AS BIGINT) AS n_dup_in_batch,
+      CAST(COUNT(*) FILTER (WHERE a.rn = 1 AND hh.h IS NOT NULL) AS BIGINT)
+        AS n_dup_vs_history,
+      CAST(COUNT(*) FILTER (WHERE a.rn = 1 AND hh.h IS NULL) AS BIGINT)
+        AS n_ingested
+    FROM arrivals a LEFT JOIN hist_hashes hh ON a.h = hh.h
+    GROUP BY a.source
+    """,
+    tags=("llm", "curation", "incremental", "dedup"),
+)
+def curate_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental corpus ingestion: dedup a NEW document batch within
+    itself (first-by-doc_id per fingerprint wins) and against the
+    HISTORICAL corpus' fingerprint index, reporting per-source arrivals /
+    in-batch dups / vs-history dups / net ingested. The key is a
+    leading-content fingerprint (md5 of the first 10 words) — the
+    boilerplate-prefix catcher; swap in sha2(text) for strict equality.
+
+    This is how a 100 TB corpus actually grows: the history is never
+    re-deduped — arrivals carry their fingerprint to a bucketed hash index
+    and anti-join it. Shuffles are one window + one equi-join, both keyed
+    on the 32-hex fingerprint (uniform, skew-free); shuffle rows carry
+    hashes, never document bodies. On a real lakehouse the history index
+    is bucketed by hash so the join co-locates with zero history movement;
+    here both sides derive from one table and AQE picks the exchange.
+    """
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.md5(F.concat_ws(" ", F.slice(_words(), 1, _FP_WORDS))).alias("h"),
+        (_md5_bucket(F.col("doc_id"), "ingest", 100) < _HIST_PCT).alias(
+            "is_hist"
+        ),
+    )
+    hist_hashes = d.filter("is_hist").select("h").distinct()
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("h").orderBy("doc_id")
+    arrivals = (
+        d.filter(~F.col("is_hist"))
+        .withColumn("rn", F.row_number().over(w))
+    )
+    joined = arrivals.join(
+        hist_hashes.withColumn("in_hist", F.lit(1)), "h", "left"
+    )
+    return joined.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_arrivals"),
+        F.count(F.when(F.col("rn") > 1, 1)).alias("n_dup_in_batch"),
+        F.count(F.when((F.col("rn") == 1) & F.col("in_hist").isNotNull(), 1)).alias(
+            "n_dup_vs_history"
+        ),
+        F.count(F.when((F.col("rn") == 1) & F.col("in_hist").isNull(), 1)).alias(
+            "n_ingested"
+        ),
     )

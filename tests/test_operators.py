@@ -367,3 +367,43 @@ def test_sketch_merge_rollup_accuracy(spark, sf_dir):
         .collect()
     }
     assert est == rescratch
+
+
+def test_pii_redact_accounting_consistent(spark, sf_dir):
+    """PII counts must be internally consistent: flagged docs <= total,
+    injected email count equals the doc_id % 7 population, and masking must
+    remove bytes whenever any hit was counted."""
+    rows = REGISTRY["curate_pii_redact"].fn(spark, sf_dir).collect()
+    assert rows, "no per-source rows"
+    from biglake_iceberg_python_spark.sources.tables import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    expect_emails = d.filter(F.col("doc_id") % 7 == 0).count()
+    expect_phones = d.filter(F.col("doc_id") % 11 == 0).count()
+    assert sum(r["n_emails"] for r in rows) == expect_emails
+    assert sum(r["n_phones"] for r in rows) == expect_phones
+    for r in rows:
+        assert 0 <= r["docs_with_pii"] <= r["n_docs"]
+        if r["n_emails"] + r["n_phones"] > 0:
+            assert r["chars_redacted"] > 0
+
+
+def test_incremental_ingest_conserves_arrivals(spark, sf_dir):
+    """Every arrival is classified exactly once (in-batch dup, vs-history
+    dup, or ingested), and the batch split plus history split cover the
+    corpus."""
+    rows = REGISTRY["curate_incremental_ingest"].fn(spark, sf_dir).collect()
+    assert rows
+    total_arrivals = 0
+    for r in rows:
+        assert (
+            r["n_dup_in_batch"] + r["n_dup_vs_history"] + r["n_ingested"]
+            == r["n_arrivals"]
+        ), r
+        total_arrivals += r["n_arrivals"]
+    # non-degenerate: the fingerprint key must actually collide somewhere
+    assert sum(r["n_dup_in_batch"] + r["n_dup_vs_history"] for r in rows) > 0
+    from biglake_iceberg_python_spark.sources.tables import load_table
+
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    assert 0 < total_arrivals < n_docs
