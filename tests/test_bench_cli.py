@@ -1,0 +1,51 @@
+"""Bench CLI contract smoke test — the round-2 incident gate, end-to-end.
+
+Runs ``bench.py`` exactly as the grading driver does (fresh process, its
+own SparkSession) on a tiny query subset at sf0.001 and asserts the full
+contract: exit code 0, ONE JSON line on stdout with the required fields.
+A broken registry, a crashing query, or malformed output fails here
+instead of zeroing a round's artifacts.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_bench_cli_exits_zero_with_json_contract():
+    env = dict(os.environ, SPARK_GRAFT_SF_DIR="/root/testdata/sf0.001")
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "bench.py"), "join_inner",
+         "pricing_summary"],
+        capture_output=True,
+        text=True,
+        env=env,
+        cwd=REPO,
+        timeout=300,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    lines = [l for l in proc.stdout.strip().splitlines() if l.strip()]
+    assert len(lines) == 1, f"expected ONE JSON line, got: {proc.stdout!r}"
+    payload = json.loads(lines[0])
+    assert payload["metric"] == "bench_total_wall"
+    assert payload["unit"] == "sec"
+    assert set(payload["queries"]) == {"join_inner", "pricing_summary"}
+    assert payload["value"] > 0
+    assert payload["sf"] == 0.001
+
+
+def test_bench_cli_rejects_unknown_query():
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "bench.py"), "no_such_query"],
+        capture_output=True,
+        text=True,
+        cwd=REPO,
+        timeout=120,
+    )
+    assert proc.returncode == 2
+    assert "no_such_query" in proc.stderr
