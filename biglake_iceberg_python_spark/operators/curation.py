@@ -577,3 +577,93 @@ def curate_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_ingested"
         ),
     )
+
+
+@query(
+    "curate_dataset_card",
+    oracle=f"""
+    WITH t AS (
+      SELECT
+        doc_id, source, lang, n_chars,
+        len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tok,
+        md5(array_to_string(
+          (list_filter(string_split(text, ' '), x -> x <> ''))
+            [1:{_FP_WORDS}], ' ')) AS fp
+      FROM documents
+    ), r AS (
+      SELECT
+        source, lang, n_tok, n_chars, fp,
+        row_number() OVER (PARTITION BY source, lang
+                           ORDER BY n_tok, doc_id) AS rn,
+        COUNT(*) OVER (PARTITION BY source, lang) AS n
+      FROM t
+    )
+    SELECT
+      source, lang,
+      CAST(COUNT(*) AS BIGINT) AS n_docs,
+      CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+      CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+      CAST(MIN(n_tok) AS BIGINT) AS len_min,
+      CAST(MAX(CASE WHEN rn = (n + 1) // 2 THEN n_tok END) AS BIGINT)
+        AS len_p50,
+      CAST(MAX(CASE WHEN rn = (9 * n + 9) // 10 THEN n_tok END) AS BIGINT)
+        AS len_p90,
+      CAST(MAX(n_tok) AS BIGINT) AS len_max,
+      CAST(COUNT(*) - COUNT(DISTINCT fp) AS BIGINT) AS n_fp_dups
+    FROM r GROUP BY source, lang
+    """,
+    tags=("llm", "curation", "dataset-card"),
+)
+def curate_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-card statistics: per (source, lang) document counts, token
+    and byte totals, the token-length distribution (min / exact discrete
+    p50 / p90 / max), and leading-content fingerprint duplicate counts —
+    the datasheet a curated corpus ships with.
+
+    Quantiles are DISCRETE and engine-exact: a row_number over
+    (n_tok, doc_id) picks the ceil(q·n)-th element with pure integer
+    position arithmetic — no interpolation, no float thresholds, identical
+    tie-breaks on both engines. The window partitions on (source, lang)
+    and the rollup groups on the same key, so Catalyst plans ONE exchange
+    for both; at 100 TB this is a single corpus pass plus a
+    |sources|×|langs|-row result.
+    """
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id",
+        "source",
+        "lang",
+        "n_chars",
+        F.size(_words()).alias("n_tok"),
+        F.md5(F.concat_ws(" ", F.slice(_words(), 1, _FP_WORDS))).alias("fp"),
+    )
+    w = Window.partitionBy("source", "lang").orderBy("n_tok", "doc_id")
+    wn = Window.partitionBy("source", "lang")
+    r = t.select(
+        "source",
+        "lang",
+        "n_tok",
+        "n_chars",
+        "fp",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    pos50 = (F.col("n") + 1).cast("long") / 2
+    return r.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("n_tokens"),
+        F.sum("n_chars").cast("long").alias("sum_chars"),
+        F.min("n_tok").cast("long").alias("len_min"),
+        F.max(
+            F.when(F.col("rn") == F.expr("(n + 1) div 2"), F.col("n_tok"))
+        ).cast("long").alias("len_p50"),
+        F.max(
+            F.when(F.col("rn") == F.expr("(9 * n + 9) div 10"), F.col("n_tok"))
+        ).cast("long").alias("len_p90"),
+        F.max("n_tok").cast("long").alias("len_max"),
+        (F.count(F.lit(1)) - F.count_distinct(F.col("fp")))
+        .cast("long")
+        .alias("n_fp_dups"),
+    )

@@ -245,3 +245,14 @@ def test_tfidf_doc_count_is_broadcast_not_collected(spark, sf_dir):
     aggregate), not via a separate driver-side count() job."""
     plan = plan_of(spark, sf_dir, "text_tfidf_top_terms")
     assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_dataset_card_single_exchange(spark, sf_dir):
+    """The dataset-card report's window (discrete quantile positions) and
+    its rollup both key on (source, lang) — Catalyst must plan exactly ONE
+    exchange, reused by both, with no global sort."""
+    plan = plan_of(spark, sf_dir, "curate_dataset_card")
+    n_exchanges = plan.count("Exchange hashpartitioning")
+    assert n_exchanges == 1, f"expected 1 exchange, plan has {n_exchanges}"
+    assert "Exchange rangepartitioning" not in plan
+    assert "SinglePartition" not in plan
