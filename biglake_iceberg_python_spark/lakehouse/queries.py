@@ -19,6 +19,7 @@ from biglake_iceberg_python_spark.lakehouse.catalog import (
     LakehouseCatalog,
     run_reference_pipeline,
 )
+from biglake_iceberg_python_spark.functions.exprs import dsum, oracle_dsum
 from biglake_iceberg_python_spark.lakehouse.merge import merge_into
 from biglake_iceberg_python_spark.lakehouse.snapshots import SnapshotTable
 from biglake_iceberg_python_spark.plans.registry import query
@@ -129,6 +130,92 @@ def lakehouse_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_acctbal", F.col("c_acctbal") + 1000
     )
     return merge_into(target, source, on=["c_custkey"])
+
+
+@query(
+    "lakehouse_delete_where",
+    oracle=f"""
+    SELECT
+      o_orderstatus,
+      CAST(COUNT(*) AS BIGINT) AS n_rows,
+      {oracle_dsum('o_totalprice')} AS sum_price
+    FROM orders
+    WHERE NOT (o_totalprice < 100000)
+    GROUP BY o_orderstatus
+    """,
+    tags=("lakehouse", "delete", "row-level"),
+)
+def lakehouse_delete_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level DELETE FROM … WHERE (Iceberg v2 copy-on-write delete):
+    commit orders, delete every order under 100k, and return the per-status
+    rollup of the survivors — which must equal the oracle's NOT-predicate
+    scan of the source. The pre-delete snapshot must stay readable by time
+    travel (asserted in-query); pytest also pins null-predicate semantics.
+    """
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    with tempfile.TemporaryDirectory(prefix="lh_del_") as root:
+        t = SnapshotTable(spark, root)
+        v1 = t.write(o, mode="append")
+        n_before = t.read(v1).count()
+        t.delete_where(F.col("o_totalprice") < 100000)
+        # Iceberg contract: row-level deletes never mutate history.
+        if t.read(v1).count() != n_before:
+            raise AssertionError("pre-delete snapshot was mutated")
+        out = (
+            t.read()
+            .groupBy("o_orderstatus")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                dsum("o_totalprice", "sum_price"),
+            )
+        )
+        return out.localCheckpoint(eager=True)
+
+
+@query(
+    "lakehouse_update_where",
+    oracle=f"""
+    SELECT
+      o_orderstatus,
+      CAST(COUNT(*) AS BIGINT) AS n_rows,
+      {oracle_dsum("CASE WHEN o_orderstatus = 'O' "
+                   "THEN o_totalprice + 100000 ELSE o_totalprice END")}
+        AS sum_price
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+    tags=("lakehouse", "update", "row-level"),
+)
+def lakehouse_update_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level UPDATE … SET … WHERE (Iceberg v2 copy-on-write update):
+    commit orders, add 100k to every open order's total, return the
+    per-status rollup — open orders must carry the shifted sum, all other
+    rows must pass through bit-identical (their groups hash-match the
+    untouched source). IEEE double addition is exactly rounded with
+    identical operand order on both engines, so even the updated sums
+    hash-match without decimal staging.
+    """
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    with tempfile.TemporaryDirectory(prefix="lh_upd_") as root:
+        t = SnapshotTable(spark, root)
+        t.write(o, mode="append")
+        t.update_where(
+            F.col("o_orderstatus") == "O",
+            {"o_totalprice": F.col("o_totalprice") + 100000},
+        )
+        out = (
+            t.read()
+            .groupBy("o_orderstatus")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                dsum("o_totalprice", "sum_price"),
+            )
+        )
+        return out.localCheckpoint(eager=True)
 
 
 @query(

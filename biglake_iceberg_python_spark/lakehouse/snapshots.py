@@ -80,6 +80,48 @@ class SnapshotTable:
         merged = merge_into(self.read(), source, on=on, update_cols=update_cols)
         return self.write(merged, mode="overwrite")
 
+    def delete_where(self, condition) -> int:
+        """Row-level ``DELETE FROM ... WHERE`` committed as an overwrite
+        snapshot — Iceberg v2's copy-on-write delete (null-safe: rows where
+        the predicate is NULL are kept, matching SQL DELETE semantics).
+
+        Scale boundary (documented, same as MERGE): real Iceberg COW
+        rewrites only the data files containing matches (manifest min/max
+        pruning picks them); this dir-granularity emulation rewrites the
+        table. Iceberg's merge-on-read alternative (position/equality
+        delete files) defers the rewrite entirely — at 100 TB you'd choose
+        MOR for point deletes, COW for sweeping deletes like GDPR erasure.
+        Time travel keeps pre-delete snapshots readable either way.
+        """
+        from pyspark.sql import functions as F
+
+        kept = self.read().filter(~F.coalesce(condition, F.lit(False)))
+        return self.write(kept, mode="overwrite")
+
+    def update_where(self, condition, assignments: dict) -> int:
+        """Row-level ``UPDATE ... SET ... WHERE`` committed as an overwrite
+        snapshot — copy-on-write UPDATE: non-matching rows pass through
+        bit-identical, matching rows take the assignment expressions.
+        ``assignments`` maps column name -> Column expression. Same COW/MOR
+        scale boundary as :meth:`delete_where`.
+        """
+        from pyspark.sql import functions as F
+
+        cur = self.read()
+        unknown = [c for c in assignments if c not in cur.columns]
+        if unknown:
+            raise ValueError(f"assignments for unknown columns: {unknown}")
+        cond = F.coalesce(condition, F.lit(False))
+        updated = cur.select(
+            *[
+                F.when(cond, assignments[c]).otherwise(F.col(c)).alias(c)
+                if c in assignments
+                else F.col(c)
+                for c in cur.columns
+            ]
+        )
+        return self.write(updated, mode="overwrite")
+
     # -- reads --
 
     def read(self, snapshot_id: int | None = None) -> DataFrame:

@@ -407,3 +407,26 @@ def test_incremental_ingest_conserves_arrivals(spark, sf_dir):
 
     n_docs = load_table(spark, sf_dir, "documents").count()
     assert 0 < total_arrivals < n_docs
+
+
+def test_delete_update_null_predicate_semantics(spark, tmp_path):
+    """SQL row-level semantics: a NULL predicate matches nothing — DELETE
+    keeps the row, UPDATE passes it through unchanged; and neither touches
+    prior snapshots."""
+    from biglake_iceberg_python_spark.lakehouse.snapshots import SnapshotTable
+
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, None), (3, 200.0)], "id int, v double"
+    )
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    v1 = t.write(df, mode="append")
+    t.delete_where(F.col("v") < 100)  # NULL < 100 is NULL -> keep id=2
+    left = {r["id"] for r in t.read().collect()}
+    assert left == {2, 3}
+    assert t.read(v1).count() == 3  # history immutable
+
+    u = SnapshotTable(spark, str(tmp_path / "u"))
+    u.write(df, mode="append")
+    u.update_where(F.col("v") < 100, {"v": F.col("v") + 1})
+    vals = {r["id"]: r["v"] for r in u.read().collect()}
+    assert vals[1] == 11.0 and vals[2] is None and vals[3] == 200.0
