@@ -518,25 +518,28 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
       COUNT(*) AS n_pairs,
       {oracle_dsum('p.value')} AS sum_purchase_value
     FROM p JOIN e ON p.user_id = e.user_id
-      AND e.ts_e >= p.ts_p AND e.ts_e <= p.ts_p + INTERVAL 10 MINUTE
+      AND e.ts_e >= p.ts_p AND e.ts_e <= p.ts_p + INTERVAL 6 HOUR
     GROUP BY p.user_id
     """,
     tags=("streaming", "join", "stream-stream"),
 )
 def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-stream inner join with a time-interval condition: purchases
-    joined to errors by the same user arriving within the following 10
-    minutes — both sides are live streams with watermarks.
+    joined to errors by the same user arriving within the following 6
+    hours — both sides are live streams with watermarks. (The synthetic
+    events table averages ~1 event/user/day, so a minutes-wide interval
+    matches zero pairs — 6 hours keeps the test non-vacuous while state
+    stays bounded by interval + watermark.)
 
     This is the hardest streaming shape: BOTH sides buffer state, and the
     join's time-range condition plus the two watermarks bound how long each
     row is retained (purchases evict once the error watermark passes
-    ts_p + 10 min). The event-time-ordered replay lets both sides run
-    10-minute watermarks — minutes of state, the 100 TB shape: an inner
-    join emits each matched pair eagerly, and eviction can never outrun a
-    still-matchable row because a purchase old enough to evict (watermark
-    > ts_p + 10 min) is too old for any future error to satisfy
-    ts_e ≤ ts_p + 10 min. The batch twin is the identical interval join in
+    ts_p + 6 h). The event-time-ordered replay lets both sides run
+    10-minute watermarks — ~6 h of buffered state, the 100 TB shape: an
+    inner join emits each matched pair eagerly, and eviction can never
+    outrun a still-matchable row because a purchase old enough to evict
+    (watermark > ts_p + 6 h) is too old for any future error to satisfy
+    ts_e ≤ ts_p + 6 h. The batch twin is the identical interval join in
     SQL. Joined timestamps are pre-truncated to seconds so the µs-vs-ns
     engines agree on boundary rows.
     """
@@ -563,7 +566,7 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         e,
         (F.col("p_user") == F.col("e_user"))
         & (F.col("ts_e") >= F.col("ts_p"))
-        & (F.col("ts_e") <= F.col("ts_p") + F.expr("INTERVAL 10 MINUTES")),
+        & (F.col("ts_e") <= F.col("ts_p") + F.expr("INTERVAL 6 HOURS")),
         "inner",
     )
     # Stream-stream joins emit in APPEND mode only (each matched pair is
@@ -578,6 +581,94 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("p_user").alias("user_id"))
         .agg(
             F.count(F.lit(1)).alias("n_pairs"),
+            F.sum(F.col("value").cast("decimal(30,6)"))
+            .cast("double")
+            .alias("sum_purchase_value"),
+        )
+    )
+
+
+@query(
+    "stream_stream_left_join",
+    oracle=f"""
+    WITH p AS (
+      SELECT user_id, date_trunc('second', ts) AS ts_p, value
+      FROM events WHERE event_type = 'purchase'
+    ), e AS (
+      SELECT user_id, date_trunc('second', ts) AS ts_e
+      FROM events WHERE event_type = 'error'
+    ), j AS (
+      SELECT p.user_id, p.value, e.user_id AS matched
+      FROM p LEFT JOIN e ON p.user_id = e.user_id
+        AND e.ts_e >= p.ts_p AND e.ts_e <= p.ts_p + INTERVAL 6 HOUR
+    )
+    SELECT
+      user_id,
+      COUNT(*) AS n_rows,
+      CAST(COUNT(matched) AS BIGINT) AS n_matched,
+      CAST(COUNT(*) FILTER (WHERE matched IS NULL) AS BIGINT) AS n_unmatched,
+      {oracle_dsum('value')} AS sum_purchase_value
+    FROM j GROUP BY user_id
+    """,
+    tags=("streaming", "join", "stream-stream", "outer"),
+)
+def stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join: every purchase emits — with
+    its matching errors if any arrive within the next 6 hours, or as a
+    single null-extended row once that window provably closes.
+
+    Harder than the inner join: a null row may only be emitted when the
+    ERROR-side watermark has passed ts_p + 6 h (no future match can
+    exist), so unmatched purchases sit in state exactly until eviction
+    proves them unmatched — emission and eviction are the same event,
+    which is why Spark requires the time-bound condition on outer joins.
+    The flush sentinel must pass through BOTH side filters here (unlike
+    the inner join, which emits eagerly): it alone drives the final
+    watermark past every pending purchase's window so all null rows flush
+    before the availableNow trigger terminates. The sentinel rows
+    (user_id −1) are dropped in the batch rollup. Batch twin: the same
+    LEFT JOIN in SQL with per-user matched/unmatched accounting.
+    """
+    input_dir, ckpt = stage_event_chunks(
+        spark, sf_dir, n_chunks=4, flush_sentinel=True
+    )
+    src = read_event_stream(spark, input_dir)
+    p = (
+        src.filter(F.col("event_type").isin("purchase", SENTINEL_EVENT_TYPE))
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.date_trunc("second", "ts").alias("ts_p"),
+            "value",
+        )
+        .withWatermark("ts_p", "10 minutes")
+    )
+    e = (
+        src.filter(F.col("event_type").isin("error", SENTINEL_EVENT_TYPE))
+        .select(
+            F.col("user_id").alias("e_user"),
+            F.date_trunc("second", "ts").alias("ts_e"),
+        )
+        .withWatermark("ts_e", "10 minutes")
+    )
+    joined = p.join(
+        e,
+        (F.col("p_user") == F.col("e_user"))
+        & (F.col("ts_e") >= F.col("ts_p"))
+        & (F.col("ts_e") <= F.col("ts_p") + F.expr("INTERVAL 6 HOURS")),
+        "left_outer",
+    )
+    name = f"ss_left_{uuid.uuid4().hex[:8]}"
+    LAST_STREAMING_QUERIES["stream_stream_left_join"] = run_stream_to_memory(
+        joined.select("p_user", "value", "e_user"), name, "append", ckpt
+    )
+    return (
+        spark.table(name)
+        .filter(F.col("p_user") >= 0)  # drop the sentinel's own row
+        .groupBy(F.col("p_user").alias("user_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count("e_user").alias("n_matched"),
+            F.count(F.when(F.col("e_user").isNull(), 1)).alias("n_unmatched"),
             F.sum(F.col("value").cast("decimal(30,6)"))
             .cast("double")
             .alias("sum_purchase_value"),

@@ -99,3 +99,17 @@ def test_late_data_is_dropped(spark, sf_dir):
     # And the store itself ends bounded: the sentinel's window plus at most
     # the last real chunk's unfinalized tail.
     assert _final_state_rows(q) <= 2
+
+
+def test_left_outer_join_flushes_unmatched_and_evicts(spark, sf_dir):
+    """The LEFT OUTER stream-stream join must (a) actually emit
+    null-extended rows for unmatched purchases — proof the sentinel drove
+    the error-side watermark past every pending purchase's window — and
+    (b) evict joined state rather than buffering both streams forever."""
+    out = REGISTRY["stream_stream_left_join"].fn(spark, sf_dir).collect()
+    q = sq.LAST_STREAMING_QUERIES["stream_stream_left_join"]
+    assert sum(r["n_unmatched"] for r in out) > 0, "no null rows flushed"
+    assert sum(r["n_matched"] for r in out) > 0
+    assert _total_removed(q) > 0
+    # Residual state is at most the sentinel rows on each side.
+    assert _final_state_rows(q) <= 4
