@@ -848,3 +848,212 @@ def tpch_q22_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "tpch_q2_min_cost_supplier",
+    oracle="""
+    WITH supply AS (
+      SELECT l_partkey, l_suppkey,
+             MIN(l_extendedprice / l_quantity) AS unit_cost
+      FROM lineitem GROUP BY l_partkey, l_suppkey
+    ), eligible AS (
+      SELECT sp.l_partkey, sp.unit_cost, s.s_acctbal, s.s_name, n.n_name
+      FROM supply sp
+      JOIN supplier s ON s.s_suppkey = sp.l_suppkey
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+      JOIN region r ON r.r_regionkey = n.n_regionkey
+      WHERE r.r_name = 'EUROPE'
+    ), mins AS (
+      SELECT l_partkey, MIN(unit_cost) AS min_cost
+      FROM eligible GROUP BY l_partkey
+    )
+    SELECT CAST(e.s_acctbal AS DOUBLE) AS s_acctbal, e.s_name, e.n_name,
+           p.p_partkey, p.p_brand, p.p_type,
+           CAST(e.unit_cost AS DOUBLE) AS supplycost
+    FROM eligible e
+    JOIN mins m ON e.l_partkey = m.l_partkey AND e.unit_cost = m.min_cost
+    JOIN part p ON p.p_partkey = e.l_partkey
+    WHERE p.p_type = 'STANDARD' AND p.p_size BETWEEN 10 AND 30
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+    LIMIT 20
+    """,
+    tags=("join", "agg", "subquery", "tpch"),
+)
+def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (minimum-cost supplier): for each qualifying part,
+    the region's supplier(s) offering it at the minimum cost — the
+    correlated-MIN-subquery query. Testdata has no partsupp, so the supply
+    relation is DERIVED from lineitem: unit cost per (part, supplier) =
+    MIN(l_extendedprice / l_quantity) — the operator shape (supply table,
+    per-part correlated min, 4-way dimension join, ordered limit) is
+    unchanged.
+
+    Plan shape at scale: the supply derivation is the one big shuffle
+    (groupBy partkey+suppkey over lineitem, map-side combined). The
+    region-filtered supplier side broadcasts; the per-part MIN re-uses the
+    (partkey, suppkey)-clustered layout so AQE coalesces it cheaply; the
+    min-cost match is a broadcast equi-join on (partkey, exact min). The
+    double division is a per-row IEEE op — identical in both engines, so
+    equality-on-min is safe (no summation order involved).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_type") == "STANDARD") & F.col("p_size").between(10, 30)
+    )
+    supply = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost")
+    )
+    eligible = (
+        supply.join(F.broadcast(s), supply.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("l_partkey", "unit_cost", "s_acctbal", "s_name", "n_name")
+    )
+    mins = eligible.groupBy(F.col("l_partkey").alias("m_partkey")).agg(
+        F.min("unit_cost").alias("min_cost")
+    )
+    return (
+        eligible.join(
+            mins,
+            (eligible.l_partkey == mins.m_partkey)
+            & (eligible.unit_cost == mins.min_cost),
+        )
+        .join(F.broadcast(p), eligible.l_partkey == p.p_partkey)
+        .select(
+            "s_acctbal", "s_name", "n_name", "p_partkey", "p_brand", "p_type",
+            F.col("unit_cost").alias("supplycost"),
+        )
+        .orderBy(F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey")
+        .limit(20)
+    )
+
+
+@query(
+    "tpch_q11_important_stock",
+    oracle="""
+    WITH v AS (
+      SELECT l.l_partkey AS ps_partkey,
+             SUM(CAST(l.l_extendedprice AS DECIMAL(30,6))) AS value_dec
+      FROM lineitem l
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+      WHERE n.n_name = 'NATION_3'
+      GROUP BY l.l_partkey
+    )
+    SELECT ps_partkey, CAST(value_dec AS DOUBLE) AS value
+    FROM v
+    WHERE CAST(value_dec AS DOUBLE)
+          > CAST((SELECT SUM(value_dec) FROM v) AS DOUBLE) * 0.0012
+    """,
+    tags=("join", "agg", "subquery", "tpch"),
+)
+def tpch_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (important stock): parts whose inventory value held
+    by one nation's suppliers exceeds a fraction of that nation's total —
+    the group-agg-vs-global-scalar-threshold query. Testdata has no
+    partsupp, so value is DERIVED from lineitem: sum of extended price per
+    part over the nation's suppliers.
+
+    Plan shape at scale: nation-filtered supplier broadcasts into the
+    lineitem scan, then ONE partkey shuffle builds the per-part value
+    table; the global total re-aggregates that (tiny) table and broadcasts
+    back as a one-row cross join — lineitem is read once, and no collect()
+    touches the driver. Both sides of the threshold comparison are exact
+    decimal sums cast to double (correctly rounded in both engines), so
+    the boundary is deterministic.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_name") == "NATION_3"
+    )
+    v = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy(F.col("l_partkey").alias("ps_partkey"))
+        .agg(F.sum(F.col("l_extendedprice").cast("decimal(30,6)")).alias("value_dec"))
+    )
+    total = v.agg(
+        F.sum("value_dec").cast("double").alias("__total")
+    )
+    return (
+        v.join(F.broadcast(total))
+        .filter(F.col("value_dec").cast("double") > F.col("__total") * 0.0012)
+        .select("ps_partkey", F.col("value_dec").cast("double").alias("value"))
+    )
+
+
+@query(
+    "tpch_q20_promo_suppliers",
+    oracle="""
+    WITH pp AS (
+      SELECT p_partkey FROM part WHERE p_name LIKE 'large%'
+    ), sp AS (
+      SELECT l.l_suppkey,
+             SUM(CAST(l.l_quantity AS DECIMAL(30,6))) AS avail,
+             SUM(CAST(CASE WHEN l.l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
+                            AND l.l_shipdate <  TIMESTAMP '1999-01-01 00:00:00'
+                           THEN l.l_quantity ELSE 0 END
+                      AS DECIMAL(30,6))) AS qty98
+      FROM lineitem l
+      JOIN pp ON pp.p_partkey = l.l_partkey
+      GROUP BY l.l_suppkey, l.l_partkey
+    )
+    SELECT DISTINCT s.s_name AS s_name,
+           CAST(s.s_acctbal AS DOUBLE) AS s_acctbal
+    FROM sp
+    JOIN supplier s ON s.s_suppkey = sp.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE n.n_name = 'NATION_7' AND sp.avail > 2 * sp.qty98 AND sp.qty98 > 0
+    """,
+    tags=("join", "agg", "subquery", "tpch"),
+)
+def tpch_q20_promo_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (potential part promotion): suppliers in one nation
+    holding excess stock of promo-named parts — the nested-EXISTS /
+    semi-join-chain query. Testdata has no partsupp, so availability is
+    DERIVED from lineitem per (supplier, part): total quantity ever
+    supplied, vs quantity shipped in 1998; "excess" = total > 2× the 1998
+    consumption (with some 1998 activity).
+
+    Plan shape at scale: the part-name filter broadcasts into the lineitem
+    scan (semi shape — only partkey survives); ONE (suppkey, partkey)
+    shuffle computes both conditional sums map-side-combined in the same
+    pass; the qualifying supplier set then semi-joins (DISTINCT) against
+    the broadcast nation-filtered supplier dim. Quantities compare as
+    exact decimals — no double-sum ordering anywhere.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_name") == "NATION_7"
+    )
+    pp = load_table(spark, sf_dir, "part").filter(
+        F.col("p_name").like("large%")
+    ).select("p_partkey")
+    in98 = (
+        (F.col("l_shipdate") >= F.lit("1998-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1999-01-01").cast("timestamp"))
+    )
+    sp = (
+        li.join(F.broadcast(pp), li.l_partkey == pp.p_partkey)
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(30,6)")).alias("avail"),
+            F.sum(
+                F.when(in98, F.col("l_quantity")).otherwise(F.lit(0.0))
+                .cast("decimal(30,6)")
+            ).alias("qty98"),
+        )
+        .filter((F.col("avail") > 2 * F.col("qty98")) & (F.col("qty98") > 0))
+    )
+    return (
+        sp.join(F.broadcast(s), sp.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .select("s_name", "s_acctbal")
+        .distinct()
+    )
