@@ -1,0 +1,105 @@
+"""Distributed ML operators over the corpus (SURVEY.md §2 Part B [EXT]).
+
+The LLM-pipeline pattern implemented here is **heuristic distillation**: an
+expensive or multi-criteria labeling rule is evaluated once on a training
+slice, a compact model is fit to imitate it, and the model then scores the
+full corpus as a pure map — the shape production quality classifiers
+(fastText-style) use at 100 TB, where the heuristic may involve joins or
+human labels that cannot run per-document at full scale.
+
+Spark-first design: feature engineering is pure codegen (array HOFs — no
+Python UDFs), training runs on `pyspark.ml`'s distributed estimators
+(gradient/impurity statistics tree-aggregated across executors), and
+scoring is a stateless `model.transform` map with no shuffle. The model
+object is small (a few KB) and broadcast to executors by MLlib itself.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from biglake_iceberg_python_spark.operators.curation import (
+    _MAX_WORDS,
+    _MIN_WORDS,
+    _MWL_MIN,
+    _STOPWORDS,
+)
+from biglake_iceberg_python_spark.plans.registry import query
+from biglake_iceberg_python_spark.sources.tables import load_table
+
+# Split rule shared by train/holdout: deterministic on doc_id, so the same
+# document lands on the same side in every engine, run, and cluster size.
+_HOLDOUT_MOD, _HOLDOUT_REM = 5, 4
+
+
+def _quality_features(d: DataFrame) -> DataFrame:
+    """Engineered quality signals, all in codegen (no UDFs): word count,
+    summed word length, distinct-word count, stopword hits — the inputs the
+    Gopher-style heuristic (operators/curation.py) thresholds on."""
+    ws = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+    return d.select(
+        "doc_id",
+        "lang",
+        F.size(ws).alias("n"),
+        F.aggregate(
+            F.transform(ws, lambda x: F.length(x)), F.lit(0), lambda a, b: a + b
+        ).alias("sum_len"),
+        F.size(F.array_distinct(ws)).alias("n_dist"),
+        F.size(
+            F.array_intersect(ws, F.array(*[F.lit(s) for s in _STOPWORDS]))
+        ).cast("int").alias("n_stop"),
+    )
+
+
+@query(
+    "ml_quality_distill",
+    oracle=None,  # learned-model outputs are engine-specific → rows-only;
+    # tests/test_operators.py asserts holdout fidelity >= 0.9 vs the
+    # heuristic the model distills.
+    tags=("llm", "ml", "quality-classifier", "distillation"),
+)
+def ml_quality_distill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distill the Gopher-style quality heuristic into a decision-tree
+    classifier and score the holdout: per language, how many documents the
+    heuristic accepts, how many the model accepts, and how often they agree.
+
+    Train/holdout split is doc_id mod 5 (80/20), deterministic across
+    engines and cluster sizes. The tree (depth ≤ 8, fixed seed) recovers
+    the heuristic's axis-aligned thresholds almost exactly — holdout
+    fidelity ≥ 0.9 is asserted in tests — which is the point of the
+    pattern: once distilled, scoring 100 TB costs one codegen'd feature
+    projection plus a few broadcast comparisons per row, with no joins and
+    no Python in the loop.
+    """
+    from pyspark.ml.classification import DecisionTreeClassifier
+    from pyspark.ml.feature import VectorAssembler
+
+    d = load_table(spark, sf_dir, "documents")
+    feat = _quality_features(d)
+    heur = (
+        F.col("n").between(_MIN_WORDS, _MAX_WORDS)
+        & (F.col("sum_len") >= _MWL_MIN * F.col("n"))
+        & (2 * F.col("n_dist") >= F.col("n"))
+        & (F.col("n_stop") > 0)
+    ).cast("double")
+    feat = feat.withColumn("label", heur)
+    va = VectorAssembler(
+        inputCols=["n", "sum_len", "n_dist", "n_stop"], outputCol="features"
+    )
+    vec = va.transform(feat)
+    train = vec.filter(F.col("doc_id") % _HOLDOUT_MOD != _HOLDOUT_REM)
+    hold = vec.filter(F.col("doc_id") % _HOLDOUT_MOD == _HOLDOUT_REM)
+    model = DecisionTreeClassifier(maxDepth=8, seed=42).fit(train)
+    scored = model.transform(hold)
+    return (
+        scored.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("label").cast("bigint")).alias("n_heur_pos"),
+            F.sum(F.col("prediction").cast("bigint")).alias("n_pred_pos"),
+            F.sum(
+                (F.col("prediction") == F.col("label")).cast("bigint")
+            ).alias("n_agree"),
+        )
+    )

@@ -52,6 +52,7 @@ _QUERY_MODULES = [
     "biglake_iceberg_python_spark.operators.dedup",
     "biglake_iceberg_python_spark.operators.pipeline",
     "biglake_iceberg_python_spark.operators.curation",
+    "biglake_iceberg_python_spark.operators.ml",
     "biglake_iceberg_python_spark.operators.similarity",
     "biglake_iceberg_python_spark.operators.textstats",
     "biglake_iceberg_python_spark.operators.multimodal",

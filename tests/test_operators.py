@@ -430,3 +430,18 @@ def test_delete_update_null_predicate_semantics(spark, tmp_path):
     u.update_where(F.col("v") < 100, {"v": F.col("v") + 1})
     vals = {r["id"]: r["v"] for r in u.read().collect()}
     assert vals[1] == 11.0 and vals[2] is None and vals[3] == 200.0
+
+
+def test_ml_quality_distill_fidelity(spark, sf_dir):
+    """The distilled tree must imitate the quality heuristic on held-out
+    docs: >= 90% agreement overall, and the per-lang accounting must be
+    internally consistent (agree <= docs, positives <= docs)."""
+    rows = REGISTRY["ml_quality_distill"].fn(spark, sf_dir).collect()
+    assert rows, "no holdout rows"
+    n_docs = sum(r["n_docs"] for r in rows)
+    n_agree = sum(r["n_agree"] for r in rows)
+    for r in rows:
+        assert 0 <= r["n_agree"] <= r["n_docs"]
+        assert 0 <= r["n_heur_pos"] <= r["n_docs"]
+        assert 0 <= r["n_pred_pos"] <= r["n_docs"]
+    assert n_agree / n_docs >= 0.9, (n_agree, n_docs)
