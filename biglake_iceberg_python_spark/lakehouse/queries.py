@@ -535,3 +535,92 @@ def lakehouse_incremental_read(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("sum_price"),
         )
         return out.localCheckpoint(eager=True)
+
+
+@query(
+    "lakehouse_snapshot_diff",
+    oracle="""
+    WITH v1 AS (
+      SELECT doc_id, text, source FROM documents
+    ), v2 AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 23 = 0 THEN text || ' [rev2]' ELSE text END
+               AS text,
+             source
+      FROM documents WHERE doc_id % 17 <> 0
+      UNION ALL
+      SELECT doc_id + 1000000, 'new in v2 ' || CAST(doc_id AS VARCHAR), source
+      FROM documents WHERE doc_id % 29 = 0
+    ), j AS (
+      SELECT COALESCE(v1.source, v2.source) AS source,
+             CASE WHEN v2.doc_id IS NULL THEN 'deleted'
+                  WHEN v1.doc_id IS NULL THEN 'inserted'
+                  WHEN v1.text <> v2.text THEN 'updated'
+                  ELSE 'unchanged' END AS change_type
+      FROM v1 FULL JOIN v2 ON v1.doc_id = v2.doc_id
+    )
+    SELECT change_type, source, CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM j WHERE change_type <> 'unchanged'
+    GROUP BY change_type, source
+    """,
+    tags=("lakehouse", "snapshots", "cdc", "diff"),
+)
+def lakehouse_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level diff between two table snapshots — the dataset-versioning
+    audit: after a deterministic edit script (delete doc_id%17, revise
+    doc_id%23, insert a row per doc_id%29), time-travel both versions and
+    classify every key as deleted / inserted / updated, counted per source.
+
+    The edits run through the real snapshot machinery (COW delete_where /
+    update_where / append — `lakehouse/snapshots.py`), so this query is an
+    end-to-end check that time travel preserves pre-edit state; the oracle
+    recomputes both versions purely in SQL from the edit rules.
+
+    Scale shape: each side projects to (key, xxhash64(text)) BEFORE the
+    full-outer diff join, so the shuffle carries 16 bytes of content per
+    row instead of document bodies — diffing two 100 TB snapshots moves
+    only keys + fingerprints; bodies are never compared, only their
+    hashes. (Equal hashes ⇒ unchanged, modulo 64-bit collision — the
+    standard audit trade.)
+    """
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    with tempfile.TemporaryDirectory(prefix="lh_diff_") as root:
+        t = SnapshotTable(spark, root)
+        v1 = t.write(d, mode="append")
+        t.delete_where(F.col("doc_id") % 17 == 0)
+        t.update_where(
+            F.col("doc_id") % 23 == 0,
+            {"text": F.concat(F.col("text"), F.lit(" [rev2]"))},
+        )
+        inserts = d.filter(F.col("doc_id") % 29 == 0).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"),
+            F.concat(F.lit("new in v2 "), F.col("doc_id").cast("string"))
+            .alias("text"),
+            "source",
+        )
+        t.write(inserts, mode="append")
+        old = t.read(v1).select(
+            F.col("doc_id").alias("k1"),
+            F.xxhash64("text").alias("h1"),
+            F.col("source").alias("s1"),
+        )
+        new = t.read().select(
+            F.col("doc_id").alias("k2"),
+            F.xxhash64("text").alias("h2"),
+            F.col("source").alias("s2"),
+        )
+        diff = (
+            old.join(new, old.k1 == new.k2, "full_outer")
+            .select(
+                F.coalesce("s1", "s2").alias("source"),
+                F.when(F.col("k2").isNull(), "deleted")
+                .when(F.col("k1").isNull(), "inserted")
+                .when(F.col("h1") != F.col("h2"), "updated")
+                .otherwise("unchanged")
+                .alias("change_type"),
+            )
+            .filter(F.col("change_type") != "unchanged")
+            .groupBy("change_type", "source")
+            .agg(F.count(F.lit(1)).alias("n_rows"))
+        )
+        return diff.localCheckpoint(eager=True)
