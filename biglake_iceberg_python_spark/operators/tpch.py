@@ -891,11 +891,12 @@ def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan shape at scale: the supply derivation is the one big shuffle
     (groupBy partkey+suppkey over lineitem, map-side combined). The
-    region-filtered supplier side broadcasts; the per-part MIN re-uses the
-    (partkey, suppkey)-clustered layout so AQE coalesces it cheaply; the
-    min-cost match is a broadcast equi-join on (partkey, exact min). The
-    double division is a per-row IEEE op — identical in both engines, so
-    equality-on-min is safe (no summation order involved).
+    region-filtered supplier side broadcasts; the min-cost match is a
+    partkey-clustered shuffle join — mins has one row per part, which at
+    warehouse scale is itself large, so it must NOT broadcast (AQE
+    converts it when small). The double division is a per-row IEEE op —
+    identical in both engines, so equality-on-min is safe (no summation
+    order involved).
     """
     li = load_table(spark, sf_dir, "lineitem")
     s = load_table(spark, sf_dir, "supplier")

@@ -256,3 +256,33 @@ def test_dataset_card_single_exchange(spark, sf_dir):
     assert n_exchanges == 1, f"expected 1 exchange, plan has {n_exchanges}"
     assert "Exchange rangepartitioning" not in plan
     assert "SinglePartition" not in plan
+
+
+def test_q11_reuses_value_table_exchange(spark, sf_dir):
+    """Q11's global total must come from re-aggregating the per-part value
+    table's shuffle output (ReusedExchange), not from a second lineitem
+    pass; all dimension joins broadcast."""
+    df = REGISTRY["tpch_q11_important_stock"].fn(spark, sf_dir)
+    df.collect()  # ReuseExchange is finalized by AQE during execution
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_q20_pushes_like_prefix_and_broadcasts_dims(spark, sf_dir):
+    """Q20's p_name LIKE 'large%' must push to the part scan as a prefix
+    filter, and the supplier/nation/part joins must all broadcast (the
+    only shuffle is the (suppkey, partkey) aggregation)."""
+    plan = plan_of(spark, sf_dir, "tpch_q20_promo_suppliers")
+    assert "StringStartsWith(p_name,large)" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_q2_topk_and_scale_safe_min_match(spark, sf_dir):
+    """Q2's ordered LIMIT 20 must run as TakeOrderedAndProject (no global
+    sort), and the part filters must push to the scan. The per-part
+    min-cost match may legitimately sort-merge (mins is per-part sized),
+    so no broadcast is asserted there."""
+    plan = plan_of(spark, sf_dir, "tpch_q2_min_cost_supplier")
+    assert "TakeOrderedAndProject" in plan
+    assert "EqualTo(p_type,STANDARD)" in plan
