@@ -624,3 +624,53 @@ def lakehouse_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("n_rows"))
         )
         return diff.localCheckpoint(eager=True)
+
+
+@query(
+    "lakehouse_hidden_partitioning",
+    oracle="""
+    SELECT
+      o_orderpriority,
+      CAST(COUNT(*) AS BIGINT) AS n_orders,
+      CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS sum_price
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1998-03-15 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1998-09-15 00:00:00'
+    GROUP BY o_orderpriority
+    """,
+    tags=("lakehouse", "partitioning", "hidden", "prune"),
+)
+def lakehouse_hidden_partitioning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg-style hidden partitioning end-to-end: write orders
+    partitioned by the engine-derived months(o_orderdate) transform, then
+    answer a date-range query naming ONLY o_orderdate — the engine projects
+    the range into a partition predicate (199803..199809), prunes to 7 of
+    ~80 month directories, and applies the exact row filter after.
+
+    This exercises the piece of the Iceberg contract the plain
+    SnapshotTable emulation doesn't: predicates on the source column prune
+    partitions the user never declared or named
+    (`lakehouse/partitioning.py`; tests assert every file read lies inside
+    the projected months). The oracle is the same range query over raw
+    orders — pruning must be invisible in the result.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    with tempfile.TemporaryDirectory(prefix="lh_hidpart_") as root:
+        from biglake_iceberg_python_spark.lakehouse.partitioning import (
+            HiddenPartitionedTable,
+            MonthsTransform,
+        )
+
+        t = HiddenPartitionedTable(spark, root, MonthsTransform("o_orderdate"))
+        t.write(o)
+        out = (
+            t.scan_range("1998-03-15", "1998-09-15")
+            .groupBy("o_orderpriority")
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.sum(F.col("o_totalprice").cast("decimal(30,6)"))
+                .cast("double")
+                .alias("sum_price"),
+            )
+        )
+        return out.localCheckpoint(eager=True)

@@ -286,3 +286,46 @@ def test_q2_topk_and_scale_safe_min_match(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "tpch_q2_min_cost_supplier")
     assert "TakeOrderedAndProject" in plan
     assert "EqualTo(p_type,STANDARD)" in plan
+
+
+def test_hidden_partitioning_prunes_to_projected_months(spark, sf_dir):
+    """The months(o_orderdate) transform must turn a source-column date
+    range into PartitionFilters on the hidden column (pruning at the file
+    index, not a post-scan row filter), and a bucket-transform equality
+    must prune to exactly one bucket."""
+    import tempfile
+
+    from biglake_iceberg_python_spark.lakehouse.partitioning import (
+        BucketTransform,
+        HiddenPartitionedTable,
+        MonthsTransform,
+    )
+    from biglake_iceberg_python_spark.sources.tables import load_table
+
+    o = load_table(spark, sf_dir, "orders")
+    with tempfile.TemporaryDirectory(prefix="lh_hidpart_t_") as root:
+        t = HiddenPartitionedTable(spark, root, MonthsTransform("o_orderdate"))
+        t.write(o)
+        pruned = t.scan_range("1998-03-15", "1998-09-15")
+        plan = pruned._jdf.queryExecution().executedPlan().toString()
+        pf = plan.split("PartitionFilters: [")[1].splitlines()[0]
+        assert "__p" in pf and "199803" in pf and "199809" in pf, pf
+        # and the projection is not vacuous: the pruned scan covers exactly
+        # the rows the source predicate selects
+        n = pruned.count()
+        expect = o.filter(
+            "o_orderdate >= TIMESTAMP '1998-03-15' "
+            "AND o_orderdate < TIMESTAMP '1998-09-15'"
+        ).count()
+        assert n == expect and n > 0
+
+        b = HiddenPartitionedTable(
+            spark, root + "/b", BucketTransform("o_custkey", 16)
+        )
+        b.write(o)
+        one = b.scan_eq(42)
+        bplan = one._jdf.queryExecution().executedPlan().toString()
+        bpf = bplan.split("PartitionFilters: [")[1].splitlines()[0]
+        assert "(__p#" in bpf and " = " in bpf, bpf
+        rows = one.select("o_custkey").distinct().collect()
+        assert all(r["o_custkey"] == 42 for r in rows)
