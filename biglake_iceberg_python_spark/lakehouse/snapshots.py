@@ -4,8 +4,10 @@ portable analog of the Iceberg metadata surface the reference exercises
 README.md:539-552 — SURVEY.md A12).
 
 Model (mirrors Iceberg's copy-on-write at directory granularity):
-  * every commit writes data files under ``data/snap-<n>/`` and appends an
-    entry to ``_metadata/metadata_log.json``
+  * every commit writes data files under ``data/commit-<uuid>/`` and
+    appends an entry to ``_metadata/metadata_log.json`` via compare-and-swap
+    (optimistic concurrency — conflicting appends rebase, conflicting
+    rewrites raise :class:`CommitConflictError`)
   * a snapshot's manifest is the list of data dirs it comprises:
     append  → parent dirs + new dir
     overwrite → [new dir]
@@ -28,9 +30,22 @@ import uuid
 from pyspark.sql import DataFrame, Row, SparkSession
 
 
+class CommitConflictError(RuntimeError):
+    """Another writer committed since this operation read its base
+    snapshot, and the operation cannot be safely reapplied — the analog of
+    Iceberg's ValidationException on optimistic-commit failure."""
+
+
 class SnapshotTable:
     """A versioned parquet table with append/overwrite commits, time
-    travel, and an inspectable metadata log."""
+    travel, an inspectable metadata log, and optimistic concurrency:
+    commits are compare-and-swap against the snapshot list, appends
+    rebase-and-retry on conflict (appends commute), and overwrites
+    validating an ``expected_version`` fail if the table moved — Iceberg's
+    commit protocol, with the atomic catalog pointer swap played by
+    ``os.replace`` on the log file."""
+
+    _MAX_COMMIT_RETRIES = 5
 
     def __init__(self, spark: SparkSession, root: str):
         self.spark = spark
@@ -42,29 +57,76 @@ class SnapshotTable:
 
     # -- commit protocol --
 
-    def write(self, df: DataFrame, mode: str = "append") -> int:
+    def write(
+        self,
+        df: DataFrame,
+        mode: str = "append",
+        expected_version: int | None = None,
+    ) -> int:
         """Commit a new snapshot; returns its snapshot id.
 
-        The data write is a normal distributed parquet write; only the log
-        append runs on the driver.
+        The data write is a normal distributed parquet write and happens
+        ONCE; the commit is optimistic: read the log, build the entry
+        against that parent, and compare-and-swap (:meth:`_commit`). On
+        conflict an append rebases against the new parent and retries
+        (concurrent appends commute — Iceberg's fast-append path); an
+        overwrite raises, because its rewritten data was derived from a
+        base another writer has since replaced.
+
+        ``expected_version`` adds Iceberg-style validation for
+        read-modify-write callers (delete/update/merge): the commit fails
+        unless the table is still at that snapshot, regardless of mode.
         """
         if mode not in ("append", "overwrite"):
             raise ValueError(f"mode must be append|overwrite, got {mode!r}")
-        log = self._read_log()
-        snap_id = len(log) + 1
-        data_dir = os.path.join(self.root, "data", f"snap-{snap_id}-{uuid.uuid4().hex[:8]}")
+        data_dir = os.path.join(
+            self.root, "data", f"commit-{uuid.uuid4().hex[:8]}"
+        )
         df.write.mode("errorifexists").parquet(data_dir)
-        parent_dirs = log[-1]["data_dirs"] if (log and mode == "append") else []
-        log.append(
-            {
+        for _ in range(self._MAX_COMMIT_RETRIES):
+            log = self._read_log()
+            if (
+                expected_version is not None
+                and (log[-1]["snapshot_id"] if log else 0) != expected_version
+            ):
+                raise CommitConflictError(
+                    f"table moved past expected snapshot {expected_version}"
+                )
+            snap_id = len(log) + 1
+            parent_dirs = (
+                log[-1]["data_dirs"] if (log and mode == "append") else []
+            )
+            entry = {
                 "snapshot_id": snap_id,
                 "operation": mode,
                 "data_dirs": parent_dirs + [data_dir],
                 "added_dir": data_dir,
             }
+            try:
+                self._commit(log, entry)
+                return snap_id
+            except CommitConflictError:
+                if mode != "append" or expected_version is not None:
+                    raise
+                continue  # rebase the append against the fresh parent
+        raise CommitConflictError(
+            f"gave up after {self._MAX_COMMIT_RETRIES} rebase attempts"
         )
-        self._write_log(log)
-        return snap_id
+
+    def _commit(self, expected_log: list[dict], entry: dict) -> None:
+        """Compare-and-swap: append ``entry`` only if the on-disk log still
+        matches ``expected_log``. Single-process emulation of the atomic
+        metadata-pointer swap a real catalog (BLMS in the reference,
+        README.md:543-548) provides; the swap itself is ``os.replace``."""
+        current = self._read_log()
+        if [e["snapshot_id"] for e in current] != [
+            e["snapshot_id"] for e in expected_log
+        ]:
+            raise CommitConflictError(
+                "concurrent commit: log advanced during this operation"
+            )
+        current.append(entry)
+        self._write_log(current)
 
     def merge(
         self,
@@ -77,8 +139,9 @@ class SnapshotTable:
         merge.py (a full-outer-join re-expression, Catalyst-optimizable)."""
         from biglake_iceberg_python_spark.lakehouse.merge import merge_into
 
+        base = self.current_snapshot_id()
         merged = merge_into(self.read(), source, on=on, update_cols=update_cols)
-        return self.write(merged, mode="overwrite")
+        return self.write(merged, mode="overwrite", expected_version=base)
 
     def delete_where(self, condition) -> int:
         """Row-level ``DELETE FROM ... WHERE`` committed as an overwrite
@@ -95,8 +158,9 @@ class SnapshotTable:
         """
         from pyspark.sql import functions as F
 
+        base = self.current_snapshot_id()
         kept = self.read().filter(~F.coalesce(condition, F.lit(False)))
-        return self.write(kept, mode="overwrite")
+        return self.write(kept, mode="overwrite", expected_version=base)
 
     def update_where(self, condition, assignments: dict) -> int:
         """Row-level ``UPDATE ... SET ... WHERE`` committed as an overwrite
@@ -107,6 +171,7 @@ class SnapshotTable:
         """
         from pyspark.sql import functions as F
 
+        base = self.current_snapshot_id()
         cur = self.read()
         unknown = [c for c in assignments if c not in cur.columns]
         if unknown:
@@ -120,7 +185,7 @@ class SnapshotTable:
                 for c in cur.columns
             ]
         )
-        return self.write(updated, mode="overwrite")
+        return self.write(updated, mode="overwrite", expected_version=base)
 
     # -- reads --
 

@@ -445,3 +445,41 @@ def test_ml_quality_distill_fidelity(spark, sf_dir):
         assert 0 <= r["n_heur_pos"] <= r["n_docs"]
         assert 0 <= r["n_pred_pos"] <= r["n_docs"]
     assert n_agree / n_docs >= 0.9, (n_agree, n_docs)
+
+
+def test_optimistic_commit_protocol(spark, sf_dir):
+    """Iceberg-style optimistic concurrency on the snapshot log: (a) a
+    stale CAS loses to a concurrent commit, (b) appends rebase past it and
+    both writers' rows survive, (c) an overwrite validating its base
+    version fails once the table has moved."""
+    import tempfile
+
+    import pytest as _pytest
+
+    from biglake_iceberg_python_spark.lakehouse.snapshots import (
+        CommitConflictError,
+        SnapshotTable,
+    )
+
+    d = spark.range(5).withColumnRenamed("id", "k")
+    with tempfile.TemporaryDirectory(prefix="lh_occ_") as root:
+        t1 = SnapshotTable(spark, root)
+        t2 = SnapshotTable(spark, root)  # second writer, same table
+        t1.write(d)
+        # (a) raw CAS: t2 snapshots the log, t1 commits, t2's swap fails
+        stale = t2._read_log()
+        t1.write(d)
+        with _pytest.raises(CommitConflictError):
+            t2._commit(stale, {"snapshot_id": 99, "operation": "append",
+                               "data_dirs": [], "added_dir": "x"})
+        # (b) append API rebases internally: both writers' rows survive
+        v = t2.write(d)
+        assert v == 3
+        assert t2.read().count() == 15
+        # (c) read-modify-write against a stale base must fail validation
+        base = t2.current_snapshot_id()
+        t1.write(d)  # concurrent commit moves the table
+        with _pytest.raises(CommitConflictError):
+            t2.write(d, mode="overwrite", expected_version=base)
+        # and the failed commit left no snapshot behind
+        assert t2.current_snapshot_id() == 4
