@@ -674,3 +674,52 @@ def lakehouse_hidden_partitioning(spark: SparkSession, sf_dir: str) -> DataFrame
             )
         )
         return out.localCheckpoint(eager=True)
+
+
+@query(
+    "lakehouse_manifest_pruning",
+    oracle="""
+    SELECT
+      o_orderstatus,
+      CAST(COUNT(*) AS BIGINT) AS n_orders,
+      CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS sum_price
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-03-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1997-09-01 00:00:00'
+    GROUP BY o_orderstatus
+    """,
+    tags=("lakehouse", "snapshots", "stats", "prune"),
+)
+def lakehouse_manifest_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manifest-level min/max pruning: orders land as four year-sliced
+    append commits, each commit's parquet-footer min/max riding the
+    metadata log (the manifest role); a date-range scan then opens ONLY
+    the commits whose [min, max] overlaps the range — the others are
+    skipped at planning time, before any footer or data I/O.
+
+    This is the third leg of the Iceberg metadata contract alongside
+    hidden partitioning and optimistic commits: stats-based file skipping
+    (`snapshots.py scan_where`). tests/test_plans.py asserts the pruned
+    scan's input files all come from the one overlapping commit. The
+    oracle is the same range query over raw orders — pruning must be
+    invisible in the result.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    with tempfile.TemporaryDirectory(prefix="lh_manif_") as root:
+        t = SnapshotTable(spark, root)
+        y = F.year("o_orderdate")
+        for lo, hi in [(0, 1996), (1996, 1997), (1997, 1998), (1998, 9999)]:
+            t.write(o.filter((y >= lo) & (y < hi)), mode="append")
+        out = (
+            t.scan_where(
+                "o_orderdate", "1997-03-01T00:00:00", "1997-09-01T00:00:00"
+            )
+            .groupBy("o_orderstatus")
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.sum(F.col("o_totalprice").cast("decimal(30,6)"))
+                .cast("double")
+                .alias("sum_price"),
+            )
+        )
+        return out.localCheckpoint(eager=True)

@@ -83,6 +83,7 @@ class SnapshotTable:
             self.root, "data", f"commit-{uuid.uuid4().hex[:8]}"
         )
         df.write.mode("errorifexists").parquet(data_dir)
+        stats = self._collect_stats(data_dir)
         for _ in range(self._MAX_COMMIT_RETRIES):
             log = self._read_log()
             if (
@@ -102,6 +103,8 @@ class SnapshotTable:
                 "data_dirs": parent_dirs + [data_dir],
                 "added_dir": data_dir,
             }
+            if stats is not None:
+                entry["stats"] = stats
             try:
                 self._commit(log, entry)
                 return snap_id
@@ -111,6 +114,85 @@ class SnapshotTable:
                 continue  # rebase the append against the fresh parent
         raise CommitConflictError(
             f"gave up after {self._MAX_COMMIT_RETRIES} rebase attempts"
+        )
+
+    def _collect_stats(self, data_dir: str) -> dict | None:
+        """Per-commit column min/max harvested from the parquet FOOTERS of
+        the just-written files — the manifest-file role in Iceberg: stats
+        ride the metadata, no data pass happens. Driver cost is O(files in
+        this commit) footer reads (Iceberg planners read manifests the
+        same way). Timestamps/dates serialize as ISO strings (ISO order ==
+        chronological order, so pruning compares stay correct); binary
+        columns are skipped."""
+        import datetime as _dt
+
+        import pyarrow.parquet as _pq
+
+        def _ser(v):
+            if isinstance(v, (_dt.datetime, _dt.date)):
+                return v.isoformat()
+            if isinstance(v, (int, float, str, bool)):
+                return v
+            return None
+
+        mins: dict = {}
+        maxs: dict = {}
+        try:
+            files = [
+                os.path.join(data_dir, f)
+                for f in os.listdir(data_dir)
+                if f.endswith(".parquet")
+            ]
+            for path in files:
+                md = _pq.ParquetFile(path).metadata
+                for rg in range(md.num_row_groups):
+                    g = md.row_group(rg)
+                    for ci in range(g.num_columns):
+                        col = g.column(ci)
+                        st = col.statistics
+                        if st is None or not st.has_min_max:
+                            continue
+                        name = col.path_in_schema
+                        lo, hi = _ser(st.min), _ser(st.max)
+                        if lo is None or hi is None:
+                            continue
+                        if name not in mins or lo < mins[name]:
+                            mins[name] = lo
+                        if name not in maxs or hi > maxs[name]:
+                            maxs[name] = hi
+        except Exception:  # stats are best-effort metadata, never fatal
+            return None
+        if not mins:
+            return None
+        return {c: [mins[c], maxs[c]] for c in mins if c in maxs}
+
+    def scan_where(self, column: str, lower, upper) -> DataFrame:
+        """Read only the data directories whose recorded [min, max] for
+        ``column`` overlaps ``[lower, upper)`` — manifest-level min/max
+        pruning: commits whose stats exclude the range are never opened
+        (their parquet footers aren't even read). Directories from commits
+        without stats are conservatively kept. The exact row filter is
+        applied after, so results are independent of pruning."""
+        from pyspark.sql import functions as F
+
+        log = self._read_log()
+        if not log:
+            raise ValueError("table has no snapshots")
+        stats_by_dir = {
+            e["added_dir"]: e.get("stats") for e in log
+        }
+        dirs = []
+        for d in log[-1]["data_dirs"]:
+            s = (stats_by_dir.get(d) or {}).get(column)
+            if s is None or not (s[1] < lower or s[0] >= upper):
+                dirs.append(d)
+        if not dirs:
+            return self.read().filter(F.lit(False))
+        df = self.spark.read.parquet(*dirs)
+        dtype = dict(df.dtypes)[column]
+        return df.filter(
+            (F.col(column) >= F.lit(lower).cast(dtype))
+            & (F.col(column) < F.lit(upper).cast(dtype))
         )
 
     def _commit(self, expected_log: list[dict], entry: dict) -> None:

@@ -329,3 +329,37 @@ def test_hidden_partitioning_prunes_to_projected_months(spark, sf_dir):
         assert "(__p#" in bpf and " = " in bpf, bpf
         rows = one.select("o_custkey").distinct().collect()
         assert all(r["o_custkey"] == 42 for r in rows)
+
+
+def test_manifest_stats_prune_commits(spark, sf_dir):
+    """scan_where must plan over ONLY the commits whose footer min/max
+    overlaps the probe range: of four year-sliced commits, a mid-1997
+    range reads files from exactly one commit directory."""
+    import tempfile
+
+    from biglake_iceberg_python_spark.lakehouse.snapshots import SnapshotTable
+    from biglake_iceberg_python_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    o = load_table(spark, sf_dir, "orders")
+    with tempfile.TemporaryDirectory(prefix="lh_manif_t_") as root:
+        t = SnapshotTable(spark, root)
+        y = F.year("o_orderdate")
+        for lo, hi in [(0, 1996), (1996, 1997), (1997, 1998), (1998, 9999)]:
+            t.write(o.filter((y >= lo) & (y < hi)), mode="append")
+        pruned = t.scan_where(
+            "o_orderdate", "1997-03-01T00:00:00", "1997-09-01T00:00:00"
+        )
+        dirs = {f.rsplit("/", 2)[-2] for f in pruned.inputFiles()}
+        assert len(dirs) == 1, dirs
+        total = {f.rsplit("/", 2)[-2] for f in t.read().inputFiles()}
+        assert len(total) == 4
+        # pruning is invisible in results
+        assert pruned.count() == o.filter(
+            "o_orderdate >= TIMESTAMP '1997-03-01' "
+            "AND o_orderdate < TIMESTAMP '1997-09-01'"
+        ).count()
+        # disjoint probe range → zero dirs, empty result, no error
+        assert t.scan_where(
+            "o_orderdate", "2030-01-01T00:00:00", "2031-01-01T00:00:00"
+        ).count() == 0
