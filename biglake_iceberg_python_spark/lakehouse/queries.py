@@ -723,3 +723,53 @@ def lakehouse_manifest_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         return out.localCheckpoint(eager=True)
+
+
+@query(
+    "lakehouse_expire_snapshots",
+    oracle="""
+    SELECT
+      CAST(3 AS BIGINT) AS expired,
+      CAST(3 AS BIGINT) AS dirs_removed,
+      CAST(1 AS BIGINT) AS n_snapshots,
+      CAST(COUNT(*) AS BIGINT) AS n_rows,
+      CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS sum_price
+    FROM orders WHERE o_orderstatus = 'F'
+    """,
+    tags=("lakehouse", "snapshots", "maintenance", "expire"),
+)
+def lakehouse_expire_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot expiry (Iceberg ``expireSnapshots``): three appends and a
+    COW overwrite leave four snapshots; expiring to the newest one must
+    drop all three append entries AND physically remove their three data
+    directories (the overwrite made them unreferenced), while the current
+    state stays byte-identical — proven by hash-matching the oracle's
+    direct computation of that state.
+
+    The expiry accounting (expired / dirs_removed / n_snapshots) is part
+    of the result row, so the oracle pins the metadata contract, not just
+    the surviving data. Storage reclamation at 100 TB is this exact
+    operation run by a table-maintenance job; the orphan sweep is
+    O(dropped dirs) driver-side metadata + deletes, never a data scan.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    with tempfile.TemporaryDirectory(prefix="lh_expire_") as root:
+        t = SnapshotTable(spark, root)
+        for s in ("O", "P", "F"):
+            t.write(o.filter(F.col("o_orderstatus") == s), mode="append")
+        t.write(o.filter(F.col("o_orderstatus") == "F"), mode="overwrite")
+        acct = t.expire_snapshots(keep_last=1)
+        state = t.read().agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("o_totalprice").cast("decimal(30,6)"))
+            .cast("double")
+            .alias("sum_price"),
+        )
+        out = state.select(
+            F.lit(acct["expired"]).cast("bigint").alias("expired"),
+            F.lit(acct["dirs_removed"]).cast("bigint").alias("dirs_removed"),
+            F.lit(len(t._read_log())).cast("bigint").alias("n_snapshots"),
+            "n_rows",
+            "sum_price",
+        )
+        return out.localCheckpoint(eager=True)

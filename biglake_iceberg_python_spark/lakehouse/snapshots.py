@@ -325,6 +325,46 @@ class SnapshotTable:
         ]
         return self.spark.createDataFrame(rows)
 
+    # -- maintenance --
+
+    def expire_snapshots(self, keep_last: int = 1) -> dict:
+        """Iceberg's ``expireSnapshots`` maintenance action: drop all but
+        the newest ``keep_last`` snapshots from the log, then delete every
+        data directory no surviving snapshot references (orphan sweep).
+
+        Time travel to an expired snapshot becomes an error — exactly the
+        Iceberg trade: history costs storage, expiry reclaims it. The log
+        rewrite goes through the same CAS commit path as writes, so a
+        concurrent commit during expiry fails safe rather than resurrect
+        expired state. Returns ``{"expired": n, "dirs_removed": m}``.
+        """
+        import shutil
+
+        if keep_last < 1:
+            raise ValueError("keep_last must be >= 1")
+        log = self._read_log()
+        if len(log) <= keep_last:
+            return {"expired": 0, "dirs_removed": 0}
+        kept, dropped = log[-keep_last:], log[:-keep_last]
+        live = {d for e in kept for d in e["data_dirs"]}
+        dead = [
+            d
+            for e in dropped
+            for d in [e["added_dir"]]
+            if d not in live and os.path.isdir(d)
+        ]
+        current = self._read_log()
+        if [e["snapshot_id"] for e in current] != [
+            e["snapshot_id"] for e in log
+        ]:
+            raise CommitConflictError(
+                "concurrent commit during snapshot expiry"
+            )
+        self._write_log(kept)
+        for d in dead:
+            shutil.rmtree(d, ignore_errors=True)
+        return {"expired": len(dropped), "dirs_removed": len(dead)}
+
     def current_snapshot_id(self) -> int:
         log = self._read_log()
         return log[-1]["snapshot_id"] if log else 0

@@ -483,3 +483,35 @@ def test_optimistic_commit_protocol(spark, sf_dir):
             t2.write(d, mode="overwrite", expected_version=base)
         # and the failed commit left no snapshot behind
         assert t2.current_snapshot_id() == 4
+
+
+def test_expire_snapshots_contract(spark, sf_dir):
+    """Expiry must make expired snapshots unreadable, keep the current one
+    intact, remove exactly the unreferenced dirs from disk, and refuse a
+    keep_last < 1."""
+    import os
+    import tempfile
+
+    import pytest as _pytest
+
+    from biglake_iceberg_python_spark.lakehouse.snapshots import SnapshotTable
+
+    d = spark.range(10).withColumnRenamed("id", "k")
+    with tempfile.TemporaryDirectory(prefix="lh_exp_t_") as root:
+        t = SnapshotTable(spark, root)
+        t.write(d)                       # snap 1
+        t.write(d)                       # snap 2 (cumulative 20 rows)
+        t.write(d, mode="overwrite")     # snap 3 (10 rows)
+        acct = t.expire_snapshots(keep_last=1)
+        assert acct == {"expired": 2, "dirs_removed": 2}
+        assert t.read().count() == 10
+        with _pytest.raises(ValueError):
+            t.read(snapshot_id=1)
+        data_root = os.path.join(root, "data")
+        assert len(os.listdir(data_root)) == 1  # only the live commit dir
+        with _pytest.raises(ValueError):
+            t.expire_snapshots(keep_last=0)
+        # idempotent once at the floor
+        assert t.expire_snapshots(keep_last=1) == {
+            "expired": 0, "dirs_removed": 0,
+        }
