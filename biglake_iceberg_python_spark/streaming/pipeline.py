@@ -105,7 +105,10 @@ def stage_event_chunks(
     # Event-time-ordered replay: sort by ts (AFTER dup injection, so an
     # injected duplicate lands at its original event time), slice into
     # contiguous time ranges, and stage with strictly increasing mtimes —
-    # Spark's file source orders files by (mtime, path), so chunk i replays
+    # Spark's file source orders files by (mtime, path)
+    # (FileStreamSource.fetchAllFiles sorts by modification time; behavior
+    # verified on the pinned pyspark 4.1.x — tests/test_streaming_state.py
+    # would fail loudly if an upgrade changed it), so chunk i replays
     # before chunk i+1. This models a quasi-ordered production stream
     # (Kafka with bounded disorder) and is what lets the windowed queries
     # run APPEND output with a minutes-scale watermark: chunk i+1's min ts
