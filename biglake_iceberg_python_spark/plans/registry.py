@@ -40,6 +40,7 @@ REGISTRY: dict[str, QuerySpec] = {}
 _QUERY_MODULES = [
     "biglake_iceberg_python_spark.operators.relational",
     "biglake_iceberg_python_spark.sources.readers",
+    "biglake_iceberg_python_spark.sources.pyds",
     "biglake_iceberg_python_spark.operators.joins",
     "biglake_iceberg_python_spark.operators.tpch",
     "biglake_iceberg_python_spark.operators.aggregates",

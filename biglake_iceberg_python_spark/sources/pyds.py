@@ -1,0 +1,142 @@
+"""Custom Python DataSource (Spark 4 DataSource API) — a deterministic
+partition-parallel event generator (SURVEY.md §2 Part B "Sources" [EXT]).
+
+Spark 4's Python DataSource API lets a pure-Python class serve as a
+first-class ``spark.read.format(...)`` source: the driver asks it for input
+partitions, executors call ``read(partition)`` in parallel, and everything
+downstream (filters, aggregates, joins) is ordinary Catalyst. This module
+registers ``eventgen``, a synthetic event source whose every cell is a pure
+integer function of the row id — so (a) partitions generate independently
+with zero I/O or coordination, and (b) a SQL engine can recompute the exact
+same rows from ``generate_series``, which is how the DuckDB oracle
+hash-checks a source that has no backing files at all.
+
+Scale story: a generator source is the standard way to load-test a
+1000-executor cluster — data materializes inside each task at memory
+bandwidth, any size, no storage. The same API shape (partitions() on the
+driver, read() on executors) is how production Python sources wrap REST
+APIs, message queues, or proprietary formats without a JVM connector.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+# Deterministic row formula, chosen to be exactly reproducible in int64 SQL:
+# h(i) = (i * KNUTH) mod M;  value_i = h mod 10_000;  user_id = i mod 97;
+# event_type cycles over 5 names. KNUTH * n stays far below 2^63.
+_KNUTH = 2654435761
+_MOD = 2147483647
+_TYPES = ("click", "view", "purchase", "error", "signup")
+_SCHEMA = "id BIGINT, user_id BIGINT, value_i BIGINT, event_type STRING"
+
+
+def _make_datasource_class():
+    """Build the DataSource from FUNCTION-LOCAL classes: Spark pickles the
+    registered class (and later the reader + partitions) and unpickles
+    them in separate Python processes — the planning runner and the
+    executors — which do NOT necessarily have this package on their
+    module path. cloudpickle serializes local classes by VALUE, so
+    everything arrives self-contained wherever the driver was launched
+    from. (A module-level class pickles by reference and fails with
+    ModuleNotFoundError the moment the driver's cwd is not the repo.)"""
+    knuth, mod, types, schema_str = _KNUTH, _MOD, _TYPES, _SCHEMA
+
+    class RangePartition(InputPartition):
+        def __init__(self, start: int, end: int):
+            self.start, self.end = start, end
+
+    class EventGenReader(DataSourceReader):
+        def __init__(self, options):
+            self.n = int(options.get("n_rows", 10_000))
+            self.p = int(options.get("n_partitions", 8))
+
+        def partitions(self):
+            bounds = [self.n * i // self.p for i in range(self.p + 1)]
+            return [
+                RangePartition(bounds[i], bounds[i + 1])
+                for i in range(self.p)
+            ]
+
+        def read(self, part):
+            for i in range(part.start, part.end):
+                h = (i * knuth) % mod
+                yield (i, i % 97, h % 10_000, types[i % 5])
+
+    class EventGenDataSource(DataSource):
+        """``spark.read.format("eventgen").option("n_rows", N).load()``."""
+
+        @classmethod
+        def name(cls) -> str:
+            return "eventgen"
+
+        def schema(self) -> str:
+            return schema_str
+
+        def reader(self, schema):
+            return EventGenReader(self.options)
+
+    return EventGenDataSource
+
+
+EventGenDataSource = _make_datasource_class()
+
+
+_registered = False
+
+
+def register(spark) -> None:
+    """Idempotently register the source on this session."""
+    global _registered
+    if not _registered:
+        spark.dataSource.register(EventGenDataSource)
+        _registered = True
+
+
+# -- registered query ---------------------------------------------------------
+
+from pyspark.sql import DataFrame, SparkSession  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
+
+from biglake_iceberg_python_spark.plans.registry import query  # noqa: E402
+
+_N_ROWS = 50_000
+
+
+@query(
+    "source_python_datasource",
+    oracle=f"""
+    WITH g AS (
+      SELECT i.generate_series AS id,
+             (i.generate_series * {_KNUTH}) % {_MOD} AS h
+      FROM generate_series(0, {_N_ROWS - 1}) i
+    )
+    SELECT
+      ['click','view','purchase','error','signup'][(id % 5) + 1]
+        AS event_type,
+      CAST(COUNT(*) AS BIGINT) AS n_events,
+      CAST(COUNT(DISTINCT id % 97) AS BIGINT) AS n_users,
+      CAST(SUM(h % 10000) AS BIGINT) AS sum_value
+    FROM g GROUP BY 1
+    """,
+    tags=("source", "python-datasource", "generator"),
+)
+def source_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Read through the custom Python DataSource: 50k generated events
+    across 8 independent partitions, rolled up per event type. Every cell
+    is a pure int64 function of the row id, so the DuckDB oracle rebuilds
+    the identical table from ``generate_series`` — a hash-level check of a
+    source with no backing files. (Row volume is fixed by the source
+    options, not sf_dir: the source IS the dataset.)"""
+    register(spark)
+    df = (
+        spark.read.format("eventgen")
+        .option("n_rows", _N_ROWS)
+        .option("n_partitions", 8)
+        .load()
+    )
+    return df.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count_distinct("user_id").alias("n_users"),
+        F.sum("value_i").alias("sum_value"),
+    )
