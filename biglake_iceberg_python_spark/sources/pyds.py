@@ -20,7 +20,12 @@ APIs, message queues, or proprietary formats without a JVM connector.
 
 from __future__ import annotations
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
 
 # Deterministic row formula, chosen to be exactly reproducible in int64 SQL:
 # h(i) = (i * KNUTH) mod M;  value_i = h mod 10_000;  user_id = i mod 97;
@@ -140,3 +145,136 @@ def source_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct("user_id").alias("n_users"),
         F.sum("value_i").alias("sum_value"),
     )
+
+
+# -- streaming variant --------------------------------------------------------
+
+
+def _make_stream_datasource_class():
+    """Streaming twin of the generator (DataSourceStreamReader): offsets
+    are row indexes, ``latestOffset`` advances by ``batch_size`` per
+    micro-batch (rate limiting, as a Kafka source caps offsets per
+    trigger), ``partitions(start, end)`` splits each offset range in two
+    so every micro-batch is itself partition-parallel, and ``commit`` is
+    the no-op a replayable source affords. Built function-locally for the
+    same by-value pickling reason as the batch source."""
+    knuth, mod, types, schema_str = _KNUTH, _MOD, _TYPES, _SCHEMA
+
+    class RangePartition(InputPartition):
+        def __init__(self, start: int, end: int):
+            self.start, self.end = start, end
+
+    class EventGenStreamReader(DataSourceStreamReader):
+        def __init__(self, options):
+            self.n = int(options.get("n_rows", 10_000))
+            self.bs = int(options.get("batch_size", 2_500))
+            self._hwm = 0
+
+        def initialOffset(self):
+            return {"i": 0}
+
+        def latestOffset(self):
+            self._hwm = min(self._hwm + self.bs, self.n)
+            return {"i": self._hwm}
+
+        def partitions(self, start, end):
+            a, b = start["i"], end["i"]
+            mid = (a + b) // 2
+            return (
+                [RangePartition(a, mid), RangePartition(mid, b)]
+                if b > a + 1
+                else [RangePartition(a, b)]
+            )
+
+        def read(self, part):
+            for i in range(part.start, part.end):
+                h = (i * knuth) % mod
+                yield (i, i % 97, h % 10_000, types[i % 5])
+
+        def commit(self, end):
+            pass
+
+    class EventGenStreamDataSource(DataSource):
+        @classmethod
+        def name(cls) -> str:
+            return "eventgen_stream"
+
+        def schema(self) -> str:
+            return schema_str
+
+        def streamReader(self, schema):
+            return EventGenStreamReader(self.options)
+
+    return EventGenStreamDataSource
+
+
+EventGenStreamDataSource = _make_stream_datasource_class()
+
+_stream_registered = False
+LAST_STREAM_QUERY = {}  # name -> StreamingQuery, for tests
+
+
+def register_stream(spark) -> None:
+    global _stream_registered
+    if not _stream_registered:
+        spark.dataSource.register(EventGenStreamDataSource)
+        _stream_registered = True
+
+
+_STREAM_N = 20_000
+
+
+@query(
+    "source_python_datasource_stream",
+    oracle=f"""
+    WITH g AS (
+      SELECT i.generate_series AS id,
+             (i.generate_series * {_KNUTH}) % {_MOD} AS h
+      FROM generate_series(0, {_STREAM_N - 1}) i
+    )
+    SELECT
+      ['click','view','purchase','error','signup'][(id % 5) + 1]
+        AS event_type,
+      CAST(COUNT(*) AS BIGINT) AS n_events,
+      CAST(SUM(h % 10000) AS BIGINT) AS sum_value
+    FROM g GROUP BY 1
+    """,
+    tags=("source", "streaming", "python-datasource", "generator"),
+)
+def source_python_datasource_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consume the custom PYTHON STREAMING source to exhaustion: 20k rows
+    arrive over >= 4 offset-bounded micro-batches (latestOffset advances
+    2.5k per side of the split — rate limiting), aggregated statefully per
+    event type. The 5-key global rollup is bounded state, so complete
+    output mode is the correct choice here (unlike unbounded windows).
+    ``processAllAvailable`` drains the stream deterministically — the
+    DuckDB oracle recomputes the identical rollup from generate_series.
+    """
+    import tempfile as _tf
+    import uuid as _uuid
+
+    register_stream(spark)
+    src = (
+        spark.readStream.format("eventgen_stream")
+        .option("n_rows", _STREAM_N)
+        .option("batch_size", 5_000)
+        .load()
+    )
+    agg = src.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("value_i").alias("sum_value"),
+    )
+    name = f"egs_{_uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", _tf.mkdtemp(prefix="egs_ckpt_"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    LAST_STREAM_QUERY["source_python_datasource_stream"] = q
+    return spark.table(name)

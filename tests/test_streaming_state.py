@@ -113,3 +113,16 @@ def test_left_outer_join_flushes_unmatched_and_evicts(spark, sf_dir):
     assert _total_removed(q) > 0
     # Residual state is at most the sentinel rows on each side.
     assert _final_state_rows(q) <= 4
+
+
+def test_python_stream_source_progresses_in_offset_batches(spark, sf_dir):
+    """The custom Python streaming source must deliver its 20k rows across
+    MULTIPLE offset-bounded micro-batches (rate-limited latestOffset), not
+    one catch-all batch, and the drained rollup must cover every row."""
+    from biglake_iceberg_python_spark.sources import pyds
+
+    out = REGISTRY["source_python_datasource_stream"].fn(spark, sf_dir).collect()
+    q = pyds.LAST_STREAM_QUERY["source_python_datasource_stream"]
+    n_batches = len([p for p in q.recentProgress if p["numInputRows"] > 0])
+    assert n_batches >= 3, n_batches
+    assert sum(r["n_events"] for r in out) == 20_000
