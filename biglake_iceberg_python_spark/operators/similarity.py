@@ -509,3 +509,126 @@ def sim_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pred.join(F.broadcast(truth), "qid").select(
         "qid", "true_label", "pred_label", "n_votes"
     )
+
+
+@query(
+    "sim_quantize_int8",
+    oracle=f"""
+    WITH comp AS (
+      SELECT vec_id, label, generate_subscripts(embedding, 1) AS dim,
+             CAST(unnest(embedding) AS DOUBLE) AS x
+      FROM embeddings
+    ), stats AS (
+      SELECT dim, MIN(x) AS lo, MAX(x) AS hi FROM comp GROUP BY dim
+    ), coded AS (
+      SELECT c.vec_id, c.label, c.dim, s.lo, (s.hi - s.lo) / 255.0 AS scale,
+             CASE WHEN s.hi = s.lo THEN 0
+                  ELSE CAST(LEAST(GREATEST(
+                         FLOOR((c.x - s.lo) / ((s.hi - s.lo) / 255.0) + 0.5),
+                         0), 255) AS INTEGER)
+             END AS code
+      FROM comp c JOIN stats s USING (dim)
+    ), cand AS (
+      SELECT vec_id AS cid, any_value(label) AS label,
+             CAST(SUM(code) AS BIGINT) AS code_sum,
+             list(lo + CAST(code AS DOUBLE) * scale ORDER BY dim) AS rv
+      FROM coded GROUP BY vec_id
+    ), q AS (
+      SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+      FROM embeddings WHERE vec_id < {_N_QUERIES}
+    ), scored AS (
+      SELECT qid, cid, label, code_sum, list_dot_product(qv, rv) AS adot
+      FROM q CROSS JOIN cand WHERE qid <> cid
+    ), ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+                                   ORDER BY adot DESC, cid) AS rk
+      FROM scored
+    )
+    SELECT qid, cid, label, code_sum, adot, rk FROM ranked WHERE rk <= {_TOP_K}
+    """,
+    tags=("llm", "similarity", "ann", "quantization"),
+)
+def sim_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 scalar quantization + asymmetric top-k: the memory-reduction
+    path that makes billion-vector ANN fit a cluster (4 bytes/dim -> 1).
+
+    Per-dimension corpus [lo, hi] is ONE pass of 2*dim min/max partial
+    aggregates (no explode — the shuffle carries a single 128-column row),
+    broadcast back onto the corpus; codes and reconstructions are pure
+    codegen array transforms. Search is asymmetric (full-precision query x
+    reconstructed candidate — the ADC trick from the PQ literature: query
+    precision is free since |Q| << |C|), with the same broadcast-query /
+    streaming-candidate plan as sim_bruteforce_topk. At 100 TB the coded
+    corpus is 4x smaller than the raw one and the stats row is O(dim)
+    metadata; every stage is a map or a |Q|*k-row window.
+
+    Quantization arithmetic (floor(x/scale + 0.5), clamp, lo + code*scale)
+    is the identical IEEE-double expression tree in the DuckDB oracle, so
+    codes match exactly and dot products hash-match bit-for-bit.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    vecs = e.select("vec_id", "label", _as_double("embedding").alias("v"))
+    stats = vecs.agg(
+        F.array(*[F.min(F.get("v", d)) for d in range(_DIM)]).alias("lo"),
+        F.array(*[F.max(F.get("v", d)) for d in range(_DIM)]).alias("hi"),
+    )
+
+    with_stats = vecs.crossJoin(F.broadcast(stats))
+
+    def _scale(i: Column) -> Column:
+        return (F.get(F.col("hi"), i) - F.get(F.col("lo"), i)) / F.lit(255.0)
+
+    codes = F.transform(
+        F.col("v"),
+        lambda x, i: F.when(
+            F.get(F.col("hi"), i) == F.get(F.col("lo"), i), F.lit(0)
+        ).otherwise(
+            F.least(
+                F.greatest(
+                    F.floor((x - F.get(F.col("lo"), i)) / _scale(i) + F.lit(0.5)),
+                    F.lit(0),
+                ),
+                F.lit(255),
+            ).cast("int")
+        ),
+    )
+    coded = with_stats.select(
+        F.col("vec_id").alias("cid"),
+        "label",
+        codes.alias("codes"),
+        F.col("lo"),
+        F.col("hi"),
+    )
+    cand = coded.select(
+        "cid",
+        "label",
+        F.aggregate(
+            F.col("codes"),
+            F.lit(0).cast("long"),
+            lambda acc, c: acc + c.cast("long"),
+        ).alias("code_sum"),
+        F.transform(
+            F.col("codes"),
+            lambda c, i: F.get(F.col("lo"), i) + c.cast("double") * _scale(i),
+        ).alias("rv"),
+    )
+
+    q = vecs.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("v").alias("qv")
+    )
+    scored = (
+        F.broadcast(q)
+        .crossJoin(cand)
+        .filter(F.col("qid") != F.col("cid"))
+        .select(
+            "qid",
+            "cid",
+            "label",
+            "code_sum",
+            _dot(F.col("qv"), F.col("rv")).alias("adot"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("adot").desc(), F.col("cid"))
+    return scored.withColumn("rk", F.row_number().over(w)).filter(
+        F.col("rk") <= _TOP_K
+    )

@@ -92,6 +92,19 @@ def test_ann_ivf_recall_vs_bruteforce(spark, sf_dir):
     assert hits >= max(1, int(0.4 * len(top1))), (hits, len(top1))
 
 
+def test_quantize_int8_recall_vs_bruteforce(spark, sf_dir):
+    """Int8 scalar quantization loses <1% recall@k vs exact search here:
+    require >= 80% of the exact top-k pairs to survive quantization, and
+    codes to stay within the int8 range (code_sum bounded by 255*dim)."""
+    brute = REGISTRY["sim_bruteforce_topk"].fn(spark, sf_dir).collect()
+    quant = REGISTRY["sim_quantize_int8"].fn(spark, sf_dir).collect()
+    exact_pairs = {(r["qid"], r["cid"]) for r in brute}
+    quant_pairs = {(r["qid"], r["cid"]) for r in quant}
+    recall = len(exact_pairs & quant_pairs) / len(exact_pairs)
+    assert recall >= 0.8, recall
+    assert all(0 <= r["code_sum"] <= 255 * 64 for r in quant)
+
+
 def test_multimodal_decode_deterministic(spark, sf_dir):
     """The mapInPandas decode stub must be deterministic across runs."""
     a = sorted(map(tuple, REGISTRY["multimodal_decode_features"].fn(spark, sf_dir).collect()))
