@@ -103,3 +103,93 @@ def ml_quality_distill(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("n_agree"),
         )
     )
+
+
+# --- k-means over embeddings -------------------------------------------------
+
+_KM_K = 8       # clusters
+_KM_ITERS = 4   # fixed Lloyd iterations (deterministic, resumable)
+_KM_DIM = 64
+
+
+@query(
+    "ml_kmeans_embeddings",
+    oracle=None,  # iterative algorithm → rows-only; tests assert monotone
+    # inertia, deterministic reruns, and full point coverage.
+    tags=("llm", "ml", "clustering", "iterative"),
+)
+def ml_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Lloyd k-means over the embedding corpus: per-iteration
+    cluster sizes and inertia (sum of squared distances to the assigned
+    centroid), k={_KM_K}, {_KM_ITERS} fixed iterations.
+
+    The MLlib/production shape: centroids are O(k*dim) metadata collected to
+    the driver each round and re-broadcast as codegen literals, so the
+    assignment pass is a pure map (k fold-expressions per row, no Python,
+    no join) and the update pass is ONE shuffle of k rows carrying
+    per-cluster component sums (map-side combined 128-expression aggregate).
+    Each iteration is one job over the corpus — at 100 TB that is k-means'
+    floor. Determinism: init is the first k vectors by vec_id; centroid
+    means and inertia accumulate in DECIMAL so executor-order float
+    nondeterminism cannot flip assignments between runs.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    vecs = e.select(
+        "vec_id",
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("v"),
+    )
+
+    init = (
+        vecs.filter(F.col("vec_id") < _KM_K)
+        .orderBy("vec_id")
+        .select("v")
+        .collect()
+    )
+    cents: list[list[float]] = [list(r["v"]) for r in init]
+
+    history: list[tuple[int, int, int, float]] = []
+    for it in range(_KM_ITERS):
+        choices = F.array(
+            *[
+                F.struct(
+                    F.aggregate(
+                        F.zip_with(
+                            F.col("v"),
+                            F.array(*[F.lit(x) for x in c]),
+                            lambda a, b: (a - b) * (a - b),
+                        ),
+                        F.lit(0.0),
+                        lambda acc, x: acc + x,
+                    ).alias("dist"),
+                    F.lit(j).alias("j"),
+                )
+                for j, c in enumerate(cents)
+            ]
+        )
+        assigned = vecs.select(
+            "v", F.array_min(choices).alias("best")
+        ).select("v", F.col("best.j").alias("cl"), F.col("best.dist").alias("d2"))
+        stats = (
+            assigned.groupBy("cl")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.col("d2").cast("decimal(38,12)")).alias("inertia"),
+                *[
+                    F.sum(F.get("v", d).cast("decimal(30,12)")).alias(f"s{d}")
+                    for d in range(_KM_DIM)
+                ],
+            )
+            .collect()
+        )
+        by_cl = {r["cl"]: r for r in stats}
+        for j in range(_KM_K):
+            r = by_cl.get(j)
+            if r is None:  # empty cluster: centroid carries over
+                history.append((it, j, 0, 0.0))
+                continue
+            history.append((it, j, r["n"], float(r["inertia"])))
+            cents[j] = [float(r[f"s{d}"] / r["n"]) for d in range(_KM_DIM)]
+
+    return spark.createDataFrame(
+        history, "iter int, cluster int, n_points bigint, inertia double"
+    )

@@ -105,6 +105,22 @@ def test_quantize_int8_recall_vs_bruteforce(spark, sf_dir):
     assert all(0 <= r["code_sum"] <= 255 * 64 for r in quant)
 
 
+def test_kmeans_inertia_monotone_and_deterministic(spark, sf_dir):
+    """Lloyd iterations can never increase total inertia; decimal-summed
+    centroid updates make reruns bit-identical."""
+    rows = REGISTRY["ml_kmeans_embeddings"].fn(spark, sf_dir).collect()
+    by_iter: dict[int, float] = {}
+    pts: dict[int, int] = {}
+    for r in rows:
+        by_iter[r["iter"]] = by_iter.get(r["iter"], 0.0) + r["inertia"]
+        pts[r["iter"]] = pts.get(r["iter"], 0) + r["n_points"]
+    inertias = [by_iter[i] for i in sorted(by_iter)]
+    assert all(a >= b - 1e-9 for a, b in zip(inertias, inertias[1:])), inertias
+    assert len(set(pts.values())) == 1  # every iteration covers all points
+    rerun = REGISTRY["ml_kmeans_embeddings"].fn(spark, sf_dir).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, rerun))
+
+
 def test_multimodal_decode_deterministic(spark, sf_dir):
     """The mapInPandas decode stub must be deterministic across runs."""
     a = sorted(map(tuple, REGISTRY["multimodal_decode_features"].fn(spark, sf_dir).collect()))
