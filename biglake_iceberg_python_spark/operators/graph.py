@@ -1,0 +1,157 @@
+"""Iterative graph analytics on DataFrames (SURVEY.md §2B [EXT]).
+
+No reference file:line exists (the reference executes no analytics —
+SURVEY.md §2A); this extends the co-occurrence work in
+``operators/business.py`` (basket_copurchase_lift) from pairwise statistics
+to whole-graph structure.
+
+  * PageRank — fixed-iteration power method over the part co-purchase
+    graph. Each iteration is exactly one equi-join (ranks onto edges, both
+    sides hash-partitioned on the node key) plus one map-side-combined
+    aggregation — the irreducible per-iteration cost of distributed
+    PageRank (Pregel/GraphX do the same joins under message-passing names).
+    Edges and ranks stay DataFrames; nothing graph-sized visits the driver.
+
+Determinism contract: per-node contribution sums are quantized to integer
+micro-units (floor(x * 1e12) as BIGINT) before the shuffle-sum, so
+aggregation order cannot perturb low bits and every engine computes the
+same 64-bit integers — the final double ranks are bit-identical to the
+DuckDB oracle's (which unrolls the same three iterations as chained CTEs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from biglake_iceberg_python_spark.plans.registry import query
+from biglake_iceberg_python_spark.sources.tables import load_table
+
+_DAMP = 0.85
+_ITERS = 3
+_QUANT = 1e12  # contribution quantum: floor(rank/deg * _QUANT) as BIGINT
+_TOP_N = 20
+
+
+def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Undirected simple co-purchase graph: parts sharing an order.
+
+    Order-key self-join — the standard co-occurrence shape. TPC-H orders
+    hold <= 7 distinct parts, so the join fans out at most 42 pairs per
+    order; for corpora with heavy containers, cap items-per-order first
+    (same doc-frequency cap as dedup_ngram_jaccard) to bound the quadratic
+    term before the shuffle.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+    ).distinct()
+    a = items.alias("a")
+    b = items.alias("b")
+    return (
+        a.join(b, (F.col("a.ok") == F.col("b.ok")) & (F.col("a.pk") != F.col("b.pk")))
+        .select(F.col("a.pk").alias("src"), F.col("b.pk").alias("dst"))
+        .distinct()
+    )
+
+
+_ORACLE_ITER = """
+    r{t} AS (
+      SELECT e.dst AS node,
+             CAST(0.15 AS DOUBLE) / any_value(nn.n)
+               + CAST(0.85 AS DOUBLE)
+                 * (CAST(SUM(CAST(FLOOR(r.rank / d.deg * 1e12) AS BIGINT))
+                         AS DOUBLE) / 1e12) AS rank
+      FROM edges e
+      JOIN r{p} r ON e.src = r.node
+      JOIN deg d ON e.src = d.src
+      CROSS JOIN n nn
+      GROUP BY e.dst
+    )"""
+
+
+@query(
+    "graph_pagerank",
+    oracle=(
+        """
+    WITH items AS (
+      SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+    ), edges AS (
+      SELECT DISTINCT a.pk AS src, b.pk AS dst
+      FROM items a JOIN items b ON a.ok = b.ok AND a.pk <> b.pk
+    ), deg AS (
+      SELECT src, COUNT(*) AS deg FROM edges GROUP BY src
+    ), n AS (
+      SELECT COUNT(*) AS n FROM deg
+    ), r0 AS (
+      SELECT d.src AS node, CAST(1.0 AS DOUBLE) / nn.n AS rank
+      FROM deg d CROSS JOIN n nn
+    ),"""
+        + ",".join(
+            _ORACLE_ITER.format(t=t, p=t - 1) for t in range(1, _ITERS + 1)
+        )
+        + f"""
+    , ranked AS (
+      SELECT r.node AS part, r.rank AS pagerank, d.deg AS degree,
+             ROW_NUMBER() OVER (ORDER BY r.rank DESC, r.node) AS rk
+      FROM r{_ITERS} r JOIN deg d ON r.node = d.src
+    )
+    SELECT part, pagerank, degree, rk FROM ranked WHERE rk <= {_TOP_N}
+    """
+    ),
+    tags=("graph", "iterative", "pagerank", "business"),
+)
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{_TOP_N} parts by PageRank on the co-purchase graph after
+    {_ITERS} damped power iterations (d=0.85, uniform init 1/N).
+
+    The graph is symmetric so every node has in- and out-edges (no dangling
+    mass). N arrives by broadcast of a 1-row aggregate, never a driver
+    collect. Each iteration joins the current rank vector onto the edge
+    list by source node and re-aggregates by destination — at 100 TB both
+    sides hash-partition on the node key and AQE handles hub skew; the
+    rank vector (|V| rows) is the only state carried between iterations.
+    """
+    edges = _edges(spark, sf_dir)
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    n = deg.agg(F.count(F.lit(1)).alias("n"))
+
+    ranks = deg.crossJoin(F.broadcast(n)).select(
+        F.col("src").alias("node"),
+        (F.lit(1.0) / F.col("n")).alias("rank"),
+    )
+    for _ in range(_ITERS):
+        contrib = (
+            edges.join(ranks, edges["src"] == ranks["node"])
+            .join(deg, "src")
+            .select(
+                "dst",
+                F.floor(F.col("rank") / F.col("deg") * F.lit(_QUANT))
+                .cast("long")
+                .alias("q"),
+            )
+        )
+        ranks = (
+            contrib.groupBy("dst")
+            .agg(F.sum("q").alias("sq"))
+            .crossJoin(F.broadcast(n))
+            .select(
+                F.col("dst").alias("node"),
+                (
+                    F.lit(0.15) / F.col("n")
+                    + F.lit(0.85) * (F.col("sq").cast("double") / F.lit(_QUANT))
+                ).alias("rank"),
+            )
+        )
+
+    w = Window.orderBy(F.col("pagerank").desc(), F.col("part"))
+    return (
+        ranks.join(deg, ranks["node"] == deg["src"])
+        .select(
+            F.col("node").alias("part"),
+            F.col("rank").alias("pagerank"),
+            F.col("deg").alias("degree"),
+        )
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _TOP_N)
+    )

@@ -50,6 +50,7 @@ _QUERY_MODULES = [
     "biglake_iceberg_python_spark.operators.udfs",
     "biglake_iceberg_python_spark.operators.eventflow",
     "biglake_iceberg_python_spark.operators.business",
+    "biglake_iceberg_python_spark.operators.graph",
     "biglake_iceberg_python_spark.operators.dedup",
     "biglake_iceberg_python_spark.operators.pipeline",
     "biglake_iceberg_python_spark.operators.curation",
