@@ -12,7 +12,7 @@ from __future__ import annotations
 import tempfile
 import uuid
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from biglake_iceberg_python_spark.lakehouse.catalog import (
@@ -773,3 +773,183 @@ def lakehouse_expire_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_price",
         )
         return out.localCheckpoint(eager=True)
+
+
+def _zorder_oracle() -> str:
+    """DuckDB twin of the Z-order layout accounting below — the 8+8-bit
+    interleave unrolled as explicit shift/mask arithmetic."""
+    q8 = (
+        "CAST(LEAST(GREATEST(FLOOR((CAST({x} AS DOUBLE) - {lo}) / "
+        "(({hi} - {lo}) / 255.0) + 0.5), 0), 255) AS INTEGER)"
+    )
+    p8 = q8.format(x="l_partkey", lo="s.plo", hi="s.phi")
+    s8 = q8.format(x="l_suppkey", lo="s.slo", hi="s.shi")
+    interleave = " + ".join(
+        f"(((p8 >> {d}) & 1) << {2 * d + 1}) + (((s8 >> {d}) & 1) << {2 * d})"
+        for d in range(8)
+    )
+    return f"""
+    WITH s AS (
+      SELECT CAST(MIN(l_partkey) AS DOUBLE) AS plo,
+             CAST(MAX(l_partkey) AS DOUBLE) AS phi,
+             CAST(MIN(l_suppkey) AS DOUBLE) AS slo,
+             CAST(MAX(l_suppkey) AS DOUBLE) AS shi
+      FROM lineitem
+    ), box AS (
+      SELECT s.plo + 0.55 * (s.phi - s.plo) AS p1,
+             s.plo + 0.80 * (s.phi - s.plo) AS p2,
+             s.slo + 0.25 * (s.shi - s.slo) AS q1,
+             s.slo + 0.45 * (s.shi - s.slo) AS q2
+      FROM s
+    ), coded AS (
+      SELECT l.*, {p8} AS p8, {s8} AS s8 FROM lineitem l CROSS JOIN s
+    ), z AS (
+      SELECT *, ({interleave}) >> 10 AS file_id FROM coded
+    ), files AS (
+      SELECT file_id,
+             MIN(CAST(l_partkey AS DOUBLE)) AS flo_p,
+             MAX(CAST(l_partkey AS DOUBLE)) AS fhi_p,
+             MIN(CAST(l_suppkey AS DOUBLE)) AS flo_s,
+             MAX(CAST(l_suppkey AS DOUBLE)) AS fhi_s
+      FROM z GROUP BY file_id
+    ), acct AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_files_total,
+             CAST(SUM(CASE WHEN f.fhi_p >= b.p1 AND f.flo_p <= b.p2
+                            AND f.fhi_s >= b.q1 AND f.flo_s <= b.q2
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_files_scanned
+      FROM files f CROSS JOIN box b
+    ), hits AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+             {oracle_dsum("l_extendedprice * (1 - l_discount)")} AS sum_revenue
+      FROM lineitem l CROSS JOIN box b
+      WHERE CAST(l.l_partkey AS DOUBLE) BETWEEN b.p1 AND b.p2
+        AND CAST(l.l_suppkey AS DOUBLE) BETWEEN b.q1 AND b.q2
+    )
+    SELECT a.n_files_total, a.n_files_scanned, h.n_rows, h.sum_revenue
+    FROM acct a CROSS JOIN hits h
+    """
+
+
+@query(
+    "lakehouse_zorder_layout",
+    oracle=_zorder_oracle(),
+    tags=("lakehouse", "zorder", "layout", "prune", "maintenance"),
+)
+def lakehouse_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order data layout (Iceberg/Delta ``OPTIMIZE ... ZORDER BY``):
+    cluster lineitem files on the bit-interleave of (l_partkey, l_suppkey)
+    so a 2-D box predicate prunes files on BOTH dimensions at once — a
+    linear sort order can only ever prune one.
+
+    The rewrite quantizes each key to 8 bits against its corpus [min, max]
+    (one broadcast stats row), interleaves to a 16-bit Z-value in pure
+    codegen bit arithmetic, and writes the table hive-partitioned on the
+    top 6 Z-bits (64 files, an 8x8 grid over the two keys' high bits).
+    The read side computes per-file min/max envelopes (the manifest role),
+    keeps only files whose envelope intersects the query box — an O(files)
+    planning-time metadata step, exactly what a table format's manifest
+    pruning does — and scans just those partitions via partition pruning.
+
+    Returned accounting (n_files_scanned of n_files_total) plus the box
+    aggregate are BOTH oracle-checked: DuckDB recomputes the identical
+    interleave arithmetic, so the file-skipping ratio itself is pinned, not
+    just the query answer. At 100 TB this is a maintenance rewrite whose
+    read-side benefit is (scanned/total) of the I/O for every 2-D query.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    stats = li.agg(
+        F.min("l_partkey").cast("double").alias("plo"),
+        F.max("l_partkey").cast("double").alias("phi"),
+        F.min("l_suppkey").cast("double").alias("slo"),
+        F.max("l_suppkey").cast("double").alias("shi"),
+    )
+
+    def _q8(x: Column, lo: Column, hi: Column) -> Column:
+        return (
+            F.least(
+                F.greatest(
+                    F.floor((x - lo) / ((hi - lo) / F.lit(255.0)) + F.lit(0.5)),
+                    F.lit(0),
+                ),
+                F.lit(255),
+            )
+        ).cast("int")
+
+    coded = li.crossJoin(F.broadcast(stats)).withColumns(
+        {
+            "p8": _q8(F.col("l_partkey").cast("double"), F.col("plo"), F.col("phi")),
+            "s8": _q8(F.col("l_suppkey").cast("double"), F.col("slo"), F.col("shi")),
+        }
+    )
+    z = F.lit(0)
+    for d in range(8):
+        z = (
+            z
+            + F.shiftleft(F.shiftright(F.col("p8"), d).bitwiseAND(F.lit(1)), 2 * d + 1)
+            + F.shiftleft(F.shiftright(F.col("s8"), d).bitwiseAND(F.lit(1)), 2 * d)
+        )
+    zed = coded.withColumn("file_id", F.shiftright(z, 10))
+
+    with tempfile.TemporaryDirectory(prefix="lh_zorder_") as root:
+        (
+            zed.drop("plo", "phi", "slo", "shi", "p8", "s8")
+            .write.partitionBy("file_id")
+            .parquet(root, mode="overwrite")
+        )
+        table = spark.read.parquet(root)
+
+        # Planning-time metadata: per-file envelopes + the query box.
+        envelopes = (
+            table.groupBy("file_id")
+            .agg(
+                F.min("l_partkey").cast("double").alias("flo_p"),
+                F.max("l_partkey").cast("double").alias("fhi_p"),
+                F.min("l_suppkey").cast("double").alias("flo_s"),
+                F.max("l_suppkey").cast("double").alias("fhi_s"),
+            )
+            .crossJoin(F.broadcast(stats))
+            .select(
+                "file_id",
+                "flo_p",
+                "fhi_p",
+                "flo_s",
+                "fhi_s",
+                (F.col("plo") + 0.55 * (F.col("phi") - F.col("plo"))).alias("p1"),
+                (F.col("plo") + 0.80 * (F.col("phi") - F.col("plo"))).alias("p2"),
+                (F.col("slo") + 0.25 * (F.col("shi") - F.col("slo"))).alias("q1"),
+                (F.col("slo") + 0.45 * (F.col("shi") - F.col("slo"))).alias("q2"),
+            )
+            .collect()
+        )
+        n_total = len(envelopes)
+        keep = [
+            r["file_id"]
+            for r in envelopes
+            if r["fhi_p"] >= r["p1"]
+            and r["flo_p"] <= r["p2"]
+            and r["fhi_s"] >= r["q1"]
+            and r["flo_s"] <= r["q2"]
+        ]
+        b = envelopes[0]
+
+        hits = (
+            table.filter(F.col("file_id").isin(keep))  # partition pruning
+            .filter(
+                F.col("l_partkey").cast("double").between(b["p1"], b["p2"])
+                & F.col("l_suppkey").cast("double").between(b["q1"], b["q2"])
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                dsum(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount")),
+                    "sum_revenue",
+                ),
+            )
+            .select(
+                F.lit(n_total).cast("bigint").alias("n_files_total"),
+                F.lit(len(keep)).cast("bigint").alias("n_files_scanned"),
+                "n_rows",
+                "sum_revenue",
+            )
+        )
+        return hits.localCheckpoint(eager=True)
