@@ -389,3 +389,114 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .filter(F.col("hamming_dist") <= 1)
     )
+
+
+_CONTAIN_T = 0.6  # containment threshold: fraction of the SMALLER doc's
+# rare shingles that must appear in the other doc
+
+
+@query(
+    "dedup_containment",
+    oracle=f"""
+    WITH words AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+      FROM documents
+    ), pos AS (
+      SELECT doc_id, unnest(w) AS word, generate_subscripts(w, 1) AS p
+      FROM words
+    ), sh AS (
+      SELECT DISTINCT a.doc_id,
+             a.word || ' ' || b.word || ' ' || c.word AS shingle
+      FROM pos a
+      JOIN pos b ON b.doc_id = a.doc_id AND b.p = a.p + 1
+      JOIN pos c ON c.doc_id = a.doc_id AND c.p = a.p + 2
+    ), rare AS (
+      SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= {_DF_CAP}
+    ), rs AS (
+      SELECT sh.doc_id, sh.shingle FROM sh JOIN rare USING (shingle)
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS n_sh FROM rs GROUP BY doc_id
+    ), inter AS (
+      SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, COUNT(*) AS n_inter
+      FROM rs x JOIN rs y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+      GROUP BY x.doc_id, y.doc_id
+    ), scored AS (
+      SELECT
+        i.doc_a, i.doc_b,
+        CAST(i.n_inter AS DOUBLE) / sa.n_sh AS contain_a_in_b,
+        CAST(i.n_inter AS DOUBLE) / sb.n_sh AS contain_b_in_a,
+        CAST(i.n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - i.n_inter) AS jaccard
+      FROM inter i
+      JOIN sizes sa ON sa.doc_id = i.doc_a
+      JOIN sizes sb ON sb.doc_id = i.doc_b
+    )
+    SELECT doc_a, doc_b, contain_a_in_b, contain_b_in_a, jaccard
+    FROM scored
+    WHERE GREATEST(contain_a_in_b, contain_b_in_a) >= {_CONTAIN_T}
+    """,
+    tags=("llm", "dedup", "containment"),
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric n-gram containment: |A∩B| / min(|A|,|B|)-side coverage,
+    the signal Jaccard misses — a short document wholly embedded in a long
+    one (boilerplate reuse, quote inflation, page concatenation) scores
+    near 1.0 on containment while its Jaccard stays arbitrarily low.
+
+    Same rare-shingle inverted-index plan as dedup_ngram_jaccard (shared
+    candidate machinery, one extra pair of divisions), so the scale
+    properties carry over unchanged: candidate volume is bounded by the
+    df-cap and grows linearly with the corpus. Reported with both
+    directional containments plus Jaccard so downstream policy can
+    distinguish "a inside b" from "b inside a".
+    """
+    d = load_table(spark, sf_dir, "documents")
+    sh = (
+        d.select("doc_id", _words().alias("w"))
+        .select("doc_id", F.explode(_shingles("w")).alias("shingle"))
+        .distinct()
+    )
+    rare = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= _DF_CAP)
+        .select("shingle")
+    )
+    rs = sh.join(rare, "shingle")
+    sizes = rs.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    x = rs.alias("x")
+    y = rs.alias("y")
+    inter = (
+        x.join(
+            y,
+            (F.col("x.shingle") == F.col("y.shingle"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .groupBy(
+            F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    scored = (
+        inter.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            (F.col("n_inter").cast("double") / F.col("sa.n_sh")).alias(
+                "contain_a_in_b"
+            ),
+            (F.col("n_inter").cast("double") / F.col("sb.n_sh")).alias(
+                "contain_b_in_a"
+            ),
+            (
+                F.col("n_inter").cast("double")
+                / (F.col("sa.n_sh") + F.col("sb.n_sh") - F.col("n_inter"))
+            ).alias("jaccard"),
+        )
+    )
+    return scored.filter(
+        F.greatest(F.col("contain_a_in_b"), F.col("contain_b_in_a"))
+        >= _CONTAIN_T
+    )

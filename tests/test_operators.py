@@ -121,6 +121,24 @@ def test_kmeans_inertia_monotone_and_deterministic(spark, sf_dir):
     assert sorted(map(tuple, rows)) == sorted(map(tuple, rerun))
 
 
+def test_containment_superset_of_jaccard(spark, sf_dir):
+    """J = i/(a+b-i) >= 0.5 forces a+b = 3i at the boundary, so
+    max-containment i/min(a,b) >= 2/3 > 0.6: every Jaccard near-dup pair
+    must also be a containment pair, and containment must find extras or
+    at least match (it is the weaker, asymmetric criterion)."""
+    jac = {
+        (r["doc_a"], r["doc_b"])
+        for r in REGISTRY["dedup_ngram_jaccard"].fn(spark, sf_dir).collect()
+    }
+    cont = REGISTRY["dedup_containment"].fn(spark, sf_dir).collect()
+    cont_pairs = {(r["doc_a"], r["doc_b"]) for r in cont}
+    assert jac <= cont_pairs, jac - cont_pairs
+    assert all(
+        max(r["contain_a_in_b"], r["contain_b_in_a"]) >= r["jaccard"] - 1e-12
+        for r in cont
+    )
+
+
 def test_multimodal_decode_deterministic(spark, sf_dir):
     """The mapInPandas decode stub must be deterministic across runs."""
     a = sorted(map(tuple, REGISTRY["multimodal_decode_features"].fn(spark, sf_dir).collect()))
