@@ -40,11 +40,12 @@ def load_table(
 ) -> DataFrame:
     """Read one testdata table (vectorized parquet scan, schema from footer).
 
-    ``events.ts`` is TIMESTAMP(NANOS) in parquet, which Spark 4 refuses by
-    default; it is read as a nanosecond long (legacy conf) and converted to
-    a microsecond TimestampType via exact integer division — same wall-clock
-    truncation DuckDB applies when formatting, so cross-engine comparisons
-    at second precision agree.
+    ``events.ts`` has shipped in two encodings across driver rounds:
+    TIMESTAMP(NANOS) (which Spark 4 refuses by default — read as a
+    nanosecond long via the legacy conf and converted with exact integer
+    division) and plain TIMESTAMP(MICROS) (read natively). The loader
+    checks the footer-inferred dtype and only converts when the column
+    arrives as a bigint, so both generations of testdata work unchanged.
 
     ``widen=True``: repartition to full core count when the scan's natural
     split count is degenerate (the testdata ships single-row-group files, so
@@ -67,16 +68,20 @@ def load_table(
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         from pyspark.sql import functions as F
 
-        # TIMESTAMP_NTZ via pure epoch arithmetic — NOT timestamp_micros(),
-        # whose rendering depends on the session timezone: the driver may
-        # run with any local TZ, and the other tables already read as NTZ.
-        return spark.read.parquet(path).withColumn(
-            "ts",
-            F.expr(
-                "timestampadd(MICROSECOND, ts div 1000,"
-                " TIMESTAMP_NTZ '1970-01-01 00:00:00')"
-            ),
-        )
+        df = spark.read.parquet(path)
+        if dict(df.dtypes).get("ts") == "bigint":
+            # TIMESTAMP_NTZ via pure epoch arithmetic — NOT
+            # timestamp_micros(), whose rendering depends on the session
+            # timezone: the driver may run with any local TZ, and the other
+            # tables already read as NTZ.
+            df = df.withColumn(
+                "ts",
+                F.expr(
+                    "timestampadd(MICROSECOND, ts div 1000,"
+                    " TIMESTAMP_NTZ '1970-01-01 00:00:00')"
+                ),
+            )
+        return df
     return spark.read.parquet(path)
 
 
