@@ -667,3 +667,73 @@ def curate_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_fp_dups"),
     )
+
+
+@query(
+    "curate_quality_weighted_sample",
+    oracle=f"""
+    WITH m AS (
+      SELECT
+        doc_id, source,
+        len(ws) AS n,
+        len(list_distinct(ws)) AS n_dist,
+        {_oracle_md5_bucket("doc_id", "qws", 1000000)} AS bucket
+      FROM (
+        SELECT doc_id, source,
+               list_filter(string_split(text, ' '), x -> x <> '') AS ws
+        FROM documents
+      )
+      WHERE len(ws) > 0
+    ), kept AS (
+      SELECT *, bucket * n < 1000000 * n_dist AS keep FROM m
+    )
+    SELECT
+      source,
+      CAST(COUNT(*) AS BIGINT) AS n_docs,
+      CAST(COUNT(*) FILTER (WHERE keep) AS BIGINT) AS n_kept,
+      CAST(COALESCE(SUM(n) FILTER (WHERE keep), 0) AS BIGINT) AS kept_words,
+      CAST(SUM(n_dist) AS BIGINT) AS sum_quality_num,
+      CAST(SUM(n) AS BIGINT) AS sum_quality_den
+    FROM kept GROUP BY source
+    """,
+    tags=("llm", "curation", "sampling", "quality"),
+)
+def curate_quality_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-WEIGHTED deterministic sampling: each document is kept with
+    probability equal to its quality score — here the distinct-word ratio
+    n_dist/n, the repetition signal from the Gopher battery — rather than
+    a flat per-stratum rate. High-quality docs survive at ~1.0, repetitive
+    docs proportionally less: importance sampling for corpus construction,
+    with zero RNG state.
+
+    The keep decision is the md5-bucket filter cross-multiplied against the
+    score's exact numerator/denominator — ``bucket·n < 1e6·n_dist`` — so
+    no division or float threshold ever enters the decision: any engine,
+    rerun, or worker reaches the identical keep set (the same
+    integer-cross-comparison trick as curate_domain_mix's rates).
+
+    Scale shape: score and keep decision are pure map-side codegen over the
+    scan (no joins — the score is per-row, unlike rate tables derived from
+    corpus rollups); the only shuffle carries |sources| rows of accounting.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    ws = _words()
+    m = d.select(
+        "doc_id",
+        "source",
+        F.size(ws).alias("n"),
+        F.size(F.array_distinct(ws)).alias("n_dist"),
+        _md5_bucket(F.col("doc_id"), "qws", 1000000).alias("bucket"),
+    ).filter(F.col("n") > 0)
+    kept = m.withColumn(
+        "keep", F.col("bucket") * F.col("n") < F.lit(1000000) * F.col("n_dist")
+    )
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count(F.when(F.col("keep"), 1)).alias("n_kept"),
+        F.coalesce(
+            F.sum(F.when(F.col("keep"), F.col("n"))), F.lit(0)
+        ).cast("long").alias("kept_words"),
+        F.sum("n_dist").cast("long").alias("sum_quality_num"),
+        F.sum("n").cast("long").alias("sum_quality_den"),
+    )

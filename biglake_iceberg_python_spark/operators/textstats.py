@@ -285,6 +285,186 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "text_lm_perplexity",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
+      FROM documents
+    ), ti AS (
+      SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 1)) AS i FROM t
+    ), b AS (
+      SELECT doc_id, ws[i] AS w1, ws[i+1] AS w2 FROM ti
+    ), c12 AS (
+      SELECT w1, w2, COUNT(*) AS c12 FROM b GROUP BY w1, w2
+    ), c1 AS (
+      SELECT w1, SUM(c12) AS c1 FROM c12 GROUP BY w1
+    ), v AS (
+      SELECT COUNT(DISTINCT w2) AS vsz FROM c12
+    ), s AS (
+      SELECT c12.w1, c12.w2,
+             CAST(round(1e6 * ln(c1.c1 + v.vsz)) AS BIGINT)
+           - CAST(round(1e6 * ln(c12.c12 + 1)) AS BIGINT) AS smicro
+      FROM c12 JOIN c1 USING (w1) CROSS JOIN v
+    )
+    SELECT
+      b.doc_id,
+      CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+      CAST(SUM(s.smicro) AS BIGINT) AS nll_micro,
+      CAST(SUM(s.smicro) AS DOUBLE) / COUNT(*) AS avg_nll_micro
+    FROM b JOIN s ON b.w1 = s.w1 AND b.w2 = s.w2
+    GROUP BY b.doc_id
+    """,
+    tags=("llm", "text", "ngram", "lm", "quality"),
+)
+def text_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality score: train an add-one-smoothed bigram LM on
+    the corpus itself, then score every document by its total and average
+    negative log-likelihood — the classic perplexity filter that ranks
+    boilerplate (low NLL) apart from noise (high NLL).
+
+    Cross-engine exactness for a log-prob sum (which text_bigram_novelty's
+    docstring rightly calls order-dependent in naive floating point): each
+    bigram's surprisal ln(c1+V) − ln(c12+1) is computed as TWO logs of
+    exact integers, each quantized to integer micro-nats BEFORE any
+    aggregation, so the per-doc sum is exact int64 arithmetic — order- and
+    partitioning-independent, and identical in Spark and DuckDB (one
+    IEEE-double ln per distinct integer, then round; both engines round
+    half-away-from-zero for positives). The single double division at the
+    end divides two exact integers, so it too is bit-stable.
+
+    Scale shape: bigram instances explode map-side; the model (bigram-type
+    counts) is one shuffle on (w1,w2) with map-side combine, prefix counts
+    one more over the TYPE table (≤ |V|², vastly smaller than the corpus);
+    scoring re-joins instances to types on the same (w1,w2) key, and the
+    per-doc rollup shuffles doc-sized partials. V is a 1-row broadcast.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    ws = _words()
+    bigs = d.select(
+        "doc_id",
+        F.explode(
+            F.zip_with(
+                F.slice(ws, 1, F.size(ws) - 1),
+                F.slice(ws, 2, F.size(ws) - 1),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("bg"),
+    ).select("doc_id", "bg.w1", "bg.w2")
+    c12 = bigs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    c1 = c12.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    v = c12.agg(F.count_distinct("w2").alias("vsz"))
+    scored = (
+        c12.join(c1, "w1")
+        .crossJoin(F.broadcast(v))
+        .select(
+            "w1",
+            "w2",
+            (
+                F.round(F.lit(1e6) * F.log(F.col("c1") + F.col("vsz"))).cast("long")
+                - F.round(F.lit(1e6) * F.log(F.col("c12") + F.lit(1))).cast("long")
+            ).alias("smicro"),
+        )
+    )
+    return (
+        bigs.join(scored, ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("smicro").alias("nll_micro"),
+            (F.sum("smicro").cast("double") / F.count(F.lit(1))).alias(
+                "avg_nll_micro"
+            ),
+        )
+    )
+
+
+@query(
+    "text_repetition_stats",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, source,
+             list_filter(string_split(text, ' '), x -> x <> '') AS ws
+      FROM documents
+    ), ti AS (
+      SELECT doc_id, source, ws,
+             unnest(generate_series(1, len(ws) - 1)) AS i
+      FROM t
+    ), b AS (
+      SELECT doc_id, source, ws[i] || ' ' || ws[i+1] AS bigram FROM ti
+    ), per AS (
+      SELECT doc_id, source, bigram, COUNT(*) AS c
+      FROM b GROUP BY doc_id, source, bigram
+    ), doc AS (
+      SELECT doc_id, source,
+             SUM(c) AS n_bigrams, COUNT(*) AS n_distinct, MAX(c) AS top_c
+      FROM per GROUP BY doc_id, source
+    )
+    SELECT
+      doc_id,
+      source,
+      CAST(n_bigrams AS BIGINT) AS n_bigrams,
+      CAST(n_distinct AS BIGINT) AS n_distinct,
+      CAST(n_bigrams - n_distinct AS DOUBLE) / n_bigrams AS dup_frac,
+      CAST(top_c AS DOUBLE) / n_bigrams AS top_share,
+      4 * (n_bigrams - n_distinct) >= n_bigrams AS flagged
+    FROM doc
+    """,
+    tags=("llm", "text", "ngram", "quality", "repetition"),
+)
+def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style WITHIN-document repetition filter: per doc, the
+    fraction of word-bigram instances that are repeats of an earlier bigram
+    in the same doc (dup_frac = 1 − distinct/total) and the share of the
+    single most-repeated bigram — the 'duplicate n-gram fraction' rules
+    that catch boilerplate and keyword-stuffed spam, complementing the
+    CORPUS-level signal of text_bigram_novelty.
+
+    The flag threshold (≥25% duplicated) is the integer cross-comparison
+    4·(n−d) ≥ n — no float threshold at the decision boundary. The two
+    divisions emitted for reporting divide exact integers (bit-stable).
+
+    Scale shape: both aggregations key on doc_id (the second reuses the
+    first's partitioning — one exchange), state per doc is O(distinct
+    bigrams of that doc), and documents never join documents.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    ws = _words()
+    bigs = d.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.zip_with(
+                F.slice(ws, 1, F.size(ws) - 1),
+                F.slice(ws, 2, F.size(ws) - 1),
+                lambda a, b: F.concat_ws(" ", a, b),
+            )
+        ).alias("bigram"),
+    )
+    per = bigs.groupBy("doc_id", "source", "bigram").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    doc = per.groupBy("doc_id", "source").agg(
+        F.sum("c").alias("n_bigrams"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.max("c").alias("top_c"),
+    )
+    return doc.select(
+        "doc_id",
+        "source",
+        F.col("n_bigrams").cast("long").alias("n_bigrams"),
+        F.col("n_distinct").cast("long").alias("n_distinct"),
+        (
+            (F.col("n_bigrams") - F.col("n_distinct")).cast("double")
+            / F.col("n_bigrams")
+        ).alias("dup_frac"),
+        (F.col("top_c").cast("double") / F.col("n_bigrams")).alias("top_share"),
+        (
+            4 * (F.col("n_bigrams") - F.col("n_distinct")) >= F.col("n_bigrams")
+        ).alias("flagged"),
+    )
+
+
+@query(
     "text_bigram_novelty",
     oracle="""
     WITH t AS (
