@@ -333,10 +333,14 @@ def text_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     end divides two exact integers, so it too is bit-stable.
 
     Scale shape: bigram instances explode map-side; the model (bigram-type
-    counts) is one shuffle on (w1,w2) with map-side combine, prefix counts
-    one more over the TYPE table (≤ |V|², vastly smaller than the corpus);
-    scoring re-joins instances to types on the same (w1,w2) key, and the
-    per-doc rollup shuffles doc-sized partials. V is a 1-row broadcast.
+    counts) is one shuffle on (w1,w2) with map-side combine, then
+    ``localCheckpoint``-materialized — it is TYPE-level (≤ |V|², vastly
+    smaller than the corpus), and without materialization Catalyst
+    re-derives the corpus-wide explode for each of the three consumers
+    (prefix counts, vocab size, scoring join), turning two corpus passes
+    into four. Prefix counts and V are tiny rollups of the model; scoring
+    re-joins instances to types on the same (w1,w2) key, and the per-doc
+    rollup shuffles doc-sized partials. V is a 1-row broadcast.
     """
     d = load_table(spark, sf_dir, "documents")
     ws = _words()
@@ -350,7 +354,11 @@ def text_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("bg"),
     ).select("doc_id", "bg.w1", "bg.w2")
-    c12 = bigs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    c12 = (
+        bigs.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c12"))
+        .localCheckpoint(eager=False)
+    )
     c1 = c12.groupBy("w1").agg(F.sum("c12").alias("c1"))
     v = c12.agg(F.count_distinct("w2").alias("vsz"))
     scored = (
