@@ -212,6 +212,127 @@ def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_tumbling_update",
+    oracle=f"""
+    SELECT
+      strftime(time_bucket(INTERVAL '10 minutes', ts), '%Y-%m-%d %H:%M:%S')
+        AS window_start,
+      event_type,
+      COUNT(*) AS n_events,
+      {oracle_dsum('value')} AS sum_value
+    FROM events
+    WHERE event_type IN ('purchase', 'error')
+    GROUP BY 1, 2
+    """,
+    tags=("streaming", "window", "update-mode"),
+)
+def stream_tumbling_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling windows in UPDATE output mode — the third output mode,
+    complementing the append (stream_tumbling_window) and complete
+    (stream_static_join) variants: each micro-batch emits only the windows
+    it CHANGED, re-emitting a window every time new events land in it.
+    This is the low-latency dashboard shape: results appear immediately
+    instead of waiting for the watermark to finalize the window, at the
+    cost of downstream consumers handling upserts.
+
+    The memory sink therefore holds every intermediate version of each
+    window; the batch-side rollup reconstructs the final state by keeping,
+    per window, the row with the highest n_events — within one window the
+    count strictly increases across re-emissions, so the argmax row IS the
+    last version, deterministically (ROW_NUMBER needs no tiebreak). No
+    flush sentinel is needed: update mode emits state as it changes, not
+    at watermark passage. The batch twin is the same final aggregate as
+    the append variant.
+    """
+    from pyspark.sql import Window
+
+    input_dir, ckpt = stage_event_chunks(spark, sf_dir, n_chunks=4)
+    s = read_event_stream(spark, input_dir).filter(
+        F.col("event_type").isin("purchase", "error")
+    )
+    agg = (
+        s.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "10 minutes"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(30,6)")).alias("sum_dec"),
+        )
+    )
+    name = f"tumbling_upd_{uuid.uuid4().hex[:8]}"
+    LAST_STREAMING_QUERIES["stream_tumbling_update"] = run_stream_to_memory(
+        agg, name, "update", ckpt
+    )
+    w = Window.partitionBy("window", "event_type").orderBy(
+        F.col("n_events").desc()
+    )
+    return (
+        spark.table(name)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.date_format(F.col("window.start"), _TS_FMT).alias("window_start"),
+            "event_type",
+            "n_events",
+            F.col("sum_dec").cast("double").alias("sum_value"),
+        )
+    )
+
+
+@query(
+    "stream_dedup_rocksdb",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n_unique_events
+    FROM events
+    GROUP BY event_type
+    """,
+    tags=("streaming", "dedup", "stateful", "watermark", "rocksdb"),
+)
+def stream_dedup_rocksdb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark-bounded stateful dedup running on the ROCKSDB state store
+    provider — the production backend when state exceeds executor heap:
+    keys live in off-heap RocksDB with incremental (changelog) checkpoints,
+    so a 100 TB stream's dedup state is bounded by local disk, not memory,
+    and recovery replays a changelog instead of full snapshots.
+
+    Same semantics and batch twin as stream_dedup_within_watermark (the
+    provider must be invisible to results — that IS the assertion); the
+    provider conf is read at query START, so it is set just for this
+    launch and restored after, leaving other queries on the default
+    HDFS-backed heap provider.
+    """
+    input_dir, ckpt = stage_event_chunks(
+        spark, sf_dir, n_chunks=4, inject_dup_every=10, flush_sentinel=True
+    )
+    prov_key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(prov_key, None)
+    spark.conf.set(
+        prov_key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        s = read_event_stream(spark, input_dir)
+        deduped = s.withWatermark("ts", "30 minutes").dropDuplicatesWithinWatermark(
+            ["event_id"]
+        )
+        name = f"dedup_rdb_{uuid.uuid4().hex[:8]}"
+        LAST_STREAMING_QUERIES["stream_dedup_rocksdb"] = run_stream_to_memory(
+            deduped.select("event_id", "event_type"), name, "append", ckpt
+        )
+    finally:
+        if prev is None:
+            spark.conf.unset(prov_key)
+        else:
+            spark.conf.set(prov_key, prev)
+    return (
+        spark.table(name)
+        .filter(F.col("event_type") != SENTINEL_EVENT_TYPE)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_unique_events"))
+    )
+
+
+@query(
     "stream_dedup",
     oracle="""
     SELECT event_type, COUNT(*) AS n_unique_events
