@@ -472,6 +472,100 @@ def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_VOCAB_KS = (100, 500, 2000)
+
+
+@query(
+    "text_vocab_coverage",
+    oracle=f"""
+    WITH cnt AS (
+      SELECT word, COUNT(*) AS c
+      FROM (
+        SELECT unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+          AS word
+        FROM documents
+      ) GROUP BY word
+    ), ranked AS (
+      SELECT word, c, ROW_NUMBER() OVER (ORDER BY c DESC, word) AS rnk
+      FROM cnt
+    ), tot AS (
+      SELECT SUM(c) AS total_tokens, COUNT(*) AS total_types FROM cnt
+    ), ks AS (SELECT unnest([{", ".join(str(k) for k in _VOCAB_KS)}]) AS k)
+    SELECT
+      CAST(ks.k AS BIGINT) AS k,
+      CAST(LEAST(ks.k, tot.total_types) AS BIGINT) AS n_vocab_types,
+      CAST(COALESCE(SUM(r.c) FILTER (WHERE r.rnk <= ks.k), 0) AS BIGINT)
+        AS covered_tokens,
+      CAST(MAX(tot.total_tokens) AS BIGINT) AS total_tokens,
+      CAST(COALESCE(SUM(r.c) FILTER (WHERE r.rnk <= ks.k), 0) AS DOUBLE)
+        / MAX(tot.total_tokens) AS coverage
+    FROM ks CROSS JOIN tot CROSS JOIN ranked r
+    GROUP BY ks.k, tot.total_types, tot.total_tokens
+    """,
+    tags=("llm", "text", "tokenizer", "vocab"),
+)
+def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-design OOV curve: for candidate vocabulary sizes K, the
+    fraction of all corpus token INSTANCES covered by the K most frequent
+    word types — the coverage/OOV trade-off that sizes a tokenizer's vocab
+    (the word-level analog of BPE's merge-count choice).
+
+    Ranking ties break by (count DESC, word) so the top-K set is unique;
+    coverage divides two exact integers (bit-stable across engines).
+
+    Scale shape: the token count is one explode → map-side-combined shuffle
+    on the word key; everything after runs on the TYPE table (|V| rows,
+    ≪ corpus), where the deliberately partition-less ROW_NUMBER window is
+    safe — it sorts the vocabulary, never the corpus. The K probes and
+    totals are broadcast-sized cross joins.
+    """
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    # Type-level counts materialized once (as in text_lm_perplexity):
+    # ranked and tot both consume cnt, and without the checkpoint Catalyst
+    # re-derives the corpus explode for each.
+    cnt = (
+        d.select(F.explode(_words()).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    ranked = cnt.withColumn(
+        "rnk",
+        F.row_number().over(Window.orderBy(F.col("c").desc(), F.col("word"))),
+    )
+    tot = cnt.agg(
+        F.sum("c").alias("total_tokens"), F.count(F.lit(1)).alias("total_types")
+    )
+    ks = spark.range(len(_VOCAB_KS)).select(
+        F.element_at(
+            F.array(*[F.lit(k) for k in _VOCAB_KS]), (F.col("id") + 1).cast("int")
+        ).alias("k")
+    )
+    return (
+        ks.crossJoin(F.broadcast(tot))
+        .crossJoin(ranked)
+        .groupBy("k", "total_types", "total_tokens")
+        .agg(
+            F.coalesce(
+                F.sum(F.when(F.col("rnk") <= F.col("k"), F.col("c"))), F.lit(0)
+            ).alias("covered_tokens"),
+        )
+        .select(
+            F.col("k").cast("long").alias("k"),
+            F.least(F.col("k"), F.col("total_types"))
+            .cast("long")
+            .alias("n_vocab_types"),
+            F.col("covered_tokens").cast("long").alias("covered_tokens"),
+            F.col("total_tokens").cast("long").alias("total_tokens"),
+            (
+                F.col("covered_tokens").cast("double") / F.col("total_tokens")
+            ).alias("coverage"),
+        )
+    )
+
+
 @query(
     "text_bigram_novelty",
     oracle="""

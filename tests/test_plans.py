@@ -363,3 +363,39 @@ def test_manifest_stats_prune_commits(spark, sf_dir):
         assert t.scan_where(
             "o_orderdate", "2030-01-01T00:00:00", "2031-01-01T00:00:00"
         ).count() == 0
+
+
+def test_lm_perplexity_single_corpus_scan(spark, sf_dir):
+    """text_lm_perplexity must explode the corpus ONCE in its visible plan
+    (the scoring-side instances); the model table (type-level bigram
+    counts) is localCheckpoint-materialized, so prefix counts, vocab size,
+    and the scoring join all read the checkpointed RDD instead of each
+    re-deriving the corpus-wide explode (1 scan + checkpoint build = two
+    corpus passes total, vs four unmaterialized)."""
+    plan = plan_of(spark, sf_dir, "text_lm_perplexity")
+    assert plan.count("documents.parquet") == 1, plan
+    assert plan.count("Scan ExistingRDD") >= 2  # model read by >1 consumer
+
+
+def test_vocab_coverage_windows_vocab_not_corpus(spark, sf_dir):
+    """text_vocab_coverage's partition-less ROW_NUMBER may only ever sort
+    the TYPE table: the corpus contributes one scan (the word-count
+    build), and every SinglePartition exchange in the plan sits above the
+    checkpointed vocab table, never above corpus rows."""
+    plan = plan_of(spark, sf_dir, "text_vocab_coverage")
+    # The corpus explode → word-count shuffle lives entirely inside the
+    # checkpoint build (one corpus pass); the visible plan reads the
+    # vocab-sized checkpoint twice (ranked window + totals) and never
+    # touches the parquet again.
+    assert plan.count("documents.parquet") == 0, plan
+    assert plan.count("Scan ExistingRDD") == 2
+
+
+def test_repetition_stats_shuffles_doc_keyed_only(spark, sf_dir):
+    """text_repetition_stats may shuffle only on doc-prefixed keys (both
+    aggregations carry doc-bounded state) — no single-partition pass and
+    no range sort over the corpus."""
+    plan = plan_of(spark, sf_dir, "text_repetition_stats")
+    assert "SinglePartition" not in plan
+    assert "Exchange rangepartitioning" not in plan
+    assert plan.count("HashAggregate") >= 4  # two two-phase aggregations
