@@ -215,7 +215,7 @@ def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     "stream_tumbling_update",
     oracle=f"""
     SELECT
-      strftime(time_bucket(INTERVAL '10 minutes', ts), '%Y-%m-%d %H:%M:%S')
+      strftime(time_bucket(INTERVAL '1 day', ts), '%Y-%m-%d %H:%M:%S')
         AS window_start,
       event_type,
       COUNT(*) AS n_events,
@@ -241,8 +241,15 @@ def stream_tumbling_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     count strictly increases across re-emissions, so the argmax row IS the
     last version, deterministically (ROW_NUMBER needs no tiebreak). No
     flush sentinel is needed: update mode emits state as it changes, not
-    at watermark passage. The batch twin is the same final aggregate as
-    the append variant.
+    at watermark passage. The batch twin is the same final aggregate.
+
+    DAY-length windows (vs the append variant's 10 minutes) make the
+    re-emission path structurally exercised on the replay: each chunk
+    boundary falls inside an occupied day, so boundary windows emit one
+    version per contributing batch — asserted by the sink-rows >
+    final-rows check in tests/test_streaming_state.py. (At the replay's
+    event sparsity, 10-minute windows are near-all singletons and an
+    update-mode run would degenerate to append behavior.)
     """
     from pyspark.sql import Window
 
@@ -252,7 +259,7 @@ def stream_tumbling_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     agg = (
         s.withWatermark("ts", "10 minutes")
-        .groupBy(F.window("ts", "10 minutes"), "event_type")
+        .groupBy(F.window("ts", "1 day"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             F.sum(F.col("value").cast("decimal(30,6)")).alias("sum_dec"),

@@ -126,3 +126,38 @@ def test_python_stream_source_progresses_in_offset_batches(spark, sf_dir):
     n_batches = len([p for p in q.recentProgress if p["numInputRows"] > 0])
     assert n_batches >= 3, n_batches
     assert sum(r["n_events"] for r in out) == 20_000
+
+
+def test_update_mode_reemits_and_reconstructs(spark, sf_dir):
+    """UPDATE output must re-emit a window each time a batch changes it —
+    the memory sink holds strictly more rows than the reconstructed final
+    result (windows spanning chunk boundaries emit ≥2 versions) — and the
+    replay must actually progress in multiple micro-batches."""
+    out = REGISTRY["stream_tumbling_update"].fn(spark, sf_dir).collect()
+    q = sq.LAST_STREAMING_QUERIES["stream_tumbling_update"]
+    sink_rows = spark.table(q.name).count()
+    assert sink_rows > len(out), (sink_rows, len(out))
+    n_batches = len([p for p in q.recentProgress if p["numInputRows"] > 0])
+    assert n_batches >= 4
+
+
+def test_dedup_rocksdb_runs_on_rocksdb_and_bounds_state(spark, sf_dir):
+    """The RocksDB variant must actually run on the RocksDB provider
+    (rocksdb* custom metrics present in state telemetry) with the same
+    bounded-state guarantee as the default-provider twin — and the
+    session-level provider conf must be restored afterwards."""
+    q = _run("stream_dedup_rocksdb", spark, sf_dir)
+    metrics = {
+        k
+        for op in q.lastProgress["stateOperators"]
+        for k in op.get("customMetrics", {})
+    }
+    assert any(k.startswith("rocksdb") for k in metrics), metrics
+    assert _final_state_rows(q) <= 1
+    assert _total_removed(q) > 0
+    assert (
+        spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+        in (None, "")
+        or "RocksDB"
+        not in spark.conf.get("spark.sql.streaming.stateStore.providerClass")
+    )
