@@ -74,6 +74,21 @@ SHOWCASES = {
     "historical fingerprint index on the same key — both exchanges carry "
     "hashes, never document bodies; the history side would be a bucketed "
     "index with zero movement on a real lakehouse.",
+    "text_lm_perplexity": "Bigram-LM scoring: ONE visible corpus explode "
+    "(the scoring instances); the model table is localCheckpoint-"
+    "materialized type-level counts, re-read (Scan ExistingRDD) by prefix "
+    "counts, vocab size, and the scoring join instead of three more corpus "
+    "passes. Surprisal quantized to integer micro-nats pre-aggregation, so "
+    "the per-doc NLL sum is exact int64.",
+    "text_vocab_coverage": "OOV curve: the corpus contributes only the "
+    "word-count shuffle inside the checkpoint build; the partition-less "
+    "rank window and totals run over the vocab-sized checkpoint (Scan "
+    "ExistingRDD ×2) — the global sort orders |V| types, never corpus "
+    "rows.",
+    "curate_quality_weighted_sample": "Quality-weighted sampling: keep "
+    "decision is bucket·n < 1e6·n_dist integer cross-multiplication in "
+    "codegen over the scan — zero joins, zero RNG; the only exchange "
+    "carries |sources| accounting rows.",
 }
 
 
