@@ -737,3 +737,119 @@ def curate_quality_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFram
         F.sum("n_dist").cast("long").alias("sum_quality_num"),
         F.sum("n").cast("long").alias("sum_quality_den"),
     )
+
+
+# Boilerplate: a 2-gram shingle present in ≥20% of a source's documents
+# (5·df ≥ n_docs — integer cross-comparison, no float threshold).
+_BOILER_NGRAM = 2
+_BOILER_DF_MUL = 5
+
+
+@query(
+    "curate_boilerplate_strip",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, source,
+             list_filter(string_split(text, ' '), x -> x <> '') AS ws
+      FROM documents
+    ), ti AS (
+      SELECT doc_id, source, ws,
+             unnest(generate_series(1, len(ws) - {_BOILER_NGRAM - 1})) AS i
+      FROM t
+    ), inst AS (
+      SELECT doc_id, source, ws[i] || ' ' || ws[i+1] AS shingle FROM ti
+    ), dist AS (
+      SELECT DISTINCT doc_id, source, shingle FROM inst
+    ), dfs AS (
+      SELECT source, shingle, COUNT(*) AS df FROM dist GROUP BY 1, 2
+    ), nd AS (
+      SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY 1
+    ), flags AS (
+      SELECT dfs.source, dfs.shingle,
+             {_BOILER_DF_MUL} * dfs.df >= nd.n_docs AS is_boiler
+      FROM dfs JOIN nd USING (source)
+    ), ty AS (
+      SELECT source,
+             COUNT(*) AS n_types,
+             COUNT(*) FILTER (WHERE is_boiler) AS n_boiler_types
+      FROM flags GROUP BY source
+    ), ins AS (
+      SELECT i.source,
+             COUNT(*) AS n_instances,
+             COUNT(*) FILTER (WHERE f.is_boiler) AS n_boiler_instances
+      FROM inst i JOIN flags f
+        ON i.source = f.source AND i.shingle = f.shingle
+      GROUP BY i.source
+    )
+    SELECT
+      nd.source,
+      CAST(nd.n_docs AS BIGINT) AS n_docs,
+      CAST(ty.n_types AS BIGINT) AS n_types,
+      CAST(ty.n_boiler_types AS BIGINT) AS n_boiler_types,
+      CAST(ins.n_instances AS BIGINT) AS n_instances,
+      CAST(ins.n_boiler_instances AS BIGINT) AS n_boiler_instances,
+      CAST(ins.n_boiler_instances AS DOUBLE) / ins.n_instances
+        AS boiler_frac
+    FROM nd JOIN ty USING (source) JOIN ins USING (source)
+    """,
+    tags=("llm", "curation", "boilerplate"),
+)
+def curate_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source boilerplate detection, CCNet-style: a shingle that recurs
+    across ≥20% of one source's documents is boilerplate (headers, nav
+    text, license blurbs — the within-domain analog of dedup), accounted
+    per source as the fraction of shingle instances a strip pass would
+    remove. The threshold is the integer cross-comparison 5·df ≥ n_docs.
+
+    Scale shape: two corpus explodes (distinct postings for doc-frequency,
+    full instances for the strip accounting) — the same passes CCNet makes;
+    both downstream joins key on (source, shingle), and the per-source doc
+    counts broadcast. Document bodies never shuffle; the flag table is
+    type-level. A real strip would keep the instances join and re-emit
+    filtered text; the accounting here is the decision layer of that pass.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    base = d.select("doc_id", "source", _words().alias("w"))
+    inst = base.select(
+        "doc_id",
+        "source",
+        F.explode(_shingles("w", _BOILER_NGRAM)).alias("shingle"),
+    )
+    dist = inst.distinct()
+    dfs = dist.groupBy("source", "shingle").agg(F.count(F.lit(1)).alias("df"))
+    nd = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    flags = dfs.join(F.broadcast(nd), "source").select(
+        "source",
+        "shingle",
+        (F.lit(_BOILER_DF_MUL) * F.col("df") >= F.col("n_docs")).alias(
+            "is_boiler"
+        ),
+    )
+    ty = flags.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_types"),
+        F.count(F.when(F.col("is_boiler"), 1)).alias("n_boiler_types"),
+    )
+    ins = (
+        inst.join(flags, ["source", "shingle"])
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_instances"),
+            F.count(F.when(F.col("is_boiler"), 1)).alias("n_boiler_instances"),
+        )
+    )
+    return (
+        nd.join(ty, "source")
+        .join(ins, "source")
+        .select(
+            "source",
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.col("n_types").cast("long").alias("n_types"),
+            F.col("n_boiler_types").cast("long").alias("n_boiler_types"),
+            F.col("n_instances").cast("long").alias("n_instances"),
+            F.col("n_boiler_instances").cast("long").alias("n_boiler_instances"),
+            (
+                F.col("n_boiler_instances").cast("double")
+                / F.col("n_instances")
+            ).alias("boiler_frac"),
+        )
+    )
