@@ -155,3 +155,130 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= _TOP_N)
     )
+
+
+@query(
+    "graph_triangle_count",
+    oracle="""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+    ), edges AS (
+      SELECT DISTINCT a.pk AS src, b.pk AS dst
+      FROM items a JOIN items b ON a.ok = b.ok AND a.pk <> b.pk
+    ), und AS (
+      SELECT src AS a, dst AS b FROM edges WHERE src < dst
+    ), deg AS (
+      SELECT src AS node, COUNT(*) AS deg FROM edges GROUP BY src
+    ), ori AS (
+      SELECT
+        CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND u.a < u.b)
+             THEN u.a ELSE u.b END AS u,
+        CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND u.a < u.b)
+             THEN u.b ELSE u.a END AS v
+      FROM und u
+      JOIN deg da ON u.a = da.node
+      JOIN deg db ON u.b = db.node
+    ), ori2 AS (
+      SELECT o.u, o.v, dv.deg AS vdeg FROM ori o JOIN deg dv ON o.v = dv.node
+    ), wedge AS (
+      SELECT o1.v AS x, o2.v AS y
+      FROM ori2 o1 JOIN ori2 o2
+        ON o1.u = o2.u
+       AND (o1.vdeg < o2.vdeg OR (o1.vdeg = o2.vdeg AND o1.v < o2.v))
+    ), tri AS (
+      SELECT COUNT(*) AS n_triangles
+      FROM wedge w JOIN ori o3 ON w.x = o3.u AND w.y = o3.v
+    ), tot AS (
+      SELECT
+        COUNT(*) AS n_nodes,
+        SUM(deg * (deg - 1) // 2) AS n_open_wedges
+      FROM deg
+    ), ne AS (
+      SELECT COUNT(*) AS n_edges FROM und
+    )
+    SELECT
+      CAST(tot.n_nodes AS BIGINT) AS n_nodes,
+      CAST(ne.n_edges AS BIGINT) AS n_edges,
+      CAST(tot.n_open_wedges AS BIGINT) AS n_open_wedges,
+      CAST(tri.n_triangles AS BIGINT) AS n_triangles,
+      3.0 * tri.n_triangles / tot.n_open_wedges AS clustering_coeff
+    FROM tot CROSS JOIN ne CROSS JOIN tri
+    """,
+    tags=("graph", "triangles", "business"),
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact triangle count + global clustering coefficient of the
+    co-purchase graph via DEGREE-ORDERED ORIENTATION — the scalable
+    formulation: orient every undirected edge from its lower-(degree, id)
+    endpoint to the higher one, enumerate wedges only between ORIENTED
+    out-neighbors, and close each wedge against the oriented edge set.
+    Each triangle is counted exactly once (at its minimum endpoint in the
+    orientation order), and out-degrees are bounded by O(√m), so wedge
+    volume is O(m^1.5) worst-case instead of Σ deg² — the difference
+    between hub nodes exploding the join and not.
+
+    All three joins are equi-joins on node / (v,w) pair keys; the final
+    clustering coefficient 3·triangles / open-wedges divides two exact
+    integers. DuckDB runs the identical orientation, so counts match
+    bit-for-bit.
+    """
+    edges = _edges(spark, sf_dir)
+    und = edges.filter(F.col("src") < F.col("dst")).select(
+        F.col("src").alias("a"), F.col("dst").alias("b")
+    )
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).select(
+        F.col("src").alias("node"), "deg"
+    )
+    da = deg.alias("da")
+    db = deg.alias("db")
+    a_first = (F.col("da.deg") < F.col("db.deg")) | (
+        (F.col("da.deg") == F.col("db.deg")) & (F.col("a") < F.col("b"))
+    )
+    ori = (
+        und.join(da, F.col("a") == F.col("da.node"))
+        .join(db, F.col("b") == F.col("db.node"))
+        .select(
+            F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+            F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("v"),
+        )
+    )
+    dv = deg.alias("dv")
+    ori2 = ori.join(dv, F.col("v") == F.col("dv.node")).select(
+        "u", "v", F.col("dv.deg").alias("vdeg")
+    )
+    o1 = ori2.alias("o1")
+    o2 = ori2.alias("o2")
+    wedge = o1.join(
+        o2,
+        (F.col("o1.u") == F.col("o2.u"))
+        & (
+            (F.col("o1.vdeg") < F.col("o2.vdeg"))
+            | (
+                (F.col("o1.vdeg") == F.col("o2.vdeg"))
+                & (F.col("o1.v") < F.col("o2.v"))
+            )
+        ),
+    ).select(F.col("o1.v").alias("x"), F.col("o2.v").alias("y"))
+    tri = wedge.join(
+        ori, (F.col("x") == F.col("u")) & (F.col("y") == F.col("v"))
+    ).agg(F.count(F.lit(1)).alias("n_triangles"))
+    tot = deg.agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.sum(F.expr("deg * (deg - 1) div 2")).alias("n_open_wedges"),
+    )
+    ne = und.agg(F.count(F.lit(1)).alias("n_edges"))
+    return (
+        tot.crossJoin(F.broadcast(ne))
+        .crossJoin(F.broadcast(tri))
+        .select(
+            F.col("n_nodes").cast("long").alias("n_nodes"),
+            F.col("n_edges").cast("long").alias("n_edges"),
+            F.col("n_open_wedges").cast("long").alias("n_open_wedges"),
+            F.col("n_triangles").cast("long").alias("n_triangles"),
+            (
+                F.lit(3.0)
+                * F.col("n_triangles")
+                / F.col("n_open_wedges")
+            ).alias("clustering_coeff"),
+        )
+    )
