@@ -953,3 +953,55 @@ def lakehouse_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         return hits.localCheckpoint(eager=True)
+
+
+@query(
+    "lakehouse_branch_tags",
+    oracle="""
+    SELECT
+      CAST(COUNT(*) FILTER (WHERE o_orderstatus IN ('F', 'O')) AS BIGINT)
+        AS main_rows,
+      CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT)
+        AS tag_rows,
+      CAST(COUNT(*) FILTER (WHERE o_orderstatus IN ('F', 'P')) AS BIGINT)
+        AS branch_rows,
+      CAST(3 AS BIGINT) AS n_refs
+    FROM orders
+    """,
+    tags=("lakehouse", "branch", "tag", "refs"),
+)
+def lakehouse_branch_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg-style branches and tags on the snapshot layer (the refs
+    surface: ``CREATE TAG`` / ``CREATE BRANCH`` / write-to-ref /
+    ``VERSION AS OF 'ref'``): v1 holds 'F' orders and gets tag ``v1`` and
+    branch ``audit``; main then appends 'O' orders while the branch
+    appends 'P' orders — write-audit-publish, where validation work
+    commits on a branch without touching what readers of main see.
+
+    The assertions ARE the row counts: main = F+O (never sees the branch
+    commit), the tag stays pinned at F forever, the branch = F+P (forked
+    before main advanced). The oracle derives all three from the source
+    table's status filters — if branch isolation leaked commits across
+    lines of history, the counts would mismatch. Refs are named pointers
+    in the metadata (O(1) driver-side), exactly Iceberg's model; data
+    files are shared across branches, never copied.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    with tempfile.TemporaryDirectory(prefix="lh_refs_") as root:
+        t = SnapshotTable(spark, root)
+        t.write(o.filter(F.col("o_orderstatus") == "F"), mode="append")
+        t.create_tag("v1")
+        t.create_branch("audit")
+        t.write(o.filter(F.col("o_orderstatus") == "O"), mode="append")
+        t.write(
+            o.filter(F.col("o_orderstatus") == "P"),
+            mode="append",
+            branch="audit",
+        )
+        row = spark.range(1).select(
+            F.lit(t.read_ref("main").count()).cast("long").alias("main_rows"),
+            F.lit(t.read_ref("v1").count()).cast("long").alias("tag_rows"),
+            F.lit(t.read_ref("audit").count()).cast("long").alias("branch_rows"),
+            F.lit(t.refs_entries().count()).cast("long").alias("n_refs"),
+        )
+        return row.localCheckpoint(eager=True)

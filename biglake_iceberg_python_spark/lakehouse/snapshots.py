@@ -51,6 +51,7 @@ class SnapshotTable:
         self.spark = spark
         self.root = root
         self.meta_path = os.path.join(root, "_metadata", "metadata_log.json")
+        self.refs_path = os.path.join(root, "_metadata", "refs.json")
         os.makedirs(os.path.dirname(self.meta_path), exist_ok=True)
         if not os.path.exists(self.meta_path):
             self._write_log([])
@@ -62,6 +63,7 @@ class SnapshotTable:
         df: DataFrame,
         mode: str = "append",
         expected_version: int | None = None,
+        branch: str | None = None,
     ) -> int:
         """Commit a new snapshot; returns its snapshot id.
 
@@ -76,6 +78,13 @@ class SnapshotTable:
         ``expected_version`` adds Iceberg-style validation for
         read-modify-write callers (delete/update/merge): the commit fails
         unless the table is still at that snapshot, regardless of mode.
+
+        ``branch`` commits on a named branch (Iceberg's write-to-ref): the
+        parent is the BRANCH head, not the table head, and the branch ref
+        advances on success. Once any ref exists, a plain write targets
+        the ``main`` branch, so main-line history and branch history stay
+        independent even though all snapshots share one log. Writing to a
+        tag raises — tags are immutable.
         """
         if mode not in ("append", "overwrite"):
             raise ValueError(f"mode must be append|overwrite, got {mode!r}")
@@ -86,16 +95,30 @@ class SnapshotTable:
         stats = self._collect_stats(data_dir)
         for _ in range(self._MAX_COMMIT_RETRIES):
             log = self._read_log()
-            if (
-                expected_version is not None
-                and (log[-1]["snapshot_id"] if log else 0) != expected_version
-            ):
+            refs = self._read_refs()
+            use_branch = branch or ("main" if refs else None)
+            if use_branch is not None and refs:
+                if use_branch not in refs:
+                    raise ValueError(f"unknown ref {use_branch!r}")
+                if refs[use_branch]["type"] != "branch":
+                    raise ValueError(
+                        f"cannot write to tag {use_branch!r}: tags are "
+                        "immutable"
+                    )
+                head_id = refs[use_branch]["snapshot_id"]
+                head = next(
+                    (e for e in log if e["snapshot_id"] == head_id), None
+                )
+            else:
+                head = log[-1] if log else None
+                head_id = head["snapshot_id"] if head else 0
+            if expected_version is not None and head_id != expected_version:
                 raise CommitConflictError(
                     f"table moved past expected snapshot {expected_version}"
                 )
-            snap_id = len(log) + 1
+            snap_id = (log[-1]["snapshot_id"] + 1) if log else 1
             parent_dirs = (
-                log[-1]["data_dirs"] if (log and mode == "append") else []
+                head["data_dirs"] if (head and mode == "append") else []
             )
             entry = {
                 "snapshot_id": snap_id,
@@ -103,18 +126,90 @@ class SnapshotTable:
                 "data_dirs": parent_dirs + [data_dir],
                 "added_dir": data_dir,
             }
+            if use_branch is not None and refs:
+                entry["branch"] = use_branch
             if stats is not None:
                 entry["stats"] = stats
             try:
                 self._commit(log, entry)
-                return snap_id
             except CommitConflictError:
                 if mode != "append" or expected_version is not None:
                     raise
                 continue  # rebase the append against the fresh parent
+            if use_branch is not None and refs:
+                refs[use_branch] = {"type": "branch", "snapshot_id": snap_id}
+                self._write_refs(refs)
+            return snap_id
         raise CommitConflictError(
             f"gave up after {self._MAX_COMMIT_RETRIES} rebase attempts"
         )
+
+    # -- refs: branches and tags (Iceberg's named-ref surface) --
+
+    def _ensure_main(self, refs: dict) -> dict:
+        """First ref creation materializes ``main`` at the current head, so
+        main-line writes keep a stable identity once history forks."""
+        if "main" not in refs:
+            refs["main"] = {
+                "type": "branch",
+                "snapshot_id": self.current_snapshot_id(),
+            }
+        return refs
+
+    def create_tag(self, name: str, snapshot_id: int | None = None) -> int:
+        """Immutable named pointer to a snapshot (Iceberg ``CREATE TAG``):
+        reads via the tag always see exactly this version — the audit /
+        reproducibility primitive (pin the corpus a model trained on)."""
+        return self._create_ref(name, "tag", snapshot_id)
+
+    def create_branch(self, name: str, snapshot_id: int | None = None) -> int:
+        """Named MUTABLE line of history starting at ``snapshot_id`` (or
+        the current head) — Iceberg's ``CREATE BRANCH``: write-audit-publish
+        workflows commit to a branch, validate, then fast-forward main."""
+        return self._create_ref(name, "branch", snapshot_id)
+
+    def _create_ref(self, name: str, kind: str, snapshot_id: int | None) -> int:
+        log = self._read_log()
+        if snapshot_id is None:
+            snapshot_id = log[-1]["snapshot_id"] if log else 0
+        if not any(e["snapshot_id"] == snapshot_id for e in log):
+            raise ValueError(f"no snapshot {snapshot_id} to reference")
+        refs = self._ensure_main(self._read_refs())
+        if name in refs:
+            raise ValueError(f"ref {name!r} already exists")
+        refs[name] = {"type": kind, "snapshot_id": snapshot_id}
+        self._write_refs(refs)
+        return snapshot_id
+
+    def read_ref(self, name: str) -> DataFrame:
+        """Read the snapshot a branch head or tag points at (Iceberg's
+        ``VERSION AS OF 'ref'``)."""
+        refs = self._read_refs()
+        if name not in refs:
+            raise ValueError(f"unknown ref {name!r}")
+        return self.read(refs[name]["snapshot_id"])
+
+    def refs_entries(self) -> DataFrame:
+        """The refs table as a DataFrame (the analog of Iceberg's
+        ``SELECT * FROM t.refs``)."""
+        refs = self._read_refs()
+        rows = [
+            Row(name=n, type=r["type"], snapshot_id=r["snapshot_id"])
+            for n, r in sorted(refs.items())
+        ]
+        return self.spark.createDataFrame(rows)
+
+    def _read_refs(self) -> dict:
+        if not os.path.exists(self.refs_path):
+            return {}
+        with open(self.refs_path) as f:
+            return json.load(f)
+
+    def _write_refs(self, refs: dict) -> None:
+        tmp = self.refs_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(refs, f, indent=1)
+        os.replace(tmp, self.refs_path)  # atomic pointer swap
 
     def _collect_stats(self, data_dir: str) -> dict | None:
         """Per-commit column min/max harvested from the parquet FOOTERS of
@@ -345,7 +440,18 @@ class SnapshotTable:
         log = self._read_log()
         if len(log) <= keep_last:
             return {"expired": 0, "dirs_removed": 0}
-        kept, dropped = log[-keep_last:], log[:-keep_last]
+        # Ref-protected snapshots never expire (Iceberg: expireSnapshots
+        # retains any snapshot a branch or tag references).
+        protected = {r["snapshot_id"] for r in self._read_refs().values()}
+        tail = log[-keep_last:]
+        kept = [
+            e
+            for e in log
+            if e in tail or e["snapshot_id"] in protected
+        ]
+        dropped = [e for e in log if e not in kept]
+        if not dropped:
+            return {"expired": 0, "dirs_removed": 0}
         live = {d for e in kept for d in e["data_dirs"]}
         dead = [
             d

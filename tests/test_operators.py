@@ -562,3 +562,37 @@ def test_expire_snapshots_contract(spark, sf_dir):
         assert t.expire_snapshots(keep_last=1) == {
             "expired": 0, "dirs_removed": 0,
         }
+
+
+def test_branch_tag_semantics(spark, sf_dir, tmp_path):
+    """Refs contract: tags are immutable, branches fork history, plain
+    writes advance main once refs exist, and expiry never drops a
+    ref-protected snapshot."""
+    import pytest as _pytest
+
+    from biglake_iceberg_python_spark.lakehouse.snapshots import SnapshotTable
+
+    t = SnapshotTable(spark, str(tmp_path / "refs_tbl"))
+    df1 = spark.range(5).selectExpr("id", "id * 2 AS v")
+    v1 = t.write(df1, mode="append")
+    t.create_tag("pin")
+    t.create_branch("wip")
+    # main advances; branch and tag stay at v1
+    t.write(spark.range(5, 8).selectExpr("id", "id * 2 AS v"))
+    t.write(
+        spark.range(100, 101).selectExpr("id", "id * 2 AS v"), branch="wip"
+    )
+    assert t.read_ref("main").count() == 8
+    assert t.read_ref("pin").count() == 5
+    assert t.read_ref("wip").count() == 6
+    # tags are immutable
+    with _pytest.raises(ValueError, match="immutable"):
+        t.write(df1, branch="pin")
+    with _pytest.raises(ValueError, match="unknown ref"):
+        t.read_ref("nope")
+    # expiry keeps every ref-protected snapshot readable
+    t.expire_snapshots(keep_last=1)
+    assert t.read_ref("pin").count() == 5
+    assert t.read_ref("wip").count() == 6
+    assert t.read_ref("main").count() == 8
+    assert t.read(v1).count() == 5
