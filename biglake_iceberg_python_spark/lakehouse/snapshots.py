@@ -181,6 +181,23 @@ class SnapshotTable:
         self._write_refs(refs)
         return snapshot_id
 
+    def fast_forward(self, branch: str, to_ref: str) -> int:
+        """Advance ``branch`` to ``to_ref``'s snapshot (Iceberg's
+        ``fast_forward`` procedure) — the PUBLISH step of
+        write-audit-publish: work committed and validated on an audit
+        branch becomes what main's readers see, as a pure metadata pointer
+        move (no data is copied or rewritten). Returns the new head id."""
+        refs = self._read_refs()
+        for n in (branch, to_ref):
+            if n not in refs:
+                raise ValueError(f"unknown ref {n!r}")
+        if refs[branch]["type"] != "branch":
+            raise ValueError(f"cannot fast-forward tag {branch!r}")
+        target = refs[to_ref]["snapshot_id"]
+        refs[branch] = {"type": "branch", "snapshot_id": target}
+        self._write_refs(refs)
+        return target
+
     def read_ref(self, name: str) -> DataFrame:
         """Read the snapshot a branch head or tag points at (Iceberg's
         ``VERSION AS OF 'ref'``)."""

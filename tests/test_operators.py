@@ -596,3 +596,10 @@ def test_branch_tag_semantics(spark, sf_dir, tmp_path):
     assert t.read_ref("wip").count() == 6
     assert t.read_ref("main").count() == 8
     assert t.read(v1).count() == 5
+    # publish (write-audit-publish): main fast-forwards to the audited
+    # branch head -- a metadata pointer move, after which main's readers
+    # see the branch's line of history.
+    t.fast_forward("main", "wip")
+    assert t.read_ref("main").count() == 6
+    with _pytest.raises(ValueError, match="fast-forward tag"):
+        t.fast_forward("pin", "wip")
