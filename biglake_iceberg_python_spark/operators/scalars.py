@@ -333,3 +333,52 @@ def scalar_json_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min(F.col("p.k")).alias("min_k"),
         )
     )
+
+
+@query(
+    "scalar_variant",
+    oracle="""
+    SELECT
+      event_type,
+      COUNT(*) AS n,
+      CAST(SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT)
+        AS sum_k,
+      CAST(COUNT(*) FILTER (
+        WHERE json_extract_string(props, '$.missing') IS NULL
+      ) AS BIGINT) AS n_missing_null
+    FROM events
+    GROUP BY event_type
+    """,
+    tags=("scalar", "variant", "semi-structured"),
+)
+def scalar_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VARIANT type over the JSON payload column: parse_json once
+    into the binary-encoded open-schema VARIANT, then path-access with
+    variant_get (typed extraction) and try_variant_get (NULL, not error,
+    on absent paths) — the modern semi-structured story: ingest without a
+    declared schema, no schema migration when producers add fields, and
+    no per-access string re-parse (the scale win over get_json_object:
+    VARIANT decodes the JSON text ONCE per row; every subsequent path
+    access reads the binary encoding).
+
+    The DuckDB twin runs the same extractions through its JSON functions —
+    typed values must agree exactly, which pins the VARIANT path's
+    numeric semantics to the plain-JSON path's.
+    """
+    e = load_table(spark, sf_dir, "events")
+    v = F.parse_json("props")
+    return (
+        e.select(
+            "event_type",
+            F.variant_get(v, "$.k", "int").alias("k"),
+            F.try_variant_get(v, "$.missing", "int").alias("m"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").cast("long").alias("sum_k"),
+            F.count(F.when(F.col("m").isNull(), 1)).cast("long").alias(
+                "n_missing_null"
+            ),
+        )
+    )
