@@ -157,3 +157,45 @@ def scan_limit_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
         .limit(10)
     )
+
+
+_PARAM_THRESHOLD = 150_000.0
+_PARAM_STATUS = "F"
+
+
+@query(
+    "sql_parameterized",
+    oracle=f"""
+    SELECT
+      o_orderpriority,
+      COUNT(*) AS n_orders,
+      CAST(MAX(o_totalprice) AS DOUBLE) AS max_price
+    FROM orders
+    WHERE o_totalprice > {_PARAM_THRESHOLD} AND o_orderstatus = '{_PARAM_STATUS}'
+    GROUP BY o_orderpriority
+    """,
+    tags=("sql", "parameterized"),
+)
+def sql_parameterized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Named-parameter SQL (spark.sql(..., args={...})) — the
+    injection-safe templating API: parameter markers bind TYPED literals
+    at parse time, so user values never concatenate into SQL text, and
+    Catalyst constant-folds them exactly like inline literals (the filter
+    still reaches the parquet scan as a pushed predicate).
+
+    The oracle inlines the same values — results must be identical, which
+    pins binding semantics (numeric stays double, string stays string).
+    """
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT
+          o_orderpriority,
+          COUNT(*) AS n_orders,
+          CAST(MAX(o_totalprice) AS DOUBLE) AS max_price
+        FROM orders
+        WHERE o_totalprice > :threshold AND o_orderstatus = :status
+        GROUP BY o_orderpriority
+        """,
+        args={"threshold": _PARAM_THRESHOLD, "status": _PARAM_STATUS},
+    )
