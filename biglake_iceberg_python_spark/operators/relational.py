@@ -199,3 +199,39 @@ def sql_parameterized(spark: SparkSession, sf_dir: str) -> DataFrame:
         """,
         args={"threshold": _PARAM_THRESHOLD, "status": _PARAM_STATUS},
     )
+
+
+@query(
+    "sql_pipe_syntax",
+    oracle="""
+    SELECT o_orderpriority, n_orders, max_price FROM (
+      SELECT
+        o_orderpriority,
+        COUNT(*) AS n_orders,
+        CAST(MAX(o_totalprice) AS DOUBLE) AS max_price
+      FROM orders
+      WHERE o_orderstatus = 'O'
+      GROUP BY o_orderpriority
+    ) WHERE n_orders > 10
+    """,
+    tags=("sql", "pipe-syntax"),
+)
+def sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL pipe syntax (Spark 4.1 ``|>`` operators — the linear dataflow
+    dialect): FROM → WHERE → AGGREGATE → WHERE reads top-to-bottom like a
+    DataFrame chain, and the post-aggregate WHERE replaces HAVING. Parses
+    to the identical logical plan as the nested-subquery oracle — the
+    filter still pushes to the scan, the aggregate still runs two-phase —
+    so this pins the dialect to standard-SQL semantics.
+    """
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_pipe")
+    return spark.sql(
+        """
+        FROM orders_pipe
+        |> WHERE o_orderstatus = 'O'
+        |> AGGREGATE COUNT(*) AS n_orders,
+                     CAST(MAX(o_totalprice) AS DOUBLE) AS max_price
+           GROUP BY o_orderpriority
+        |> WHERE n_orders > 10
+        """
+    )
