@@ -1005,3 +1005,157 @@ def lakehouse_branch_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(t.refs_entries().count()).cast("long").alias("n_refs"),
         )
         return row.localCheckpoint(eager=True)
+
+
+@query(
+    "lakehouse_scd2_dimension",
+    oracle="""
+    WITH chg AS (
+      SELECT c_custkey FROM customer WHERE c_custkey % 7 = 0
+    )
+    SELECT
+      seg.c_mktsegment,
+      CAST(COUNT(*) FILTER (WHERE seg.is_current) AS BIGINT) AS n_current,
+      CAST(COUNT(*) FILTER (WHERE NOT seg.is_current) AS BIGINT) AS n_history
+    FROM (
+      -- unchanged customers: one current v1 row
+      SELECT c.c_mktsegment, TRUE AS is_current
+      FROM customer c WHERE c.c_custkey NOT IN (SELECT c_custkey FROM chg)
+      UNION ALL
+      -- changed customers: closed-out v1 row under the OLD segment...
+      SELECT c.c_mktsegment, FALSE
+      FROM customer c WHERE c.c_custkey IN (SELECT c_custkey FROM chg)
+      UNION ALL
+      -- ...plus a current v2 row under the NEW segment
+      SELECT 'RELOCATED', TRUE
+      FROM customer c WHERE c.c_custkey IN (SELECT c_custkey FROM chg)
+    ) seg
+    GROUP BY seg.c_mktsegment
+    """,
+    tags=("lakehouse", "scd2", "dimension"),
+)
+def lakehouse_scd2_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension Type 2 maintenance: apply a change batch
+    to a versioned dimension by CLOSING the old row (is_current=false,
+    valid_to set) and INSERTING the new version, preserving full history —
+    the warehouse pattern behind as-of dimension joins. The change batch
+    is derived deterministically (every 7th customer relocates to segment
+    'RELOCATED') so both engines build the identical batch.
+
+    The whole transition is one dataflow committed as one COW overwrite
+    snapshot on SnapshotTable (time travel keeps the pre-change dimension
+    readable); the rollup reports current vs history rows per segment.
+    Scale shape: changed keys broadcast into the dimension scan (changes
+    ≪ dimension), the union is map-side, one accounting shuffle.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    chg = c.filter(F.col("c_custkey") % 7 == 0).select("c_custkey")
+    v1, v2 = F.lit(1), F.lit(2)
+    unchanged = c.join(F.broadcast(chg), "c_custkey", "left_anti").select(
+        "c_custkey",
+        "c_mktsegment",
+        v1.alias("version"),
+        v1.alias("valid_from"),
+        F.lit(None).cast("int").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    closed = c.join(F.broadcast(chg), "c_custkey").select(
+        "c_custkey",
+        "c_mktsegment",
+        v1.alias("version"),
+        v1.alias("valid_from"),
+        v2.cast("int").alias("valid_to"),
+        F.lit(False).alias("is_current"),
+    )
+    opened = c.join(F.broadcast(chg), "c_custkey").select(
+        "c_custkey",
+        F.lit("RELOCATED").alias("c_mktsegment"),
+        v2.alias("version"),
+        v2.alias("valid_from"),
+        F.lit(None).cast("int").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    dim = unchanged.unionByName(closed).unionByName(opened)
+    with tempfile.TemporaryDirectory(prefix="lh_scd2_") as root:
+        t = SnapshotTable(spark, root)
+        t.write(dim, mode="overwrite")
+        out = (
+            t.read()
+            .groupBy("c_mktsegment")
+            .agg(
+                F.count(F.when(F.col("is_current"), 1)).alias("n_current"),
+                F.count(F.when(~F.col("is_current"), 1)).alias("n_history"),
+            )
+        )
+        return out.localCheckpoint(eager=True)
+
+
+@query(
+    "lakehouse_cdc_apply",
+    oracle=f"""
+    WITH base AS (
+      SELECT * FROM orders WHERE o_orderstatus = 'F'
+    ), applied AS (
+      -- surviving base rows: deletes removed, updates applied
+      SELECT
+        o_orderpriority,
+        CASE WHEN o_orderkey % 10 = 1 THEN o_totalprice + 1000.0
+             ELSE o_totalprice END AS price
+      FROM base WHERE o_orderkey % 10 <> 0
+      UNION ALL
+      -- inserts: the 'P' orders arrive as new rows
+      SELECT o_orderpriority, o_totalprice FROM orders
+      WHERE o_orderstatus = 'P'
+    )
+    SELECT
+      o_orderpriority,
+      COUNT(*) AS n_rows,
+      {oracle_dsum('price')} AS sum_price
+    FROM applied
+    GROUP BY o_orderpriority
+    """,
+    tags=("lakehouse", "cdc", "merge"),
+)
+def lakehouse_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC apply: fold a change batch carrying explicit I/U/D operations
+    (the Debezium/stream-capture shape) into a snapshot table — deletes
+    anti-join out, updates overwrite matched rows, inserts append — as ONE
+    copy-on-write commit, so consumers see the change batch atomically and
+    time travel preserves the pre-batch table. The change batch derives
+    deterministically from the source (every 10th 'F' order deleted, every
+    10th+1 repriced, all 'P' orders inserted), so the DuckDB twin rebuilds
+    the identical final state.
+
+    Scale shape: the batch (keys + new values) broadcasts against the base
+    where changes ≪ base; the commit rewrites data files but the apply
+    logic itself is one scan of each side.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    base = o.filter(F.col("o_orderstatus") == "F")
+    deletes = base.filter(F.col("o_orderkey") % 10 == 0).select("o_orderkey")
+    updates = base.filter(F.col("o_orderkey") % 10 == 1).select(
+        "o_orderkey", (F.col("o_totalprice") + 1000.0).alias("new_price")
+    )
+    inserts = o.filter(F.col("o_orderstatus") == "P")
+    survived = base.join(F.broadcast(deletes), "o_orderkey", "left_anti")
+    upd = survived.join(F.broadcast(updates), "o_orderkey", "left").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.coalesce(F.col("new_price"), F.col("o_totalprice")).alias("price"),
+    )
+    ins = inserts.select(
+        "o_orderkey", "o_orderpriority", F.col("o_totalprice").alias("price")
+    )
+    final = upd.unionByName(ins)
+    with tempfile.TemporaryDirectory(prefix="lh_cdc_") as root:
+        t = SnapshotTable(spark, root)
+        t.write(final, mode="overwrite")
+        out = (
+            t.read()
+            .groupBy("o_orderpriority")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                dsum(F.col("price"), "sum_price"),
+            )
+        )
+        return out.localCheckpoint(eager=True)
