@@ -246,3 +246,46 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mm.select("doc_id", "payload").mapInPandas(
         _frame_sample_batches, schema=_FRAME_SCHEMA
     )
+
+
+@query(
+    "multimodal_dedup_payload",
+    oracle="""
+    WITH h AS (
+      SELECT md5(text) AS ph, COUNT(*) AS cnt, MAX(length(text)) AS nbytes
+      FROM documents GROUP BY md5(text)
+    )
+    SELECT
+      CAST(SUM(cnt) AS BIGINT) AS n_payloads,
+      CAST(COUNT(*) AS BIGINT) AS n_distinct_payloads,
+      CAST(SUM(cnt - 1) AS BIGINT) AS n_dup_instances,
+      CAST(SUM((cnt - 1) * nbytes) AS BIGINT) AS reclaimable_bytes
+    FROM h
+    """,
+    tags=("llm", "multimodal", "dedup"),
+)
+def multimodal_dedup_payload(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup over the BINARY payload column: group by content digest
+    (md5 of the raw bytes, computed in codegen without decoding), count
+    duplicate instances, and account the storage a dedup pass would
+    reclaim — the media analog of text dedup_exact, and the first step of
+    any image/audio corpus build (identical files are the dominant
+    duplicate class in crawled media).
+
+    One shuffle, carrying (digest, count, size) — 40-ish bytes per
+    DISTINCT payload; the payloads themselves never move. ASCII payloads
+    make the byte-level digest oracle-checkable against md5(text).
+    """
+    mm = _with_binary_payload(spark, sf_dir)
+    h = mm.groupBy(F.md5("payload").alias("ph")).agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.max(F.length("payload")).alias("nbytes"),
+    )
+    return h.agg(
+        F.sum("cnt").cast("long").alias("n_payloads"),
+        F.count(F.lit(1)).alias("n_distinct_payloads"),
+        F.sum(F.col("cnt") - 1).cast("long").alias("n_dup_instances"),
+        F.sum((F.col("cnt") - 1) * F.col("nbytes"))
+        .cast("long")
+        .alias("reclaimable_bytes"),
+    )
