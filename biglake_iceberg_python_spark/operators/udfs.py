@@ -172,3 +172,104 @@ def udf_python_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("w").cast("long").alias("weight_sum"),
         )
     )
+
+
+@query(
+    "udf_python_udtf",
+    oracle="""
+    WITH toks AS (
+      SELECT
+        d.source,
+        t.word,
+        t.pos
+      FROM (
+        SELECT source,
+               list_filter(string_split(text, ' '), x -> x <> '') AS ws
+        FROM documents
+      ) d, LATERAL (
+        SELECT unnest(d.ws) AS word, generate_subscripts(d.ws, 1) - 1 AS pos
+      ) t
+    )
+    SELECT
+      source,
+      CAST(COUNT(*) AS BIGINT) AS n_tokens,
+      CAST(COUNT(DISTINCT word) AS BIGINT) AS n_distinct_words,
+      CAST(SUM(pos * length(word)) AS BIGINT) AS checksum
+    FROM toks GROUP BY source
+    """,
+    tags=("udf", "udtf", "lateral"),
+)
+def udf_python_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python user-defined TABLE function (Spark 4 @udtf) applied via SQL
+    LATERAL: each document row expands to one row per token with its
+    position — the 1→N expansion shape (parsers, lexers, segmenters) that
+    scalar UDFs can't express. The per-source rollup (counts + a
+    position-weighted checksum) is pinned to a DuckDB LATERAL-unnest twin,
+    so the UDTF machinery itself (row expansion, column binding, lateral
+    correlation) is what the oracle verifies.
+
+    Scale note: a UDTF runs row-at-a-time Python — fine for expansion
+    logic that must be imperative; for a tokenizer this simple, the
+    codegen path (explode(split())) used everywhere else in textstats is
+    the production choice. The UDTF exists to prove the extension point.
+    """
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="word string, pos int")
+    class _SplitWords:
+        def eval(self, text):
+            for i, w in enumerate(x for x in (text or "").split(" ") if x):
+                yield (w, i)
+
+    spark.udtf.register("split_words_udtf", _SplitWords)
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView(
+        "documents_udtf"
+    )
+    return spark.sql(
+        """
+        SELECT
+          d.source,
+          COUNT(*) AS n_tokens,
+          COUNT(DISTINCT s.word) AS n_distinct_words,
+          CAST(SUM(s.pos * length(s.word)) AS BIGINT) AS checksum
+        FROM documents_udtf d, LATERAL split_words_udtf(d.text) s
+        GROUP BY d.source
+        """
+    )
+
+
+@query(
+    "udf_arrow_scalar",
+    oracle="""
+    SELECT
+      lang,
+      COUNT(*) AS n_docs,
+      CAST(SUM(CAST(length(text) AS BIGINT) * n_chars) AS BIGINT)
+        AS weighted_len
+    FROM documents
+    GROUP BY lang
+    """,
+    tags=("udf", "arrow"),
+)
+def udf_arrow_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-optimized Python UDF (useArrow=True) — the third execution
+    tier between pandas UDFs (declared vectorized) and pickled
+    row-at-a-time Python UDFs: the function body is still scalar Python,
+    but batches cross the JVM↔Python boundary as Arrow, cutting (de)ser
+    cost ~an order of magnitude. Integer arithmetic makes the oracle
+    exact.
+    """
+    f = F.udf(
+        lambda t, n: len(t) * n if t is not None else None,
+        "long",
+        useArrow=True,
+    )
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select("lang", f("text", "n_chars").alias("wl"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("wl").cast("long").alias("weighted_len"),
+        )
+    )
