@@ -853,3 +853,83 @@ def curate_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("boiler_frac"),
         )
     )
+
+
+@query(
+    "curate_expectations",
+    oracle="""
+    WITH dup AS (
+      SELECT o_orderkey FROM orders GROUP BY o_orderkey HAVING COUNT(*) > 1
+    ), checked AS (
+      SELECT
+        o.o_orderkey,
+        o.o_totalprice > 0 AS p_price,
+        o.o_orderstatus IN ('F', 'O', 'P') AS p_status,
+        c.c_custkey IS NOT NULL AS p_ref,
+        d.o_orderkey IS NULL AS p_unique
+      FROM orders o
+      LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+      LEFT JOIN dup d ON o.o_orderkey = d.o_orderkey
+    )
+    SELECT
+      CAST(COUNT(*) AS BIGINT) AS n_rows,
+      CAST(COUNT(*) FILTER (WHERE NOT p_price) AS BIGINT) AS v_price_positive,
+      CAST(COUNT(*) FILTER (WHERE NOT p_status) AS BIGINT) AS v_status_domain,
+      CAST(COUNT(*) FILTER (WHERE NOT p_ref) AS BIGINT) AS v_customer_ref,
+      CAST(COUNT(*) FILTER (WHERE NOT p_unique) AS BIGINT) AS v_key_unique,
+      CAST(COUNT(*) FILTER (
+        WHERE p_price AND p_status AND p_ref AND p_unique
+      ) AS BIGINT) AS n_clean
+    FROM checked
+    """,
+    tags=("curation", "data-quality", "expectations"),
+)
+def curate_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality expectations (the Deequ / dbt-tests
+    pattern) validated in ONE pass: range (price > 0), domain (status in
+    allowed set), referential integrity (custkey resolves against
+    customer), and key uniqueness — each rule a boolean column, violations
+    counted per rule plus the clean-row count that a quarantine split
+    would pass through. Ingest gates at 100 TB run exactly this shape
+    before committing a batch.
+
+    Scale shape: domain/range rules are map-side codegen; the referential
+    check broadcasts the dimension key set; uniqueness is a groupBy on the
+    key whose duplicate list (usually ~empty) broadcasts back. One
+    accounting aggregation, no second scan per rule.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    dup = (
+        o.groupBy("o_orderkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > 1)
+        .select("o_orderkey")
+    )
+    checked = (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"], "left")
+        .join(F.broadcast(dup.withColumnRenamed("o_orderkey", "dup_key")),
+              F.col("o_orderkey") == F.col("dup_key"), "left")
+        .select(
+            (F.col("o_totalprice") > 0).alias("p_price"),
+            F.col("o_orderstatus").isin("F", "O", "P").alias("p_status"),
+            F.col("c_custkey").isNotNull().alias("p_ref"),
+            F.col("dup_key").isNull().alias("p_unique"),
+        )
+    )
+    return checked.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count(F.when(~F.col("p_price"), 1)).alias("v_price_positive"),
+        F.count(F.when(~F.col("p_status"), 1)).alias("v_status_domain"),
+        F.count(F.when(~F.col("p_ref"), 1)).alias("v_customer_ref"),
+        F.count(F.when(~F.col("p_unique"), 1)).alias("v_key_unique"),
+        F.count(
+            F.when(
+                F.col("p_price")
+                & F.col("p_status")
+                & F.col("p_ref")
+                & F.col("p_unique"),
+                1,
+            )
+        ).alias("n_clean"),
+    )
