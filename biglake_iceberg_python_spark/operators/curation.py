@@ -818,12 +818,19 @@ def curate_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
     dist = inst.distinct()
     dfs = dist.groupBy("source", "shingle").agg(F.count(F.lit(1)).alias("df"))
     nd = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
-    flags = dfs.join(F.broadcast(nd), "source").select(
-        "source",
-        "shingle",
-        (F.lit(_BOILER_DF_MUL) * F.col("df") >= F.col("n_docs")).alias(
-            "is_boiler"
-        ),
+    # The flag table is TYPE-level (one row per (source, shingle)) and is
+    # consumed twice (type rollup + instance join): materialize it so the
+    # doc-frequency build — which re-explodes the corpus — runs once.
+    flags = (
+        dfs.join(F.broadcast(nd), "source")
+        .select(
+            "source",
+            "shingle",
+            (F.lit(_BOILER_DF_MUL) * F.col("df") >= F.col("n_docs")).alias(
+                "is_boiler"
+            ),
+        )
+        .localCheckpoint(eager=False)
     )
     ty = flags.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_types"),

@@ -222,7 +222,12 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     integers. DuckDB runs the identical orientation, so counts match
     bit-for-bit.
     """
-    edges = _edges(spark, sf_dir)
+    # Materialize the edge list once: und/deg/orientation/wedge/closure all
+    # consume it, and without the checkpoint Catalyst re-derives the
+    # order-key self-join for each consumer (~7 recomputations, 60
+    # exchanges at sf0.001 — measured). The edge list is the graph, far
+    # smaller than the lineitem input that generates it.
+    edges = _edges(spark, sf_dir).localCheckpoint(eager=False)
     und = edges.filter(F.col("src") < F.col("dst")).select(
         F.col("src").alias("a"), F.col("dst").alias("b")
     )
@@ -243,8 +248,12 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     dv = deg.alias("dv")
-    ori2 = ori.join(dv, F.col("v") == F.col("dv.node")).select(
-        "u", "v", F.col("dv.deg").alias("vdeg")
+    # Oriented edges are consumed three times (two wedge sides + closure):
+    # materialize them too — they are half the symmetric edge count.
+    ori2 = (
+        ori.join(dv, F.col("v") == F.col("dv.node"))
+        .select("u", "v", F.col("dv.deg").alias("vdeg"))
+        .localCheckpoint(eager=False)
     )
     o1 = ori2.alias("o1")
     o2 = ori2.alias("o2")
@@ -259,8 +268,9 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ),
     ).select(F.col("o1.v").alias("x"), F.col("o2.v").alias("y"))
+    closure = ori2.select("u", "v")
     tri = wedge.join(
-        ori, (F.col("x") == F.col("u")) & (F.col("y") == F.col("v"))
+        closure, (F.col("x") == F.col("u")) & (F.col("y") == F.col("v"))
     ).agg(F.count(F.lit(1)).alias("n_triangles"))
     tot = deg.agg(
         F.count(F.lit(1)).alias("n_nodes"),
