@@ -173,7 +173,9 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("df") <= _DF_CAP)
         .select("shingle")
     )
-    rs = sh.join(rare, "shingle")
+    # Postings consumed three times (sizes + both pair sides) — cached so
+    # the rare join runs once instead of once per consumer.
+    rs = sh.join(rare, "shingle").cache()
     sizes = rs.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     x = rs.alias("x")
     y = rs.alias("y")
@@ -454,6 +456,7 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.select("doc_id", _words().alias("w"))
         .select("doc_id", F.explode(_shingles("w")).alias("shingle"))
         .distinct()
+        .cache()  # consumed by the df-cap build AND the postings join
     )
     rare = (
         sh.groupBy("shingle")
@@ -461,7 +464,9 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("df") <= _DF_CAP)
         .select("shingle")
     )
-    rs = sh.join(rare, "shingle")
+    # Rare-shingle postings are consumed three times (sizes + both pair
+    # sides): cached, so the corpus explode and the rare join run once.
+    rs = sh.join(rare, "shingle").cache()
     sizes = rs.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     x = rs.alias("x")
     y = rs.alias("y")

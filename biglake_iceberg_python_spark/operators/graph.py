@@ -112,8 +112,17 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     sides hash-partition on the node key and AQE handles hub skew; the
     rank vector (|V| rows) is the only state carried between iterations.
     """
-    edges = _edges(spark, sf_dir)
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    # The edge list and degree table are joined in EVERY power iteration:
+    # materialize both once (without this, each iteration re-derives the
+    # order-key self-join — 50 exchanges at sf0.001 for 3 iterations,
+    # measured; with it, each round is exactly the rank-onto-edges join +
+    # re-aggregation the algorithm requires).
+    edges = _edges(spark, sf_dir).localCheckpoint(eager=False)
+    deg = (
+        edges.groupBy("src")
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .localCheckpoint(eager=False)
+    )
     n = deg.agg(F.count(F.lit(1)).alias("n"))
 
     ranks = deg.crossJoin(F.broadcast(n)).select(
