@@ -251,15 +251,23 @@ def basket_copurchase_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     integers once, so scores hash-match across engines; the min-support
     HAVING prunes the pair tail before any metric math.
     """
+    # (order, part) basket items are consumed four times (order count,
+    # item counts, both pair sides) — materialized so the scan+distinct
+    # runs once; the part-level count table twice (both pair ends).
     op = (
         load_table(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
         .distinct()
+        .localCheckpoint(eager=False)
     )
     n = op.select("l_orderkey").distinct().agg(
         F.count(F.lit(1)).alias("n_orders")
     )
-    pk = op.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("c"))
+    pk = (
+        op.groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=False)
+    )
     a = op.select(F.col("l_orderkey"), F.col("l_partkey").alias("part_a"))
     b = op.select(F.col("l_orderkey"), F.col("l_partkey").alias("part_b"))
     pairs = (

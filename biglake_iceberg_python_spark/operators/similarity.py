@@ -388,11 +388,13 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count(F.lit(1))
         ).alias("m")
     )
+    # K-row codebook, consumed by every ranking branch — materialized so
+    # the per-dimension mean build runs once.
     cent = cmean.groupBy("list_id").agg(
         F.transform(
             F.array_sort(F.collect_list(F.struct("dim0", "m"))), lambda s: s.m
         ).alias("cv")
-    )
+    ).localCheckpoint(eager=False)
 
     # Nearest-centroid ranking per vector (broadcast K centroids; argmin is
     # map-side — the window partitions by vec_id, already co-located).
@@ -411,10 +413,16 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    assign = ranked.filter(F.col("rk") == 1).select("vec_id", "list_id")
-    probes = ranked.filter(
-        (F.col("vec_id") < _N_QUERIES) & (F.col("rk") <= _IVF_NPROBE)
-    ).select(F.col("vec_id").alias("qid"), "list_id")
+    # Both consumers (assignment rk==1, query probes rk<=n_probe) slice the
+    # same ranking; materialize the top-n_probe slice (|V|·n_probe short
+    # rows) so the |V|×K distance ranking computes once, not per consumer.
+    top = ranked.filter(F.col("rk") <= _IVF_NPROBE).select(
+        "vec_id", "list_id", "rk"
+    ).localCheckpoint(eager=False)
+    assign = top.filter(F.col("rk") == 1).select("vec_id", "list_id")
+    probes = top.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("qid"), "list_id"
+    )
 
     cand = (
         F.broadcast(probes)
