@@ -609,3 +609,41 @@ def join_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("edit_dist") <= 3)
         .select("part_a", "part_b", "name_a", "name_b", "edit_dist")
     )
+
+
+@query(
+    "join_hint_strategies",
+    oracle="""
+    SELECT
+      n.n_name,
+      COUNT(*) AS n_suppliers,
+      CAST(SUM(s.s_acctbal) AS DOUBLE) AS sum_acctbal
+    FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+    tags=("join", "hints"),
+)
+def join_hint_strategies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join strategy HINTS: the same supplier⋈nation join planned three
+    ways — SHUFFLE_HASH (build a hash table per partition), MERGE (sort-
+    merge), and BROADCAST — with identical results by construction; the
+    plan test asserts each hint actually flipped the physical operator.
+    Hints are the manual override when statistics mislead the optimizer
+    (fresh tables without ANALYZE, remote sources with unknown sizes) —
+    at 100 TB forcing MERGE on a join AQE wants to broadcast, or
+    SHUFFLE_HASH when one side is modest but over the broadcast
+    threshold, is a standard tuning lever.
+
+    The returned result uses the SHUFFLE_HASH variant (the one Catalyst
+    would not pick by itself here — both inputs are broadcast-sized, so
+    honoring the hint proves hints outrank size-based selection).
+    """
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    joined = s.hint("SHUFFLE_HASH").join(
+        n, s["s_nationkey"] == n["n_nationkey"]
+    )
+    return joined.groupBy("n_name").agg(
+        F.count(F.lit(1)).alias("n_suppliers"),
+        F.sum("s_acctbal").cast("double").alias("sum_acctbal"),
+    )

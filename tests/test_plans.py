@@ -399,3 +399,25 @@ def test_repetition_stats_shuffles_doc_keyed_only(spark, sf_dir):
     assert "SinglePartition" not in plan
     assert "Exchange rangepartitioning" not in plan
     assert plan.count("HashAggregate") >= 4  # two two-phase aggregations
+
+
+def test_join_hints_flip_physical_strategy(spark, sf_dir):
+    """Each join hint must override size-based selection: the same
+    supplier⋈nation join plans as ShuffledHashJoin / SortMergeJoin /
+    BroadcastHashJoin under the respective hints (both sides are
+    broadcast-sized, so without the hint Catalyst would broadcast)."""
+    from biglake_iceberg_python_spark.sources.tables import load_table
+
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    cond = s["s_nationkey"] == n["n_nationkey"]
+    plans = {
+        hint: s.hint(hint).join(n, cond)._jdf.queryExecution()
+        .executedPlan().toString()
+        for hint in ("SHUFFLE_HASH", "MERGE", "BROADCAST")
+    }
+    assert "ShuffledHashJoin" in plans["SHUFFLE_HASH"]
+    assert "SortMergeJoin" in plans["MERGE"]
+    assert "BroadcastHashJoin" in plans["BROADCAST"]
+    plan = plan_of(spark, sf_dir, "join_hint_strategies")
+    assert "ShuffledHashJoin" in plan
