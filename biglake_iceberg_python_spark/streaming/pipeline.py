@@ -210,8 +210,10 @@ def run_stream_to_memory(
 
 def run_stream_foreach_batch(
     sdf: DataFrame, batch_fn, checkpoint_dir: str
-) -> None:
-    """Run the stream to completion through a foreachBatch sink."""
+) -> StreamingQuery:
+    """Run the stream to completion through a foreachBatch sink; returns
+    the terminated query so callers can assert offset/progress telemetry
+    (e.g. that a restarted run processed only the new files)."""
     q = (
         sdf.writeStream.foreachBatch(batch_fn)
         .option("checkpointLocation", checkpoint_dir)
@@ -219,3 +221,4 @@ def run_stream_foreach_batch(
         .start()
     )
     q.awaitTermination()
+    return q

@@ -457,6 +457,97 @@ def stream_late_data_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _make_user_upsert(state):
+    """foreachBatch sink: upsert each micro-batch's per-user partials
+    (add counts / decimal sums) into a SnapshotTable — shared by the
+    single-run materialized-view query and the restart/recovery query."""
+
+    def upsert_batch(bdf: DataFrame, batch_id: int) -> None:
+        partial = bdf.groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(30,6)")).alias("sum_dec"),
+        )
+        if state.current_snapshot_id() == 0:
+            state.write(partial, mode="overwrite")
+            return
+        prev = state.read().alias("p")
+        cur = partial.alias("c")
+        merged = prev.join(
+            cur, F.col("p.user_id") == F.col("c.user_id"), "full_outer"
+        ).select(
+            F.coalesce(F.col("p.user_id"), F.col("c.user_id")).alias("user_id"),
+            (
+                F.coalesce(F.col("p.n_events"), F.lit(0))
+                + F.coalesce(F.col("c.n_events"), F.lit(0))
+            ).alias("n_events"),
+            (
+                F.coalesce(F.col("p.sum_dec"), F.lit(0).cast("decimal(30,6)"))
+                + F.coalesce(F.col("c.sum_dec"), F.lit(0).cast("decimal(30,6)"))
+            ).cast("decimal(30,6)").alias("sum_dec"),
+        )
+        state.write(merged, mode="overwrite")
+
+    return upsert_batch
+
+
+@query(
+    "stream_restart_exactly_once",
+    oracle=f"""
+    SELECT
+      user_id,
+      COUNT(*) AS n_events,
+      {oracle_dsum('value')} AS total_value
+    FROM events
+    GROUP BY user_id
+    """,
+    tags=("streaming", "checkpoint", "recovery", "exactly-once"),
+)
+def stream_restart_exactly_once(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Checkpoint recovery — exactly-once ACROSS A RESTART: run 1 streams
+    the first half of the chunks into the upsert state table and
+    terminates; the second half of the files then lands in the source
+    directory; run 2 starts from the SAME checkpoint and must process ONLY
+    the new files — committed offsets make replay impossible, so the
+    final state equals the batch aggregate exactly (any reprocessing
+    would double-count and hash-mismatch the oracle). This is the
+    streaming guarantee that matters operationally: jobs die and restart,
+    sinks must not see duplicates.
+
+    tests/test_streaming_state.py additionally asserts run 2's input-row
+    telemetry covers only the second half.
+    """
+    import os
+    import shutil
+    import tempfile
+
+    from biglake_iceberg_python_spark.lakehouse.snapshots import SnapshotTable
+
+    staged, _ = stage_event_chunks(spark, sf_dir, n_chunks=4)
+    base = tempfile.mkdtemp(prefix="stream_restart_")
+    inp = os.path.join(base, "in")
+    ckpt = os.path.join(base, "ckpt")
+    os.makedirs(inp)
+    chunks = sorted(f for f in os.listdir(staged) if f.endswith(".parquet"))
+    state = SnapshotTable(spark, tempfile.mkdtemp(prefix="restart_state_"))
+    upsert = _make_user_upsert(state)
+    # Run 1: only the first half of the replay exists yet.
+    for f in chunks[:2]:
+        shutil.copy(os.path.join(staged, f), os.path.join(inp, f))
+    run_stream_foreach_batch(read_event_stream(spark, inp), upsert, ckpt)
+    # The job "dies"; the remaining files arrive while it is down.
+    for f in chunks[2:]:
+        shutil.copy(os.path.join(staged, f), os.path.join(inp, f))
+    # Run 2: same checkpoint — committed offsets skip the first half.
+    LAST_STREAMING_QUERIES["stream_restart_exactly_once"] = (
+        run_stream_foreach_batch(read_event_stream(spark, inp), upsert, ckpt)
+    )
+    return state.read().select(
+        "user_id",
+        "n_events",
+        F.col("sum_dec").cast("double").alias("total_value"),
+    )
+
+
 @query(
     "stream_foreachbatch_upsert",
     oracle=f"""
@@ -485,34 +576,8 @@ def stream_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     input_dir, ckpt = stage_event_chunks(spark, sf_dir, n_chunks=4)
     root = tempfile.mkdtemp(prefix="stream_upsert_")
     state = SnapshotTable(spark, root)
-
-    def upsert_batch(bdf: DataFrame, batch_id: int) -> None:
-        partial = bdf.groupBy("user_id").agg(
-            F.count(F.lit(1)).alias("n_events"),
-            F.sum(F.col("value").cast("decimal(30,6)")).alias("sum_dec"),
-        )
-        if state.current_snapshot_id() == 0:
-            state.write(partial, mode="overwrite")
-            return
-        prev = state.read().alias("p")
-        cur = partial.alias("c")
-        merged = prev.join(
-            cur, F.col("p.user_id") == F.col("c.user_id"), "full_outer"
-        ).select(
-            F.coalesce(F.col("p.user_id"), F.col("c.user_id")).alias("user_id"),
-            (
-                F.coalesce(F.col("p.n_events"), F.lit(0))
-                + F.coalesce(F.col("c.n_events"), F.lit(0))
-            ).alias("n_events"),
-            (
-                F.coalesce(F.col("p.sum_dec"), F.lit(0).cast("decimal(30,6)"))
-                + F.coalesce(F.col("c.sum_dec"), F.lit(0).cast("decimal(30,6)"))
-            ).cast("decimal(30,6)").alias("sum_dec"),
-        )
-        state.write(merged, mode="overwrite")
-
     s = read_event_stream(spark, input_dir)
-    run_stream_foreach_batch(s, upsert_batch, ckpt)
+    run_stream_foreach_batch(s, _make_user_upsert(state), ckpt)
     return state.read().select(
         "user_id",
         "n_events",

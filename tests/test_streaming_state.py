@@ -161,3 +161,15 @@ def test_dedup_rocksdb_runs_on_rocksdb_and_bounds_state(spark, sf_dir):
         or "RocksDB"
         not in spark.conf.get("spark.sql.streaming.stateStore.providerClass")
     )
+
+
+def test_restart_processes_only_new_files(spark, sf_dir):
+    """Exactly-once across restart: run 2 (same checkpoint) must process
+    strictly fewer rows than the full replay — its committed offsets skip
+    everything run 1 processed — while the final state equals the batch
+    aggregate (checked by the oracle; here we pin the telemetry side)."""
+    out = REGISTRY["stream_restart_exactly_once"].fn(spark, sf_dir).collect()
+    q2 = sq.LAST_STREAMING_QUERIES["stream_restart_exactly_once"]
+    run2_rows = sum(p["numInputRows"] for p in q2.recentProgress)
+    total = sum(r["n_events"] for r in out)
+    assert 0 < run2_rows < total, (run2_rows, total)
