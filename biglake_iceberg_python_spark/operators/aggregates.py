@@ -696,3 +696,62 @@ def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("o_totalprice").alias("min_price"),
         F.max("o_totalprice").alias("max_price"),
     )
+
+
+@query(
+    "agg_session_window_batch",
+    oracle=f"""
+    WITH ordered AS (
+      SELECT
+        user_id, ts, value,
+        CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                  > INTERVAL '30 minutes'
+             OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+             THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ), sessions AS (
+      SELECT
+        user_id, ts, value,
+        SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS UNBOUNDED PRECEDING) AS session_no
+      FROM ordered
+    )
+    SELECT
+      user_id,
+      strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+      COUNT(*) AS n_events,
+      {oracle_dsum('value')} AS sum_value
+    FROM sessions
+    GROUP BY user_id, session_no
+    """,
+    tags=("agg", "session", "session_window"),
+)
+def agg_session_window_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """session_window in a BATCH aggregation — the same gap-merging
+    operator the streaming query uses (stream_session_window), applied to
+    data at rest: one groupBy(session_window(ts, gap), user) call replaces
+    the classic three-stage gaps-and-islands SQL (lag → flag → running
+    sum → group), which is exactly what the DuckDB oracle still runs.
+    Spark merges overlapping per-row gap intervals inside the aggregation.
+
+    Scale shape: one exchange on the session keys with partial merging
+    map-side — same budget as any hash aggregation; no window-function
+    sort pass over the raw events is needed, which is the win over the
+    gaps-and-islands formulation at 100 TB (it needs a full per-user
+    ordered window before it can even flag session starts).
+    """
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(30,6)")).alias("sum_dec"),
+        )
+        .select(
+            "user_id",
+            F.date_format(F.col("session_window.start"), "yyyy-MM-dd HH:mm:ss")
+            .alias("session_start"),
+            "n_events",
+            F.col("sum_dec").cast("double").alias("sum_value"),
+        )
+    )
