@@ -273,3 +273,60 @@ def udf_arrow_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("wl").cast("long").alias("weighted_len"),
         )
     )
+
+
+@query(
+    "udf_map_in_arrow",
+    oracle="""
+    SELECT
+      CAST(COUNT(*) AS BIGINT) AS n_rows,
+      CAST(SUM(o_orderkey) AS BIGINT) AS sum_key,
+      CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT) AS n_priorities
+    FROM orders
+    """,
+    tags=("udf", "arrow", "mapInArrow"),
+)
+def udf_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInArrow — the lowest-level Python extension tier: the function
+    receives raw ``pyarrow.RecordBatch`` objects (no pandas conversion at
+    all) and emits RecordBatches back. This is the zero-copy path for
+    libraries that already speak Arrow (polars, duckdb, vector codecs):
+    per-batch work here computes partial aggregates with pyarrow.compute,
+    and a tiny Spark-side rollup merges them — the tree-aggregation shape
+    that keeps Python work embarrassingly parallel.
+
+    Exact integer arithmetic end-to-end, so the merged result
+    hash-matches the plain SQL oracle.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def batch_stats(batches):
+        for b in batches:
+            yield pa.RecordBatch.from_pydict(
+                {
+                    "n": pa.array([b.num_rows], pa.int64()),
+                    "s": pa.array(
+                        [pc.sum(b.column("o_orderkey")).as_py() or 0],
+                        pa.int64(),
+                    ),
+                    "prios": pa.array(
+                        [pc.unique(b.column("o_orderpriority")).to_pylist()],
+                        pa.list_(pa.string()),
+                    ),
+                }
+            )
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    partials = o.mapInArrow(
+        batch_stats, "n bigint, s bigint, prios array<string>"
+    )
+    return partials.agg(
+        F.sum("n").cast("long").alias("n_rows"),
+        F.sum("s").cast("long").alias("sum_key"),
+        F.size(F.array_distinct(F.flatten(F.collect_list("prios"))))
+        .cast("long")
+        .alias("n_priorities"),
+    )
