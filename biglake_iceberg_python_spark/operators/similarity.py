@@ -306,9 +306,7 @@ _IVF_K = 16  # inverted lists (coarse codebook size)
 _IVF_NPROBE = 6  # lists probed per query
 
 
-@query(
-    "sim_ann_ivf",
-    oracle=f"""
+_IVF_ORACLE = f"""
     WITH v AS (
       SELECT vec_id, label, embedding::DOUBLE[] AS ev FROM embeddings
     ), comp AS (
@@ -355,7 +353,59 @@ _IVF_NPROBE = 6  # lists probed per query
                                    ORDER BY cosine DESC, cid) AS rk
       FROM scored
     ) WHERE rk <= {_TOP_K}
-    """,
+    """
+
+
+def _ivf_codebook(v):
+    """Deterministic coarse codebook: exact-decimal per-dimension means of
+    the vec_id-mod-K seed lists (one Lloyd assignment step, no RNG).
+    K-row result, consumed by every ranking branch — materialized so the
+    per-dimension mean build runs once."""
+    comp = v.select(
+        (F.col("vec_id") % _IVF_K).alias("list_id"),
+        F.posexplode("ev").alias("dim0", "comp"),
+    )
+    cmean = comp.groupBy("list_id", "dim0").agg(
+        (
+            F.sum(F.col("comp").cast("decimal(30,12)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("m")
+    )
+    return (
+        cmean.groupBy("list_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim0", "m"))),
+                lambda s: s.m,
+            ).alias("cv")
+        )
+        .localCheckpoint(eager=False)
+    )
+
+
+def _ivf_rank(v, cent):
+    """Per-vector nearest-centroid ranking (broadcast K centroids; the
+    argmin window partitions by vec_id, already co-located map-side)."""
+    d2 = (
+        _dot(F.col("ev"), F.col("ev"))
+        - 2 * _dot(F.col("ev"), F.col("cv"))
+        + _dot(F.col("cv"), F.col("cv"))
+    )
+    return (
+        v.join(F.broadcast(cent))
+        .select("vec_id", "list_id", d2.alias("d2"))
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("vec_id").orderBy("d2", "list_id")
+            ),
+        )
+    )
+
+
+@query(
+    "sim_ann_ivf",
+    oracle=_IVF_ORACLE,
     tags=("llm", "similarity", "ann", "ivf"),
 )
 def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -376,43 +426,8 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     e = load_table(spark, sf_dir, "embeddings")
     v = e.select("vec_id", "label", _as_double("embedding").alias("ev"))
-
-    # Coarse codebook: exact-decimal per-dimension means of the seed lists.
-    comp = v.select(
-        (F.col("vec_id") % _IVF_K).alias("list_id"),
-        F.posexplode("ev").alias("dim0", "comp"),
-    )
-    cmean = comp.groupBy("list_id", "dim0").agg(
-        (
-            F.sum(F.col("comp").cast("decimal(30,12)")).cast("double")
-            / F.count(F.lit(1))
-        ).alias("m")
-    )
-    # K-row codebook, consumed by every ranking branch — materialized so
-    # the per-dimension mean build runs once.
-    cent = cmean.groupBy("list_id").agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("dim0", "m"))), lambda s: s.m
-        ).alias("cv")
-    ).localCheckpoint(eager=False)
-
-    # Nearest-centroid ranking per vector (broadcast K centroids; argmin is
-    # map-side — the window partitions by vec_id, already co-located).
-    d2 = (
-        _dot(F.col("ev"), F.col("ev"))
-        - 2 * _dot(F.col("ev"), F.col("cv"))
-        + _dot(F.col("cv"), F.col("cv"))
-    )
-    ranked = (
-        v.join(F.broadcast(cent))
-        .select("vec_id", "list_id", d2.alias("d2"))
-        .withColumn(
-            "rk",
-            F.row_number().over(
-                Window.partitionBy("vec_id").orderBy("d2", "list_id")
-            ),
-        )
-    )
+    cent = _ivf_codebook(v)
+    ranked = _ivf_rank(v, cent)
     # Both consumers (assignment rk==1, query probes rk<=n_probe) slice the
     # same ranking; materialize the top-n_probe slice (|V|·n_probe short
     # rows) so the |V|×K distance ranking computes once, not per consumer.
@@ -639,4 +654,77 @@ def sim_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("qid").orderBy(F.col("adot").desc(), F.col("cid"))
     return scored.withColumn("rk", F.row_number().over(w)).filter(
         F.col("rk") <= _TOP_K
+    )
+
+
+@query(
+    "sim_ivf_index_persisted",
+    oracle=_IVF_ORACLE,
+    tags=("llm", "similarity", "ann", "ivf", "lakehouse", "index"),
+)
+def sim_ivf_index_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF index AS A LAKEHOUSE TABLE: the codebook and the inverted-list
+    assignments are built once and COMMITTED to snapshot tables, then the
+    query path runs entirely from the PERSISTED index — rank the query
+    vectors against the stored K centroids (|Q|·K, query-time cost),
+    equi-join the stored assignments for candidates, and re-score with
+    true vectors. This is how vector search actually deploys at 100 TB:
+    the O(corpus) build is an offline job with snapshot history (rebuilds
+    are new commits, time travel keeps the previous index serving), and
+    serving never touches the build path.
+
+    Same oracle as sim_ann_ivf — persistence must be invisible to
+    results, which is exactly what the shared hash check proves (arrays
+    of doubles round-trip parquet bit-exactly).
+    """
+    import tempfile
+
+    from biglake_iceberg_python_spark.lakehouse.snapshots import SnapshotTable
+
+    e = load_table(spark, sf_dir, "embeddings")
+    v = e.select("vec_id", "label", _as_double("embedding").alias("ev"))
+
+    # Offline build → two committed tables (codebook + inverted lists).
+    cent = _ivf_codebook(v)
+    assign = (
+        _ivf_rank(v, cent)
+        .filter(F.col("rk") == 1)
+        .select("vec_id", "list_id")
+    )
+    cent_tbl = SnapshotTable(spark, tempfile.mkdtemp(prefix="ivf_cent_"))
+    list_tbl = SnapshotTable(spark, tempfile.mkdtemp(prefix="ivf_lists_"))
+    cent_tbl.write(cent, mode="overwrite")
+    list_tbl.write(assign, mode="overwrite")
+
+    # Serving path: reads ONLY the persisted index + the vector table.
+    cent_r = cent_tbl.read()
+    assign_r = list_tbl.read()
+    qv = v.filter(F.col("vec_id") < _N_QUERIES)
+    probes = (
+        _ivf_rank(qv, cent_r)
+        .filter(F.col("rk") <= _IVF_NPROBE)
+        .select(F.col("vec_id").alias("qid"), "list_id")
+    )
+    cand = (
+        F.broadcast(probes)
+        .join(assign_r.withColumnRenamed("vec_id", "cid"), "list_id")
+        .filter(F.col("qid") != F.col("cid"))
+        .select("qid", "cid")
+        .distinct()
+    )
+    q = v.select(F.col("vec_id").alias("qid"), F.col("ev").alias("qv"))
+    c = v.select(F.col("vec_id").alias("cid"), "label", F.col("ev").alias("cv2"))
+    cos = _dot(F.col("qv"), F.col("cv2")) / F.sqrt(
+        _dot(F.col("qv"), F.col("qv")) * _dot(F.col("cv2"), F.col("cv2"))
+    )
+    scored = (
+        cand.join(F.broadcast(q), "qid")
+        .join(c, "cid")
+        .select("qid", "cid", "label", cos.alias("cosine"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("cid"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _TOP_K)
+        .select("qid", "cid", "label", "cosine", "rk")
     )
