@@ -1159,3 +1159,60 @@ def lakehouse_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         return out.localCheckpoint(eager=True)
+
+
+@query(
+    "lakehouse_mor_delete",
+    oracle="""
+    WITH survivors AS (
+      SELECT o_orderstatus FROM orders
+      WHERE o_orderstatus IN ('F', 'O') AND o_orderkey % 7 <> 0
+      UNION ALL
+      -- rows appended AFTER the delete keep matching keys (sequence
+      -- numbers scope delete files to older data)
+      SELECT o_orderstatus FROM orders WHERE o_orderstatus = 'P'
+    )
+    SELECT
+      o_orderstatus,
+      COUNT(*) AS n_rows_mor,
+      COUNT(*) AS n_rows_compacted
+    FROM survivors
+    GROUP BY o_orderstatus
+    """,
+    tags=("lakehouse", "mor", "delete", "maintenance"),
+)
+def lakehouse_mor_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read DELETE (Iceberg v2's point-delete path): v1/v2 append
+    'F' then 'O' orders; an EQUALITY-DELETE file tombstones every 7th
+    order key WITHOUT rewriting data; v4 appends 'P' orders AFTER the
+    delete — and keeps its own %7 keys, because delete files apply only
+    to data committed before them (sequence-number scoping, the part of
+    MOR semantics naive anti-join emulations get wrong). rewrite_mor()
+    then compacts tombstones into data files; both reads must agree,
+    which the paired count columns prove against one oracle.
+
+    Scale trade: the delete commit costs O(matching keys) regardless of
+    table size — the GDPR-erasure shape — while reads pay an anti-join
+    per delete file until compaction folds them away.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    with tempfile.TemporaryDirectory(prefix="lh_mor_") as root:
+        t = SnapshotTable(spark, root)
+        t.write(o.filter(F.col("o_orderstatus") == "F"), mode="append")
+        t.write(o.filter(F.col("o_orderstatus") == "O"), mode="append")
+        t.delete_where_mor(F.col("o_orderkey") % 7 == 0, ["o_orderkey"])
+        t.write(o.filter(F.col("o_orderstatus") == "P"), mode="append")
+        mor = (
+            t.read()
+            .groupBy("o_orderstatus")
+            .agg(F.count(F.lit(1)).alias("n_rows_mor"))
+            .localCheckpoint(eager=True)
+        )
+        t.rewrite_mor()
+        compacted = (
+            t.read()
+            .groupBy("o_orderstatus")
+            .agg(F.count(F.lit(1)).alias("n_rows_compacted"))
+            .localCheckpoint(eager=True)
+        )
+        return mor.join(compacted, "o_orderstatus")

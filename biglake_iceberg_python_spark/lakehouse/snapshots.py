@@ -126,6 +126,18 @@ class SnapshotTable:
                 "data_dirs": parent_dirs + [data_dir],
                 "added_dir": data_dir,
             }
+            if head and mode == "append":
+                entry["dir_seq"] = {
+                    **self._dir_seq(head),
+                    data_dir: snap_id,
+                }
+                # Equality-delete files survive appends: they keep applying
+                # to the data dirs older than them (never to this new dir,
+                # whose seq exceeds every existing delete's).
+                if head.get("deletes"):
+                    entry["deletes"] = head["deletes"]
+            else:
+                entry["dir_seq"] = {data_dir: snap_id}
             if use_branch is not None and refs:
                 entry["branch"] = use_branch
             if stats is not None:
@@ -290,6 +302,12 @@ class SnapshotTable:
         log = self._read_log()
         if not log:
             raise ValueError("table has no snapshots")
+        if log[-1].get("deletes"):
+            raise ValueError(
+                "scan_where over merge-on-read delete files is unsupported: "
+                "stats pruning cannot see delete-file tombstones — run "
+                "rewrite_mor() first"
+            )
         stats_by_dir = {
             e["added_dir"]: e.get("stats") for e in log
         }
@@ -356,6 +374,61 @@ class SnapshotTable:
         kept = self.read().filter(~F.coalesce(condition, F.lit(False)))
         return self.write(kept, mode="overwrite", expected_version=base)
 
+    def delete_where_mor(self, condition, eq_cols: list[str]) -> int:
+        """Merge-on-read ``DELETE WHERE``: instead of rewriting data files
+        (COW), commit an EQUALITY-DELETE file holding the distinct
+        ``eq_cols`` values of matching rows; reads apply it as an
+        anti-join. Iceberg v2's point-delete path — O(matches) write cost
+        regardless of table size, the right trade when deletes are small
+        against huge tables (GDPR row erasure); sweeping deletes still use
+        COW :meth:`delete_where`, and :meth:`rewrite_mor` folds
+        accumulated delete files back into data files.
+
+        Sequence-number semantics match Iceberg: a delete file applies
+        only to data files COMMITTED BEFORE it — rows appended after the
+        delete are untouched even if they carry matching key values
+        (each data dir records its commit sequence; the read path scopes
+        every delete to older dirs).
+        """
+        base = self.current_snapshot_id()
+        keys = self.read().filter(condition).select(*eq_cols).distinct()
+        del_dir = os.path.join(
+            self.root, "deletes", f"commit-{uuid.uuid4().hex[:8]}"
+        )
+        keys.write.mode("errorifexists").parquet(del_dir)
+        log = self._read_log()
+        if (log[-1]["snapshot_id"] if log else 0) != base:
+            raise CommitConflictError("table moved during MOR delete")
+        head = log[-1]
+        snap_id = head["snapshot_id"] + 1
+        entry = {
+            "snapshot_id": snap_id,
+            "operation": "mor_delete",
+            "data_dirs": head["data_dirs"],
+            "added_dir": del_dir,
+            "dir_seq": self._dir_seq(head),
+            "deletes": head.get("deletes", [])
+            + [{"dir": del_dir, "cols": eq_cols, "seq": snap_id}],
+        }
+        self._commit(log, entry)
+        return snap_id
+
+    def rewrite_mor(self) -> int:
+        """Compaction for merge-on-read: materialize the delete-applied
+        view as one overwrite commit, clearing accumulated delete files —
+        Iceberg's rewrite_data_files maintenance action for MOR tables."""
+        base = self.current_snapshot_id()
+        return self.write(self.read(), mode="overwrite", expected_version=base)
+
+    @staticmethod
+    def _dir_seq(entry: dict) -> dict:
+        """Commit sequence per data dir (dirs from pre-MOR snapshots
+        default to their position-independent snapshot id 0 — all older
+        than any delete)."""
+        return entry.get(
+            "dir_seq", {d: 0 for d in entry["data_dirs"]}
+        )
+
     def update_where(self, condition, assignments: dict) -> int:
         """Row-level ``UPDATE ... SET ... WHERE`` committed as an overwrite
         snapshot — copy-on-write UPDATE: non-matching rows pass through
@@ -396,7 +469,22 @@ class SnapshotTable:
             if not matches:
                 raise ValueError(f"no snapshot {snapshot_id}; log has {len(log)}")
             entry = matches[0]
-        return self.spark.read.parquet(*entry["data_dirs"])
+        dels = entry.get("deletes", [])
+        if not dels:
+            return self.spark.read.parquet(*entry["data_dirs"])
+        # Merge-on-read: apply each equality-delete file to the data dirs
+        # committed BEFORE it (Iceberg sequence-number scoping) — rows
+        # appended after a delete are untouched even on key match.
+        seqs = self._dir_seq(entry)
+        out = None
+        for d in entry["data_dirs"]:
+            df = self.spark.read.parquet(d)
+            for dl in dels:
+                if dl["seq"] > seqs.get(d, 0):
+                    keys = self.spark.read.parquet(dl["dir"])
+                    df = df.join(keys, on=dl["cols"], how="left_anti")
+            out = df if out is None else out.unionByName(df)
+        return out
 
     def read_incremental(self, from_snap: int, to_snap: int) -> DataFrame:
         """Rows ADDED by snapshots in ``(from_snap, to_snap]`` — the
@@ -469,7 +557,9 @@ class SnapshotTable:
         dropped = [e for e in log if e not in kept]
         if not dropped:
             return {"expired": 0, "dirs_removed": 0}
-        live = {d for e in kept for d in e["data_dirs"]}
+        live = {d for e in kept for d in e["data_dirs"]} | {
+            dl["dir"] for e in kept for dl in e.get("deletes", [])
+        }
         dead = [
             d
             for e in dropped

@@ -603,3 +603,28 @@ def test_branch_tag_semantics(spark, sf_dir, tmp_path):
     assert t.read_ref("main").count() == 6
     with _pytest.raises(ValueError, match="fast-forward tag"):
         t.fast_forward("pin", "wip")
+
+
+def test_mor_delete_sequence_scoping(spark, tmp_path):
+    """Equality-delete files must apply only to data committed before
+    them; appends after the delete keep matching keys. Compaction
+    (rewrite_mor) must preserve the view and clear tombstones."""
+    import pytest as _pytest
+
+    from biglake_iceberg_python_spark.lakehouse.snapshots import SnapshotTable
+
+    t = SnapshotTable(spark, str(tmp_path / "mor_tbl"))
+    t.write(spark.range(10).selectExpr("id", "id * 2 AS v"), mode="append")
+    t.delete_where_mor(F.col("id") < 3, ["id"])
+    # ids 0,1,2 tombstoned from the first commit
+    assert sorted(r.id for r in t.read().select("id").collect()) == list(range(3, 10))
+    # re-append id 0..4 AFTER the delete: they must all survive
+    t.write(spark.range(5).selectExpr("id", "id * 3 AS v"), mode="append")
+    assert t.read().count() == 7 + 5
+    # scan_where refuses while tombstones exist
+    with _pytest.raises(ValueError, match="rewrite_mor"):
+        t.scan_where("id", 0, 100)
+    before = sorted(map(tuple, t.read().collect()))
+    t.rewrite_mor()
+    assert sorted(map(tuple, t.read().collect())) == before
+    t.scan_where("id", 0, 100)  # allowed again after compaction
