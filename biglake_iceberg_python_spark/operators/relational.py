@@ -235,3 +235,55 @@ def sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
         |> WHERE n_orders > 10
         """
     )
+
+
+@query(
+    "util_observe_metrics",
+    oracle="""
+    SELECT
+      CAST(COUNT(*) AS BIGINT) AS n_scanned,
+      CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS total_qty,
+      CAST(COUNT(*) FILTER (WHERE l_shipdate IS NULL) AS BIGINT)
+        AS null_ship_dates,
+      CAST(COUNT(*) FILTER (WHERE l_discount > 0.05) AS BIGINT) AS n_kept
+    FROM lineitem
+    """,
+    tags=("util", "observe", "observability"),
+)
+def util_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pipeline observability via ``Dataset.observe``: data-quality
+    counters (rows scanned, decimal-exact quantity total, null-date count)
+    ride the SAME pass as the business filter — no second scan, no
+    separate validation job. This is how ingest pipelines meter themselves
+    at 100 TB: observations are accumulator-backed, cost O(1) per row on
+    the already-running scan, and surface through the observation API /
+    QueryExecutionListener in production.
+
+    The observed values and the filter's own output are returned together
+    as one row, pinned to an oracle that computes the same four numbers —
+    so the accumulator path itself is verified against plain SQL.
+    """
+    from pyspark.sql import Observation
+
+    li = load_table(spark, sf_dir, "lineitem")
+    obs = Observation("ingest_metrics")
+    observed = li.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_scanned"),
+        F.sum(F.col("l_quantity").cast("decimal(30,6)")).alias("qty_dec"),
+        F.count(F.when(F.col("l_shipdate").isNull(), 1)).alias(
+            "null_ship_dates"
+        ),
+    )
+    n_kept = (
+        observed.filter(F.col("l_discount") > 0.05)
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+        .collect()[0]["n_kept"]
+    )
+    m = obs.get
+    return spark.range(1).select(
+        F.lit(m["n_scanned"]).cast("long").alias("n_scanned"),
+        F.lit(float(m["qty_dec"])).cast("double").alias("total_qty"),
+        F.lit(m["null_ship_dates"]).cast("long").alias("null_ship_dates"),
+        F.lit(n_kept).cast("long").alias("n_kept"),
+    )
