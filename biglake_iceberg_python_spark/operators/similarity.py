@@ -728,3 +728,150 @@ def sim_ivf_index_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= _TOP_K)
         .select("qid", "cid", "label", "cosine", "rk")
     )
+
+
+_SEM_T = 0.5  # within-cluster cosine threshold for semantic duplicates
+
+
+@query(
+    "dedup_semantic_ivf",
+    oracle=f"""
+    WITH base AS (
+      SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings
+    ), v AS (
+      -- deterministic planted duplicates: every 50th vector re-enters the
+      -- corpus as an exact copy under a high id (paraphrase stand-in)
+      SELECT vec_id, ev FROM base
+      UNION ALL
+      SELECT vec_id + 1000000 AS vec_id, ev FROM base WHERE vec_id % 50 = 0
+    ), comp AS (
+      SELECT vec_id % {_IVF_K} AS list_id,
+             generate_subscripts(ev, 1) AS dim,
+             unnest(ev) AS comp
+      FROM v
+    ), cmean AS (
+      SELECT list_id, dim,
+             CAST(SUM(CAST(comp AS DECIMAL(30,12))) AS DOUBLE) / COUNT(*) AS m
+      FROM comp GROUP BY list_id, dim
+    ), cent AS (
+      SELECT list_id, list(m ORDER BY dim) AS cv FROM cmean GROUP BY list_id
+    ), dists AS (
+      SELECT v.vec_id, c.list_id,
+             list_dot_product(v.ev, v.ev)
+               - 2 * list_dot_product(v.ev, c.cv)
+               + list_dot_product(c.cv, c.cv) AS d2
+      FROM v CROSS JOIN cent c
+    ), ranked AS (
+      SELECT vec_id, list_id,
+             row_number() OVER (PARTITION BY vec_id ORDER BY d2, list_id) AS rk
+      FROM dists
+    ), assign AS (
+      SELECT vec_id, list_id FROM ranked WHERE rk = 1
+    ), av AS (
+      SELECT a.vec_id, a.list_id, v.ev FROM assign a JOIN v USING (vec_id)
+    ), pairs AS (
+      SELECT x.list_id, x.vec_id AS a, y.vec_id AS b
+      FROM av x JOIN av y
+        ON x.list_id = y.list_id AND x.vec_id < y.vec_id
+      WHERE list_dot_product(x.ev, y.ev)
+              / sqrt(list_dot_product(x.ev, x.ev)
+                     * list_dot_product(y.ev, y.ev)) >= {_SEM_T}
+    ), pruned AS (
+      SELECT list_id,
+             COUNT(*) AS n_dup_pairs,
+             COUNT(DISTINCT b) AS n_pruned
+      FROM pairs GROUP BY list_id
+    ), sizes AS (
+      SELECT list_id, COUNT(*) AS n_vectors FROM assign GROUP BY list_id
+    )
+    SELECT
+      s.list_id,
+      CAST(s.n_vectors AS BIGINT) AS n_vectors,
+      CAST(COALESCE(p.n_dup_pairs, 0) AS BIGINT) AS n_dup_pairs,
+      CAST(COALESCE(p.n_pruned, 0) AS BIGINT) AS n_pruned,
+      CAST(s.n_vectors - COALESCE(p.n_pruned, 0) AS DOUBLE) / s.n_vectors
+        AS keep_frac
+    FROM sizes s LEFT JOIN pruned p USING (list_id)
+    """,
+    tags=("llm", "similarity", "dedup", "semantic", "ivf"),
+)
+def dedup_semantic_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic pruning: cluster the embedding corpus with
+    the deterministic IVF codebook, then WITHIN each cluster flag vectors
+    whose cosine to a lower-id cluster-mate exceeds the threshold — the
+    keep-one-per-semantic-group pass that removes paraphrases and
+    re-encodings exact hashing misses. Per-cluster accounting (vectors,
+    duplicate pairs, pruned count, keep fraction) is the dataset-card
+    number SemDeDup reports.
+
+    Scale shape: the pair join is CLUSTER-SCOPED — |cluster|² per list,
+    never corpus² — which is the entire point of clustering first; a
+    production run caps cluster sizes (recluster oversized lists with
+    k'>k, exactly as the SemDeDup paper does) so the quadratic term is
+    bounded by design. Assignment is the IVF map-side argmin; exact
+    cosines make the whole pipeline DuckDB-hash-checkable.
+
+    The synthetic corpus has no natural semantic duplicates (max
+    within-cluster cosine ≈ 0.45), so the operator PLANTS them
+    deterministically in-query — every 50th vector re-enters as an exact
+    copy under a high id (the injected-duplicates trick from streaming
+    dedup and PII redaction, applied to vectors) — and must then prune
+    exactly the planted set, which the oracle verifies cluster by
+    cluster.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    base = e.select("vec_id", _as_double("embedding").alias("ev"))
+    v = base.unionByName(
+        base.filter(F.col("vec_id") % 50 == 0).select(
+            (F.col("vec_id") + 1000000).alias("vec_id"), "ev"
+        )
+    )
+    cent = _ivf_codebook(v.select("vec_id", "ev"))
+    assign = (
+        _ivf_rank(v, cent).filter(F.col("rk") == 1).select("vec_id", "list_id")
+    )
+    av = assign.join(v, "vec_id").localCheckpoint(eager=False)
+    x = av.select(
+        F.col("list_id"),
+        F.col("vec_id").alias("a"),
+        F.col("ev").alias("xa"),
+    )
+    y = av.select(
+        F.col("list_id"),
+        F.col("vec_id").alias("b"),
+        F.col("ev").alias("xb"),
+    )
+    cos = _dot(F.col("xa"), F.col("xb")) / F.sqrt(
+        _dot(F.col("xa"), F.col("xa")) * _dot(F.col("xb"), F.col("xb"))
+    )
+    pairs = (
+        x.join(y, "list_id")
+        .filter(F.col("a") < F.col("b"))
+        .filter(cos >= _SEM_T)
+        .select("list_id", "a", "b")
+    )
+    pruned = pairs.groupBy("list_id").agg(
+        F.count(F.lit(1)).alias("n_dup_pairs"),
+        F.count_distinct("b").alias("n_pruned"),
+    )
+    sizes = assign.groupBy("list_id").agg(F.count(F.lit(1)).alias("n_vectors"))
+    return (
+        sizes.join(pruned, "list_id", "left")
+        .select(
+            "list_id",
+            F.col("n_vectors").cast("long").alias("n_vectors"),
+            F.coalesce(F.col("n_dup_pairs"), F.lit(0))
+            .cast("long")
+            .alias("n_dup_pairs"),
+            F.coalesce(F.col("n_pruned"), F.lit(0))
+            .cast("long")
+            .alias("n_pruned"),
+            (
+                (
+                    F.col("n_vectors")
+                    - F.coalesce(F.col("n_pruned"), F.lit(0))
+                ).cast("double")
+                / F.col("n_vectors")
+            ).alias("keep_frac"),
+        )
+    )
