@@ -476,3 +476,65 @@ def pipeline_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").alias("first_doc"),
         F.max("doc_id").alias("last_doc"),
     )
+
+
+_PAD_QUANT = 64  # sequence-length bucket width (tokens)
+
+
+@query(
+    "pack_padding_waste",
+    oracle=f"""
+    WITH t AS (
+      SELECT
+        len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tok
+      FROM documents
+    ), b AS (
+      SELECT
+        n_tok,
+        CAST(ceil(CAST(n_tok AS DOUBLE) / {_PAD_QUANT}) AS BIGINT)
+          * {_PAD_QUANT} AS bucket_len
+      FROM t WHERE n_tok > 0
+    )
+    SELECT
+      bucket_len,
+      CAST(COUNT(*) AS BIGINT) AS n_docs,
+      CAST(SUM(n_tok) AS BIGINT) AS real_tokens,
+      CAST(SUM(bucket_len - n_tok) AS BIGINT) AS padding_tokens,
+      CAST(SUM(bucket_len - n_tok) AS DOUBLE) / (COUNT(*) * bucket_len)
+        AS waste_frac
+    FROM b GROUP BY bucket_len
+    """,
+    tags=("llm", "pipeline", "batching", "padding"),
+)
+def pack_padding_waste(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-aware batching analysis: bucket documents by padded sequence
+    length (next multiple of {_PAD_QUANT} tokens) and account the padding
+    tokens each bucket would burn — the compute-waste metric that decides
+    between naive batching, length-bucketed batching, and full sequence
+    packing (pack_token_shards is the zero-waste endpoint of that
+    spectrum). waste_frac per bucket is exactly the fraction of FLOPs a
+    trainer would spend on pad tokens at that length.
+
+    Pure map-side integer arithmetic (ceil on an exact division, integer
+    sums) plus one bucket-keyed rollup — the same one-pass shape as every
+    corpus statistic here.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(F.filter(F.split("text", " "), lambda x: x != ""))
+    b = d.select(n_tok.alias("n_tok")).filter(F.col("n_tok") > 0).select(
+        "n_tok",
+        (
+            F.ceil(F.col("n_tok").cast("double") / _PAD_QUANT) * _PAD_QUANT
+        ).cast("long").alias("bucket_len"),
+    )
+    return b.groupBy("bucket_len").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("real_tokens"),
+        F.sum(F.col("bucket_len") - F.col("n_tok"))
+        .cast("long")
+        .alias("padding_tokens"),
+        (
+            F.sum(F.col("bucket_len") - F.col("n_tok")).cast("double")
+            / (F.count(F.lit(1)) * F.col("bucket_len"))
+        ).alias("waste_frac"),
+    )
