@@ -633,3 +633,94 @@ def text_bigram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+_ZIPF_RANKS = 200  # fit over the head of the frequency distribution
+
+
+@query(
+    "text_zipf_fit",
+    oracle=f"""
+    WITH cnt AS (
+      SELECT word, COUNT(*) AS c
+      FROM (
+        SELECT unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+          AS word
+        FROM documents
+      ) GROUP BY word
+    ), ranked AS (
+      SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, word) AS r FROM cnt
+    ), pts AS (
+      SELECT
+        CAST(round(1e6 * ln(r)) AS BIGINT) AS x,
+        CAST(round(1e6 * ln(c)) AS BIGINT) AS y
+      FROM ranked WHERE r <= {_ZIPF_RANKS}
+    ), s AS (
+      SELECT
+        CAST(COUNT(*) AS DECIMAL(38,0)) AS n,
+        CAST(SUM(x) AS DECIMAL(38,0)) AS sx,
+        CAST(SUM(y) AS DECIMAL(38,0)) AS sy,
+        CAST(SUM(x * y) AS DECIMAL(38,0)) AS sxy,
+        CAST(SUM(x * x) AS DECIMAL(38,0)) AS sxx
+      FROM pts
+    )
+    SELECT
+      CAST(n AS BIGINT) AS n_ranks,
+      CAST(sx AS BIGINT) AS sum_log_rank_micro,
+      CAST(sy AS BIGINT) AS sum_log_freq_micro,
+      CAST(CAST(n * sxy - sx * sy AS DOUBLE)
+           / CAST(n * sxx - sx * sx AS DOUBLE) AS DOUBLE) AS zipf_exponent
+    FROM s
+    """,
+    tags=("llm", "text", "zipf", "statistics"),
+)
+def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit over the corpus word-frequency head: the least-
+    squares slope of log-frequency against log-rank (the Zipf exponent,
+    ≈ −1 for natural language; strong deviation flags synthetic or
+    degenerate corpora — a cheap corpus-health check beside the quality
+    filters).
+
+    Exactness: the regression runs on integer micro-nat logs (the
+    text_lm_perplexity trick), with the normal-equation sums combined in
+    DECIMAL(38,0) so the products cannot overflow int64 in either engine;
+    only the final slope division is floating point — one IEEE op on
+    identical exact inputs. The rank window runs over the TYPE table,
+    never corpus rows.
+    """
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    cnt = (
+        d.select(F.explode(_words()).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    ranked = cnt.withColumn(
+        "r",
+        F.row_number().over(Window.orderBy(F.col("c").desc(), F.col("word"))),
+    ).filter(F.col("r") <= _ZIPF_RANKS)
+    pts = ranked.select(
+        F.round(F.lit(1e6) * F.log("r")).cast("long").alias("x"),
+        F.round(F.lit(1e6) * F.log("c")).cast("long").alias("y"),
+    )
+    s = pts.agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum("x").cast("decimal(38,0)").alias("sx"),
+        F.sum("y").cast("decimal(38,0)").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("decimal(38,0)").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("decimal(38,0)").alias("sxx"),
+    )
+    return s.select(
+        F.col("n").cast("long").alias("n_ranks"),
+        F.col("sx").cast("long").alias("sum_log_rank_micro"),
+        F.col("sy").cast("long").alias("sum_log_freq_micro"),
+        (
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+                "double"
+            )
+            / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+                "double"
+            )
+        ).alias("zipf_exponent"),
+    )
