@@ -755,3 +755,65 @@ def agg_session_window_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("sum_dec").cast("double").alias("sum_value"),
         )
     )
+
+
+@query(
+    "agg_weighted_median",
+    oracle="""
+    WITH w AS (
+      SELECT
+        l_returnflag,
+        l_extendedprice AS price,
+        CAST(l_quantity AS BIGINT) AS wt,
+        SUM(CAST(l_quantity AS BIGINT))
+          OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice, l_orderkey,
+                l_linenumber ROWS UNBOUNDED PRECEDING) AS cum_wt,
+        SUM(CAST(l_quantity AS BIGINT))
+          OVER (PARTITION BY l_returnflag) AS tot_wt
+      FROM lineitem
+    )
+    SELECT
+      l_returnflag,
+      CAST(MAX(tot_wt) AS BIGINT) AS total_weight,
+      CAST(MIN(CASE WHEN 2 * cum_wt >= tot_wt THEN price END) AS DOUBLE)
+        AS weighted_median_price
+    FROM w
+    GROUP BY l_returnflag
+    """,
+    tags=("agg", "percentile", "weighted"),
+)
+def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT weighted median per group — the statistic percentile_approx
+    and plain median can't express: each row counts with its weight
+    (price weighted by quantity), and the median is the first value whose
+    cumulative weight reaches half the total. The threshold test is the
+    integer cross-comparison 2·cum ≥ tot (no float division), and the
+    cumulative window's (price, orderkey, linenumber) ordering is a total
+    order, so both engines pick the identical row.
+
+    Scale shape: one exchange on the group key serves the cumulative
+    window, the total-weight window, and the final rollup (key-prefix
+    reuse); weights accumulate as exact int64.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    cum_w = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("l_extendedprice", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tot_w = Window.partitionBy("l_returnflag")
+    wt = F.col("l_quantity").cast("long")
+    w = li.select(
+        "l_returnflag",
+        F.col("l_extendedprice").alias("price"),
+        F.sum(wt).over(cum_w).alias("cum_wt"),
+        F.sum(wt).over(tot_w).alias("tot_wt"),
+    )
+    return w.groupBy("l_returnflag").agg(
+        F.max("tot_wt").cast("long").alias("total_weight"),
+        F.min(
+            F.when(2 * F.col("cum_wt") >= F.col("tot_wt"), F.col("price"))
+        )
+        .cast("double")
+        .alias("weighted_median_price"),
+    )

@@ -647,3 +647,71 @@ def join_hint_strategies(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_suppliers"),
         F.sum("s_acctbal").cast("double").alias("sum_acctbal"),
     )
+
+
+@query(
+    "join_asof_forward",
+    oracle="""
+    WITH w AS (
+      SELECT
+        user_id,
+        event_type,
+        ts,
+        first_value(CASE WHEN event_type = 'error' THEN ts END IGNORE NULLS)
+          OVER (PARTITION BY user_id ORDER BY ts
+                ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+          AS next_error_ts
+      FROM events
+    )
+    SELECT
+      user_id,
+      CAST(COUNT(*) FILTER (WHERE event_type = 'purchase') AS BIGINT)
+        AS n_purchases,
+      CAST(COUNT(CASE WHEN event_type = 'purchase'
+                      THEN next_error_ts END) AS BIGINT)
+        AS n_with_next_error,
+      MAX(CASE WHEN event_type = 'purchase'
+               THEN date_diff('second', ts, next_error_ts) END)
+        AS max_lead_s
+    FROM w
+    GROUP BY user_id
+    """,
+    tags=("join", "asof", "forward"),
+)
+def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join (nearest later match): for every purchase, the
+    next strictly-subsequent error by the same user — the attribution
+    direction (did this action precede a failure?), mirror of join_asof's
+    backward lookup. Same scalable re-expression: one shuffle on user_id
+    + an ordered window, here first(..., ignorenulls) over
+    1 FOLLOWING..UNBOUNDED FOLLOWING — no range join, no pair explosion,
+    and the SAME exchange serves the window and the final rollup.
+
+    Gap computed on second-truncated timestamps so both engines count
+    boundary crossings identically.
+    """
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts")
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    nxt = F.first(
+        F.when(F.col("event_type") == "error", F.col("ts")), ignorenulls=True
+    ).over(w)
+    lead = F.expr(
+        "timestampdiff(SECOND, date_trunc('second', ts),"
+        " date_trunc('second', next_error_ts))"
+    )
+    is_p = F.col("event_type") == "purchase"
+    return (
+        e.withColumn("next_error_ts", nxt)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.when(is_p, 1)).alias("n_purchases"),
+            F.count(F.when(is_p, F.col("next_error_ts"))).alias(
+                "n_with_next_error"
+            ),
+            F.max(F.when(is_p, lead)).alias("max_lead_s"),
+        )
+    )
