@@ -75,6 +75,49 @@ def _oracle_md5_bucket(expr: str, salt: str, mod: int) -> str:
     )
 
 
+def _cc_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node component labels by iterative min-label propagation over
+    the near-dup pair graph (see dedup_connected_components for the full
+    rationale); shared by the cluster rollup and the representative-
+    selection query."""
+    edges = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    sym = (
+        edges.union(edges.select(F.col("doc_b"), F.col("doc_a")))
+        .toDF("src", "dst")
+        .localCheckpoint()  # pair-gen plan runs once, not once per round
+    )
+    labels = sym.select(F.col("src").alias("node")).distinct().withColumn(
+        "label", F.col("node")
+    ).localCheckpoint()
+
+    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
+    for _ in range(_MAX_CC_ITERS):
+        nbr = (
+            sym.join(labels, sym.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_min"))
+        )
+        labels = (
+            labels.join(nbr, labels.node == nbr.src, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce("nbr_min", F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        cur_sum = labels.agg(F.sum("label")).collect()[0][0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    else:
+        raise RuntimeError(
+            f"label propagation did not converge in {_MAX_CC_ITERS} rounds"
+        )
+    return labels
+
+
 @query(
     "dedup_connected_components",
     oracle=f"""
@@ -115,42 +158,7 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     Oracle: DuckDB WITH RECURSIVE transitive closure over the same pairs —
     the structural ground truth the propagation must reproduce exactly.
     """
-    edges = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
-    sym = (
-        edges.union(edges.select(F.col("doc_b"), F.col("doc_a")))
-        .toDF("src", "dst")
-        .localCheckpoint()  # pair-gen plan runs once, not once per round
-    )
-    labels = sym.select(F.col("src").alias("node")).distinct().withColumn(
-        "label", F.col("node")
-    ).localCheckpoint()
-
-    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
-    for _ in range(_MAX_CC_ITERS):
-        nbr = (
-            sym.join(labels, sym.dst == labels.node)
-            .groupBy("src")
-            .agg(F.min("label").alias("nbr_min"))
-        )
-        labels = (
-            labels.join(nbr, labels.node == nbr.src, "left")
-            .select(
-                "node",
-                F.least(
-                    F.col("label"), F.coalesce("nbr_min", F.col("label"))
-                ).alias("label"),
-            )
-            .localCheckpoint()
-        )
-        cur_sum = labels.agg(F.sum("label")).collect()[0][0]
-        if cur_sum == prev_sum:
-            break
-        prev_sum = cur_sum
-    else:
-        raise RuntimeError(
-            f"label propagation did not converge in {_MAX_CC_ITERS} rounds"
-        )
-
+    labels = _cc_labels(spark, sf_dir)
     return labels.groupBy(F.col("label").alias("component_id")).agg(
         F.count(F.lit(1)).alias("n_members"),
         (F.count(F.lit(1)) - F.lit(1)).alias("n_removed"),
@@ -537,4 +545,80 @@ def pack_padding_waste(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("bucket_len") - F.col("n_tok")).cast("double")
             / (F.count(F.lit(1)) * F.col("bucket_len"))
         ).alias("waste_frac"),
+    )
+
+
+@query(
+    "dedup_cluster_representative",
+    oracle=f"""
+    WITH RECURSIVE pairs AS ({NEAR_DUP_PAIRS_SQL}),
+    sym AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION ALL
+      SELECT doc_b AS src, doc_a AS dst FROM pairs
+    ),
+    reach(a, b) AS (
+      SELECT src, src FROM sym
+      UNION
+      SELECT r.a, s.dst FROM reach r JOIN sym s ON s.src = r.b
+    ),
+    lab AS (SELECT a AS node, MIN(b) AS label FROM reach GROUP BY a),
+    scored AS (
+      SELECT l.label, l.node, d.n_chars,
+             ROW_NUMBER() OVER (PARTITION BY l.label
+                                ORDER BY d.n_chars DESC, l.node) AS rk
+      FROM lab l JOIN documents d ON d.doc_id = l.node
+    )
+    SELECT
+      CAST(label AS BIGINT) AS component_id,
+      CAST(COUNT(*) AS BIGINT) AS n_members,
+      CAST(MIN(CASE WHEN rk = 1 THEN node END) AS BIGINT) AS keep_doc_id,
+      CAST(MIN(CASE WHEN rk = 1 THEN n_chars END) AS BIGINT) AS keep_n_chars,
+      CAST(SUM(CASE WHEN rk > 1 THEN n_chars ELSE 0 END) AS BIGINT)
+        AS chars_removed
+    FROM scored GROUP BY label
+    """,
+    tags=("llm", "dedup", "graph", "iterative", "representative"),
+)
+def dedup_cluster_representative(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-document selection per duplicate cluster: dedup policy is
+    not just WHICH docs are duplicates (dedup_connected_components) but
+    WHICH COPY SURVIVES — here the longest document (richest version of
+    the duplicated content, the common corpus-construction choice), with
+    doc_id as the deterministic tiebreak, plus the bytes a drop of the
+    rest reclaims. Swapping the ORDER BY swaps the policy (lowest
+    perplexity, newest crawl, preferred domain) without touching the
+    cluster machinery.
+
+    Clusters come from the shared iterative label propagation
+    (_cc_labels); the selection itself is one window over the cluster-
+    labeled doc list — O(cluster members), never corpus-wide. The oracle
+    extends the recursive-closure ground truth with the same argmax.
+    """
+    from biglake_iceberg_python_spark.sources.tables import load_table as _lt
+
+    labels = _cc_labels(spark, sf_dir)
+    d = _lt(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    scored = labels.join(d, labels.node == d.doc_id).select(
+        "label", "node", "n_chars"
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("label").orderBy(
+        F.col("n_chars").desc(), F.col("node")
+    )
+    ranked = scored.withColumn("rk", F.row_number().over(w))
+    return ranked.groupBy(F.col("label").alias("component_id")).agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.min(F.when(F.col("rk") == 1, F.col("node")))
+        .cast("long")
+        .alias("keep_doc_id"),
+        F.min(F.when(F.col("rk") == 1, F.col("n_chars")))
+        .cast("long")
+        .alias("keep_n_chars"),
+        F.coalesce(
+            F.sum(F.when(F.col("rk") > 1, F.col("n_chars"))), F.lit(0)
+        )
+        .cast("long")
+        .alias("chars_removed"),
     )
