@@ -1216,3 +1216,50 @@ def lakehouse_mor_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint(eager=True)
         )
         return mor.join(compacted, "o_orderstatus")
+
+
+@query(
+    "lakehouse_rollback",
+    oracle="""
+    SELECT
+      CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT)
+        AS rows_after_rollback,
+      CAST(COUNT(*) FILTER (WHERE o_orderstatus IN ('F', 'O')) AS BIGINT)
+        AS rows_before_rollback,
+      CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS BIGINT)
+        AS rows_bad_still_readable,
+      CAST(3 AS BIGINT) AS n_snapshots
+    FROM orders
+    """,
+    tags=("lakehouse", "rollback", "maintenance"),
+)
+def lakehouse_rollback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot ROLLBACK (Iceberg's rollback_to_snapshot): v1 loads 'F'
+    orders, v2 appends 'O' orders — the \"bad write\" — and the rollback
+    commits v3 pointing at v1's data: current reads instantly see the
+    pre-mistake table, as a pure metadata move (no data rewritten), while
+    the bad snapshot REMAINS time-travel readable for forensics (its
+    incremental delta is still exactly the 'O' rows) until expiry
+    reclaims it. The metadata log holds three commits — load, bad write,
+    rollback — which the oracle's count columns pin against the source
+    table.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    with tempfile.TemporaryDirectory(prefix="lh_rb_") as root:
+        t = SnapshotTable(spark, root)
+        v1 = t.write(o.filter(F.col("o_orderstatus") == "F"), mode="append")
+        v2 = t.write(o.filter(F.col("o_orderstatus") == "O"), mode="append")
+        t.rollback(v1)
+        row = spark.range(1).select(
+            F.lit(t.read().count()).cast("long").alias("rows_after_rollback"),
+            F.lit(t.read(v2).count()).cast("long").alias(
+                "rows_before_rollback"
+            ),
+            F.lit(t.read_incremental(v1, v2).count()).cast("long").alias(
+                "rows_bad_still_readable"
+            ),
+            F.lit(t.metadata_log_entries().count())
+            .cast("long")
+            .alias("n_snapshots"),
+        )
+        return row.localCheckpoint(eager=True)

@@ -413,6 +413,32 @@ class SnapshotTable:
         self._commit(log, entry)
         return snap_id
 
+    def rollback(self, snapshot_id: int) -> int:
+        """Iceberg's ``rollback_to_snapshot``: make an OLD snapshot the
+        current table state by committing a NEW snapshot that points at
+        the old one's data — a pure metadata move that undoes bad writes
+        instantly while preserving the full history (the bad snapshots
+        stay readable for forensics until expiry; contrast with expiry,
+        which destroys history)."""
+        log = self._read_log()
+        target = next(
+            (e for e in log if e["snapshot_id"] == snapshot_id), None
+        )
+        if target is None:
+            raise ValueError(f"no snapshot {snapshot_id} to roll back to")
+        entry = {
+            "snapshot_id": (log[-1]["snapshot_id"] + 1),
+            "operation": "rollback",
+            "data_dirs": target["data_dirs"],
+            "added_dir": target["added_dir"],
+            "dir_seq": self._dir_seq(target),
+            "rolled_back_to": snapshot_id,
+        }
+        if target.get("deletes"):
+            entry["deletes"] = target["deletes"]
+        self._commit(log, entry)
+        return entry["snapshot_id"]
+
     def rewrite_mor(self) -> int:
         """Compaction for merge-on-read: materialize the delete-applied
         view as one overwrite commit, clearing accumulated delete files —
