@@ -628,3 +628,26 @@ def test_mor_delete_sequence_scoping(spark, tmp_path):
     t.rewrite_mor()
     assert sorted(map(tuple, t.read().collect())) == before
     t.scan_where("id", 0, 100)  # allowed again after compaction
+
+
+def test_rollback_semantics(spark, tmp_path):
+    """Rollback commits a new head pointing at old data: current reads see
+    the old version, the rolled-back-over snapshot stays readable, and an
+    unknown target raises."""
+    import pytest as _pytest
+
+    from biglake_iceberg_python_spark.lakehouse.snapshots import SnapshotTable
+
+    t = SnapshotTable(spark, str(tmp_path / "rb_tbl"))
+    v1 = t.write(spark.range(5).selectExpr("id"), mode="append")
+    v2 = t.write(spark.range(5, 9).selectExpr("id"), mode="append")
+    v3 = t.rollback(v1)
+    assert v3 == v2 + 1
+    assert t.read().count() == 5          # head shows v1's data
+    assert t.read(v2).count() == 9        # bad write still readable
+    assert t.current_snapshot_id() == v3
+    # writes continue from the rolled-back state
+    t.write(spark.range(100, 102).selectExpr("id"), mode="append")
+    assert t.read().count() == 7
+    with _pytest.raises(ValueError, match="roll back"):
+        t.rollback(999)
