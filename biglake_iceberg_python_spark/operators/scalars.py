@@ -382,3 +382,64 @@ def scalar_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "scalar_bitwise",
+    oracle="""
+    SELECT
+      o_orderpriority,
+      CAST(BIT_AND(o_orderkey) AS BIGINT) AS and_key,
+      CAST(BIT_OR(o_orderkey) AS BIGINT) AS or_key,
+      CAST(BIT_XOR(o_orderkey) AS BIGINT) AS xor_key,
+      CAST(SUM(o_orderkey & 255) AS BIGINT) AS sum_low_byte,
+      CAST(SUM(o_orderkey >> 4) AS BIGINT) AS sum_shifted
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+    tags=("scalar", "bitwise"),
+)
+def scalar_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise battery: BIT_AND/OR/XOR aggregates plus masking and shift
+    scalars — the bit-manipulation layer under flag packing, bloom/bucket
+    hashing, and the Z-order interleave (lakehouse_zorder_layout composes
+    these). All integer ops, so both engines agree exactly.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.bit_and("o_orderkey").alias("and_key"),
+        F.bit_or("o_orderkey").alias("or_key"),
+        F.bit_xor("o_orderkey").alias("xor_key"),
+        F.sum(F.col("o_orderkey").bitwiseAND(F.lit(255)))
+        .cast("long")
+        .alias("sum_low_byte"),
+        F.sum(F.shiftright("o_orderkey", 4)).cast("long").alias("sum_shifted"),
+    )
+
+
+@query(
+    "agg_boolean",
+    oracle="""
+    SELECT
+      l_returnflag,
+      BOOL_AND(l_quantity > 0) AS all_positive_qty,
+      BOOL_OR(l_discount > 0.09) AS any_deep_discount,
+      CAST(COUNT_IF(l_tax = 0) AS BIGINT) AS n_tax_free,
+      CAST(COUNT_IF(l_extendedprice > 50000) AS BIGINT) AS n_large
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    tags=("agg", "boolean"),
+)
+def agg_boolean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean aggregate battery: every/any (BOOL_AND/BOOL_OR) and
+    count_if — the assertion layer of data-quality SQL (ALL rows satisfy
+    X / ANY row violates Y), map-side combinable like any other aggregate.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.every(F.col("l_quantity") > 0).alias("all_positive_qty"),
+        F.some(F.col("l_discount") > 0.09).alias("any_deep_discount"),
+        F.count_if(F.col("l_tax") == 0).alias("n_tax_free"),
+        F.count_if(F.col("l_extendedprice") > 50000).alias("n_large"),
+    )
