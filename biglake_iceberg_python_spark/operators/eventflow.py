@@ -470,3 +470,77 @@ def agg_sketch_merge_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_days"),
         )
     )
+
+
+@query(
+    "events_trend_slope",
+    oracle="""
+    WITH pts AS (
+      SELECT
+        event_type,
+        date_diff('second', TIMESTAMP '2024-01-01 00:00:00',
+                  date_trunc('second', ts)) AS x,
+        CAST(round(value * 100) AS BIGINT) AS y
+      FROM events
+    ), s AS (
+      SELECT
+        event_type,
+        CAST(COUNT(*) AS DECIMAL(38,0)) AS n,
+        CAST(SUM(x) AS DECIMAL(38,0)) AS sx,
+        CAST(SUM(y) AS DECIMAL(38,0)) AS sy,
+        CAST(SUM(CAST(x AS DECIMAL(38,0)) * y) AS DECIMAL(38,0)) AS sxy,
+        CAST(SUM(CAST(x AS DECIMAL(38,0)) * x) AS DECIMAL(38,0)) AS sxx
+      FROM pts GROUP BY event_type
+    )
+    SELECT
+      event_type,
+      CAST(n AS BIGINT) AS n_events,
+      CAST(CAST(n * sxy - sx * sy AS DOUBLE)
+           / CAST(n * sxx - sx * sx AS DOUBLE) AS DOUBLE)
+        AS slope_cents_per_s
+    FROM s
+    """,
+    tags=("events", "timeseries", "regression", "trend"),
+)
+def events_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type linear trend of event value over time — the metric-drift
+    detector (is purchase value creeping up? error cost growing?) that
+    complements the z-score anomaly pass: least-squares slope in
+    cents-per-second from the normal equations.
+
+    Exactness: x is integer seconds since the corpus epoch, y integer
+    cents (the 2-decimal money values scale exactly); all five regression
+    sums accumulate in DECIMAL(38,0), so the only floating-point op is
+    the final slope division on identical exact inputs — the
+    text_zipf_fit discipline applied per group. One map-side-combined
+    shuffle on event_type.
+    """
+    e = load_table(spark, sf_dir, "events")
+    pts = e.select(
+        "event_type",
+        F.expr(
+            "timestampdiff(SECOND, TIMESTAMP_NTZ '2024-01-01 00:00:00',"
+            " date_trunc('second', ts))"
+        ).alias("x"),
+        F.round(F.col("value") * 100).cast("long").alias("y"),
+    )
+    xd = F.col("x").cast("decimal(38,0)")
+    s = pts.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum("x").cast("decimal(38,0)").alias("sx"),
+        F.sum("y").cast("decimal(38,0)").alias("sy"),
+        F.sum(xd * F.col("y")).cast("decimal(38,0)").alias("sxy"),
+        F.sum(xd * F.col("x")).cast("decimal(38,0)").alias("sxx"),
+    )
+    return s.select(
+        "event_type",
+        F.col("n").cast("long").alias("n_events"),
+        (
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+                "double"
+            )
+            / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+                "double"
+            )
+        ).alias("slope_cents_per_s"),
+    )
