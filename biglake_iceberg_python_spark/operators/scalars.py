@@ -443,3 +443,54 @@ def agg_boolean(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_if(F.col("l_tax") == 0).alias("n_tax_free"),
         F.count_if(F.col("l_extendedprice") > 50000).alias("n_large"),
     )
+
+
+@query(
+    "scalar_collation",
+    oracle="""
+    WITH mixed AS (
+      SELECT
+        CASE WHEN doc_id % 2 = 0 THEN upper(source) ELSE source END AS s,
+        n_chars
+      FROM documents
+    )
+    SELECT
+      min(s) AS group_key,
+      CAST(COUNT(*) AS BIGINT) AS n_docs,
+      CAST(COUNT(DISTINCT s) AS BIGINT) AS n_case_variants,
+      CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM mixed
+    GROUP BY lower(s)
+    """,
+    tags=("scalar", "collation", "string"),
+)
+def scalar_collation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 COLLATION support: grouping under the UTF8_LCASE collation
+    merges case variants at the COMPARISON level — no lower() rewrite of
+    the data, the engine's equality/hash itself becomes case-insensitive
+    (the upgrade path for systems that scatter lower() across every
+    predicate). Case diversity is injected deterministically (every even
+    doc upper-cases its source), and the group key is reported via the
+    binary MIN so output is deterministic even though the collated
+    representative is not. The DuckDB twin groups by lower() — for ASCII
+    the two equalities must coincide exactly.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    mixed = d.select(
+        F.when(F.col("doc_id") % 2 == 0, F.upper("source"))
+        .otherwise(F.col("source"))
+        .alias("s"),
+        "n_chars",
+    )
+    return (
+        mixed.groupBy(F.collate("s", "UTF8_LCASE").alias("ck"))
+        .agg(
+            F.min(F.col("s").cast("string")).alias("group_key"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count_distinct(F.col("s").cast("string")).alias(
+                "n_case_variants"
+            ),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+        .drop("ck")
+    )
