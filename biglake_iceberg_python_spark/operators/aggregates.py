@@ -817,3 +817,77 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("weighted_median_price"),
     )
+
+
+@query(
+    "agg_listagg",
+    oracle="""
+    SELECT
+      o_orderpriority,
+      string_agg(DISTINCT o_orderstatus, ',' ORDER BY o_orderstatus)
+        AS statuses,
+      CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+    tags=("agg", "listagg", "string"),
+)
+def agg_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (Spark 4 LISTAGG ... WITHIN GROUP): the
+    SQL-standard way to fold a group's values into one delimited string —
+    WITHOUT the WITHIN GROUP ordering the fold order is partition-
+    dependent and the result nondeterministic, which is why the ordered
+    form is the only one registered here (same reason collect_list is
+    always wrapped in array_sort elsewhere in this repo).
+    """
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.expr(
+            "listagg(DISTINCT o_orderstatus, ',')"
+            " WITHIN GROUP (ORDER BY o_orderstatus)"
+        ).alias("statuses"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+@query(
+    "scalar_try_arithmetic",
+    oracle="""
+    SELECT
+      l_returnflag,
+      CAST(COUNT(*) FILTER (
+        WHERE l_discount = 0
+      ) AS BIGINT) AS n_null_ratio,
+      CAST(SUM(CASE WHEN l_discount <> 0
+                    THEN CAST(round(l_extendedprice / l_discount, 2)
+                              AS DECIMAL(30,6)) END)
+           AS DOUBLE) AS sum_price_per_discount,
+      CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    tags=("scalar", "ansi", "try-arithmetic"),
+)
+def scalar_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI-safe arithmetic: Spark 4 runs with ANSI mode ON by default,
+    so x/0 and overflow RAISE instead of returning NULL/wrapping — the
+    ``try_`` function family (try_divide here) restores the permissive
+    per-row behavior exactly where the query author opts in, turning
+    division by a zero discount into NULL instead of failing the job at
+    row 40-billion of a 100 TB scan. The rollup counts the NULLs (the
+    rows a non-try division would have killed) and sums the survivors.
+
+    Rounding to 2 decimals happens per row BEFORE the sum, and the sum
+    accumulates in DECIMAL(30,6) (the repo's order-independence
+    convention), so both engines aggregate identical values under any
+    partitioning.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    ratio = F.round(F.try_divide(F.col("l_extendedprice"), F.col("l_discount")), 2)
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.when(ratio.isNull(), 1)).alias("n_null_ratio"),
+        F.sum(ratio.cast("decimal(30,6)"))
+        .cast("double")
+        .alias("sum_price_per_discount"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
