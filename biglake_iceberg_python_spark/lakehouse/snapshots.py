@@ -96,6 +96,12 @@ class SnapshotTable:
         for _ in range(self._MAX_COMMIT_RETRIES):
             log = self._read_log()
             refs = self._read_refs()
+            # An EXPLICIT branch must exist even before any ref does —
+            # write(branch='typo') on a fresh table is an error, not a
+            # silent main-line commit. 'main' is the one implicit ref
+            # (Iceberg: main always exists).
+            if branch is not None and not refs and branch != "main":
+                raise ValueError(f"unknown ref {branch!r}")
             use_branch = branch or ("main" if refs else None)
             if use_branch is not None and refs:
                 if use_branch not in refs:
@@ -302,7 +308,10 @@ class SnapshotTable:
         log = self._read_log()
         if not log:
             raise ValueError("table has no snapshots")
-        if log[-1].get("deletes"):
+        head = self._head_entry(log)
+        if head is None:
+            raise ValueError("main ref points at an expired snapshot")
+        if head.get("deletes"):
             raise ValueError(
                 "scan_where over merge-on-read delete files is unsupported: "
                 "stats pruning cannot see delete-file tombstones — run "
@@ -312,7 +321,7 @@ class SnapshotTable:
             e["added_dir"]: e.get("stats") for e in log
         }
         dirs = []
-        for d in log[-1]["data_dirs"]:
+        for d in head["data_dirs"]:
             s = (stats_by_dir.get(d) or {}).get(column)
             if s is None or not (s[1] < lower or s[0] >= upper):
                 dirs.append(d)
@@ -397,10 +406,13 @@ class SnapshotTable:
         )
         keys.write.mode("errorifexists").parquet(del_dir)
         log = self._read_log()
-        if (log[-1]["snapshot_id"] if log else 0) != base:
+        refs = self._read_refs()
+        # Anchor on the MAIN head, not the log tail — a branch commit at
+        # the tail must not become the parent of a main-line delete.
+        head = self._head_entry(log, refs)
+        if (head["snapshot_id"] if head else 0) != base:
             raise CommitConflictError("table moved during MOR delete")
-        head = log[-1]
-        snap_id = head["snapshot_id"] + 1
+        snap_id = log[-1]["snapshot_id"] + 1
         entry = {
             "snapshot_id": snap_id,
             "operation": "mor_delete",
@@ -410,7 +422,12 @@ class SnapshotTable:
             "deletes": head.get("deletes", [])
             + [{"dir": del_dir, "cols": eq_cols, "seq": snap_id}],
         }
+        if refs:
+            entry["branch"] = "main"
         self._commit(log, entry)
+        if refs:
+            refs["main"] = {"type": "branch", "snapshot_id": snap_id}
+            self._write_refs(refs)
         return snap_id
 
     def rollback(self, snapshot_id: int) -> int:
@@ -421,6 +438,7 @@ class SnapshotTable:
         stay readable for forensics until expiry; contrast with expiry,
         which destroys history)."""
         log = self._read_log()
+        refs = self._read_refs()
         target = next(
             (e for e in log if e["snapshot_id"] == snapshot_id), None
         )
@@ -436,7 +454,15 @@ class SnapshotTable:
         }
         if target.get("deletes"):
             entry["deletes"] = target["deletes"]
+        if refs:
+            entry["branch"] = "main"
         self._commit(log, entry)
+        if refs:
+            refs["main"] = {
+                "type": "branch",
+                "snapshot_id": entry["snapshot_id"],
+            }
+            self._write_refs(refs)
         return entry["snapshot_id"]
 
     def rewrite_mor(self) -> int:
@@ -482,14 +508,31 @@ class SnapshotTable:
 
     # -- reads --
 
+    def _head_entry(self, log: list[dict], refs: dict | None = None):
+        """Resolve the DEFAULT head entry. Branch commits append to the
+        shared log, so once refs exist the head is ``refs['main']`` — never
+        the log tail — or a plain read() after any write(branch=...) would
+        leak the branch's data into main (Iceberg's default-to-main
+        semantics). Ref-less tables keep the cheap tail resolution."""
+        if refs is None:
+            refs = self._read_refs()
+        if refs and "main" in refs:
+            head_id = refs["main"]["snapshot_id"]
+            return next(
+                (e for e in log if e["snapshot_id"] == head_id), None
+            )
+        return log[-1] if log else None
+
     def read(self, snapshot_id: int | None = None) -> DataFrame:
-        """Read latest, or time-travel to ``snapshot_id`` (the analog of
-        Iceberg's VERSION AS OF)."""
+        """Read latest (the ``main`` head once refs exist), or time-travel
+        to ``snapshot_id`` (the analog of Iceberg's VERSION AS OF)."""
         log = self._read_log()
         if not log:
             raise ValueError("table has no snapshots")
         if snapshot_id is None:
-            entry = log[-1]
+            entry = self._head_entry(log)
+            if entry is None:
+                raise ValueError("main ref points at an expired snapshot")
         else:
             matches = [e for e in log if e["snapshot_id"] == snapshot_id]
             if not matches:
@@ -540,12 +583,13 @@ class SnapshotTable:
         """The metadata log as a DataFrame — the analog of the reference's
         ``SELECT * FROM t.metadata_log_entries`` (notebook cell 11)."""
         log = self._read_log()
+        head = self._head_entry(log)
         rows = [
             Row(
                 snapshot_id=e["snapshot_id"],
                 operation=e["operation"],
                 n_data_dirs=len(e["data_dirs"]),
-                is_current=(e is log[-1]),
+                is_current=(e is head),
             )
             for e in log
         ]
@@ -605,8 +649,11 @@ class SnapshotTable:
         return {"expired": len(dropped), "dirs_removed": len(dead)}
 
     def current_snapshot_id(self) -> int:
+        """Id of the default head — ``refs['main']`` once refs exist (see
+        :meth:`_head_entry`), else the log tail."""
         log = self._read_log()
-        return log[-1]["snapshot_id"] if log else 0
+        head = self._head_entry(log)
+        return head["snapshot_id"] if head else 0
 
     # -- log IO (driver-side, O(snapshots)) --
 

@@ -859,7 +859,8 @@ def agg_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE l_discount = 0
       ) AS BIGINT) AS n_null_ratio,
       CAST(SUM(CASE WHEN l_discount <> 0
-                    THEN CAST(round(l_extendedprice / l_discount, 2)
+                    THEN CAST(round(CAST(l_extendedprice / l_discount
+                                         AS DECIMAL(30,8)), 2)
                               AS DECIMAL(30,6)) END)
            AS DOUBLE) AS sum_price_per_discount,
       CAST(COUNT(*) AS BIGINT) AS n_rows
@@ -880,10 +881,20 @@ def scalar_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
     Rounding to 2 decimals happens per row BEFORE the sum, and the sum
     accumulates in DECIMAL(30,6) (the repo's order-independence
     convention), so both engines aggregate identical values under any
-    partitioning.
+    partitioning. The per-row round goes through DECIMAL(30,8): quotients
+    of 2-decimal prices by 2-decimal discounts can terminate exactly on a
+    halfway boundary (0.01/0.08 = 0.125), where round() on a raw DOUBLE is
+    oracle-version-dependent — terminating quotients have ≤4 fractional
+    digits, so the DECIMAL(30,8) cast is exact and the halfway decision is
+    decimal-exact in both engines.
     """
     li = load_table(spark, sf_dir, "lineitem")
-    ratio = F.round(F.try_divide(F.col("l_extendedprice"), F.col("l_discount")), 2)
+    ratio = F.round(
+        F.try_divide(F.col("l_extendedprice"), F.col("l_discount")).cast(
+            "decimal(30,8)"
+        ),
+        2,
+    )
     return li.groupBy("l_returnflag").agg(
         F.count(F.when(ratio.isNull(), 1)).alias("n_null_ratio"),
         F.sum(ratio.cast("decimal(30,6)"))

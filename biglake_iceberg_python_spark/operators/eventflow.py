@@ -480,7 +480,7 @@ def agg_sketch_merge_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         event_type,
         date_diff('second', TIMESTAMP '2024-01-01 00:00:00',
                   date_trunc('second', ts)) AS x,
-        CAST(round(value * 100) AS BIGINT) AS y
+        CAST(round(CAST(value AS DECIMAL(18,2)) * 100) AS BIGINT) AS y
       FROM events
     ), s AS (
       SELECT
@@ -522,7 +522,9 @@ def events_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
             "timestampdiff(SECOND, TIMESTAMP_NTZ '2024-01-01 00:00:00',"
             " date_trunc('second', ts))"
         ).alias("x"),
-        F.round(F.col("value") * 100).cast("long").alias("y"),
+        # value is 2-decimal-aligned; deciding the ×100 integerization on
+        # DECIMAL keeps it oracle-version-independent (see scalar_math).
+        F.round(F.col("value").cast("decimal(18,2)") * 100).cast("long").alias("y"),
     )
     xd = F.col("x").cast("decimal(38,0)")
     s = pts.groupBy("event_type").agg(

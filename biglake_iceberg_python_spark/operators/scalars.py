@@ -133,7 +133,8 @@ def scalar_datetime_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT
       l_orderkey,
       l_linenumber,
-      round(l_extendedprice, 1) AS price_round1,
+      CAST(round(CAST(l_extendedprice AS DECIMAL(18,2)), 1) AS DOUBLE)
+        AS price_round1,
       abs(l_discount - 0.05) AS disc_dev,
       ceil(l_quantity / 7) AS qty_ceil,
       floor(l_extendedprice / 1000) AS price_kfloor,
@@ -147,14 +148,25 @@ def scalar_datetime_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("scalar", "math"),
 )
 def scalar_math(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Math battery: round/abs/ceil/floor/pow/ln/sqrt/mod — all IEEE-double
-    ops with identical results in both engines (libm ln/sqrt/pow are
-    correctly-rounded for these inputs)."""
+    """Math battery: round/abs/ceil/floor/pow/ln/sqrt/mod.
+
+    The round() goes through DECIMAL(18,2) first: rounding a raw DOUBLE at a
+    decimal boundary is oracle-VERSION-dependent (a price of 26612.55 is
+    binary ≈26612.549999999999, and engines disagree on whether to round the
+    shortest decimal repr half-up or truncate the true binary value — this
+    was round 3's one driver-red row). Deciding the halfway case on an exact
+    decimal, then casting back to DOUBLE, is deterministic in both engines.
+    The other columns (abs/ceil/floor/pow/ln/sqrt/mod) are away from decimal
+    boundaries for these inputs and compare exactly at the harness's 12
+    significant digits.
+    """
     li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 50 == 0)
     return li.select(
         "l_orderkey",
         "l_linenumber",
-        F.round("l_extendedprice", 1).alias("price_round1"),
+        F.round(F.col("l_extendedprice").cast("decimal(18,2)"), 1)
+        .cast("double")
+        .alias("price_round1"),
         F.abs(F.col("l_discount") - 0.05).alias("disc_dev"),
         F.ceil(F.col("l_quantity") / 7).alias("qty_ceil"),
         F.floor(F.col("l_extendedprice") / 1000).alias("price_kfloor"),

@@ -651,3 +651,51 @@ def test_rollback_semantics(spark, tmp_path):
     assert t.read().count() == 7
     with _pytest.raises(ValueError, match="roll back"):
         t.rollback(999)
+
+
+def test_branch_isolation_of_default_reads(spark, tmp_path):
+    """Round-4 ADVICE regressions: branch commits share the log, so the
+    DEFAULT head (plain read / current_snapshot_id / row-level ops /
+    rollback) must resolve through refs['main'], never the log tail; and
+    an explicitly named branch must exist even before any ref does."""
+    import pytest as _pytest
+
+    from biglake_iceberg_python_spark.lakehouse.snapshots import SnapshotTable
+
+    # -- explicit unknown branch on a fresh (ref-less) table raises
+    t0 = SnapshotTable(spark, str(tmp_path / "fresh_tbl"))
+    with _pytest.raises(ValueError, match="unknown ref"):
+        t0.write(spark.range(3).selectExpr("id"), branch="typo")
+    # 'main' is the one implicit ref: writing to it ref-less is a plain write
+    t0.write(spark.range(3).selectExpr("id"), branch="main")
+    assert t0.read().count() == 3
+
+    # -- after a branch commit, plain read() still sees main's data
+    t = SnapshotTable(spark, str(tmp_path / "iso_tbl"))
+    t.write(spark.range(5).selectExpr("id", "id * 2 AS v"))
+    t.create_branch("wip")
+    t.write(spark.range(100, 120).selectExpr("id", "id * 2 AS v"), branch="wip")
+    main_head = t.current_snapshot_id()
+    assert t.read().count() == 5                       # not 25
+    assert t.read_ref("main").count() == 5
+    assert t.read_ref("wip").count() == 25
+    assert t.metadata_log_entries().filter(
+        "is_current"
+    ).collect()[0].snapshot_id == main_head
+
+    # -- row-level ops anchor on main, not the branch tail
+    t.update_where(F.col("id") == 0, {"v": F.lit(999)})
+    assert [r.v for r in t.read().filter("id = 0").collect()] == [999]
+    assert t.read().count() == 5
+    assert t.read_ref("wip").count() == 25             # branch untouched
+    t.delete_where_mor(F.col("id") == 1, ["id"])
+    assert t.read().count() == 4
+    assert t.read_ref("wip").count() == 25
+
+    # -- rollback advances the main ref, and the branch still isn't visible
+    pre = t.current_snapshot_id()
+    t.write(spark.range(50, 53).selectExpr("id", "id * 2 AS v"))
+    t.rollback(pre)
+    assert t.read().count() == 4
+    assert t.current_snapshot_id() > pre               # new head entry
+    assert t.read_ref("wip").count() == 25

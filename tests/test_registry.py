@@ -30,3 +30,44 @@ def test_every_spec_is_well_formed():
     for name, spec in load_all().items():
         assert callable(spec.fn), name
         assert spec.oracle is None or isinstance(spec.oracle, str), name
+
+
+# round() on an irrational value (ln of an integer count) is never
+# decimal-aligned, so the halfway boundary that makes raw-DOUBLE rounding
+# oracle-version-dependent is measure-zero there — unlike prices/ratios,
+# which land exactly on x.xx5 boundaries. These two quantize 1e6*ln(n) to
+# BIGINT precisely to absorb libm ulp drift; a decimal cast would not change
+# their behavior at any boundary they can actually hit.
+_RAW_ROUND_EXEMPT = {"text_lm_perplexity", "text_zipf_fit"}
+
+
+def _round_args(sql: str):
+    """Yield the balanced-paren argument text of each round( call."""
+    import re
+
+    for m in re.finditer(r"\bround\s*\(", sql, re.IGNORECASE):
+        depth, start = 1, m.end()
+        i = start
+        while i < len(sql) and depth:
+            if sql[i] == "(":
+                depth += 1
+            elif sql[i] == ")":
+                depth -= 1
+            i += 1
+        yield sql[start : i - 1]
+
+
+def test_no_oracle_rounds_a_raw_double():
+    """Round 3's one driver-red row was round() on a raw DOUBLE whose value
+    sat on an exact decimal halfway boundary — engines disagree on those by
+    version. Every oracle round() must therefore decide the halfway case on
+    DECIMAL (an `AS DECIMAL` cast inside the argument), except the
+    documented irrational-value quantizers above."""
+    offenders = []
+    for name, spec in load_all().items():
+        if spec.oracle is None or name in _RAW_ROUND_EXEMPT:
+            continue
+        for arg in _round_args(spec.oracle):
+            if "AS DECIMAL" not in arg.upper():
+                offenders.append((name, arg.strip()[:80]))
+    assert not offenders, f"oracle round() on raw DOUBLE: {offenders}"
