@@ -704,8 +704,11 @@ def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH ordered AS (
       SELECT
         user_id, ts, value,
+        -- >= (not >): Spark session windows are half-open
+        -- [start, start+gap), so an event exactly gap after its
+        -- predecessor starts a NEW session.
         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
-                  > INTERVAL '30 minutes'
+                  >= INTERVAL '30 minutes'
              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
              THEN 1 ELSE 0 END AS new_session
       FROM events

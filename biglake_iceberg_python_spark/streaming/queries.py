@@ -151,8 +151,11 @@ def stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH ordered AS (
       SELECT
         user_id, ts, value,
+        -- >= (not >): Spark session windows are half-open
+        -- [start, start+gap), so an event exactly gap after its
+        -- predecessor starts a NEW session.
         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
-                  > INTERVAL '30 minutes'
+                  >= INTERVAL '30 minutes'
              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
              THEN 1 ELSE 0 END AS new_session
       FROM events
@@ -460,14 +463,42 @@ def stream_late_data_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _make_user_upsert(state):
     """foreachBatch sink: upsert each micro-batch's per-user partials
     (add counts / decimal sums) into a SnapshotTable — shared by the
-    single-run materialized-view query and the restart/recovery query."""
+    single-run materialized-view query and the restart/recovery query.
+
+    IDEMPOTENT per ``batch_id`` (the standard foreachBatch pattern the
+    exactly-once claim requires): Structured Streaming commits the sink
+    effect and the checkpoint offset in two steps, so a crash between them
+    replays the batch on restart. An intent sidecar next to the state table
+    records ``(batch_id, base_snapshot)`` BEFORE the state commit; a
+    replayed batch whose state table already advanced past its recorded
+    base is skipped instead of double-counted. Crash-window audit: die
+    after the sidecar write but before the commit → replay sees the state
+    still at ``base`` and re-applies (no effect was made durable); die
+    after the commit → replay sees the state past ``base`` and skips.
+    """
+    import json
+    import os
+
+    marker = os.path.join(state.root, "applied_batch.json")
 
     def upsert_batch(bdf: DataFrame, batch_id: int) -> None:
+        base = state.current_snapshot_id()
+        if os.path.exists(marker):
+            with open(marker) as f:
+                last = json.load(f)
+            if batch_id < last["batch_id"] or (
+                batch_id == last["batch_id"] and base > last["base"]
+            ):
+                return  # replayed batch whose effect is already committed
+        tmp = marker + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"batch_id": batch_id, "base": base}, f)
+        os.replace(tmp, marker)
         partial = bdf.groupBy("user_id").agg(
             F.count(F.lit(1)).alias("n_events"),
             F.sum(F.col("value").cast("decimal(30,6)")).alias("sum_dec"),
         )
-        if state.current_snapshot_id() == 0:
+        if base == 0:
             state.write(partial, mode="overwrite")
             return
         prev = state.read().alias("p")
@@ -485,7 +516,7 @@ def _make_user_upsert(state):
                 + F.coalesce(F.col("c.sum_dec"), F.lit(0).cast("decimal(30,6)"))
             ).cast("decimal(30,6)").alias("sum_dec"),
         )
-        state.write(merged, mode="overwrite")
+        state.write(merged, mode="overwrite", expected_version=base)
 
     return upsert_batch
 
@@ -523,29 +554,33 @@ def stream_restart_exactly_once(spark: SparkSession, sf_dir: str) -> DataFrame:
     from biglake_iceberg_python_spark.lakehouse.snapshots import SnapshotTable
 
     staged, _ = stage_event_chunks(spark, sf_dir, n_chunks=4)
-    base = tempfile.mkdtemp(prefix="stream_restart_")
-    inp = os.path.join(base, "in")
-    ckpt = os.path.join(base, "ckpt")
-    os.makedirs(inp)
-    chunks = sorted(f for f in os.listdir(staged) if f.endswith(".parquet"))
-    state = SnapshotTable(spark, tempfile.mkdtemp(prefix="restart_state_"))
-    upsert = _make_user_upsert(state)
-    # Run 1: only the first half of the replay exists yet.
-    for f in chunks[:2]:
-        shutil.copy(os.path.join(staged, f), os.path.join(inp, f))
-    run_stream_foreach_batch(read_event_stream(spark, inp), upsert, ckpt)
-    # The job "dies"; the remaining files arrive while it is down.
-    for f in chunks[2:]:
-        shutil.copy(os.path.join(staged, f), os.path.join(inp, f))
-    # Run 2: same checkpoint — committed offsets skip the first half.
-    LAST_STREAMING_QUERIES["stream_restart_exactly_once"] = (
+    with tempfile.TemporaryDirectory(prefix="stream_restart_") as base:
+        inp = os.path.join(base, "in")
+        ckpt = os.path.join(base, "ckpt")
+        os.makedirs(inp)
+        chunks = sorted(
+            f for f in os.listdir(staged) if f.endswith(".parquet")
+        )
+        state = SnapshotTable(spark, os.path.join(base, "state"))
+        upsert = _make_user_upsert(state)
+        # Run 1: only the first half of the replay exists yet.
+        for f in chunks[:2]:
+            shutil.copy(os.path.join(staged, f), os.path.join(inp, f))
         run_stream_foreach_batch(read_event_stream(spark, inp), upsert, ckpt)
-    )
-    return state.read().select(
-        "user_id",
-        "n_events",
-        F.col("sum_dec").cast("double").alias("total_value"),
-    )
+        # The job "dies"; the remaining files arrive while it is down.
+        for f in chunks[2:]:
+            shutil.copy(os.path.join(staged, f), os.path.join(inp, f))
+        # Run 2: same checkpoint — committed offsets skip the first half.
+        LAST_STREAMING_QUERIES["stream_restart_exactly_once"] = (
+            run_stream_foreach_batch(
+                read_event_stream(spark, inp), upsert, ckpt
+            )
+        )
+        return state.read().select(
+            "user_id",
+            "n_events",
+            F.col("sum_dec").cast("double").alias("total_value"),
+        ).localCheckpoint(eager=True)  # materialize before cleanup
 
 
 @query(
@@ -574,15 +609,15 @@ def stream_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     from biglake_iceberg_python_spark.lakehouse.snapshots import SnapshotTable
 
     input_dir, ckpt = stage_event_chunks(spark, sf_dir, n_chunks=4)
-    root = tempfile.mkdtemp(prefix="stream_upsert_")
-    state = SnapshotTable(spark, root)
-    s = read_event_stream(spark, input_dir)
-    run_stream_foreach_batch(s, _make_user_upsert(state), ckpt)
-    return state.read().select(
-        "user_id",
-        "n_events",
-        F.col("sum_dec").cast("double").alias("total_value"),
-    )
+    with tempfile.TemporaryDirectory(prefix="stream_upsert_") as root:
+        state = SnapshotTable(spark, root)
+        s = read_event_stream(spark, input_dir)
+        run_stream_foreach_batch(s, _make_user_upsert(state), ckpt)
+        return state.read().select(
+            "user_id",
+            "n_events",
+            F.col("sum_dec").cast("double").alias("total_value"),
+        ).localCheckpoint(eager=True)  # materialize before cleanup
 
 
 @query(

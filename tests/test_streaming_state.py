@@ -173,3 +173,37 @@ def test_restart_processes_only_new_files(spark, sf_dir):
     run2_rows = sum(p["numInputRows"] for p in q2.recentProgress)
     total = sum(r["n_events"] for r in out)
     assert 0 < run2_rows < total, (run2_rows, total)
+
+
+def test_foreachbatch_upsert_is_idempotent_per_batch(spark, tmp_path):
+    """Round-4 ADVICE regression: a replayed micro-batch (crash AFTER the
+    state commit but before the offset commit) must be skipped, not
+    double-counted; a replay after a crash BEFORE the commit must still
+    apply."""
+    import json
+    import os
+
+    from biglake_iceberg_python_spark.lakehouse.snapshots import SnapshotTable
+
+    state = SnapshotTable(spark, str(tmp_path / "upsert_state"))
+    upsert = sq._make_user_upsert(state)
+    b0 = spark.range(3).selectExpr("id AS user_id", "CAST(2.0 AS DOUBLE) AS value")
+    b1 = spark.range(3).selectExpr("id AS user_id", "CAST(5.0 AS DOUBLE) AS value")
+    upsert(b0, 0)
+    upsert(b1, 1)
+    done = {r.user_id: r.n_events for r in state.read().collect()}
+    assert done == {0: 2, 1: 2, 2: 2}
+
+    # Replay of an already-committed batch: no effect.
+    upsert(b1, 1)
+    assert {r.user_id: r.n_events for r in state.read().collect()} == done
+
+    # Crash BEFORE the commit: the marker records the intent but the state
+    # never advanced — the replay must apply.
+    marker = os.path.join(state.root, "applied_batch.json")
+    with open(marker, "w") as f:
+        json.dump({"batch_id": 2, "base": state.current_snapshot_id()}, f)
+    upsert(b1, 2)
+    assert {r.user_id: r.n_events for r in state.read().collect()} == {
+        0: 3, 1: 3, 2: 3,
+    }
