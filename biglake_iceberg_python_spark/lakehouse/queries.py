@@ -564,6 +564,7 @@ def lakehouse_incremental_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY change_type, source
     """,
     tags=("lakehouse", "snapshots", "cdc", "diff"),
+    bench=True,
 )
 def lakehouse_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Row-level diff between two table snapshots — the dataset-versioning

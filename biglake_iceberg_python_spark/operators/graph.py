@@ -100,6 +100,7 @@ _ORACLE_ITER = """
     """
     ),
     tags=("graph", "iterative", "pagerank", "business"),
+    bench=True,
 )
 def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-{_TOP_N} parts by PageRank on the co-purchase graph after

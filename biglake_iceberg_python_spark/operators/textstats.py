@@ -315,6 +315,7 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY b.doc_id
     """,
     tags=("llm", "text", "ngram", "lm", "quality"),
+    bench=True,
 )
 def text_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style LM quality score: train an add-one-smoothed bigram LM on

@@ -701,6 +701,7 @@ def tpch_q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFra
     GROUP BY n.n_name, CAST(year(o.o_orderdate) AS INTEGER)
     """,
     tags=("join", "agg", "tpch"),
+    bench=True,
 )
 def tpch_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q9 shape (product type profit): per supplier-nation, per order
@@ -757,6 +758,7 @@ def tpch_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY s.s_name
     """,
     tags=("join", "agg", "subquery", "tpch"),
+    bench=True,
 )
 def tpch_q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q21 shape (suppliers who kept orders waiting): for finished
