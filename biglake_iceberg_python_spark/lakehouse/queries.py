@@ -831,6 +831,34 @@ def _zorder_oracle() -> str:
     """
 
 
+def zorder_envelope_keep(table: DataFrame, box: DataFrame) -> DataFrame:
+    """Distributed manifest-pruning decision: per-file min/max envelopes
+    (one exchange on file_id) against a broadcast 1-row query box →
+    ``(file_id, keep)``. Kept as a named helper so the plan test can pin
+    the shape: the envelope table never exceeds one shuffle, and the box
+    arrives by broadcast — at 100 TB file counts nothing O(n_files) ever
+    crosses to the driver from here."""
+    return (
+        table.groupBy("file_id")
+        .agg(
+            F.min("l_partkey").cast("double").alias("flo_p"),
+            F.max("l_partkey").cast("double").alias("fhi_p"),
+            F.min("l_suppkey").cast("double").alias("flo_s"),
+            F.max("l_suppkey").cast("double").alias("fhi_s"),
+        )
+        .crossJoin(F.broadcast(box))
+        .select(
+            "file_id",
+            (
+                (F.col("fhi_p") >= F.col("p1"))
+                & (F.col("flo_p") <= F.col("p2"))
+                & (F.col("fhi_s") >= F.col("q1"))
+                & (F.col("flo_s") <= F.col("q2"))
+            ).alias("keep"),
+        )
+    )
+
+
 @query(
     "lakehouse_zorder_layout",
     oracle=_zorder_oracle(),
@@ -846,10 +874,15 @@ def lakehouse_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     (one broadcast stats row), interleaves to a 16-bit Z-value in pure
     codegen bit arithmetic, and writes the table hive-partitioned on the
     top 6 Z-bits (64 files, an 8x8 grid over the two keys' high bits).
-    The read side computes per-file min/max envelopes (the manifest role),
-    keeps only files whose envelope intersects the query box — an O(files)
-    planning-time metadata step, exactly what a table format's manifest
-    pruning does — and scans just those partitions via partition pruning.
+    The read side computes per-file min/max envelopes (the manifest role)
+    as a DISTRIBUTED DataFrame — one exchange on file_id — joins the query
+    box in as a broadcast 1-row table, and the driver collects only the
+    keep-list plus a 2-scalar accounting row, never the O(n_files)
+    envelope rows. At 100 TB file counts the envelope table is itself big
+    data; only the surviving file ids (bounded by the query's selectivity)
+    ever cross to the driver, which then drives ordinary static partition
+    pruning. This mirrors where Iceberg distributes manifest planning for
+    large tables.
 
     Returned accounting (n_files_scanned of n_files_total) plus the box
     aggregate are BOTH oracle-checked: DuckDB recomputes the identical
@@ -858,12 +891,14 @@ def lakehouse_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     read-side benefit is (scanned/total) of the I/O for every 2-D query.
     """
     li = load_table(spark, sf_dir, "lineitem")
+    # One scan for corpus stats; checkpointed because three consumers
+    # (rewrite coding, box derivation, row filter) would each re-derive it.
     stats = li.agg(
         F.min("l_partkey").cast("double").alias("plo"),
         F.max("l_partkey").cast("double").alias("phi"),
         F.min("l_suppkey").cast("double").alias("slo"),
         F.max("l_suppkey").cast("double").alias("shi"),
-    )
+    ).localCheckpoint(eager=True)
 
     def _q8(x: Column, lo: Column, hi: Column) -> Column:
         return (
@@ -899,45 +934,38 @@ def lakehouse_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         table = spark.read.parquet(root)
 
-        # Planning-time metadata: per-file envelopes + the query box.
-        envelopes = (
-            table.groupBy("file_id")
-            .agg(
-                F.min("l_partkey").cast("double").alias("flo_p"),
-                F.max("l_partkey").cast("double").alias("fhi_p"),
-                F.min("l_suppkey").cast("double").alias("flo_s"),
-                F.max("l_suppkey").cast("double").alias("fhi_s"),
-            )
-            .crossJoin(F.broadcast(stats))
-            .select(
-                "file_id",
-                "flo_p",
-                "fhi_p",
-                "flo_s",
-                "fhi_s",
-                (F.col("plo") + 0.55 * (F.col("phi") - F.col("plo"))).alias("p1"),
-                (F.col("plo") + 0.80 * (F.col("phi") - F.col("plo"))).alias("p2"),
-                (F.col("slo") + 0.25 * (F.col("shi") - F.col("slo"))).alias("q1"),
-                (F.col("slo") + 0.45 * (F.col("shi") - F.col("slo"))).alias("q2"),
-            )
-            .collect()
+        # The query box as a broadcast 1-row table (derived from stats,
+        # never collected per-file).
+        box = stats.select(
+            (F.col("plo") + 0.55 * (F.col("phi") - F.col("plo"))).alias("p1"),
+            (F.col("plo") + 0.80 * (F.col("phi") - F.col("plo"))).alias("p2"),
+            (F.col("slo") + 0.25 * (F.col("shi") - F.col("slo"))).alias("q1"),
+            (F.col("slo") + 0.45 * (F.col("shi") - F.col("slo"))).alias("q2"),
         )
-        n_total = len(envelopes)
-        keep = [
-            r["file_id"]
-            for r in envelopes
-            if r["fhi_p"] >= r["p1"]
-            and r["flo_p"] <= r["p2"]
-            and r["fhi_s"] >= r["q1"]
-            and r["flo_s"] <= r["q2"]
-        ]
-        b = envelopes[0]
+
+        # Planning-time metadata, distributed: per-file envelopes stay in a
+        # DataFrame; the intersect decision is a broadcast box join.
+        # (n_files rows; checkpointed because it is read twice below.)
+        env_keep = zorder_envelope_keep(table, box).localCheckpoint(
+            eager=True
+        )
+        acct = env_keep.agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum(F.col("keep").cast("long")).alias("n_keep"),
+        ).collect()[0]
+        # Only the SURVIVING file ids cross to the driver.
+        keep = [r["file_id"] for r in env_keep.filter("keep").collect()]
 
         hits = (
             table.filter(F.col("file_id").isin(keep))  # partition pruning
+            .crossJoin(F.broadcast(box))
             .filter(
-                F.col("l_partkey").cast("double").between(b["p1"], b["p2"])
-                & F.col("l_suppkey").cast("double").between(b["q1"], b["q2"])
+                F.col("l_partkey").cast("double").between(
+                    F.col("p1"), F.col("p2")
+                )
+                & F.col("l_suppkey").cast("double").between(
+                    F.col("q1"), F.col("q2")
+                )
             )
             .agg(
                 F.count(F.lit(1)).alias("n_rows"),
@@ -947,8 +975,8 @@ def lakehouse_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ),
             )
             .select(
-                F.lit(n_total).cast("bigint").alias("n_files_total"),
-                F.lit(len(keep)).cast("bigint").alias("n_files_scanned"),
+                F.lit(acct["n_total"]).cast("bigint").alias("n_files_total"),
+                F.lit(acct["n_keep"]).cast("bigint").alias("n_files_scanned"),
                 "n_rows",
                 "sum_revenue",
             )

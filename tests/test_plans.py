@@ -421,3 +421,28 @@ def test_join_hints_flip_physical_strategy(spark, sf_dir):
     assert "BroadcastHashJoin" in plans["BROADCAST"]
     plan = plan_of(spark, sf_dir, "join_hint_strategies")
     assert "ShuffledHashJoin" in plan
+
+
+def test_zorder_envelope_decision_is_distributed(spark, sf_dir):
+    """Round-4 directive: the Z-order skip-decision must keep per-file
+    envelopes distributed — exactly one shuffle (the file_id agg) and the
+    query box arriving by broadcast, with no O(n_files) row collect."""
+    from pyspark.sql import functions as F
+
+    from biglake_iceberg_python_spark.lakehouse.queries import (
+        zorder_envelope_keep,
+    )
+    from biglake_iceberg_python_spark.sources.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    table = li.withColumn("file_id", F.pmod("l_orderkey", F.lit(8)))
+    box = spark.createDataFrame(
+        [(10.0, 100.0, 10.0, 100.0)], "p1 double, p2 double, q1 double, q2 double"
+    )
+    plan = (
+        zorder_envelope_keep(table, box)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "Exchange rangepartitioning" not in plan
+    assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan
