@@ -18,11 +18,29 @@ everything here is unchanged — the DDL surface is format-agnostic.
 
 from __future__ import annotations
 
+import os
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 
-TABLE_FORMAT = "parquet"  # "iceberg" when the runtime jar is on the cluster
+# "iceberg" when the runtime jar is on the cluster. Overridable without a
+# code change (SPARK_GRAFT_TABLE_FORMAT=iceberg) so the parity claim is one
+# env var away from being exercised the day this runs with the jar present;
+# tests/test_reference_parity.py has the smoke path, skipping cleanly when
+# the jar is absent.
+TABLE_FORMAT = os.environ.get("SPARK_GRAFT_TABLE_FORMAT", "parquet")
+
+
+def iceberg_available(spark: SparkSession) -> bool:
+    """True when iceberg-spark-runtime is on the session's classpath (the
+    class the SQL extension registers its catalogs through)."""
+    try:
+        spark._jvm.java.lang.Class.forName(
+            "org.apache.iceberg.spark.SparkCatalog"
+        )
+        return True
+    except Exception:
+        return False
 
 
 class LakehouseCatalog:
