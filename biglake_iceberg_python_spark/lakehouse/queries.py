@@ -310,23 +310,31 @@ def lakehouse_tblproperties(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "lakehouse_catalog_introspection",
-    oracle=None,  # environment-dependent listing → rows-only.
+    oracle="""
+    SELECT CAST(1 AS BIGINT) AS has_spark_catalog,
+           CAST(1 AS BIGINT) AS n_namespaces_matched,
+           CAST(2 AS BIGINT) AS n_tables
+    """,
     tags=("lakehouse", "introspection"),
 )
 def lakehouse_catalog_introspection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SHOW CATALOGS / NAMESPACES / TABLES (reference notebook cells 4-5,
     A13-A14): create a namespace with two tables, list them, count both
-    levels."""
+    levels. Every output is deterministic (membership checks, not raw
+    listing counts — other sessions may register extra catalogs), so the
+    result pins to a constant oracle instead of a rows-only check."""
     db = _uniq("lh_intro")
     cat = LakehouseCatalog(spark)
     cat.create_namespace(db)
     cat.create_table(db, "t1", "id INT")
     cat.create_table(db, "t2", "id INT")
-    n_catalogs = cat.list_catalogs().count()
+    has_spark_catalog = (
+        cat.list_catalogs().filter(F.col("catalog") == "spark_catalog").count()
+    )
     n_namespaces = cat.list_namespaces().filter(F.col("namespace") == db).count()
     n_tables = cat.list_tables(db).count()
     out = spark.range(1).select(
-        F.lit(n_catalogs).cast("long").alias("n_catalogs"),
+        F.lit(has_spark_catalog).cast("long").alias("has_spark_catalog"),
         F.lit(n_namespaces).cast("long").alias("n_namespaces_matched"),
         F.lit(n_tables).cast("long").alias("n_tables"),
     )

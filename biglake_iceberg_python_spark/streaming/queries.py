@@ -422,9 +422,48 @@ def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame
 
 @query(
     "stream_late_data_drop",
-    oracle=None,  # which rows are late depends on micro-batch watermark
-    # progression — deterministic under the fixed staging but not
-    # SQL-expressible; rows-only check + pytest asserts drops happened.
+    # The drop set IS SQL-expressible because the staging is deterministic:
+    # event ts values are unique, chunks are quantile slices of the
+    # ts-sorted table (row j of n → chunk floor(4j/n), matching the
+    # staging's n*i//4 bounds), arrival order is odds-then-evens
+    # (chunk→pos: 1→0, 3→1, 0→2, 2→3), and Spark's watermark entering
+    # batch p is max event time over batches q<p (post-type-filter, as the
+    # stream filters before withWatermark) minus 10 minutes. A row
+    # survives iff its 10-min window end exceeds that watermark; the
+    # sentinel batch then finalizes every surviving window (its own never
+    # closes). Verified exact vs the engine at sf0.001/0.01/0.1.
+    oracle="""
+    WITH allrows AS (
+      SELECT ts, event_type,
+             row_number() OVER (ORDER BY ts) - 1 AS rn,
+             count(*) OVER () AS n
+      FROM events
+    ), chunked AS (
+      SELECT ts, event_type, CAST(floor(4.0 * rn / n) AS INT) AS chunk
+      FROM allrows
+    ), typed AS (
+      SELECT ts, event_type,
+             CASE chunk WHEN 1 THEN 0 WHEN 3 THEN 1 WHEN 0 THEN 2
+                  ELSE 3 END AS pos
+      FROM chunked WHERE event_type IN ('purchase', 'error')
+    ), pos_max AS (
+      SELECT pos, max(ts) AS mx FROM typed GROUP BY pos
+    ), wm AS (
+      SELECT p.pos, max(q.mx) - INTERVAL '10 minutes' AS wmark
+      FROM pos_max p LEFT JOIN pos_max q ON q.pos < p.pos
+      GROUP BY p.pos
+    ), surv AS (
+      SELECT to_timestamp(floor(epoch(t.ts) / 600) * 600) AS ws,
+             t.event_type
+      FROM typed t JOIN wm ON t.pos = wm.pos
+      WHERE wm.wmark IS NULL
+         OR to_timestamp(floor(epoch(t.ts) / 600) * 600)
+            + INTERVAL '10 minutes' > wm.wmark
+    )
+    SELECT CAST(count(DISTINCT (ws, event_type)) AS BIGINT) AS n_windows,
+           CAST(count(*) AS BIGINT) AS n_surviving_events
+    FROM surv
+    """,
     tags=("streaming", "watermark", "late-data"),
 )
 def stream_late_data_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -435,9 +474,10 @@ def stream_late_data_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
     size on a disordered production stream. Complements the ordered-replay
     window queries, which exercise the nothing-late path.
 
-    No SQL oracle (the drop set depends on watermark progression across
-    micro-batches); the pytest twin asserts via lastProgress that
-    numRowsDroppedByWatermark > 0 and the surviving count < the full count.
+    The oracle replays the same watermark progression in SQL (see the
+    registration comment); the pytest twin additionally asserts via
+    lastProgress that numRowsDroppedByWatermark > 0 and the surviving
+    count < the full count.
     """
     input_dir, ckpt = stage_event_chunks(
         spark, sf_dir, n_chunks=4, flush_sentinel=True, ordered=False
