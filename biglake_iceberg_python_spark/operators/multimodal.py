@@ -152,8 +152,43 @@ def multimodal_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "multimodal_decode_features",
-    oracle=None,  # decode stub is engine-local → rows-only check; shape and
-    # determinism are asserted in tests/test_operators.py.
+    # The decode stub's (width, height, checksum) derivation is a
+    # 31-polynomial rolling hash mod 2^31 over the first 64 payload bytes —
+    # SQL-expressible because the synthetic payloads are ASCII text (byte i
+    # == ord(char i); multimodal_binary_meta's md5 parity pins that), so a
+    # recursive CTE replays the exact per-doc checksum and the aggregate is
+    # hash-checked rather than rows-only.
+    oracle="""
+    WITH RECURSIVE pref AS (
+      SELECT doc_id, substr(text, 1, 64) AS s,
+             length(substr(text, 1, 64)) AS len
+      FROM documents
+    ), roll AS (
+      SELECT doc_id, s, len, 1 AS i,
+             CAST(ord(substr(s, 1, 1)) AS BIGINT) AS c
+      FROM pref WHERE len >= 1
+      UNION ALL
+      SELECT doc_id, s, len, i + 1,
+             (c * 31 + ord(substr(s, i + 1, 1))) % 2147483648
+      FROM roll WHERE i < len
+    ), cks AS (
+      SELECT doc_id, c FROM roll WHERE i = len
+      UNION ALL
+      SELECT doc_id, CAST(0 AS BIGINT) AS c FROM pref WHERE len = 0
+    ), feat AS (
+      SELECT d.doc_id, length(d.text) AS nbytes, k.c,
+             16 + k.c % 1024 AS width,
+             16 + (k.c // 1024) % 1024 AS height
+      FROM documents d JOIN cks k USING (doc_id)
+    )
+    SELECT 'synthetic' AS media_type,
+           CAST(COUNT(*) AS BIGINT) AS n_decoded,
+           CAST(SUM(nbytes) AS BIGINT) AS total_bytes,
+           CAST(MIN(width) AS INTEGER) AS min_width,
+           CAST(MAX(height) AS INTEGER) AS max_height,
+           CAST(SUM(c) AS BIGINT) AS checksum_sum
+    FROM feat
+    """,
     tags=("llm", "multimodal", "mapInPandas"),
 )
 def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
