@@ -258,6 +258,124 @@ def curate_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Temperature mixing: acceptance thresholds carry 6 decimal digits
+# (micro-units), sampled with the house md5 bucket.
+_TEMP_RATE_SCALE = 1_000_000
+# Target token mass after mixing = 1/2 of the corpus (same budget as
+# curate_domain_mix, so the two mixing policies are directly comparable).
+_TEMP_BUDGET_NUM, _TEMP_BUDGET_DEN = 1, 2
+
+
+@query(
+    "curate_temperature_mix",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, source,
+             len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tok
+      FROM documents
+    ), per_src AS (
+      SELECT source, COUNT(*) AS n_docs, SUM(n_tok) AS src_tokens,
+             CAST(floor(sqrt(SUM(n_tok)) * 1000) AS BIGINT) AS q
+      FROM tok GROUP BY source
+    ), g AS (
+      SELECT SUM(q) AS sum_q, SUM(src_tokens) AS total_tokens FROM per_src
+    ), rates AS (
+      SELECT source, n_docs, src_tokens,
+             LEAST({_TEMP_RATE_SCALE},
+               (CAST({_TEMP_RATE_SCALE} AS HUGEINT) * q
+                * (total_tokens * {_TEMP_BUDGET_NUM} // {_TEMP_BUDGET_DEN}))
+               // (CAST(sum_q AS HUGEINT) * src_tokens)) AS thr_micro
+      FROM per_src CROSS JOIN g
+    )
+    SELECT
+      r.source,
+      CAST(r.n_docs AS BIGINT) AS n_docs,
+      CAST(r.src_tokens AS BIGINT) AS src_tokens,
+      CAST(r.thr_micro AS BIGINT) AS thr_micro,
+      CAST(COUNT(*) FILTER (
+        WHERE {_oracle_md5_bucket("t.doc_id", "temp", _TEMP_RATE_SCALE)}
+              < r.thr_micro
+      ) AS BIGINT) AS n_kept,
+      CAST(COALESCE(SUM(t.n_tok) FILTER (
+        WHERE {_oracle_md5_bucket("t.doc_id", "temp", _TEMP_RATE_SCALE)}
+              < r.thr_micro
+      ), 0) AS BIGINT) AS kept_tokens
+    FROM tok t JOIN rates r USING (source)
+    GROUP BY r.source, r.n_docs, r.src_tokens, r.thr_micro
+    """,
+    tags=("llm", "curation", "domain-mix", "temperature"),
+)
+def curate_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled domain mixing (the p^alpha recipe multilingual /
+    multi-domain training mixes use): per-source sampling weight
+    proportional to src_tokens^0.5, flattening the natural distribution so
+    low-resource sources are over-represented relative to their raw share;
+    the flattened weights allocate the same half-corpus token budget as
+    curate_domain_mix, realized as the deterministic md5-bucket filter.
+
+    alpha is fixed at 0.5 because sqrt is IEEE-correctly-rounded in every
+    engine (libm pow is not), and the weight is then quantized to integer
+    milli-units so the rate arithmetic — (SCALE*q*budget) div
+    (sum_q*src_tokens) — runs in integer space end to end: the mix is
+    bit-stable across engines and partitionings (the accumulation convention
+    aggregates already follow; products run in HUGEINT/DECIMAL(38) so a
+    petabyte-scale token census cannot overflow).
+
+    Scale shape: identical to curate_domain_mix — one per-source rollup
+    (|sources| rows), rates broadcast back, one map-side filter + rollup
+    over the corpus. Two corpus passes total, the floor for any
+    global-statistics-then-sample policy.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", "source", F.size(_words()).alias("n_tok"))
+    per_src = tok.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").alias("src_tokens"),
+    ).withColumn(
+        "q", F.floor(F.sqrt(F.col("src_tokens")) * 1000).cast("long")
+    )
+    g = per_src.agg(
+        F.sum("q").alias("sum_q"), F.sum("src_tokens").alias("total_tokens")
+    )
+    rates = per_src.crossJoin(F.broadcast(g)).select(
+        "source",
+        "n_docs",
+        "src_tokens",
+        F.least(
+            F.lit(_TEMP_RATE_SCALE).cast("long"),
+            F.expr(
+                f"CAST(CAST({_TEMP_RATE_SCALE} AS DECIMAL(38,0))"
+                f" * CAST(q AS DECIMAL(38,0))"
+                f" * CAST(total_tokens * {_TEMP_BUDGET_NUM}"
+                f"        div {_TEMP_BUDGET_DEN} AS DECIMAL(38,0))"
+                f" div (CAST(sum_q AS DECIMAL(38,0))"
+                f"      * CAST(src_tokens AS DECIMAL(38,0))) AS BIGINT)"
+            ),
+        ).alias("thr_micro"),
+    )
+    keep = _md5_bucket(F.col("doc_id"), "temp", _TEMP_RATE_SCALE) < F.col(
+        "thr_micro"
+    )
+    return (
+        tok.join(F.broadcast(rates), "source")
+        .groupBy("source", "n_docs", "src_tokens", "thr_micro")
+        .agg(
+            F.count(F.when(keep, 1)).alias("n_kept"),
+            F.coalesce(F.sum(F.when(keep, F.col("n_tok"))), F.lit(0)).alias(
+                "kept_tokens"
+            ),
+        )
+        .select(
+            "source",
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.col("src_tokens").cast("long").alias("src_tokens"),
+            F.col("thr_micro").cast("long").alias("thr_micro"),
+            "n_kept",
+            "kept_tokens",
+        )
+    )
+
+
 @query(
     "curate_train_shards",
     oracle=f"""
