@@ -332,7 +332,10 @@ def lakehouse_catalog_introspection(spark: SparkSession, sf_dir: str) -> DataFra
         cat.list_catalogs().filter(F.col("catalog") == "spark_catalog").count()
     )
     n_namespaces = cat.list_namespaces().filter(F.col("namespace") == db).count()
-    n_tables = cat.list_tables(db).count()
+    # SHOW TABLES also lists the SESSION's temp views (isTemporary,
+    # namespace '') — count only the namespace's real tables, or a shared
+    # session (pytest) breaks determinism.
+    n_tables = cat.list_tables(db).filter(~F.col("isTemporary")).count()
     out = spark.range(1).select(
         F.lit(has_spark_catalog).cast("long").alias("has_spark_catalog"),
         F.lit(n_namespaces).cast("long").alias("n_namespaces_matched"),
