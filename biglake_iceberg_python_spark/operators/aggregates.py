@@ -301,33 +301,36 @@ def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SUBQ_SCALAR_SQL = """
+    SELECT o_orderkey, o_totalprice
+    FROM {orders}
+    WHERE CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)
+            * (SELECT COUNT(*) FROM {orders}) * 10
+          > 18 * (SELECT SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT))
+                  FROM {orders})
+"""
+
+
 @query(
     "subquery_scalar",
-    oracle="""
-    SELECT o_orderkey, o_totalprice
-    FROM orders
-    WHERE o_totalprice > 2 * (SELECT AVG(o_totalprice) FROM orders)
-    """,
+    oracle=_SUBQ_SCALAR_SQL.format(orders="orders"),
     tags=("subquery",),
 )
 def subquery_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Scalar subquery in a predicate: orders above 2× the global average.
+    """Scalar subqueries in a predicate: orders above 1.8× the global
+    average price. Catalyst evaluates each subquery once as a broadcast
+    scalar — no correlation re-execution.
 
-    Catalyst evaluates the subquery once as a broadcast scalar — two scans,
-    no correlation re-execution. AVG here feeds a strict > comparison
-    against values well away from the threshold, so cross-engine float
-    averaging cannot flip any row's verdict (and row values, not the
-    average, are what's compared).
+    The threshold comparison is integer cross-multiplied (price_cents ·
+    n_orders · 10 > 18 · sum_cents) so it is bit-exact in both engines: a
+    float AVG threshold could flip rows sitting within an ulp of it, and
+    the engines' summation orders differ. 1.8× (not 2×) keeps the result
+    non-empty at every test scale factor — a 0-row result would make the
+    hash check vacuous.
     """
     o = load_table(spark, sf_dir, "orders")
     o.createOrReplaceTempView("orders_sq")
-    return spark.sql(
-        """
-        SELECT o_orderkey, o_totalprice
-        FROM orders_sq
-        WHERE o_totalprice > 2 * (SELECT AVG(o_totalprice) FROM orders_sq)
-        """
-    )
+    return spark.sql(_SUBQ_SCALAR_SQL.format(orders="orders_sq"))
 
 
 @query(
@@ -361,6 +364,75 @@ def subquery_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
           WHERE c2.c_nationkey = c.c_nationkey AND c2.c_custkey <> c.c_custkey
         )
         """
+    )
+
+
+_NOT_IN_NULL_SQL = """
+    WITH r1_nations AS (
+      SELECT n_nationkey FROM {nation} WHERE n_regionkey = 1
+    ),
+    poisoned AS (
+      SELECT CASE WHEN n_regionkey = 2 THEN NULL ELSE n_nationkey END
+               AS n_nationkey
+      FROM {nation} WHERE n_regionkey IN (1, 2)
+    )
+    SELECT 'clean_set' AS variant,
+           COUNT(*) AS n_rows,
+           CAST(SUM(c_custkey) AS BIGINT) AS sum_custkey
+    FROM {customer}
+    WHERE c_nationkey NOT IN (SELECT n_nationkey FROM r1_nations)
+    UNION ALL
+    SELECT 'null_in_set' AS variant,
+           COUNT(*) AS n_rows,
+           CAST(SUM(c_custkey) AS BIGINT) AS sum_custkey
+    FROM {customer}
+    WHERE c_nationkey NOT IN (SELECT n_nationkey FROM poisoned)
+    UNION ALL
+    SELECT 'null_outer' AS variant,
+           COUNT(*) AS n_rows,
+           CAST(SUM(c_custkey) AS BIGINT) AS sum_custkey
+    FROM (
+      SELECT CASE WHEN c_custkey % 10 = 0 THEN NULL ELSE c_nationkey END
+               AS c_nationkey,
+             c_custkey
+      FROM {customer}
+    ) c
+    WHERE c_nationkey NOT IN (SELECT n_nationkey FROM r1_nations)
+"""
+
+
+@query(
+    "subquery_not_in_null",
+    oracle=_NOT_IN_NULL_SQL.format(nation="nation", customer="customer"),
+    tags=("subquery", "null_semantics"),
+)
+def subquery_not_in_null(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT IN three-valued-logic battery: the classic SQL trap, pinned
+    across engines with the IDENTICAL statement text.
+
+    Three branches in one UNION ALL:
+    - clean_set: plain NOT IN over a NULL-free subquery — rewrites to a
+      null-aware anti join that behaves exactly like LEFT ANTI.
+    - null_in_set: one NULL injected into the subquery set — `x NOT IN
+      (..., NULL)` is never TRUE (x <> NULL is UNKNOWN), so the branch
+      returns COUNT(*) = 0 and a NULL sum. Engines that "optimize" this to
+      a plain anti join get it wrong; Spark plans a null-aware anti join
+      (the build side is scanned for NULLs before the probe).
+    - null_outer: NULLs injected into the OUTER column — a NULL probe value
+      can never satisfy NOT IN, so every 10th customer drops out.
+
+    100 TB note: Spark's null-aware anti join requires the build side to be
+    broadcastable (it degenerates to BroadcastNestedLoopJoin otherwise) —
+    fine here because NOT IN sets are dimension-sized by construction; for
+    fact-sized exclusion sets, pre-filter NULLs explicitly and use a plain
+    LEFT ANTI join, which shuffles both sides on the key.
+    """
+    load_table(spark, sf_dir, "nation").createOrReplaceTempView("nation_nin")
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView(
+        "customer_nin"
+    )
+    return spark.sql(
+        _NOT_IN_NULL_SQL.format(nation="nation_nin", customer="customer_nin")
     )
 
 

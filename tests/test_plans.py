@@ -67,6 +67,17 @@ def test_semi_anti_join_strategies(spark, sf_dir):
     assert "LeftAnti" in plan_of(spark, sf_dir, "join_anti")
 
 
+def test_not_in_null_uses_null_aware_anti_join(spark, sf_dir):
+    """NOT IN must plan as a null-aware anti join (the trailing `true` on
+    the BroadcastHashJoin line), never a plain LeftAnti — a plain anti
+    join would return wrong rows when the set contains NULL — and never a
+    BroadcastNestedLoopJoin (the single-key case qualifies for the hash
+    path)."""
+    plan = plan_of(spark, sf_dir, "subquery_not_in_null")
+    assert plan.count("LeftAnti, BuildRight, true") == 3
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_theta_join_broadcasts_small_side(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "join_theta_range")
     assert "BroadcastNestedLoopJoin" in plan
