@@ -942,3 +942,87 @@ def stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("sum_purchase_value"),
         )
     )
+
+
+@query(
+    "stream_join_then_window",
+    oracle=f"""
+    WITH p AS (
+      SELECT user_id, date_trunc('second', ts) AS ts_p, value
+      FROM events WHERE event_type = 'purchase'
+    ), e AS (
+      SELECT user_id, date_trunc('second', ts) AS ts_e
+      FROM events WHERE event_type = 'error'
+    ), j AS (
+      SELECT p.ts_p, p.value
+      FROM p JOIN e ON p.user_id = e.user_id
+        AND e.ts_e >= p.ts_p AND e.ts_e <= p.ts_p + INTERVAL 6 HOUR
+    )
+    SELECT
+      strftime(time_bucket(INTERVAL '1 hour', ts_p), '%Y-%m-%d %H:%M:%S')
+        AS window_start,
+      COUNT(*) AS n_pairs,
+      {oracle_dsum('value')} AS sum_purchase_value
+    FROM j GROUP BY 1
+    """,
+    tags=("streaming", "join", "stream-stream", "chained"),
+)
+def stream_join_then_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWO stateful operators chained in ONE streaming query: a
+    stream-stream time-interval join feeding a tumbling-window aggregation
+    — the multiple-stateful-operator pipeline Spark supports since 3.4
+    (before that, each stateful op needed its own query + intermediate
+    sink).
+
+    The scale story is watermark PROPAGATION: the join's output watermark
+    is delayed by the interval bound (a purchase can produce pairs until
+    the error watermark passes ts_p + 6 h), and Spark derives the
+    downstream aggregation's eviction watermark from that — so each
+    operator's state stays bounded (join: ~6 h of both streams; agg: open
+    1-hour windows only) with no manual re-watermarking between them. The
+    flush sentinel rides both sides; its self-joined pair lands in a
+    far-future window the trigger never finalizes, so append output drops
+    it without an explicit filter. Batch twin: the identical interval join
+    rolled up by hour bucket.
+    """
+    input_dir, ckpt = stage_event_chunks(
+        spark, sf_dir, n_chunks=4, flush_sentinel=True
+    )
+    src = read_event_stream(spark, input_dir)
+    p = (
+        src.filter(F.col("event_type").isin("purchase", SENTINEL_EVENT_TYPE))
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.date_trunc("second", "ts").alias("ts_p"),
+            "value",
+        )
+        .withWatermark("ts_p", "10 minutes")
+    )
+    e = (
+        src.filter(F.col("event_type").isin("error", SENTINEL_EVENT_TYPE))
+        .select(
+            F.col("user_id").alias("e_user"),
+            F.date_trunc("second", "ts").alias("ts_e"),
+        )
+        .withWatermark("ts_e", "10 minutes")
+    )
+    joined = p.join(
+        e,
+        (F.col("p_user") == F.col("e_user"))
+        & (F.col("ts_e") >= F.col("ts_p"))
+        & (F.col("ts_e") <= F.col("ts_p") + F.expr("INTERVAL 6 HOURS")),
+        "inner",
+    )
+    agg = joined.groupBy(F.window("ts_p", "1 hour")).agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum(F.col("value").cast("decimal(30,6)")).alias("sum_dec"),
+    )
+    name = f"ss_chain_{uuid.uuid4().hex[:8]}"
+    LAST_STREAMING_QUERIES["stream_join_then_window"] = run_stream_to_memory(
+        agg, name, "append", ckpt
+    )
+    return spark.table(name).select(
+        F.date_format(F.col("window.start"), _TS_FMT).alias("window_start"),
+        "n_pairs",
+        F.col("sum_dec").cast("double").alias("sum_purchase_value"),
+    )
