@@ -160,23 +160,34 @@ def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "join_anti",
     oracle="""
-    SELECT c.c_mktsegment, COUNT(*) AS cust_without_orders
+    SELECT c.c_mktsegment, COUNT(*) AS cust_without_high
     FROM customer c
     WHERE NOT EXISTS (
-      SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+      SELECT 1 FROM orders o
+      WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '2-HIGH'
     )
     GROUP BY c.c_mktsegment
     """,
     tags=("join",),
 )
 def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Left-anti join: customers with no orders (NOT EXISTS)."""
+    """Left-anti join: customers with no HIGH-priority order (NOT EXISTS
+    against a filtered build side).
+
+    The build side is filtered BEFORE the anti join so the state the probe
+    checks against is priority-specific. (The unfiltered "customers with
+    no orders" variant is vacuous on this testdata — every customer has
+    orders at every scale factor, and a 0-row result makes the oracle hash
+    trivially match.)
+    """
     c = load_table(spark, sf_dir, "customer")
-    o = load_table(spark, sf_dir, "orders")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "2-HIGH"
+    )
     return (
         c.join(o, c.c_custkey == o.o_custkey, "left_anti")
         .groupBy("c_mktsegment")
-        .agg(F.count(F.lit(1)).alias("cust_without_orders"))
+        .agg(F.count(F.lit(1)).alias("cust_without_high"))
     )
 
 

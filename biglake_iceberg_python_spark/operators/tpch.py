@@ -812,7 +812,9 @@ def tpch_q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM customer c, avg_bal
     WHERE c.c_acctbal > avg_bal.a
       AND NOT EXISTS (
-        SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey
+          AND o.o_orderpriority = '1-URGENT'
       )
     GROUP BY c.c_nationkey
     """,
@@ -820,8 +822,12 @@ def tpch_q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def tpch_q22_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q22 shape (global sales opportunity): rich customers with no
-    orders, grouped by nation (testdata has no c_phone, so the country-code
-    substring becomes c_nationkey directly).
+    URGENT order, grouped by nation (testdata has no c_phone, so the
+    country-code substring becomes c_nationkey directly; and every
+    customer has orders at every scale factor, so the reference's
+    "no orders at all" anti-condition is restricted to urgent orders to
+    keep the result non-empty — the operator shape, a scalar-threshold
+    filter feeding an anti join, is unchanged).
 
     The scalar AVG subquery is a one-row broadcast cross join (NOT a
     collect() to the driver — the plan stays fully distributed); NOT EXISTS
@@ -831,7 +837,9 @@ def tpch_q22_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
     or cluster sizes).
     """
     c = load_table(spark, sf_dir, "customer")
-    o = load_table(spark, sf_dir, "orders")
+    urgent = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
     avg_bal = c.filter(F.col("c_acctbal") > 0.0).agg(
         (
             F.sum(F.col("c_acctbal").cast("decimal(30,6)")).cast("double")
@@ -841,7 +849,7 @@ def tpch_q22_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         c.join(F.broadcast(avg_bal))
         .filter(F.col("c_acctbal") > F.col("a"))
-        .join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .join(urgent, c.c_custkey == urgent.o_custkey, "left_anti")
         .groupBy("c_nationkey")
         .agg(
             F.count(F.lit(1)).alias("numcust"),
