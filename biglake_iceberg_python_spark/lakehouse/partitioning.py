@@ -58,6 +58,21 @@ class MonthsTransform:
         )
 
 
+class YearsTransform:
+    """``years(source_col)``: partition value = year (int)."""
+
+    def __init__(self, source_col: str):
+        self.source_col = source_col
+
+    def derive(self) -> "F.Column":
+        return F.year(F.col(self.source_col)).cast("int")
+
+    def project_range(self, lower: str, upper_exclusive: str) -> "F.Column":
+        lo = _dt.date.fromisoformat(lower[:10])
+        hi = _dt.date.fromisoformat(upper_exclusive[:10])
+        return (F.col(_PCOL) >= lo.year) & (F.col(_PCOL) <= hi.year)
+
+
 class BucketTransform:
     """``bucket(n, source_col)``: partition value = xxhash64(col) mod n."""
 
@@ -127,3 +142,83 @@ class HiddenPartitionedTable:
             .filter(F.col(self.transform.source_col) == F.lit(value))
             .drop(_PCOL)
         )
+
+
+class SpecEvolvedTable:
+    """Partition-SPEC evolution (Iceberg spec "Partition Evolution"): the
+    table's partition layout can change over its lifetime WITHOUT
+    rewriting existing data. Files written under an old spec keep their
+    old directory layout forever; new writes use the current spec; a read
+    prunes EACH spec's files with the predicate projected through THAT
+    spec's transform, then unions the surviving file sets.
+
+    This is the piece that makes hidden partitioning operationally viable
+    at 100 TB: re-partitioning a petabyte table by rewriting it is a
+    non-starter, so Iceberg versions the spec in metadata and resolves
+    per-file at plan time. The emulation keys each spec to its own
+    subdirectory (``spec=<id>/``) — the moral equivalent of Iceberg's
+    per-manifest spec_id — so a scan is a union of per-spec pruned scans:
+    O(selected partitions) directory metadata per spec, never a full
+    listing, and the union is plan-level (no shuffle — each branch is just
+    a pruned file scan).
+    """
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        self.specs: list = []  # index = spec_id
+
+    def evolve(self, transform) -> int:
+        """Make ``transform`` the current partition spec; existing data is
+        untouched (metadata-only, as in Iceberg's ALTER TABLE ... ADD
+        PARTITION FIELD)."""
+        self.specs.append(transform)
+        return len(self.specs) - 1
+
+    def _spec_root(self, spec_id: int) -> str:
+        return os.path.join(self.root, f"spec={spec_id}", "data")
+
+    def write(self, df: DataFrame) -> None:
+        """Append under the CURRENT spec's layout."""
+        if not self.specs:
+            raise ValueError("no partition spec; call evolve() first")
+        spec_id = len(self.specs) - 1
+        t = self.specs[spec_id]
+        (
+            df.withColumn(_PCOL, t.derive())
+            .write.mode("append")
+            .partitionBy(_PCOL)
+            .parquet(self._spec_root(spec_id))
+        )
+
+    def _written_specs(self) -> list[int]:
+        return [
+            i
+            for i in range(len(self.specs))
+            if os.path.isdir(self._spec_root(i))
+        ]
+
+    def scan_range(self, lower: str, upper_exclusive: str) -> DataFrame:
+        """Rows with ``lower <= source_col < upper_exclusive`` across ALL
+        specs — each spec prunes with its own projection; the exact
+        row-level filter applies after, so spec granularity is invisible
+        in results."""
+        parts = []
+        for spec_id in self._written_specs():
+            t = self.specs[spec_id]
+            c = F.col(t.source_col)
+            parts.append(
+                self.spark.read.parquet(self._spec_root(spec_id))
+                .filter(t.project_range(lower, upper_exclusive))
+                .filter(
+                    (c >= F.lit(lower).cast("timestamp"))
+                    & (c < F.lit(upper_exclusive).cast("timestamp"))
+                )
+                .drop(_PCOL)
+            )
+        if not parts:
+            raise ValueError("table has no data")
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out

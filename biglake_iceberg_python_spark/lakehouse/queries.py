@@ -639,6 +639,62 @@ def lakehouse_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "lakehouse_partition_evolution",
+    oracle="""
+    SELECT
+      o_orderpriority,
+      CAST(COUNT(*) AS BIGINT) AS n_orders,
+      CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS sum_price
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1995-07-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1996-07-01 00:00:00'
+    GROUP BY o_orderpriority
+    """,
+    tags=("lakehouse", "partitioning", "hidden", "prune", "evolution"),
+)
+def lakehouse_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-spec evolution (Iceberg's no-rewrite re-partitioning):
+    history is written under a years(o_orderdate) spec, the spec then
+    evolves to months(o_orderdate) — a metadata-only change — and new data
+    lands in the finer layout. A date-range query straddling the spec
+    boundary prunes the old files by YEAR and the new files by MONTH, and
+    the union of the two pruned scans must equal the plain range query
+    over raw orders (spec granularity is invisible in results).
+
+    At 100 TB this is the only viable way to change a table's layout:
+    rewriting the history is off the table, so the spec is versioned and
+    pruning is resolved per-file against the spec that wrote it
+    (`partitioning.py SpecEvolvedTable`; per-spec PartitionFilters
+    asserted in tests/test_plans.py).
+    """
+    o = load_table(spark, sf_dir, "orders")
+    cutoff = "o_orderdate < TIMESTAMP '1996-01-01 00:00:00'"
+    with tempfile.TemporaryDirectory(prefix="lh_specevo_") as root:
+        from biglake_iceberg_python_spark.lakehouse.partitioning import (
+            MonthsTransform,
+            SpecEvolvedTable,
+            YearsTransform,
+        )
+
+        t = SpecEvolvedTable(spark, root)
+        t.evolve(YearsTransform("o_orderdate"))
+        t.write(o.filter(cutoff))
+        t.evolve(MonthsTransform("o_orderdate"))
+        t.write(o.filter(f"NOT ({cutoff})"))
+        out = (
+            t.scan_range("1995-07-01", "1996-07-01")
+            .groupBy("o_orderpriority")
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.sum(F.col("o_totalprice").cast("decimal(30,6)"))
+                .cast("double")
+                .alias("sum_price"),
+            )
+        )
+        return out.localCheckpoint(eager=True)
+
+
+@query(
     "lakehouse_hidden_partitioning",
     oracle="""
     SELECT

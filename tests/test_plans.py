@@ -342,6 +342,58 @@ def test_hidden_partitioning_prunes_to_projected_months(spark, sf_dir):
         assert all(r["o_custkey"] == 42 for r in rows)
 
 
+def test_partition_evolution_prunes_each_spec_with_its_own_transform(
+    spark, sf_dir
+):
+    """After a years→months spec evolution, a range scan must prune the
+    old files to the projected YEARS and the new files to the projected
+    MONTHS — each spec's directory set filtered by its own transform —
+    and the union must equal the raw range query."""
+    import tempfile
+
+    from biglake_iceberg_python_spark.lakehouse.partitioning import (
+        MonthsTransform,
+        SpecEvolvedTable,
+        YearsTransform,
+    )
+    from biglake_iceberg_python_spark.sources.tables import load_table
+
+    o = load_table(spark, sf_dir, "orders")
+    cutoff = "o_orderdate < TIMESTAMP '1996-01-01 00:00:00'"
+    with tempfile.TemporaryDirectory(prefix="lh_specevo_t_") as root:
+        t = SpecEvolvedTable(spark, root)
+        t.evolve(YearsTransform("o_orderdate"))
+        t.write(o.filter(cutoff))
+        t.evolve(MonthsTransform("o_orderdate"))
+        t.write(o.filter(f"NOT ({cutoff})"))
+
+        pruned = t.scan_range("1995-07-01", "1996-07-01")
+        # inputFiles() reports the unpruned file index on union plans;
+        # input_file_name() reflects the files actually read at execution,
+        # i.e. after per-branch partition pruning.
+        from pyspark.sql import functions as F
+
+        files = [
+            r[0]
+            for r in pruned.select(F.input_file_name()).distinct().collect()
+        ]
+        spec0 = {f.rsplit("/", 2)[-2] for f in files if "spec=0" in f}
+        spec1 = {f.rsplit("/", 2)[-2] for f in files if "spec=1" in f}
+        # old layout: only the 1995 year directory survives pruning
+        assert spec0 == {"__p=1995"}, spec0
+        # new layout: only 1996-01..06 month directories produce rows (the
+        # month-granular projection conservatively includes 199607 for the
+        # exclusive 07-01 bound, but the row filter drops every July row,
+        # so no July file contributes output)
+        assert spec1 == {f"__p=19960{m}" for m in range(1, 7)}, spec1
+        # evolution is invisible in results
+        expect = o.filter(
+            "o_orderdate >= TIMESTAMP '1995-07-01' "
+            "AND o_orderdate < TIMESTAMP '1996-07-01'"
+        ).count()
+        assert pruned.count() == expect and expect > 0
+
+
 def test_manifest_stats_prune_commits(spark, sf_dir):
     """scan_where must plan over ONLY the commits whose footer min/max
     overlaps the probe range: of four year-sliced commits, a mid-1997
