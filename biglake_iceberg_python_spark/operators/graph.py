@@ -135,8 +135,16 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("src").alias("node"),
         (F.lit(1.0) / F.col("n")).alias("rank"),
     )
+    # The rank vector is |V| rows (parts, not lineitems) — broadcast it
+    # into the per-iteration join so the edge list NEVER shuffles: each
+    # iteration is then map-side join + one partial-aggregated shuffle of
+    # contributions. (AQE can't pick this itself: the vector sits behind a
+    # lazy localCheckpoint lineage whose size estimate exceeds the
+    # threshold.) At 100 TB-graph scale (|V| past broadcast size) flip to
+    # a shuffle join against an edge table bucketed on src — the edge side
+    # still never re-shuffles.
     for _ in range(_ITERS):
-        contrib = ew.join(ranks, ew["src"] == ranks["node"]).select(
+        contrib = ew.join(F.broadcast(ranks), ew["src"] == ranks["node"]).select(
             "dst",
             F.floor(F.col("rank") / F.col("deg") * F.lit(_QUANT))
             .cast("long")

@@ -144,3 +144,96 @@ def source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_price"
         ),
     )
+
+
+@query(
+    "source_xml_roundtrip",
+    oracle="""
+    SELECT s_nationkey, COUNT(*) AS n,
+           CAST(SUM(CAST(s_acctbal AS DECIMAL(30,6))) AS DOUBLE) AS sum_bal
+    FROM supplier
+    GROUP BY s_nationkey
+    """,
+    tags=("source", "xml"),
+)
+def source_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """parquet → XML files → typed XML scan → aggregate vs original.
+
+    XML is a NATIVE Spark source since 4.0 (the spark-xml package merged
+    into core) — rowTag framing, schema-on-read with an explicit schema
+    (never inference at scale: it is an extra full parse). Like CSV/JSON
+    it is a row-oriented landing format: parse once, convert to columnar,
+    query parquet thereafter. Doubles round-trip losslessly (Spark writes
+    round-trippable float text), so the oracle is the aggregate over the
+    original table.
+    """
+    s = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey", "s_acctbal"
+    )
+    with tempfile.TemporaryDirectory(prefix="src_xml_") as root:
+        out = os.path.join(root, "supplier_xml")
+        (
+            s.write.format("xml")
+            .option("rootTag", "suppliers")
+            .option("rowTag", "supplier")
+            .save(out)
+        )
+        back = (
+            spark.read.format("xml")
+            .schema("s_suppkey bigint, s_nationkey int, s_acctbal double")
+            .option("rowTag", "supplier")
+            .load(out)
+        )
+        agg = back.groupBy("s_nationkey").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("s_acctbal").cast("decimal(30,6)"))
+            .cast("double")
+            .alias("sum_bal"),
+        )
+        return agg.localCheckpoint(eager=True)
+
+
+@query(
+    "source_binaryfile_digest",
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(CAST(text AS BLOB)) AS INTEGER) AS n_bytes,
+           md5(text) AS digest
+    FROM documents WHERE doc_id < 20
+    """,
+    tags=("source", "binary", "multimodal"),
+)
+def source_binaryfile_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`binaryFile` source: opaque files land as (path, length, content
+    BINARY) rows — the ingestion doorway for image/audio/video corpora
+    (SURVEY §2B multimodal row). Twenty documents are written out as raw
+    UTF-8 files, re-read through binaryFile, and identified by content
+    digest; the oracle computes the same digests from the text column, so
+    the byte-level round-trip (encoding included) is what's verified.
+
+    Scale: binaryFile reads are file-parallel and column-prunable (length
+    and path come from the file status — content is only materialized when
+    projected); payload bytes stay executor-side. The 20 driver-side file
+    writes are test staging, not the operator.
+    """
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 20)
+        .select("doc_id", "text")
+        .collect()
+    )
+    with tempfile.TemporaryDirectory(prefix="src_bf_") as root:
+        for r in docs:
+            with open(
+                os.path.join(root, f"doc_{r['doc_id']:05d}.txt"), "wb"
+            ) as f:
+                f.write(r["text"].encode("utf-8"))
+        back = spark.read.format("binaryFile").load(root)
+        out = back.select(
+            F.regexp_extract(F.col("path"), r"doc_(\d+)\.txt$", 1)
+            .cast("bigint")
+            .alias("doc_id"),
+            F.col("length").cast("int").alias("n_bytes"),
+            F.md5(F.col("content")).alias("digest"),
+        )
+        return out.localCheckpoint(eager=True)
