@@ -70,6 +70,61 @@ def udf_pandas_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@pandas_udf("double")
+def _weighted_avg_price(price: pd.Series, qty: pd.Series) -> float:
+    """GROUPED_AGG worker: quantity-weighted mean price, computed on
+    integer cents so the reduction is order-independent (prices carry two
+    decimals; cents×qty sums stay < 2^53, exact in float64 in any order —
+    a raw float dot product would vary with Arrow batch order)."""
+    pq = (price * 100).round().astype("int64") * qty.astype("int64")
+    return float(pq.sum()) / (100.0 * float(qty.astype("int64").sum()))
+
+
+@pandas_udf("long")
+def _group_size(price: pd.Series) -> int:
+    """GROUPED_AGG count twin — Spark disallows mixing GROUPED_AGG pandas
+    UDFs with JVM aggregates in one agg(), so the row count is a second
+    pandas aggregate over the same Arrow batch."""
+    return len(price)
+
+
+@query(
+    "udf_pandas_grouped_agg",
+    oracle="""
+    SELECT
+      l_returnflag, l_linestatus,
+      CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+               * CAST(l_quantity AS BIGINT)) AS DOUBLE)
+        / (100.0 * SUM(CAST(l_quantity AS BIGINT))) AS wavg_price,
+      COUNT(*) AS n
+    FROM lineitem
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    tags=("udf", "pandas", "grouped-agg", "udaf"),
+)
+def udf_pandas_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pandas UDAF (GROUPED_AGG pandas_udf): a custom aggregate — the
+    quantity-weighted mean price — sitting directly inside groupBy().agg()
+    next to built-ins, completing the UDF matrix (scalar / grouped-map /
+    grouped-agg / UDTF / Arrow / mapInArrow).
+
+    Unlike grouped-map, GROUPED_AGG returns one scalar per group, so only
+    the group's columns stream through Arrow and the JVM keeps the
+    surrounding aggregation plan. Caveat at 100 TB: GROUPED_AGG is not
+    partial-aggregating — every group's values ship to one worker (fine
+    for bounded groups like these 6; for unbounded groups prefer a
+    built-in or re-express as map + two-phase agg). The oracle re-derives
+    the same weighted mean declaratively, verifying the UDAF machinery.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        _weighted_avg_price("l_extendedprice", "l_quantity").alias(
+            "wavg_price"
+        ),
+        _group_size("l_extendedprice").alias("n"),
+    )
+
+
 def _zscore_group(pdf: pd.DataFrame) -> pd.DataFrame:
     """Grouped-map worker: z-score l_quantity within the group.
 
