@@ -70,7 +70,10 @@ def udf_pandas_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@pandas_udf("double")
+@pandas_udf(DoubleType())  # DataType object, not a DDL string — string
+# return types parse lazily against an ACTIVE SparkContext, which would
+# make this module unimportable before a session exists (and brick the
+# whole registry import).
 def _weighted_avg_price(price: pd.Series, qty: pd.Series) -> float:
     """GROUPED_AGG worker: quantity-weighted mean price, computed on
     integer cents so the reduction is order-independent (prices carry two
@@ -80,7 +83,7 @@ def _weighted_avg_price(price: pd.Series, qty: pd.Series) -> float:
     return float(pq.sum()) / (100.0 * float(qty.astype("int64").sum()))
 
 
-@pandas_udf("long")
+@pandas_udf(LongType())
 def _group_size(price: pd.Series) -> int:
     """GROUPED_AGG count twin — Spark disallows mixing GROUPED_AGG pandas
     UDFs with JVM aggregates in one agg(), so the row count is a second

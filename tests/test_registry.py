@@ -26,6 +26,31 @@ def test_window_occupies_registration_prefix():
     assert prefix == list(_PRIORITY_WINDOW)
 
 
+def test_load_all_needs_no_spark_session():
+    """The registry must be importable in a bare interpreter — the driver
+    may import before building its session, and a pandas_udf declared with
+    a DDL-STRING return type parses that string against an ACTIVE
+    SparkContext at import time (caught live in round 4: a `@pandas_udf
+    ("double")` bricked every entry point; DataType objects don't parse).
+    A subprocess guarantees no session leaks in from the test run."""
+    import subprocess
+    import sys
+
+    r = subprocess.run(
+        [
+            sys.executable,
+            "-c",
+            "from biglake_iceberg_python_spark.plans.registry import "
+            "load_all; print(len(load_all()))",
+        ],
+        capture_output=True,
+        text=True,
+        timeout=120,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert int(r.stdout.strip().splitlines()[-1]) >= 200
+
+
 def test_every_spec_is_well_formed():
     for name, spec in load_all().items():
         assert callable(spec.fn), name
