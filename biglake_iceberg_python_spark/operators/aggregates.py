@@ -304,9 +304,10 @@ def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SUBQ_SCALAR_SQL = """
     SELECT o_orderkey, o_totalprice
     FROM {orders}
-    WHERE CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)
+    WHERE CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
             * (SELECT COUNT(*) FROM {orders}) * 10
-          > 18 * (SELECT SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT))
+          > 18 * (SELECT SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                                  AS BIGINT))
                   FROM {orders})
 """
 
