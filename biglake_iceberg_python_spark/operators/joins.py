@@ -18,6 +18,9 @@ Scale notes per operator are in the docstrings. Common rules applied here:
 
 from __future__ import annotations
 
+import os
+import tempfile
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -234,6 +237,62 @@ def join_broadcast_star(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("line_cnt"),
         )
     )
+
+
+@query(
+    "join_dynamic_partition_pruning",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE)
+             AS sum_price
+    FROM orders
+    WHERE o_orderpriority LIKE '1-%' OR o_orderpriority LIKE '2-%'
+    GROUP BY o_orderpriority
+    """,
+    tags=("join", "dpp", "partitioning", "prune"),
+)
+def join_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic Partition Pruning: the fact side is partitioned on the join
+    key, the dimension side carries the selective filter — Spark evaluates
+    the dim filter at RUNTIME, broadcasts the surviving keys, and prunes
+    the fact's partitions before scanning them (SubqueryBroadcast →
+    dynamicpruningexpression in the fact scan's PartitionFilters;
+    plan-tested).
+
+    This is the mechanism that saves star-schema scans at 100 TB when the
+    partition predicate is not a literal in the query text but the OUTCOME
+    of a dimension filter: static pruning can't see it, DPP prunes exactly
+    the partitions the dim join could match. The expedited-priority dim
+    here is derived from the table's own distinct partition values (5
+    rows) and filtered to the two expedited classes; the oracle flattens
+    the whole construction to a plain literal filter, which is what DPP
+    must be result-equivalent to.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    with tempfile.TemporaryDirectory(prefix="dpp_") as root:
+        path = os.path.join(root, "orders_by_prio")
+        o.write.partitionBy("o_orderpriority").parquet(path)
+        fact = spark.read.parquet(path)
+        dim = (
+            spark.read.parquet(path)
+            .select(F.col("o_orderpriority").alias("prio"))
+            .distinct()
+            .filter(
+                F.col("prio").startswith("1-") | F.col("prio").startswith("2-")
+            )
+        )
+        out = (
+            fact.join(dim, fact.o_orderpriority == dim.prio)
+            .groupBy("o_orderpriority")
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.sum(F.col("o_totalprice").cast("decimal(30,6)"))
+                .cast("double")
+                .alias("sum_price"),
+            )
+        )
+        return out.localCheckpoint(eager=True)
 
 
 @query(

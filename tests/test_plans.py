@@ -342,6 +342,42 @@ def test_hidden_partitioning_prunes_to_projected_months(spark, sf_dir):
         assert all(r["o_custkey"] == 42 for r in rows)
 
 
+def test_dynamic_partition_pruning_fires(spark, sf_dir):
+    """The DPP query's fact scan must carry a dynamicpruningexpression in
+    its PartitionFilters (runtime pruning from the broadcast dim filter),
+    not a static literal filter. Rebuilt inline because the registered
+    query returns a checkpointed result (its temp dirs are cleaned up)."""
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from biglake_iceberg_python_spark.sources.tables import load_table
+
+    o = load_table(spark, sf_dir, "orders")
+    with tempfile.TemporaryDirectory(prefix="dpp_t_") as root:
+        path = os.path.join(root, "po")
+        o.write.partitionBy("o_orderpriority").parquet(path)
+        fact = spark.read.parquet(path)
+        dim = (
+            spark.read.parquet(path)
+            .select(F.col("o_orderpriority").alias("prio"))
+            .distinct()
+            .filter(
+                F.col("prio").startswith("1-") | F.col("prio").startswith("2-")
+            )
+        )
+        j = (
+            fact.join(dim, fact.o_orderpriority == dim.prio)
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        j.collect()
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "dynamicpruning" in plan.lower(), plan[:2000]
+        assert "SubqueryBroadcast" in plan
+
+
 def test_partition_evolution_prunes_each_spec_with_its_own_transform(
     spark, sf_dir
 ):
