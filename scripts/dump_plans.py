@@ -89,6 +89,15 @@ SHOWCASES = {
     "decision is bucket·n < 1e6·n_dist integer cross-multiplication in "
     "codegen over the scan — zero joins, zero RNG; the only exchange "
     "carries |sources| accounting rows.",
+    "subquery_not_in_null": "NOT IN planned as null-aware broadcast hash "
+    "anti joins (the trailing `true` on each BroadcastHashJoin): correct "
+    "three-valued logic — a NULL in the build side vetoes every probe — "
+    "without falling back to a BroadcastNestedLoopJoin.",
+    "graph_pagerank": "Power iteration with the |V|-row rank vector "
+    "broadcast into every round's join: the edge list NEVER re-shuffles; "
+    "an iteration is one map-side broadcast join + one partial-aggregated "
+    "contribution shuffle, and static relations (edges, degrees, N) are "
+    "localCheckpoint-materialized once.",
 }
 
 
