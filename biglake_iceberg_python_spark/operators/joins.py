@@ -295,6 +295,88 @@ def join_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFram
         return out.localCheckpoint(eager=True)
 
 
+_BLOOM_CONFS = {
+    # The injection rule only fires in the big-shuffle-join regime: the
+    # creation side must sit under creationSideThreshold and the
+    # application side must be a scan bigger than the scan-size threshold,
+    # with no broadcast join available. sf0.01-0.1 inputs are far below the
+    # production defaults, so the thresholds are pinned to put this join in
+    # exactly the regime a 100 TB fact⋈filtered-dim shuffle join occupies
+    # naturally (where these stay at their defaults).
+    "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "10GB",
+    "spark.sql.optimizer.runtime.bloomFilter."
+    "applicationSideScanSizeThreshold": "0",
+    "spark.sql.autoBroadcastJoinThreshold": "-1",
+    "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+}
+
+
+def _with_bloom_confs(spark: SparkSession, build):
+    """Run ``build()`` with the bloom-join conf regime, materialize its
+    result eagerly (plans resolve confs at ACTION time, so the confs must
+    still be set when the job runs), then restore every conf."""
+    saved = {}
+    for k, v in _BLOOM_CONFS.items():
+        try:
+            saved[k] = spark.conf.get(k)
+        except Exception:
+            saved[k] = None
+        spark.conf.set(k, v)
+    try:
+        return build().localCheckpoint(eager=True)
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
+@query(
+    "join_runtime_bloom_filter",
+    oracle=f"""
+    SELECT o.o_orderpriority,
+           COUNT(*) AS n_lines,
+           {oracle_dsum('l.l_extendedprice * (1 - l.l_discount)')} AS revenue
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderpriority = '1-URGENT'
+    GROUP BY o.o_orderpriority
+    """,
+    tags=("join", "bloom", "runtime-filter"),
+)
+def join_runtime_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime Bloom-filter join reduction — DPP's companion for
+    NON-partitioned shuffle joins: Spark builds a bloom_filter_agg over
+    the filtered orders side's join keys at runtime and injects a
+    might_contain pre-filter on the lineitem side, so most non-matching
+    fact rows are dropped BEFORE the join shuffle instead of after it.
+
+    At 100 TB this is the difference between shuffling the whole fact
+    table and shuffling ~the matching fraction: the dim filter's
+    selectivity propagates to the fact scan with no partitioning
+    precondition (where DPP needs the join key to BE the partition key).
+    Plan shape (bloom_filter_agg + might_contain) is asserted in
+    tests/test_plans.py; the oracle is the plain join, which the filter
+    must be result-invisible to.
+    """
+    def build() -> DataFrame:
+        li = load_table(spark, sf_dir, "lineitem")
+        o = load_table(spark, sf_dir, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        return (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(
+                F.count(F.lit(1)).alias("n_lines"),
+                dsum(revenue, "revenue"),
+            )
+        )
+
+    return _with_bloom_confs(spark, build)
+
+
 @query(
     "join_theta_range",
     oracle="""

@@ -378,6 +378,43 @@ def test_dynamic_partition_pruning_fires(spark, sf_dir):
         assert "SubqueryBroadcast" in plan
 
 
+def test_runtime_bloom_filter_injected(spark, sf_dir):
+    """Under the bloom-join conf regime the fact side must carry a
+    might_contain(bloom filter) pre-filter fed by a bloom_filter_agg over
+    the filtered dim's keys. Rebuilt inline (the registered query returns
+    a checkpointed result and restores the confs)."""
+    from pyspark.sql import functions as F
+
+    from biglake_iceberg_python_spark.operators.joins import (
+        _BLOOM_CONFS,
+    )
+    from biglake_iceberg_python_spark.sources.tables import load_table
+
+    saved = {k: spark.conf.get(k, None) for k in _BLOOM_CONFS}
+    for k, v in _BLOOM_CONFS.items():
+        spark.conf.set(k, v)
+    try:
+        li = load_table(spark, sf_dir, "lineitem")
+        o = load_table(spark, sf_dir, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        j.collect()
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "bloom_filter_agg" in plan, plan[:1500]
+        assert "might_contain" in plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
 def test_partition_evolution_prunes_each_spec_with_its_own_transform(
     spark, sf_dir
 ):
