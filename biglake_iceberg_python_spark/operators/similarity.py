@@ -885,3 +885,161 @@ def dedup_semantic_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("keep_frac"),
         )
     )
+
+
+_PQ_M = 4  # subspaces (64 dims → 4 × 16)
+_PQ_SUBDIM = 16
+_PQ_K = 16  # codes per sub-codebook → 4 codes of 4 bits each per vector
+
+_PQ_ORACLE = f"""
+    WITH v AS (
+      SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings
+    ), sub AS (
+      SELECT vec_id, s,
+             ev[s * {_PQ_SUBDIM} + 1 : s * {_PQ_SUBDIM} + {_PQ_SUBDIM}] AS sv
+      FROM v CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS s)
+    ), comp AS (
+      SELECT vec_id % {_PQ_K} AS code, s,
+             generate_subscripts(sv, 1) AS dim, unnest(sv) AS c
+      FROM sub
+    ), cmean AS (
+      SELECT s, code, dim,
+             CAST(SUM(CAST(c AS DECIMAL(30,12))) AS DOUBLE) / COUNT(*) AS m
+      FROM comp GROUP BY s, code, dim
+    ), cent AS (
+      SELECT s, code, list(m ORDER BY dim) AS cv FROM cmean GROUP BY s, code
+    ), enc AS (
+      SELECT sub.vec_id, sub.s, cent.code,
+             list_dot_product(sv, sv) - 2 * list_dot_product(sv, cv)
+               + list_dot_product(cv, cv) AS d2
+      FROM sub JOIN cent ON sub.s = cent.s
+    ), codes AS (
+      SELECT vec_id, s, code FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id, s
+                                     ORDER BY d2, code) AS rk
+        FROM enc
+      ) WHERE rk = 1
+    ), qtab AS (
+      SELECT vec_id AS qid, s, code, d2 AS qd2
+      FROM enc WHERE vec_id < {_N_QUERIES}
+    ), adc AS (
+      SELECT q.qid, c.vec_id AS cid,
+             CAST(SUM(CAST(qd2 AS DECIMAL(30,12))) AS DOUBLE) AS adc_d2
+      FROM codes c JOIN qtab q ON q.s = c.s AND q.code = c.code
+      WHERE c.vec_id <> q.qid
+      GROUP BY q.qid, c.vec_id
+    )
+    SELECT qid, cid, adc_d2, rk FROM (
+      SELECT *, row_number() OVER (PARTITION BY qid
+                                   ORDER BY adc_d2, cid) AS rk
+      FROM adc
+    ) WHERE rk <= {_TOP_K}
+    """
+
+
+@query(
+    "sim_pq_adc",
+    oracle=_PQ_ORACLE,
+    tags=("llm", "similarity", "ann", "pq", "quantization"),
+)
+def sim_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization with asymmetric distance computation (ADC) —
+    the FAISS-style compression tier under IVF: each 64-dim vector is
+    encoded as {_PQ_M} sub-codebook codes of log2({_PQ_K}) bits (16 bits
+    total vs 256 bytes of floats, a 128× compression), and queries score
+    candidates by summing PRE-COMPUTED query-to-subcentroid distances —
+    {_PQ_M} table lookups per candidate instead of a 64-dim dot product.
+
+    Deterministic end-to-end (seed codebooks = exact-decimal means of the
+    vec_id-mod-K groups per subspace, one Lloyd assignment step, no RNG),
+    so the WHOLE pipeline — codebook, encoding, ADC ranking — hash-matches
+    the DuckDB oracle; production would iterate Lloyd per subspace without
+    changing any plan shape.
+
+    Scale: sub-codebooks are {_PQ_M}×{_PQ_K} rows → broadcast; encoding is
+    a map-side argmin + one window over {_PQ_K}-row groups; the serving
+    join carries CODES ({_PQ_M} shorts/vector), never raw vectors — the
+    point of PQ at 100 TB: the corpus resident set is codes + codebooks,
+    and raw floats are only touched at (optional) re-rank. Pair with the
+    IVF lists (sim_ann_ivf) to bound candidates; here ADC scans the full
+    corpus so the oracle covers every pair.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    v = e.select("vec_id", _as_double("embedding").alias("ev"))
+    sub = v.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).alias("s"),
+                        F.slice(
+                            "ev", s * _PQ_SUBDIM + 1, _PQ_SUBDIM
+                        ).alias("sv"),
+                    )
+                    for s in range(_PQ_M)
+                ]
+            )
+        ).alias("x"),
+    ).select("vec_id", "x.s", "x.sv")
+
+    comp = sub.select(
+        (F.col("vec_id") % _PQ_K).alias("code"),
+        "s",
+        F.posexplode("sv").alias("dim0", "c"),
+    )
+    cmean = comp.groupBy("s", "code", "dim0").agg(
+        (
+            F.sum(F.col("c").cast("decimal(30,12)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("m")
+    )
+    cent = (
+        cmean.groupBy("s", "code")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim0", "m"))),
+                lambda st: st.m,
+            ).alias("cv")
+        )
+        .localCheckpoint(eager=False)
+    )
+
+    d2 = (
+        _dot(F.col("sv"), F.col("sv"))
+        - 2 * _dot(F.col("sv"), F.col("cv"))
+        + _dot(F.col("cv"), F.col("cv"))
+    )
+    enc = sub.join(F.broadcast(cent), "s").select(
+        "vec_id", "s", "code", d2.alias("d2")
+    )
+    # Both consumers (corpus codes, query tables) slice this ranking —
+    # materialize once.
+    enc = enc.localCheckpoint(eager=False)
+
+    w = Window.partitionBy("vec_id", "s").orderBy("d2", "code")
+    codes = (
+        enc.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(F.col("vec_id").alias("cid"), "s", "code")
+    )
+    qtab = enc.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("qid"), "s", "code", F.col("d2").alias("qd2")
+    )
+
+    adc = (
+        codes.join(F.broadcast(qtab), ["s", "code"])
+        .filter(F.col("cid") != F.col("qid"))
+        .groupBy("qid", "cid")
+        .agg(
+            F.sum(F.col("qd2").cast("decimal(30,12)"))
+            .cast("double")
+            .alias("adc_d2")
+        )
+    )
+    wq = Window.partitionBy("qid").orderBy("adc_d2", "cid")
+    return (
+        adc.withColumn("rk", F.row_number().over(wq))
+        .filter(F.col("rk") <= _TOP_K)
+        .select("qid", "cid", "adc_d2", "rk")
+    )
