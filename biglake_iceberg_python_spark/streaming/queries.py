@@ -728,6 +728,138 @@ def stream_custom_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_stateful_timeout_session",
+    oracle="""
+    WITH e AS (
+      SELECT user_id,
+             CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS sec
+      FROM events
+    ), x AS (
+      SELECT user_id, sec,
+             CASE WHEN lag(sec) OVER (PARTITION BY user_id ORDER BY sec)
+                    IS NULL
+                  OR sec - lag(sec) OVER (PARTITION BY user_id ORDER BY sec)
+                    > 1800
+                  THEN 1 ELSE 0 END AS new_s
+      FROM e
+    ), s AS (
+      SELECT user_id, sec,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY sec
+                              ROWS UNBOUNDED PRECEDING) AS sidx
+      FROM x
+    )
+    SELECT user_id, CAST(sidx AS BIGINT) AS session_idx,
+           strftime(make_timestamp(MIN(sec) * 1000000),
+                    '%Y-%m-%d %H:%M:%S') AS session_start,
+           strftime(make_timestamp(MAX(sec) * 1000000),
+                    '%Y-%m-%d %H:%M:%S') AS session_end,
+           COUNT(*) AS n_events
+    FROM s GROUP BY user_id, sidx
+    """,
+    tags=("streaming", "stateful", "timeout", "session"),
+)
+def stream_stateful_timeout_session(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Custom sessionization with EVENT-TIME TIMEOUTS: sessions close when
+    the watermark passes last_event + 30 min — the state-machine shape the
+    built-in session_window can't express once close-actions or custom
+    numbering enter the picture, and the capability stream_custom_stateful
+    (NoTimeout) leaves unexercised.
+
+    Each key's state is one OPEN session (idx, start, last, count). New
+    events extend it or split it inline; keys with no new events are
+    closed by the timeout callback (hasTimedOut=True, empty data) when the
+    watermark proves no future event can continue the session. A closed
+    session is emitted exactly once, at close — so state is O(active
+    users), and emission latency is bounded by gap + watermark delay, the
+    production profile for "session ended" triggers (cart abandonment,
+    idle logout). The flush sentinel's far-future watermark fires every
+    remaining timeout before the finite replay ends; session numbering is
+    persisted per key across close/reopen so the full session list equals
+    the batch gap-sessionization twin row-for-row.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    gap_s = 1800
+    input_dir, ckpt = stage_event_chunks(
+        spark, sf_dir, n_chunks=4, flush_sentinel=True
+    )
+    s = read_event_stream(spark, input_dir).withWatermark("ts", "10 minutes")
+
+    def fmt(sec: int) -> str:
+        return pd.to_datetime(int(sec), unit="s", utc=True).strftime(
+            "%Y-%m-%d %H:%M:%S"
+        )
+
+    def sessionize(key, pdfs, state: GroupState):
+        out = []
+
+        def close(sidx, start, last, n):
+            out.append((key[0], sidx, fmt(start), fmt(last), n))
+
+        if state.hasTimedOut:
+            sidx, start, last, n = state.get
+            if start >= 0:
+                close(sidx, start, last, n)
+            # keep the numbering, mark no open session; no new timeout —
+            # an idle key with nothing open needs no callback (a real
+            # deployment would arm a TTL here to reap the numbering row)
+            state.update((sidx, -1, -1, 0))
+        else:
+            secs: list[int] = []
+            for pdf in pdfs:
+                secs.extend(
+                    int(v) // 1_000_000_000
+                    for v in pdf["ts"].astype("int64")
+                )
+            secs.sort()
+            sidx, start, last, n = (
+                state.get if state.exists else (0, -1, -1, 0)
+            )
+            for t in secs:
+                if start < 0:
+                    sidx, start, last, n = sidx + 1, t, t, 1
+                elif t - last > gap_s:
+                    close(sidx, start, last, n)
+                    sidx, start, last, n = sidx + 1, t, t, 1
+                else:
+                    last, n = t, n + 1
+            state.update((sidx, start, last, n))
+            wm = state.getCurrentWatermarkMs()
+            state.setTimeoutTimestamp(
+                max((last + gap_s) * 1000 + 1000, wm + 1000)
+            )
+        yield pd.DataFrame(
+            out,
+            columns=[
+                "user_id",
+                "session_idx",
+                "session_start",
+                "session_end",
+                "n_events",
+            ],
+        )
+
+    out = s.groupBy("user_id").applyInPandasWithState(
+        sessionize,
+        outputStructType=(
+            "user_id bigint, session_idx bigint, session_start string, "
+            "session_end string, n_events bigint"
+        ),
+        stateStructType="sidx bigint, start bigint, last bigint, n bigint",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+    name = f"timeout_sess_{uuid.uuid4().hex[:8]}"
+    LAST_STREAMING_QUERIES["stream_stateful_timeout_session"] = (
+        run_stream_to_memory(out, name, "update", ckpt)
+    )
+    return spark.table(name).filter(F.col("user_id") >= 0)
+
+
+@query(
     "stream_static_join",
     oracle=f"""
     SELECT
