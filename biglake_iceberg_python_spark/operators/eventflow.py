@@ -473,6 +473,59 @@ def agg_sketch_merge_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "agg_hll_set_algebra",
+    oracle=None,  # sketch estimates are engine-specific → rows-only;
+    # tests/test_operators.py bounds each estimate against exact distincts
+    # and the inclusion-exclusion intersection against the exact overlap.
+    tags=("agg", "sketch", "approx", "set-algebra"),
+)
+def agg_hll_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch SET ALGEBRA: per-week purchaser/error audiences as HLL
+    sketches, overlap derived by inclusion-exclusion (|P∩E| ≈ |P| + |E| −
+    |P∪E|) — the audience-overlap question answered WITHOUT ever
+    shuffling user sets against each other.
+
+    This is the second half of the mergeable-sketch story
+    (agg_sketch_merge_rollup is re-aggregation; this is cross-set
+    algebra): at 100 TB the per-segment sketches are tiny fixed-size
+    state, any pairwise overlap query runs on sketches alone, and the
+    scalar hll_union keeps it register-wise exact relative to unioned
+    sketching. Caveat encoded in the test: inclusion-exclusion error is
+    additive in the operand errors, so tiny intersections of huge sets
+    need a bigger lgConfigK (or an exact join) — estimates carry the
+    corpus-relative bound, not an intersection-relative one.
+    """
+    e = _events_es(spark, sf_dir).select(
+        "user_id",
+        "event_type",
+        (F.col("es") / _WEEK_S).cast("long").alias("week"),
+    )
+    per = (
+        e.filter(F.col("event_type").isin("purchase", "error"))
+        .groupBy("week", "event_type")
+        .agg(F.hll_sketch_agg("user_id").alias("sk"))
+        .localCheckpoint(eager=False)
+    )
+    p = per.filter(F.col("event_type") == "purchase").select("week", F.col("sk").alias("skp"))
+    er = per.filter(F.col("event_type") == "error").select("week", F.col("sk").alias("ske"))
+    both = p.join(er, "week")
+    est_p = F.hll_sketch_estimate("skp")
+    est_e = F.hll_sketch_estimate("ske")
+    est_u = F.hll_sketch_estimate(F.hll_union("skp", "ske"))
+    return both.select(
+        "week",
+        est_p.alias("est_purchasers"),
+        est_e.alias("est_errorers"),
+        est_u.alias("est_union"),
+        (est_p + est_e - est_u).alias("est_intersection"),
+        (
+            (est_p + est_e - est_u).cast("double")
+            / F.greatest(est_u, F.lit(1)).cast("double")
+        ).alias("est_jaccard"),
+    )
+
+
+@query(
     "events_trend_slope",
     oracle="""
     WITH pts AS (

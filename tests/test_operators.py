@@ -416,6 +416,58 @@ def test_sketch_merge_rollup_accuracy(spark, sf_dir):
     assert est == rescratch
 
 
+def test_hll_set_algebra_accuracy(spark, sf_dir):
+    """Sketch set algebra: per-operand estimates within 5% of exact;
+    the inclusion-exclusion intersection within 10% of the UNION size
+    (error is additive in the operand errors, so the bound is
+    union-relative, not intersection-relative — exactly the caveat the
+    operator's docstring documents)."""
+    from biglake_iceberg_python_spark.sources.tables import load_table
+
+    rows = {
+        r["week"]: r
+        for r in REGISTRY["agg_hll_set_algebra"].fn(spark, sf_dir).collect()
+    }
+    assert rows, "no weeks"
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.expr(
+            "CAST(timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00',"
+            " date_trunc('second', ts)) / 604800 AS BIGINT)"
+        ).alias("week"),
+    )
+    pu = {
+        (r["week"], r["event_type"]): r["n"]
+        for r in e.filter(F.col("event_type").isin("purchase", "error"))
+        .groupBy("week", "event_type")
+        .agg(F.count_distinct("user_id").alias("n"))
+        .collect()
+    }
+    inter = {
+        r["week"]: r["n"]
+        for r in e.filter(F.col("event_type") == "purchase")
+        .select("week", "user_id")
+        .intersect(
+            e.filter(F.col("event_type") == "error").select("week", "user_id")
+        )
+        .groupBy("week")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    for w, r in rows.items():
+        exact_p = pu[(w, "purchase")]
+        exact_e = pu[(w, "error")]
+        exact_u = exact_p + exact_e - inter.get(w, 0)
+        assert abs(r["est_purchasers"] - exact_p) / exact_p < 0.05
+        assert abs(r["est_errorers"] - exact_e) / exact_e < 0.05
+        assert abs(r["est_union"] - exact_u) / exact_u < 0.05
+        assert (
+            abs(r["est_intersection"] - inter.get(w, 0)) / max(exact_u, 1)
+            < 0.10
+        ), (w, r["est_intersection"], inter.get(w, 0))
+
+
 def test_pii_redact_accounting_consistent(spark, sf_dir):
     """PII counts must be internally consistent: flagged docs <= total,
     injected email count equals the doc_id % 7 population, and masking must
