@@ -128,6 +128,54 @@ def scalar_datetime_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "scalar_interval",
+    oracle="""
+    SELECT
+      o_orderkey,
+      strftime(o_orderdate, '%Y-%m-%d') AS d,
+      strftime(CAST(o_orderdate + INTERVAL 1 MONTH AS DATE), '%Y-%m-%d')
+        AS plus_1mo,
+      strftime(CAST(o_orderdate - INTERVAL 2 MONTH AS DATE), '%Y-%m-%d')
+        AS minus_2mo,
+      strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS month_end,
+      CAST(quarter(o_orderdate) AS INTEGER) AS qtr,
+      strftime(o_orderdate + INTERVAL 90 MINUTE, '%Y-%m-%d %H:%M:%S')
+        AS plus_90min
+    FROM orders
+    WHERE day(o_orderdate) >= 28
+      AND o_orderkey % 5 = 0
+    """,
+    tags=("scalar", "datetime", "interval"),
+)
+def scalar_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-arithmetic battery pinned at its classic cross-engine trap:
+    END-OF-MONTH CLAMPING. Rows are restricted to dates on day >= 28, so
+    every add_months crosses a month-length boundary somewhere in the
+    sample (Jan 31 + 1 month must clamp to Feb 28/29 in BOTH engines, and
+    Mar 31 − 2 months back to Jan 31 exactly). Also last_day, quarter, and
+    sub-day INTERVAL addition on the timestamp itself. All results are
+    formatted to strings so only calendar semantics — not date/timestamp
+    type rendering — decide the hash.
+    """
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.dayofmonth("o_orderdate") >= 28) & (F.col("o_orderkey") % 5 == 0)
+    )
+    d = F.col("o_orderdate").cast("date")
+    return o.select(
+        "o_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("d"),
+        F.date_format(F.add_months(d, 1), "yyyy-MM-dd").alias("plus_1mo"),
+        F.date_format(F.add_months(d, -2), "yyyy-MM-dd").alias("minus_2mo"),
+        F.date_format(F.last_day(d), "yyyy-MM-dd").alias("month_end"),
+        F.quarter("o_orderdate").alias("qtr"),
+        F.date_format(
+            F.col("o_orderdate") + F.expr("INTERVAL 90 MINUTES"),
+            "yyyy-MM-dd HH:mm:ss",
+        ).alias("plus_90min"),
+    )
+
+
+@query(
     "scalar_math",
     oracle="""
     SELECT
