@@ -201,6 +201,45 @@ def sql_parameterized(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_LATERAL_SQL = """
+    SELECT n.n_name, t.c_name, t.c_acctbal
+    FROM {nation} n,
+    LATERAL (
+      SELECT c_name, c_acctbal FROM {customer} c
+      WHERE c.c_nationkey = n.n_nationkey
+      ORDER BY c_acctbal DESC, c_name LIMIT 2
+    ) t
+"""
+
+
+@query(
+    "sql_lateral_topn",
+    oracle=_LATERAL_SQL.format(nation="nation", customer="customer"),
+    tags=("sql", "lateral", "correlated"),
+)
+def sql_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL correlated subquery — the per-row-subquery dialect for
+    top-N-per-group: for each nation, the lateral block re-executes
+    "top-2 customers by balance" with the outer row in scope. The
+    IDENTICAL statement text runs on Spark and DuckDB (strong dialect
+    parity, like sql_recursive_reachability); the deterministic (balance,
+    name) tiebreak makes the result hashable.
+
+    Catalyst decorrelates this to a ranked window under the hood — the
+    plan is the same WindowGroupLimit shape as window_topk_per_group, NOT
+    |nations| query re-executions, which is why the construct survives at
+    scale (a naive per-outer-row loop would be a driver-side O(n) query
+    storm).
+    """
+    load_table(spark, sf_dir, "nation").createOrReplaceTempView("nation_lat")
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView(
+        "customer_lat"
+    )
+    return spark.sql(
+        _LATERAL_SQL.format(nation="nation_lat", customer="customer_lat")
+    )
+
+
 @query(
     "sql_pipe_syntax",
     oracle="""
