@@ -43,14 +43,20 @@ def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     term before the shuffle.
     """
     li = load_table(spark, sf_dir, "lineitem")
-    items = li.select(
-        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
-    ).distinct()
-    a = items.alias("a")
-    b = items.alias("b")
+    # collect_set per order, then expand pairs map-side: one shuffle on ok
+    # (map-side combined — duplicates of the same (ok, pk) collapse before
+    # the exchange) + one distinct on the pair key. The equivalent items
+    # self-join costs an extra exchange per join side; result is identical
+    # (both directions of every co-purchase pair, deduplicated).
+    sets = (
+        li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
+        .groupBy("ok")
+        .agg(F.collect_set("pk").alias("ps"))
+    )
     return (
-        a.join(b, (F.col("a.ok") == F.col("b.ok")) & (F.col("a.pk") != F.col("b.pk")))
-        .select(F.col("a.pk").alias("src"), F.col("b.pk").alias("dst"))
+        sets.select(F.explode("ps").alias("src"), "ps")
+        .select("src", F.explode("ps").alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
         .distinct()
     )
 

@@ -342,6 +342,14 @@ def test_hidden_partitioning_prunes_to_projected_months(spark, sf_dir):
         assert all(r["o_custkey"] == 42 for r in rows)
 
 
+def test_pagerank_iterations_broadcast_rank_vector(spark, sf_dir):
+    """Every per-iteration join must broadcast the rank vector — the edge
+    list never re-shuffles. A SortMergeJoin appearing here means the
+    broadcast regressed and each iteration pays two full exchanges."""
+    plan = plan_of(spark, sf_dir, "graph_pagerank")
+    assert "SortMergeJoin" not in plan, "rank-vector broadcast regressed"
+
+
 def test_dynamic_partition_pruning_fires(spark, sf_dir):
     """The DPP query's fact scan must carry a dynamicpruningexpression in
     its PartitionFilters (runtime pruning from the broadcast dim filter),
