@@ -55,16 +55,58 @@ def _make_datasource_class():
         def __init__(self, options):
             self.n = int(options.get("n_rows", 10_000))
             self.p = int(options.get("n_partitions", 8))
+            self.lo = 0  # narrowed by pushed id-range filters
+            self.hi = self.n
+            self.type_eq = None  # narrowed by a pushed event_type equality
+
+        def pushFilters(self, filters):
+            """Filter pushdown (Spark 4.1 Python DataSource API): id-range
+            predicates narrow the GENERATED range (whole partitions never
+            materialize) and an event_type equality turns the row loop
+            into a stride-5 walk (4/5 of the remaining rows never
+            generate). Everything else is yielded back unhandled, so Spark
+            keeps it as a post-scan Filter — the pushdown is allowed to be
+            partial, never wrong."""
+            from pyspark.sql.datasource import (
+                EqualTo,
+                GreaterThan,
+                GreaterThanOrEqual,
+                LessThan,
+                LessThanOrEqual,
+            )
+
+            for f in filters:
+                col = f.attribute[0] if getattr(f, "attribute", None) else None
+                if col == "id" and isinstance(f, GreaterThanOrEqual):
+                    self.lo = max(self.lo, int(f.value))
+                elif col == "id" and isinstance(f, GreaterThan):
+                    self.lo = max(self.lo, int(f.value) + 1)
+                elif col == "id" and isinstance(f, LessThan):
+                    self.hi = min(self.hi, int(f.value))
+                elif col == "id" and isinstance(f, LessThanOrEqual):
+                    self.hi = min(self.hi, int(f.value) + 1)
+                elif col == "event_type" and isinstance(f, EqualTo):
+                    self.type_eq = f.value
+                else:
+                    yield f  # unsupported → Spark applies it post-scan
 
         def partitions(self):
-            bounds = [self.n * i // self.p for i in range(self.p + 1)]
+            lo, hi = self.lo, max(self.lo, self.hi)
+            span = hi - lo
+            bounds = [lo + span * i // self.p for i in range(self.p + 1)]
             return [
                 RangePartition(bounds[i], bounds[i + 1])
                 for i in range(self.p)
             ]
 
         def read(self, part):
-            for i in range(part.start, part.end):
+            start, step = part.start, 1
+            if self.type_eq is not None:
+                if self.type_eq not in types:
+                    return  # no row can ever match
+                t = types.index(self.type_eq)
+                start, step = part.start + (t - part.start) % 5, 5
+            for i in range(start, part.end, step):
                 h = (i * knuth) % mod
                 yield (i, i % 97, h % 10_000, types[i % 5])
 
@@ -91,8 +133,12 @@ _registered = False
 
 
 def register(spark) -> None:
-    """Idempotently register the source on this session."""
+    """Idempotently register the source on this session. Python-source
+    filter pushdown ships behind a flag in Spark 4.1 — enable it here
+    (runtime-settable SQL conf) so the reader's pushFilters hook is
+    honored even on a plain driver-built session."""
     global _registered
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     if not _registered:
         spark.dataSource.register(EventGenDataSource)
         _registered = True
@@ -143,6 +189,59 @@ def source_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_events"),
         F.count_distinct("user_id").alias("n_users"),
+        F.sum("value_i").alias("sum_value"),
+    )
+
+
+@query(
+    "source_python_datasource_pushdown",
+    oracle=f"""
+    WITH g AS (
+      SELECT i.generate_series AS id,
+             (i.generate_series * {_KNUTH}) % {_MOD} AS h
+      FROM generate_series(2000, 40999) i
+      WHERE i.generate_series % 5 = 2
+    )
+    SELECT
+      CAST(COUNT(*) AS BIGINT) AS n_events,
+      CAST(MIN(id) AS BIGINT) AS min_id,
+      CAST(MAX(id) AS BIGINT) AS max_id,
+      CAST(SUM(h % 10000) AS BIGINT) AS sum_value
+    FROM g WHERE h % 10000 >= 5000
+    """,
+    tags=("source", "python-datasource", "pushdown"),
+)
+def source_python_datasource_pushdown(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Filter pushdown through the custom Python DataSource: the id-range
+    and event_type-equality predicates reach the reader's pushFilters()
+    hook, which narrows the GENERATED id span and strides the row loop to
+    the one matching type in 5 — rows outside the pushed predicates are
+    never created, the Python-source analog of parquet row-group skipping
+    (tests/test_operators.py asserts the narrowed partitions and the
+    returned-unsupported residue directly on the reader). The value_i
+    range predicate is NOT pushable and comes back to Spark as a post-scan
+    Filter, proving partial pushdown composes. The oracle regenerates the
+    same narrowed sequence in SQL.
+    """
+    register(spark)
+    df = (
+        spark.read.format("eventgen")
+        .option("n_rows", _N_ROWS)
+        .option("n_partitions", 8)
+        .load()
+        .filter(
+            (F.col("id") >= 2000)
+            & (F.col("id") < 41000)
+            & (F.col("event_type") == "purchase")
+            & (F.col("value_i") >= 5000)
+        )
+    )
+    return df.agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("id").alias("min_id"),
+        F.max("id").alias("max_id"),
         F.sum("value_i").alias("sum_value"),
     )
 

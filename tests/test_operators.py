@@ -416,6 +416,42 @@ def test_sketch_merge_rollup_accuracy(spark, sf_dir):
     assert est == rescratch
 
 
+def test_python_datasource_pushdown_narrows_generation():
+    """pushFilters must narrow the generated id span (partitions cover
+    only [2000, 41000)), stride the row loop to the matching type, and
+    return unsupported filters for Spark to apply post-scan."""
+    from pyspark.sql.datasource import (
+        EqualTo,
+        GreaterThanOrEqual,
+        LessThan,
+    )
+
+    from biglake_iceberg_python_spark.sources.pyds import EventGenDataSource
+
+    ds = EventGenDataSource({"n_rows": "50000", "n_partitions": "8"})
+    reader = ds.reader(None)
+    residue = list(
+        reader.pushFilters(
+            [
+                GreaterThanOrEqual(("id",), 2000),
+                LessThan(("id",), 41000),
+                EqualTo(("event_type",), "purchase"),
+                GreaterThanOrEqual(("value_i",), 5000),  # not pushable
+            ]
+        )
+    )
+    assert [type(f).__name__ for f in residue] == ["GreaterThanOrEqual"]
+    assert residue[0].attribute == ("value_i",)
+    parts = reader.partitions()
+    assert parts[0].start == 2000 and parts[-1].end == 41000
+    rows = [r for p in parts for r in reader.read(p)]
+    assert rows, "pushdown generated nothing"
+    assert all(2000 <= r[0] < 41000 for r in rows)
+    assert all(r[3] == "purchase" for r in rows)
+    # exactly the id % 5 == 2 rows of the narrowed range — nothing skipped
+    assert len(rows) == sum(1 for i in range(2000, 41000) if i % 5 == 2)
+
+
 def test_hll_set_algebra_accuracy(spark, sf_dir):
     """Sketch set algebra: per-operand estimates within 5% of exact;
     the inclusion-exclusion intersection within 10% of the UNION size
