@@ -416,6 +416,20 @@ def test_sketch_merge_rollup_accuracy(spark, sf_dir):
     assert est == rescratch
 
 
+def test_logistic_newton_converges(spark, sf_dir):
+    """Newton/IRLS must strictly decrease the loss every iteration and end
+    well above the majority-class accuracy (~0.72 at sf0.001) — a linear
+    model that merely predicts the majority has not learned the band."""
+    rows = sorted(
+        REGISTRY["ml_logistic_newton"].fn(spark, sf_dir).collect(),
+        key=lambda r: r["iter"],
+    )
+    losses = [r["mean_loss"] for r in rows]
+    assert all(b < a for a, b in zip(losses, losses[1:])), losses
+    assert rows[-1]["train_acc"] >= 0.85, rows[-1]
+    assert losses[-1] < 0.5
+
+
 def test_python_datasource_pushdown_narrows_generation():
     """pushFilters must narrow the generated id span (partitions cover
     only [2000, 41000)), stride the row loop to the matching type, and
