@@ -475,6 +475,72 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "join_asof_tolerance",
+    oracle="""
+    WITH w AS (
+      SELECT
+        user_id,
+        ts,
+        last_value(CASE WHEN event_type = 'purchase' THEN ts END IGNORE NULLS)
+          OVER (PARTITION BY user_id ORDER BY ts
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+          AS prev_purchase_ts
+      FROM events
+    ), g AS (
+      SELECT user_id,
+             date_diff('second', prev_purchase_ts, ts) AS gap_s
+      FROM w
+    )
+    SELECT
+      user_id,
+      COUNT(*) AS n_events,
+      CAST(COUNT(CASE WHEN gap_s <= 21600 THEN 1 END) AS BIGINT) AS n_fresh,
+      CAST(COUNT(CASE WHEN gap_s > 21600 THEN 1 END) AS BIGINT) AS n_stale
+    FROM g
+    GROUP BY user_id
+    """,
+    tags=("join", "asof", "tolerance"),
+)
+def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join WITH A STALENESS TOLERANCE (pandas merge_asof's
+    `tolerance=`): a prior purchase only counts as a match if it happened
+    within the last 6 hours — older matches are classified stale, the
+    attribution-window semantics ad/conversion pipelines need.
+
+    Same single-shuffle window re-expression as join_asof (no pair
+    blowup); the tolerance is a pure map-side classification of the
+    already-found nearest-earlier match, so it adds ZERO plan cost — which
+    is the argument for the window form over a range join at 100 TB,
+    where a tolerance predicate inside a join condition would re-shape
+    the whole plan.
+    """
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prev = F.last(
+        F.when(F.col("event_type") == "purchase", F.col("ts")),
+        ignorenulls=True,
+    ).over(w)
+    gap = F.expr(
+        "timestampdiff(SECOND, date_trunc('second', prev_purchase_ts),"
+        " date_trunc('second', ts))"
+    )
+    return (
+        e.withColumn("prev_purchase_ts", prev)
+        .withColumn("gap_s", gap)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count(F.when(F.col("gap_s") <= 21600, 1)).alias("n_fresh"),
+            F.count(F.when(F.col("gap_s") > 21600, 1)).alias("n_stale"),
+        )
+    )
+
+
+@query(
     "join_shipping_priority",
     oracle=f"""
     SELECT
