@@ -505,3 +505,112 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.greatest(F.col("contain_a_in_b"), F.col("contain_b_in_a"))
         >= _CONTAIN_T
     )
+
+
+# Fuzzy (edit-distance) dedup: word-count band width for candidate
+# blocking, and the relative edit-distance threshold 1/_LEV_REL_DEN
+# (integer-exact compare: _LEV_REL_DEN * lev <= max_chars).
+_LEV_BAND = 4
+_LEV_REL_DEN = 5  # lev/max_chars <= 20%
+
+
+@query(
+    "dedup_fuzzy_levenshtein",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, lang, text,
+             len(list_filter(string_split(text, ' '), x -> x <> ''))
+               AS n_words
+      FROM documents
+    ), bucketed AS (
+      SELECT doc_id, lang, text, n_words,
+             unnest([n_words // {_LEV_BAND},
+                     n_words // {_LEV_BAND} + 1]) AS bucket
+      FROM base
+    ), cand AS (
+      SELECT DISTINCT
+        a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+        a.text AS text_a, b.text AS text_b
+      FROM bucketed a JOIN bucketed b
+        ON a.lang = b.lang AND a.bucket = b.bucket
+       AND a.doc_id < b.doc_id
+       AND abs(a.n_words - b.n_words) <= {_LEV_BAND}
+    )
+    SELECT
+      doc_id_a, doc_id_b,
+      CAST(levenshtein(text_a, text_b) AS BIGINT) AS edit_distance,
+      CAST(greatest(length(text_a), length(text_b)) AS BIGINT) AS max_chars
+    FROM cand
+    WHERE {_LEV_REL_DEN} * levenshtein(text_a, text_b)
+          <= greatest(length(text_a), length(text_b))
+    """,
+    tags=("llm", "dedup", "fuzzy", "levenshtein"),
+)
+def dedup_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy near-dup pairs by EXACT edit distance over blocked
+    candidates: pairs in the same language whose word counts differ by
+    ≤ 4 and whose Levenshtein distance is ≤ 20% of the longer text.
+    Complements the set-based detectors (Jaccard/MinHash ignore token
+    ORDER; edit distance catches small in-place rewrites and is the
+    classic fuzzy-match semantics for titles/names).
+
+    Spark shape: each doc emits its word-count bucket floor(n/4) AND
+    floor(n/4)+1, candidates come from an EQUI-join on (lang, bucket) —
+    any pair with |Δn| ≤ 4 is guaranteed to share a bucket, so the band
+    predicate costs one hash join on a short key, never a theta join or
+    an O(n²) compare. The quadratic levenshtein DP runs only on
+    candidate pairs (bounded per block), JVM-side via
+    ``F.levenshtein`` — both engines implement the standard
+    Wagner-Fischer distance, so the oracle is exact. The 20% threshold
+    compares as ``5·lev ≤ max_chars`` — pure integers, no float
+    boundary. At 100 TB: candidates scale with block occupancy (docs
+    per (lang, 4-word band)), the knob is the band width.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    base = d.select(
+        "doc_id", "lang", "text", F.size(_words()).alias("n_words")
+    )
+    bucketed = base.select(
+        "doc_id",
+        "lang",
+        "text",
+        "n_words",
+        F.explode(
+            F.array(
+                F.floor(F.col("n_words") / _LEV_BAND),
+                F.floor(F.col("n_words") / _LEV_BAND) + 1,
+            )
+        ).alias("bucket"),
+    )
+    a = bucketed.alias("a")
+    b = bucketed.alias("b")
+    cand = (
+        a.join(
+            b,
+            on=[
+                F.col("a.lang") == F.col("b.lang"),
+                F.col("a.bucket") == F.col("b.bucket"),
+                F.col("a.doc_id") < F.col("b.doc_id"),
+                F.abs(F.col("a.n_words") - F.col("b.n_words")) <= _LEV_BAND,
+            ],
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_id_a"),
+            F.col("b.doc_id").alias("doc_id_b"),
+            F.col("a.text").alias("text_a"),
+            F.col("b.text").alias("text_b"),
+        )
+        .distinct()
+    )
+    lev = F.levenshtein("text_a", "text_b")
+    return cand.filter(
+        F.lit(_LEV_REL_DEN) * lev
+        <= F.greatest(F.length("text_a"), F.length("text_b"))
+    ).select(
+        "doc_id_a",
+        "doc_id_b",
+        lev.cast("long").alias("edit_distance"),
+        F.greatest(F.length("text_a"), F.length("text_b"))
+        .cast("long")
+        .alias("max_chars"),
+    )

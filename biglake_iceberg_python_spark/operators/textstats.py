@@ -725,3 +725,140 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("zipf_exponent"),
     )
+
+
+# Sliding-window chunking: window of _CHUNK_W tokens advancing by _CHUNK_S
+# (overlap _CHUNK_W - _CHUNK_S) — the standard pre-tokenization shaping step
+# for context-window training and RAG indexing.
+_CHUNK_W = 32
+_CHUNK_S = 24
+
+
+@query(
+    "text_chunk_sliding",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split(text, ' '), x -> x <> '') AS t
+      FROM documents
+    ), base AS (
+      SELECT doc_id, t, len(t) AS n FROM toks
+    ), st AS (
+      SELECT doc_id, t, n, unnest(range(0, n, {_CHUNK_S})) AS start
+      FROM base
+    )
+    SELECT
+      doc_id,
+      CAST(start // {_CHUNK_S} AS BIGINT) AS chunk_idx,
+      CAST(len(list_slice(t, start + 1, least(start + {_CHUNK_W}, n)))
+           AS BIGINT) AS n_chunk_tokens,
+      array_to_string(
+        list_slice(t, start + 1, least(start + {_CHUNK_W}, n)), ' '
+      ) AS chunk_text
+    FROM st
+    """,
+    tags=("llm", "text", "chunk", "rag"),
+)
+def text_chunk_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking: fixed windows of 32 tokens
+    advancing by 24 (8-token overlap), the shaping step between corpus
+    curation and tokenization — every training example and RAG index
+    entry is one output row.
+
+    Spark shape: tokenize once (codegen split+filter), generate the chunk
+    start offsets with ``sequence(0, n-1, stride)`` and ``posexplode``,
+    slice the token array per offset. Pure map-side — ZERO shuffles: a 1→N
+    row expansion inside the scan stage, so at 100 TB it runs at full
+    scan throughput and the output partitioning inherits the input's.
+    The last chunk per doc is the natural remainder (never padded,
+    never dropped), so token coverage is exact.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    base = d.select(
+        "doc_id", _words().alias("t")
+    ).withColumn("n", F.size("t"))
+    st = base.select(
+        "doc_id",
+        "t",
+        "n",
+        F.posexplode(
+            F.sequence(F.lit(0), F.col("n") - 1, F.lit(_CHUNK_S))
+        ).alias("chunk_idx", "start"),
+    )
+    chunk = F.slice(
+        F.col("t"),
+        F.col("start") + 1,
+        F.least(F.lit(_CHUNK_W), F.col("n") - F.col("start")),
+    )
+    return st.select(
+        "doc_id",
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.size(chunk).cast("long").alias("n_chunk_tokens"),
+        F.concat_ws(" ", chunk).alias("chunk_text"),
+    )
+
+
+_BPE_TOP = 20
+
+
+@query(
+    "text_bpe_pair_stats",
+    oracle=f"""
+    WITH words AS (
+      SELECT unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+        AS w
+      FROM documents
+    ), wc AS (
+      SELECT w, COUNT(*) AS c FROM words GROUP BY w
+    ), pairs AS (
+      SELECT
+        unnest(list_transform(generate_series(1, length(w) - 1),
+                              i -> substr(w, CAST(i AS INT), 2))) AS pair,
+        c
+      FROM wc
+      WHERE length(w) >= 2
+    ), agg AS (
+      SELECT pair, CAST(SUM(c) AS BIGINT) AS pair_count
+      FROM pairs GROUP BY pair
+    )
+    SELECT pair, pair_count FROM agg
+    ORDER BY pair_count DESC, pair
+    LIMIT {_BPE_TOP}
+    """,
+    tags=("llm", "text", "bpe", "tokenizer"),
+)
+def text_bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer induction, step one: corpus-weighted adjacent
+    character-pair frequencies — exactly the statistic the first BPE
+    merge maximizes. The top pair here IS the first merge rule a BPE
+    trainer would learn on this corpus; re-running per merge round (on
+    the rewritten symbol table) yields the full vocabulary.
+
+    Spark shape: count WORD TYPES first (one shuffle on the word key,
+    map-side combined), then expand each distinct word into its
+    adjacent pairs weighted by the type count — the expansion runs over
+    the type table (≤ vocab size, ≪ corpus rows), so a 100 TB corpus
+    pays one word-count shuffle and a vocab-sized pair aggregation.
+    Descending-count + pair tiebreak makes the top-20 deterministic.
+    ``sequence(1, length-1)`` is guarded for single-char words: Spark's
+    ``sequence(1, 0)`` counts DOWN ([1,0]) rather than returning empty.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    wc = (
+        d.select(F.explode(_words()).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    pairs = wc.select(
+        F.explode(
+            F.expr(
+                "CASE WHEN length(w) >= 2 THEN "
+                "transform(sequence(1, length(w) - 1), "
+                "i -> substring(w, i, 2)) "
+                "ELSE array() END"
+            )
+        ).alias("pair"),
+        "c",
+    )
+    agg = pairs.groupBy("pair").agg(F.sum("c").cast("long").alias("pair_count"))
+    return agg.orderBy(F.col("pair_count").desc(), "pair").limit(_BPE_TOP)
