@@ -1359,3 +1359,116 @@ def lakehouse_rollback(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_snapshots"),
         )
         return row.localCheckpoint(eager=True)
+
+
+@query(
+    "lakehouse_write_audit_publish",
+    oracle="""
+    WITH base AS (
+      SELECT COUNT(*) AS n FROM orders WHERE o_orderstatus = 'O'
+    ), batch_a AS (
+      SELECT COUNT(*) AS n,
+             COUNT(*) FILTER (WHERE o_totalprice <= 0) AS bad
+      FROM orders WHERE o_orderstatus = 'F'
+    ), batch_b AS (
+      -- the simulated buggy upstream negates every odd-key price, so the
+      -- audit rule (no non-positive prices) must reject those rows
+      SELECT COUNT(*) AS n,
+             COUNT(*) FILTER (
+               WHERE (CASE WHEN o_orderkey % 2 = 1
+                           THEN -o_totalprice ELSE o_totalprice END) <= 0
+             ) AS bad
+      FROM orders WHERE o_orderstatus = 'P'
+    )
+    SELECT
+      CAST((SELECT n FROM base) AS BIGINT) AS base_rows,
+      CAST((SELECT bad FROM batch_a) AS BIGINT) AS violations_a,
+      CAST((SELECT bad FROM batch_b) AS BIGINT) AS violations_b,
+      CAST((SELECT n FROM base)
+           + CASE WHEN (SELECT bad FROM batch_a) = 0
+                  THEN (SELECT n FROM batch_a) ELSE 0 END
+           + CASE WHEN (SELECT bad FROM batch_b) = 0
+                  THEN (SELECT n FROM batch_b) ELSE 0 END
+           AS BIGINT) AS main_rows,
+      CAST(CASE WHEN (SELECT bad FROM batch_b) = 0
+                THEN (SELECT n FROM base)
+                     + CASE WHEN (SELECT bad FROM batch_a) = 0
+                            THEN (SELECT n FROM batch_a) ELSE 0 END
+                     + (SELECT n FROM batch_b)
+                ELSE (SELECT n FROM base)
+                     + CASE WHEN (SELECT bad FROM batch_a) = 0
+                            THEN (SELECT n FROM batch_a) ELSE 0 END
+           END AS BIGINT) AS staging_rows_after_reset
+    """,
+    tags=("lakehouse", "wap", "branch", "audit", "publish"),
+)
+def lakehouse_write_audit_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end WRITE-AUDIT-PUBLISH — the canonical Iceberg production
+    ingestion pattern (stage on a branch, validate, fast-forward main;
+    cf. the reference's Iceberg tables, which exist precisely so commits
+    are atomic and auditable): batch A ('F' orders) is staged on a
+    ``staging`` branch, audited INCREMENTALLY (only the rows the staged
+    snapshot ADDED are scanned, via the start/end-snapshot incremental
+    read), passes, and publishes to main as a pure metadata pointer move.
+    Batch B ('P' orders through a simulated buggy upstream that negates
+    odd-key prices) is staged the same way, FAILS the audit, and the
+    staging branch is reset to main — the bad commit never becomes
+    visible to readers and no data is rewritten to undo it.
+
+    The oracle encodes the DECISION RULE, not the expected data: each
+    batch contributes to main iff its violation count is zero, so the
+    check verifies the branching behavior itself. Audit cost is
+    delta-proportional (incremental scan of added files only) and both
+    publish and reset are O(1) ref moves — at 100 TB the WAP loop costs
+    one batch write + one batch scan per ingest, never a table scan.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    audit_rule = F.col("o_totalprice") <= 0
+    with tempfile.TemporaryDirectory(prefix="lh_wap_") as root:
+        t = SnapshotTable(spark, root)
+        base_id = t.write(o.filter(F.col("o_orderstatus") == "O"))
+        base_rows = t.read().count()
+        t.create_branch("staging")
+
+        # WRITE: stage batch A on the branch; main is untouched.
+        a_id = t.write(
+            o.filter(F.col("o_orderstatus") == "F"),
+            mode="append",
+            branch="staging",
+        )
+        # AUDIT: scan only what the staged snapshot added.
+        violations_a = (
+            t.read_incremental(base_id, a_id).filter(audit_rule).count()
+        )
+        # PUBLISH: pointer move, no data copied.
+        if violations_a == 0:
+            t.fast_forward("main", "staging")
+        main_head = t.current_snapshot_id()
+
+        # Batch B arrives through a buggy upstream: odd keys negated.
+        bad_batch = o.filter(F.col("o_orderstatus") == "P").withColumn(
+            "o_totalprice",
+            F.when(
+                F.col("o_orderkey") % 2 == 1, -F.col("o_totalprice")
+            ).otherwise(F.col("o_totalprice")),
+        )
+        b_id = t.write(bad_batch, mode="append", branch="staging")
+        violations_b = (
+            t.read_incremental(main_head, b_id).filter(audit_rule).count()
+        )
+        if violations_b == 0:
+            t.fast_forward("main", "staging")
+            staging_after = t.read_ref("staging").count()
+        else:
+            # REJECT: reset staging to main, abandoning the bad commit.
+            t.fast_forward("staging", "main")
+            staging_after = t.read_ref("staging").count()
+
+        row = spark.range(1).select(
+            F.lit(base_rows).cast("long").alias("base_rows"),
+            F.lit(violations_a).cast("long").alias("violations_a"),
+            F.lit(violations_b).cast("long").alias("violations_b"),
+            F.lit(t.read_ref("main").count()).cast("long").alias("main_rows"),
+            F.lit(staging_after).cast("long").alias("staging_rows_after_reset"),
+        )
+        return row.localCheckpoint(eager=True)
