@@ -9,6 +9,7 @@ lifecycle loses or mangles rows, the hash mismatches).
 
 from __future__ import annotations
 
+import os
 import tempfile
 import uuid
 
@@ -1472,3 +1473,81 @@ def lakehouse_write_audit_publish(spark: SparkSession, sf_dir: str) -> DataFrame
             F.lit(staging_after).cast("long").alias("staging_rows_after_reset"),
         )
         return row.localCheckpoint(eager=True)
+
+
+@query(
+    "lakehouse_incremental_matview",
+    oracle="""
+    SELECT
+      CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+      CAST(COUNT(*) AS BIGINT) AS n_orders,
+      CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS sum_price
+    FROM orders
+    GROUP BY 1
+    """,
+    tags=("lakehouse", "matview", "incremental", "ivm"),
+)
+def lakehouse_incremental_matview(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental MATERIALIZED-VIEW maintenance over the snapshot layer
+    (the continuous-aggregate / incremental-refresh pattern): a monthly
+    rollup of orders is built once from the base load, then kept current
+    across two append batches by aggregating ONLY each batch's added rows
+    (``read_incremental``) and merging the partial aggregate into the
+    stored view — the view is never recomputed from the full table.
+
+    Correct-by-algebra: count and decimal-sum are commutative monoids, so
+    base ⊕ delta₁ ⊕ delta₂ is EXACTLY the full-table aggregate — the
+    oracle recomputes the rollup from scratch and the hashes must agree
+    bit-for-bit (the running sum stays DECIMAL(30,6) inside the stored
+    view; only the final read casts to double). At 100 TB this is the
+    difference between scanning a day's delta and scanning seven years of
+    history per refresh: cost is O(delta) + a |view|-row merge, and the
+    view table (months × small state) broadcasts into the merge join.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    month = F.date_trunc("month", F.col("o_orderdate")).cast("date")
+
+    def rollup(df: DataFrame) -> DataFrame:
+        return df.groupBy(month.alias("month")).agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(30,6)")).alias("sum_price"),
+        )
+
+    yr = F.year("o_orderdate")
+    with tempfile.TemporaryDirectory(prefix="lh_ivm_") as root:
+        src = SnapshotTable(spark, os.path.join(root, "src"))
+        mv = SnapshotTable(spark, os.path.join(root, "mv"))
+        head = src.write(o.filter(yr < 1996))
+        mv.write(rollup(src.read()))
+        for batch_cond in (yr == 1996, yr >= 1997):
+            head_new = src.write(o.filter(batch_cond), mode="append")
+            delta = rollup(src.read_incremental(head, head_new))
+            cur = mv.read()
+            merged = (
+                cur.join(delta, "month", "full_outer")
+                .select(
+                    "month",
+                    (
+                        F.coalesce(cur["n_orders"], F.lit(0))
+                        + F.coalesce(delta["n_orders"], F.lit(0))
+                    ).alias("n_orders"),
+                    (
+                        F.coalesce(
+                            cur["sum_price"],
+                            F.lit(0).cast("decimal(30,6)"),
+                        )
+                        + F.coalesce(
+                            delta["sum_price"],
+                            F.lit(0).cast("decimal(30,6)"),
+                        )
+                    ).cast("decimal(30,6)").alias("sum_price"),
+                )
+            )
+            mv.write(merged, mode="overwrite")
+            head = head_new
+        out = mv.read().select(
+            "month",
+            F.col("n_orders").cast("long").alias("n_orders"),
+            F.col("sum_price").cast("double").alias("sum_price"),
+        )
+        return out.localCheckpoint(eager=True)

@@ -326,3 +326,44 @@ def util_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(m["null_ship_dates"]).cast("long").alias("null_ship_dates"),
         F.lit(n_kept).cast("long").alias("n_kept"),
     )
+
+
+@query(
+    "sql_group_order_by_all",
+    oracle="""
+    SELECT
+      o_orderstatus,
+      o_orderpriority,
+      CAST(COUNT(*) AS BIGINT) AS n_orders,
+      CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS total_price
+    FROM orders
+    GROUP BY ALL
+    ORDER BY ALL
+    """,
+    tags=("sql", "group-by-all"),
+)
+def sql_group_order_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``GROUP BY ALL`` / ``ORDER BY ALL`` (the analyst-ergonomics SQL
+    surface both Spark 3.4+/4 and DuckDB adopted): every non-aggregate
+    select item becomes a grouping key, and ORDER BY ALL sorts by the full
+    select list left-to-right. The oracle runs the IDENTICAL text, so this
+    pins both dialects to the same resolution rules. Resolves to the same
+    two-phase hash aggregate as an explicit GROUP BY — the sugar is
+    analysis-time only, zero plan cost.
+    """
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "orders_gball"
+    )
+    return spark.sql(
+        """
+        SELECT
+          o_orderstatus,
+          o_orderpriority,
+          CAST(COUNT(*) AS BIGINT) AS n_orders,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE)
+            AS total_price
+        FROM orders_gball
+        GROUP BY ALL
+        ORDER BY ALL
+        """
+    )
