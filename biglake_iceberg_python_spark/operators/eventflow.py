@@ -599,3 +599,129 @@ def events_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("slope_cents_per_s"),
     )
+
+
+@query(
+    "events_sequence_motif",
+    oracle=f"""
+    WITH e AS (
+      SELECT user_id, event_id, {_ORACLE_ES} AS es,
+             CASE event_type
+               WHEN 'view' THEN 'v' WHEN 'click' THEN 'c'
+               WHEN 'purchase' THEN 'p' WHEN 'signup' THEN 's'
+               ELSE 'e' END AS ch
+      FROM events
+    ), seqs AS (
+      SELECT user_id, string_agg(ch, '' ORDER BY es, event_id) AS seq
+      FROM e GROUP BY user_id
+    )
+    SELECT
+      user_id,
+      CAST(length(seq) AS BIGINT) AS n_events,
+      CAST(len(regexp_extract_all(seq, 'vc+p')) AS BIGINT) AS n_buy_paths,
+      CAST(len(regexp_extract_all(seq, 'ee+')) AS BIGINT) AS n_error_bursts
+    FROM seqs
+    """,
+    tags=("events", "sequence", "pattern", "motif"),
+)
+def events_sequence_motif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-pattern mining over per-user event streams — the
+    MATCH_RECOGNIZE emulation: each user's time-ordered events become a
+    character string (one char per event type) and row-pattern motifs
+    become REGEXES over it — ``vc+p`` (view, ≥1 clicks, purchase, strictly
+    contiguous) counts completed buy journeys, ``ee+`` counts error
+    bursts. Both engines scan regexes leftmost-non-overlapping, so counts
+    agree exactly; ordering ties inside one second break on event_id in
+    both.
+
+    Spark shape: ONE shuffle on user_id builds all sequences
+    (collect_list → array_sort on the (es, event_id) struct prefix — no
+    window pass needed), then the regex counting is per-row codegen. A
+    user's sequence is bounded by their event count, so rows stay small;
+    at 100 TB the shuffle carries one char per event — the cheapest
+    possible encoding of the journey — and motif queries over the
+    sequence table are scan-speed regex evaluations, the standard
+    funnel-DSL backend shape.
+    """
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.expr(_ES).cast("long").alias("es"),
+        F.when(F.col("event_type") == "view", "v")
+        .when(F.col("event_type") == "click", "c")
+        .when(F.col("event_type") == "purchase", "p")
+        .when(F.col("event_type") == "signup", "s")
+        .otherwise("e")
+        .alias("ch"),
+    )
+    seqs = e.groupBy("user_id").agg(
+        F.concat_ws(
+            "",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("es", "event_id", "ch"))),
+                lambda x: x["ch"],
+            ),
+        ).alias("seq")
+    )
+    return seqs.select(
+        "user_id",
+        F.length("seq").cast("long").alias("n_events"),
+        F.regexp_count("seq", F.lit("vc+p")).cast("long").alias("n_buy_paths"),
+        F.regexp_count("seq", F.lit("ee+")).cast("long").alias("n_error_bursts"),
+    )
+
+
+@query(
+    "agg_kll_quantile_merge",
+    oracle=None,  # KLL compaction is randomized (estimates vary run to
+    # run within the rank-error bound), so there is no stable hash in
+    # EITHER engine; tests/test_operators.py bounds every weekly estimate
+    # against the exact percentile's neighborhood instead.
+    tags=("agg", "sketch", "mergeable", "approx", "quantile"),
+)
+def agg_kll_quantile_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable QUANTILE sketches — the KLL half of the sketch-rollup
+    story (agg_sketch_merge_rollup covers distinct counting): per-day KLL
+    sketches of the event value are folded up to per-week p50/p90/p99
+    estimates without re-touching raw events.
+
+    Exact percentiles don't re-aggregate (the weekly median is not a
+    function of daily medians — each grain needs its own full pass), so
+    at 100 TB latency-percentile dashboards run on exactly this shape:
+    one expensive pass builds fixed-size per-day sketches, every coarser
+    grain is a fold over the tiny sketch table. Spark 4 ships KLL as
+    binary scalar merge (not an agg), so the weekly fold is
+    ``aggregate(collect_list(sk))`` over ≤7 sketches per group — the
+    fold is per-group codegen over a days-sized table, never a wide
+    shuffle. Estimates carry KLL's ~1.7% rank-error bound (k=200
+    default); n is exact and is asserted against the true weekly count.
+    """
+    e = load_table(spark, sf_dir, "events").select(
+        "value",
+        (F.expr(_ES).cast("long") / _DAY_S).cast("long").alias("day"),
+    )
+    daily = e.groupBy("day").agg(
+        F.kll_sketch_agg_double("value").alias("sk"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    wk = daily.groupBy((F.col("day") / 7).cast("long").alias("week")).agg(
+        F.collect_list("sk").alias("sks"),
+        F.sum("n_events").alias("n_events"),
+    )
+    merged = wk.select(
+        "week",
+        "n_events",
+        F.aggregate(
+            F.slice("sks", 2, 1_000_000),
+            F.element_at("sks", 1),
+            lambda acc, x: F.kll_sketch_merge_double(acc, x),
+        ).alias("msk"),
+    )
+    return merged.select(
+        "week",
+        F.kll_sketch_get_quantile_double("msk", F.lit(0.5)).alias("p50_est"),
+        F.kll_sketch_get_quantile_double("msk", F.lit(0.9)).alias("p90_est"),
+        F.kll_sketch_get_quantile_double("msk", F.lit(0.99)).alias("p99_est"),
+        F.kll_sketch_get_n_double("msk").cast("long").alias("n_from_sketch"),
+        F.col("n_events").cast("long").alias("n_exact"),
+    )

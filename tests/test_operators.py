@@ -801,3 +801,41 @@ def test_branch_isolation_of_default_reads(spark, tmp_path):
     assert t.read().count() == 4
     assert t.current_snapshot_id() > pre               # new head entry
     assert t.read_ref("wip").count() == 25
+
+
+def test_kll_quantile_merge_accuracy(spark, sf_dir):
+    """Merged per-day KLL sketches must report the exact n and estimate
+    weekly p50/p90 within the sketch's rank-error neighborhood (±5% of
+    rank at k=200 is generous; we check the VALUE at rank±5% brackets
+    the estimate)."""
+    from biglake_iceberg_python_spark.sources.tables import load_table
+
+    rows = {
+        r["week"]: r
+        for r in REGISTRY["agg_kll_quantile_merge"].fn(spark, sf_dir).collect()
+    }
+    e = load_table(spark, sf_dir, "events").select(
+        "value",
+        F.expr(
+            "CAST(timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00',"
+            " date_trunc('second', ts)) / 604800 AS BIGINT)"
+        ).alias("week"),
+    )
+    brackets = {
+        r["week"]: r
+        for r in e.groupBy("week")
+        .agg(
+            F.expr("percentile(value, 0.45)").alias("p50_lo"),
+            F.expr("percentile(value, 0.55)").alias("p50_hi"),
+            F.expr("percentile(value, 0.85)").alias("p90_lo"),
+            F.expr("percentile(value, 0.95)").alias("p90_hi"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()
+    }
+    assert set(rows) == set(brackets)
+    for w, r in rows.items():
+        b = brackets[w]
+        assert r["n_from_sketch"] == b["n"] == r["n_exact"]
+        assert b["p50_lo"] <= r["p50_est"] <= b["p50_hi"], (w, dict(r.asDict()))
+        assert b["p90_lo"] <= r["p90_est"] <= b["p90_hi"], (w, dict(r.asDict()))
