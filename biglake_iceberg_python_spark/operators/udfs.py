@@ -388,3 +388,96 @@ def udf_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_priorities"),
     )
+
+
+def _asof_cogroup(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+    """Per-customer as-of match: for each open-order day, the latest
+    fulfilled-order day that is <= it (numpy searchsorted — O(n log n)
+    per group, no pandas merge_asof global-sort requirements)."""
+    import numpy as np
+
+    cols = ["o_custkey", "o_orderkey", "open_day", "last_f_day", "gap_days"]
+    if left.empty:
+        return pd.DataFrame({c: pd.array([], dtype="Int64") for c in cols})
+    days = left["day"].to_numpy()
+    rd = np.sort(right["day"].to_numpy()) if len(right) else np.array([], dtype="int64")
+    idx = np.searchsorted(rd, days, side="right") - 1
+    last = pd.array(
+        [int(rd[i]) if i >= 0 else None for i in idx], dtype="Int64"
+    )
+    out = pd.DataFrame(
+        {
+            "o_custkey": pd.array(left["o_custkey"], dtype="Int64"),
+            "o_orderkey": pd.array(left["o_orderkey"], dtype="Int64"),
+            "open_day": pd.array(days, dtype="Int64"),
+            "last_f_day": last,
+            "gap_days": pd.array(days, dtype="Int64") - last,
+        }
+    )
+    return out
+
+
+@query(
+    "udf_cogrouped_map",
+    oracle="""
+    SELECT
+      o.o_custkey,
+      o.o_orderkey,
+      CAST(date_diff('day', DATE '1970-01-01', CAST(o.o_orderdate AS DATE))
+           AS BIGINT) AS open_day,
+      CAST((SELECT MAX(date_diff('day', DATE '1970-01-01',
+                                 CAST(f.o_orderdate AS DATE)))
+            FROM orders f
+            WHERE f.o_custkey = o.o_custkey AND f.o_orderstatus = 'F'
+              AND f.o_orderdate <= o.o_orderdate) AS BIGINT) AS last_f_day,
+      CAST(date_diff('day', DATE '1970-01-01', CAST(o.o_orderdate AS DATE))
+           - (SELECT MAX(date_diff('day', DATE '1970-01-01',
+                                   CAST(f.o_orderdate AS DATE)))
+              FROM orders f
+              WHERE f.o_custkey = o.o_custkey AND f.o_orderstatus = 'F'
+                AND f.o_orderdate <= o.o_orderdate) AS BIGINT) AS gap_days
+    FROM orders o
+    WHERE o.o_orderstatus = 'O'
+    """,
+    tags=("udf", "cogroup", "applyInPandas", "asof"),
+)
+def udf_cogrouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cogrouped-map pandas UDF (``groupBy().cogroup().applyInPandas``) —
+    the LAST tier of the pandas API matrix: TWO tables shuffle on the
+    same key and each key's pair of pandas frames lands in one Python
+    worker. The demo is the canonical cogroup workload: a per-key as-of
+    match (each customer's open orders against their own fulfilled-order
+    timeline) — per-group ordered logic that SQL needs a correlated
+    subquery for, and that pandas expresses as one searchsorted.
+
+    Dates cross the Arrow boundary as epoch-DAY integers (derived
+    JVM-side via ``datediff``) so the Python worker never touches
+    timestamp semantics — the NTZ/timezone minefield stays in Spark. The
+    oracle's correlated MAX proves the cogroup machinery (dual shuffle,
+    per-key frame pairing, nullable Int64 output) reproduces the exact
+    declarative result, including NULL rows for customers with no prior
+    fulfilled order. At scale both sides shuffle ONCE on the key, groups
+    stream pair-wise through workers bounded by per-customer history —
+    the two-table analog of grouped-map, and the only API tier that can
+    run custom two-sided per-key logic without first materializing a
+    join.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    day = F.datediff(
+        F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date")
+    ).cast("long")
+    opens = o.filter(F.col("o_orderstatus") == "O").select(
+        "o_custkey", "o_orderkey", day.alias("day")
+    )
+    fulfilled = o.filter(F.col("o_orderstatus") == "F").select(
+        "o_custkey", day.alias("day")
+    )
+    out_schema = (
+        "o_custkey bigint, o_orderkey bigint, open_day bigint, "
+        "last_f_day bigint, gap_days bigint"
+    )
+    return (
+        opens.groupBy("o_custkey")
+        .cogroup(fulfilled.groupBy("o_custkey"))
+        .applyInPandas(_asof_cogroup, schema=out_schema)
+    )

@@ -377,3 +377,133 @@ def source_python_datasource_stream(spark: SparkSession, sf_dir: str) -> DataFra
         q.stop()
     LAST_STREAM_QUERY["source_python_datasource_stream"] = q
     return spark.table(name)
+
+
+# -- Python DataSource WRITER (the sink half of the API) ----------------------
+
+
+def _make_sink_datasource_class():
+    """Writer-capable Python DataSource (function-local classes for the
+    same pickle-by-value reasons as the readers): each executor partition
+    streams its rows into one uniquely-named CSV part file under
+    ``path``, returns the file name + row count as its commit message,
+    and the DRIVER-side commit() writes a _MANIFEST listing exactly the
+    committed parts — the two-phase commit shape (task files are invisible
+    until the job-level manifest lands; abort() deletes stragglers)."""
+    import os as _os
+    import uuid as _uuid
+
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceWriter,
+        WriterCommitMessage,
+    )
+
+    class PartFileCommit(WriterCommitMessage):
+        def __init__(self, fname: str, n_rows: int):
+            self.fname, self.n_rows = fname, n_rows
+
+    class CsvSinkWriter(DataSourceWriter):
+        def __init__(self, options):
+            self.path = options["path"]
+
+        def write(self, rows):
+            fname = f"part-{_uuid.uuid4().hex}.csv"
+            n = 0
+            tmp = _os.path.join(self.path, fname)
+            with open(tmp, "w", encoding="utf-8") as f:
+                for r in rows:
+                    f.write(",".join("" if v is None else str(v) for v in r))
+                    f.write("\n")
+                    n += 1
+            return PartFileCommit(fname, n)
+
+        def commit(self, messages):
+            manifest = _os.path.join(self.path, "_MANIFEST")
+            with open(manifest, "w", encoding="utf-8") as f:
+                for m in messages:
+                    f.write(f"{m.fname},{m.n_rows}\n")
+
+        def abort(self, messages):
+            for m in messages:
+                try:
+                    _os.remove(_os.path.join(self.path, m.fname))
+                except OSError:
+                    pass
+
+    class CsvSinkDataSource(DataSource):
+        """``df.write.format("pycsvsink").option("path", dir).save()``."""
+
+        @classmethod
+        def name(cls) -> str:
+            return "pycsvsink"
+
+        def writer(self, schema, overwrite):
+            return CsvSinkWriter(self.options)
+
+    return CsvSinkDataSource
+
+
+CsvSinkDataSource = _make_sink_datasource_class()
+
+_sink_registered = False
+
+
+def register_sink(spark) -> None:
+    global _sink_registered
+    if not _sink_registered:
+        spark.dataSource.register(CsvSinkDataSource)
+        _sink_registered = True
+
+
+@query(
+    "source_python_datasource_write",
+    oracle="""
+    SELECT
+      l_returnflag,
+      l_linestatus,
+      CAST(COUNT(*) AS BIGINT) AS n_rows,
+      CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+                    AS BIGINT)) AS BIGINT) AS price_cents
+    FROM lineitem
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    tags=("source", "python-datasource", "writer", "sink"),
+)
+def source_python_datasource_write(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WRITE through the custom Python DataSource sink, then read the
+    files back — the writer half of the Python DataSource API
+    (``DataSourceWriter.write`` per executor partition → commit message →
+    driver-side ``commit()`` manifest; the two-phase protocol that makes
+    a pure-Python sink atomic-at-job-granularity). The payload is the
+    pricing rollup with money pre-quantized to integer CENTS JVM-side, so
+    the bytes that cross the Python boundary are exact int64s and the
+    read-back → oracle comparison is bit-deterministic.
+
+    Scale note: each partition writes its own part file directly to
+    storage and ships only (name, count) back to the driver — commit cost
+    is O(partitions), data never funnels through one node; abort()
+    deletes uncommitted parts, same contract as Spark's file sinks.
+    """
+    import tempfile as _tf
+
+    from biglake_iceberg_python_spark.sources.tables import load_table as _lt
+
+    register_sink(spark)
+    li = _lt(spark, sf_dir, "lineitem")
+    agg = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(
+            (F.col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long")
+        ).alias("price_cents"),
+    )
+    with _tf.TemporaryDirectory(prefix="pysink_") as d:
+        agg.write.format("pycsvsink").option("path", d).mode("append").save()
+        back = (
+            spark.read.schema(
+                "l_returnflag string, l_linestatus string, "
+                "n_rows bigint, price_cents bigint"
+            )
+            .csv(f"{d}/part-*.csv")
+        )
+        return back.localCheckpoint(eager=True)
