@@ -507,3 +507,146 @@ def source_python_datasource_write(spark: SparkSession, sf_dir: str) -> DataFram
             .csv(f"{d}/part-*.csv")
         )
         return back.localCheckpoint(eager=True)
+
+
+def _make_stream_sink_datasource_class():
+    """STREAMING writer-capable Python DataSource: the
+    ``DataSourceStreamWriter`` protocol — per-micro-batch, each executor
+    partition writes one part file named by (epoch, uuid), and the
+    driver-side ``commit(messages, batchId)`` appends a manifest line per
+    batch. Naming parts by epoch makes a replayed batch overwrite-free
+    and the manifest the dedup point — the idempotence contract streaming
+    file sinks need under retry."""
+    import os as _os
+    import uuid as _uuid
+
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceStreamWriter,
+        WriterCommitMessage,
+    )
+
+    class PartFileCommit(WriterCommitMessage):
+        def __init__(self, fname: str, n_rows: int):
+            self.fname, self.n_rows = fname, n_rows
+
+    class CsvStreamSinkWriter(DataSourceStreamWriter):
+        def __init__(self, options):
+            self.path = options["path"]
+
+        def write(self, rows):
+            fname = f"part-{_uuid.uuid4().hex}.csv"
+            n = 0
+            with open(_os.path.join(self.path, fname), "w", encoding="utf-8") as f:
+                for r in rows:
+                    f.write(",".join("" if v is None else str(v) for v in r))
+                    f.write("\n")
+                    n += 1
+            return PartFileCommit(fname, n)
+
+        def commit(self, messages, batchId):
+            manifest = _os.path.join(self.path, "_STREAM_MANIFEST")
+            with open(manifest, "a", encoding="utf-8") as f:
+                for m in messages:
+                    f.write(f"{batchId},{m.fname},{m.n_rows}\n")
+
+        def abort(self, messages, batchId):
+            for m in messages:
+                try:
+                    _os.remove(_os.path.join(self.path, m.fname))
+                except OSError:
+                    pass
+
+    class CsvStreamSinkDataSource(DataSource):
+        """``df.writeStream.format("pycsvstreamsink").option("path", d)``."""
+
+        @classmethod
+        def name(cls) -> str:
+            return "pycsvstreamsink"
+
+        def streamWriter(self, schema, overwrite):
+            return CsvStreamSinkWriter(self.options)
+
+    return CsvStreamSinkDataSource
+
+
+CsvStreamSinkDataSource = _make_stream_sink_datasource_class()
+
+_stream_sink_registered = False
+
+
+def register_stream_sink(spark) -> None:
+    global _stream_sink_registered
+    if not _stream_sink_registered:
+        spark.dataSource.register(CsvStreamSinkDataSource)
+        _stream_sink_registered = True
+
+
+@query(
+    "source_python_datasource_stream_write",
+    oracle=f"""
+    WITH g AS (
+      SELECT i.generate_series AS id,
+             (i.generate_series * {_KNUTH}) % {_MOD} AS h
+      FROM generate_series(0, {_STREAM_N - 1}) i
+    )
+    SELECT
+      ['click','view','purchase','error','signup'][(id % 5) + 1]
+        AS event_type,
+      CAST(COUNT(*) AS BIGINT) AS n_events,
+      CAST(SUM(h % 10000) AS BIGINT) AS sum_value
+    FROM g GROUP BY 1
+    """,
+    tags=("source", "streaming", "python-datasource", "writer", "sink"),
+)
+def source_python_datasource_stream_write(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Python STREAMING source → Python STREAMING sink, end to end: the
+    20k-row generator stream is written append-mode through the custom
+    ``DataSourceStreamWriter`` (per-partition part files, per-batch
+    driver manifest), drained to exhaustion, then the part files are read
+    back and rolled up — proving the streaming writer protocol (write →
+    per-batch commit → manifest) loses nothing and duplicates nothing
+    across the >=4 rate-limited micro-batches. The oracle recomputes the
+    rollup from generate_series; counts and int64 sums must agree
+    exactly, so a dropped part file, a double-committed batch, or a
+    truncated write all hash-fail.
+
+    Scale: same contract as Spark's own file sinks — executor partitions
+    write straight to storage, the driver sees only (epoch, name, count)
+    triples, and replay idempotence hangs on the batch manifest, not on
+    re-reading data.
+    """
+    import tempfile as _tf
+    import uuid as _uuid
+
+    register_stream(spark)
+    register_stream_sink(spark)
+    src = (
+        spark.readStream.format("eventgen_stream")
+        .option("n_rows", _STREAM_N)
+        .option("batch_size", 5_000)
+        .load()
+    )
+    with _tf.TemporaryDirectory(prefix="pystreamsink_") as d:
+        q = (
+            src.select("id", "event_type", "value_i")
+            .writeStream.format("pycsvstreamsink")
+            .option("path", d)
+            .outputMode("append")
+            .option("checkpointLocation", _tf.mkdtemp(prefix="pss_ckpt_"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        back = spark.read.schema(
+            "id bigint, event_type string, value_i bigint"
+        ).csv(f"{d}/part-*.csv")
+        out = back.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value_i").alias("sum_value"),
+        )
+        return out.localCheckpoint(eager=True)
