@@ -590,3 +590,40 @@ def test_zorder_envelope_decision_is_distributed(spark, sf_dir):
     assert plan.count("Exchange hashpartitioning") == 1, plan
     assert "Exchange rangepartitioning" not in plan
     assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_chunk_sliding_zero_shuffle(spark, sf_dir):
+    """Document chunking must be a pure map-side 1→N expansion — no
+    Exchange anywhere: it runs at scan throughput at any corpus size."""
+    plan = plan_of(spark, sf_dir, "text_chunk_sliding")
+    assert "Exchange" not in plan, plan
+
+
+def test_fuzzy_levenshtein_blocks_via_equi_join(spark, sf_dir):
+    """The edit-distance candidate join must be a hash equi-join on the
+    (lang, bucket) blocking key — never a nested-loop over doc pairs."""
+    plan = plan_of(spark, sf_dir, "dedup_fuzzy_levenshtein")
+    # any EQUI-join strategy is fine (broadcast at tiny sf, shuffle at scale)
+    assert any(
+        j in plan
+        for j in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin")
+    ), plan
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_matryoshka_coarse_stage_broadcasts_queries(spark, sf_dir):
+    """The coarse scorer must broadcast the query set (candidates stream);
+    the only exchange shuffles the |Q|·shortlist rows for the rescore
+    windows, never the corpus."""
+    plan = plan_of(spark, sf_dir, "sim_matryoshka_rescore")
+    assert "BroadcastNestedLoopJoin BuildRight" in plan, plan
+
+
+def test_bpe_pair_expansion_runs_on_type_table(spark, sf_dir):
+    """BPE pair stats: the char-pair explosion must sit ABOVE the word
+    aggregation (type table), not on raw corpus rows — the plan generates
+    pairs after the first HashAggregate, so the expansion is vocab-sized."""
+    plan = plan_of(spark, sf_dir, "text_bpe_pair_stats")
+    gen = plan.index("Generate explode")
+    # the word-count aggregate (on key w) appears BELOW the explode
+    assert "HashAggregate" in plan[gen:], plan
