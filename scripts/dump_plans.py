@@ -98,6 +98,20 @@ SHOWCASES = {
     "an iteration is one map-side broadcast join + one partial-aggregated "
     "contribution shuffle, and static relations (edges, degrees, N) are "
     "localCheckpoint-materialized once.",
+    "text_chunk_sliding": "Sliding-window chunking with ZERO exchanges: "
+    "tokenize, offset generation (sequence+posexplode), and the per-chunk "
+    "slice are all map-side inside the scan stage — a 1→N expansion that "
+    "runs at scan throughput and inherits the input partitioning.",
+    "dedup_fuzzy_levenshtein": "Blocked edit-distance dedup: the "
+    "double-bucket length-band emission turns the |Δwords|≤4 predicate "
+    "into a pure EQUI-join on (lang, bucket) — the quadratic levenshtein "
+    "DP evaluates only inside the join's generated code on candidate "
+    "pairs, and no nested-loop operator appears at any scale.",
+    "sim_matryoshka_rescore": "Two-stage MRL retrieval: the coarse 16-dim "
+    "scorer streams the corpus past the broadcast query set (one "
+    "BroadcastNestedLoopJoin, no candidate-side exchange); only the "
+    "|Q|·30 shortlist crosses the shuffle for rescoring — full-dimension "
+    "work is independent of corpus size.",
 }
 
 
