@@ -324,3 +324,67 @@ def multimodal_dedup_payload(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("reclaimable_bytes"),
     )
+
+
+@query(
+    "multimodal_training_record",
+    oracle="""
+    WITH rec AS (
+      SELECT
+        d.source,
+        len(list_filter(string_split(d.text, ' '), x -> x <> ''))
+          AS n_tokens,
+        length(d.text) AS payload_bytes,
+        CAST(FLOOR(1e6 * sqrt(list_dot_product(e.embedding::DOUBLE[],
+                                               e.embedding::DOUBLE[])))
+             AS BIGINT) AS norm_micro
+      FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+    )
+    SELECT
+      source,
+      CAST(COUNT(*) AS BIGINT) AS n_records,
+      CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+      CAST(SUM(payload_bytes) AS BIGINT) AS total_payload_bytes,
+      CAST(SUM(norm_micro) AS BIGINT) AS sum_embed_norm_micro
+    FROM rec
+    GROUP BY source
+    """,
+    tags=("llm", "multimodal", "assembly", "join"),
+)
+def multimodal_training_record(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal SAMPLE ASSEMBLY — the step that turns per-modality
+    tables into training records: text (documents), the binary payload,
+    and the precomputed embedding (embeddings) join on the shared doc id
+    into one record, then per-source accounting (records, token budget,
+    payload bytes, embedding-norm mass) feeds the pack/mix planners.
+
+    The join IS the operator: at 100 TB both modality tables co-partition
+    on the id key (one shuffle per side — or zero if stored bucketed /
+    partitioned the same way), payload bytes ride the join but are never
+    interpreted, and the embedding norm is a codegen fold. The norm is
+    floor-quantized to integer MICROS before the sum (both engines floor
+    the same IEEE double), keeping the aggregate order-independent int64
+    — the same exactness convention as the LM-surprisal sums.
+    """
+    mm = _with_binary_payload(spark, sf_dir)
+    e = load_table(spark, sf_dir, "embeddings")
+    ev = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    dot = F.aggregate(
+        F.zip_with(ev, ev, lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    tokens = F.size(F.filter(F.split(F.decode("payload", "UTF-8"), " "),
+                             lambda x: x != ""))
+    rec = mm.join(e, mm["doc_id"] == e["vec_id"]).select(
+        F.col("meta.source").alias("source"),
+        tokens.alias("n_tokens"),
+        F.length("payload").alias("payload_bytes"),
+        F.floor(F.lit(1e6) * F.sqrt(dot)).cast("long").alias("norm_micro"),
+    )
+    return rec.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_records"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.sum("payload_bytes").cast("long").alias("total_payload_bytes"),
+        F.sum("norm_micro").cast("long").alias("sum_embed_norm_micro"),
+    )
