@@ -367,3 +367,45 @@ def sql_group_order_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY ALL
         """
     )
+
+
+@query(
+    "sql_identifier_clause",
+    oracle="""
+    SELECT
+      o_orderstatus,
+      CAST(COUNT(*) AS BIGINT) AS n_orders,
+      CAST(MAX(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS max_price
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+    tags=("sql", "identifier", "parameterized"),
+)
+def sql_identifier_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``IDENTIFIER()`` clause (Spark 4): table and column NAMES arrive as
+    bound parameters — the injection-safe way to template object names,
+    completing the parameter surface (sql_parameterized binds VALUES;
+    this binds identifiers). A name parameter can never smuggle SQL: the
+    string resolves as one identifier or fails analysis.
+
+    The oracle runs the equivalent static text — identifier binding is
+    analysis-time substitution with zero plan cost, so both engines see
+    the same aggregate over the same table.
+    """
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_idp")
+    return spark.sql(
+        """
+        SELECT
+          IDENTIFIER(:keycol),
+          CAST(COUNT(*) AS BIGINT) AS n_orders,
+          CAST(MAX(CAST(IDENTIFIER(:pricecol) AS DECIMAL(18,2))) AS DOUBLE)
+            AS max_price
+        FROM IDENTIFIER(:tbl)
+        GROUP BY IDENTIFIER(:keycol)
+        """,
+        args={
+            "tbl": "orders_idp",
+            "keycol": "o_orderstatus",
+            "pricecol": "o_totalprice",
+        },
+    )
