@@ -57,6 +57,7 @@ _QUERY_MODULES = [
     "biglake_iceberg_python_spark.operators.ml",
     "biglake_iceberg_python_spark.operators.similarity",
     "biglake_iceberg_python_spark.operators.textstats",
+    "biglake_iceberg_python_spark.operators.retrieval",
     "biglake_iceberg_python_spark.operators.multimodal",
     "biglake_iceberg_python_spark.lakehouse.queries",
     "biglake_iceberg_python_spark.streaming.queries",

@@ -839,3 +839,43 @@ def test_kll_quantile_merge_accuracy(spark, sf_dir):
         assert r["n_from_sketch"] == b["n"] == r["n_exact"]
         assert b["p50_lo"] <= r["p50_est"] <= b["p50_hi"], (w, dict(r.asDict()))
         assert b["p90_lo"] <= r["p90_est"] <= b["p90_hi"], (w, dict(r.asDict()))
+
+
+def test_bm25_rare_term_dominates(spark, sf_dir):
+    """The rare query term ('dup', df ≈ 5%) carries ~11× the idf of the
+    common terms, so the top-ranked document must actually contain it —
+    the semantic sanity check that BM25 is scoring, not counting."""
+    top = REGISTRY["text_bm25_search"].fn(spark, sf_dir).collect()
+    assert 0 < len(top) <= 20
+    micro = [r["bm25_micro"] for r in top]
+    assert micro == sorted(micro, reverse=True)
+    from biglake_iceberg_python_spark.sources.tables import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    top1_text = (
+        d.filter(F.col("doc_id") == top[0]["doc_id"]).select("text").first()["text"]
+    )
+    assert "dup" in top1_text.split()
+
+
+def test_hybrid_rrf_fusion_arithmetic(spark, sf_dir):
+    """RRF consistency: every fused score must equal the sum of its two
+    rank contributions (round(1e9/(60+rank)), 0 when absent), and a doc
+    present in BOTH rankings must outscore any doc that appears in only
+    one ranking at an equal-or-worse rank."""
+    rows = REGISTRY["sim_hybrid_rrf"].fn(spark, sf_dir).collect()
+    assert 0 < len(rows) <= 20
+
+    def contrib(rank):
+        return 0 if rank is None else round(1e9 / (60 + rank))
+
+    for r in rows:
+        assert r["rrf_micro"] == contrib(r["rank_bm25"]) + contrib(r["rank_vec"])
+    both = [r for r in rows if r["rank_bm25"] and r["rank_vec"]]
+    single = [r for r in rows if (r["rank_bm25"] is None) != (r["rank_vec"] is None)]
+    for b in both:
+        worst = max(b["rank_bm25"], b["rank_vec"])
+        for s in single:
+            s_rank = s["rank_bm25"] or s["rank_vec"]
+            if s_rank >= worst:
+                assert b["rrf_micro"] > s["rrf_micro"]

@@ -627,3 +627,22 @@ def test_bpe_pair_expansion_runs_on_type_table(spark, sf_dir):
     gen = plan.index("Generate explode")
     # the word-count aggregate (on key w) appears BELOW the explode
     assert "HashAggregate" in plan[gen:], plan
+
+
+def test_bm25_topk_no_global_sort_no_explode(spark, sf_dir):
+    """BM25's top-k must be TakeOrderedAndProject (per-partition heaps) and
+    term frequencies must come from array-filter counts in codegen — a
+    fixed keyword query never justifies exploding the corpus to words."""
+    plan = plan_of(spark, sf_dir, "text_bm25_search")
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange rangepartitioning" not in plan
+    assert "Generate explode" not in plan
+
+
+def test_hybrid_rrf_rankers_stay_tiny(spark, sf_dir):
+    """Fusion joins two ≤50-row ranked lists; neither side may shuffle the
+    corpus — the vector ranker broadcasts its 1-row query vector and the
+    only exchanges carry top-k candidates."""
+    plan = plan_of(spark, sf_dir, "sim_hybrid_rrf")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan  # 1-row query vector broadcast
