@@ -978,3 +978,80 @@ def scalar_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("sum_price_per_discount"),
         F.count(F.lit(1)).alias("n_rows"),
     )
+
+
+@query(
+    "agg_corr_covar",
+    oracle="""
+    WITH m AS (
+      SELECT
+        l_returnflag,
+        CAST(COUNT(*) AS DECIMAL(38,0)) AS n,
+        SUM(CAST(round(CAST(l_quantity AS DECIMAL(18,2)) * 100) AS DECIMAL(38,0))) AS sx,
+        SUM(CAST(round(CAST(l_extendedprice AS DECIMAL(18,2)) * 100) AS DECIMAL(38,0))) AS sy,
+        SUM(CAST(round(CAST(l_quantity AS DECIMAL(18,2)) * 100) AS DECIMAL(38,0))
+          * CAST(round(CAST(l_quantity AS DECIMAL(18,2)) * 100) AS DECIMAL(38,0))) AS sxx,
+        SUM(CAST(round(CAST(l_extendedprice AS DECIMAL(18,2)) * 100) AS DECIMAL(38,0))
+          * CAST(round(CAST(l_extendedprice AS DECIMAL(18,2)) * 100) AS DECIMAL(38,0))) AS syy,
+        SUM(CAST(round(CAST(l_quantity AS DECIMAL(18,2)) * 100) AS DECIMAL(38,0))
+          * CAST(round(CAST(l_extendedprice AS DECIMAL(18,2)) * 100) AS DECIMAL(38,0))) AS sxy
+      FROM lineitem
+      GROUP BY l_returnflag
+    )
+    SELECT
+      l_returnflag,
+      CAST(n AS BIGINT) AS n_rows,
+      (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+               * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+        AS corr_qty_price,
+      (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) / 10000.0
+        AS covar_pop_units
+    FROM m
+    """,
+    tags=("agg", "statistics"),
+)
+def agg_corr_covar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation + population covariance of quantity vs price per
+    return flag — the `corr()`/`covar_pop()` surface, re-derived from EXACT
+    integer moments so the result is bit-stable and oracle-checkable.
+
+    Built-in `corr()` accumulates running double means whose partition
+    order varies run to run; here both measures quantize to integer cents
+    first, the five moment sums accumulate in DECIMAL(38,0) (sum of y² at
+    sf0.1 already exceeds int64), and only the final closed-form formula
+    touches doubles — identical expression structure on both engines, so
+    the doubles agree to the last bit.
+
+    100 TB: one map-side partial aggregation into a |flags|-row shuffle —
+    the same single-pass moment-sketch shape as `agg_variance`.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    x = F.round(F.col("l_quantity").cast("decimal(18,2)") * 100).cast("decimal(38,0)")
+    y = F.round(F.col("l_extendedprice").cast("decimal(18,2)") * 100).cast(
+        "decimal(38,0)"
+    )
+    m = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(y * y).alias("syy"),
+        F.sum(x * y).alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    sxd, syd = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxxd, syyd = F.col("sxx").cast("double"), F.col("syy").cast("double")
+    sxyd = F.col("sxy").cast("double")
+    return m.select(
+        "l_returnflag",
+        F.col("n").cast("long").alias("n_rows"),
+        (
+            (nd * sxyd - sxd * syd)
+            / F.sqrt((nd * sxxd - sxd * sxd) * (nd * syyd - syd * syd))
+        ).alias("corr_qty_price"),
+        ((nd * sxyd - sxd * syd) / (nd * nd) / F.lit(10000.0)).alias(
+            "covar_pop_units"
+        ),
+    )

@@ -37,7 +37,7 @@ analytics — SURVEY.md §2A); they are contract-mandated extensions.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from biglake_iceberg_python_spark.operators.dedup import _shingles, _words
@@ -1057,4 +1057,223 @@ def curate_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
                 1,
             )
         ).alias("n_clean"),
+    )
+
+
+# URL canonicalization: variant-generation selectors and the regex chain.
+# The synthetic corpus has no URL column, so each doc gets a deterministic
+# raw URL built IN-QUERY (same expression both engines) with case noise,
+# www/port/trailing-slash/fragment clutter, and tracking params — the
+# variants a web crawl actually produces for one logical page.
+_URL_SCHEME_RE = "^([A-Za-z]+)://"
+_URL_HOST_RE = "^[A-Za-z]+://([^/?#]*)"
+_URL_PATH_RE = "^[A-Za-z]+://[^/?#]*([^?#]*)"
+_URL_QUERY_RE = r"\?([^#]*)"
+
+
+@query(
+    "curate_url_canonical",
+    oracle=f"""
+    WITH raw AS (
+      SELECT
+        doc_id, source,
+        (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS' ELSE 'https' END) || '://'
+        || (CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END)
+        || (CASE WHEN doc_id % 5 = 0 THEN upper(source) ELSE source END)
+        || '.Example.ORG'
+        || (CASE WHEN doc_id % 8 = 0 THEN ':443' ELSE '' END)
+        || '/articles/item' || CAST(doc_id % 25 AS VARCHAR)
+        || (CASE WHEN doc_id % 6 = 0 THEN '/' ELSE '' END)
+        || (CASE WHEN doc_id % 4 = 0 THEN '?utm_source=feed&utm_campaign=x'
+                 WHEN doc_id % 4 = 1 THEN '?ref=kept&utm_medium=social'
+                 ELSE '' END)
+        || (CASE WHEN doc_id % 7 = 0 THEN '#top' ELSE '' END)
+        AS url
+      FROM documents
+    ), parts AS (
+      SELECT
+        source, url,
+        lower(regexp_extract(url, '{_URL_SCHEME_RE}', 1)) AS scheme,
+        regexp_replace(
+          regexp_replace(lower(regexp_extract(url, '{_URL_HOST_RE}', 1)),
+                         '^www\\.', ''),
+          ':(443|80)$', '') AS host,
+        regexp_replace(regexp_extract(url, '{_URL_PATH_RE}', 1), '/+$', '') AS path,
+        array_to_string(
+          list_filter(string_split(regexp_extract(url, '{_URL_QUERY_RE}', 1), '&'),
+                      x -> x <> '' AND NOT starts_with(x, 'utm_')),
+          '&') AS q
+      FROM raw
+    ), canon AS (
+      SELECT
+        source,
+        scheme || '://' || host
+          || (CASE WHEN path = '' THEN '/' ELSE path END)
+          || (CASE WHEN q <> '' THEN '?' || q ELSE '' END) AS canonical_url
+      FROM parts
+    ), groups AS (
+      SELECT source, canonical_url, COUNT(*) AS n_variants
+      FROM canon GROUP BY source, canonical_url
+    )
+    SELECT
+      source,
+      CAST(SUM(n_variants) AS BIGINT) AS n_urls,
+      CAST(COUNT(*) AS BIGINT) AS n_canonical,
+      CAST(COUNT(*) FILTER (WHERE n_variants > 1) AS BIGINT) AS n_dup_groups,
+      CAST(MAX(n_variants) AS BIGINT) AS max_group
+    FROM groups GROUP BY source
+    """,
+    tags=("llm", "curation", "url", "dedup"),
+)
+def curate_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization + dedup accounting — the first pass of every
+    web-crawl pipeline: scheme/host case folding, www and default-port
+    stripping, trailing-slash and fragment removal, tracking-param
+    (utm_*) filtering — then a per-source census of how many raw URLs
+    collapse into each canonical page.
+
+    Raw URLs are synthesized IN-QUERY from doc_id selectors (the corpus
+    has no URL column) by the identical expression on both engines; the
+    canonicalization chain under test is the production code path. Every
+    step is regexp/string codegen — zero Python, zero extra scans.
+
+    100 TB: map-side canonicalization, one shuffle on (source, canonical)
+    — the same single-key dedup shape as `dedup_exact`, which this
+    operator feeds in a real crawl.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    raw = d.select(
+        "source",
+        F.concat(
+            F.when(did % 2 == 0, F.lit("HTTPS")).otherwise(F.lit("https")),
+            F.lit("://"),
+            F.when(did % 3 == 0, F.lit("WWW.")).otherwise(F.lit("")),
+            F.when(did % 5 == 0, F.upper("source")).otherwise(F.col("source")),
+            F.lit(".Example.ORG"),
+            F.when(did % 8 == 0, F.lit(":443")).otherwise(F.lit("")),
+            F.lit("/articles/item"),
+            (did % 25).cast("string"),
+            F.when(did % 6 == 0, F.lit("/")).otherwise(F.lit("")),
+            F.when(did % 4 == 0, F.lit("?utm_source=feed&utm_campaign=x"))
+            .when(did % 4 == 1, F.lit("?ref=kept&utm_medium=social"))
+            .otherwise(F.lit("")),
+            F.when(did % 7 == 0, F.lit("#top")).otherwise(F.lit("")),
+        ).alias("url"),
+    )
+    scheme = F.lower(F.regexp_extract("url", _URL_SCHEME_RE, 1))
+    host = F.regexp_replace(
+        F.regexp_replace(
+            F.lower(F.regexp_extract("url", _URL_HOST_RE, 1)), r"^www\.", ""
+        ),
+        ":(443|80)$",
+        "",
+    )
+    path = F.regexp_replace(F.regexp_extract("url", _URL_PATH_RE, 1), "/+$", "")
+    q = F.array_join(
+        F.filter(
+            F.split(F.regexp_extract("url", _URL_QUERY_RE, 1), "&"),
+            lambda x: (x != "") & ~x.startswith("utm_"),
+        ),
+        "&",
+    )
+    canon = raw.select(
+        "source",
+        F.concat(
+            scheme,
+            F.lit("://"),
+            host,
+            F.when(path == "", F.lit("/")).otherwise(path),
+            F.when(q != "", F.concat(F.lit("?"), q)).otherwise(F.lit("")),
+        ).alias("canonical_url"),
+    )
+    groups = canon.groupBy("source", "canonical_url").agg(
+        F.count(F.lit(1)).alias("n_variants")
+    )
+    return groups.groupBy("source").agg(
+        F.sum("n_variants").cast("long").alias("n_urls"),
+        F.count(F.lit(1)).alias("n_canonical"),
+        F.count(F.when(F.col("n_variants") > 1, 1)).alias("n_dup_groups"),
+        F.max("n_variants").cast("long").alias("max_group"),
+    )
+
+
+@query(
+    "curate_winsorize",
+    oracle="""
+    WITH ranked AS (
+      SELECT
+        lang, n_chars,
+        ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS rk,
+        COUNT(*) OVER (PARTITION BY lang) AS n_lang
+      FROM documents
+    ), cut AS (
+      SELECT
+        lang, n_chars, rk, n_lang,
+        MAX(CASE WHEN rk = (5 * n_lang + 99) // 100 THEN n_chars END)
+          OVER (PARTITION BY lang) AS lo_cut,
+        MAX(CASE WHEN rk = (95 * n_lang + 99) // 100 THEN n_chars END)
+          OVER (PARTITION BY lang) AS hi_cut
+      FROM ranked
+    )
+    SELECT
+      lang,
+      CAST(COUNT(*) AS BIGINT) AS n_docs,
+      CAST(MAX(lo_cut) AS BIGINT) AS lo_cut,
+      CAST(MAX(hi_cut) AS BIGINT) AS hi_cut,
+      CAST(COUNT(*) FILTER (WHERE n_chars < lo_cut) AS BIGINT) AS n_clipped_lo,
+      CAST(COUNT(*) FILTER (WHERE n_chars > hi_cut) AS BIGINT) AS n_clipped_hi,
+      CAST(SUM(LEAST(GREATEST(n_chars, lo_cut), hi_cut)) AS BIGINT)
+        AS sum_winsorized
+    FROM cut GROUP BY lang
+    """,
+    tags=("llm", "curation", "statistics"),
+)
+def curate_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorization — clip per-language document lengths at the exact
+    discrete p05/p95 before computing corpus statistics, so a few giant or
+    truncated documents can't skew downstream quality thresholds.
+
+    The cutoffs are EXACT order statistics (value at rank ⌈0.05·n⌉ /
+    ⌈0.95·n⌉, rank and ceiling in pure integer arithmetic with a doc_id
+    tiebreak), not interpolated percentiles whose formulas differ by
+    engine — so clip decisions, clipped counts, and the winsorized sum are
+    all integers and hash-match the oracle.
+
+    100 TB: ONE exchange on lang serves the rank window, both cutoff
+    broadcasts (window MAX over the same partition — no second shuffle),
+    and the final rollup. For corpora where a single language dominates,
+    swap the rank window for the distributed KLL cutoff
+    (`agg_kll_quantile_merge`) and keep the identical clip stage.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang")
+    ranked = d.select(
+        "lang",
+        "n_chars",
+        F.row_number()
+        .over(w.orderBy("n_chars", "doc_id"))
+        .alias("rk"),
+        F.count(F.lit(1)).over(w).alias("n_lang"),
+    )
+    lo_rank = F.expr("(5 * n_lang + 99) div 100")
+    hi_rank = F.expr("(95 * n_lang + 99) div 100")
+    cut = ranked.select(
+        "lang",
+        "n_chars",
+        F.max(F.when(F.col("rk") == lo_rank, F.col("n_chars")))
+        .over(w)
+        .alias("lo_cut"),
+        F.max(F.when(F.col("rk") == hi_rank, F.col("n_chars")))
+        .over(w)
+        .alias("hi_cut"),
+    )
+    clipped = F.least(F.greatest(F.col("n_chars"), F.col("lo_cut")), F.col("hi_cut"))
+    return cut.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.max("lo_cut").cast("long").alias("lo_cut"),
+        F.max("hi_cut").cast("long").alias("hi_cut"),
+        F.count(F.when(F.col("n_chars") < F.col("lo_cut"), 1)).alias("n_clipped_lo"),
+        F.count(F.when(F.col("n_chars") > F.col("hi_cut"), 1)).alias("n_clipped_hi"),
+        F.sum(clipped).cast("long").alias("sum_winsorized"),
     )

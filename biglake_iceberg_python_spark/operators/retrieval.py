@@ -202,8 +202,8 @@ def _dot(a: Column, b: Column) -> Column:
         COALESCE(bm.doc_id, vec.doc_id) AS doc_id,
         bm.rank_bm25 AS rank_bm25,
         vec.rank_vec AS rank_vec,
-        COALESCE(CAST(round(1e9 / ({_RRF_C} + bm.rank_bm25)) AS BIGINT), 0)
-          + COALESCE(CAST(round(1e9 / ({_RRF_C} + vec.rank_vec)) AS BIGINT), 0)
+        COALESCE(1000000000 // ({_RRF_C} + bm.rank_bm25), 0)
+          + COALESCE(1000000000 // ({_RRF_C} + vec.rank_vec), 0)
           AS rrf_micro
       FROM bm FULL OUTER JOIN vec ON bm.doc_id = vec.doc_id
     )
@@ -220,8 +220,8 @@ def sim_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Each ranker contributes its top-{depth} list (k rows — broadcast by
     construction); fusion is a full outer join of two tiny lists with pure
-    integer rank arithmetic (round(1e9/(c+rank))), so the result is exactly
-    reproducible across engines. The corpus-scale work is the two underlying
+    integer rank arithmetic (1e9 div (c+rank) — floor division, no floats),
+    so the result is exactly reproducible across engines. The corpus-scale work is the two underlying
     scans, each already shuffle-free (BM25: broadcast stats; cosine:
     broadcast query vector).
     """
@@ -259,16 +259,9 @@ def sim_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "rank_vec")
     )
-    rrf = (
-        F.coalesce(
-            F.round(F.lit(1e9) / (F.lit(_RRF_C) + F.col("rank_bm25"))).cast("long"),
-            F.lit(0),
-        )
-        + F.coalesce(
-            F.round(F.lit(1e9) / (F.lit(_RRF_C) + F.col("rank_vec"))).cast("long"),
-            F.lit(0),
-        )
-    )
+    rrf = F.coalesce(
+        F.expr(f"1000000000 div ({_RRF_C} + rank_bm25)"), F.lit(0)
+    ) + F.coalesce(F.expr(f"1000000000 div ({_RRF_C} + rank_vec)"), F.lit(0))
     fused = (
         bm.join(vec, "doc_id", "full_outer")
         .select("doc_id", "rank_bm25", "rank_vec", rrf.alias("rrf_micro"))

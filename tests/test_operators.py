@@ -860,14 +860,14 @@ def test_bm25_rare_term_dominates(spark, sf_dir):
 
 def test_hybrid_rrf_fusion_arithmetic(spark, sf_dir):
     """RRF consistency: every fused score must equal the sum of its two
-    rank contributions (round(1e9/(60+rank)), 0 when absent), and a doc
+    rank contributions (1e9 // (60+rank), 0 when absent), and a doc
     present in BOTH rankings must outscore any doc that appears in only
     one ranking at an equal-or-worse rank."""
     rows = REGISTRY["sim_hybrid_rrf"].fn(spark, sf_dir).collect()
     assert 0 < len(rows) <= 20
 
     def contrib(rank):
-        return 0 if rank is None else round(1e9 / (60 + rank))
+        return 0 if rank is None else 1_000_000_000 // (60 + rank)
 
     for r in rows:
         assert r["rrf_micro"] == contrib(r["rank_bm25"]) + contrib(r["rank_vec"])

@@ -646,3 +646,28 @@ def test_hybrid_rrf_rankers_stay_tiny(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "sim_hybrid_rrf")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" in plan  # 1-row query vector broadcast
+
+
+def test_corr_covar_single_pass_partial_agg(spark, sf_dir):
+    """The five moment sums must accumulate map-side (two-phase agg) and
+    entirely in codegen — no Python anywhere near the hot path."""
+    plan = plan_of(spark, sf_dir, "agg_corr_covar")
+    assert plan.count("HashAggregate") >= 2
+    assert "BatchEvalPython" not in plan
+
+
+def test_url_canonical_all_codegen(spark, sf_dir):
+    """URL synthesis + the full canonicalization regex chain must run as
+    codegen string expressions (zero Python), with the only shuffles being
+    the (source, canonical) dedup key and the per-source rollup."""
+    plan = plan_of(spark, sf_dir, "curate_url_canonical")
+    assert "BatchEvalPython" not in plan
+    assert "Generate" not in plan  # no explode needed for param filtering
+    assert plan.count("Exchange hashpartitioning") <= 2
+
+
+def test_winsorize_one_exchange(spark, sf_dir):
+    """Rank window, both cutoff window-MAXes, and the final per-lang rollup
+    must all ride ONE exchange on lang (key-prefix reuse)."""
+    plan = plan_of(spark, sf_dir, "curate_winsorize")
+    assert plan.count("Exchange hashpartitioning") == 1

@@ -63,7 +63,16 @@ def test_every_spec_is_well_formed():
 # which land exactly on x.xx5 boundaries. These two quantize 1e6*ln(n) to
 # BIGINT precisely to absorb libm ulp drift; a decimal cast would not change
 # their behavior at any boundary they can actually hit.
-_RAW_ROUND_EXEMPT = {"text_lm_perplexity", "text_zipf_fit"}
+_RAW_ROUND_EXEMPT = {
+    "text_lm_perplexity",
+    "text_zipf_fit",
+    # BM25 quantizes 1e6·idf·tfnorm where idf = ln(1 + rational) is
+    # irrational for every reachable df — same measure-zero argument as
+    # the perplexity quantizer. The RRF fusion itself is pure integer
+    # floor division; only the embedded BM25 CTE rounds.
+    "text_bm25_search",
+    "sim_hybrid_rrf",
+}
 
 
 def _round_args(sql: str):
