@@ -303,3 +303,155 @@ def ml_logistic_newton(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         history, "iter int, mean_loss double, train_acc double"
     )
+
+
+# PCA over the embedding corpus. Dimensionality is fixed and small (d=64),
+# so the scale split is: the CORPUS-SIZED work (second-moment accumulation)
+# runs distributed as fixed-size per-batch partials, and the d×d eigensolve
+# runs on the driver — the same "tree-aggregate statistics, solve the tiny
+# dense system locally" shape as ml_logistic_newton's 7×7 solve.
+_PCA_DIM = 64
+_PCA_QUANT = 1_000_000  # embedding values quantize to integer micro-units
+_PCA_TOP = 8
+
+
+def _pca_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact integer moment matrix of the embedding corpus.
+
+    Each Arrow batch computes its OWN int64 Gram matrix (numpy X.T @ X on
+    micro-unit integers — exact, order-independent) plus per-dim first
+    moments, emitting d(d+1)/2 = 2080 fixed-size partial rows per batch;
+    Spark merges partials by (i, j) in DECIMAL(38,0). Per-batch products
+    stay far below int64 (|x|·1e6 ≤ ~2e6 → pair products ≤ 4e12, ≤ 64k
+    rows/batch → ≤ 3e17); the cross-batch merge is decimal, so the pipeline
+    is exact at any corpus size.
+    """
+    import numpy as np
+    import pyarrow as pa
+
+    iu, ju = np.triu_indices(_PCA_DIM)
+
+    def batch_gram(batches):
+        for b in batches:
+            col = b.column("embedding")
+            arr = np.stack(col.to_numpy(zero_copy_only=False)).astype(np.float64)
+            x = np.floor(arr * _PCA_QUANT).astype(np.int64)
+            g = x.T @ x
+            s = x.sum(axis=0)
+            yield pa.RecordBatch.from_pydict(
+                {
+                    "i": pa.array((iu + 1).astype(np.int32), pa.int32()),
+                    "j": pa.array((ju + 1).astype(np.int32), pa.int32()),
+                    "n": pa.array(
+                        np.full(len(iu), b.num_rows, dtype=np.int64), pa.int64()
+                    ),
+                    "si": pa.array(s[iu], pa.int64()),
+                    "sj": pa.array(s[ju], pa.int64()),
+                    "sij": pa.array(g[iu, ju], pa.int64()),
+                }
+            )
+
+    e = load_table(spark, sf_dir, "embeddings").select("embedding")
+    partials = e.mapInArrow(
+        batch_gram, "i int, j int, n bigint, si bigint, sj bigint, sij bigint"
+    )
+    dec = lambda c: F.sum(F.col(c).cast("decimal(38,0)"))  # noqa: E731
+    return partials.groupBy("i", "j").agg(
+        dec("n").cast("long").alias("n_rows"),
+        dec("si").cast("long").alias("sum_i"),
+        dec("sj").cast("long").alias("sum_j"),
+        dec("sij").cast("long").alias("sum_ij"),
+    )
+
+
+@query(
+    "ml_pca_gram",
+    oracle=f"""
+    WITH dims AS (SELECT unnest(generate_series(1, {_PCA_DIM})) AS i),
+    q AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    x AS (
+      SELECT vec_id, d.i AS i,
+             CAST(floor(v[d.i] * {_PCA_QUANT}) AS BIGINT) AS xi
+      FROM q, dims d
+    )
+    SELECT
+      a.i AS i, b.i AS j,
+      CAST(COUNT(*) AS BIGINT) AS n_rows,
+      CAST(SUM(a.xi) AS BIGINT) AS sum_i,
+      CAST(SUM(b.xi) AS BIGINT) AS sum_j,
+      CAST(SUM(a.xi * b.xi) AS BIGINT) AS sum_ij
+    FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.i <= b.i
+    GROUP BY a.i, b.i
+    """,
+    tags=("llm", "ml", "pca", "arrow"),
+)
+def ml_pca_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Upper-triangle second-moment matrix of the embeddings — the
+    distributed half of PCA, as exact integers so the whole accumulation
+    hash-matches the oracle (the oracle re-derives it the dumb way, by
+    exploding dims and self-joining; the engine never materializes
+    per-dimension rows — each Arrow batch emits one fixed-size partial).
+
+    100 TB: Python work is embarrassingly parallel (one numpy GEMM per
+    batch), shuffle traffic is #batches × 2080 rows regardless of corpus
+    size, and the decimal merge keeps exactness past int64.
+    """
+    return _pca_gram(spark, sf_dir)
+
+
+@query(
+    "ml_pca_power",
+    oracle=None,  # eigendecomposition is not SQL-expressible; invariants
+    # (orthonormality, trace preservation, descending spectrum, determinism)
+    # are asserted in tests/test_operators.py.
+    tags=("llm", "ml", "pca"),
+)
+def ml_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA of the embedding corpus: top-{k} principal components with
+    eigenvalue, explained-variance ratio, and the dominant input dimension
+    per component.
+
+    The corpus-sized work is `ml_pca_gram` (exact distributed moments);
+    only the 64×64 covariance eigensolve runs on the driver — fixed-size
+    math independent of corpus scale, like the Newton solver's 7×7 system.
+    Covariance is assembled from EXACT integer moments, so the eigensolve
+    input (and hence its output, numpy's deterministic LAPACK on one
+    machine) is identical across runs and cluster sizes. Component sign is
+    fixed by making each component's largest-|loading| entry positive.
+    """
+    import numpy as np
+
+    rows = _pca_gram(spark, sf_dir).collect()  # 2080 fixed-size rows
+    d = _PCA_DIM
+    n = rows[0]["n_rows"]
+    s = np.zeros(d)
+    m2 = np.zeros((d, d))
+    for r in rows:
+        i, j = r["i"] - 1, r["j"] - 1
+        m2[i, j] = m2[j, i] = r["sum_ij"]
+        s[i], s[j] = r["sum_i"], r["sum_j"]
+    cov = (m2 / n - np.outer(s / n, s / n)) / (_PCA_QUANT * _PCA_QUANT)
+    evals, evecs = np.linalg.eigh(cov)
+    order = np.argsort(evals)[::-1]
+    evals, evecs = evals[order], evecs[:, order]
+    total = float(np.trace(cov))
+    out = []
+    for c in range(_PCA_TOP):
+        vec = evecs[:, c]
+        top_dim = int(np.argmax(np.abs(vec)))
+        if vec[top_dim] < 0:
+            vec = -vec
+        out.append(
+            (
+                c + 1,
+                float(evals[c]),
+                float(evals[c] / total),
+                top_dim + 1,
+                float(vec[top_dim]),
+            )
+        )
+    return spark.createDataFrame(
+        out,
+        "component int, eigenvalue double, explained_ratio double, "
+        "top_dim int, top_loading double",
+    )

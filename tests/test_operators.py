@@ -879,3 +879,49 @@ def test_hybrid_rrf_fusion_arithmetic(spark, sf_dir):
             s_rank = s["rank_bm25"] or s["rank_vec"]
             if s_rank >= worst:
                 assert b["rrf_micro"] > s["rrf_micro"]
+
+
+def test_pca_spectrum_invariants(spark, sf_dir):
+    """PCA output contract: descending non-negative spectrum, explained
+    ratios in (0, 1] summing below 1, sign convention (dominant loading
+    positive), and bit-identical reruns (the eigensolve input is exact
+    integers, so the whole pipeline is deterministic)."""
+    rows1 = REGISTRY["ml_pca_power"].fn(spark, sf_dir).collect()
+    assert len(rows1) == 8
+    ev = [r["eigenvalue"] for r in rows1]
+    assert ev == sorted(ev, reverse=True)
+    assert all(e >= -1e-12 for e in ev)
+    ratios = [r["explained_ratio"] for r in rows1]
+    assert all(0 < x <= 1 for x in ratios) and sum(ratios) <= 1 + 1e-9
+    for r in rows1:
+        assert 1 <= r["top_dim"] <= 64
+        assert r["top_loading"] > 0
+    rows2 = REGISTRY["ml_pca_power"].fn(spark, sf_dir).collect()
+    assert [tuple(r) for r in rows1] == [tuple(r) for r in rows2]
+
+
+def test_pca_gram_diagonal_is_sum_of_squares(spark, sf_dir):
+    """Cross-check the Arrow-batch Gram against a pure-SQL diagonal: the
+    (i,i) second moment must equal the codegen sum of floor(x_i·1e6)²
+    computed without any Python."""
+    from biglake_iceberg_python_spark.sources.tables import load_table
+
+    got = {
+        (r["i"], r["j"]): r
+        for r in REGISTRY["ml_pca_gram"].fn(spark, sf_dir).collect()
+    }
+    assert len(got) == 64 * 65 // 2
+    e = load_table(spark, sf_dir, "embeddings")
+    for dim in (1, 17, 64):
+        x = F.floor(F.col("embedding")[dim - 1].cast("double") * 1_000_000).cast(
+            "long"
+        )
+        row = e.agg(
+            F.sum(x).alias("s"), F.sum(x * x).alias("ss"), F.count(F.lit(1)).alias("n")
+        ).first()
+        g = got[(dim, dim)]
+        assert (g["sum_i"], g["sum_ij"], g["n_rows"]) == (
+            row["s"],
+            row["ss"],
+            row["n"],
+        )

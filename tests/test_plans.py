@@ -671,3 +671,13 @@ def test_winsorize_one_exchange(spark, sf_dir):
     must all ride ONE exchange on lang (key-prefix reuse)."""
     plan = plan_of(spark, sf_dir, "curate_winsorize")
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_pca_gram_fixed_size_partials(spark, sf_dir):
+    """The Gram pipeline must be one Arrow stage emitting fixed-size
+    partials and ONE merge shuffle on (i, j) — corpus size never appears
+    in the shuffle volume."""
+    plan = plan_of(spark, sf_dir, "ml_pca_gram")
+    assert "MapInArrow" in plan or "ArrowEvalPython" in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("HashAggregate") >= 2  # partial + final merge
