@@ -725,3 +725,89 @@ def agg_kll_quantile_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.kll_sketch_get_n_double("msk").cast("long").alias("n_from_sketch"),
         F.col("n_events").cast("long").alias("n_exact"),
     )
+
+
+# EWMA decay weights: floor(1e6 · 0.7^k) for lag k, precomputed once in
+# Python and inlined as INTEGER literals into both engines — so neither
+# engine ever evaluates pow() and the weighted sums stay exact int64.
+_EWMA_W = [1000000, 700000, 489999, 342999, 240099, 168069, 117648]
+
+
+@query(
+    "ts_ewma_decay",
+    oracle=f"""
+    WITH daily AS (
+      SELECT
+        user_id,
+        ({_ORACLE_ES}) // {_DAY_S} AS day,
+        SUM(CAST(round(CAST(value AS DECIMAL(18,2)) * 100) AS BIGINT)) AS v
+      FROM events
+      GROUP BY user_id, ({_ORACLE_ES}) // {_DAY_S}
+    ), w AS (
+      SELECT * FROM (VALUES
+        {", ".join(f"({k}, {wt})" for k, wt in enumerate(_EWMA_W))}
+      ) AS t(k, wt)
+    ), cover AS (
+      SELECT d.user_id, d.day + w.k AS t_day, w.wt * d.v AS wv, w.wt AS wt
+      FROM daily d, w
+    )
+    SELECT
+      user_id,
+      CAST(t_day AS BIGINT) AS t_day,
+      CAST(COUNT(*) AS BIGINT) AS n_days,
+      CAST(SUM(wt) AS BIGINT) AS weight_sum,
+      CAST(SUM(wv) AS BIGINT) AS weighted_cents,
+      CAST(SUM(wv) AS DOUBLE) / CAST(SUM(wt) AS DOUBLE) / 100.0 AS ewma_value
+    FROM cover
+    GROUP BY user_id, t_day
+    """,
+    tags=("events", "timeseries", "ewma"),
+)
+def ts_ewma_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially weighted moving average of per-user daily spend
+    (α = 0.7, 7-day horizon) — the smoothing signal behind trend monitors
+    and decay-weighted user activity scores.
+
+    EWMA is a sequential recurrence, which distributes badly; truncated at
+    7 lags it becomes a COVER-SET expansion (the DAU/WAU trick): each
+    daily total broadcasts itself forward to the next 7 calendar days with
+    a precomputed integer weight, and one aggregation per (user, target
+    day) sums weighted contributions. Weights are floor(1e6·α^k) INTEGER
+    LITERALS — pow() never runs in either engine — so numerator and
+    denominator are exact int64 and only the final ratio is a double
+    (identical op both sides). Days with no trailing activity still emit
+    decay-tail rows (weight_sum < 1e6 flags them).
+
+    100 TB: the expansion is over the DAILY ROLLUP (≪ raw events), 7× a
+    per-user-day table; both aggregations shuffle on user-prefixed keys.
+    """
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        (F.expr(_ES).cast("long") / _DAY_S).cast("long").alias("day"),
+        F.round(F.col("value").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("cents"),
+    )
+    daily = e.groupBy("user_id", "day").agg(F.sum("cents").alias("v"))
+    lags = F.array(
+        *[
+            F.struct(F.lit(k).alias("k"), F.lit(wt).alias("wt"))
+            for k, wt in enumerate(_EWMA_W)
+        ]
+    )
+    cover = daily.select(
+        "user_id", "day", "v", F.explode(lags).alias("lag")
+    ).select(
+        "user_id",
+        (F.col("day") + F.col("lag.k")).alias("t_day"),
+        (F.col("lag.wt") * F.col("v")).alias("wv"),
+        F.col("lag.wt").alias("wt"),
+    )
+    return cover.groupBy("user_id", "t_day").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("wt").cast("long").alias("weight_sum"),
+        F.sum("wv").cast("long").alias("weighted_cents"),
+        (
+            F.sum("wv").cast("double") / F.sum("wt").cast("double") / F.lit(100.0)
+        ).alias("ewma_value"),
+    )

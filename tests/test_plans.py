@@ -681,3 +681,11 @@ def test_pca_gram_fixed_size_partials(spark, sf_dir):
     assert "MapInArrow" in plan or "ArrowEvalPython" in plan, plan
     assert plan.count("Exchange hashpartitioning") == 1
     assert plan.count("HashAggregate") >= 2  # partial + final merge
+
+
+def test_ewma_expands_rollup_not_raw_events(spark, sf_dir):
+    """The 7× cover-set explode must sit ABOVE the daily rollup aggregate
+    (expansion over user-days, never over raw events)."""
+    plan = plan_of(spark, sf_dir, "ts_ewma_decay")
+    gen = plan.index("Generate explode")
+    assert "HashAggregate" in plan[gen:], plan
