@@ -811,3 +811,140 @@ def ts_ewma_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("wv").cast("double") / F.sum("wt").cast("double") / F.lit(100.0)
         ).alias("ewma_value"),
     )
+
+
+@query(
+    "events_ab_welch_ttest",
+    oracle=f"""
+    WITH m AS (
+      SELECT
+        event_type,
+        COUNT(*) FILTER (WHERE user_id % 2 = 0) AS n0,
+        COUNT(*) FILTER (WHERE user_id % 2 = 1) AS n1,
+        SUM(CAST(round(CAST(value AS DECIMAL(18,2)) * 100) AS BIGINT))
+          FILTER (WHERE user_id % 2 = 0) AS s0,
+        SUM(CAST(round(CAST(value AS DECIMAL(18,2)) * 100) AS BIGINT))
+          FILTER (WHERE user_id % 2 = 1) AS s1,
+        SUM(CAST(round(CAST(value AS DECIMAL(18,2)) * 100) AS BIGINT)
+          * CAST(round(CAST(value AS DECIMAL(18,2)) * 100) AS BIGINT))
+          FILTER (WHERE user_id % 2 = 0) AS q0,
+        SUM(CAST(round(CAST(value AS DECIMAL(18,2)) * 100) AS BIGINT)
+          * CAST(round(CAST(value AS DECIMAL(18,2)) * 100) AS BIGINT))
+          FILTER (WHERE user_id % 2 = 1) AS q1
+      FROM events
+      GROUP BY event_type
+    )
+    SELECT
+      event_type,
+      CAST(n0 AS BIGINT) AS n0, CAST(n1 AS BIGINT) AS n1,
+      (CAST(s0 AS DOUBLE) / n0 - CAST(s1 AS DOUBLE) / n1) / 100.0
+        AS mean_diff,
+      (CAST(s0 AS DOUBLE) / n0 - CAST(s1 AS DOUBLE) / n1)
+        / sqrt(((CAST(q0 AS DOUBLE) - CAST(s0 AS DOUBLE) * s0 / n0) / (n0 - 1)) / n0
+             + ((CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n1) / (n1 - 1)) / n1)
+        AS t_stat,
+      (((CAST(q0 AS DOUBLE) - CAST(s0 AS DOUBLE) * s0 / n0) / (n0 - 1)) / n0
+       + ((CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n1) / (n1 - 1)) / n1)
+      * (((CAST(q0 AS DOUBLE) - CAST(s0 AS DOUBLE) * s0 / n0) / (n0 - 1)) / n0
+       + ((CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n1) / (n1 - 1)) / n1)
+      / ( (((CAST(q0 AS DOUBLE) - CAST(s0 AS DOUBLE) * s0 / n0) / (n0 - 1)) / n0)
+          * (((CAST(q0 AS DOUBLE) - CAST(s0 AS DOUBLE) * s0 / n0) / (n0 - 1)) / n0)
+          / (n0 - 1)
+        + (((CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n1) / (n1 - 1)) / n1)
+          * (((CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n1) / (n1 - 1)) / n1)
+          / (n1 - 1) )
+        AS welch_df
+    FROM m
+    """,
+    tags=("events", "experimentation", "statistics"),
+)
+def events_ab_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout: Welch's unequal-variance t-statistic and
+    Welch–Satterthwaite degrees of freedom for per-event-type spend,
+    variant = user_id parity (the deterministic hash-bucket assignment an
+    experimentation platform uses).
+
+    Both variants' count/sum/sum-of-squares accumulate as EXACT integer
+    cents in ONE conditional aggregation pass (no per-variant scans, no
+    join); means, pooled standard error, t, and df derive from those
+    integers through an identical double-op sequence in both engines, so
+    the statistics hash-match bit-for-bit — the same exact-moment recipe
+    as `anomaly_zscore_daily` and `agg_corr_covar`.
+
+    100 TB: one map-side-combined shuffle of |event_types| groups; this is
+    the cheapest possible experiment readout and it is already exact.
+    """
+    e = load_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value").cast("decimal(18,2)") * 100).cast("long")
+    v0 = F.col("user_id") % 2 == 0
+    v1 = F.col("user_id") % 2 == 1
+    m = e.groupBy("event_type").agg(
+        F.count(F.when(v0, 1)).alias("n0"),
+        F.count(F.when(v1, 1)).alias("n1"),
+        F.sum(F.when(v0, cents)).alias("s0"),
+        F.sum(F.when(v1, cents)).alias("s1"),
+        F.sum(F.when(v0, cents * cents)).alias("q0"),
+        F.sum(F.when(v1, cents * cents)).alias("q1"),
+    )
+    n0d, n1d = F.col("n0").cast("double"), F.col("n1").cast("double")
+    s0d, s1d = F.col("s0").cast("double"), F.col("s1").cast("double")
+    q0d, q1d = F.col("q0").cast("double"), F.col("q1").cast("double")
+    se0 = ((q0d - s0d * F.col("s0") / F.col("n0")) / (F.col("n0") - 1)) / F.col("n0")
+    se1 = ((q1d - s1d * F.col("s1") / F.col("n1")) / (F.col("n1") - 1)) / F.col("n1")
+    mean_diff = s0d / F.col("n0") - s1d / F.col("n1")
+    se = se0 + se1
+    return m.select(
+        "event_type",
+        "n0",
+        "n1",
+        (mean_diff / F.lit(100.0)).alias("mean_diff"),
+        (mean_diff / F.sqrt(se)).alias("t_stat"),
+        (se * se / (se0 * se0 / (F.col("n0") - 1) + se1 * se1 / (F.col("n1") - 1))).alias(
+            "welch_df"
+        ),
+    )
+
+
+@query(
+    "events_cumulative_uniques",
+    oracle=f"""
+    WITH first_hour AS (
+      SELECT user_id, MIN(({_ORACLE_ES}) // 3600) AS hour
+      FROM events GROUP BY user_id
+    ), hourly_new AS (
+      SELECT hour, COUNT(*) AS new_users FROM first_hour GROUP BY hour
+    )
+    SELECT
+      CAST(hour AS BIGINT) AS hour,
+      CAST(new_users AS BIGINT) AS new_users,
+      CAST(SUM(new_users) OVER (ORDER BY hour
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        AS cumulative_users
+    FROM hourly_new
+    """,
+    tags=("events", "growth", "timeseries"),
+)
+def events_cumulative_uniques(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Growth curve: users acquired per day and the running total of
+    distinct users ever seen (hourly grain — users cluster in the first
+    hours of the synthetic window, so hours keep the curve non-degenerate)
+    — the cumulative-distinct metric a naive COUNT(DISTINCT) OVER cannot
+    express scalably.
+
+    Re-expression: cumulative distinct = cumulative sum of FIRST
+    APPEARANCES. min(hour) per user is one map-side-combined shuffle on
+    user_id; the per-hour rollup and the running-sum window then operate
+    on |hours| rows (hundreds), so the global window is trivially cheap —
+    the raw event set is never windowed.
+    """
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", (F.expr(_ES).cast("long") / 3600).cast("long").alias("hour")
+    )
+    first_hour = e.groupBy("user_id").agg(F.min("hour").alias("hour"))
+    hourly_new = first_hour.groupBy("hour").agg(F.count(F.lit(1)).alias("new_users"))
+    w = Window.orderBy("hour").rowsBetween(Window.unboundedPreceding, 0)
+    return hourly_new.select(
+        "hour",
+        "new_users",
+        F.sum("new_users").over(w).cast("long").alias("cumulative_users"),
+    )
