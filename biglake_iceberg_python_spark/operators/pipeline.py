@@ -622,3 +622,80 @@ def dedup_cluster_representative(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("chars_removed"),
     )
+
+
+# Span corruption (T5-style denoising objective prep): one masked span per
+# document, length fixed, start position drawn deterministically from the
+# md5 bucket of the doc id — no RNG, so the (input, target) pairs are
+# bit-identical across engines, reruns, and cluster sizes.
+_SPAN_LEN = 5
+_SPAN_SENTINEL = "<extra_id_0>"
+
+
+@query(
+    "pack_span_corruption",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id,
+             list_filter(string_split(text, ' '), x -> x <> '') AS w
+      FROM documents
+    ), sized AS (
+      SELECT doc_id, w, len(w) AS n FROM base WHERE len(w) > {_SPAN_LEN}
+    ), placed AS (
+      SELECT doc_id, w, n,
+             1 + ({_oracle_md5_bucket("doc_id", "span", 10 ** 9)}
+                  % (n - {_SPAN_LEN})) AS s
+      FROM sized
+    )
+    SELECT
+      doc_id,
+      CAST(s AS BIGINT) AS span_start,
+      CAST(n AS BIGINT) AS n_words,
+      array_to_string(
+        list_concat(list_concat(w[1:s - 1], ['{_SPAN_SENTINEL}']),
+                    w[s + {_SPAN_LEN}:n]),
+        ' ') AS input_text,
+      array_to_string(w[s:s + {_SPAN_LEN} - 1], ' ') AS target_text
+    FROM placed
+    """,
+    tags=("llm", "packing", "denoising"),
+)
+def pack_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-corruption training pairs (T5/UL2 denoising prep): mask one
+    {L}-word span per document behind a sentinel token, emitting the
+    corrupted input and the span as the target.
+
+    The span start comes from the md5 bucket of the doc id — deterministic
+    pseudo-randomness, the same no-RNG discipline as shard assignment —
+    and the split/slice/join chain is pure array codegen, so every
+    (input, target) pair hash-matches the oracle. Zero shuffles: this is a
+    map over the scan, exactly what a 100 TB objective-prep pass must be.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    w = F.filter(F.split("text", " "), lambda x: x != "")
+    sized = d.select("doc_id", w.alias("w"), F.size(w).alias("n")).filter(
+        F.col("n") > _SPAN_LEN
+    )
+    placed = sized.select(
+        "doc_id",
+        "w",
+        "n",
+        (
+            F.lit(1)
+            + _md5_bucket(F.col("doc_id"), "span", 10 ** 9)
+            % (F.col("n") - _SPAN_LEN)
+        ).alias("s"),
+    )
+    s = F.col("s")
+    prefix = F.slice("w", F.lit(1), s - 1)
+    target = F.slice("w", s, F.lit(_SPAN_LEN))
+    suffix = F.slice("w", s + _SPAN_LEN, F.col("n") - s - _SPAN_LEN + 1)
+    return placed.select(
+        "doc_id",
+        s.cast("long").alias("span_start"),
+        F.col("n").cast("long").alias("n_words"),
+        F.array_join(
+            F.concat(prefix, F.array(F.lit(_SPAN_SENTINEL)), suffix), " "
+        ).alias("input_text"),
+        F.array_join(target, " ").alias("target_text"),
+    )

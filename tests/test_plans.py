@@ -689,3 +689,12 @@ def test_ewma_expands_rollup_not_raw_events(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "ts_ewma_decay")
     gen = plan.index("Generate explode")
     assert "HashAggregate" in plan[gen:], plan
+
+
+def test_span_corruption_zero_shuffle(spark, sf_dir):
+    """Objective prep must be a pure map over the scan — no exchange, no
+    Python, no explode."""
+    plan = plan_of(spark, sf_dir, "pack_span_corruption")
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "Generate" not in plan
