@@ -1551,3 +1551,72 @@ def lakehouse_incremental_matview(spark: SparkSession, sf_dir: str) -> DataFrame
             F.col("sum_price").cast("double").alias("sum_price"),
         )
         return out.localCheckpoint(eager=True)
+
+
+@query(
+    "lakehouse_analyze_stats",
+    oracle="""
+    SELECT 'o_custkey' AS col_name,
+           CAST(MIN(o_custkey) AS BIGINT) AS min_val,
+           CAST(MAX(o_custkey) AS BIGINT) AS max_val,
+           CAST(COUNT(*) FILTER (WHERE o_custkey IS NULL) AS BIGINT) AS null_count,
+           CAST(COUNT(*) AS BIGINT) AS row_count
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderkey',
+           CAST(MIN(o_orderkey) AS BIGINT),
+           CAST(MAX(o_orderkey) AS BIGINT),
+           CAST(COUNT(*) FILTER (WHERE o_orderkey IS NULL) AS BIGINT),
+           CAST(COUNT(*) AS BIGINT)
+    FROM orders
+    """,
+    tags=("lakehouse", "statistics", "cbo"),
+)
+def lakehouse_analyze_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE TABLE → catalog statistics round-trip: ingest orders into a
+    catalog table, compute table + column statistics, and read them BACK
+    FROM THE CATALOG (`DESCRIBE EXTENDED <table> <col>`), emitting min /
+    max / null-count / row-count per analyzed column.
+
+    The oracle recomputes the same statistics from the raw parquet, so a
+    stats pipeline that scans wrong, loses rows, or mis-serializes catalog
+    entries hash-mismatches. (`distinct_count` is intentionally excluded —
+    ANALYZE estimates it with HLL.) These catalog stats are what feeds
+    Catalyst's CBO: broadcast selection, join reordering, and AQE's
+    initial estimates all read the numbers this query verifies.
+
+    100 TB: ANALYZE is one distributed scan with fixed-size per-column
+    sketches tree-aggregated to the driver; the catalog write is O(1)
+    metadata. Statistics maintenance is a background job, never a
+    query-path cost.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    tname = _uniq("lh_stats_orders")
+    with tempfile.TemporaryDirectory(prefix="lh_stats_") as root:
+        try:
+            o.write.option("path", os.path.join(root, "t")).saveAsTable(tname)
+            spark.sql(
+                f"ANALYZE TABLE {tname} COMPUTE STATISTICS "
+                "FOR COLUMNS o_orderkey, o_custkey"
+            )
+            rows = []
+            n_rows = None
+            for line in spark.sql(f"DESCRIBE TABLE EXTENDED {tname}").collect():
+                if line["col_name"] == "Statistics":
+                    # "<bytes> bytes, <rows> rows"
+                    n_rows = int(line["data_type"].split(",")[1].split()[0])
+            assert n_rows is not None, "ANALYZE did not record a row count"
+            for c in ("o_custkey", "o_orderkey"):
+                d = {
+                    r["info_name"]: r["info_value"]
+                    for r in spark.sql(f"DESCRIBE EXTENDED {tname} {c}").collect()
+                }
+                rows.append((c, int(d["min"]), int(d["max"]), int(d["num_nulls"]), n_rows))
+            out = spark.createDataFrame(
+                rows,
+                "col_name string, min_val long, max_val long, "
+                "null_count long, row_count long",
+            )
+            return out.localCheckpoint(eager=True)
+        finally:
+            spark.sql(f"DROP TABLE IF EXISTS {tname}")

@@ -384,6 +384,7 @@ def _pca_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY a.i, b.i
     """,
     tags=("llm", "ml", "pca", "arrow"),
+    bench=True,
 )
 def ml_pca_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Upper-triangle second-moment matrix of the embeddings — the

@@ -112,6 +112,18 @@ SHOWCASES = {
     "BroadcastNestedLoopJoin, no candidate-side exchange); only the "
     "|Q|·30 shortlist crosses the shuffle for rescoring — full-dimension "
     "work is independent of corpus size.",
+    "text_bm25_search": "BM25 with zero data-proportional shuffles: the "
+    "1-row corpus-stats aggregate (N, Σdl, per-term df) broadcasts back "
+    "over the scan, term frequencies are array-filter counts in codegen "
+    "(no word explode), and the global top-k is TakeOrderedAndProject.",
+    "ml_pca_gram": "Distributed PCA moments: each Arrow batch emits a "
+    "fixed 2080-row integer partial (numpy GEMM), and the ONLY exchange "
+    "merges partials by (i, j) in DECIMAL — shuffle volume is "
+    "#batches × d², independent of corpus size.",
+    "ts_ewma_decay": "Truncated EWMA as cover-set expansion: the 7× "
+    "explode sits ABOVE the daily rollup aggregate, so the expansion is "
+    "over user-days (≪ events) and integer-literal weights keep the "
+    "weighted sums exact.",
 }
 
 

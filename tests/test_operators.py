@@ -925,3 +925,37 @@ def test_pca_gram_diagonal_is_sum_of_squares(spark, sf_dir):
             row["ss"],
             row["n"],
         )
+
+
+def test_analyze_stats_reach_the_optimizer(spark, sf_dir):
+    """ANALYZE statistics must actually feed Catalyst: after the analyze,
+    the optimized plan of a table scan reports the exact row count (CBO
+    input), not just a size estimate."""
+    import os
+    import tempfile
+
+    from biglake_iceberg_python_spark.sources.tables import load_table
+
+    o = load_table(spark, sf_dir, "orders")
+    n = o.count()
+    with tempfile.TemporaryDirectory(prefix="lh_stats_t_") as root:
+        tname = "lh_stats_optimizer_probe"
+        spark.sql(f"DROP TABLE IF EXISTS {tname}")
+        try:
+            o.write.option("path", os.path.join(root, "t")).saveAsTable(tname)
+            spark.sql(f"ANALYZE TABLE {tname} COMPUTE STATISTICS")
+            prev = spark.conf.get("spark.sql.cbo.enabled")
+            spark.conf.set("spark.sql.cbo.enabled", "true")
+            try:
+                stats = (
+                    spark.table(tname)
+                    ._jdf.queryExecution()
+                    .optimizedPlan()
+                    .stats()
+                )
+                assert stats.rowCount().isDefined()
+                assert int(stats.rowCount().get()) == n
+            finally:
+                spark.conf.set("spark.sql.cbo.enabled", prev)
+        finally:
+            spark.sql(f"DROP TABLE IF EXISTS {tname}")
