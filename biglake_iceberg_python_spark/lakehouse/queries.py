@@ -1620,3 +1620,81 @@ def lakehouse_analyze_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             return out.localCheckpoint(eager=True)
         finally:
             spark.sql(f"DROP TABLE IF EXISTS {tname}")
+
+
+@query(
+    "lakehouse_dynamic_partition_overwrite",
+    oracle="""
+    WITH merged AS (
+      SELECT o_orderkey, o_orderstatus,
+             CASE WHEN o_orderstatus = 'O' THEN 'X-REWRITTEN'
+                  ELSE o_orderpriority END AS o_orderpriority
+      FROM orders
+    )
+    SELECT
+      o_orderstatus,
+      CAST(COUNT(*) AS BIGINT) AS n,
+      CAST(COUNT(*) FILTER (WHERE o_orderpriority = 'X-REWRITTEN') AS BIGINT)
+        AS n_rewritten,
+      CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
+    FROM merged GROUP BY o_orderstatus
+    """,
+    tags=("lakehouse", "sink", "partitioned"),
+)
+def lakehouse_dynamic_partition_overwrite(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Dynamic partition overwrite — the production incremental-sink
+    semantic: INSERT OVERWRITE with
+    ``spark.sql.sources.partitionOverwriteMode=dynamic`` replaces ONLY the
+    partitions present in the incoming batch and leaves every other
+    partition byte-untouched (static mode would truncate the whole table).
+
+    Seed: all orders partitioned by status. Batch: the 'O' partition with
+    priorities rewritten. Read-back must show 'O' fully replaced and
+    'F'/'P' identical to the seed — the oracle encodes exactly that merge,
+    so a mode regression (whole-table truncate, or append instead of
+    replace) hash-mismatches.
+
+    100 TB: a daily re-statement rewrites only the touched date
+    partitions — I/O proportional to the delta, never the table; the
+    partition column prunes both the rewrite scan and every downstream
+    read.
+    """
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_orderpriority"
+    )
+    tname = _uniq("lh_dpo_orders")
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")
+    with tempfile.TemporaryDirectory(prefix="lh_dpo_") as root:
+        try:
+            (
+                o.write.partitionBy("o_orderstatus")
+                .option("path", os.path.join(root, "t"))
+                .saveAsTable(tname)
+            )
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+            batch = o.filter(F.col("o_orderstatus") == "O").withColumn(
+                "o_orderpriority", F.lit("X-REWRITTEN")
+            )
+            batch.createOrReplaceTempView("lh_dpo_batch")
+            spark.sql(
+                f"INSERT OVERWRITE TABLE {tname} "
+                "SELECT o_orderkey, o_orderpriority, o_orderstatus "
+                "FROM lh_dpo_batch"
+            )
+            out = (
+                spark.table(tname)
+                .groupBy("o_orderstatus")
+                .agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.count(
+                        F.when(F.col("o_orderpriority") == "X-REWRITTEN", 1)
+                    ).alias("n_rewritten"),
+                    F.sum("o_orderkey").cast("long").alias("key_sum"),
+                )
+            )
+            return out.localCheckpoint(eager=True)
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+            spark.sql(f"DROP TABLE IF EXISTS {tname}")

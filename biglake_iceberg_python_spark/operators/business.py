@@ -297,3 +297,77 @@ def basket_copurchase_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift"),
         )
     )
+
+
+@query(
+    "customer_gini_spend",
+    oracle="""
+    WITH spend AS (
+      SELECT
+        c.c_nationkey,
+        o.o_custkey,
+        SUM(CAST(round(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT))
+          AS cents
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY c.c_nationkey, o.o_custkey
+    ), ranked AS (
+      SELECT
+        n.n_name,
+        s.cents,
+        ROW_NUMBER() OVER (PARTITION BY n.n_name
+                           ORDER BY s.cents, s.o_custkey) AS rk
+      FROM spend s JOIN nation n ON s.c_nationkey = n.n_nationkey
+    )
+    SELECT
+      n_name,
+      CAST(COUNT(*) AS BIGINT) AS n_customers,
+      CAST(SUM(cents) AS BIGINT) AS total_cents,
+      (2.0 * CAST(SUM(rk * cents) AS DOUBLE)
+         - (COUNT(*) + 1) * CAST(SUM(cents) AS DOUBLE))
+        / (CAST(COUNT(*) AS DOUBLE) * CAST(SUM(cents) AS DOUBLE)) AS gini
+    FROM ranked
+    GROUP BY n_name
+    """,
+    tags=("business", "statistics", "inequality"),
+)
+def customer_gini_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of customer spend per nation — the revenue-
+    concentration metric behind whale-risk and marketplace-health
+    dashboards, computed by the exact rank formula
+    G = (2·Σ rk·x − (n+1)·Σx) / (n·Σx).
+
+    Ranks come from a per-nation window with a custkey tiebreak and spend
+    is integer cents, so Σ rk·x and Σ x are exact integers and the single
+    final division is the only float op — bit-stable and hash-matched.
+
+    100 TB: one shuffle aggregates orders to customer grain (map-side
+    combined), the 25-row nation dim broadcasts, and the rank window
+    partitions by nation — the same single-exchange window shape as the
+    Pareto/ABC query it complements.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    cents = F.round(F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+    spend = (
+        o.select("o_custkey", cents.alias("cents"))
+        .groupBy("o_custkey")
+        .agg(F.sum("cents").alias("cents"))
+        .join(F.broadcast(c.select("c_custkey", "c_nationkey")),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("n_name", "o_custkey", "cents")
+    )
+    w = Window.partitionBy("n_name").orderBy("cents", "o_custkey")
+    ranked = spend.withColumn("rk", F.row_number().over(w))
+    nd = F.count(F.lit(1)).cast("double")
+    sx = F.sum("cents")
+    srx = F.sum(F.col("rk") * F.col("cents"))
+    return ranked.groupBy("n_name").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        sx.cast("long").alias("total_cents"),
+        (
+            (F.lit(2.0) * srx.cast("double") - (F.count(F.lit(1)) + 1) * sx.cast("double"))
+            / (nd * sx.cast("double"))
+        ).alias("gini"),
+    )
