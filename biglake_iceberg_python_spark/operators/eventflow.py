@@ -948,3 +948,67 @@ def events_cumulative_uniques(spark: SparkSession, sf_dir: str) -> DataFrame:
         "new_users",
         F.sum("new_users").over(w).cast("long").alias("cumulative_users"),
     )
+
+
+@query(
+    "events_user_entropy",
+    oracle="""
+    WITH c AS (
+      SELECT user_id, event_type, COUNT(*) AS cnt
+      FROM events GROUP BY user_id, event_type
+    ), t AS (
+      SELECT user_id, SUM(cnt) AS n, COUNT(*) AS n_types FROM c GROUP BY user_id
+    ), terms AS (
+      SELECT
+        c.user_id, t.n, t.n_types,
+        CAST(round(1e6 * (CAST(c.cnt AS DOUBLE) / t.n)
+                   * ln(CAST(t.n AS DOUBLE) / c.cnt)) AS BIGINT) AS h_micro
+      FROM c JOIN t ON c.user_id = t.user_id
+    )
+    SELECT
+      user_id,
+      CAST(MAX(n) AS BIGINT) AS n_events,
+      CAST(MAX(n_types) AS BIGINT) AS n_types,
+      CAST(SUM(h_micro) AS BIGINT) AS entropy_micro_nats
+    FROM terms
+    GROUP BY user_id
+    """,
+    tags=("events", "entropy", "statistics"),
+)
+def events_user_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral diversity: Shannon entropy of each user's event-type
+    distribution — the standard engagement-breadth signal (0 for
+    single-action users, ln|types| for uniform explorers).
+
+    Each −p·ln p term is quantized to integer micro-nats BEFORE the
+    per-user sum (the `text_lm_perplexity` order-independence recipe), so
+    the summed entropy is exact int64 and hash-matches. ln(n/cnt) is
+    irrational except at cnt = n, where the term is exactly 0 — the
+    documented measure-zero exemption from the decimal-round rule.
+
+    100 TB: two aggregations sharing the user_id key prefix plus a join
+    on the same key — one logical exchange of (user, type) counts; never
+    a window, never raw events twice.
+    """
+    e = load_table(spark, sf_dir, "events")
+    c = e.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("cnt"))
+    t = c.groupBy("user_id").agg(
+        F.sum("cnt").alias("n"), F.count(F.lit(1)).alias("n_types")
+    )
+    terms = c.join(t, "user_id").select(
+        "user_id",
+        "n",
+        "n_types",
+        F.round(
+            F.lit(1e6)
+            * (F.col("cnt").cast("double") / F.col("n"))
+            * F.log(F.col("n").cast("double") / F.col("cnt"))
+        )
+        .cast("long")
+        .alias("h_micro"),
+    )
+    return terms.groupBy("user_id").agg(
+        F.max("n").cast("long").alias("n_events"),
+        F.max("n_types").cast("long").alias("n_types"),
+        F.sum("h_micro").cast("long").alias("entropy_micro_nats"),
+    )

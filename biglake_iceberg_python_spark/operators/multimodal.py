@@ -388,3 +388,110 @@ def multimodal_training_record(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("payload_bytes").cast("long").alias("total_payload_bytes"),
         F.sum("norm_micro").cast("long").alias("sum_embed_norm_micro"),
     )
+
+
+# Perceptual-hash near-dup: 60-bit pHashes (15 md5 hex digits → always
+# positive in a signed 64-bit lane on both engines), synthesized so that
+# payloads in the same content group differ by <= 4 flipped bits — the
+# "same image, different encode/crop" regime a real pHash produces.
+_PHASH_GROUPS = 40
+_PHASH_BANDS = 5  # 5 bands x 12 bits: Hamming <= 4 => >= 1 band identical
+_PHASH_BAND_BITS = 12
+_PHASH_MAX_HAMMING = 4
+
+
+def _phash_sql_duckdb() -> str:
+    """DuckDB expression for the synthetic per-doc pHash."""
+    base = (
+        f"('0x' || substr(md5('grp:' || CAST(doc_id % {_PHASH_GROUPS} AS VARCHAR)),"
+        " 1, 15))::BIGINT"
+    )
+    n1 = f"CASE WHEN doc_id % 3 = 0 THEN (1::BIGINT << CAST(doc_id % 60 AS INT)) ELSE 0 END"
+    n2 = f"CASE WHEN doc_id % 5 = 0 THEN (1::BIGINT << CAST((doc_id * 7) % 60 AS INT)) ELSE 0 END"
+    return f"xor(xor({base}, {n1}), {n2})"
+
+
+@query(
+    "multimodal_phash_neardup",
+    oracle=f"""
+    WITH h AS (
+      SELECT doc_id, {_phash_sql_duckdb()} AS ph FROM documents
+    )
+    SELECT
+      a.doc_id AS doc_a,
+      b.doc_id AS doc_b,
+      CAST(bit_count(xor(a.ph, b.ph)) AS BIGINT) AS hamming
+    FROM h a JOIN h b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.ph, b.ph)) <= {_PHASH_MAX_HAMMING}
+    """,
+    tags=("llm", "multimodal", "dedup", "phash"),
+)
+def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash near-duplicate detection for media payloads — the
+    multimodal sibling of SimHash text dedup: re-encodes/crops of the same
+    image produce pHashes within a few flipped bits, and dedup finds pairs
+    within Hamming distance {k}.
+
+    The corpus has no real media, so pHashes are synthesized IN-QUERY
+    (same expression both engines): docs share a content group whose base
+    hash gets ≤2 doc-specific bit flips — exactly the cluster structure a
+    real pHash yields. The ENGINE never does the O(n²) scan the oracle
+    does: 5 bands × 12 bits bucket-join candidates, and the pigeonhole
+    guarantees completeness (Hamming ≤ 4 forces ≥1 identical band), so the
+    banded result EXACTLY equals the brute-force pair set — an
+    approximate-shaped plan with an exact oracle, like the band-bucketed
+    range join.
+
+    100 TB: signatures are codegen bit arithmetic; the shuffle carries
+    (band, 12-bit value) keys and candidate pairs only — never payloads,
+    never n² comparisons.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    base = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("grp:"), (F.col("doc_id") % _PHASH_GROUPS).cast("string"))),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    n1 = F.when(
+        F.col("doc_id") % 3 == 0,
+        F.expr("shiftleft(CAST(1 AS BIGINT), CAST(doc_id % 60 AS INT))"),
+    ).otherwise(F.lit(0).cast("long"))
+    n2 = F.when(
+        F.col("doc_id") % 5 == 0,
+        F.expr("shiftleft(CAST(1 AS BIGINT), CAST((doc_id * 7) % 60 AS INT))"),
+    ).otherwise(F.lit(0).cast("long"))
+    h = d.select("doc_id", base.bitwiseXOR(n1).bitwiseXOR(n2).alias("ph"))
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftrightunsigned(F.col("ph"), b * _PHASH_BAND_BITS)
+                .bitwiseAND(F.lit((1 << _PHASH_BAND_BITS) - 1))
+                .alias("bval"),
+            )
+            for b in range(_PHASH_BANDS)
+        ]
+    )
+    keyed = h.select("doc_id", "ph", F.explode(bands).alias("bk")).select(
+        "doc_id", "ph", F.col("bk.band").alias("band"), F.col("bk.bval").alias("bval")
+    )
+    a = keyed.select(
+        F.col("doc_id").alias("doc_a"), F.col("ph").alias("ph_a"), "band", "bval"
+    )
+    b = keyed.select(
+        F.col("doc_id").alias("doc_b"), F.col("ph").alias("ph_b"), "band", "bval"
+    )
+    cand = (
+        a.join(b, ["band", "bval"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "ph_a", "ph_b")
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("ph_a").bitwiseXOR(F.col("ph_b")))
+    return cand.select(
+        "doc_a", "doc_b", hamming.cast("long").alias("hamming")
+    ).filter(F.col("hamming") <= _PHASH_MAX_HAMMING)

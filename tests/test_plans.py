@@ -698,3 +698,13 @@ def test_span_corruption_zero_shuffle(spark, sf_dir):
     assert "Exchange" not in plan
     assert "BatchEvalPython" not in plan
     assert "Generate" not in plan
+
+
+def test_phash_neardup_equi_join_only(spark, sf_dir):
+    """The pHash banding must plan as a pure equi-join on (band, value) —
+    no nested-loop pair enumeration anywhere, and the pair filter must be
+    bit arithmetic in codegen."""
+    plan = plan_of(spark, sf_dir, "multimodal_phash_neardup")
+    assert "NestedLoop" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan

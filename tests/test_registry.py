@@ -72,6 +72,9 @@ _RAW_ROUND_EXEMPT = {
     # floor division; only the embedded BM25 CTE rounds.
     "text_bm25_search",
     "sim_hybrid_rrf",
+    # Shannon entropy terms quantize 1e6·p·ln(n/cnt): irrational except at
+    # cnt = n, where the term is exactly 0 and round(0) has no halfway.
+    "events_user_entropy",
 }
 
 
