@@ -409,3 +409,91 @@ def sql_identifier_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
             "pricecol": "o_totalprice",
         },
     )
+
+
+@query(
+    "sql_named_window",
+    oracle="""
+    SELECT
+      l_orderkey,
+      l_linenumber,
+      l_returnflag,
+      ROW_NUMBER() OVER w AS rn,
+      CAST(SUM(CAST(round(CAST(l_extendedprice AS DECIMAL(18,2)) * 100)
+               AS BIGINT)) OVER w AS BIGINT) AS running_cents
+    FROM lineitem
+    WHERE l_quantity >= 45
+    WINDOW w AS (PARTITION BY l_returnflag
+                 ORDER BY l_extendedprice, l_orderkey, l_linenumber)
+    """,
+    tags=("sql", "window", "dialect"),
+)
+def sql_named_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Named ``WINDOW`` clause: one window definition referenced by two
+    window functions — the SQL-standard sugar both Spark and DuckDB
+    support. The oracle runs structurally IDENTICAL text, pinning both
+    dialects to the same frame-default rules (ORDER BY present → RANGE
+    UNBOUNDED PRECEDING..CURRENT ROW; with row_number's total-order keys
+    the frame is effectively row-unique, so the running sum is exact).
+    Catalyst expands the named window at analysis time — both functions
+    share ONE exchange + sort, zero extra plan cost.
+    """
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "lineitem_namedw"
+    )
+    return spark.sql(
+        """
+        SELECT
+          l_orderkey,
+          l_linenumber,
+          l_returnflag,
+          ROW_NUMBER() OVER w AS rn,
+          CAST(SUM(CAST(round(CAST(l_extendedprice AS DECIMAL(18,2)) * 100)
+                   AS BIGINT)) OVER w AS BIGINT) AS running_cents
+        FROM lineitem_namedw
+        WHERE l_quantity >= 45
+        WINDOW w AS (PARTITION BY l_returnflag
+                     ORDER BY l_extendedprice, l_orderkey, l_linenumber)
+        """
+    )
+
+
+@query(
+    "sql_session_variable",
+    oracle="""
+    SELECT
+      o_orderstatus,
+      CAST(COUNT(*) AS BIGINT) AS n_above,
+      CAST(MIN(o_totalprice) AS DOUBLE) AS min_above
+    FROM orders
+    WHERE o_totalprice > 100000.0
+    GROUP BY o_orderstatus
+    """,
+    tags=("sql", "variables"),
+)
+def sql_session_variable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL session variables (Spark 4 ``DECLARE VARIABLE`` / ``SET
+    VARIABLE``): a typed server-side variable referenced by name inside a
+    query — the session-scoped cousin of parameter binding
+    (`sql_parameterized`), used by SQL-only workflows that cannot thread
+    client-side args. The oracle inlines the same constant, so variable
+    resolution and typing are what the hash pins. Variables resolve at
+    analysis time — the plan is identical to the inlined constant,
+    including the pushed-down filter.
+    """
+    spark.sql("DECLARE OR REPLACE VARIABLE price_floor DOUBLE")
+    spark.sql("SET VARIABLE price_floor = 100000.0")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "orders_sessvar"
+    )
+    return spark.sql(
+        """
+        SELECT
+          o_orderstatus,
+          CAST(COUNT(*) AS BIGINT) AS n_above,
+          CAST(MIN(o_totalprice) AS DOUBLE) AS min_above
+        FROM orders_sessvar
+        WHERE o_totalprice > price_floor
+        GROUP BY o_orderstatus
+        """
+    )
