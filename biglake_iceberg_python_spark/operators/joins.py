@@ -933,3 +933,86 @@ def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max(F.when(is_p, lead)).alias("max_lead_s"),
         )
     )
+
+
+# Point-in-time SCD2 join: the change date splitting dimension history.
+_PIT_CHANGE_DATE = "1998-01-01 00:00:00"
+
+
+@query(
+    "join_point_in_time_scd2",
+    oracle=f"""
+    WITH dim AS (
+      -- version 1: original segment, valid until the change date (or
+      -- forever for unchanged customers)
+      SELECT c_custkey, c_mktsegment AS segment,
+             TIMESTAMP '1970-01-01 00:00:00' AS valid_from,
+             CASE WHEN c_custkey % 3 = 0
+                  THEN TIMESTAMP '{_PIT_CHANGE_DATE}'
+                  ELSE TIMESTAMP '9999-12-31 00:00:00' END AS valid_to
+      FROM customer
+      UNION ALL
+      -- version 2: changed customers get a MOVED- segment from the change
+      -- date onward
+      SELECT c_custkey, 'MOVED-' || c_mktsegment,
+             TIMESTAMP '{_PIT_CHANGE_DATE}',
+             TIMESTAMP '9999-12-31 00:00:00'
+      FROM customer WHERE c_custkey % 3 = 0
+    )
+    SELECT
+      d.segment AS segment_at_order,
+      CAST(COUNT(*) AS BIGINT) AS n_orders,
+      CAST(SUM(CAST(round(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100)
+               AS BIGINT)) AS BIGINT) AS total_cents
+    FROM orders o
+    JOIN dim d
+      ON o.o_custkey = d.c_custkey
+     AND o.o_orderdate >= d.valid_from
+     AND o.o_orderdate < d.valid_to
+    GROUP BY d.segment
+    """,
+    tags=("join", "temporal", "scd2"),
+)
+def join_point_in_time_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (PIT) dimension join — the SCD2 READ path: every
+    order resolves the dimension version that was valid at its order
+    date, so facts are attributed to historical attributes, never the
+    current ones (`lakehouse_scd2_dimension` builds such history; this is
+    how it is consumed).
+
+    The versioned dimension is synthesized in-query (customers with
+    custkey % 3 = 0 change segment at a fixed date). Plan shape: the
+    dimension (≤2 versions per key) BROADCASTS; the validity range is a
+    post-join filter on the broadcast hash join — the fact table never
+    shuffles and no interval machinery is needed because versions-per-key
+    is tiny and bounded, which is exactly the SCD2 regime at 100 TB.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    lo = F.lit("1970-01-01 00:00:00").cast("timestamp")
+    hi = F.lit("9999-12-31 00:00:00").cast("timestamp")
+    change = F.lit(_PIT_CHANGE_DATE).cast("timestamp")
+    v1 = c.select(
+        "c_custkey",
+        F.col("c_mktsegment").alias("segment"),
+        lo.alias("valid_from"),
+        F.when(F.col("c_custkey") % 3 == 0, change).otherwise(hi).alias("valid_to"),
+    )
+    v2 = c.filter(F.col("c_custkey") % 3 == 0).select(
+        "c_custkey",
+        F.concat(F.lit("MOVED-"), F.col("c_mktsegment")).alias("segment"),
+        change.alias("valid_from"),
+        hi.alias("valid_to"),
+    )
+    dim = v1.unionAll(v2)
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+    joined = o.join(
+        F.broadcast(dim),
+        (o["o_custkey"] == dim["c_custkey"])
+        & (o["o_orderdate"] >= dim["valid_from"])
+        & (o["o_orderdate"] < dim["valid_to"]),
+    )
+    return joined.groupBy("segment").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(cents).cast("long").alias("total_cents"),
+    ).withColumnRenamed("segment", "segment_at_order")
