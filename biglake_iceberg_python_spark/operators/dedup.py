@@ -17,7 +17,7 @@ resized clusters produce identical output.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from biglake_iceberg_python_spark.plans.registry import query
@@ -613,4 +613,120 @@ def dedup_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.greatest(F.length("text_a"), F.length("text_b"))
         .cast("long")
         .alias("max_chars"),
+    )
+
+
+# Exact duplicated-substring detection (the "dedup makes LMs better"
+# operator): a position's K-token shingle is "duplicated" when the same
+# shingle occurs anywhere else in the corpus (any doc, including self-
+# repeats); overlapping duplicated positions merge into maximal spans.
+_SUB_K = 8
+
+
+@query(
+    "dedup_substring_spans",
+    oracle=f"""
+    WITH words AS (
+      SELECT doc_id,
+             list_filter(string_split(text, ' '), x -> x <> '') AS w
+      FROM documents
+    ), pos AS (
+      SELECT doc_id, len(w) AS n_tokens, i.i AS p,
+             md5(array_to_string(w[i.i + 1:i.i + {_SUB_K}], ' ')) AS fp
+      FROM words, (SELECT unnest(generate_series(0, 100000)) AS i) i
+      WHERE i.i <= len(w) - {_SUB_K}
+    ), fpc AS (
+      SELECT fp FROM pos GROUP BY fp HAVING COUNT(*) > 1
+    ), duppos AS (
+      SELECT pos.doc_id, pos.n_tokens, pos.p
+      FROM pos JOIN fpc ON pos.fp = fpc.fp
+    ), flagged AS (
+      SELECT doc_id, n_tokens, p,
+             CASE WHEN p > COALESCE(LAG(p) OVER (PARTITION BY doc_id ORDER BY p),
+                                    -1000000) + {_SUB_K} - 1
+                  THEN 1 ELSE 0 END AS new_span
+      FROM duppos
+    ), spans AS (
+      SELECT doc_id, n_tokens,
+             SUM(new_span) OVER (PARTITION BY doc_id ORDER BY p
+                                 ROWS UNBOUNDED PRECEDING) AS span_id, p
+      FROM flagged
+    ), merged AS (
+      SELECT doc_id, n_tokens, span_id,
+             MAX(p) - MIN(p) + {_SUB_K} AS span_len
+      FROM spans GROUP BY doc_id, n_tokens, span_id
+    )
+    SELECT
+      doc_id,
+      CAST(n_tokens AS BIGINT) AS n_tokens,
+      CAST(COUNT(*) AS BIGINT) AS n_spans,
+      CAST(SUM(span_len) AS BIGINT) AS dup_tokens
+    FROM merged
+    GROUP BY doc_id, n_tokens
+    """,
+    tags=("llm", "dedup", "substring"),
+)
+def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicated-substring spans — the corpus-level substring dedup
+    from "Deduplicating Training Data Makes Language Models Better": every
+    position whose {K}-token shingle recurs ANYWHERE in the corpus is
+    duplicated, and overlapping duplicated positions merge into maximal
+    spans (the text you would cut before training).
+
+    Distributed shape (a suffix array does not distribute; rolling
+    fingerprints do): positional shingles are generated MAP-SIDE from the
+    token array (sequence + transform + explode — no window, no self-
+    join), one shuffle groups the 32-hex fingerprints to find recurring
+    ones, the positions join back on the same key, and the interval merge
+    is a per-doc window (lag-gap → span id → span extents). Shuffles carry
+    fingerprints and integer positions — never text bodies.
+
+    Everything is exact integers, so per-doc span counts and duplicated-
+    token totals hash-match the oracle.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    w = F.filter(F.split("text", " "), lambda x: x != "")
+    base = d.select("doc_id", w.alias("w"), F.size(w).alias("n_tokens")).filter(
+        F.col("n_tokens") >= _SUB_K
+    )
+    shingles = F.transform(
+        F.sequence(F.lit(0), F.col("n_tokens") - _SUB_K),
+        lambda i: F.struct(
+            i.alias("p"),
+            F.md5(
+                F.array_join(F.slice(F.col("w"), i + 1, _SUB_K), " ")
+            ).alias("fp"),
+        ),
+    )
+    pos = base.select(
+        "doc_id", "n_tokens", F.explode(shingles).alias("s")
+    ).select("doc_id", "n_tokens", F.col("s.p").alias("p"), F.col("s.fp").alias("fp"))
+    fpc = pos.groupBy("fp").agg(F.count(F.lit(1)).alias("cnt")).filter(
+        F.col("cnt") > 1
+    )
+    duppos = pos.join(fpc.select("fp"), "fp").select("doc_id", "n_tokens", "p")
+    wdoc = Window.partitionBy("doc_id").orderBy("p")
+    flagged = duppos.withColumn(
+        "new_span",
+        F.when(
+            F.col("p")
+            > F.coalesce(F.lag("p").over(wdoc), F.lit(-1000000)) + _SUB_K - 1,
+            1,
+        ).otherwise(0),
+    )
+    spans = flagged.withColumn(
+        "span_id",
+        F.sum("new_span").over(wdoc.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    merged = spans.groupBy("doc_id", "n_tokens", "span_id").agg(
+        (F.max("p") - F.min("p") + _SUB_K).alias("span_len")
+    )
+    return merged.groupBy("doc_id", "n_tokens").agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum("span_len").cast("long").alias("dup_tokens"),
+    ).select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        "n_spans",
+        "dup_tokens",
     )

@@ -708,3 +708,16 @@ def test_phash_neardup_equi_join_only(spark, sf_dir):
     assert "NestedLoop" not in plan
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_substring_spans_mapside_shingles(spark, sf_dir):
+    """Positional shingles must generate map-side from the token array (no
+    window, no self-join before the fingerprint shuffle), and all joins
+    must be equi-joins on the fingerprint key."""
+    plan = plan_of(spark, sf_dir, "dedup_substring_spans")
+    assert "Generate explode" in plan
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+    gen = plan.index("Generate explode")
+    # nothing below the explode except the scan-side projection — the
+    # first aggregate (fingerprint count) sits ABOVE it in the dataflow
+    assert "Window" not in plan[gen:]
