@@ -237,3 +237,64 @@ def source_binaryfile_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.md5(F.col("content")).alias("digest"),
         )
         return out.localCheckpoint(eager=True)
+
+
+@query(
+    "source_parquet_schema_merge",
+    oracle="""
+    WITH unioned AS (
+      SELECT o_orderkey, o_totalprice, NULL::VARCHAR AS o_channel
+      FROM orders WHERE o_orderstatus = 'F'
+      UNION ALL
+      SELECT o_orderkey, o_totalprice, 'web' AS o_channel
+      FROM orders WHERE o_orderstatus = 'O'
+    )
+    SELECT
+      COALESCE(o_channel, 'legacy') AS channel,
+      CAST(COUNT(*) AS BIGINT) AS n,
+      CAST(COUNT(o_channel) AS BIGINT) AS n_with_channel,
+      CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
+    FROM unioned GROUP BY COALESCE(o_channel, 'legacy')
+    """,
+    tags=("source", "parquet", "schema-merge"),
+)
+def source_parquet_schema_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet ``mergeSchema`` — FILE-level schema drift, the reader-side
+    cousin of ALTER TABLE evolution (`lakehouse_schema_evolution`): a
+    directory accumulates files written before and after a column was
+    added, and one read reconciles them (old files NULL-backfill the new
+    column).
+
+    By default Spark reads the schema from ONE footer (old files would
+    silently drop the new column); ``mergeSchema=true`` unions all
+    footers. The oracle replays the expected union, so a reader that
+    loses the column or mis-backfills hash-mismatches.
+
+    100 TB: footer merging is a driver-side planning cost over file
+    METADATA (mitigated by summary files / a table format); the data path
+    is unchanged — each file is still read with its own projection.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    with tempfile.TemporaryDirectory(prefix="src_merge_") as root:
+        old = o.filter(F.col("o_orderstatus") == "F").select(
+            "o_orderkey", "o_totalprice"
+        )
+        new = (
+            o.filter(F.col("o_orderstatus") == "O")
+            .select("o_orderkey", "o_totalprice")
+            .withColumn("o_channel", F.lit("web"))
+        )
+        old.write.parquet(os.path.join(root, "batch=1"))
+        new.write.parquet(os.path.join(root, "batch=2"))
+        merged = spark.read.option("mergeSchema", "true").parquet(
+            os.path.join(root, "batch=1"), os.path.join(root, "batch=2")
+        )
+        assert "o_channel" in merged.columns
+        out = merged.groupBy(
+            F.coalesce(F.col("o_channel"), F.lit("legacy")).alias("channel")
+        ).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count("o_channel").alias("n_with_channel"),
+            F.sum("o_orderkey").cast("long").alias("key_sum"),
+        )
+        return out.localCheckpoint(eager=True)
