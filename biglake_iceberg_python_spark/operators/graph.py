@@ -374,3 +374,4 @@ def sql_recursive_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _lt(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
     return spark.sql(_REACH_SQL)
+

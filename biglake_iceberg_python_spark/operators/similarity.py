@@ -1162,3 +1162,61 @@ def sim_matryoshka_rescore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= _TOP_K)
         .select("qid", "cid", "cosine", "rk")
     )
+
+
+_RANGE_TAU = 0.28  # ~p99 of the cosine distribution → a few hits per query
+
+
+@query(
+    "sim_range_search",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+      FROM embeddings WHERE vec_id < {_N_QUERIES}
+    ), c AS (
+      SELECT vec_id AS cid, label, embedding::DOUBLE[] AS cv FROM embeddings
+    )
+    SELECT
+      q.qid, c.cid, c.label,
+      list_dot_product(q.qv, c.cv)
+        / sqrt(list_dot_product(q.qv, q.qv) * list_dot_product(c.cv, c.cv))
+        AS cosine
+    FROM q CROSS JOIN c
+    WHERE q.qid <> c.cid
+      AND list_dot_product(q.qv, c.cv)
+            / sqrt(list_dot_product(q.qv, q.qv) * list_dot_product(c.cv, c.cv))
+          >= {_RANGE_TAU}
+    """,
+    tags=("llm", "similarity", "range-search"),
+)
+def sim_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Radius (range) similarity search: ALL candidates within cosine ≥ τ
+    of each query — the query-centric complement of top-k. Top-k bounds
+    result size but not quality; a radius bounds quality but not size —
+    retrieval systems need both (k-NN for ranking, radius for "everything
+    at least this similar", e.g. duplicate sweeps around a probe vector).
+
+    Same scale shape as `sim_bruteforce_topk`: the query set broadcasts,
+    candidates stream through codegen dot products, and the threshold is
+    a map-side filter — with NO top-k window at all, the query is
+    shuffle-FREE end to end. Identical fold order on both engines, so
+    cosines hash-match exactly. At corpus scale, swap the candidate
+    stream for IVF/LSH buckets (`sim_ann_ivf`) and keep the filter.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("qid"), _as_double("embedding").alias("qv")
+    )
+    c = e.select(
+        F.col("vec_id").alias("cid"), "label", _as_double("embedding").alias("cv")
+    )
+    cosine = _dot(F.col("qv"), F.col("cv")) / F.sqrt(
+        _dot(F.col("qv"), F.col("qv")) * _dot(F.col("cv"), F.col("cv"))
+    )
+    return (
+        F.broadcast(q)
+        .crossJoin(c)
+        .filter(F.col("qid") != F.col("cid"))
+        .select("qid", "cid", "label", cosine.alias("cosine"))
+        .filter(F.col("cosine") >= _RANGE_TAU)
+    )

@@ -721,3 +721,12 @@ def test_substring_spans_mapside_shingles(spark, sf_dir):
     # nothing below the explode except the scan-side projection — the
     # first aggregate (fingerprint count) sits ABOVE it in the dataflow
     assert "Window" not in plan[gen:]
+
+
+def test_range_search_shuffle_free(spark, sf_dir):
+    """Radius search must be broadcast + map-side filter with ZERO
+    exchanges — no top-k window exists to force one."""
+    plan = plan_of(spark, sf_dir, "sim_range_search")
+    assert "Exchange hashpartitioning" not in plan
+    assert "Window" not in plan
+    assert "BroadcastNestedLoopJoin" in plan
