@@ -1012,3 +1012,60 @@ def events_user_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("n_types").cast("long").alias("n_types"),
         F.sum("h_micro").cast("long").alias("entropy_micro_nats"),
     )
+
+
+@query(
+    "events_path_trigrams",
+    oracle=f"""
+    WITH ordered AS (
+      SELECT user_id, event_type,
+             LEAD(event_type, 1) OVER w AS nxt1,
+             LEAD(event_type, 2) OVER w AS nxt2
+      FROM (SELECT user_id, event_type, ({_ORACLE_ES}) AS es, event_id
+            FROM events)
+      WINDOW w AS (PARTITION BY user_id ORDER BY es, event_id)
+    ), tri AS (
+      SELECT event_type || '>' || nxt1 || '>' || nxt2 AS path
+      FROM ordered WHERE nxt2 IS NOT NULL
+    ), counts AS (
+      SELECT path, COUNT(*) AS n_paths FROM tri GROUP BY path
+    )
+    SELECT path, CAST(n_paths AS BIGINT) AS n_paths
+    FROM counts
+    ORDER BY n_paths DESC, path
+    LIMIT 15
+    """,
+    tags=("events", "paths", "sequence"),
+)
+def events_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top user-journey trigrams: the 15 most common 3-step event paths —
+    the Sankey/flow-diagram input that sits between the Markov transition
+    matrix (memoryless pairs) and full sequence-motif mining (regex).
+
+    One window per user (two LEADs over the SAME ordered window — both
+    ride one exchange on user_id with an (es, event_id) total-order
+    tiebreak), then a count on the path string and a TakeOrdered top-15.
+    Exact integers; the tie on equal counts breaks by path text in both
+    engines.
+
+    100 TB: the shuffle carries one short string per event; the trigram
+    key space is |types|³ (tiny), so the count aggregation collapses
+    map-side.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.expr(_ES).cast("long").alias("es"), "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("es", "event_id")
+    tri = (
+        ev.select(
+            "event_type",
+            F.lead("event_type", 1).over(w).alias("nxt1"),
+            F.lead("event_type", 2).over(w).alias("nxt2"),
+        )
+        .filter(F.col("nxt2").isNotNull())
+        .select(
+            F.concat_ws(">", "event_type", "nxt1", "nxt2").alias("path")
+        )
+    )
+    counts = tri.groupBy("path").agg(F.count(F.lit(1)).alias("n_paths"))
+    return counts.orderBy(F.col("n_paths").desc(), "path").limit(15)
