@@ -9,6 +9,8 @@ batching, grouping) rather than trusting it.
 
 from __future__ import annotations
 
+from typing import Iterator
+
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -480,4 +482,48 @@ def udf_cogrouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
         opens.groupBy("o_custkey")
         .cogroup(fulfilled.groupBy("o_custkey"))
         .applyInPandas(_asof_cogroup, schema=out_schema)
+    )
+
+
+@query(
+    "udf_pandas_scalar_iter",
+    oracle="""
+    SELECT
+      o_orderstatus,
+      CAST(COUNT(*) AS BIGINT) AS n_scored,
+      CAST(SUM(CAST(round(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT)
+               % 97) AS BIGINT) AS score_sum
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+    tags=("udf", "pandas", "scalar-iter"),
+)
+def udf_pandas_scalar_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterator-of-series pandas UDF (SCALAR_ITER) — the variant built for
+    EXPENSIVE ONE-TIME INIT: the function body runs once per Python
+    worker, loads its "model" before the loop, then scores every Arrow
+    batch with it. This is the shape LLM-pipeline scoring uses at 100 TB
+    (load a tokenizer/classifier once per executor, not once per batch —
+    with plain SCALAR UDFs the init would re-run per batch).
+
+    The "model" here is a deterministic mod-97 scorer so the result is
+    exact integers and the whole pipeline hash-matches the oracle; the
+    per-batch work is vectorized numpy over Arrow.
+    """
+    @pandas_udf("long")
+    def score_iter(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        # one-time init per worker (imagine: load model weights)
+        model_modulus = 97
+        for s in batches:
+            cents = (s.astype("float64") * 100).round().astype("int64")
+            yield (cents % model_modulus).astype("int64")
+
+    o = load_table(spark, sf_dir, "orders")
+    scored = o.select(
+        "o_orderstatus",
+        score_iter(F.col("o_totalprice").cast("double")).alias("score"),
+    )
+    return scored.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_scored"),
+        F.sum("score").cast("long").alias("score_sum"),
     )

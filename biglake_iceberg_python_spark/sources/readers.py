@@ -298,3 +298,124 @@ def source_parquet_schema_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("o_orderkey").cast("long").alias("key_sum"),
         )
         return out.localCheckpoint(eager=True)
+
+
+@query(
+    "source_text_lines",
+    oracle="""
+    SELECT
+      CAST(COUNT(*) AS BIGINT) AS n_lines,
+      CAST(SUM(length(text)) AS BIGINT) AS total_chars,
+      CAST(SUM(CASE WHEN text LIKE '%dup%' THEN 1 ELSE 0 END) AS BIGINT)
+        AS lines_with_dup
+    FROM documents
+    """,
+    tags=("source", "text"),
+)
+def source_text_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``spark.read.text`` — the raw line-oriented source (one row per
+    line, single ``value`` column): how WET/plain-text web-crawl shards
+    enter a pipeline before any schema exists.
+
+    Round-trip: document texts written as a text file (one doc per line),
+    read back as lines, and reduced to line count / char mass / marker
+    hits — the oracle computes the same from the source table, so a
+    reader that splits, truncates, or re-encodes lines mismatches.
+
+    100 TB: text files split on line boundaries; each task scans its
+    byte range — the same embarrassing parallelism as CSV, minus parsing.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    with tempfile.TemporaryDirectory(prefix="src_text_") as root:
+        path = os.path.join(root, "docs.txt")
+        # documents text is single-line by construction; write one per line
+        d.select("text").write.text(path)
+        lines = spark.read.text(path)
+        out = lines.agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(F.length("value")).cast("long").alias("total_chars"),
+            F.sum(F.col("value").contains("dup").cast("long"))
+            .cast("long")
+            .alias("lines_with_dup"),
+        )
+        return out.localCheckpoint(eager=True)
+
+
+@query(
+    "source_csv_malformed_permissive",
+    oracle="""
+    WITH src AS (
+      SELECT o_orderkey, o_totalprice,
+             CASE WHEN o_orderkey % 50 = 0 THEN 1 ELSE 0 END AS corrupt
+      FROM orders
+    )
+    SELECT
+      CAST(COUNT(*) AS BIGINT) AS n_rows,
+      CAST(SUM(corrupt) AS BIGINT) AS n_corrupt,
+      CAST(SUM(CASE WHEN corrupt = 0 THEN o_orderkey ELSE NULL END) AS BIGINT)
+        AS clean_key_sum,
+      CAST(SUM(CASE WHEN corrupt = 0
+               THEN CAST(round(CAST(o_totalprice AS DECIMAL(18,2)) * 100)
+                    AS BIGINT) ELSE NULL END) AS BIGINT) AS clean_cents_sum
+    FROM src
+    """,
+    tags=("source", "csv", "data-quality"),
+)
+def source_csv_malformed_permissive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Malformed-record handling on CSV ingest: rows whose numeric field
+    is garbage (injected for o_orderkey % 50 = 0) must survive the read
+    under ``mode=PERMISSIVE`` with a populated ``_corrupt_record`` column
+    — the quarantine-don't-crash contract real ingest pipelines rely on
+    (FAILFAST would kill a 100 TB job on one bad row; DROPMALFORMED would
+    silently lose data).
+
+    The oracle recomputes expected totals from the clean table: total
+    rows, corrupt count, and key/cents sums of clean rows — so both
+    silent drops and mis-parsed corruption hash-mismatch.
+
+    Pitfall this query deliberately pins: corrupt detection only fires
+    for columns the parser MATERIALIZES. With CSV column pruning, a query
+    that never reads the bad column sees zero corrupt records — so the
+    aggregation references the price column, the way any real quarantine
+    audit must.
+    """
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    with tempfile.TemporaryDirectory(prefix="src_badcsv_") as root:
+        path = os.path.join(root, "orders_csv")
+        # inject garbage into the price field for a deterministic subset
+        lines = o.select(
+            F.concat_ws(
+                ",",
+                F.col("o_orderkey").cast("string"),
+                F.when(
+                    F.col("o_orderkey") % 50 == 0, F.lit("NOT_A_NUMBER")
+                ).otherwise(F.col("o_totalprice").cast("string")),
+            ).alias("value")
+        )
+        lines.write.text(path)
+        parsed = spark.read.csv(
+            path,
+            schema="o_orderkey LONG, o_totalprice DOUBLE, _corrupt_record STRING",
+            mode="PERMISSIVE",
+            columnNameOfCorruptRecord="_corrupt_record",
+        )
+        out = parsed.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count("_corrupt_record").alias("n_corrupt"),
+            F.sum(
+                F.when(F.col("_corrupt_record").isNull(), F.col("o_orderkey"))
+            )
+            .cast("long")
+            .alias("clean_key_sum"),
+            F.sum(
+                F.when(
+                    F.col("_corrupt_record").isNull(),
+                    F.round(
+                        F.col("o_totalprice").cast("decimal(18,2)") * 100
+                    ).cast("long"),
+                )
+            )
+            .cast("long")
+            .alias("clean_cents_sum"),
+        )
+        return out.localCheckpoint(eager=True)
