@@ -1055,3 +1055,105 @@ def agg_corr_covar(spark: SparkSession, sf_dir: str) -> DataFrame:
             "covar_pop_units"
         ),
     )
+
+
+@query(
+    "agg_skew_kurtosis",
+    oracle="""
+    WITH m AS (
+      SELECT
+        l_returnflag,
+        CAST(COUNT(*) AS DECIMAL(38,0)) AS n,
+        SUM(CAST(round(CAST(l_quantity AS DECIMAL(18,2)) * 100) AS DECIMAL(38,0))) AS s1,
+        SUM(CAST(round(CAST(l_quantity AS DECIMAL(18,2)) * 100) AS DECIMAL(38,0))
+          * CAST(round(CAST(l_quantity AS DECIMAL(18,2)) * 100) AS DECIMAL(38,0))) AS s2,
+        SUM(CAST(round(CAST(l_quantity AS DECIMAL(18,2)) * 100) AS DECIMAL(38,0))
+          * CAST(round(CAST(l_quantity AS DECIMAL(18,2)) * 100) AS DECIMAL(38,0))
+          * CAST(round(CAST(l_quantity AS DECIMAL(18,2)) * 100) AS DECIMAL(38,0))) AS s3,
+        SUM(CAST(round(CAST(l_quantity AS DECIMAL(18,2)) * 100) AS DECIMAL(38,0))
+          * CAST(round(CAST(l_quantity AS DECIMAL(18,2)) * 100) AS DECIMAL(38,0))
+          * CAST(round(CAST(l_quantity AS DECIMAL(18,2)) * 100) AS DECIMAL(38,0))
+          * CAST(round(CAST(l_quantity AS DECIMAL(18,2)) * 100) AS DECIMAL(38,0))) AS s4
+      FROM lineitem
+      GROUP BY l_returnflag
+    )
+    SELECT
+      l_returnflag,
+      CAST(n AS BIGINT) AS n_rows,
+      (CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE)
+        - 3.0 * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+              * (CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE))
+        + 2.0 * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+              * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+              * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)))
+      / pow(CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)
+            - (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+            * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)), 1.5)
+        AS skewness,
+      (CAST(s4 AS DOUBLE) / CAST(n AS DOUBLE)
+        - 4.0 * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+              * (CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE))
+        + 6.0 * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+              * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+              * (CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE))
+        - 3.0 * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+              * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+              * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+              * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)))
+      / ((CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)
+          - (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+          * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)))
+         * (CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)
+            - (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+            * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)))) - 3.0
+        AS excess_kurtosis
+    FROM m
+    """,
+    tags=("agg", "statistics", "moments"),
+)
+def agg_skew_kurtosis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skewness and excess kurtosis per return flag from EXACT integer
+    moment sums — completing the moment-sketch family (count/sum →
+    variance → correlation → 3rd/4th moments). Built-in
+    `skewness()`/`kurtosis()` accumulate running doubles whose partition
+    order shifts low bits; here the four power sums are exact
+    DECIMAL(38,0) (cents⁴ ≈ 1e28/row — still 10 orders below the decimal
+    ceiling at sf0.1), and the population-moment formulas run as an
+    identical double-op sequence on both engines, so the statistics
+    hash-match bit-for-bit.
+
+    100 TB: one map-side-combined shuffle of |flags| groups, same as
+    every other moment sketch. (At corpus scales where cents⁴·rows
+    approaches 1e38, drop to per-partition int128-in-decimal partials —
+    the merge tree is unchanged.)
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    x = F.round(F.col("l_quantity").cast("decimal(18,2)") * 100).cast("decimal(38,0)")
+    m = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum(x).alias("s1"),
+        F.sum(x * x).alias("s2"),
+        F.sum(x * x * x).alias("s3"),
+        F.sum(x * x * x * x).alias("s4"),
+    )
+    nd = F.col("n").cast("double")
+    m1 = F.col("s1").cast("double") / nd
+    m2 = F.col("s2").cast("double") / nd
+    m3 = F.col("s3").cast("double") / nd
+    m4 = F.col("s4").cast("double") / nd
+    var = m2 - m1 * m1
+    skew = (m3 - F.lit(3.0) * m1 * m2 + F.lit(2.0) * m1 * m1 * m1) / F.pow(
+        var, F.lit(1.5)
+    )
+    kurt = (
+        m4
+        - F.lit(4.0) * m1 * m3
+        + F.lit(6.0) * m1 * m1 * m2
+        - F.lit(3.0) * m1 * m1 * m1 * m1
+    ) / (var * var) - F.lit(3.0)
+    return m.select(
+        "l_returnflag",
+        F.col("n").cast("long").alias("n_rows"),
+        skew.alias("skewness"),
+        kurt.alias("excess_kurtosis"),
+    )

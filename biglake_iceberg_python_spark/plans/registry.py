@@ -147,17 +147,22 @@ _PRIORITY_WINDOW = [
 # ROUND-5 ROTATION PREP (compute fresh before editing the window):
 # after this round, the never-driver-verified set is
 #   registry − CORRECTNESS_r01 − CORRECTNESS_r03 − (this window ∩ r4 greens)
-# ≈ 81 names: the full curation family (11), eventflow/business analytics
-# (funnel, cohort, rfm, pareto, basket, transitions, anomaly, stickiness,
-# trend, dau/wau), graph (pagerank, triangles), ml ×3, tpch Q2/Q11/Q20,
-# the sim scale-path variants (int8, persisted IVF, PQ, semantic,
-# matryoshka), text corpus stats (perplexity, repetition, vocab, zipf,
-# chunking, BPE), the round-4 join/source additions (DPP, bloom, as-of
-# tolerance/forward, hints, XML/binaryFile, PyDS pushdown/writer/stream
-# writer), and the late lakehouse pair (WAP, incremental matview).
+# ≈ 100+ names: the full curation family (13), eventflow/business
+# analytics (funnel, cohort, rfm, pareto, basket, transitions, anomaly,
+# stickiness, trend, dau/wau, ewma, welch, entropy, uniques, trigrams,
+# gini), graph (pagerank, triangles), ml ×5 (incl. the PCA pair), tpch
+# Q2/Q11/Q20, the sim scale-path variants (int8, persisted IVF, PQ,
+# semantic, matryoshka, range search, hybrid RRF), text corpus stats
+# (perplexity, repetition, vocab, zipf, chunking, BPE, BM25), dedup
+# extras (containment, fuzzy, substring spans, pHash), the round-4
+# join/source additions (DPP, bloom, as-of tolerance/forward, hints,
+# XML/binaryFile/text/malformed-CSV/mergeSchema, PyDS pushdown/writer/
+# stream writer, PIT SCD2), and late lakehouse entries (WAP, incremental
+# matview, ANALYZE stats, dynamic partition overwrite).
 # Round 5 should take 50 of these (curation + eventflow + graph + ml
 # first — oldest never-verified families), keeping any r4 red row in
-# place per the "never rotate a red row out" rule; round 6 takes the rest.
+# place per the "never rotate a red row out" rule; rounds 6-7 take the
+# rest.
 
 
 def load_all() -> dict[str, QuerySpec]:
