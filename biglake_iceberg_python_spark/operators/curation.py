@@ -1071,6 +1071,104 @@ _URL_PATH_RE = "^[A-Za-z]+://[^/?#]*([^?#]*)"
 _URL_QUERY_RE = r"\?([^#]*)"
 
 
+def _oracle_url_canon_cte() -> str:
+    """raw + parts + canon CTE bodies shared by the census query and the
+    refresh pipeline (identical text keeps both oracles in lockstep)."""
+    return f"""
+    raw AS (
+      SELECT
+        doc_id, source, n_chars,
+        (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS' ELSE 'https' END) || '://'
+        || (CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END)
+        || (CASE WHEN doc_id % 5 = 0 THEN upper(source) ELSE source END)
+        || '.Example.ORG'
+        || (CASE WHEN doc_id % 8 = 0 THEN ':443' ELSE '' END)
+        || '/articles/item' || CAST(doc_id % 25 AS VARCHAR)
+        || (CASE WHEN doc_id % 6 = 0 THEN '/' ELSE '' END)
+        || (CASE WHEN doc_id % 4 = 0 THEN '?utm_source=feed&utm_campaign=x'
+                 WHEN doc_id % 4 = 1 THEN '?ref=kept&utm_medium=social'
+                 ELSE '' END)
+        || (CASE WHEN doc_id % 7 = 0 THEN '#top' ELSE '' END)
+        AS url
+      FROM documents
+    ), parts AS (
+      SELECT
+        doc_id, source, n_chars, url,
+        lower(regexp_extract(url, '{_URL_SCHEME_RE}', 1)) AS scheme,
+        regexp_replace(
+          regexp_replace(lower(regexp_extract(url, '{_URL_HOST_RE}', 1)),
+                         '^www\\.', ''),
+          ':(443|80)$', '') AS host,
+        regexp_replace(regexp_extract(url, '{_URL_PATH_RE}', 1), '/+$', '') AS path,
+        array_to_string(
+          list_filter(string_split(regexp_extract(url, '{_URL_QUERY_RE}', 1), '&'),
+                      x -> x <> '' AND NOT starts_with(x, 'utm_')),
+          '&') AS q
+      FROM raw
+    ), canon AS (
+      SELECT
+        doc_id, source, n_chars,
+        scheme || '://' || host
+          || (CASE WHEN path = '' THEN '/' ELSE path END)
+          || (CASE WHEN q <> '' THEN '?' || q ELSE '' END) AS canonical_url
+      FROM parts
+    )"""
+
+
+def _spark_url_canon(d: DataFrame) -> DataFrame:
+    """documents → (doc_id, source, n_chars, canonical_url); the Spark twin
+    of _oracle_url_canon_cte."""
+    did = F.col("doc_id")
+    raw = d.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.concat(
+            F.when(did % 2 == 0, F.lit("HTTPS")).otherwise(F.lit("https")),
+            F.lit("://"),
+            F.when(did % 3 == 0, F.lit("WWW.")).otherwise(F.lit("")),
+            F.when(did % 5 == 0, F.upper("source")).otherwise(F.col("source")),
+            F.lit(".Example.ORG"),
+            F.when(did % 8 == 0, F.lit(":443")).otherwise(F.lit("")),
+            F.lit("/articles/item"),
+            (did % 25).cast("string"),
+            F.when(did % 6 == 0, F.lit("/")).otherwise(F.lit("")),
+            F.when(did % 4 == 0, F.lit("?utm_source=feed&utm_campaign=x"))
+            .when(did % 4 == 1, F.lit("?ref=kept&utm_medium=social"))
+            .otherwise(F.lit("")),
+            F.when(did % 7 == 0, F.lit("#top")).otherwise(F.lit("")),
+        ).alias("url"),
+    )
+    scheme = F.lower(F.regexp_extract("url", _URL_SCHEME_RE, 1))
+    host = F.regexp_replace(
+        F.regexp_replace(
+            F.lower(F.regexp_extract("url", _URL_HOST_RE, 1)), r"^www\.", ""
+        ),
+        ":(443|80)$",
+        "",
+    )
+    path = F.regexp_replace(F.regexp_extract("url", _URL_PATH_RE, 1), "/+$", "")
+    q = F.array_join(
+        F.filter(
+            F.split(F.regexp_extract("url", _URL_QUERY_RE, 1), "&"),
+            lambda x: (x != "") & ~x.startswith("utm_"),
+        ),
+        "&",
+    )
+    return raw.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.concat(
+            scheme,
+            F.lit("://"),
+            host,
+            F.when(path == "", F.lit("/")).otherwise(path),
+            F.when(q != "", F.concat(F.lit("?"), q)).otherwise(F.lit("")),
+        ).alias("canonical_url"),
+    )
+
+
 @query(
     "curate_url_canonical",
     oracle=f"""
@@ -1277,3 +1375,94 @@ def curate_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(F.col("n_chars") > F.col("hi_cut"), 1)).alias("n_clipped_hi"),
         F.sum(clipped).cast("long").alias("sum_winsorized"),
     )
+
+
+@query(
+    "curate_url_refresh_pipeline",
+    oracle=None,  # assembled below (needs the retrieval module's BM25 CTE)
+    tags=("llm", "curation", "pipeline", "url", "retrieval"),
+)
+def curate_url_refresh_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end web-corpus refresh over this round's operators, fused
+    into ONE dataflow: canonicalize crawl URLs → keep the LONGEST document
+    per canonical page (dedup policy) → score survivors with BM25 →
+    per-source accounting: raw pages, kept pages, bytes reclaimed by the
+    URL dedup, and the kept docs' total BM25 relevance mass.
+
+    Composition is the point (the `pipeline_corpus_build` pattern): each
+    stage is individually hash-verified elsewhere; this query proves they
+    compose without materialization barriers. Canonicalization and the
+    keep-longest window ride one (source-prefixed) exchange; BM25 joins
+    on doc_id AFTER survivors shrink the corpus; accounting is a
+    |sources|-row rollup.
+    """
+    from biglake_iceberg_python_spark.operators.retrieval import _spark_bm25
+
+    d = load_table(spark, sf_dir, "documents")
+    canon = _spark_url_canon(d)
+    w = Window.partitionBy("source", "canonical_url").orderBy(
+        F.col("n_chars").desc(), "doc_id"
+    )
+    ranked = canon.withColumn("rk", F.row_number().over(w))
+    kept = ranked.filter(F.col("rk") == 1).select(
+        "doc_id", "source", F.col("n_chars").alias("kept_chars")
+    )
+    bm25 = _spark_bm25(spark, sf_dir).select("doc_id", "bm25_micro")
+    scored = kept.join(bm25, "doc_id", "left")
+    per_canon = ranked.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_raw"),
+        F.count(F.when(F.col("rk") == 1, 1)).alias("n_kept"),
+        F.sum(F.when(F.col("rk") > 1, F.col("n_chars"))).alias("bytes_reclaimed"),
+    )
+    relevance = scored.groupBy("source").agg(
+        F.sum(F.coalesce(F.col("bm25_micro"), F.lit(0)))
+        .cast("long")
+        .alias("kept_bm25_micro")
+    )
+    return per_canon.join(relevance, "source").select(
+        "source",
+        "n_raw",
+        "n_kept",
+        F.coalesce(F.col("bytes_reclaimed"), F.lit(0))
+        .cast("long")
+        .alias("bytes_reclaimed"),
+        "kept_bm25_micro",
+    )
+
+
+def _install_refresh_oracle() -> None:
+    from biglake_iceberg_python_spark.operators.retrieval import _oracle_bm25
+    from biglake_iceberg_python_spark.plans.registry import REGISTRY
+
+    REGISTRY["curate_url_refresh_pipeline"].oracle = f"""
+    WITH {_oracle_url_canon_cte()},
+    ranked AS (
+      SELECT doc_id, source, n_chars,
+             ROW_NUMBER() OVER (PARTITION BY source, canonical_url
+                                ORDER BY n_chars DESC, doc_id) AS rk
+      FROM canon
+    ), bm25 AS (
+      SELECT doc_id, bm25_micro FROM ({_oracle_bm25()})
+    ), per_canon AS (
+      SELECT source,
+             COUNT(*) AS n_raw,
+             COUNT(*) FILTER (WHERE rk = 1) AS n_kept,
+             COALESCE(SUM(n_chars) FILTER (WHERE rk > 1), 0) AS bytes_reclaimed
+      FROM ranked GROUP BY source
+    ), relevance AS (
+      SELECT r.source, SUM(COALESCE(b.bm25_micro, 0)) AS kept_bm25_micro
+      FROM ranked r LEFT JOIN bm25 b ON r.doc_id = b.doc_id
+      WHERE r.rk = 1
+      GROUP BY r.source
+    )
+    SELECT
+      p.source,
+      CAST(p.n_raw AS BIGINT) AS n_raw,
+      CAST(p.n_kept AS BIGINT) AS n_kept,
+      CAST(p.bytes_reclaimed AS BIGINT) AS bytes_reclaimed,
+      CAST(r.kept_bm25_micro AS BIGINT) AS kept_bm25_micro
+    FROM per_canon p JOIN relevance r ON p.source = r.source
+    """
+
+
+_install_refresh_oracle()

@@ -75,6 +75,8 @@ _RAW_ROUND_EXEMPT = {
     # Shannon entropy terms quantize 1e6·p·ln(n/cnt): irrational except at
     # cnt = n, where the term is exactly 0 and round(0) has no halfway.
     "events_user_entropy",
+    # embeds the BM25 CTE (same irrational idf·tfnorm quantizer as above)
+    "curate_url_refresh_pipeline",
 }
 
 
