@@ -49,3 +49,24 @@ def test_bench_cli_rejects_unknown_query():
     )
     assert proc.returncode == 2
     assert "no_such_query" in proc.stderr
+
+
+def test_bench_queries_run_at_smoke_sf(spark):
+    """Every bench-flagged query must run and return a well-formed result
+    at the sf0.001 smoke scale too — tiny inputs expose degeneracy
+    (empty intermediate tables, .first() on nothing, vacuous thresholds)
+    that sf0.01 sweeps never hit. Streaming queries are exercised at this
+    sf by the bench warm-up already; this pins the batch set."""
+    from biglake_iceberg_python_spark.plans.registry import load_all
+
+    sf_dir = "/root/testdata/sf0.001"
+    failures = []
+    for name, spec in load_all().items():
+        if not spec.bench or name.startswith("stream_"):
+            continue
+        try:
+            n = spec.fn(spark, sf_dir).count()
+            assert n >= 0
+        except Exception as exc:  # noqa: BLE001
+            failures.append((name, str(exc)[:120]))
+    assert not failures, failures
