@@ -1698,3 +1698,65 @@ def lakehouse_dynamic_partition_overwrite(
         finally:
             spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
             spark.sql(f"DROP TABLE IF EXISTS {tname}")
+
+
+@query(
+    "lakehouse_shallow_clone",
+    oracle="""
+    WITH source_rows AS (
+      SELECT o_orderstatus FROM orders
+      WHERE o_orderstatus IN ('F', 'O', 'P')
+    ), clone_rows AS (
+      SELECT o_orderstatus FROM orders
+      WHERE o_orderstatus IN ('F', 'O')
+    )
+    SELECT 'source' AS side, o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM source_rows GROUP BY o_orderstatus
+    UNION ALL
+    SELECT 'clone', o_orderstatus, CAST(COUNT(*) AS BIGINT)
+    FROM clone_rows GROUP BY o_orderstatus
+    """,
+    tags=("lakehouse", "clone", "zero-copy"),
+)
+def lakehouse_shallow_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zero-copy SHALLOW CLONE: fork a table for dev/test without moving a
+    byte of data — the clone's first snapshot references the source's data
+    directories, and the two tables then evolve independently.
+
+    Script: seed F, append O → clone → source appends P. The clone must
+    see exactly F+O (source commits after the fork are invisible) while
+    the source sees F+O+P; the query also asserts IN-QUERY that the clone
+    wrote ZERO data files of its own (metadata-only fork) — copy-on-fork
+    regressions fail the assert, divergence regressions fail the hash.
+
+    100 TB: cloning a petabyte table is O(1) metadata; the caveat
+    (source expiry can orphan clone references) is enforced where it
+    corrupts — tables with pending MoR deletes refuse to clone.
+    """
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    with tempfile.TemporaryDirectory(prefix="lh_clone_") as root:
+        src = SnapshotTable(spark, os.path.join(root, "src"))
+        src.write(o.filter(F.col("o_orderstatus") == "F"), mode="append")
+        src.write(o.filter(F.col("o_orderstatus") == "O"), mode="append")
+        clone = src.clone_to(os.path.join(root, "dst"))
+        # metadata-only fork: the clone's root holds no data files
+        clone_data = os.path.join(root, "dst", "data")
+        n_clone_files = sum(
+            len(fs) for _, _, fs in os.walk(clone_data)
+        ) if os.path.exists(clone_data) else 0
+        assert n_clone_files == 0, "shallow clone copied data files"
+        src.write(o.filter(F.col("o_orderstatus") == "P"), mode="append")
+        out = (
+            src.read()
+            .groupBy("o_orderstatus")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.lit("source").alias("side"), "o_orderstatus", "n")
+            .unionAll(
+                clone.read()
+                .groupBy("o_orderstatus")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .select(F.lit("clone").alias("side"), "o_orderstatus", "n")
+            )
+        )
+        return out.localCheckpoint(eager=True)

@@ -555,6 +555,43 @@ class SnapshotTable:
             out = df if out is None else out.unionByName(df)
         return out
 
+    def clone_to(self, dest_root: str) -> "SnapshotTable":
+        """Shallow (zero-copy) clone: a NEW table whose first snapshot
+        references this table's current data directories — no data files
+        move or copy, only metadata is written (the Delta SHALLOW CLONE /
+        Iceberg snapshot-table pattern used for dev/test forks of
+        production tables).
+
+        The clone evolves independently: its appends land under ITS root,
+        and source commits after the clone are invisible to it. The
+        standard caveat applies and is enforced where it would corrupt:
+        expire/compact on the source can delete files a clone still
+        references (document retention accordingly), and tables with
+        PENDING merge-on-read deletes refuse to clone (the clone's
+        sequence numbers restart at 1, which would break delete scoping —
+        run rewrite_mor() first).
+        """
+        head = self._head_entry(self._read_log())
+        if head is None:
+            raise ValueError("cannot clone an empty table")
+        if head.get("deletes"):
+            raise ValueError(
+                "table has pending MoR deletes; run rewrite_mor() before "
+                "cloning"
+            )
+        clone = SnapshotTable(self.spark, dest_root)
+        entry = {
+            "snapshot_id": 1,
+            "operation": "clone",
+            "data_dirs": list(head["data_dirs"]),
+            "added_dir": None,
+            "dir_seq": {d: 1 for d in head["data_dirs"]},
+        }
+        if head.get("stats"):
+            entry["stats"] = head["stats"]
+        clone._commit([], entry)
+        return clone
+
     def read_incremental(self, from_snap: int, to_snap: int) -> DataFrame:
         """Rows ADDED by snapshots in ``(from_snap, to_snap]`` — the
         CDC-style incremental append scan (the analog of Iceberg's

@@ -959,3 +959,32 @@ def test_analyze_stats_reach_the_optimizer(spark, sf_dir):
                 spark.conf.set("spark.sql.cbo.enabled", prev)
         finally:
             spark.sql(f"DROP TABLE IF EXISTS {tname}")
+
+
+def test_shallow_clone_independence_and_guards(spark, sf_dir):
+    """clone_to: (a) clone appends stay in the clone's root and never leak
+    to the source; (b) cloning a table with pending MoR deletes refuses;
+    (c) cloning an empty table refuses."""
+    import os
+    import tempfile
+
+    from biglake_iceberg_python_spark.lakehouse.snapshots import SnapshotTable
+    from biglake_iceberg_python_spark.sources.tables import load_table
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    with tempfile.TemporaryDirectory(prefix="clone_t_") as root:
+        src = SnapshotTable(spark, os.path.join(root, "src"))
+        src.write(o.filter(F.col("o_orderstatus") == "F"))
+        n_f = src.read().count()
+        clone = src.clone_to(os.path.join(root, "dst"))
+        clone.write(o.filter(F.col("o_orderstatus") == "O"))
+        assert clone.read().count() > n_f
+        assert src.read().count() == n_f  # clone appends invisible to source
+
+        src.delete_where_mor(F.col("o_orderkey") % 2 == 0, ["o_orderkey"])
+        with pytest.raises(ValueError, match="rewrite_mor"):
+            src.clone_to(os.path.join(root, "dst2"))
+
+        empty = SnapshotTable(spark, os.path.join(root, "empty"))
+        with pytest.raises(ValueError, match="empty"):
+            empty.clone_to(os.path.join(root, "dst3"))
