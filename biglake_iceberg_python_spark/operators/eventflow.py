@@ -1069,3 +1069,50 @@ def events_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     counts = tri.groupBy("path").agg(F.count(F.lit(1)).alias("n_paths"))
     return counts.orderBy(F.col("n_paths").desc(), "path").limit(15)
+
+
+@query(
+    "events_heatmap_hour_dow",
+    oracle=f"""
+    WITH e AS (
+      SELECT
+        (({_ORACLE_ES}) // 86400 + 4) % 7 AS dow,
+        (({_ORACLE_ES}) % 86400) // 3600 AS hour,
+        CAST(round(CAST(value AS DECIMAL(18,2)) * 100) AS BIGINT) AS cents
+      FROM events
+    )
+    SELECT
+      CAST(dow AS BIGINT) AS dow,
+      CAST(hour AS BIGINT) AS hour,
+      CAST(COUNT(*) AS BIGINT) AS n_events,
+      CAST(SUM(cents) AS BIGINT) AS total_cents
+    FROM e GROUP BY dow, hour
+    """,
+    tags=("events", "heatmap", "timeseries"),
+)
+def events_heatmap_hour_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Activity heatmap: event count and value mass per (day-of-week,
+    hour-of-day) cell — the BI staple behind load forecasting and
+    anomaly baselines.
+
+    Day-of-week derives from pure epoch arithmetic ((epoch_day + 4) % 7 —
+    1970-01-01 was a Thursday), NOT from dayofweek()/calendar functions
+    whose week-start and timezone conventions differ by engine and
+    session — the same TZ-independence discipline as every epoch
+    extraction here. One map-side-combined shuffle of ≤168 cells.
+    """
+    e = load_table(spark, sf_dir, "events").select(
+        F.expr(_ES).cast("long").alias("es"),
+        F.round(F.col("value").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("cents"),
+    )
+    cells = e.select(
+        (((F.col("es") / 86400).cast("long") + 4) % 7).alias("dow"),
+        ((F.col("es") % 86400) / 3600).cast("long").alias("hour"),
+        "cents",
+    )
+    return cells.groupBy("dow", "hour").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("cents").cast("long").alias("total_cents"),
+    )
