@@ -1158,3 +1158,78 @@ def stream_join_then_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_pairs",
         F.col("sum_dec").cast("double").alias("sum_purchase_value"),
     )
+
+
+@query(
+    "stream_file_sink_manifest",
+    oracle="""
+    SELECT
+      event_type,
+      CAST(COUNT(*) AS BIGINT) AS n_events,
+      CAST(SUM(CAST(round(CAST(value AS DECIMAL(18,2)) * 100) AS BIGINT))
+        AS BIGINT) AS total_cents
+    FROM events
+    GROUP BY event_type
+    """,
+    tags=("streaming", "sink", "file", "exactly-once"),
+)
+def stream_file_sink_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming FILE sink (parquet) with its exactly-once manifest — the
+    sink family's third member after memory and foreachBatch: the file
+    sink commits each batch by listing its files in ``_spark_metadata``,
+    and manifest-aware reads see ONLY committed files.
+
+    The exactly-once claim is attacked in-query: after the stream drains,
+    an ORPHAN parquet file (simulating a task attempt that wrote data but
+    whose batch never committed) is planted in the sink directory. The
+    read-back must ignore it — if the manifest is bypassed the rollup
+    inflates and the hash mismatches; an explicit assert additionally
+    pins that the orphan file is readable on its own (the test is not
+    vacuous).
+
+    100 TB: the manifest makes file-sink output safely readable while the
+    writer runs — the precursor pattern to table-format commits (the
+    snapshot log generalizes exactly this).
+    """
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    input_dir, ckpt = stage_event_chunks(spark, sf_dir, n_chunks=4)
+    stream = read_event_stream(spark, input_dir).select(
+        "event_id",
+        "event_type",
+        F.round(F.col("value").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("cents"),
+    )
+    with tempfile.TemporaryDirectory(prefix="stream_fsink_") as root:
+        sink = os.path.join(root, "out")
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", os.path.join(root, "ckpt"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        # plant an orphan data file the manifest never committed
+        committed = glob.glob(os.path.join(sink, "part-*.parquet"))
+        assert committed, "file sink wrote no data files"
+        orphan_src = os.path.join(root, "orphan")
+        spark.createDataFrame(
+            [(10**12, "orphan-type", 123456)],
+            "event_id long, event_type string, cents long",
+        ).coalesce(1).write.parquet(orphan_src)
+        orphan_part = glob.glob(os.path.join(orphan_src, "part-*.parquet"))[0]
+        planted = os.path.join(sink, "part-99999-orphan.snappy.parquet")
+        shutil.copy(orphan_part, planted)
+        assert spark.read.parquet(planted).count() == 1  # orphan is real
+        back = spark.read.parquet(sink)  # manifest-aware: orphan invisible
+        out = back.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("cents").cast("long").alias("total_cents"),
+        )
+        return out.localCheckpoint(eager=True)
