@@ -1116,3 +1116,113 @@ def events_heatmap_hour_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.sum("cents").cast("long").alias("total_cents"),
     )
+
+
+@query(
+    "events_outlier_mad",
+    oracle="""
+    WITH v AS (
+      SELECT event_type,
+             CAST(round(CAST(value AS DECIMAL(18,2)) * 100) AS BIGINT) AS cents
+      FROM events
+    ), med AS (
+      SELECT event_type, cents,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY cents) AS rk,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM v
+    ), m AS (
+      SELECT event_type, MAX(CASE WHEN rk = (n + 1) // 2 THEN cents END) AS med
+      FROM med GROUP BY event_type
+    ), dev AS (
+      SELECT v.event_type, v.cents, abs(v.cents - m.med) AS adev, m.med
+      FROM v JOIN m ON v.event_type = m.event_type
+    ), mad_rk AS (
+      SELECT event_type, adev, med,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY adev) AS rk,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM dev
+    ), mad AS (
+      SELECT event_type, MAX(med) AS med,
+             MAX(CASE WHEN rk = (n + 1) // 2 THEN adev END) AS mad
+      FROM mad_rk GROUP BY event_type
+    )
+    SELECT
+      d.event_type,
+      CAST(mad.med AS BIGINT) AS median_cents,
+      CAST(mad.mad AS BIGINT) AS mad_cents,
+      CAST(COUNT(*) AS BIGINT) AS n_rows,
+      CAST(COUNT(*) FILTER (WHERE d.adev > 5 * mad.mad) AS BIGINT) AS n_outliers
+    FROM dev d JOIN mad ON d.event_type = mad.event_type
+    GROUP BY d.event_type, mad.med, mad.mad
+    """,
+    tags=("events", "anomaly", "robust-statistics"),
+)
+def events_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection by median absolute deviation — the
+    heavy-tail-safe complement of `anomaly_zscore_daily`: one wild value
+    shifts a mean and inflates a stddev, but cannot move a median, so
+    MAD flags (|x − med| > 5·MAD) stay stable under contamination.
+
+    Both medians are EXACT lower order statistics (rank (n+1)÷2 with
+    integer arithmetic) — not interpolated percentiles whose formulas
+    differ by engine — so median, MAD, and outlier counts are all
+    integers and hash-match. The deviation pass reuses the event_type
+    partitioning for both rank windows and both joins: one logical key
+    end to end.
+
+    100 TB: rank-window medians assume per-group data fits a partition;
+    at larger groups swap the exact rank for the KLL sketch cutoff
+    (`agg_kll_quantile_merge`) and keep the identical flag stage.
+    """
+    v = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.round(F.col("value").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("cents"),
+    )
+    wt = Window.partitionBy("event_type")
+    med_rk = v.select(
+        "event_type",
+        "cents",
+        F.row_number().over(wt.orderBy("cents")).alias("rk"),
+        F.count(F.lit(1)).over(wt).alias("n"),
+    )
+    m = med_rk.groupBy("event_type").agg(
+        F.max(
+            F.when(F.col("rk") == F.expr("(n + 1) div 2"), F.col("cents"))
+        ).alias("med")
+    )
+    dev = v.join(m, "event_type").select(
+        "event_type", "cents", F.abs(F.col("cents") - F.col("med")).alias("adev"), "med"
+    )
+    mad_rk = dev.select(
+        "event_type",
+        "adev",
+        "med",
+        F.row_number().over(wt.orderBy("adev")).alias("rk"),
+        F.count(F.lit(1)).over(wt).alias("n"),
+    )
+    mad = mad_rk.groupBy("event_type").agg(
+        F.max("med").alias("med"),
+        F.max(
+            F.when(F.col("rk") == F.expr("(n + 1) div 2"), F.col("adev"))
+        ).alias("mad"),
+    )
+    return (
+        dev.drop("med")
+        .join(mad, "event_type")
+        .groupBy("event_type", "med", "mad")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count(F.when(F.col("adev") > 5 * F.col("mad"), 1)).alias(
+                "n_outliers"
+            ),
+        )
+        .select(
+            "event_type",
+            F.col("med").cast("long").alias("median_cents"),
+            F.col("mad").cast("long").alias("mad_cents"),
+            "n_rows",
+            "n_outliers",
+        )
+    )
