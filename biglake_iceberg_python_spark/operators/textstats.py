@@ -862,3 +862,135 @@ def text_bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     agg = pairs.groupBy("pair").agg(F.sum("c").cast("long").alias("pair_count"))
     return agg.orderBy(F.col("pair_count").desc(), "pair").limit(_BPE_TOP)
+
+
+@query(
+    "text_js_divergence_sources",
+    oracle="""
+    WITH w AS (
+      SELECT source,
+             unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS word
+      FROM documents
+    ), sc AS (
+      SELECT source, word, COUNT(*) AS c FROM w GROUP BY source, word
+    ), stot AS (
+      SELECT source, SUM(c) AS n FROM sc GROUP BY source
+    ), gc AS (
+      SELECT word, SUM(c) AS g FROM sc GROUP BY word
+    ), gtot AS (
+      SELECT SUM(g) AS gn FROM gc
+    ), terms AS (
+      SELECT
+        sc.source,
+        -- p = source dist, q = corpus dist, m = (p+q)/2; one term per
+        -- (source, word) with p>0; words absent from the source
+        -- contribute the q-side term, handled via the corpus pass below
+        CAST(round(1e6 * (
+            0.5 * (CAST(sc.c AS DOUBLE) / stot.n)
+                * ln((CAST(sc.c AS DOUBLE) / stot.n)
+                     / (0.5 * CAST(sc.c AS DOUBLE) / stot.n
+                        + 0.5 * CAST(gc.g AS DOUBLE) / gtot.gn))
+          + 0.5 * (CAST(gc.g AS DOUBLE) / gtot.gn)
+                * ln((CAST(gc.g AS DOUBLE) / gtot.gn)
+                     / (0.5 * CAST(sc.c AS DOUBLE) / stot.n
+                        + 0.5 * CAST(gc.g AS DOUBLE) / gtot.gn))
+        )) AS BIGINT) AS t_micro
+      FROM sc
+      JOIN stot ON sc.source = stot.source
+      JOIN gc ON sc.word = gc.word
+      CROSS JOIN gtot
+    ), missing AS (
+      -- q-side mass for words the source never uses: p=0 → m=q/2 →
+      -- the KL(q||m) term is 0.5*q*ln(2)
+      SELECT s.source,
+             CAST(round(1e6 * 0.5 * ln(2)
+                  * (1.0 - CAST(SUM(CASE WHEN sc.c IS NOT NULL THEN gc.g END)
+                                AS DOUBLE) / MAX(gtot.gn))) AS BIGINT)
+               AS t_micro
+      FROM (SELECT DISTINCT source FROM sc) s
+      CROSS JOIN gc
+      LEFT JOIN sc ON sc.source = s.source AND sc.word = gc.word
+      CROSS JOIN gtot
+      GROUP BY s.source
+    )
+    SELECT source,
+           CAST(SUM(t_micro) AS BIGINT) AS jsd_micro_nats
+    FROM (SELECT * FROM terms UNION ALL SELECT * FROM missing)
+    GROUP BY source
+    """,
+    tags=("llm", "text", "drift", "divergence"),
+)
+def text_js_divergence_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-drift detection: Jensen–Shannon divergence of each source's
+    word distribution from the whole-corpus distribution — the standard
+    monitor for "did this crawl/feed change under us" in training-data
+    ops (JSD is symmetric and bounded by ln 2, unlike raw KL).
+
+    Each (source, word) term quantizes to integer micro-nats BEFORE the
+    per-source sum (the perplexity recipe), and the q-side mass of words
+    a source never uses collapses to a closed form (0.5·ln2·(1−coverage))
+    computed from the same exact integer counts — so the divergence is an
+    exact int64 and hash-matches.
+
+    100 TB: all distributions are TYPE-level (|vocab| ≪ corpus); the only
+    corpus-sized work is the (source, word) count, map-side combined.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    w = F.explode(_words()).alias("word")
+    sc = (
+        d.select("source", w)
+        .groupBy("source", "word")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    stot = sc.groupBy("source").agg(F.sum("c").alias("n"))
+    gc = sc.groupBy("word").agg(F.sum("c").alias("g"))
+    gtot = gc.agg(F.sum("g").alias("gn"))
+    p = F.col("c").cast("double") / F.col("n")
+    q = F.col("g").cast("double") / F.col("gn")
+    m = F.lit(0.5) * p + F.lit(0.5) * q
+    terms = (
+        sc.join(stot, "source")
+        .join(F.broadcast(gc), "word")
+        .crossJoin(F.broadcast(gtot))
+        .select(
+            "source",
+            F.round(
+                F.lit(1e6)
+                * (
+                    F.lit(0.5) * p * F.log(p / m)
+                    + F.lit(0.5) * q * F.log(q / m)
+                )
+            )
+            .cast("long")
+            .alias("t_micro"),
+        )
+    )
+    missing = (
+        sc.select("source")
+        .distinct()
+        .crossJoin(F.broadcast(gc))
+        .join(sc, ["source", "word"], "left")
+        .crossJoin(F.broadcast(gtot))
+        .groupBy("source")
+        .agg(
+            F.round(
+                F.lit(1e6)
+                * F.lit(0.5)
+                * F.log(F.lit(2.0))
+                * (
+                    F.lit(1.0)
+                    - F.sum(
+                        F.when(F.col("c").isNotNull(), F.col("g"))
+                    ).cast("double")
+                    / F.max("gn")
+                )
+            )
+            .cast("long")
+            .alias("t_micro")
+        )
+    )
+    return (
+        terms.unionAll(missing)
+        .groupBy("source")
+        .agg(F.sum("t_micro").cast("long").alias("jsd_micro_nats"))
+    )

@@ -77,6 +77,9 @@ _RAW_ROUND_EXEMPT = {
     "events_user_entropy",
     # embeds the BM25 CTE (same irrational idf·tfnorm quantizer as above)
     "curate_url_refresh_pipeline",
+    # JSD terms quantize 1e6·p·ln(p/m): irrational except p = q, where the
+    # term is exactly 0 (and the closed-form tail multiplies ln 2).
+    "text_js_divergence_sources",
 }
 
 
