@@ -497,3 +497,96 @@ def sql_session_variable(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY o_orderstatus
         """
     )
+
+
+@query(
+    "util_profile_table",
+    oracle="""
+    SELECT 'o_orderkey' AS col_name,
+           CAST(COUNT(*) - COUNT(o_orderkey) AS BIGINT) AS n_nulls,
+           CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_distinct,
+           CAST(MIN(o_orderkey) AS VARCHAR) AS min_repr,
+           CAST(MAX(o_orderkey) AS VARCHAR) AS max_repr
+    FROM orders
+    UNION ALL
+    SELECT 'o_custkey',
+           CAST(COUNT(*) - COUNT(o_custkey) AS BIGINT),
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT),
+           CAST(MIN(o_custkey) AS VARCHAR), CAST(MAX(o_custkey) AS VARCHAR)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus',
+           CAST(COUNT(*) - COUNT(o_orderstatus) AS BIGINT),
+           CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT),
+           MIN(o_orderstatus), MAX(o_orderstatus)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderpriority',
+           CAST(COUNT(*) - COUNT(o_orderpriority) AS BIGINT),
+           CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT),
+           MIN(o_orderpriority), MAX(o_orderpriority)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderdate',
+           CAST(COUNT(*) - COUNT(o_orderdate) AS BIGINT),
+           CAST(COUNT(DISTINCT o_orderdate) AS BIGINT),
+           strftime(MIN(o_orderdate), '%Y-%m-%d %H:%M:%S'),
+           strftime(MAX(o_orderdate), '%Y-%m-%d %H:%M:%S')
+    FROM orders
+    """,
+    tags=("util", "profiling", "data-quality"),
+)
+def util_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact column profiling — the discovery step before
+    `curate_expectations` writes rules: per column, null count, EXACT
+    distinct count, and min/max rendered through explicit per-type
+    formatting (timestamps via a fixed pattern — never the engine's
+    default repr, which differs across engines and sessions).
+
+    Unlike `df.summary()` (approximate distinct, stringly output), every
+    number here is exact and oracle-checked. One scan computes all
+    per-column aggregates simultaneously; the profile is then reshaped to
+    one row per column with `stack` (post-agg, zero extra passes over
+    data). Multiple COUNT(DISTINCT)s do expand the aggregate
+    (one replica per distinct column — documented in `agg_distinct`); for
+    100 TB profiling swap exact distincts for HLL and keep the shape.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    ts_fmt = "yyyy-MM-dd HH:mm:ss"
+    prof = o.agg(
+        F.count(F.lit(1)).alias("n"),
+        *[
+            a
+            for c in ("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")
+            for a in (
+                F.count(c).alias(f"nn_{c}"),
+                F.count_distinct(F.col(c)).alias(f"nd_{c}"),
+                F.min(c).cast("string").alias(f"mn_{c}"),
+                F.max(c).cast("string").alias(f"mx_{c}"),
+            )
+        ],
+        F.count("o_orderdate").alias("nn_o_orderdate"),
+        F.count_distinct(F.col("o_orderdate")).alias("nd_o_orderdate"),
+        F.date_format(F.min("o_orderdate"), ts_fmt).alias("mn_o_orderdate"),
+        F.date_format(F.max("o_orderdate"), ts_fmt).alias("mx_o_orderdate"),
+    )
+    cols = [
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        "o_orderpriority",
+        "o_orderdate",
+    ]
+    stack_expr = ", ".join(
+        f"'{c}', n - nn_{c}, nd_{c}, mn_{c}, mx_{c}" for c in cols
+    )
+    return prof.selectExpr(
+        f"stack({len(cols)}, {stack_expr}) AS "
+        "(col_name, n_nulls, n_distinct, min_repr, max_repr)"
+    ).selectExpr(
+        "col_name",
+        "CAST(n_nulls AS BIGINT) AS n_nulls",
+        "CAST(n_distinct AS BIGINT) AS n_distinct",
+        "min_repr",
+        "max_repr",
+    )
