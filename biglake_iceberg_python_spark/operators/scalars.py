@@ -554,3 +554,49 @@ def scalar_collation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .drop("ck")
     )
+
+
+@query(
+    "scalar_binary_encoding",
+    oracle="""
+    SELECT
+      doc_id,
+      base64(encode(substr(text, 1, 24))) AS b64_prefix,
+      hex(encode(substr(text, 1, 12))) AS hex_prefix,
+      CASE WHEN decode(from_base64(base64(encode(substr(text, 1, 57)))))
+                = substr(text, 1, 57)
+           THEN 1 ELSE 0 END AS roundtrip_ok,
+      CAST(length(base64(encode(substr(text, 1, 57)))) AS BIGINT) AS b64_len
+    FROM documents
+    WHERE doc_id < 100
+    """,
+    tags=("scalar", "encoding", "binary"),
+)
+def scalar_binary_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary↔text encoding battery: base64 and hex over UTF-8 bytes plus
+    a base64 round-trip proof — the serialization layer under payload
+    transport, cache keys, and wire formats.
+
+    Both engines produce RFC-4648 base64 with '=' padding and UPPERCASE
+    hex, so the encoded strings themselves hash-match (not just their
+    lengths); the round-trip flag pins decode(unbase64(base64(x))) = x
+    byte-exactly. Inputs stay ≤57 bytes — Spark's base64 inserts MIME
+    line breaks past 76 output chars where DuckDB never does (the one
+    cross-engine divergence in this battery, pinned here by staying under
+    it and documented instead of papered over). Pure codegen string ops.
+    """
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    enc57 = F.encode(F.substring("text", 1, 57), "UTF-8")
+    return d.select(
+        "doc_id",
+        F.base64(F.encode(F.substring("text", 1, 24), "UTF-8")).alias("b64_prefix"),
+        F.hex(F.encode(F.substring("text", 1, 12), "UTF-8")).alias("hex_prefix"),
+        F.when(
+            F.decode(F.unbase64(F.base64(enc57)), "UTF-8")
+            == F.substring("text", 1, 57),
+            1,
+        )
+        .otherwise(0)
+        .alias("roundtrip_ok"),
+        F.length(F.base64(enc57)).cast("long").alias("b64_len"),
+    )
