@@ -1760,3 +1760,70 @@ def lakehouse_shallow_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         return out.localCheckpoint(eager=True)
+
+
+@query(
+    "lakehouse_write_distribution_smallfiles",
+    oracle="""
+    SELECT
+      o_orderstatus,
+      CAST(COUNT(*) AS BIGINT) AS n,
+      CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
+    FROM orders GROUP BY o_orderstatus
+    """,
+    tags=("lakehouse", "write-distribution", "small-files"),
+)
+def lakehouse_write_distribution_smallfiles(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Write-distribution control — the small-files lesson measured, not
+    asserted: a partitioned write straight from N shuffle tasks emits up
+    to N files PER PARTITION (every task holds rows of every partition),
+    while hash-distributing on the partition column first (Iceberg's
+    ``write.distribution-mode=hash``) emits exactly one file per
+    partition per owning task.
+
+    The query writes the same data both ways, counts the data files each
+    layout produced, asserts the clustered layout is strictly smaller AND
+    exactly |partitions| files, and returns the read-back rollup of the
+    clustered copy — so the oracle hash additionally proves the
+    distribution rewrite lost nothing.
+
+    100 TB: unclustered partitioned writes are how tables end up with
+    millions of KB-sized files (then need `lakehouse_compaction`);
+    distributing on the partition key at write time is the cure that
+    costs one shuffle.
+    """
+    import glob
+
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_orderstatus")
+        .repartition(8)  # simulate arbitrary upstream task layout
+    )
+    with tempfile.TemporaryDirectory(prefix="lh_wd_") as root:
+        naive = os.path.join(root, "naive")
+        clustered = os.path.join(root, "clustered")
+        o.write.partitionBy("o_orderstatus").parquet(naive)
+        o.repartition("o_orderstatus").write.partitionBy(
+            "o_orderstatus"
+        ).parquet(clustered)
+        n_naive = len(glob.glob(os.path.join(naive, "*", "*.parquet")))
+        n_clustered = len(glob.glob(os.path.join(clustered, "*", "*.parquet")))
+        n_parts = (
+            spark.read.parquet(clustered)
+            .select("o_orderstatus")
+            .distinct()
+            .count()
+        )
+        assert n_clustered == n_parts, (n_clustered, n_parts)
+        assert n_naive > n_clustered, (n_naive, n_clustered)
+        out = (
+            spark.read.parquet(clustered)
+            .groupBy("o_orderstatus")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("o_orderkey").cast("long").alias("key_sum"),
+            )
+        )
+        return out.localCheckpoint(eager=True)

@@ -590,3 +590,47 @@ def util_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         "min_repr",
         "max_repr",
     )
+
+
+@query(
+    "sql_execute_immediate",
+    oracle="""
+    SELECT
+      o_orderpriority,
+      CAST(COUNT(*) AS BIGINT) AS n_orders,
+      CAST(MAX(o_totalprice) AS DOUBLE) AS max_price
+    FROM orders
+    WHERE o_orderstatus = 'O' AND o_totalprice > 75000.0
+    GROUP BY o_orderpriority
+    """,
+    tags=("sql", "dynamic", "execute-immediate"),
+)
+def sql_execute_immediate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``EXECUTE IMMEDIATE`` (Spark 4): run a SQL string held in a
+    variable with ``USING`` parameter binding — the dynamic-SQL surface
+    stored procedures and SQL-only orchestration rely on, completing the
+    parameterization trio (typed args → `sql_parameterized`, injection-
+    safe names → the IDENTIFIER query, dynamic statements → here).
+
+    The statement text lives in a session variable and the two predicate
+    values bind as named USING parameters; the oracle inlines the same
+    constants, so parse-at-execute plus binding resolve to the identical
+    plan, pushed-down filters included.
+    """
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "orders_execimm"
+    )
+    spark.sql("DECLARE OR REPLACE VARIABLE stmt STRING")
+    spark.sql(
+        """SET VARIABLE stmt =
+        'SELECT o_orderpriority,
+                CAST(COUNT(*) AS BIGINT) AS n_orders,
+                CAST(MAX(o_totalprice) AS DOUBLE) AS max_price
+         FROM orders_execimm
+         WHERE o_orderstatus = :st AND o_totalprice > :floor
+         GROUP BY o_orderpriority'
+        """
+    )
+    return spark.sql(
+        "EXECUTE IMMEDIATE stmt USING 'O' AS st, 75000.0 AS floor"
+    )
