@@ -665,6 +665,7 @@ _SUB_K = 8
     GROUP BY doc_id, n_tokens
     """,
     tags=("llm", "dedup", "substring"),
+    bench=True,
 )
 def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact duplicated-substring spans — the corpus-level substring dedup
