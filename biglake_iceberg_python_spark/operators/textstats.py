@@ -623,8 +623,11 @@ def text_bigram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("bigram"),
     )
     cnt = bigs.groupBy("bigram").agg(F.count(F.lit(1)).alias("c"))
+    # cnt is type-level (≤ |V|² bigram types) — broadcast it so the
+    # corpus-sized instance stream never shuffles for the novelty join
+    # (same load-bearing hint as text_lm_perplexity's model table).
     return (
-        bigs.join(cnt, "bigram")
+        bigs.join(F.broadcast(cnt), "bigram")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_bigrams"),
