@@ -76,3 +76,50 @@ def test_fold_dot_matches_duckdb_bit_for_bit(spark):
         "SELECT list_dot_product(?::DOUBLE[], ?::DOUBLE[])", [a, b]
     ).fetchone()[0]
     assert spark_val.hex() == duck_val.hex()
+
+
+def test_query_results_partition_invariant(spark, sf_dir):
+    """End-to-end partitioning independence: a representative query from
+    each exactness family must return BIT-IDENTICAL rows under 3 and 32
+    shuffle partitions. This is the property the primitive tests above
+    exist to serve — any order-dependent float accumulation that slipped
+    into a query would show up here as low-bit drift between layouts."""
+    from biglake_iceberg_python_spark.plans.registry import load_all
+
+    registry = load_all()
+    sample = [
+        "pricing_summary",          # decimal-exact money aggregation
+        "agg_corr_covar",           # DECIMAL(38,0) moment sums → doubles
+        "agg_skew_kurtosis",        # 3rd/4th power sums
+        "anomaly_zscore_daily",     # integer moments → z formula
+        "events_ab_welch_ttest",    # conditional moment pass
+        "events_user_entropy",      # micro-nat quantized ln terms
+        "text_lm_perplexity",       # quantize-before-sum log-probs
+        "text_bm25_search",         # quantized idf·tfnorm + top-k
+        "ts_ewma_decay",            # integer-literal weighted sums
+        "customer_gini_spend",      # rank-weighted integer sums
+        "dedup_substring_spans",    # fingerprint join + interval merge
+        "graph_pagerank",           # quantized iterative contributions
+    ]
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        drifted = []
+        for name in sample:
+            outs = []
+            for n in ("3", "32"):
+                spark.conf.set("spark.sql.shuffle.partitions", n)
+                rows = registry[name].fn(spark, sf_dir).collect()
+                outs.append(
+                    sorted(
+                        tuple(
+                            v.hex() if isinstance(v, float) else v
+                            for v in row
+                        )
+                        for row in rows
+                    )
+                )
+            if outs[0] != outs[1]:
+                drifted.append(name)
+        assert not drifted, f"partition-dependent results: {drifted}"
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
