@@ -1226,3 +1226,104 @@ def events_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_outliers",
         )
     )
+
+
+@query(
+    "events_autocorrelation",
+    oracle=f"""
+    WITH daily AS (
+      SELECT
+        event_type,
+        ({_ORACLE_ES}) // {_DAY_S} AS day,
+        SUM(CAST(round(CAST(value AS DECIMAL(18,2)) * 100) AS BIGINT)) AS v
+      FROM events
+      GROUP BY event_type, ({_ORACLE_ES}) // {_DAY_S}
+    ), lagk AS (
+      SELECT a.event_type, l.lag_k, a.v AS x, b.v AS y
+      FROM (SELECT 1 AS lag_k UNION ALL SELECT 7) l
+      CROSS JOIN daily a
+      JOIN daily b ON b.event_type = a.event_type AND b.day = a.day + l.lag_k
+    ), m AS (
+      SELECT event_type, lag_k,
+             CAST(COUNT(*) AS DECIMAL(38,0)) AS n,
+             CAST(SUM(x) AS DECIMAL(38,0)) AS sx,
+             CAST(SUM(y) AS DECIMAL(38,0)) AS sy,
+             SUM(CAST(x AS DECIMAL(38,0)) * x) AS sxx,
+             SUM(CAST(y AS DECIMAL(38,0)) * y) AS syy,
+             SUM(CAST(x AS DECIMAL(38,0)) * y) AS sxy
+      FROM lagk GROUP BY event_type, lag_k
+    )
+    SELECT
+      event_type,
+      CAST(lag_k AS BIGINT) AS lag_k,
+      CAST(n AS BIGINT) AS n_pairs,
+      (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+               * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+        AS acf
+    FROM m
+    """,
+    tags=("events", "timeseries", "autocorrelation"),
+)
+def events_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation of per-type daily spend at lags 1 and 7 — the
+    seasonality diagnostic (lag-7 ≫ lag-1 flags weekly cycles) that
+    decides whether forecasts need seasonal terms, completing the
+    time-series family (gap-fill → EWMA → anomaly → trend → heatmap →
+    ACF).
+
+    The lag pairing is a self-join of the DAILY rollup on (type, day+k) —
+    days ≪ events, so the join is over a tiny table — and the Pearson
+    formula runs on exact integer moments like `agg_corr_covar`, making
+    the coefficients bit-stable.
+    """
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        (F.expr(_ES).cast("long") / _DAY_S).cast("long").alias("day"),
+        F.round(F.col("value").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("cents"),
+    )
+    daily = e.groupBy("event_type", "day").agg(F.sum("cents").alias("v"))
+    lags = spark.range(2).select(
+        F.when(F.col("id") == 0, F.lit(1)).otherwise(F.lit(7)).alias("lag_k")
+    )
+    a = daily.alias("a")
+    b = daily.alias("b")
+    pairs = (
+        a.crossJoin(F.broadcast(lags))
+        .join(
+            b,
+            (F.col("b.event_type") == F.col("a.event_type"))
+            & (F.col("b.day") == F.col("a.day") + F.col("lag_k")),
+        )
+        .select(
+            F.col("a.event_type").alias("event_type"),
+            "lag_k",
+            F.col("a.v").alias("x"),
+            F.col("b.v").alias("y"),
+        )
+    )
+    x = F.col("x").cast("decimal(38,0)")
+    y = F.col("y").cast("decimal(38,0)")
+    m = pairs.groupBy("event_type", "lag_k").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(y * y).alias("syy"),
+        F.sum(x * y).alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    sxd, syd = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxxd, syyd = F.col("sxx").cast("double"), F.col("syy").cast("double")
+    sxyd = F.col("sxy").cast("double")
+    return m.select(
+        "event_type",
+        F.col("lag_k").cast("long").alias("lag_k"),
+        F.col("n").cast("long").alias("n_pairs"),
+        (
+            (nd * sxyd - sxd * syd)
+            / F.sqrt((nd * sxxd - sxd * sxd) * (nd * syyd - syd * syd))
+        ).alias("acf"),
+    )
