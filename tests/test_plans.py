@@ -730,3 +730,37 @@ def test_range_search_shuffle_free(spark, sf_dir):
     assert "Exchange hashpartitioning" not in plan
     assert "Window" not in plan
     assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_welch_ttest_single_pass(spark, sf_dir):
+    """Both variants' moments must accumulate in ONE conditional
+    aggregation pass — no per-variant scans, no join."""
+    plan = plan_of(spark, sf_dir, "events_ab_welch_ttest")
+    assert plan.count("Scan parquet") == 1
+    assert "Join" not in plan
+    assert plan.count("HashAggregate") >= 2  # map-side partial + final
+
+
+def test_gini_single_window_exchange(spark, sf_dir):
+    """The per-nation rank window and the final rollup must share the
+    nation partitioning — one hash exchange on the window key, with both
+    dims broadcast."""
+    plan = plan_of(spark, sf_dir, "customer_gini_spend")
+    assert plan.count("BroadcastHashJoin") == 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_skew_kurtosis_single_pass(spark, sf_dir):
+    """Four power sums in one map-side-combined aggregation."""
+    plan = plan_of(spark, sf_dir, "agg_skew_kurtosis")
+    assert plan.count("Scan parquet") == 1
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_js_divergence_type_level_tables(spark, sf_dir):
+    """The JSD term computation must join TYPE-level tables with the
+    global distribution broadcast — the corpus contributes only the
+    (source, word) count shuffle."""
+    plan = plan_of(spark, sf_dir, "text_js_divergence_sources")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
