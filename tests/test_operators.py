@@ -988,3 +988,24 @@ def test_shallow_clone_independence_and_guards(spark, sf_dir):
         empty = SnapshotTable(spark, os.path.join(root, "empty"))
         with pytest.raises(ValueError, match="empty"):
             empty.clone_to(os.path.join(root, "dst3"))
+
+
+def test_metadata_count_guards(spark, sf_dir):
+    """metadata_row_count: exact across append/overwrite; refuses once MoR
+    delete files exist (their matched rows are unknown without a scan) and
+    recovers after rewrite_mor compaction."""
+    import tempfile
+
+    from biglake_iceberg_python_spark.lakehouse.snapshots import SnapshotTable
+    from biglake_iceberg_python_spark.sources.tables import load_table
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    with tempfile.TemporaryDirectory(prefix="mc_t_") as root:
+        t = SnapshotTable(spark, root)
+        t.write(o.filter(F.col("o_orderstatus") == "F"))
+        assert t.metadata_row_count() == t.read().count()
+        t.delete_where_mor(F.col("o_orderkey") % 2 == 0, ["o_orderkey"])
+        with pytest.raises(ValueError, match="MoR"):
+            t.metadata_row_count()
+        t.rewrite_mor()
+        assert t.metadata_row_count() == t.read().count()
