@@ -699,3 +699,67 @@ def pack_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("input_text"),
         F.array_join(target, " ").alias("target_text"),
     )
+
+
+_EXPJ_K = 5  # winners per language stratum
+
+
+@query(
+    "sample_weighted_expj",
+    oracle=f"""
+    WITH keyed AS (
+      SELECT
+        lang, doc_id, n_chars,
+        -- Efraimidis–Spirakis key: u^(1/w) ranks samples by weight; we
+        -- order by ln(u)/w (monotone equivalent, no overflow) with u a
+        -- deterministic md5-derived uniform in (0, 1]
+        ln((1.0 + {_oracle_md5_bucket("doc_id", "expj", 10 ** 9)})
+           / 1000000000.0) / n_chars AS es_key
+      FROM documents
+    ), ranked AS (
+      SELECT lang, doc_id, n_chars,
+             ROW_NUMBER() OVER (PARTITION BY lang
+                                ORDER BY es_key DESC, doc_id) AS rk
+      FROM keyed
+    )
+    SELECT lang, doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+           CAST(rk AS BIGINT) AS rk
+    FROM ranked WHERE rk <= {_EXPJ_K}
+    """,
+    tags=("llm", "sampling", "weighted"),
+)
+def sample_weighted_expj(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, RNG-free: the
+    Efraimidis–Spirakis exponential-keys scheme (each item ranked by
+    u^(1/w)) with the uniform u derived from an md5 bucket of the doc id —
+    so a length-weighted top-{k} per language is reproducible across
+    engines, reruns, and cluster sizes, unlike rand()-seeded sampling
+    whose draws depend on partition layout.
+
+    The key is computed as ln(u)/w (monotone in u^(1/w), no pow
+    underflow); heavier documents need a worse uniform to lose, giving
+    exact probability-proportional-to-size semantics in one pass. Plan:
+    map-side key + per-stratum top-k window — the same single-exchange
+    shape as `sample_reservoir_pergroup`, now weight-aware.
+
+    (The ln of a rational md5 uniform is irrational — the documented
+    measure-zero exemption — but here ln feeds an ORDERING, not a
+    quantized sum, so even a ulp of libm drift cannot flip a rank except
+    at exact key ties, which the doc_id tiebreak owns.)
+    """
+    d = load_table(spark, sf_dir, "documents")
+    u = (F.lit(1.0) + _md5_bucket(F.col("doc_id"), "expj", 10 ** 9)) / F.lit(
+        1_000_000_000.0
+    )
+    keyed = d.select(
+        "lang",
+        "doc_id",
+        "n_chars",
+        (F.log(u) / F.col("n_chars")).alias("es_key"),
+    )
+    w = Window.partitionBy("lang").orderBy(F.col("es_key").desc(), "doc_id")
+    return (
+        keyed.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _EXPJ_K)
+        .select("lang", "doc_id", F.col("n_chars").cast("long").alias("n_chars"), F.col("rk").cast("long").alias("rk"))
+    )
