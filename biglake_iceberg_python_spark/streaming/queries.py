@@ -1233,3 +1233,56 @@ def stream_file_sink_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("cents").cast("long").alias("total_cents"),
         )
         return out.localCheckpoint(eager=True)
+
+
+@query(
+    "stream_windowed_dau",
+    oracle="""
+    WITH du AS (
+      SELECT DISTINCT
+        time_bucket(INTERVAL '10 minutes', ts) AS window_start,
+        user_id
+      FROM events
+      WHERE event_type IN ('purchase', 'error')
+    )
+    SELECT
+      strftime(window_start, '%Y-%m-%d %H:%M:%S') AS window_start,
+      CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM du GROUP BY window_start
+    """,
+    tags=("streaming", "distinct", "chained-stateful"),
+)
+def stream_windowed_dau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming DISTINCT-user counts per window — the DAU metric as a
+    CHAIN of two stateful operators in one query: watermark-bounded
+    dropDuplicates on (user, window) feeding a windowed count. Plain
+    count(distinct) is unsupported in streaming precisely because it
+    needs this dedup state; the chain is the idiomatic re-expression
+    (Spark 3.4+ multi-stateful watermark propagation — the aggregation
+    sibling of `stream_join_then_window`'s join→window chain).
+
+    Dedup state is bounded by the watermark (one row per (user, window)
+    inside the 10-minute lateness horizon) and the window state by open
+    windows; both evict as the watermark passes. Matches the batch
+    distinct exactly in append mode.
+    """
+    input_dir, ckpt = stage_event_chunks(
+        spark, sf_dir, n_chunks=4, flush_sentinel=True
+    )
+    s = read_event_stream(spark, input_dir).filter(
+        F.col("event_type").isin("purchase", "error", SENTINEL_EVENT_TYPE)
+    )
+    deduped = (
+        s.withWatermark("ts", "10 minutes")
+        .select("ts", "user_id", F.window("ts", "10 minutes").alias("win"))
+        .dropDuplicates(["user_id", "win"])
+    )
+    agg = deduped.groupBy("win").agg(F.count(F.lit(1)).alias("n_users"))
+    name = f"wdau_{uuid.uuid4().hex[:8]}"
+    LAST_STREAMING_QUERIES["stream_windowed_dau"] = run_stream_to_memory(
+        agg, name, "append", ckpt
+    )
+    return spark.table(name).select(
+        F.date_format(F.col("win.start"), _TS_FMT).alias("window_start"),
+        F.col("n_users").cast("long").alias("n_users"),
+    )
