@@ -634,3 +634,39 @@ def sql_execute_immediate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         "EXECUTE IMMEDIATE stmt USING 'O' AS st, 75000.0 AS floor"
     )
+
+
+@query(
+    "sql_values_inline",
+    oracle="""
+    SELECT t.region_code, r.r_name,
+           CAST(COUNT(n.n_nationkey) AS BIGINT) AS n_nations
+    FROM (VALUES (0, 'africa'), (1, 'america'), (2, 'asia'))
+         AS t(region_key, region_code)
+    JOIN region r ON r.r_regionkey = t.region_key
+    LEFT JOIN nation n ON n.n_regionkey = t.region_key
+    GROUP BY t.region_code, r.r_name
+    """,
+    tags=("sql", "values", "dialect"),
+)
+def sql_values_inline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inline ``VALUES`` table constructor joined against real tables —
+    the SQL-standard literal-table surface (seed rows, code↔name maps,
+    test fixtures) with IDENTICAL statement text on both engines, pinning
+    column-aliasing (`AS t(a, b)`) and type-inference rules. Catalyst
+    plans the literal table as a LocalRelation that broadcasts — zero
+    scan, zero shuffle for the lookup side.
+    """
+    load_table(spark, sf_dir, "region").createOrReplaceTempView("region_vals")
+    load_table(spark, sf_dir, "nation").createOrReplaceTempView("nation_vals")
+    return spark.sql(
+        """
+        SELECT t.region_code, r.r_name,
+               CAST(COUNT(n.n_nationkey) AS BIGINT) AS n_nations
+        FROM (VALUES (0, 'africa'), (1, 'america'), (2, 'asia'))
+             AS t(region_key, region_code)
+        JOIN region_vals r ON r.r_regionkey = t.region_key
+        LEFT JOIN nation_vals n ON n.n_regionkey = t.region_key
+        GROUP BY t.region_code, r.r_name
+        """
+    )
