@@ -1327,3 +1327,63 @@ def events_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sqrt((nd * sxxd - sxd * sxd) * (nd * syyd - syd * syd))
         ).alias("acf"),
     )
+
+
+@query(
+    "events_conversion_wilson_ci",
+    oracle="""
+    WITH c AS (
+      SELECT
+        user_id % 2 AS variant,
+        COUNT(*) FILTER (WHERE event_type = 'purchase') AS k,
+        COUNT(*) AS n
+      FROM events
+      GROUP BY user_id % 2
+    )
+    SELECT
+      CAST(variant AS BIGINT) AS variant,
+      CAST(k AS BIGINT) AS conversions,
+      CAST(n AS BIGINT) AS trials,
+      (CAST(k AS DOUBLE) / n + 1.9599639845400545 * 1.9599639845400545 / (2.0 * n)
+        - 1.9599639845400545 * sqrt((CAST(k AS DOUBLE) / n) * (1.0 - CAST(k AS DOUBLE) / n) / n
+              + 1.9599639845400545 * 1.9599639845400545 / (4.0 * n * n)))
+        / (1.0 + 1.9599639845400545 * 1.9599639845400545 / n) AS wilson_lo,
+      (CAST(k AS DOUBLE) / n + 1.9599639845400545 * 1.9599639845400545 / (2.0 * n)
+        + 1.9599639845400545 * sqrt((CAST(k AS DOUBLE) / n) * (1.0 - CAST(k AS DOUBLE) / n) / n
+              + 1.9599639845400545 * 1.9599639845400545 / (4.0 * n * n)))
+        / (1.0 + 1.9599639845400545 * 1.9599639845400545 / n) AS wilson_hi
+    FROM c
+    """,
+    tags=("events", "experimentation", "statistics"),
+)
+def events_conversion_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """95% Wilson score interval for each variant's purchase-conversion
+    rate — the interval experimentation dashboards should use instead of
+    the normal approximation (Wilson stays inside [0,1] and behaves at
+    small k), completing the A/B readout pair with `events_ab_welch_ttest`.
+
+    Inputs are two exact integers per variant (conversions, trials) from
+    one conditional-count pass; the closed form runs with z = 1.9599…
+    inlined as the same 17-digit literal in both engines, so bounds are
+    bit-stable. One map-side-combined shuffle of 2 groups.
+    """
+    z = 1.9599639845400545
+    e = load_table(spark, sf_dir, "events")
+    c = e.groupBy((F.col("user_id") % 2).alias("variant")).agg(
+        F.count(F.when(F.col("event_type") == "purchase", 1)).alias("k"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    p = F.col("k").cast("double") / F.col("n")
+    n = F.col("n").cast("double")
+    center = p + F.lit(z * z) / (F.lit(2.0) * n)
+    half = F.lit(z) * F.sqrt(
+        p * (F.lit(1.0) - p) / n + F.lit(z * z) / (F.lit(4.0) * n * n)
+    )
+    denom = F.lit(1.0) + F.lit(z * z) / n
+    return c.select(
+        F.col("variant").cast("long").alias("variant"),
+        F.col("k").cast("long").alias("conversions"),
+        F.col("n").cast("long").alias("trials"),
+        ((center - half) / denom).alias("wilson_lo"),
+        ((center + half) / denom).alias("wilson_hi"),
+    )
