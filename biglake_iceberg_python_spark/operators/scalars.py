@@ -600,3 +600,58 @@ def scalar_binary_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("roundtrip_ok"),
         F.length(F.base64(enc57)).cast("long").alias("b64_len"),
     )
+
+
+@query(
+    "scalar_array_reduce",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id,
+             list_filter(string_split(text, ' '), x -> x <> '') AS ws
+      FROM documents WHERE doc_id < 200
+    )
+    SELECT
+      doc_id,
+      CAST(len(ws) AS BIGINT) AS n_words,
+      CAST(list_sum(list_transform(ws, x -> length(x))) AS BIGINT) AS sum_len,
+      CAST(list_max(list_transform(ws, x -> length(x))) AS BIGINT) AS max_len,
+      CAST(len(list_filter(ws, x -> length(x) >= 5)) AS BIGINT) AS n_long
+    FROM w
+    """,
+    tags=("scalar", "array", "hof", "reduce"),
+)
+def scalar_array_reduce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`F.aggregate` with a STRUCT accumulator — the fold/reduce member of
+    the higher-order-function family (transform/filter/exists are covered
+    by `scalar_array`): one pass over each array accumulates sum, max,
+    and a predicate count simultaneously, then a finish lambda unpacks
+    the struct. This is how per-row sketches over array columns avoid N
+    passes.
+
+    The oracle computes the same values through DuckDB's per-statistic
+    list functions — different expression route, identical exact integers,
+    which is precisely the point: the fold is semantics-preserving.
+    Everything runs in codegen; zero shuffles.
+    """
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    ws = F.filter(F.split("text", " "), lambda x: x != "")
+    acc0 = F.struct(
+        F.lit(0).alias("s"), F.lit(0).alias("m"), F.lit(0).alias("k")
+    )
+    folded = F.aggregate(
+        ws,
+        acc0,
+        lambda acc, x: F.struct(
+            (acc["s"] + F.length(x)).alias("s"),
+            F.greatest(acc["m"], F.length(x)).alias("m"),
+            (acc["k"] + F.when(F.length(x) >= 5, 1).otherwise(0)).alias("k"),
+        ),
+        lambda acc: acc,
+    )
+    return d.select(
+        "doc_id",
+        F.size(ws).cast("long").alias("n_words"),
+        folded["s"].cast("long").alias("sum_len"),
+        folded["m"].cast("long").alias("max_len"),
+        folded["k"].cast("long").alias("n_long"),
+    )

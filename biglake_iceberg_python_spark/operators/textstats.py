@@ -1001,3 +1001,85 @@ def text_js_divergence_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source")
         .agg(F.sum("t_micro").cast("long").alias("jsd_micro_nats"))
     )
+
+
+@query(
+    "text_heldout_bigram_coverage",
+    oracle="""
+    WITH split AS (
+      SELECT doc_id,
+             list_filter(string_split(text, ' '), x -> x <> '') AS ws,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':heldout'), 1, 8))::BIGINT
+               % 5 = 0 AS is_heldout
+      FROM documents
+    ), bi AS (
+      SELECT doc_id, is_heldout, ws[i] || ' ' || ws[i+1] AS bg
+      FROM split, (SELECT unnest(generate_series(1, 100000)) AS i) ix(i)
+      WHERE i <= len(ws) - 1
+    ), train_types AS (
+      SELECT DISTINCT bg FROM bi WHERE NOT is_heldout
+    ), held AS (
+      SELECT h.bg, (t.bg IS NOT NULL) AS covered
+      FROM (SELECT bg FROM bi WHERE is_heldout) h
+      LEFT JOIN train_types t ON h.bg = t.bg
+    )
+    SELECT
+      CAST(COUNT(*) AS BIGINT) AS heldout_instances,
+      CAST(COUNT(*) FILTER (WHERE covered) AS BIGINT) AS covered_instances,
+      CAST(COUNT(DISTINCT bg) AS BIGINT) AS heldout_types,
+      CAST(COUNT(DISTINCT CASE WHEN covered THEN bg END) AS BIGINT)
+        AS covered_types
+    FROM held
+    """,
+    tags=("llm", "text", "eval-hygiene", "coverage"),
+)
+def text_heldout_bigram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Held-out bigram coverage — the eval-hygiene number behind every LM
+    perplexity report: what fraction of a held-out split's bigram
+    instances (and types) also occur in the training split. Low coverage
+    means the eval measures OOV handling, not modeling; suspiciously HIGH
+    coverage flags leakage (`curate_decontaminate`'s cousin, measured at
+    the n-gram-statistics level).
+
+    The 20% held-out assignment is the md5-bucket split (deterministic on
+    doc_id), bigrams generate map-side from the token array, and the
+    train TYPE set — vocab-sized, ≪ corpus — broadcasts into the held-out
+    probe join. All four outputs are exact integer counts.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    ws = _words()
+    from biglake_iceberg_python_spark.operators.pipeline import _md5_bucket
+
+    split = d.select(
+        "doc_id",
+        ws.alias("ws"),
+        (_md5_bucket(F.col("doc_id"), "heldout", 5) == 0).alias("is_heldout"),
+    )
+    bi = split.select(
+        "is_heldout",
+        F.explode(
+            F.zip_with(
+                F.slice("ws", 1, F.size("ws") - 1),
+                F.slice("ws", 2, F.size("ws") - 1),
+                lambda a, b: F.concat_ws(" ", a, b),
+            )
+        ).alias("bg"),
+    )
+    train_types = bi.filter(~F.col("is_heldout")).select("bg").distinct()
+    held = (
+        bi.filter(F.col("is_heldout"))
+        .join(
+            F.broadcast(train_types.withColumn("covered", F.lit(True))),
+            "bg",
+            "left",
+        )
+        .select("bg", F.coalesce(F.col("covered"), F.lit(False)).alias("covered"))
+    )
+    return held.agg(
+        F.count(F.lit(1)).alias("heldout_instances"),
+        F.count(F.when(F.col("covered"), 1)).alias("covered_instances"),
+        F.count_distinct("bg").alias("heldout_types"),
+        F.count_distinct(F.when(F.col("covered"), F.col("bg"))).alias(
+            "covered_types"
+        ),
+    )
