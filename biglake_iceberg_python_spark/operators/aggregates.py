@@ -1157,3 +1157,46 @@ def agg_skew_kurtosis(spark: SparkSession, sf_dir: str) -> DataFrame:
         skew.alias("skewness"),
         kurt.alias("excess_kurtosis"),
     )
+
+
+@query(
+    "agg_rollup_count_distinct",
+    oracle="""
+    SELECT
+      COALESCE(o_orderstatus, 'ALL') AS status,
+      COALESCE(o_orderpriority, 'ALL') AS priority,
+      CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+      CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+    tags=("agg", "rollup", "distinct"),
+)
+def agg_rollup_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT(DISTINCT) under ROLLUP — the planner interaction the plain
+    rollup and plain distinct queries each dodge: every rollup level
+    needs its OWN distinct set (a customer counted once at the
+    (status, priority) grain may repeat across priorities at the status
+    subtotal), so Catalyst expands rows per grouping set AND per distinct
+    aggregate. Correct subtotals here prove the Expand × distinct
+    combination, which naive "sum the leaf counts" re-aggregation gets
+    wrong whenever an entity spans groups.
+
+    100 TB note: cost is (#grouping sets) row replicas into the distinct
+    shuffle — bounded and explicit; for wide lattices swap in per-level
+    HLL sketches (`agg_sketch_merge_rollup`) and keep the same shape.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count_distinct("o_custkey").alias("n_customers"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .select(
+            F.coalesce(F.col("o_orderstatus"), F.lit("ALL")).alias("status"),
+            F.coalesce(F.col("o_orderpriority"), F.lit("ALL")).alias("priority"),
+            "n_customers",
+            "n_orders",
+        )
+    )
