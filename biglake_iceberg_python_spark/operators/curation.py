@@ -1466,3 +1466,69 @@ def _install_refresh_oracle() -> None:
 
 
 _install_refresh_oracle()
+
+
+_KANON_K = 5
+_KANON_CHARS_BUCKET = 50
+
+
+@query(
+    "curate_k_anonymity",
+    oracle=f"""
+    WITH qi AS (
+      SELECT lang, source,
+             (n_chars // {_KANON_CHARS_BUCKET}) * {_KANON_CHARS_BUCKET}
+               AS chars_bucket
+      FROM documents
+    ), cls AS (
+      SELECT lang, source, chars_bucket, COUNT(*) AS cls_size
+      FROM qi GROUP BY lang, source, chars_bucket
+    )
+    SELECT
+      lang,
+      CAST(COUNT(*) AS BIGINT) AS n_classes,
+      CAST(COUNT(*) FILTER (WHERE cls_size < {_KANON_K}) AS BIGINT)
+        AS n_violating,
+      CAST(SUM(CASE WHEN cls_size < {_KANON_K} THEN cls_size ELSE 0 END)
+        AS BIGINT) AS rows_to_suppress,
+      CAST(MIN(cls_size) AS BIGINT) AS min_class,
+      CAST(SUM(cls_size) AS BIGINT) AS n_rows
+    FROM cls GROUP BY lang
+    """,
+    tags=("llm", "curation", "privacy", "k-anonymity"),
+)
+def curate_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit — the structural privacy check that PII regexes
+    (`curate_pii_redact`) cannot do: any combination of quasi-identifiers
+    (language × source × bucketed length) shared by fewer than k rows can
+    single out individuals even with direct identifiers stripped. Reports,
+    per language: equivalence classes, violating classes, rows that
+    suppression would cost, and the worst class size — the numbers a data
+    release signs off on.
+
+    Pure integer bucketing and counting: one shuffle on the
+    quasi-identifier tuple (map-side combined), one tiny per-language
+    rollup — the same two-level shape as the URL-canonicalization census.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    qi = d.select(
+        "lang",
+        "source",
+        (
+            F.floor(F.col("n_chars") / _KANON_CHARS_BUCKET) * _KANON_CHARS_BUCKET
+        ).alias("chars_bucket"),
+    )
+    cls = qi.groupBy("lang", "source", "chars_bucket").agg(
+        F.count(F.lit(1)).alias("cls_size")
+    )
+    return cls.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_classes"),
+        F.count(F.when(F.col("cls_size") < _KANON_K, 1)).alias("n_violating"),
+        F.sum(
+            F.when(F.col("cls_size") < _KANON_K, F.col("cls_size")).otherwise(0)
+        )
+        .cast("long")
+        .alias("rows_to_suppress"),
+        F.min("cls_size").cast("long").alias("min_class"),
+        F.sum("cls_size").cast("long").alias("n_rows"),
+    )
