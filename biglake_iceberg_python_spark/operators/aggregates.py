@@ -1200,3 +1200,93 @@ def agg_rollup_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_orders",
         )
     )
+
+
+# Benford expected first-digit probabilities log10(1 + 1/d), precomputed in
+# Python and inlined as IDENTICAL 17-digit literals into both engines (no
+# log10() runs at query time).
+_BENFORD_P = {
+    1: 0.3010299956639812,
+    2: 0.17609125905568124,
+    3: 0.12493873660829992,
+    4: 0.09691001300805642,
+    5: 0.07918124604762482,
+    6: 0.06694678963061322,
+    7: 0.05799194697768673,
+    8: 0.05115252244738129,
+    9: 0.04575749056067514,
+}
+
+
+@query(
+    "agg_benford_digit_test",
+    oracle=f"""
+    WITH d AS (
+      SELECT CAST(substr(CAST(CAST(round(CAST(o_totalprice AS DECIMAL(18,2)) * 100)
+                               AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit
+      FROM orders WHERE o_totalprice > 0
+    ), obs AS (
+      SELECT digit, COUNT(*) AS n_obs FROM d GROUP BY digit
+    ), exp AS (
+      SELECT digit, CAST(p AS DOUBLE) AS p FROM (VALUES
+        {", ".join(f"({d}, {p!r})" for d, p in _BENFORD_P.items())}
+      ) AS t(digit, p)
+    ), tot AS (SELECT SUM(n_obs) AS n FROM obs)
+    SELECT
+      e.digit,
+      CAST(COALESCE(o.n_obs, 0) AS BIGINT) AS n_obs,
+      e.p * tot.n AS n_expected,
+      (CAST(COALESCE(o.n_obs, 0) AS DOUBLE) - e.p * tot.n)
+        * (CAST(COALESCE(o.n_obs, 0) AS DOUBLE) - e.p * tot.n)
+        / (e.p * tot.n) AS chi2_term
+    FROM exp e LEFT JOIN obs o ON e.digit = o.digit CROSS JOIN tot
+    """,
+    tags=("agg", "data-quality", "benford"),
+)
+def agg_benford_digit_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit test on order totals — the classic
+    fabricated-data / unit-mix detector: naturally occurring money
+    amounts lead with 1 ~30% of the time; synthetic or truncated data
+    deviates, and the per-digit χ² terms localize where.
+
+    The first digit comes from exact integer cents rendered to string
+    (no float log10 at query time — the expected probabilities are
+    17-digit literals precomputed once and inlined identically in both
+    engines), so observed counts are exact and the χ² terms are the same
+    fixed double-op sequence on both sides. One map-side-combined shuffle
+    of 9 digit groups. (The synthetic prices are uniform, not Benford —
+    the large χ² terms themselves are the demonstration.)
+    """
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 0)
+    digit = F.substring(
+        F.round(F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .cast("string"),
+        1,
+        1,
+    ).cast("int")
+    obs = o.select(digit.alias("digit")).groupBy("digit").agg(
+        F.count(F.lit(1)).alias("n_obs")
+    )
+    exp = spark.createDataFrame(
+        list(_BENFORD_P.items()), "digit int, p double"
+    )
+    tot = obs.agg(F.sum("n_obs").alias("n"))
+    joined = (
+        exp
+        # obs is 9 rows; the LEFT side of a left join cannot broadcast, so
+        # hint the RIGHT side and let the 9x9 join stay trivially local.
+        .join(F.broadcast(obs), "digit", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            F.coalesce(F.col("n_obs"), F.lit(0)).cast("long").alias("n_obs"),
+            (F.col("p") * F.col("n")).alias("n_expected"),
+            (
+                (F.coalesce(F.col("n_obs"), F.lit(0)).cast("double") - F.col("p") * F.col("n"))
+                * (F.coalesce(F.col("n_obs"), F.lit(0)).cast("double") - F.col("p") * F.col("n"))
+                / (F.col("p") * F.col("n"))
+            ).alias("chi2_term"),
+        )
+    )
+    return joined
