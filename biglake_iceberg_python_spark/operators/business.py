@@ -371,3 +371,62 @@ def customer_gini_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (nd * sx.cast("double"))
         ).alias("gini"),
     )
+
+
+@query(
+    "supplier_concentration_hhi",
+    oracle="""
+    WITH s AS (
+      SELECT l_suppkey,
+             SUM(CAST(round(CAST(l_extendedprice AS DECIMAL(18,2)) * 100)
+                 AS BIGINT)) AS cents
+      FROM lineitem GROUP BY l_suppkey
+    ), tot AS (SELECT SUM(cents) AS t, COUNT(*) AS n FROM s)
+    SELECT
+      CAST(tot.n AS BIGINT) AS n_suppliers,
+      CAST(tot.t AS BIGINT) AS total_cents,
+      CAST(SUM(CAST(floor(1e12 * (CAST(s.cents AS DOUBLE) / tot.t)
+                          * (CAST(s.cents AS DOUBLE) / tot.t)) AS BIGINT))
+        AS DOUBLE) / 1e8 AS hhi,
+      10000.0 / tot.n AS hhi_floor
+    FROM s CROSS JOIN tot
+    GROUP BY tot.n, tot.t
+    """,
+    tags=("business", "concentration", "statistics"),
+)
+def supplier_concentration_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl–Hirschman index of supplier revenue concentration — the
+    antitrust/supply-risk scalar complementing the Gini (Gini measures
+    inequality of the distribution; HHI weights the largest shares
+    quadratically, which is what single-point-of-failure risk cares
+    about). Reported on the conventional 0–10000 scale with the
+    perfect-competition floor 10000/n for context.
+
+    Per-supplier revenue is an exact integer-cents rollup; the 1-row
+    total broadcasts back, each share² term is the identical pair of
+    double ops in both engines and quantizes to integer picounits (floor
+    — no halfway case exists to disagree on) BEFORE the sum, so the
+    summed index is exact int64 arithmetic like every other quantized
+    reduction here. One supplier-key shuffle, map-side combined.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    cents = F.round(F.col("l_extendedprice").cast("decimal(18,2)") * 100).cast(
+        "long"
+    )
+    s = li.select("l_suppkey", cents.alias("cents")).groupBy("l_suppkey").agg(
+        F.sum("cents").alias("cents")
+    )
+    tot = s.agg(F.sum("cents").alias("t"), F.count(F.lit(1)).alias("n"))
+    share = F.col("cents").cast("double") / F.col("t")
+    term = F.floor(F.lit(1e12) * share * share).cast("long")
+    return (
+        s.crossJoin(F.broadcast(tot))
+        .groupBy("n", "t")
+        .agg((F.sum(term).cast("double") / F.lit(1e8)).alias("hhi"))
+        .select(
+            F.col("n").cast("long").alias("n_suppliers"),
+            F.col("t").cast("long").alias("total_cents"),
+            "hhi",
+            (F.lit(10000.0) / F.col("n")).alias("hhi_floor"),
+        )
+    )
