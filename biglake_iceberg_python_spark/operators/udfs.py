@@ -527,3 +527,54 @@ def udf_pandas_scalar_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_scored"),
         F.sum("score").cast("long").alias("score_sum"),
     )
+
+
+@query(
+    "udf_pandas_window_agg",
+    oracle="""
+    SELECT
+      o_custkey,
+      o_orderkey,
+      CAST(SUM(CAST(round(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT))
+           OVER (PARTITION BY o_custkey) AS BIGINT) AS cust_total_cents,
+      CAST(COUNT(*) OVER (PARTITION BY o_custkey) AS BIGINT) AS cust_orders
+    FROM orders
+    WHERE o_custkey % 10 = 0
+    """,
+    tags=("udf", "pandas", "window", "udaf"),
+)
+def udf_pandas_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPED_AGG pandas UDF applied OVER A WINDOW — the UDF × window
+    integration point the groupBy variant (`udf_pandas_grouped_agg`)
+    doesn't touch: the same custom aggregate attaches its result to EVERY
+    row of the partition instead of collapsing it, the way a Python
+    sketch or model statistic joins back to row grain without a self-join.
+
+    The UDAF sums exact integer cents (order-independent), so the
+    windowed totals hash-match plain SUM() OVER in the oracle. Spark
+    executes unbounded-window pandas UDAFs once per partition and fans
+    the scalar out — same single exchange as a JVM window aggregate, plus
+    Arrow transfer of the partition's column.
+    """
+    import numpy as np
+
+    @pandas_udf("long")
+    def cents_sum(price: pd.Series) -> int:
+        return int(
+            np.rint(price.to_numpy(dtype="float64") * 100).astype("int64").sum()
+        )
+
+    @pandas_udf("long")
+    def row_count(price: pd.Series) -> int:
+        return len(price)
+
+    from pyspark.sql import Window as W
+
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") % 10 == 0)
+    w = W.partitionBy("o_custkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        cents_sum(F.col("o_totalprice")).over(w).alias("cust_total_cents"),
+        row_count(F.col("o_totalprice")).over(w).alias("cust_orders"),
+    )
