@@ -1387,3 +1387,76 @@ def events_conversion_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((center - half) / denom).alias("wilson_lo"),
         ((center + half) / denom).alias("wilson_hi"),
     )
+
+
+@query(
+    "events_changepoint_cusum",
+    oracle=f"""
+    WITH daily AS (
+      SELECT event_type, ({_ORACLE_ES}) // {_DAY_S} AS day,
+             SUM(CAST(round(CAST(value AS DECIMAL(18,2)) * 100) AS BIGINT)) AS v
+      FROM events GROUP BY event_type, ({_ORACLE_ES}) // {_DAY_S}
+    ), tot AS (
+      SELECT event_type, SUM(v) AS t, COUNT(*) AS n FROM daily
+      GROUP BY event_type
+    ), cusum AS (
+      SELECT d.event_type, d.day,
+             SUM(tot.n * d.v - tot.t) OVER (
+               PARTITION BY d.event_type ORDER BY d.day
+               ROWS UNBOUNDED PRECEDING) AS s_scaled,
+             tot.n
+      FROM daily d JOIN tot ON d.event_type = tot.event_type
+    ), ranked AS (
+      SELECT event_type, day, s_scaled, n,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY abs(s_scaled) DESC, day) AS rk
+      FROM cusum
+    )
+    SELECT event_type,
+           CAST(day AS BIGINT) AS changepoint_day,
+           CAST(s_scaled AS BIGINT) AS cusum_scaled,
+           CAST(n AS BIGINT) AS n_days
+    FROM ranked WHERE rk = 1
+    """,
+    tags=("events", "timeseries", "changepoint"),
+)
+def events_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint detection on per-type daily spend: the day where
+    the cumulative deviation from the series mean peaks — the classic
+    level-shift locator behind "when did this metric change" questions.
+
+    Exactness trick: the textbook statistic S_k = Σ(x_i − x̄) is
+    fractional; scaling by n gives S_k·n = Σ(n·x_i − T), PURE INTEGERS
+    (T = series total), so the running sum, the argmax, and the reported
+    peak are all exact — the same clear-the-denominator move as the
+    heavy-hitters threshold. Window and rollup both ride the event_type
+    partitioning of the tiny daily table.
+    """
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        (F.expr(_ES).cast("long") / _DAY_S).cast("long").alias("day"),
+        F.round(F.col("value").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("cents"),
+    )
+    daily = e.groupBy("event_type", "day").agg(F.sum("cents").alias("v"))
+    tot = daily.groupBy("event_type").agg(
+        F.sum("v").alias("t"), F.count(F.lit(1)).alias("n")
+    )
+    wt = Window.partitionBy("event_type")
+    cusum = daily.join(tot, "event_type").withColumn(
+        "s_scaled",
+        F.sum(F.col("n") * F.col("v") - F.col("t")).over(
+            wt.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    ranked = cusum.withColumn(
+        "rk",
+        F.row_number().over(wt.orderBy(F.abs(F.col("s_scaled")).desc(), "day")),
+    )
+    return ranked.filter(F.col("rk") == 1).select(
+        "event_type",
+        F.col("day").cast("long").alias("changepoint_day"),
+        F.col("s_scaled").cast("long").alias("cusum_scaled"),
+        F.col("n").cast("long").alias("n_days"),
+    )
