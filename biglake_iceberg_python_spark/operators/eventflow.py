@@ -1460,3 +1460,110 @@ def events_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s_scaled").cast("long").alias("cusum_scaled"),
         F.col("n").cast("long").alias("n_days"),
     )
+
+
+# Kaplan-Meier: users still active in the last observed week are censored
+# (we cannot know their true lifetime), exactly like patients alive at
+# study end.
+_KM_CENSOR_DAYS = 7
+
+
+@query(
+    "events_kaplan_meier_retention",
+    oracle=f"""
+    WITH span AS (
+      SELECT user_id,
+             MIN(({_ORACLE_ES}) // {_DAY_S}) AS d0,
+             MAX(({_ORACLE_ES}) // {_DAY_S}) AS d1
+      FROM events GROUP BY user_id
+    ), horizon AS (
+      SELECT MAX(d1) AS dmax FROM span
+    ), lt AS (
+      SELECT s.user_id, s.d1 - s.d0 + 1 AS lifetime,
+             (s.d1 >= h.dmax - {_KM_CENSOR_DAYS}) AS censored
+      FROM span s CROSS JOIN horizon h
+    ), per_t AS (
+      SELECT lifetime AS t,
+             COUNT(*) FILTER (WHERE NOT censored) AS d_events,
+             COUNT(*) AS leaving
+      FROM lt GROUP BY lifetime
+    ), risk AS (
+      SELECT t, d_events,
+             SUM(leaving) OVER (ORDER BY t DESC
+               ROWS UNBOUNDED PRECEDING) AS n_at_risk
+      FROM per_t
+    ), hazard AS (
+      SELECT t, d_events, n_at_risk,
+             CASE WHEN d_events = 0 THEN 0
+                  ELSE CAST(round(-1e6 * ln(1.0 - CAST(d_events AS DOUBLE)
+                                                 / n_at_risk)) AS BIGINT)
+             END AS nll_micro
+      FROM risk
+    )
+    SELECT
+      CAST(t AS BIGINT) AS t_days,
+      CAST(n_at_risk AS BIGINT) AS n_at_risk,
+      CAST(d_events AS BIGINT) AS churn_events,
+      CAST(SUM(nll_micro) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING)
+        AS BIGINT) AS surv_nll_micro
+    FROM hazard
+    """,
+    tags=("events", "survival", "retention"),
+)
+def events_kaplan_meier_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan–Meier survival estimate of user lifetime — the censoring-
+    aware retention curve (naive churn rates UNDERSTATE retention because
+    users still active at the observation edge haven't churned, they're
+    censored; KM handles exactly that, here with a {c}-day censor
+    window).
+
+    Exactness: n_at_risk and event counts are pure integers (at-risk via
+    a DESCENDING cumulative sum over the lifetime table); the survival
+    product Π(1−d/n) becomes a SUM by quantizing each hazard's −ln term
+    to integer micro-nats (the perplexity recipe — S(t) =
+    exp(−nll/1e6)), so the whole curve is exact int64. All windows and
+    rollups run over the |lifetimes| table, never raw events.
+
+    (On this synthetic corpus users are active throughout the window, so
+    only a few distinct lifetimes exist — the curve is short but every
+    mechanism (censor split, descending at-risk, hazard quantization) is
+    exercised with non-trivial values at each sf.)
+    """
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", (F.expr(_ES).cast("long") / _DAY_S).cast("long").alias("day")
+    )
+    span = e.groupBy("user_id").agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    horizon = span.agg(F.max("d1").alias("dmax"))
+    lt = span.crossJoin(F.broadcast(horizon)).select(
+        (F.col("d1") - F.col("d0") + 1).alias("lifetime"),
+        (F.col("d1") >= F.col("dmax") - _KM_CENSOR_DAYS).alias("censored"),
+    )
+    per_t = lt.groupBy(F.col("lifetime").alias("t")).agg(
+        F.count(F.when(~F.col("censored"), 1)).alias("d_events"),
+        F.count(F.lit(1)).alias("leaving"),
+    )
+    w_desc = Window.orderBy(F.col("t").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    risk = per_t.withColumn("n_at_risk", F.sum("leaving").over(w_desc))
+    hazard = risk.withColumn(
+        "nll_micro",
+        F.when(F.col("d_events") == 0, F.lit(0)).otherwise(
+            F.round(
+                F.lit(-1e6)
+                * F.log(
+                    F.lit(1.0)
+                    - F.col("d_events").cast("double") / F.col("n_at_risk")
+                )
+            ).cast("long")
+        ),
+    )
+    w_asc = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    return hazard.select(
+        F.col("t").cast("long").alias("t_days"),
+        F.col("n_at_risk").cast("long").alias("n_at_risk"),
+        F.col("d_events").cast("long").alias("churn_events"),
+        F.sum("nll_micro").over(w_asc).cast("long").alias("surv_nll_micro"),
+    )

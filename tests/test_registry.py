@@ -80,6 +80,9 @@ _RAW_ROUND_EXEMPT = {
     # JSD terms quantize 1e6·p·ln(p/m): irrational except p = q, where the
     # term is exactly 0 (and the closed-form tail multiplies ln 2).
     "text_js_divergence_sources",
+    # KM hazards quantize −1e6·ln(1−d/n): irrational except d = 0, which
+    # short-circuits to an exact 0 before any round().
+    "events_kaplan_meier_retention",
 }
 
 
