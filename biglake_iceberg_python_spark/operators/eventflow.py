@@ -1567,3 +1567,92 @@ def events_kaplan_meier_retention(spark: SparkSession, sf_dir: str) -> DataFrame
         F.col("d_events").cast("long").alias("churn_events"),
         F.sum("nll_micro").over(w_asc).cast("long").alias("surv_nll_micro"),
     )
+
+
+@query(
+    "events_ratio_metric_delta_ci",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id % 2 AS variant, user_id,
+             SUM(CAST(round(CAST(value AS DECIMAL(18,2)) * 100) AS BIGINT)) AS x,
+             COUNT(*) AS y
+      FROM events WHERE event_type = 'purchase'
+      GROUP BY user_id % 2, user_id
+    ), m AS (
+      SELECT variant,
+             CAST(COUNT(*) AS DECIMAL(38,0)) AS n,
+             CAST(SUM(x) AS DECIMAL(38,0)) AS sx,
+             CAST(SUM(y) AS DECIMAL(38,0)) AS sy,
+             SUM(CAST(x AS DECIMAL(38,0)) * x) AS sxx,
+             SUM(CAST(y AS DECIMAL(38,0)) * y) AS syy,
+             SUM(CAST(x AS DECIMAL(38,0)) * y) AS sxy
+      FROM per_user GROUP BY variant
+    )
+    SELECT
+      CAST(variant AS BIGINT) AS variant,
+      CAST(n AS BIGINT) AS n_users,
+      CAST(sx AS DOUBLE) / CAST(sy AS DOUBLE) / 100.0 AS revenue_per_order,
+      sqrt(
+        ( (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+        + (CAST(sx AS DOUBLE) / CAST(sy AS DOUBLE)) * (CAST(sx AS DOUBLE) / CAST(sy AS DOUBLE))
+          * (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+        - 2.0 * (CAST(sx AS DOUBLE) / CAST(sy AS DOUBLE))
+          * (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+        ) / (CAST(n AS DOUBLE) - 1.0)
+      ) * sqrt(CAST(n AS DOUBLE))
+        / CAST(sy AS DOUBLE) / 100.0 AS delta_se
+    FROM m
+    """,
+    tags=("events", "experimentation", "statistics", "delta-method"),
+)
+def events_ratio_metric_delta_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-method standard error for a RATIO metric (revenue per order)
+    under user-level randomization — the experimentation-stats subtlety
+    naive per-order analysis gets wrong: orders within a user correlate,
+    so the variance must come from USER-level (x, y) pairs via
+    var(x̄/ȳ) ≈ (var_x + R²·var_y − 2R·cov_xy) / (n·ȳ²). Completes the
+    readout trio: Welch (means), Wilson (proportions), delta method
+    (ratios).
+
+    Per-user sums are exact integers; the five cross-moments accumulate
+    in DECIMAL(38,0) (the `agg_corr_covar` recipe) and the closed form is
+    an identical double sequence in both engines — bit-stable SEs.
+    One user-grain shuffle, one |variants|-row rollup.
+    """
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    cents = F.round(F.col("value").cast("decimal(18,2)") * 100).cast("long")
+    per_user = e.groupBy(
+        (F.col("user_id") % 2).alias("variant"), "user_id"
+    ).agg(F.sum(cents).alias("x"), F.count(F.lit(1)).alias("y"))
+    xd = F.col("x").cast("decimal(38,0)")
+    yd = F.col("y").cast("decimal(38,0)")
+    m = per_user.groupBy("variant").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum(xd).alias("sx"),
+        F.sum(yd).alias("sy"),
+        F.sum(xd * xd).alias("sxx"),
+        F.sum(yd * yd).alias("syy"),
+        F.sum(xd * yd).alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxx, syy = F.col("sxx").cast("double"), F.col("syy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    r = sx / sy
+    css_x = sxx - sx * sx / nd
+    css_y = syy - sy * sy / nd
+    ccs_xy = sxy - sx * sy / nd
+    se = (
+        F.sqrt((css_x + r * r * css_y - F.lit(2.0) * r * ccs_xy) / (nd - F.lit(1.0)))
+        * F.sqrt(nd)
+        / sy
+        / F.lit(100.0)
+    )
+    return m.select(
+        F.col("variant").cast("long").alias("variant"),
+        F.col("n").cast("long").alias("n_users"),
+        (r / F.lit(100.0)).alias("revenue_per_order"),
+        se.alias("delta_se"),
+    )
