@@ -1532,3 +1532,118 @@ def curate_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("cls_size").cast("long").alias("min_class"),
         F.sum("cls_size").cast("long").alias("n_rows"),
     )
+
+
+_BLOOM_BITS = 4096
+_BLOOM_K = 3
+
+
+def _bloom_pos_sql(hexpr: str, j: int) -> str:
+    return (
+        f"('0x' || substr(md5({hexpr} || ':b{j}'), 1, 8))::BIGINT"
+        f" % {_BLOOM_BITS}"
+    )
+
+
+def _bloom_pos_col(col, j: int):
+    return (
+        F.conv(
+            F.substring(F.md5(F.concat(col, F.lit(f":b{j}"))), 1, 8), 16, 10
+        ).cast("long")
+        % _BLOOM_BITS
+    )
+
+
+@query(
+    "curate_incremental_ingest_bloom",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, source,
+             md5(array_to_string(
+               list_filter(string_split(text, ' '), x -> x <> '')[1:{_FP_WORDS}],
+               ' ')) AS h,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':ingest'), 1, 8))::BIGINT
+               % 100 < {_HIST_PCT} AS is_hist
+      FROM documents
+    ), hist AS (
+      SELECT DISTINCT h FROM d WHERE is_hist
+    ), bits AS (
+      SELECT DISTINCT b FROM (
+        {" UNION ALL ".join(f"SELECT {_bloom_pos_sql('h', j)} AS b FROM hist" for j in range(_BLOOM_K))}
+      )
+    ), arrivals AS (
+      SELECT doc_id, source, h,
+             ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id) AS rn,
+             {" AND ".join(f"{_bloom_pos_sql('h', j)} IN (SELECT b FROM bits)" for j in range(_BLOOM_K))}
+               AS maybe_dup
+      FROM d WHERE NOT is_hist
+    )
+    SELECT
+      a.source,
+      CAST(COUNT(*) AS BIGINT) AS n_arrivals,
+      CAST(COUNT(*) FILTER (WHERE NOT a.maybe_dup) AS BIGINT) AS n_fast_path,
+      CAST(COUNT(*) FILTER (WHERE a.rn = 1 AND hist.h IS NULL) AS BIGINT)
+        AS n_ingested
+    FROM arrivals a LEFT JOIN hist ON a.h = hist.h
+    GROUP BY a.source
+    """,
+    tags=("llm", "curation", "bloom", "incremental"),
+)
+def curate_incremental_ingest_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prefiltered incremental ingestion — the mostly-unique fast
+    path for `curate_incremental_ingest`: a {k}-hash/{m}-bit Bloom filter
+    over the history's fingerprints screens arrivals BEFORE the history
+    join; bloom-NEGATIVE rows are definitely new (no false negatives) and
+    skip the join, so on a mostly-novel 100 TB crawl the join shrinks to
+    the possible-duplicate sliver for the cost of one broadcast bit set.
+
+    The filter is built from DataFrame primitives (md5-derived bit
+    positions, distinct-collected and broadcast) rather than Catalyst's
+    internal bloom expression — which makes it CROSS-ENGINE REPLICABLE:
+    the oracle constructs the identical filter, so the fast-path split
+    itself is hash-verified, not just the final accounting. Two
+    broadcasts (bit set, then the slow path's history anti-join side),
+    shuffles carry fingerprints only.
+    """
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.md5(F.concat_ws(" ", F.slice(_words(), 1, _FP_WORDS))).alias("h"),
+        (_md5_bucket(F.col("doc_id"), "ingest", 100) < _HIST_PCT).alias(
+            "is_hist"
+        ),
+    )
+    hist = d.filter("is_hist").select("h").distinct()
+    bits = None
+    for j in range(_BLOOM_K):
+        part = hist.select(_bloom_pos_col(F.col("h"), j).alias("b"))
+        bits = part if bits is None else bits.unionAll(part)
+    bit_arr = bits.distinct().agg(F.collect_set("b").alias("bits"))
+    w = Window.partitionBy("h").orderBy("doc_id")
+    maybe = None
+    for j in range(_BLOOM_K):
+        t = F.array_contains(F.col("bits"), _bloom_pos_col(F.col("h"), j))
+        maybe = t if maybe is None else (maybe & t)
+    arrivals = (
+        d.filter(~F.col("is_hist"))
+        .withColumn("rn", F.row_number().over(w))
+        .crossJoin(F.broadcast(bit_arr))
+        .withColumn("maybe_dup", maybe)
+        .drop("bits")
+    )
+    fast = arrivals.filter(~F.col("maybe_dup")).withColumn(
+        "in_hist", F.lit(None).cast("int")
+    )
+    slow = arrivals.filter(F.col("maybe_dup")).join(
+        F.broadcast(hist.withColumn("in_hist", F.lit(1))), "h", "left"
+    )
+    both = fast.select("source", "rn", "maybe_dup", "in_hist").unionAll(
+        slow.select("source", "rn", "maybe_dup", "in_hist")
+    )
+    return both.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_arrivals"),
+        F.count(F.when(~F.col("maybe_dup"), 1)).alias("n_fast_path"),
+        F.count(
+            F.when((F.col("rn") == 1) & F.col("in_hist").isNull(), 1)
+        ).alias("n_ingested"),
+    )
