@@ -9,6 +9,8 @@ single small aggregation shuffle.
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -1082,4 +1084,56 @@ def text_heldout_bigram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct(F.when(F.col("covered"), F.col("bg"))).alias(
             "covered_types"
         ),
+    )
+
+
+@query(
+    "text_compression_ratio",
+    oracle=None,  # zlib has no SQL twin; determinism + semantic bounds are
+    # pinned in tests/test_operators.py (deterministic DEFLATE: fixed
+    # level, single-shot compress — bit-stable across runs and workers).
+    tags=("llm", "text", "quality", "compression"),
+)
+def text_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compression-ratio quality filter — the classic cheap redundancy
+    detector from web-corpus pipelines: highly compressible text is
+    repetitive boilerplate, incompressible text is noise/binary junk;
+    both tails get cut before expensive stages.
+
+    zlib (level 6, single-shot) is deterministic for fixed input, so
+    per-doc compressed sizes are reproducible across runs, workers, and
+    cluster layouts even though no SQL oracle exists — the rows-only
+    entry sits in the external-codec category next to the multimodal
+    decode stub. Python cost is one Arrow-batched pass (mapInPandas
+    tier); everything after the byte counts is exact integer arithmetic.
+
+    Output: per source, docs flagged too-repetitive (ratio < 0.35),
+    too-random (ratio > 0.95), and kept, plus the exact byte totals.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("int")
+    def compressed_len(text: pd.Series) -> pd.Series:
+        import zlib
+
+        return text.map(
+            lambda t: len(zlib.compress(t.encode("utf-8"), 6))
+        ).astype("int32")
+
+    d = load_table(spark, sf_dir, "documents")
+    sized = d.select(
+        "source",
+        F.length("text").alias("raw_len"),
+        compressed_len(F.col("text")).alias("comp_len"),
+    )
+    # ratio thresholds as integer cross-multiplications (no float compare)
+    too_rep = F.col("comp_len") * 100 < F.col("raw_len") * 35
+    too_rand = F.col("comp_len") * 100 > F.col("raw_len") * 95
+    return sized.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("raw_len").cast("long").alias("raw_bytes"),
+        F.sum("comp_len").cast("long").alias("compressed_bytes"),
+        F.count(F.when(too_rep, 1)).alias("n_too_repetitive"),
+        F.count(F.when(too_rand, 1)).alias("n_too_random"),
+        F.count(F.when(~too_rep & ~too_rand, 1)).alias("n_kept"),
     )

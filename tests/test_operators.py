@@ -1009,3 +1009,21 @@ def test_metadata_count_guards(spark, sf_dir):
             t.metadata_row_count()
         t.rewrite_mor()
         assert t.metadata_row_count() == t.read().count()
+
+
+def test_compression_ratio_deterministic_and_sane(spark, sf_dir):
+    """zlib at a fixed level is deterministic: two runs must be
+    bit-identical, partitions must sum, and ratios must be physical
+    (0 < compressed <= raw + overhead per source)."""
+    rows1 = sorted(
+        map(tuple, REGISTRY["text_compression_ratio"].fn(spark, sf_dir).collect())
+    )
+    rows2 = sorted(
+        map(tuple, REGISTRY["text_compression_ratio"].fn(spark, sf_dir).collect())
+    )
+    assert rows1 == rows2
+    for r in REGISTRY["text_compression_ratio"].fn(spark, sf_dir).collect():
+        assert r["n_docs"] == (
+            r["n_too_repetitive"] + r["n_too_random"] + r["n_kept"]
+        )
+        assert 0 < r["compressed_bytes"] <= r["raw_bytes"] + 64 * r["n_docs"]
