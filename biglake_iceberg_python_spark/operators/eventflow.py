@@ -1656,3 +1656,82 @@ def events_ratio_metric_delta_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         (r / F.lit(100.0)).alias("revenue_per_order"),
         se.alias("delta_se"),
     )
+
+
+_ATTR_WINDOW_S = 7 * 86400  # lookback for credit assignment
+
+
+@query(
+    "events_attribution_multitouch",
+    oracle=f"""
+    WITH e AS (
+      SELECT user_id, event_type, event_id, ({_ORACLE_ES}) AS es FROM events
+    ), conv AS (
+      SELECT user_id, event_id AS conv_id, es AS conv_es
+      FROM e WHERE event_type = 'purchase'
+    ), touch AS (
+      SELECT user_id, event_type, event_id, es
+      FROM e WHERE event_type <> 'purchase'
+    ), pairs AS (
+      SELECT c.conv_id, t.event_type, t.es, t.event_id,
+             COUNT(*) OVER (PARTITION BY c.conv_id) AS n_touches,
+             ROW_NUMBER() OVER (PARTITION BY c.conv_id
+                                ORDER BY t.es DESC, t.event_id DESC) AS recency
+      FROM conv c
+      JOIN touch t
+        ON t.user_id = c.user_id
+       AND t.es < c.conv_es
+       AND t.es >= c.conv_es - {_ATTR_WINDOW_S}
+    )
+    SELECT
+      event_type AS channel,
+      CAST(COUNT(*) FILTER (WHERE recency = 1) AS BIGINT) AS last_touch_credits,
+      CAST(SUM(1000000 // n_touches) AS BIGINT) AS linear_credit_micro,
+      CAST(COUNT(*) AS BIGINT) AS n_touchpoints
+    FROM pairs
+    GROUP BY event_type
+    """,
+    tags=("events", "attribution", "marketing"),
+)
+def events_attribution_multitouch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-touch attribution: every purchase distributes credit over the
+    user's touches in the preceding 7 days — LAST-TOUCH (the recency
+    argmax) and LINEAR (1/n per touch) side by side, per channel. The
+    marketing-mix question every event warehouse answers weekly.
+
+    Exactness: linear credit is floor(1e6/n) integer micro-credits
+    (deterministic; the sub-micro remainder is dropped identically in
+    both engines), last-touch picks the recency-1 row via a total-order
+    tiebreak. The conversion⋈touch join keys on user_id with a bounded
+    time band — fan-out is touches-per-user-week, the same bounded-band
+    shape as `join_range_bucketed`, and both window functions ride the
+    conv_id partitioning the join already established.
+    """
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "event_id", F.expr(_ES).cast("long").alias("es")
+    )
+    conv = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("conv_id"), F.col("es").alias("conv_es")
+    )
+    touch = e.filter(F.col("event_type") != "purchase")
+    pairs = conv.join(
+        touch,
+        (touch["user_id"] == conv["user_id"])
+        & (touch["es"] < conv["conv_es"])
+        & (touch["es"] >= conv["conv_es"] - _ATTR_WINDOW_S),
+    ).select("conv_id", "event_type", "es", "event_id")
+    wc = Window.partitionBy("conv_id")
+    scored = pairs.select(
+        "event_type",
+        F.count(F.lit(1)).over(wc).alias("n_touches"),
+        F.row_number()
+        .over(wc.orderBy(F.col("es").desc(), F.col("event_id").desc()))
+        .alias("recency"),
+    )
+    return scored.groupBy(F.col("event_type").alias("channel")).agg(
+        F.count(F.when(F.col("recency") == 1, 1)).alias("last_touch_credits"),
+        F.sum(F.expr("1000000 div n_touches")).cast("long").alias(
+            "linear_credit_micro"
+        ),
+        F.count(F.lit(1)).alias("n_touchpoints"),
+    )
