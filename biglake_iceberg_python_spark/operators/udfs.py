@@ -578,3 +578,71 @@ def udf_pandas_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         cents_sum(F.col("o_totalprice")).over(w).alias("cust_total_cents"),
         row_count(F.col("o_totalprice")).over(w).alias("cust_orders"),
     )
+
+
+@query(
+    "udf_udtf_polymorphic_analyze",
+    oracle="""
+    SELECT
+      o_orderstatus,
+      CAST(COUNT(*) AS BIGINT) AS n,
+      CAST(SUM(CASE WHEN o_totalprice >= 100000 THEN 1 ELSE 0 END) AS BIGINT)
+        AS bucket_hi,
+      CAST(SUM(CASE WHEN o_totalprice >= 50000 AND o_totalprice < 100000
+               THEN 1 ELSE 0 END) AS BIGINT) AS bucket_mid,
+      CAST(SUM(CASE WHEN o_totalprice < 50000 THEN 1 ELSE 0 END) AS BIGINT)
+        AS bucket_lo
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+    tags=("udf", "udtf", "polymorphic", "analyze"),
+)
+def udf_udtf_polymorphic_analyze(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POLYMORPHIC Python UDTF (Spark 4 ``analyze()``): the table
+    function's OUTPUT SCHEMA is computed at plan time from its literal
+    arguments — here bucket boundaries passed as an argument decide how
+    many ``bucket_*`` columns exist. This is the dynamic-schema tier
+    above the fixed-schema UDTF (`udf_python_udtf`): one implementation
+    serves any bucketing without code changes, the way generic
+    "explode-this-config" table functions ship in SQL platforms.
+
+    The bucketed counts are plain integers, so the result hash-matches a
+    static CASE oracle for the same boundaries.
+    """
+    from pyspark.sql.functions import udtf
+    from pyspark.sql.types import IntegerType, StructType
+    from pyspark.sql.udtf import AnalyzeArgument, AnalyzeResult
+
+    @udtf
+    class Bucketize:
+        @staticmethod
+        def analyze(price: AnalyzeArgument, bounds: AnalyzeArgument):
+            n = len(bounds.value.split(","))
+            schema = StructType()
+            for name in ["hi", "mid", "lo"][: n + 1]:
+                schema = schema.add(f"bucket_{name}", IntegerType())
+            return AnalyzeResult(schema=schema)
+
+        def eval(self, price, bounds):
+            bs = [float(b) for b in bounds.split(",")]
+            hi = 1 if price >= bs[0] else 0
+            mid = 1 if (bs[1] <= price < bs[0]) else 0
+            lo = 1 if price < bs[1] else 0
+            yield hi, mid, lo
+
+    spark.udtf.register("bucketize_poly", Bucketize)
+    o = load_table(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("orders_poly")
+    return spark.sql(
+        """
+        SELECT
+          o.o_orderstatus,
+          CAST(COUNT(*) AS BIGINT) AS n,
+          CAST(SUM(b.bucket_hi) AS BIGINT) AS bucket_hi,
+          CAST(SUM(b.bucket_mid) AS BIGINT) AS bucket_mid,
+          CAST(SUM(b.bucket_lo) AS BIGINT) AS bucket_lo
+        FROM orders_poly o,
+             LATERAL bucketize_poly(o.o_totalprice, '100000,50000') b
+        GROUP BY o.o_orderstatus
+        """
+    )
