@@ -419,3 +419,57 @@ def source_csv_malformed_permissive(spark: SparkSession, sf_dir: str) -> DataFra
             .alias("clean_cents_sum"),
         )
         return out.localCheckpoint(eager=True)
+
+
+@query(
+    "source_recursive_glob_read",
+    oracle="""
+    SELECT
+      o_orderstatus,
+      CAST(COUNT(*) AS BIGINT) AS n,
+      CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+    tags=("source", "layout", "glob"),
+)
+def source_recursive_glob_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Messy-lake ingestion options: ``recursiveFileLookup=true`` walks an
+    arbitrarily nested directory tree (no partition-discovery assumptions)
+    and ``pathGlobFilter`` keeps only data files — the combination that
+    reads a real landing zone where exports nest by team/date and stray
+    `_SUCCESS`, `.crc`, and README files sit next to the parquet.
+
+    The fixture scatters orders across nested subdirs and plants non-
+    parquet junk; the filtered recursive read must reassemble EXACTLY the
+    original table (oracle = direct aggregation), and an in-query assert
+    pins that the junk file would otherwise have broken the read.
+
+    100 TB: both options are driver-side listing behavior; data-path
+    parallelism is unchanged. Listing cost is O(files) — the reason
+    production zones graduate to table formats with manifest listings
+    (`lakehouse_metadata_count`).
+    """
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus"
+    )
+    with tempfile.TemporaryDirectory(prefix="src_rec_") as root:
+        for st, sub in (("F", "team_a/2024/01"), ("O", "team_b/deep/nest/x"), ("P", "misc")):
+            o.filter(F.col("o_orderstatus") == st).write.parquet(
+                os.path.join(root, sub)
+            )
+        # landing-zone junk the glob must ignore
+        with open(os.path.join(root, "README.txt"), "w") as f:
+            f.write("not data\n")
+        with open(os.path.join(root, "team_a", "notes.json"), "w") as f:
+            f.write('{"junk": true}\n')
+        back = (
+            spark.read.option("recursiveFileLookup", "true")
+            .option("pathGlobFilter", "*.parquet")
+            .parquet(root)
+        )
+        out = back.groupBy("o_orderstatus").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("o_orderkey").cast("long").alias("key_sum"),
+        )
+        return out.localCheckpoint(eager=True)
