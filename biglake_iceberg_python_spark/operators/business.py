@@ -430,3 +430,67 @@ def supplier_concentration_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.lit(10000.0) / F.col("n")).alias("hhi_floor"),
         )
     )
+
+
+@query(
+    "orders_mix_shift_chi2",
+    oracle="""
+    WITH y AS (
+      SELECT CAST(year(o_orderdate) AS INT) AS yr, o_orderpriority AS prio
+      FROM orders
+    ), cell AS (
+      SELECT yr, prio, COUNT(*) AS o FROM y GROUP BY yr, prio
+    ), rt AS (SELECT yr, SUM(o) AS r FROM cell GROUP BY yr),
+    ct AS (SELECT prio, SUM(o) AS c FROM cell GROUP BY prio),
+    tot AS (SELECT SUM(o) AS n FROM cell)
+    SELECT
+      cell.yr,
+      cell.prio,
+      CAST(cell.o AS BIGINT) AS observed,
+      CAST(rt.r AS DOUBLE) * ct.c / tot.n AS expected,
+      (CAST(cell.o AS DOUBLE) - CAST(rt.r AS DOUBLE) * ct.c / tot.n)
+        * (CAST(cell.o AS DOUBLE) - CAST(rt.r AS DOUBLE) * ct.c / tot.n)
+        / (CAST(rt.r AS DOUBLE) * ct.c / tot.n) AS chi2_term
+    FROM cell
+    JOIN rt ON cell.yr = rt.yr
+    JOIN ct ON cell.prio = ct.prio
+    CROSS JOIN tot
+    """,
+    tags=("business", "drift", "chi-square"),
+)
+def orders_mix_shift_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """χ² test of independence between order YEAR and PRIORITY mix — the
+    categorical drift monitor ("did the priority mix shift over time")
+    complementing the continuous JS-divergence monitor on text sources.
+    Large per-cell χ² terms localize WHICH year×priority cell moved.
+
+    Observed counts and both margins are exact integers from one
+    contingency pass; expected = r·c/n and each χ² term run as the
+    identical double sequence in both engines, so every cell is
+    bit-stable. The margins are |years|- and |priorities|-row tables —
+    broadcast joins back onto the cell table; year extraction uses
+    year() on an NTZ timestamp, which is TZ-independent.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    y = o.select(
+        F.year("o_orderdate").cast("int").alias("yr"),
+        F.col("o_orderpriority").alias("prio"),
+    )
+    cell = y.groupBy("yr", "prio").agg(F.count(F.lit(1)).alias("o"))
+    rt = cell.groupBy("yr").agg(F.sum("o").alias("r"))
+    ct = cell.groupBy("prio").agg(F.sum("o").alias("c"))
+    tot = cell.agg(F.sum("o").alias("n"))
+    exp = F.col("r").cast("double") * F.col("c") / F.col("n")
+    diff = F.col("o").cast("double") - exp
+    return (
+        cell.join(F.broadcast(rt), "yr")
+        .join(F.broadcast(ct), "prio")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "yr",
+            "prio",
+            F.col("o").cast("long").alias("observed"),
+            exp.alias("expected"),
+            (diff * diff / exp).alias("chi2_term"),
+        )
+    )
