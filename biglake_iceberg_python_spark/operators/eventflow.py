@@ -1735,3 +1735,132 @@ def events_attribution_multitouch(spark: SparkSession, sf_dir: str) -> DataFrame
         ),
         F.count(F.lit(1)).alias("n_touchpoints"),
     )
+
+
+_BOOT_B = 50  # resamples; deterministic md5 draws, no RNG
+
+
+@query(
+    "events_bootstrap_ci_daily_mean",
+    oracle=f"""
+    WITH daily AS (
+      SELECT event_type, ({_ORACLE_ES}) // {_DAY_S} AS day,
+             SUM(CAST(round(CAST(value AS DECIMAL(18,2)) * 100) AS BIGINT)) AS v
+      FROM events GROUP BY event_type, ({_ORACLE_ES}) // {_DAY_S}
+    ), idx AS (
+      SELECT event_type, v,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) - 1 AS i,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM daily
+    ), draws AS (
+      SELECT x.event_type, r.r, d.i AS pos,
+             ('0x' || substr(md5(x.event_type || ':' || r.r || ':' || d.i), 1, 8))::BIGINT
+               % x.n AS pick
+      FROM (SELECT DISTINCT event_type, n FROM idx) x
+      CROSS JOIN (SELECT unnest(generate_series(0, {_BOOT_B - 1})) AS r) r
+      CROSS JOIN (SELECT unnest(generate_series(0, 100)) AS i) d
+      WHERE d.i < x.n
+    ), resampled AS (
+      SELECT dr.event_type, dr.r, SUM(ix.v) AS tot, COUNT(*) AS n
+      FROM draws dr JOIN idx ix
+        ON ix.event_type = dr.event_type AND ix.i = dr.pick
+      GROUP BY dr.event_type, dr.r
+    ), ranked AS (
+      SELECT event_type, tot, n,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY tot * 1.0 / n, r) AS rk
+      FROM resampled
+    )
+    SELECT
+      event_type,
+      CAST(MAX(CASE WHEN rk = 2 THEN tot END) AS BIGINT) AS lo_tot,
+      CAST(MAX(CASE WHEN rk = {_BOOT_B - 1} THEN tot END) AS BIGINT) AS hi_tot,
+      CAST(MAX(n) AS BIGINT) AS days_per_resample
+    FROM ranked GROUP BY event_type
+    """,
+    tags=("events", "statistics", "bootstrap"),
+)
+def events_bootstrap_ci_daily_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DETERMINISTIC bootstrap confidence interval for mean daily spend:
+    {B} resamples whose draws come from md5(type:resample:slot) — the
+    no-RNG discipline applied to the one statistical tool everyone
+    believes needs randomness. Reruns, engines, and cluster layouts all
+    produce the identical interval; the ~2.5th/97.5th resample order
+    statistics bound the mean.
+
+    Resampling runs as a cover-set expansion over the DAILY table (B×n
+    draw rows, days ≪ events), each draw equi-joins its picked day's
+    exact integer total, and the per-resample sums are exact — ranks
+    break ties on the resample id, so the reported bounds hash-match.
+    """
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        (F.expr(_ES).cast("long") / _DAY_S).cast("long").alias("day"),
+        F.round(F.col("value").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("cents"),
+    )
+    daily = e.groupBy("event_type", "day").agg(F.sum("cents").alias("v"))
+    wt = Window.partitionBy("event_type")
+    idx = daily.select(
+        "event_type",
+        "v",
+        (F.row_number().over(wt.orderBy("day")) - 1).alias("i"),
+        F.count(F.lit(1)).over(wt).alias("n"),
+    )
+    base = idx.select("event_type", "n").distinct()
+    draws = (
+        base.select(
+            "event_type",
+            "n",
+            F.explode(F.sequence(F.lit(0), F.lit(_BOOT_B - 1))).alias("r"),
+        )
+        .select(
+            "event_type",
+            "r",
+            F.explode(F.sequence(F.lit(0), F.col("n") - 1)).alias("slot"),
+            "n",
+        )
+        .select(
+            "event_type",
+            "r",
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat_ws(
+                                ":", "event_type", F.col("r").cast("string"),
+                                F.col("slot").cast("string"),
+                            )
+                        ),
+                        1,
+                        8,
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % F.col("n")
+            ).alias("pick"),
+        )
+    )
+    resampled = (
+        draws.join(
+            idx.select("event_type", F.col("i").alias("pick"), "v"),
+            ["event_type", "pick"],
+        )
+        .groupBy("event_type", "r")
+        .agg(F.sum("v").alias("tot"), F.count(F.lit(1)).alias("n"))
+    )
+    ranked = resampled.withColumn(
+        "rk",
+        F.row_number().over(
+            wt.orderBy(F.col("tot") * 1.0 / F.col("n"), F.col("r"))
+        ),
+    )
+    return ranked.groupBy("event_type").agg(
+        F.max(F.when(F.col("rk") == 2, F.col("tot"))).cast("long").alias("lo_tot"),
+        F.max(F.when(F.col("rk") == _BOOT_B - 1, F.col("tot")))
+        .cast("long")
+        .alias("hi_tot"),
+        F.max("n").cast("long").alias("days_per_resample"),
+    )
