@@ -1864,3 +1864,110 @@ def events_bootstrap_ci_daily_mean(spark: SparkSession, sf_dir: str) -> DataFram
         .alias("hi_tot"),
         F.max("n").cast("long").alias("days_per_resample"),
     )
+
+
+@query(
+    "events_anova_hour_of_week",
+    oracle=f"""
+    WITH x AS (
+      SELECT event_type,
+             ((({_ORACLE_ES}) // 86400 + 4) % 7) * 24
+               + (({_ORACLE_ES}) % 86400) // 3600 AS cell,
+             CAST(round(CAST(value AS DECIMAL(18,2)) * 100) AS BIGINT) AS v
+      FROM events
+    ), per_cell AS (
+      SELECT event_type, cell,
+             CAST(COUNT(*) AS DECIMAL(38,0)) AS nc,
+             CAST(SUM(v) AS DECIMAL(38,0)) AS sc
+      FROM x GROUP BY event_type, cell
+    ), tot AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS DECIMAL(38,0)) AS n,
+             CAST(SUM(v) AS DECIMAL(38,0)) AS s,
+             SUM(CAST(v AS DECIMAL(38,0)) * v) AS ss,
+             CAST(COUNT(DISTINCT cell) AS DECIMAL(38,0)) AS k
+      FROM x GROUP BY event_type
+    ), ssb AS (
+      -- each S_c²/n_c floors to an integer before the sum (magnitudes are
+      -- ≥1e14, so unit precision is noise) — the summed SSB is exact int64
+      SELECT p.event_type,
+             CAST(SUM(CAST(floor(CAST(p.sc AS DOUBLE) * CAST(p.sc AS DOUBLE)
+                                 / CAST(p.nc AS DOUBLE)) AS BIGINT))
+                  AS DOUBLE) AS sum_sc2_over_nc
+      FROM per_cell p GROUP BY p.event_type
+    )
+    SELECT
+      t.event_type,
+      CAST(t.n AS BIGINT) AS n_events,
+      CAST(t.k AS BIGINT) AS n_cells,
+      (b.sum_sc2_over_nc - CAST(t.s AS DOUBLE) * CAST(t.s AS DOUBLE) / CAST(t.n AS DOUBLE))
+        / (CAST(t.ss AS DOUBLE) - CAST(t.s AS DOUBLE) * CAST(t.s AS DOUBLE) / CAST(t.n AS DOUBLE))
+        AS eta_squared,
+      ((b.sum_sc2_over_nc - CAST(t.s AS DOUBLE) * CAST(t.s AS DOUBLE) / CAST(t.n AS DOUBLE))
+         / (CAST(t.k AS DOUBLE) - 1.0))
+      / ((CAST(t.ss AS DOUBLE) - b.sum_sc2_over_nc) / (CAST(t.n AS DOUBLE) - CAST(t.k AS DOUBLE)))
+        AS f_stat
+    FROM tot t JOIN ssb b ON t.event_type = b.event_type
+    """,
+    tags=("events", "statistics", "anova", "seasonality"),
+)
+def events_anova_hour_of_week(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA of spend across the 168 hour-of-week cells — the
+    seasonality-STRENGTH readout on top of the heatmap: η² says what
+    fraction of spend variance the weekly cycle explains, the F statistic
+    says whether that structure beats noise. Near-zero values on this
+    uniform synthetic corpus are themselves the correct answer.
+
+    Between-group sums of squares come from per-cell (n_c, S_c) EXACT
+    integer pairs via SSB = Σ S_c²/n_c − S²/n (no per-row deviations, so
+    no mixed-denominator scaling problem); each S_c²/n_c term floors to
+    int64 before the sum so SSB is order-independent, and the remaining
+    quadratic forms are the identical double sequence in both engines. Two aggregations share
+    the event_type key; the per-cell table is ≤ |types|·168 rows.
+    """
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        (
+            (((F.expr(_ES).cast("long") / 86400).cast("long") + 4) % 7) * 24
+            + ((F.expr(_ES).cast("long") % 86400) / 3600).cast("long")
+        ).alias("cell"),
+        F.round(F.col("value").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("v"),
+    )
+    per_cell = e.groupBy("event_type", "cell").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("nc"),
+        F.sum("v").cast("decimal(38,0)").alias("sc"),
+    )
+    vd = F.col("v").cast("decimal(38,0)")
+    tot = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum("v").cast("decimal(38,0)").alias("s"),
+        F.sum(vd * vd).alias("ss"),
+        F.count_distinct("cell").cast("decimal(38,0)").alias("k"),
+    )
+    ssb = per_cell.groupBy("event_type").agg(
+        F.sum(
+            F.floor(
+                F.col("sc").cast("double") * F.col("sc").cast("double")
+                / F.col("nc").cast("double")
+            ).cast("long")
+        )
+        .cast("double")
+        .alias("sum_sc2_over_nc")
+    )
+    nd = F.col("n").cast("double")
+    sd = F.col("s").cast("double")
+    ssd = F.col("ss").cast("double")
+    kd = F.col("k").cast("double")
+    b = F.col("sum_sc2_over_nc")
+    return tot.join(ssb, "event_type").select(
+        "event_type",
+        F.col("n").cast("long").alias("n_events"),
+        F.col("k").cast("long").alias("n_cells"),
+        ((b - sd * sd / nd) / (ssd - sd * sd / nd)).alias("eta_squared"),
+        (
+            ((b - sd * sd / nd) / (kd - F.lit(1.0)))
+            / ((ssd - b) / (nd - kd))
+        ).alias("f_stat"),
+    )
