@@ -250,3 +250,45 @@ def window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percent_rank().over(pw).alias("pr"),
         F.cume_dist().over(pw).alias("cd"),
     )
+
+
+@query(
+    "window_nth_value",
+    oracle="""
+    SELECT DISTINCT
+      o_orderstatus,
+      nth_value(o_totalprice, 2) OVER w AS second_highest,
+      nth_value(o_totalprice, 3) OVER w AS third_highest,
+      first_value(o_orderkey) OVER w AS top_orderkey
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderstatus
+                 ORDER BY o_totalprice DESC, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+    tags=("window", "analytic", "nth-value"),
+)
+def window_nth_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``nth_value`` with an explicit full-partition frame — the analytic
+    family's remaining member after first/last/lag/lead: positional
+    lookups into an ordered partition (2nd/3rd highest price per status)
+    without a rank-then-self-join. The full-frame spec matters:
+    nth_value's default frame cuts off at CURRENT ROW and silently yields
+    NULLs for rows before position n — the classic frame-default trap,
+    pinned here by the identical WINDOW clause on both engines. The
+    total-order tiebreak makes every positional answer deterministic, and
+    DISTINCT collapses the per-row duplicates to one row per status.
+    """
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_nthv")
+    return spark.sql(
+        """
+        SELECT DISTINCT
+          o_orderstatus,
+          nth_value(o_totalprice, 2) OVER w AS second_highest,
+          nth_value(o_totalprice, 3) OVER w AS third_highest,
+          first_value(o_orderkey) OVER w AS top_orderkey
+        FROM orders_nthv
+        WINDOW w AS (PARTITION BY o_orderstatus
+                     ORDER BY o_totalprice DESC, o_orderkey
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        """
+    )
