@@ -494,3 +494,96 @@ def orders_mix_shift_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
             (diff * diff / exp).alias("chi2_term"),
         )
     )
+
+
+@query(
+    "part_abc_xyz_classification",
+    oracle="""
+    WITH pr AS (
+      SELECT l_partkey,
+             SUM(CAST(round(CAST(l_extendedprice AS DECIMAL(18,2)) * 100)
+                 AS BIGINT)) AS rev,
+             CAST(COUNT(*) AS DECIMAL(38,0)) AS n,
+             CAST(SUM(CAST(round(CAST(l_quantity AS DECIMAL(18,2)) * 100)
+                 AS BIGINT)) AS DECIMAL(38,0)) AS sq,
+             SUM(CAST(CAST(round(CAST(l_quantity AS DECIMAL(18,2)) * 100)
+                 AS BIGINT) AS DECIMAL(38,0))
+               * CAST(round(CAST(l_quantity AS DECIMAL(18,2)) * 100) AS BIGINT))
+               AS sqq
+      FROM lineitem GROUP BY l_partkey
+    ), ranked AS (
+      SELECT l_partkey, rev, n, sq, sqq,
+             SUM(rev) OVER (ORDER BY rev DESC, l_partkey
+                            ROWS UNBOUNDED PRECEDING) AS cum_rev,
+             SUM(rev) OVER () AS tot_rev
+      FROM pr
+    ), classed AS (
+      SELECT
+        CASE WHEN cum_rev * 10 <= tot_rev * 8 THEN 'A'
+             WHEN cum_rev * 100 <= tot_rev * 95 THEN 'B'
+             ELSE 'C' END AS abc,
+        -- XYZ: coefficient of variation of order quantity, decided by the
+        -- integer cross-multiplication (n·sqq − sq²) vs (cv²·sq²)
+        CASE WHEN (n * sqq - sq * sq) * 100 <= sq * sq * 4 THEN 'X'
+             WHEN (n * sqq - sq * sq) * 100 <= sq * sq * 16 THEN 'Y'
+             ELSE 'Z' END AS xyz,
+        rev
+      FROM ranked
+    )
+    SELECT abc, xyz,
+           CAST(COUNT(*) AS BIGINT) AS n_parts,
+           CAST(SUM(rev) AS BIGINT) AS revenue_cents
+    FROM classed GROUP BY abc, xyz
+    """,
+    tags=("business", "inventory", "classification"),
+)
+def part_abc_xyz_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC/XYZ inventory matrix — the planning classification that crosses
+    revenue importance (A = first 80% of cumulative revenue, B = to 95%,
+    C = tail) with demand variability (X/Y/Z by coefficient of variation
+    of order quantity): A-X items get tight service levels, C-Z items get
+    made to order.
+
+    Every class boundary is an INTEGER comparison: the Pareto cut
+    cross-multiplies cumulative vs total revenue (cum·10 ≤ tot·8), and
+    the CV cut compares n·Σq²−(Σq)² against cv²·(Σq)² in DECIMAL — no
+    float thresholds anywhere, so per-part classes and the 9-cell rollup
+    hash-match. One part-key shuffle + one ordered window over the part
+    rollup (|parts| rows, ≪ lineitem).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    rev_c = F.round(F.col("l_extendedprice").cast("decimal(18,2)") * 100).cast(
+        "long"
+    )
+    qty_c = F.round(F.col("l_quantity").cast("decimal(18,2)") * 100).cast("long")
+    pr = li.groupBy("l_partkey").agg(
+        F.sum(rev_c).alias("rev"),
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum(qty_c).cast("decimal(38,0)").alias("sq"),
+        F.sum(qty_c.cast("decimal(38,0)") * qty_c).alias("sqq"),
+    )
+    w_cum = Window.orderBy(F.col("rev").desc(), "l_partkey").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    w_all = Window.partitionBy()
+    ranked = pr.select(
+        "*",
+        F.sum("rev").over(w_cum).alias("cum_rev"),
+        F.sum("rev").over(w_all).alias("tot_rev"),
+    )
+    css = F.col("n") * F.col("sqq") - F.col("sq") * F.col("sq")
+    classed = ranked.select(
+        F.when(F.col("cum_rev") * 10 <= F.col("tot_rev") * 8, "A")
+        .when(F.col("cum_rev") * 100 <= F.col("tot_rev") * 95, "B")
+        .otherwise("C")
+        .alias("abc"),
+        F.when(css * 100 <= F.col("sq") * F.col("sq") * 4, "X")
+        .when(css * 100 <= F.col("sq") * F.col("sq") * 16, "Y")
+        .otherwise("Z")
+        .alias("xyz"),
+        "rev",
+    )
+    return classed.groupBy("abc", "xyz").agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        F.sum("rev").cast("long").alias("revenue_cents"),
+    )
