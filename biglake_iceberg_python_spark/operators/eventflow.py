@@ -1971,3 +1971,107 @@ def events_anova_hour_of_week(spark: SparkSession, sf_dir: str) -> DataFrame:
             / ((ssd - b) / (nd - kd))
         ).alias("f_stat"),
     )
+
+
+_CONC_GAP_S = 30 * 60  # session gap, matches the sessionization queries
+
+
+@query(
+    "events_peak_concurrency",
+    oracle=f"""
+    WITH e AS (
+      SELECT user_id, ({_ORACLE_ES}) AS es FROM events
+    ), flagged AS (
+      SELECT user_id, es,
+             CASE WHEN es - COALESCE(LAG(es) OVER (PARTITION BY user_id
+                                                   ORDER BY es),
+                                     -{10 ** 15}) >= {_CONC_GAP_S}
+                  THEN 1 ELSE 0 END AS new_s
+      FROM e
+    ), withsid AS (
+      SELECT user_id, es,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY es
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM flagged
+    ), sess AS (
+      SELECT user_id, sid,
+             MIN(es) AS s_start, MAX(es) + {_CONC_GAP_S} AS s_end
+      FROM withsid
+      GROUP BY user_id, sid
+    ), bounds AS (
+      SELECT s_start AS t, 1 AS delta FROM sess
+      UNION ALL
+      SELECT s_end, -1 FROM sess
+    ), sweep AS (
+      SELECT t, SUM(delta) AS d FROM bounds GROUP BY t
+    ), run AS (
+      SELECT t, SUM(d) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS live
+      FROM sweep
+    )
+    SELECT
+      CAST(MAX(live) AS BIGINT) AS peak_concurrent_sessions,
+      CAST((SELECT COUNT(*) FROM sess) AS BIGINT) AS n_sessions,
+      CAST(MIN(t) AS BIGINT) AS first_boundary_es,
+      CAST(MAX(t) AS BIGINT) AS last_boundary_es
+    FROM run
+    """,
+    tags=("events", "concurrency", "sweep-line"),
+)
+def events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrent sessions — capacity planning's first number — by
+    the SWEEP-LINE re-expression: each session emits +1 at its start and
+    −1 at its end, boundaries collapse per timestamp, and the running sum
+    over ordered boundaries is the live-session count whose max is the
+    peak. No interval self-join (the naive O(sessions²) shape) ever
+    exists.
+
+    Sessions come from the same 30-minute-gap sessionization as
+    `agg_sessionize_events` (a session "ends" one gap after its last
+    event). Everything is integer epoch arithmetic; the global boundary
+    window runs over |sessions|·2 rows, ≪ events — and at 100 TB the
+    sweep generalizes to per-shard maxima + boundary-crossing merge.
+    """
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", F.expr(_ES).cast("long").alias("es")
+    )
+    wu = Window.partitionBy("user_id").orderBy("es")
+    flagged = e.withColumn(
+        "new_s",
+        F.when(
+            F.col("es") - F.coalesce(F.lag("es").over(wu), F.lit(-(10 ** 15)))
+            >= _CONC_GAP_S,
+            1,
+        ).otherwise(0),
+    )
+    sess = (
+        flagged.withColumn(
+            "sid",
+            F.sum("new_s").over(wu.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .groupBy("user_id", "sid")
+        .agg(
+            F.min("es").alias("s_start"),
+            (F.max("es") + _CONC_GAP_S).alias("s_end"),
+        )
+    )
+    bounds = sess.select(F.col("s_start").alias("t"), F.lit(1).alias("delta")).unionAll(
+        sess.select(F.col("s_end").alias("t"), F.lit(-1).alias("delta"))
+    )
+    sweep = bounds.groupBy("t").agg(F.sum("delta").alias("d"))
+    run = sweep.withColumn(
+        "live",
+        F.sum("d").over(
+            Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    n_sessions = sess.agg(F.count(F.lit(1)).alias("ns"))
+    return run.agg(
+        F.max("live").cast("long").alias("peak_concurrent_sessions"),
+        F.min("t").cast("long").alias("first_boundary_es"),
+        F.max("t").cast("long").alias("last_boundary_es"),
+    ).crossJoin(F.broadcast(n_sessions)).select(
+        "peak_concurrent_sessions",
+        F.col("ns").cast("long").alias("n_sessions"),
+        "first_boundary_es",
+        "last_boundary_es",
+    )
