@@ -1137,3 +1137,94 @@ def text_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(too_rand, 1)).alias("n_too_random"),
         F.count(F.when(~too_rep & ~too_rand, 1)).alias("n_kept"),
     )
+
+
+_PMI_TOP = 20
+
+
+@query(
+    "text_pmi_cooccurrence",
+    oracle=f"""
+    WITH dw AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
+      FROM documents
+    ), n_docs AS (SELECT COUNT(DISTINCT doc_id) AS nd FROM dw),
+    df AS (SELECT w, COUNT(*) AS dfw FROM dw GROUP BY w),
+    pair AS (
+      SELECT a.w AS w1, b.w AS w2, COUNT(*) AS c12
+      FROM dw a JOIN dw b ON a.doc_id = b.doc_id AND a.w < b.w
+      GROUP BY a.w, b.w
+    ), scored AS (
+      SELECT p.w1, p.w2, p.c12,
+             CAST(round(1e6 * ln(CAST(p.c12 AS DOUBLE) * n.nd
+                                 / (CAST(d1.dfw AS DOUBLE) * d2.dfw)))
+                  AS BIGINT) AS pmi_micro
+      FROM pair p
+      JOIN df d1 ON p.w1 = d1.w
+      JOIN df d2 ON p.w2 = d2.w
+      CROSS JOIN n_docs n
+    )
+    SELECT w1, w2, CAST(c12 AS BIGINT) AS n_cooccur, pmi_micro
+    FROM scored
+    ORDER BY pmi_micro DESC, w1, w2
+    LIMIT {_PMI_TOP}
+    """,
+    tags=("llm", "text", "pmi", "cooccurrence"),
+)
+def text_pmi_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise mutual information over word co-occurrence — the classic
+    related-terms/query-expansion miner: PMI(w1,w2) =
+    ln(P(w1,w2)/(P(w1)P(w2))) ranks pairs that appear together MORE than
+    their popularity predicts (the corpus' planted 'dup' docs surface
+    here, co-occurring far above chance).
+
+    The document-word incidence is distinct'd once; pairs come from a
+    self-join on doc_id whose fan-out is words-per-doc² over TYPE pairs
+    (the count table is ≤ |V|², tiny), and PMI quantizes to integer
+    micro-nats (ln of a rational — the documented irrational-quantizer
+    exemption). Top-k by the quantized score with text tiebreaks.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    dw = d.select(
+        "doc_id", F.explode(_words()).alias("w")
+    ).distinct()
+    nd = dw.agg(F.count_distinct("doc_id").alias("nd"))
+    df = dw.groupBy("w").agg(F.count(F.lit(1)).alias("dfw"))
+    a = dw.alias("a")
+    b = dw.alias("b")
+    pair = (
+        a.join(
+            b,
+            (F.col("a.doc_id") == F.col("b.doc_id"))
+            & (F.col("a.w") < F.col("b.w")),
+        )
+        .groupBy(F.col("a.w").alias("w1"), F.col("b.w").alias("w2"))
+        .agg(F.count(F.lit(1)).alias("c12"))
+    )
+    scored = (
+        pair.join(F.broadcast(df.withColumnRenamed("w", "w1").withColumnRenamed("dfw", "df1")), "w1")
+        .join(F.broadcast(df.withColumnRenamed("w", "w2").withColumnRenamed("dfw", "df2")), "w2")
+        .crossJoin(F.broadcast(nd))
+        .select(
+            "w1",
+            "w2",
+            "c12",
+            F.round(
+                F.lit(1e6)
+                * F.log(
+                    F.col("c12").cast("double") * F.col("nd")
+                    / (F.col("df1").cast("double") * F.col("df2"))
+                )
+            )
+            .cast("long")
+            .alias("pmi_micro"),
+        )
+    )
+    return (
+        scored.select(
+            "w1", "w2", F.col("c12").cast("long").alias("n_cooccur"), "pmi_micro"
+        )
+        .orderBy(F.col("pmi_micro").desc(), "w1", "w2")
+        .limit(_PMI_TOP)
+    )

@@ -83,6 +83,9 @@ _RAW_ROUND_EXEMPT = {
     # KM hazards quantize −1e6·ln(1−d/n): irrational except d = 0, which
     # short-circuits to an exact 0 before any round().
     "events_kaplan_meier_retention",
+    # PMI quantizes 1e6·ln of a rational ratio — irrational except ratio=1,
+    # where the value is exactly 0.
+    "text_pmi_cooccurrence",
 }
 
 
