@@ -587,3 +587,66 @@ def part_abc_xyz_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_parts"),
         F.sum("rev").cast("long").alias("revenue_cents"),
     )
+
+
+@query(
+    "orders_aging_buckets",
+    oracle="""
+    WITH mx AS (SELECT MAX(o_orderdate) AS dmax FROM orders),
+    aged AS (
+      SELECT o.o_orderstatus,
+             CAST(round(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT)
+               AS cents,
+             date_diff('day', CAST(o.o_orderdate AS DATE), CAST(mx.dmax AS DATE))
+               AS age_days
+      FROM orders o CROSS JOIN mx
+      WHERE o.o_orderstatus IN ('O', 'P')
+    )
+    SELECT
+      o_orderstatus,
+      CASE WHEN age_days <= 365 THEN 'a_0_1y'
+           WHEN age_days <= 1095 THEN 'b_1_3y'
+           ELSE 'c_over_3y' END AS age_bucket,
+      CAST(COUNT(*) AS BIGINT) AS n_orders,
+      CAST(SUM(cents) AS BIGINT) AS open_cents
+    FROM aged
+    GROUP BY o_orderstatus, 2
+    """,
+    tags=("business", "aging", "receivables"),
+)
+def orders_aging_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Open-order aging report — the receivables/backlog staple: orders
+    not yet finalized ('O'/'P') bucketed by age at the observation date
+    (the max order date), with counts and open value per bucket. The
+    oldest bucket is where escalation lives.
+
+    Age is whole days between DATE-truncated endpoints (calendar-day
+    difference is TZ-independent on NTZ data and identical to DuckDB's
+    date_diff on DATEs); buckets are integer comparisons; values are
+    exact cents. The 1-row observation date broadcasts; one
+    status×bucket rollup.
+    """
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus").isin("O", "P")
+    )
+    mx = load_table(spark, sf_dir, "orders").agg(
+        F.max("o_orderdate").alias("dmax")
+    )
+    aged = o.crossJoin(F.broadcast(mx)).select(
+        "o_orderstatus",
+        F.round(F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("cents"),
+        F.datediff(
+            F.col("dmax").cast("date"), F.col("o_orderdate").cast("date")
+        ).alias("age_days"),
+    )
+    bucket = (
+        F.when(F.col("age_days") <= 365, "a_0_1y")
+        .when(F.col("age_days") <= 1095, "b_1_3y")
+        .otherwise("c_over_3y")
+    )
+    return aged.groupBy("o_orderstatus", bucket.alias("age_bucket")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("cents").cast("long").alias("open_cents"),
+    )

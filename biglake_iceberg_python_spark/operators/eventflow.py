@@ -2075,3 +2075,66 @@ def events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         "first_boundary_es",
         "last_boundary_es",
     )
+
+
+@query(
+    "events_seasonal_naive_backtest",
+    oracle=f"""
+    WITH daily AS (
+      SELECT event_type, ({_ORACLE_ES}) // {_DAY_S} AS day,
+             SUM(CAST(round(CAST(value AS DECIMAL(18,2)) * 100) AS BIGINT)) AS v
+      FROM events GROUP BY event_type, ({_ORACLE_ES}) // {_DAY_S}
+    )
+    SELECT
+      a.event_type,
+      CAST(COUNT(*) AS BIGINT) AS n_forecasts,
+      CAST(SUM(abs(a.v - f.v)) AS BIGINT) AS mae_cents_total,
+      CAST(SUM(abs(a.v - f.v)) AS DOUBLE) / COUNT(*) / 100.0 AS mae,
+      CAST(SUM(CASE WHEN abs(a.v - f.v) * 10 <= a.v THEN 1 ELSE 0 END)
+        AS BIGINT) AS n_within_10pct
+    FROM daily a JOIN daily f
+      ON f.event_type = a.event_type AND f.day = a.day - 7
+    GROUP BY a.event_type
+    """,
+    tags=("events", "forecasting", "backtest"),
+)
+def events_seasonal_naive_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive forecast backtest: predict each day's spend with the
+    value from seven days earlier and score the error — the baseline
+    every forecasting model must beat before it earns compute, and the
+    honest way to quantify how forecastable a metric even is.
+
+    The forecast join is the daily table against itself at lag 7 (the
+    ACF query's pairing, repurposed); absolute errors are exact integer
+    cents, MAE divides once, and the within-10% hit counter is an integer
+    cross-multiplication (|err|·10 ≤ actual). All work is over the daily
+    rollup.
+    """
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        (F.expr(_ES).cast("long") / _DAY_S).cast("long").alias("day"),
+        F.round(F.col("value").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("cents"),
+    )
+    daily = e.groupBy("event_type", "day").agg(F.sum("cents").alias("v"))
+    a = daily.alias("a")
+    f_ = daily.alias("f")
+    joined = a.join(
+        f_,
+        (F.col("f.event_type") == F.col("a.event_type"))
+        & (F.col("f.day") == F.col("a.day") - 7),
+    ).select(
+        F.col("a.event_type").alias("event_type"),
+        F.col("a.v").alias("actual"),
+        F.col("f.v").alias("forecast"),
+    )
+    err = F.abs(F.col("actual") - F.col("forecast"))
+    return joined.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_forecasts"),
+        F.sum(err).cast("long").alias("mae_cents_total"),
+        (F.sum(err).cast("double") / F.count(F.lit(1)) / F.lit(100.0)).alias(
+            "mae"
+        ),
+        F.count(F.when(err * 10 <= F.col("actual"), 1)).alias("n_within_10pct"),
+    )
