@@ -124,6 +124,20 @@ SHOWCASES = {
     "explode sits ABOVE the daily rollup aggregate, so the expansion is "
     "over user-days (≪ events) and integer-literal weights keep the "
     "weighted sums exact.",
+    "dedup_substring_spans": "Distributed substring dedup: positional "
+    "K-shingle fingerprints generate MAP-SIDE from the token array (no "
+    "window, no self-join), one shuffle groups 32-hex fingerprints, "
+    "positions join back on the same key, and the per-doc interval merge "
+    "is a lag-gap window — shuffles carry hashes and integer positions, "
+    "never text.",
+    "events_peak_concurrency": "Sweep-line concurrency: sessions emit "
+    "+1/−1 boundary rows, the global running sum counts live sessions — "
+    "the O(sessions²) interval self-join never exists; the boundary "
+    "window covers 2×sessions rows, not events.",
+    "curate_incremental_ingest_bloom": "Bloom-prefiltered dedup: the "
+    "history fingerprint set collapses to a broadcast bit array; "
+    "bloom-negative arrivals (definitely new) never reach the join, and "
+    "the possible-duplicate sliver joins a broadcast history side.",
 }
 
 
