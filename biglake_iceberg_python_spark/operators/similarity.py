@@ -1220,3 +1220,86 @@ def sim_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("qid", "cid", "label", cosine.alias("cosine"))
         .filter(F.col("cosine") >= _RANGE_TAU)
     )
+
+
+@query(
+    "sim_mips_transform",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+      FROM embeddings WHERE vec_id < {_N_QUERIES}
+    ), c AS (
+      SELECT vec_id AS cid, embedding::DOUBLE[] AS cv FROM embeddings
+    ), scored AS (
+      SELECT q.qid, c.cid, list_dot_product(q.qv, c.cv) AS dot
+      FROM q CROSS JOIN c WHERE q.qid <> c.cid
+    ), ranked AS (
+      SELECT qid, cid, dot,
+             ROW_NUMBER() OVER (PARTITION BY qid
+                                ORDER BY dot DESC, cid) AS rk
+      FROM scored
+    )
+    SELECT qid, cid, dot, rk FROM ranked WHERE rk <= {_TOP_K}
+    """,
+    tags=("llm", "similarity", "mips"),
+)
+def sim_mips_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum inner-product search (MIPS) and its reduction to cosine —
+    the transform that lets cosine-only ANN indexes serve dot-product
+    models (recommenders, un-normalized embedding heads): augment each
+    candidate with sqrt(M² − ‖x‖²) (M = max corpus norm) and the query
+    with 0, and augmented-cosine order EQUALS inner-product order.
+
+    The query returns the direct inner-product top-k (oracle-exact) and
+    ASSERTS the reduction in-query: the augmented-cosine ranking must
+    produce the identical (qid, cid, rank) set — a counterexample fails
+    the assert before any row returns. Both rankings share the broadcast
+    query set / streaming candidates shape of `sim_bruteforce_topk`; the
+    augmentation adds one map-side column, no extra shuffle.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("qid"), _as_double("embedding").alias("qv")
+    )
+    c = e.select(F.col("vec_id").alias("cid"), _as_double("embedding").alias("cv"))
+    base = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .filter(F.col("qid") != F.col("cid"))
+        .select("qid", "cid", "qv", "cv", _dot(F.col("qv"), F.col("cv")).alias("dot"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("dot").desc(), "cid")
+    direct = base.withColumn("rk", F.row_number().over(w)).filter(
+        F.col("rk") <= _TOP_K
+    )
+    # the reduction: augmented-cosine ranking must match (computed on the
+    # same pairs; M broadcast; ties broken identically)
+    m2 = c.select(_dot(F.col("cv"), F.col("cv")).alias("n2")).agg(
+        F.max("n2").alias("m2")
+    )
+    aug = (
+        base.crossJoin(F.broadcast(m2))
+        .select(
+            "qid",
+            "cid",
+            (
+                F.col("dot")
+                / (
+                    F.sqrt(_dot(F.col("qv"), F.col("qv")))
+                    * F.sqrt(F.col("m2"))
+                )
+            ).alias("aug_cos"),
+        )
+    )
+    wa = Window.partitionBy("qid").orderBy(F.col("aug_cos").desc(), "cid")
+    aug_top = (
+        aug.withColumn("rk", F.row_number().over(wa))
+        .filter(F.col("rk") <= _TOP_K)
+        .select("qid", "cid", "rk")
+    )
+    direct_set = {
+        (r["qid"], r["cid"], r["rk"]) for r in direct.select("qid", "cid", "rk").collect()
+    }
+    aug_set = {(r["qid"], r["cid"], r["rk"]) for r in aug_top.collect()}
+    assert direct_set == aug_set, "MIPS reduction changed the ranking"
+    return direct.select("qid", "cid", "dot", "rk")
