@@ -100,6 +100,12 @@ def test_query_results_partition_invariant(spark, sf_dir):
         "customer_gini_spend",      # rank-weighted integer sums
         "dedup_substring_spans",    # fingerprint join + interval merge
         "graph_pagerank",           # quantized iterative contributions
+        "events_bootstrap_ci_daily_mean",  # md5-resample order statistics
+        "events_anova_hour_of_week",       # floored SSB terms
+        "events_changepoint_cusum",        # n-scaled integer cusum
+        "events_ratio_metric_delta_ci",    # decimal cross-moments
+        "supplier_concentration_hhi",      # picounit-quantized shares
+        "events_peak_concurrency",         # sweep-line running sum
     ]
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     try:
