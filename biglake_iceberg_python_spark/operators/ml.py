@@ -456,3 +456,63 @@ def ml_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
         "component int, eigenvalue double, explained_ratio double, "
         "top_dim int, top_loading double",
     )
+
+
+_CORESET_K = 8
+
+
+@query(
+    "ml_coreset_kcenter",
+    oracle=None,  # iterative argmax selection has no SQL fixpoint;
+    # determinism, radius monotonicity, and coverage invariants are
+    # asserted in tests/test_operators.py.
+    tags=("llm", "ml", "coreset", "data-pruning"),
+)
+def ml_coreset_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy k-center coreset selection — the data-pruning primitive that
+    picks a small set of maximally spread exemplars (each new center is
+    the point FARTHEST from all chosen so far): the classic 2-approximate
+    cover used to subsample embedding corpora before expensive labeling
+    or training.
+
+    Distributed shape: the running min-distance-to-centers column updates
+    with ONE map-side pass per round (new center broadcast as a literal
+    array; `least(dist_so_far, dist_to_new)`), and the argmax row is a
+    1-row reduce — k rounds total, each a single scan with a scalar to
+    the driver (the PageRank/Lloyd loop discipline). Ties break on
+    vec_id, the seed is the fixed vec_id 0, and distances are exact
+    float64 folds, so selection is deterministic across engines, reruns,
+    and layouts.
+
+    Output: the k centers in selection order with the coverage radius
+    (max over corpus of distance to nearest center) AFTER each pick —
+    the radius curve is the coreset's quality certificate.
+    """
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    first = e.filter(F.col("vec_id") == 0).select("v").first()
+    centers = [(0, [float(x) for x in first["v"]])]
+    sq = lambda a, b: F.aggregate(  # noqa: E731
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    cur = e.withColumn(
+        "d2", sq(F.col("v"), F.array(*[F.lit(x) for x in centers[0][1]]))
+    ).localCheckpoint(eager=True)
+    rows = []
+    for _ in range(_CORESET_K - 1):
+        far = cur.orderBy(F.col("d2").desc(), "vec_id").first()
+        rows.append((centers[-1][0], float(far["d2"])))  # radius after prev pick
+        centers.append((int(far["vec_id"]), [float(x) for x in far["v"]]))
+        new_c = F.array(*[F.lit(x) for x in centers[-1][1]])
+        cur = cur.withColumn(
+            "d2", F.least(F.col("d2"), sq(F.col("v"), new_c))
+        ).localCheckpoint(eager=True)
+    final_radius = cur.agg(F.max("d2").alias("m")).first()["m"]
+    rows.append((centers[-1][0], float(final_radius)))
+    return spark.createDataFrame(
+        [(i + 1, cid, r) for i, (cid, r) in enumerate(rows)],
+        "pick int, center_vec_id long, radius_sq_after double",
+    )

@@ -1027,3 +1027,18 @@ def test_compression_ratio_deterministic_and_sane(spark, sf_dir):
             r["n_too_repetitive"] + r["n_too_random"] + r["n_kept"]
         )
         assert 0 < r["compressed_bytes"] <= r["raw_bytes"] + 64 * r["n_docs"]
+
+
+def test_coreset_kcenter_invariants(spark, sf_dir):
+    """Greedy k-center: coverage radius is non-increasing as centers are
+    added, centers are distinct, the seed is pinned, and reruns are
+    bit-identical."""
+    rows1 = REGISTRY["ml_coreset_kcenter"].fn(spark, sf_dir).collect()
+    assert [r["pick"] for r in rows1] == list(range(1, len(rows1) + 1))
+    assert rows1[0]["center_vec_id"] == 0  # fixed seed
+    ids = [r["center_vec_id"] for r in rows1]
+    assert len(set(ids)) == len(ids)
+    radii = [r["radius_sq_after"] for r in rows1]
+    assert all(a >= b - 1e-12 for a, b in zip(radii, radii[1:])), radii
+    rows2 = REGISTRY["ml_coreset_kcenter"].fn(spark, sf_dir).collect()
+    assert [tuple(r) for r in rows1] == [tuple(r) for r in rows2]
