@@ -495,3 +495,78 @@ def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cand.select(
         "doc_a", "doc_b", hamming.cast("long").alias("hamming")
     ).filter(F.col("hamming") <= _PHASH_MAX_HAMMING)
+
+
+@query(
+    "multimodal_content_sniff_audit",
+    oracle="""
+    WITH tagged AS (
+      SELECT doc_id,
+        CASE WHEN doc_id % 11 = 0 THEN 'png' || text
+             WHEN doc_id % 7 = 0 THEN 'riff' || text
+             WHEN doc_id % 5 = 0 THEN 'jpg' || text
+             ELSE text END AS body,
+        CASE WHEN doc_id % 3 = 0 THEN 'image/png' ELSE 'text/plain' END
+          AS declared_mime
+      FROM documents
+    ), sniffed AS (
+      SELECT doc_id, declared_mime,
+        CASE WHEN body LIKE 'png%' THEN 'image/png'
+             WHEN body LIKE 'riff%' THEN 'audio/wav'
+             WHEN body LIKE 'jpg%' THEN 'image/jpeg'
+             ELSE 'text/plain' END AS sniffed_mime
+      FROM tagged
+    )
+    SELECT
+      declared_mime,
+      sniffed_mime,
+      CAST(COUNT(*) AS BIGINT) AS n_payloads,
+      CAST(COUNT(*) FILTER (WHERE declared_mime <> sniffed_mime) AS BIGINT)
+        AS n_mismatched
+    FROM sniffed
+    GROUP BY declared_mime, sniffed_mime
+    """,
+    tags=("llm", "multimodal", "content-sniffing", "safety"),
+)
+def multimodal_content_sniff_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-type sniffing audit — the ingestion safety check that
+    catches payloads whose MAGIC BYTES contradict their declared MIME
+    (mislabeled uploads, polyglot files, extension spoofing): detect the
+    true type from leading bytes and cross-tabulate against the declared
+    type; every off-diagonal cell is a quarantine candidate.
+
+    The corpus has no real media, so deterministic marker prefixes and
+    declared types are injected in-query by the same expression on both
+    engines (the PII/URL injection pattern) — the machinery under test
+    (prefix dispatch over payload bytes, declared-vs-detected
+    cross-tab) is the production path, a pure map over the scan plus a
+    tiny cross-tab rollup. On real BinaryType payloads the LIKE dispatch
+    becomes `substring(payload, 1, 4)` against magic-byte literals —
+    identical plan shape.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    body = (
+        F.when(did % 11 == 0, F.concat(F.lit("png"), F.col("text")))
+        .when(did % 7 == 0, F.concat(F.lit("riff"), F.col("text")))
+        .when(did % 5 == 0, F.concat(F.lit("jpg"), F.col("text")))
+        .otherwise(F.col("text"))
+    )
+    declared = F.when(did % 3 == 0, F.lit("image/png")).otherwise(
+        F.lit("text/plain")
+    )
+    tagged = d.select(body.alias("body"), declared.alias("declared_mime"))
+    sniffed = tagged.select(
+        "declared_mime",
+        F.when(F.col("body").startswith("png"), "image/png")
+        .when(F.col("body").startswith("riff"), "audio/wav")
+        .when(F.col("body").startswith("jpg"), "image/jpeg")
+        .otherwise("text/plain")
+        .alias("sniffed_mime"),
+    )
+    return sniffed.groupBy("declared_mime", "sniffed_mime").agg(
+        F.count(F.lit(1)).alias("n_payloads"),
+        F.count(
+            F.when(F.col("declared_mime") != F.col("sniffed_mime"), 1)
+        ).alias("n_mismatched"),
+    )
