@@ -1647,3 +1647,126 @@ def curate_incremental_ingest_bloom(spark: SparkSession, sf_dir: str) -> DataFra
             F.when((F.col("rn") == 1) & F.col("in_hist").isNull(), 1)
         ).alias("n_ingested"),
     )
+
+
+@query(
+    "pipeline_release_gate",
+    oracle=f"""
+    WITH {_oracle_url_canon_cte()},
+    urldup AS (
+      SELECT source, COUNT(*) AS n_raw,
+             COUNT(*) - COUNT(DISTINCT canonical_url) AS n_dup
+      FROM canon GROUP BY source
+    ), kanon AS (
+      SELECT source, COUNT(*) AS n_violating FROM (
+        SELECT source, lang,
+               (n_chars // {_KANON_CHARS_BUCKET}) * {_KANON_CHARS_BUCKET} AS cb,
+               COUNT(*) AS cls
+        FROM documents GROUP BY source, lang, cb
+      ) WHERE cls < {_KANON_K}
+      GROUP BY source
+    ), sniff AS (
+      SELECT source, COUNT(*) AS n_mismatch FROM (
+        SELECT source,
+          CASE WHEN doc_id % 3 = 0 THEN 'image/png' ELSE 'text/plain' END
+            AS declared,
+          CASE WHEN doc_id % 11 = 0 THEN 'image/png'
+               WHEN doc_id % 7 = 0 THEN 'audio/wav'
+               WHEN doc_id % 5 = 0 THEN 'image/jpeg'
+               ELSE 'text/plain' END AS sniffed
+        FROM documents
+      ) WHERE declared <> sniffed
+      GROUP BY source
+    )
+    SELECT
+      u.source,
+      CAST(u.n_raw AS BIGINT) AS n_docs,
+      CAST(u.n_dup AS BIGINT) AS url_dups,
+      CAST(COALESCE(k.n_violating, 0) AS BIGINT) AS kanon_violations,
+      CAST(COALESCE(s.n_mismatch, 0) AS BIGINT) AS mime_mismatches,
+      CASE WHEN u.n_dup * 10 <= u.n_raw * 3
+            AND COALESCE(s.n_mismatch, 0) * 10 <= u.n_raw * 4
+           THEN 1 ELSE 0 END AS release_ok
+    FROM urldup u
+    LEFT JOIN kanon k ON u.source = k.source
+    LEFT JOIN sniff s ON u.source = s.source
+    """,
+    tags=("llm", "curation", "pipeline", "release-gate"),
+)
+def pipeline_release_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The RELEASE GATE — the per-source scorecard a dataset ships or
+    blocks on, composing this round's safety battery in one dataflow:
+    URL-duplicate rate (canonicalization), k-anonymity violations
+    (quasi-identifier classes under k WITHIN the source), and magic-byte
+    MIME mismatches, plus the release decision itself (dup rate ≤ 30%
+    and mismatch rate ≤ 40% — thresholds as integer
+    cross-multiplications). The ORACLE ENCODES THE DECISION RULE, so a
+    gate that drifts on any signal or on the rule flips its hash — the
+    `lakehouse_write_audit_publish` discipline applied to corpus release.
+
+    All three signals are map-side classifications plus small-key
+    rollups; the scorecard join carries |sources| rows.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    canon = _spark_url_canon(d)
+    urldup = canon.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_raw"),
+        (F.count(F.lit(1)) - F.count_distinct("canonical_url")).alias("n_dup"),
+    )
+    kanon = (
+        d.select(
+            "source",
+            "lang",
+            (
+                F.floor(F.col("n_chars") / _KANON_CHARS_BUCKET)
+                * _KANON_CHARS_BUCKET
+            ).alias("cb"),
+        )
+        .groupBy("source", "lang", "cb")
+        .agg(F.count(F.lit(1)).alias("cls"))
+        .filter(F.col("cls") < _KANON_K)
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_violating"))
+    )
+    did = F.col("doc_id")
+    declared = F.when(did % 3 == 0, F.lit("image/png")).otherwise(
+        F.lit("text/plain")
+    )
+    sniffed = (
+        F.when(did % 11 == 0, F.lit("image/png"))
+        .when(did % 7 == 0, F.lit("audio/wav"))
+        .when(did % 5 == 0, F.lit("image/jpeg"))
+        .otherwise(F.lit("text/plain"))
+    )
+    sniff = (
+        d.select("source", declared.alias("dm"), sniffed.alias("sm"))
+        .filter(F.col("dm") != F.col("sm"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_mismatch"))
+    )
+    joined = (
+        urldup.join(F.broadcast(kanon), "source", "left")
+        .join(F.broadcast(sniff), "source", "left")
+        .select(
+            "source",
+            F.col("n_raw").cast("long").alias("n_docs"),
+            F.col("n_dup").cast("long").alias("url_dups"),
+            F.coalesce(F.col("n_violating"), F.lit(0))
+            .cast("long")
+            .alias("kanon_violations"),
+            F.coalesce(F.col("n_mismatch"), F.lit(0))
+            .cast("long")
+            .alias("mime_mismatches"),
+            F.when(
+                (F.col("n_dup") * 10 <= F.col("n_raw") * 3)
+                & (
+                    F.coalesce(F.col("n_mismatch"), F.lit(0)) * 10
+                    <= F.col("n_raw") * 4
+                ),
+                1,
+            )
+            .otherwise(0)
+            .alias("release_ok"),
+        )
+    )
+    return joined
