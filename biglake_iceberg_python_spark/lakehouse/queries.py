@@ -1877,3 +1877,97 @@ def lakehouse_metadata_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             rows, "snapshot_id int, operation string, meta_rows long"
         )
         return out.localCheckpoint(eager=True)
+
+
+@query(
+    "lakehouse_incremental_matview_join",
+    oracle="""
+    SELECT
+      c.c_mktsegment,
+      CAST(COUNT(*) AS BIGINT) AS n_orders,
+      CAST(SUM(CAST(round(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100)
+               AS BIGINT)) AS BIGINT) AS total_cents
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+    tags=("lakehouse", "matview", "incremental", "join"),
+)
+def lakehouse_incremental_matview_join(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Incremental maintenance of a JOIN view — the delta-join algebra
+    that completes IVM beyond aggregates (`lakehouse_incremental_matview`
+    handles the monoid half): with both sides append-only, the view's
+    delta is ΔA⋈B_old ∪ A_old⋈ΔB ∪ ΔA⋈ΔB — three joins whose inputs are
+    delta-sized on at least one side, never a full A⋈B recompute.
+
+    Script: seed orders (years <1998) and half the customers, materialize
+    the joined rollup; then append the remaining orders AND customers in
+    one refresh cycle and fold ONLY the three delta terms into the view.
+    The oracle is the full join on the FINAL tables, so a missing delta
+    term (the classic IVM bug — forgetting ΔA⋈ΔB) breaks the hash.
+    Aggregation state is exact integer cents, so incremental ⊕ equals
+    recompute bit-for-bit. At 100 TB: refresh cost is O(Δ·matched) and
+    the delta sides broadcast; history never rescans.
+    """
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"
+    )
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    cents = F.round(F.col("o_totalprice").cast("decimal(18,2)") * 100).cast(
+        "long"
+    )
+
+    def agg_join(orders_df: DataFrame, cust_df: DataFrame) -> DataFrame:
+        return (
+            orders_df.join(cust_df, orders_df["o_custkey"] == cust_df["c_custkey"])
+            .groupBy("c_mktsegment")
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.sum(cents).alias("total_cents"),
+            )
+        )
+
+    with tempfile.TemporaryDirectory(prefix="lh_ivmj_") as root:
+        src_o = SnapshotTable(spark, os.path.join(root, "o"))
+        src_c = SnapshotTable(spark, os.path.join(root, "c"))
+        mv = SnapshotTable(spark, os.path.join(root, "mv"))
+        o_old_id = src_o.write(o.filter(F.year("o_orderdate") < 1998))
+        c_old_id = src_c.write(c.filter(F.col("c_custkey") % 2 == 0))
+        mv.write(agg_join(src_o.read(), src_c.read()))
+
+        o_new_id = src_o.write(o.filter(F.year("o_orderdate") >= 1998))
+        c_new_id = src_c.write(c.filter(F.col("c_custkey") % 2 == 1))
+
+        d_o = src_o.read_incremental(o_old_id, o_new_id)
+        d_c = src_c.read_incremental(c_old_id, c_new_id)
+        a_old = src_o.read(o_old_id)
+        b_old = src_c.read(c_old_id)
+        delta_view = (
+            agg_join(d_o, b_old)
+            .unionAll(agg_join(a_old, d_c))
+            .unionAll(agg_join(d_o, d_c))
+            .groupBy("c_mktsegment")
+            .agg(
+                F.sum("n_orders").alias("n_orders"),
+                F.sum("total_cents").alias("total_cents"),
+            )
+        )
+        merged = (
+            mv.read()
+            .unionAll(delta_view)
+            .groupBy("c_mktsegment")
+            .agg(
+                F.sum("n_orders").alias("n_orders"),
+                F.sum("total_cents").alias("total_cents"),
+            )
+        )
+        mv.write(merged, mode="overwrite")
+        out = mv.read().select(
+            "c_mktsegment",
+            F.col("n_orders").cast("long").alias("n_orders"),
+            F.col("total_cents").cast("long").alias("total_cents"),
+        )
+        return out.localCheckpoint(eager=True)
