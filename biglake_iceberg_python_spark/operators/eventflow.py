@@ -2138,3 +2138,78 @@ def events_seasonal_naive_backtest(spark: SparkSession, sf_dir: str) -> DataFram
         ),
         F.count(F.when(err * 10 <= F.col("actual"), 1)).alias("n_within_10pct"),
     )
+
+
+@query(
+    "cohort_ltv_curve",
+    oracle=f"""
+    WITH e AS (
+      SELECT user_id, ({_ORACLE_ES}) // {_WEEK_S} AS w,
+             CAST(round(CAST(value AS DECIMAL(18,2)) * 100) AS BIGINT) AS cents
+      FROM events WHERE event_type = 'purchase'
+    ), cohort AS (
+      SELECT user_id, MIN(w) AS cw FROM e GROUP BY user_id
+    ), wk AS (
+      SELECT c.cw, e.w - c.cw AS off, SUM(e.cents) AS rev,
+             COUNT(DISTINCT e.user_id) AS active
+      FROM e JOIN cohort c ON e.user_id = c.user_id
+      GROUP BY c.cw, e.w - c.cw
+    ), sized AS (
+      SELECT cw, COUNT(*) AS cohort_size FROM cohort GROUP BY cw
+    )
+    SELECT
+      CAST(wk.cw AS BIGINT) AS cohort_week,
+      CAST(wk.off AS BIGINT) AS week_offset,
+      CAST(s.cohort_size AS BIGINT) AS cohort_size,
+      CAST(wk.active AS BIGINT) AS active_users,
+      CAST(SUM(wk.rev) OVER (PARTITION BY wk.cw ORDER BY wk.off
+           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_revenue_cents
+    FROM wk JOIN sized s ON wk.cw = s.cw
+    """,
+    tags=("events", "cohort", "ltv"),
+)
+def cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curves — the revenue layer on the retention
+    triangle (`cohort_retention` counts who returns; this accumulates
+    what they SPEND): per first-purchase-week cohort, cumulative revenue
+    by week offset alongside cohort size and active users — the payback
+    curve acquisition spend is judged against.
+
+    Purchase cents are exact integers; the cumulative window runs per
+    cohort over |offsets| rows (weeks, not events); all joins and both
+    rollups key on user/cohort keys the distinct pass already
+    established. The retention triangle, monetary column, and LTV window
+    share one dataflow.
+    """
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    ).select(
+        "user_id",
+        (F.expr(_ES).cast("long") / _WEEK_S).cast("long").alias("w"),
+        F.round(F.col("value").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("cents"),
+    )
+    cohort = e.groupBy("user_id").agg(F.min("w").alias("cw"))
+    wk = (
+        e.join(cohort, "user_id")
+        .groupBy("cw", (F.col("w") - F.col("cw")).alias("off"))
+        .agg(
+            F.sum("cents").alias("rev"),
+            F.count_distinct("user_id").alias("active"),
+        )
+    )
+    sized = cohort.groupBy("cw").agg(F.count(F.lit(1)).alias("cohort_size"))
+    wc = Window.partitionBy("cw").orderBy("off").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        wk.join(F.broadcast(sized), "cw")
+        .select(
+            F.col("cw").cast("long").alias("cohort_week"),
+            F.col("off").cast("long").alias("week_offset"),
+            F.col("cohort_size").cast("long").alias("cohort_size"),
+            F.col("active").cast("long").alias("active_users"),
+            F.sum("rev").over(wc).cast("long").alias("cum_revenue_cents"),
+        )
+    )
