@@ -670,3 +670,96 @@ def sql_values_inline(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY t.region_code, r.r_name
         """
     )
+
+
+@query(
+    "util_table_reconcile",
+    oracle="""
+    WITH src AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+      WHERE o_orderkey % 97 <> 0          -- rows "lost" by the migration
+    ), dst AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 89 = 0 THEN 'X'
+                  ELSE o_orderstatus END AS o_orderstatus,
+             CASE WHEN o_orderkey % 101 = 0 THEN o_totalprice + 0.5
+                  ELSE o_totalprice END AS o_totalprice
+      FROM orders
+      WHERE o_orderkey % 103 <> 0         -- rows the migration dropped
+    )
+    SELECT
+      CAST(COUNT(*) FILTER (WHERE s.o_orderkey IS NOT NULL
+                              AND d.o_orderkey IS NOT NULL) AS BIGINT)
+        AS n_both,
+      CAST(COUNT(*) FILTER (WHERE d.o_orderkey IS NULL) AS BIGINT)
+        AS n_only_source,
+      CAST(COUNT(*) FILTER (WHERE s.o_orderkey IS NULL) AS BIGINT)
+        AS n_only_dest,
+      CAST(COUNT(*) FILTER (WHERE s.o_orderkey IS NOT NULL
+                              AND d.o_orderkey IS NOT NULL
+                              AND s.o_orderstatus <> d.o_orderstatus) AS BIGINT)
+        AS status_mismatches,
+      CAST(COUNT(*) FILTER (WHERE s.o_orderkey IS NOT NULL
+                              AND d.o_orderkey IS NOT NULL
+                              AND s.o_totalprice <> d.o_totalprice) AS BIGINT)
+        AS price_mismatches
+    FROM src s FULL OUTER JOIN dst d ON s.o_orderkey = d.o_orderkey
+    """,
+    tags=("util", "reconciliation", "migration"),
+)
+def util_table_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-system table reconciliation — the migration sign-off report:
+    a full-outer key join of source vs destination yields rows present
+    only on each side plus PER-COLUMN mismatch counts among shared keys,
+    localizing whether a migration lost rows, mangled a column, or both.
+    (`lakehouse_snapshot_diff` diffs VERSIONS of one table; this
+    reconciles two INDEPENDENT copies, the post-migration question.)
+
+    Source and destination divergences are injected in-query by the same
+    expressions on both engines (dropped keys each side, a corrupted
+    status column, a shifted price column); all counters are exact
+    integers. At 100 TB both sides project to (key, columns-under-audit)
+    before the join, and per-column hashes replace wide comparisons —
+    the snapshot-diff recipe applied across systems.
+    """
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    src = o.filter(F.col("o_orderkey") % 97 != 0)
+    dst = o.filter(F.col("o_orderkey") % 103 != 0).select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 89 == 0, F.lit("X"))
+        .otherwise(F.col("o_orderstatus"))
+        .alias("o_orderstatus"),
+        F.when(
+            F.col("o_orderkey") % 101 == 0, F.col("o_totalprice") + 0.5
+        )
+        .otherwise(F.col("o_totalprice"))
+        .alias("o_totalprice"),
+    )
+    s = src.alias("s")
+    d = dst.alias("d")
+    j = s.join(d, F.col("s.o_orderkey") == F.col("d.o_orderkey"), "full_outer")
+    sk = F.col("s.o_orderkey")
+    dk = F.col("d.o_orderkey")
+    return j.agg(
+        F.count(F.when(sk.isNotNull() & dk.isNotNull(), 1)).alias("n_both"),
+        F.count(F.when(dk.isNull(), 1)).alias("n_only_source"),
+        F.count(F.when(sk.isNull(), 1)).alias("n_only_dest"),
+        F.count(
+            F.when(
+                sk.isNotNull()
+                & dk.isNotNull()
+                & (F.col("s.o_orderstatus") != F.col("d.o_orderstatus")),
+                1,
+            )
+        ).alias("status_mismatches"),
+        F.count(
+            F.when(
+                sk.isNotNull()
+                & dk.isNotNull()
+                & (F.col("s.o_totalprice") != F.col("d.o_totalprice")),
+                1,
+            )
+        ).alias("price_mismatches"),
+    )
