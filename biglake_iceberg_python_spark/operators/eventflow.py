@@ -2213,3 +2213,84 @@ def cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("rev").over(wc).cast("long").alias("cum_revenue_cents"),
         )
     )
+
+
+@query(
+    "funnel_latency_percentiles",
+    oracle=f"""
+    WITH e AS (
+      SELECT user_id, event_type, ({_ORACLE_ES}) AS es FROM events
+    ), v AS (
+      SELECT user_id, MIN(es) AS t_view FROM e
+      WHERE event_type = 'view' GROUP BY user_id
+    ), p AS (
+      SELECT e.user_id, MIN(e.es) AS t_buy, MIN(v.t_view) AS t_view
+      FROM e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'purchase' AND e.es > v.t_view
+      GROUP BY e.user_id
+    ), lat AS (
+      SELECT user_id, t_buy - t_view AS lat_s,
+             ROW_NUMBER() OVER (ORDER BY t_buy - t_view, user_id) AS rk,
+             COUNT(*) OVER () AS n
+      FROM p
+    )
+    SELECT
+      CAST(MAX(n) AS BIGINT) AS n_converters,
+      CAST(MAX(CASE WHEN rk = (50 * n + 99) // 100 THEN lat_s END) AS BIGINT)
+        AS p50_latency_s,
+      CAST(MAX(CASE WHEN rk = (90 * n + 99) // 100 THEN lat_s END) AS BIGINT)
+        AS p90_latency_s,
+      CAST(MAX(CASE WHEN rk = (99 * n + 99) // 100 THEN lat_s END) AS BIGINT)
+        AS p99_latency_s
+    FROM lat
+    """,
+    tags=("events", "funnel", "latency", "percentiles"),
+)
+def funnel_latency_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert percentile ladder — the SLA-style readout on top of
+    the funnel's mean latency (`funnel_conversion`): the p50/p90/p99 of
+    first-view → first-purchase-after-it delay, which is what campaign
+    and UX decisions actually key on (the p99 converter waits days, not
+    the mean's hours).
+
+    Latencies are exact integer seconds; percentiles are exact lower
+    order statistics at rank ⌈q·n⌉ with integer ceiling arithmetic and a
+    user_id tiebreak — never interpolated. The rank window runs over the
+    |converters| table; raw events contribute only the two
+    min-aggregations that the funnel already established.
+    """
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.expr(_ES).cast("long").alias("es")
+    )
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("es").alias("t_view"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(v, "user_id")
+        .filter(F.col("es") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("es").alias("t_buy"), F.min("t_view").alias("t_view"))
+    )
+    lat = p.select(
+        "user_id", (F.col("t_buy") - F.col("t_view")).alias("lat_s")
+    )
+    w = Window.orderBy("lat_s", "user_id")
+    ranked = lat.select(
+        "lat_s",
+        F.row_number().over(w).alias("rk"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+    )
+    def at(q):
+        return F.max(
+            F.when(F.col("rk") == F.expr(f"({q} * n + 99) div 100"), F.col("lat_s"))
+        ).cast("long")
+
+    return ranked.agg(
+        F.max("n").cast("long").alias("n_converters"),
+        at(50).alias("p50_latency_s"),
+        at(90).alias("p90_latency_s"),
+        at(99).alias("p99_latency_s"),
+    )
