@@ -144,25 +144,19 @@ _PRIORITY_WINDOW = [
     "scalar_math",
 ]
 
-# ROUND-5 ROTATION PREP (compute fresh before editing the window):
-# after this round, the never-driver-verified set is
-#   registry − CORRECTNESS_r01 − CORRECTNESS_r03 − (this window ∩ r4 greens)
-# ≈ 100+ names: the full curation family (13), eventflow/business
-# analytics (funnel, cohort, rfm, pareto, basket, transitions, anomaly,
-# stickiness, trend, dau/wau, ewma, welch, entropy, uniques, trigrams,
-# gini), graph (pagerank, triangles), ml ×5 (incl. the PCA pair), tpch
-# Q2/Q11/Q20, the sim scale-path variants (int8, persisted IVF, PQ,
-# semantic, matryoshka, range search, hybrid RRF), text corpus stats
-# (perplexity, repetition, vocab, zipf, chunking, BPE, BM25), dedup
-# extras (containment, fuzzy, substring spans, pHash), the round-4
-# join/source additions (DPP, bloom, as-of tolerance/forward, hints,
-# XML/binaryFile/text/malformed-CSV/mergeSchema, PyDS pushdown/writer/
-# stream writer, PIT SCD2), and late lakehouse entries (WAP, incremental
-# matview, ANALYZE stats, dynamic partition overwrite).
-# Round 5 should take 50 of these (curation + eventflow + graph + ml
-# first — oldest never-verified families), keeping any r4 red row in
-# place per the "never rotate a red row out" rule; rounds 6-7 take the
-# rest.
+# ROUND-5 ROTATION PREP (numbers computed at round-4 close; recompute if
+# the registry changes):
+#   registry 304; ever-driver-verified after r1+r3: 98; r4 window: 50
+#   → never-driver-verified pool after r4 (assuming window greens): 157.
+# By family: events ×20 (the exact-moment statistics battery), agg ×16,
+# curate ×16, text ×11, lakehouse ×9, source ×9, sql ×8, sim ×7, join ×6,
+# ml ×6, dedup ×5, udf ×5, multimodal ×4, stream ×4, plus the long tail
+# (tpch Q2/Q11/Q20, graph, cohort/funnel/business singles, window_nth).
+# Round 5 should take the 50 OLDEST never-verified names first —
+# curate/eventflow/business/graph/ml families registered in rounds 2-3 —
+# before this round's additions; keep any r4 red row in place per the
+# "never rotate a red row out" rule. Rounds 6-7 absorb the remainder
+# (~107), prioritizing hash-matched queries over rows-only ones.
 
 
 def load_all() -> dict[str, QuerySpec]:
