@@ -764,3 +764,28 @@ def test_js_divergence_type_level_tables(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "text_js_divergence_sources")
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_reconcile_single_full_outer_join(spark, sf_dir):
+    """Reconciliation must be ONE key join over projected columns — no
+    cartesian, no repeated scans beyond the two sides."""
+    plan = plan_of(spark, sf_dir, "util_table_reconcile")
+    assert plan.count("FullOuter") == 1 and "SortMergeJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_attribution_windows_share_conv_partitioning(spark, sf_dir):
+    """Both attribution windows (touch count, recency rank) must ride the
+    conv_id partitioning the band join established — no third
+    data-proportional exchange."""
+    plan = plan_of(spark, sf_dir, "events_attribution_multitouch")
+    assert plan.count("Exchange hashpartitioning") <= 3
+    assert "CartesianProduct" not in plan
+
+
+def test_bootstrap_expands_daily_rollup(spark, sf_dir):
+    """The B×n draw expansion must sit above the daily rollup aggregate
+    (cover-set over user-days, never raw events)."""
+    plan = plan_of(spark, sf_dir, "events_bootstrap_ci_daily_mean")
+    gen = plan.index("Generate explode")
+    assert "HashAggregate" in plan[gen:], plan
