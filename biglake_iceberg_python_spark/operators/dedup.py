@@ -731,3 +731,78 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_spans",
         "dup_tokens",
     )
+
+
+_TRGM_NUM, _TRGM_DEN = 4, 10  # similarity threshold 0.4 as a ratio
+
+
+@query(
+    "dedup_trigram_similarity",
+    oracle=f"""
+    WITH t AS (
+      SELECT p_partkey, p_brand, p_size, p_name,
+             list_distinct(list_transform(
+               generate_series(1, length(p_name) - 2),
+               i -> substr(p_name, i, 3))) AS tg
+      FROM part
+    ), pairs AS (
+      SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+             a.p_name AS name_a, b.p_name AS name_b,
+             len(list_intersect(a.tg, b.tg)) AS n_inter,
+             len(a.tg) + len(b.tg) - len(list_intersect(a.tg, b.tg)) AS n_union
+      FROM t a JOIN t b
+        ON a.p_brand = b.p_brand AND a.p_size = b.p_size
+       AND a.p_partkey < b.p_partkey
+    )
+    SELECT key_a, key_b, name_a, name_b,
+           CAST(n_inter AS BIGINT) AS n_inter,
+           CAST(n_union AS BIGINT) AS n_union
+    FROM pairs
+    WHERE n_inter * {_TRGM_DEN} >= n_union * {_TRGM_NUM}
+    """,
+    tags=("llm", "dedup", "fuzzy", "trigram"),
+)
+def dedup_trigram_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trigram-set similarity — the OTHER fuzzy-matching primitive beside
+    edit distance (`dedup_fuzzy_levenshtein`): pg_trgm's indexable measure
+    |trigrams∩| / |trigrams∪|, which unlike Levenshtein decomposes into
+    set operations a posting index can serve. Near-identical part names
+    within a (brand, size) block pair up at similarity ≥ {n}/{d}.
+
+    Trigram sets build in codegen (sequence + transform + distinct — no
+    explode), candidate pairs come from the same equi-join blocking as
+    the Levenshtein variant, and the threshold is the integer
+    cross-multiplication n_inter·{d} ≥ n_union·{n} — set sizes are exact
+    integers so the pair list hash-matches.
+    """
+    p = load_table(spark, sf_dir, "part")
+    tg = F.array_distinct(
+        F.expr(
+            "transform(sequence(1, length(p_name) - 2),"
+            " i -> substring(p_name, i, 3))"
+        )
+    )
+    t = p.select("p_partkey", "p_brand", "p_size", "p_name", tg.alias("tg"))
+    a = t.alias("a")
+    b = t.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.tg"), F.col("b.tg")))
+    uni = F.size(F.col("a.tg")) + F.size(F.col("b.tg")) - inter
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.p_brand") == F.col("b.p_brand"))
+            & (F.col("a.p_size") == F.col("b.p_size"))
+            & (F.col("a.p_partkey") < F.col("b.p_partkey")),
+        )
+        .select(
+            F.col("a.p_partkey").alias("key_a"),
+            F.col("b.p_partkey").alias("key_b"),
+            F.col("a.p_name").alias("name_a"),
+            F.col("b.p_name").alias("name_b"),
+            inter.cast("long").alias("n_inter"),
+            uni.cast("long").alias("n_union"),
+        )
+    )
+    return pairs.filter(
+        F.col("n_inter") * _TRGM_DEN >= F.col("n_union") * _TRGM_NUM
+    )
