@@ -650,3 +650,62 @@ def orders_aging_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         F.sum("cents").cast("long").alias("open_cents"),
     )
+
+
+@query(
+    "customer_theil_index",
+    oracle="""
+    WITH s AS (
+      SELECT o_custkey,
+             SUM(CAST(round(CAST(o_totalprice AS DECIMAL(18,2)) * 100)
+                 AS BIGINT)) AS cents
+      FROM orders GROUP BY o_custkey
+    ), tot AS (SELECT SUM(cents) AS t, COUNT(*) AS n FROM s)
+    SELECT
+      CAST(tot.n AS BIGINT) AS n_customers,
+      CAST(SUM(CASE WHEN s.cents = 0 THEN 0
+               ELSE CAST(round(1e6 * (CAST(s.cents AS DOUBLE) / tot.t)
+                          * ln(CAST(s.cents AS DOUBLE) * tot.n / tot.t))
+                    AS BIGINT) END) AS BIGINT) AS theil_micro_nats
+    FROM s CROSS JOIN tot
+    GROUP BY tot.n
+    """,
+    tags=("business", "inequality", "theil"),
+)
+def customer_theil_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil T index of customer spend — the third inequality lens beside
+    Gini (rank-based) and HHI (quadratic): Theil is the ENTROPY-based
+    measure, and the only one of the three that decomposes additively
+    into between-group + within-group terms (the property segmentation
+    analyses exploit).
+
+    Each share·ln(share·n) term quantizes to integer micro-nats before
+    the sum (the perplexity recipe; ln of a rational is irrational except
+    at share = 1/n where the term is exactly 0) — so the summed index is
+    exact int64. One customer-grain shuffle plus a broadcast totals row,
+    identical shape to the HHI query it complements.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice").cast("decimal(18,2)") * 100).cast(
+        "long"
+    )
+    s = o.select("o_custkey", cents.alias("cents")).groupBy("o_custkey").agg(
+        F.sum("cents").alias("cents")
+    )
+    tot = s.agg(F.sum("cents").alias("t"), F.count(F.lit(1)).alias("n"))
+    share = F.col("cents").cast("double") / F.col("t")
+    term = F.when(F.col("cents") == 0, F.lit(0)).otherwise(
+        F.round(
+            F.lit(1e6)
+            * share
+            * F.log(F.col("cents").cast("double") * F.col("n") / F.col("t"))
+        ).cast("long")
+    )
+    return (
+        s.crossJoin(F.broadcast(tot))
+        .groupBy("n")
+        .agg(F.sum(term).cast("long").alias("theil_micro_nats"))
+        .select(
+            F.col("n").cast("long").alias("n_customers"), "theil_micro_nats"
+        )
+    )

@@ -86,6 +86,9 @@ _RAW_ROUND_EXEMPT = {
     # PMI quantizes 1e6·ln of a rational ratio — irrational except ratio=1,
     # where the value is exactly 0.
     "text_pmi_cooccurrence",
+    # Theil terms quantize share·ln(share·n): irrational except share=1/n,
+    # where the term is exactly 0.
+    "customer_theil_index",
 }
 
 
