@@ -60,14 +60,23 @@ def main() -> int:
     # Streaming queries re-stage files and run 6 micro-batches per pass;
     # their run-to-run spread is large (builder-measured 2.7-25.7s for the
     # same query), so a single sample chases noise. Median-of-3 per
-    # streaming query; batch queries stay single-run (spread is small and
-    # 3x-ing the whole suite would slow the feedback loop).
+    # streaming query. The heaviest BATCH rows get median-of-3 too (round-4
+    # verdict: their ±0.05-0.3s single-sample noise kept generating false
+    # regression flags round-over-round); the remaining batch rows stay
+    # single-run so the feedback loop stays fast.
     _STREAM_RUNS = 3
+    _SLOW_BATCH = {
+        "graph_pagerank",
+        "dedup_minhash_lsh",
+        "dedup_substring_spans",
+        "pricing_summary",
+        "tpch_q21_waiting_supplier",
+    }
     timings: dict[str, float] = {}
     spreads: dict[str, dict[str, float]] = {}
     for name in names:
         spec = registry[name]
-        runs = _STREAM_RUNS if "streaming" in spec.tags else 1
+        runs = _STREAM_RUNS if ("streaming" in spec.tags or name in _SLOW_BATCH) else 1
         samples: list[float] = []
         n = 0
         for _ in range(runs):
@@ -98,7 +107,12 @@ def main() -> int:
         "sf": sf,
     }
     if spreads:
-        out["streaming_spread"] = spreads
+        out["streaming_spread"] = {
+            k: v for k, v in spreads.items() if "streaming" in registry[k].tags
+        }
+        out["slow_batch_spread"] = {
+            k: v for k, v in spreads.items() if k in _SLOW_BATCH
+        }
     print(json.dumps(out))
     return 0
 

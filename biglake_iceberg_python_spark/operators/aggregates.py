@@ -1086,9 +1086,12 @@ def agg_corr_covar(spark: SparkSession, sf_dir: str) -> DataFrame:
         + 2.0 * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
               * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
               * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)))
-      / pow(CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)
+      / ((CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)
             - (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
-            * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)), 1.5)
+            * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)))
+         * sqrt(CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)
+            - (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+            * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))))
         AS skewness,
       (CAST(s4 AS DOUBLE) / CAST(n AS DOUBLE)
         - 4.0 * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
@@ -1142,8 +1145,11 @@ def agg_skew_kurtosis(spark: SparkSession, sf_dir: str) -> DataFrame:
     m3 = F.col("s3").cast("double") / nd
     m4 = F.col("s4").cast("double") / nd
     var = m2 - m1 * m1
-    skew = (m3 - F.lit(3.0) * m1 * m2 + F.lit(2.0) * m1 * m1 * m1) / F.pow(
-        var, F.lit(1.5)
+    # var^1.5 as var * sqrt(var): IEEE multiply is exact and sqrt is
+    # correctly rounded, whereas pow(x, 1.5) is libm-dependent (JVM vs
+    # DuckDB last-ulp drift — same class as round 4's scalar_math red).
+    skew = (m3 - F.lit(3.0) * m1 * m2 + F.lit(2.0) * m1 * m1 * m1) / (
+        var * F.sqrt(var)
     )
     kurt = (
         m4

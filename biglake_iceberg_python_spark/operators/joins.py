@@ -831,11 +831,11 @@ def join_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "join_hint_strategies",
-    oracle="""
+    oracle=f"""
     SELECT
       n.n_name,
       COUNT(*) AS n_suppliers,
-      CAST(SUM(s.s_acctbal) AS DOUBLE) AS sum_acctbal
+      {oracle_dsum("s.s_acctbal")} AS sum_acctbal
     FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
     GROUP BY n.n_name
     """,
@@ -863,7 +863,7 @@ def join_hint_strategies(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return joined.groupBy("n_name").agg(
         F.count(F.lit(1)).alias("n_suppliers"),
-        F.sum("s_acctbal").cast("double").alias("sum_acctbal"),
+        dsum("s_acctbal", "sum_acctbal"),
     )
 
 

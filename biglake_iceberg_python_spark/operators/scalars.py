@@ -184,10 +184,10 @@ def scalar_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
       CAST(round(CAST(l_extendedprice AS DECIMAL(18,2)), 1) AS DOUBLE)
         AS price_round1,
       abs(l_discount - 0.05) AS disc_dev,
-      ceil(l_quantity / 7) AS qty_ceil,
-      floor(l_extendedprice / 1000) AS price_kfloor,
-      pow(l_discount, 2) AS disc_sq,
-      ln(l_extendedprice) AS price_ln,
+      CAST(ceil(l_quantity / 7) AS BIGINT) AS qty_ceil,
+      CAST(floor(l_extendedprice / 1000) AS BIGINT) AS price_kfloor,
+      l_discount * l_discount AS disc_sq,
+      CAST(ln(l_extendedprice) AS REAL) AS price_ln,
       sqrt(l_quantity) AS qty_sqrt,
       CAST(l_orderkey % 7 AS BIGINT) AS key_mod7
     FROM lineitem
@@ -204,9 +204,14 @@ def scalar_math(spark: SparkSession, sf_dir: str) -> DataFrame:
     shortest decimal repr half-up or truncate the true binary value — this
     was round 3's one driver-red row). Deciding the halfway case on an exact
     decimal, then casting back to DOUBLE, is deterministic in both engines.
-    The other columns (abs/ceil/floor/pow/ln/sqrt/mod) are away from decimal
-    boundaries for these inputs and compare exactly at the harness's 12
-    significant digits.
+
+    ln() is NOT correctly rounded by either engine's libm (JVM Math.log vs
+    DuckDB's system libm drift in the last ulp on ~2% of rows — round 4's
+    driver-red root cause), so price_ln is cast to REAL on both sides: a
+    1-ulp double disagreement survives float32 rounding with probability
+    ~2^-29. pow() is likewise not guaranteed correctly rounded, so disc_sq
+    is a plain IEEE multiply (exact) on both sides. abs/ceil/floor/sqrt/mod
+    ARE correctly rounded per IEEE 754 and compare bit-exactly as doubles.
     """
     li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 50 == 0)
     return li.select(
@@ -218,8 +223,8 @@ def scalar_math(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.abs(F.col("l_discount") - 0.05).alias("disc_dev"),
         F.ceil(F.col("l_quantity") / 7).alias("qty_ceil"),
         F.floor(F.col("l_extendedprice") / 1000).alias("price_kfloor"),
-        F.pow("l_discount", F.lit(2)).alias("disc_sq"),
-        F.log(F.col("l_extendedprice")).alias("price_ln"),
+        (F.col("l_discount") * F.col("l_discount")).alias("disc_sq"),
+        F.log(F.col("l_extendedprice")).cast("float").alias("price_ln"),
         F.sqrt("l_quantity").alias("qty_sqrt"),
         (F.col("l_orderkey") % 7).cast("long").alias("key_mod7"),
     )

@@ -212,7 +212,8 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT
       label,
       CAST(COUNT(*) / 64 AS BIGINT) AS n_vectors,
-      CAST(SUM(CAST(comp AS DECIMAL(30,12))) AS DOUBLE) AS sum_all_components,
+      CAST(SUM(CAST(floor(comp * 1099511627776.0) AS BIGINT)) AS DOUBLE)
+        / 1099511627776.0 AS sum_all_components,
       MAX(comp) AS max_component
     FROM expanded
     GROUP BY label
@@ -224,17 +225,22 @@ def sim_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     — the building block of IVF/k-means partitioning for ANN at scale).
 
     posexplode → (label, dim) partial sums map-side → one shuffle. Component
-    sums use the exact-decimal path (scale 12: float components are ~1e-1,
-    and float→double→decimal(30,12) is exact for these magnitudes... see
-    tests for the parity assertion).
+    sums quantize each float to the 2^-40 binary grid BEFORE summing:
+    comp·2^40 is an EXACT double (power-of-two scaling never touches the
+    mantissa) and floor() of it is deterministic, so the int64 sum is
+    order-independent and identical in both engines. A decimal cast is NOT
+    safe here (it was this query's repr-precision red): float components
+    are dyadic rationals, which can land exactly on a decimal-scale-12
+    halfway point, where Spark rounds HALF_UP and DuckDB half-even.
     """
     e = load_table(spark, sf_dir, "embeddings")
     expanded = e.select(
         "label", F.posexplode(_as_double("embedding")).alias("dim", "comp")
     )
+    q40 = F.lit(1099511627776.0)  # 2^40
     return expanded.groupBy("label").agg(
         (F.count(F.lit(1)) / _DIM).cast("long").alias("n_vectors"),
-        F.sum(F.col("comp").cast("decimal(30,12)")).cast("double").alias(
+        (F.sum(F.floor(F.col("comp") * q40)).cast("double") / q40).alias(
             "sum_all_components"
         ),
         F.max("comp").alias("max_component"),

@@ -256,9 +256,10 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT
       word,
       doc_freq,
-      ln(CAST(n.n_docs AS DOUBLE) / doc_freq) AS idf
+      CAST(round(1e6 * ln(CAST(n.n_docs AS DOUBLE) / doc_freq)) AS BIGINT)
+        AS idf_micro
     FROM df CROSS JOIN n
-    ORDER BY idf DESC, word
+    ORDER BY idf_micro DESC, word
     LIMIT 15
     """,
     tags=("llm", "text", "tfidf"),
@@ -266,7 +267,11 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IDF table: distinct (doc, word) postings → doc-frequency → ln(N/df),
     top-15 most distinctive terms. The distributed shape of TF-IDF: both
-    stages are partial-aggregated; N is a broadcast scalar."""
+    stages are partial-aggregated; N is a broadcast scalar.
+
+    idf is emitted as integer micro-nats (round(1e6·ln)), same as the other
+    ten ln-based oracles: a raw double ln output is JVM-vs-libm
+    ulp-dependent and fails the repr-precision hash."""
     d = load_table(spark, sf_dir, "documents")
     toks = d.select("doc_id", F.explode(_words()).alias("word")).distinct()
     df_tbl = toks.groupBy("word").agg(F.count(F.lit(1)).alias("doc_freq"))
@@ -279,9 +284,11 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "word",
             "doc_freq",
-            F.log(F.col("__n_docs") / F.col("doc_freq")).alias("idf"),
+            F.round(F.lit(1e6) * F.log(F.col("__n_docs") / F.col("doc_freq")))
+            .cast("long")
+            .alias("idf_micro"),
         )
-        .orderBy(F.col("idf").desc(), "word")
+        .orderBy(F.col("idf_micro").desc(), "word")
         .limit(15)
     )
 

@@ -133,20 +133,28 @@ def udf_pandas_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _zscore_group(pdf: pd.DataFrame) -> pd.DataFrame:
     """Grouped-map worker: z-score l_quantity within the group.
 
-    Sorted by line id first so float reductions see a deterministic order;
-    quantities are whole numbers, so the float64 sums are exact and the
-    result is engine-independent.
+    Bit-stable across engines: quantities are whole numbers, so the first
+    and second power sums are computed as EXACT int64s, and mean/variance
+    come from them through a fixed double-op sequence (the textbook
+    ss = s2 - s1²/n) that the oracle mirrors operation-for-operation.
+    The previous formulation summed (q - mean)² as floats, where pandas'
+    pairwise summation and DuckDB's sequential window sum disagree in the
+    last ulp (this query's repr-precision red). math.sqrt, not **0.5:
+    pow(x, 0.5) is libm-dependent while sqrt is IEEE-correctly-rounded.
     """
-    pdf = pdf.sort_values(["l_orderkey", "l_linenumber"]).reset_index(drop=True)
-    q = pdf["l_quantity"]
-    n = len(q)
-    mean = q.sum() / n
-    if n > 1:
-        var = ((q - mean) ** 2).sum() / (n - 1)
-        std = var**0.5
+    import math
+
+    qi = pdf["l_quantity"].round().astype("int64")
+    n = len(qi)
+    s1 = int(qi.sum())
+    s2 = int((qi * qi).sum())
+    mean = s1 / n
+    ss = float(s2) - float(s1) * float(s1) / float(n)
+    if n > 1 and ss > 0:
+        std = math.sqrt(ss / (n - 1.0))
+        pdf["qty_z"] = (pdf["l_quantity"] - mean) / std
     else:
-        std = 0.0
-    pdf["qty_z"] = 0.0 if std == 0.0 else (q - mean) / std
+        pdf["qty_z"] = 0.0
     return pdf[["l_returnflag", "l_orderkey", "l_linenumber", "l_quantity", "qty_z"]]
 
 
@@ -156,25 +164,28 @@ def _zscore_group(pdf: pd.DataFrame) -> pd.DataFrame:
     WITH g AS (
       SELECT
         l_returnflag, l_orderkey, l_linenumber, l_quantity,
-        SUM(l_quantity) OVER (PARTITION BY l_returnflag) AS s,
-        COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+        CAST(round(CAST(l_quantity AS DECIMAL(18,2))) AS BIGINT) AS qi
       FROM lineitem
       WHERE l_orderkey % 25 = 0
-    ), m AS (
-      SELECT *, s / n AS mean FROM g
-    ), v AS (
-      SELECT
-        l_returnflag, l_orderkey, l_linenumber, l_quantity, mean, n,
-        SUM((l_quantity - mean) * (l_quantity - mean))
-          OVER (PARTITION BY l_returnflag) AS ss
-      FROM m
+    ), s AS (
+      SELECT l_returnflag, COUNT(*) AS n,
+             SUM(qi) AS s1, SUM(qi * qi) AS s2
+      FROM g GROUP BY l_returnflag
+    ), f AS (
+      SELECT l_returnflag, n,
+             CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+             CAST(s2 AS DOUBLE)
+               - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)
+               AS ss
+      FROM s
     )
     SELECT
-      l_returnflag, l_orderkey, l_linenumber, l_quantity,
-      CASE WHEN n > 1 AND ss > 0
-           THEN (l_quantity - mean) / sqrt(ss / (n - 1))
+      g.l_returnflag, g.l_orderkey, g.l_linenumber, g.l_quantity,
+      CASE WHEN f.n > 1 AND f.ss > 0
+           THEN (g.l_quantity - f.mean)
+                / sqrt(f.ss / (CAST(f.n AS DOUBLE) - 1.0))
            ELSE 0.0 END AS qty_z
-    FROM v
+    FROM g JOIN f USING (l_returnflag)
     """,
     tags=("udf", "applyInPandas", "grouped-map"),
 )
@@ -183,8 +194,9 @@ def udf_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     custom-stateful-per-group shape (each group lands in one Python worker
     as a pandas frame; shuffle on the group key is the only data movement).
 
-    Oracle twin re-derives the same z-scores with window functions, proving
-    the grouped-map path computes exactly what the declarative form would.
+    Oracle twin re-derives the same z-scores declaratively from the same
+    exact integer power sums, proving the grouped-map path computes exactly
+    what the declarative form would — bit-for-bit (see _zscore_group).
     Caveat at scale: a group must fit in one worker's memory — keys here are
     3 flags; for high-cardinality keys this is the right tool, for few fat
     keys use window functions instead.

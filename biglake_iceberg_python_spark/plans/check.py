@@ -45,9 +45,12 @@ def _canon(v) -> str:
     if isinstance(v, float):
         if math.isnan(v):
             return "nan"
-        # 12 significant digits: engine queries are bit-deterministic, but
-        # repr drift (e.g. trailing 0 vs .0) is normalized away.
-        return f"{v:.12g}"
+        # Shortest round-trip repr (17 sig digits when needed): distinguishes
+        # last-ulp drift, so local gates are at least as strict as the driver.
+        # Round 4 shipped a driver-red query twice because a 12-sig-digit
+        # canon here hid JVM-vs-libm ln() ulp divergence; queries must now be
+        # bit-deterministic or quantize/float-cast before emitting doubles.
+        return repr(v)
     if isinstance(v, bool):
         return str(int(v))
     if isinstance(v, bytes):

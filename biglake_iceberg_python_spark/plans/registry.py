@@ -70,93 +70,91 @@ _loaded = False
 # tests/test_oracle_parity.py's full sweep, which runs every registered
 # query against its oracle regardless of ordering.
 #
-# Provenance of this rotation (round 4, per round-3 VERDICT "Next round"
-# #1): after rounds 1–3, 100 of 198 queries had never had a driver-verified
-# row. This window takes 49 of those 100, prioritized exactly as the
-# verdict directed — the full lakehouse family first (the reference's core
-# A2–A12 surface, zero driver evidence in 3 rounds), then setops, UDFs, the
-# round-3 streaming additions, sql_parameterized / sql_pipe_syntax /
-# util_observe_metrics, and the Python DataSource + remaining scalar
-# batteries to fill to 50. `scalar_math` — round 3's ONE red row (a
-# round-on-raw-DOUBLE halfway disagreement between DuckDB builds, fixed
-# this round with a decimal-exact round on both sides) — stays in per the
-# verdict's "never rotate a red row out" rule. Round 5 takes the remaining
-# ~50 never-verified names (eventflow, business, graph, curation, ml,
-# tpch Q2/Q11/Q20, join extras).
+# Provenance of this rotation (round 5, per round-4 VERDICT "Next round"
+# #4): after rounds 1–4, 159 of 306 queries had never had a driver-verified
+# row. This window takes 49 of those 159, oldest families first exactly as
+# the verdict directed — the full curation battery (flagged "largest
+# evidence gap": zero driver-green rows since its round-2/3 registration),
+# the 20-query eventflow/statistics battery, graph, ml, agg_skew_kurtosis
+# (this round's libm-hardened oracle — verdict #3 required its fix BEFORE
+# rotation), and four business singles to fill to 50. `scalar_math` —
+# rounds 3 AND 4's one red row, root-caused by the round-4 judge as
+# JVM-vs-libm ln() last-ulp drift and fixed this round (price_ln cast to
+# REAL on both sides, pow(x,2) → x*x) — stays in per the verdict's "never
+# rotate a red row out" rule. Rounds 6–7 absorb the remaining ~109
+# never-verified names (sources, sql extras, text, sim, lakehouse
+# round-4 additions, join extras, tpch Q2/Q11/Q20), prioritizing
+# hash-matched queries over rows-only ones.
 _PRIORITY_WINDOW = [
-    # lakehouse family (reference core surface; 23 queries)
-    "lakehouse_roundtrip",
-    "lakehouse_insert_overwrite",
-    "lakehouse_merge_upsert",
-    "lakehouse_delete_where",
-    "lakehouse_update_where",
-    "lakehouse_time_travel",
-    "lakehouse_metadata_log",
-    "lakehouse_tblproperties",
-    "lakehouse_catalog_introspection",
-    "lakehouse_bucketed_join",
-    "lakehouse_compaction",
-    "lakehouse_schema_evolution",
-    "lakehouse_incremental_read",
-    "lakehouse_snapshot_diff",
-    "lakehouse_hidden_partitioning",
-    "lakehouse_manifest_pruning",
-    "lakehouse_expire_snapshots",
-    "lakehouse_zorder_layout",
-    "lakehouse_branch_tags",
-    "lakehouse_scd2_dimension",
-    "lakehouse_cdc_apply",
-    "lakehouse_mor_delete",
-    "lakehouse_rollback",
-    # set operations (6)
-    "set_union_all",
-    "set_union_distinct",
-    "set_intersect",
-    "set_except",
-    "set_intersect_all",
-    "set_except_all",
-    # UDF surface (6)
-    "udf_pandas_scalar",
-    "udf_grouped_map",
-    "udf_python_scalar",
-    "udf_python_udtf",
-    "udf_arrow_scalar",
-    "udf_map_in_arrow",
-    # round-3 streaming additions (5)
-    "stream_tumbling_update",
-    "stream_dedup_rocksdb",
-    "stream_late_data_drop",
-    "stream_restart_exactly_once",
-    "stream_stream_left_join",
-    # SQL surface extras (3)
-    "sql_parameterized",
-    "sql_pipe_syntax",
-    "util_observe_metrics",
-    # Python DataSource sources (2)
-    "source_python_datasource",
-    "source_python_datasource_stream",
-    # remaining scalar batteries (4)
-    "scalar_variant",
-    "scalar_collation",
-    "scalar_try_arithmetic",
-    "scalar_bitwise",
-    # round-3 red row, re-verified with its decimal-round fix (1)
+    # web-corpus curation battery (16) — round-4 "largest evidence gap"
+    "curate_gopher_filter",
+    "curate_domain_mix",
+    "curate_temperature_mix",
+    "curate_train_shards",
+    "curate_decontaminate",
+    "curate_pii_redact",
+    "curate_incremental_ingest",
+    "curate_dataset_card",
+    "curate_quality_weighted_sample",
+    "curate_boilerplate_strip",
+    "curate_expectations",
+    "curate_url_canonical",
+    "curate_winsorize",
+    "curate_url_refresh_pipeline",
+    "curate_k_anonymity",
+    "curate_incremental_ingest_bloom",
+    # eventflow / experimentation statistics battery (20)
+    "events_transition_matrix",
+    "events_dau_wau_stickiness",
+    "events_trend_slope",
+    "events_sequence_motif",
+    "events_ab_welch_ttest",
+    "events_cumulative_uniques",
+    "events_user_entropy",
+    "events_path_trigrams",
+    "events_heatmap_hour_dow",
+    "events_outlier_mad",
+    "events_autocorrelation",
+    "events_conversion_wilson_ci",
+    "events_changepoint_cusum",
+    "events_kaplan_meier_retention",
+    "events_ratio_metric_delta_ci",
+    "events_attribution_multitouch",
+    "events_bootstrap_ci_daily_mean",
+    "events_anova_hour_of_week",
+    "events_peak_concurrency",
+    "events_seasonal_naive_backtest",
+    # graph (2)
+    "graph_pagerank",
+    "graph_triangle_count",
+    # ml (6)
+    "ml_pca_gram",
+    "ml_pca_power",
+    "ml_kmeans_embeddings",
+    "ml_logistic_newton",
+    "ml_quality_distill",
+    "ml_coreset_kcenter",
+    # this round's libm-hardened moment oracle (1)
+    "agg_skew_kurtosis",
+    # business singles (4)
+    "customer_theil_index",
+    "customer_gini_spend",
+    "supplier_concentration_hhi",
+    "supplier_pareto",
+    # rounds-3/4 red row, re-verified with its libm fix (1)
     "scalar_math",
 ]
 
-# ROUND-5 ROTATION PREP (numbers computed at round-4 close; recompute if
-# the registry changes):
-#   registry 304; ever-driver-verified after r1+r3: 98; r4 window: 50
-#   → never-driver-verified pool after r4 (assuming window greens): 157.
-# By family: events ×20 (the exact-moment statistics battery), agg ×16,
-# curate ×16, text ×11, lakehouse ×9, source ×9, sql ×8, sim ×7, join ×6,
-# ml ×6, dedup ×5, udf ×5, multimodal ×4, stream ×4, plus the long tail
-# (tpch Q2/Q11/Q20, graph, cohort/funnel/business singles, window_nth).
-# Round 5 should take the 50 OLDEST never-verified names first —
-# curate/eventflow/business/graph/ml families registered in rounds 2-3 —
-# before this round's additions; keep any r4 red row in place per the
-# "never rotate a red row out" rule. Rounds 6-7 absorb the remainder
-# (~107), prioritizing hash-matched queries over rows-only ones.
+# ROUND-6 ROTATION PREP (numbers computed at round-5 close; recompute if
+# the registry changes): never-driver-verified pool after r5 (assuming the
+# window greens): ~110. By family: text ×11, lakehouse ×9, source ×9,
+# sql ×8 (+util ×2), sim ×7, join ×6, dedup ×6, udf ×5, agg ×15 remaining,
+# multimodal ×4, stream ×4, business remainder (funnel/cohort/ts/anomaly/
+# orders/basket/part/customer_rfm), tpch Q2/Q11/Q20, subquery_not_in_null,
+# window_nth_value, pack ×2, pipeline_release_gate, sample_weighted_expj.
+# Round 6 should take the hash-matched ones first (rows-only queries give
+# the driver a weaker signal); round 7 absorbs the remainder, then re-rotate
+# the r1-sampled relational/join/agg families per verdict #7.
 
 
 def load_all() -> dict[str, QuerySpec]:

@@ -86,6 +86,9 @@ _RAW_ROUND_EXEMPT = {
     # PMI quantizes 1e6·ln of a rational ratio — irrational except ratio=1,
     # where the value is exactly 0.
     "text_pmi_cooccurrence",
+    # idf quantizes 1e6·ln(n_docs/doc_freq): irrational except
+    # doc_freq = n_docs, where ln(1) is exactly 0 (same class as PMI).
+    "text_tfidf_top_terms",
     # Theil terms quantize share·ln(share·n): irrational except share=1/n,
     # where the term is exactly 0.
     "customer_theil_index",
@@ -106,6 +109,74 @@ def _round_args(sql: str):
                 depth -= 1
             i += 1
         yield sql[start : i - 1]
+
+
+def _protected_spans(sql: str):
+    """Spans of text inside a quantizer or precision-reducing wrapper:
+    round()/floor()/ceil() arguments and CAST(... AS REAL/INT) bodies.
+    A transcendental inside one of these cannot leak raw-double ulp drift
+    into the hashed output (the drift is absorbed by the quantization,
+    measure-zero at the boundary for irrational values)."""
+    import re
+
+    spans = []
+    for m in re.finditer(r"\b(round|floor|ceil|ceiling)\s*\(", sql, re.IGNORECASE):
+        depth, start = 1, m.end()
+        i = start
+        while i < len(sql) and depth:
+            if sql[i] == "(":
+                depth += 1
+            elif sql[i] == ")":
+                depth -= 1
+            i += 1
+        spans.append((start, i - 1))
+    for m in re.finditer(r"\bCAST\s*\(", sql, re.IGNORECASE):
+        depth, start = 1, m.end()
+        i = start
+        while i < len(sql) and depth:
+            if sql[i] == "(":
+                depth += 1
+            elif sql[i] == ")":
+                depth -= 1
+            i += 1
+        body = sql[start : i - 1]
+        if re.search(r"\bAS\s+(REAL|FLOAT4?|U?(BIG|SMALL|TINY)?INT(EGER)?)\s*$",
+                     body.strip(), re.IGNORECASE):
+            spans.append((start, i - 1))
+    return spans
+
+
+def test_no_oracle_emits_raw_transcendental():
+    """Round 4's driver-red row (twice) was ln() emitted as a raw DOUBLE:
+    JVM Math.log and DuckDB's libm disagree in the last ulp on ~2% of
+    values, and neither is correctly rounded per IEEE 754 (nor is exp, any
+    log base, or pow — even with integer exponents). sqrt IS correctly
+    rounded and exempt. Every transcendental in an oracle must therefore be
+    wrapped in a quantizer (round/floor/ceil → integer) or a precision
+    cut (CAST AS REAL: a 1-ulp double disagreement survives float32
+    rounding with probability ~2^-29) before it can reach an output
+    column."""
+    import re
+
+    # ln feeds an ORDER BY key that is never emitted; a ulp of drift can
+    # only flip a rank when two distinct md5-derived keys collide within
+    # ~1 ulp, and the doc_id tiebreak owns exact ties (see its docstring).
+    order_only_exempt = {"sample_weighted_expj"}
+
+    offenders = []
+    for name, spec in load_all().items():
+        if spec.oracle is None or name in order_only_exempt:
+            continue
+        sql = re.sub(r"--[^\n]*", "", spec.oracle)  # strip SQL comments
+        spans = _protected_spans(sql)
+        for m in re.finditer(
+            r"\b(ln|log|log2|log10|exp|pow|power)\s*\(", sql, re.IGNORECASE
+        ):
+            pos = m.start()
+            if not any(a <= pos < b for a, b in spans):
+                ctx = sql[max(0, pos - 30) : pos + 50].replace("\n", " ")
+                offenders.append((name, ctx))
+    assert not offenders, f"raw transcendental in oracle output: {offenders}"
 
 
 def test_no_oracle_rounds_a_raw_double():
