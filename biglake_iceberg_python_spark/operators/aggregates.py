@@ -74,8 +74,13 @@ def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multiple COUNT(DISTINCT) in one aggregation — Catalyst plans this as
     an Expand (one replica per distinct column) + two-phase agg; at 100 TB
-    prefer one distinct column per query or the HLL variant below."""
-    li = load_table(spark, sf_dir, "lineitem", widen=True)
+    prefer one distinct column per query or the HLL variant below.
+
+    No widen: the Expand and partial distinct run map-side on the scan
+    splits and the distinct agg's OWN exchange spreads the heavy phase, so
+    an upfront full-row repartition only adds a raw-row shuffle (measured
+    2.5x slower with it at sf0.1: 1.45s vs 0.57s)."""
+    li = load_table(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
         F.count_distinct("l_suppkey").alias("n_suppliers"),
         F.count_distinct("l_partkey").alias("n_parts"),
@@ -581,9 +586,13 @@ def agg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer cross-multiplication (10·cnt·nkeys > 13·total), never floats,
     so both engines keep/drop identical keys; support divides two exact
     integers once, as double.
+
+    No widen: the per-key count's own exchange parallelizes the heavy
+    phase; an upfront full-row repartition was measured 3x slower at sf0.1
+    (1.29s vs 0.43s).
     """
     counts = (
-        load_table(spark, sf_dir, "lineitem", widen=True)
+        load_table(spark, sf_dir, "lineitem")
         .groupBy("l_partkey")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
