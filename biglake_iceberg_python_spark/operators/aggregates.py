@@ -1305,3 +1305,134 @@ def agg_benford_digit_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return joined
+
+
+# Count-Min Sketch geometry: depth x width cells, pairwise-independent
+# polynomial hashes over the Mersenne prime 2^31-1 (same ANSI-overflow-safe
+# family as the minhash permutations: every intermediate < 2^62). The
+# coefficients are plain integers so the DuckDB oracle reproduces the
+# sketch BIT-FOR-BIT — this is the rare sketch whose cross-engine check is
+# a full hash match, not rows-only.
+_CMS_P = (1 << 31) - 1
+_CMS_W = 8192
+_CMS_ROWS = tuple(
+    (
+        j,
+        (73856093 * (j + 101) + 19349663) % _CMS_P or 1,
+        (83492791 * (j + 101) + 104729) % _CMS_P,
+    )
+    for j in range(4)
+)
+_CMS_TOPN = 20
+
+
+@query(
+    "agg_countmin_sketch",
+    oracle=f"""
+    WITH h(j, a, b) AS (
+      VALUES {", ".join(f"({j}, {a}, {b})" for j, a, b in _CMS_ROWS)}
+    ), cells AS (
+      SELECT h.j AS j,
+             ((h.a * (l.l_partkey % {_CMS_P}) + h.b) % {_CMS_P}) % {_CMS_W}
+               AS cell,
+             COUNT(*) AS c
+      FROM lineitem l CROSS JOIN h
+      GROUP BY 1, 2
+    ), truth AS (
+      SELECT l_partkey, COUNT(*) AS true_cnt
+      FROM lineitem GROUP BY l_partkey
+      ORDER BY true_cnt DESC, l_partkey
+      LIMIT {_CMS_TOPN}
+    ), probes AS (
+      SELECT t.l_partkey, t.true_cnt, h.j AS j,
+             ((h.a * (t.l_partkey % {_CMS_P}) + h.b) % {_CMS_P}) % {_CMS_W}
+               AS cell
+      FROM truth t CROSS JOIN h
+    )
+    SELECT p.l_partkey,
+           CAST(MAX(p.true_cnt) AS BIGINT) AS true_cnt,
+           CAST(MIN(c.c) AS BIGINT) AS est_cnt
+    FROM probes p JOIN cells c ON p.j = c.j AND p.cell = c.cell
+    GROUP BY p.l_partkey
+    """,
+    tags=("agg", "sketch", "frequent-items", "approx"),
+)
+def agg_countmin_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min Sketch frequency estimation (Cormode & Muthukrishnan 2005):
+    build a {len(_CMS_ROWS)}x{_CMS_W} sketch over l_partkey in one pass,
+    then point-query the top-{_CMS_TOPN} true keys and report estimated vs
+    true counts (CMS guarantees est >= true; est - true <= eN w.h.p. —
+    asserted in tests/test_operators.py).
+
+    This is THE mergeable frequency structure at 100 TB: the sketch is a
+    fixed 32K-cell integer table regardless of input size, partial sketches
+    merge by cell-wise addition (exactly what the map-side-combined groupBy
+    below does across partitions), and a point query touches depth cells.
+    Unlike ``agg_heavy_hitters`` (exact, needs a per-KEY shuffle whose
+    cardinality follows the data), the sketch's shuffle is bounded by
+    geometry: after map-side combine each partition emits <= 32K rows no
+    matter how many billions of keys flow through it — the structure you
+    keep when per-key counting stops fitting.
+
+    Plan shape: fact scan -> map-side explode to depth cells -> ONE
+    bounded-cardinality shuffle (the cell counts) -> broadcast probe join.
+    The truth side reuses the exact count only to pick stable probe keys
+    for the cross-engine check.
+
+    Determinism: polynomial hashes over the Mersenne prime in exact int64
+    (every intermediate < 2^62 — ANSI-safe); both engines compute identical
+    cells, so the oracle hash-matches bit-for-bit (no xxhash involved).
+    """
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey")
+    hrows = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("j"),
+                (
+                    (F.lit(a) * (F.col("l_partkey") % _CMS_P) + F.lit(b))
+                    % _CMS_P
+                    % _CMS_W
+                ).alias("cell"),
+            )
+            for j, a, b in _CMS_ROWS
+        ]
+    )
+    cells = (
+        li.select(F.explode(hrows).alias("hc"))
+        .groupBy(F.col("hc.j").alias("j"), F.col("hc.cell").alias("cell"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    truth = (
+        li.groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("true_cnt"))
+        .orderBy(F.col("true_cnt").desc(), F.col("l_partkey"))
+        .limit(_CMS_TOPN)
+    )
+    probes = truth.select(
+        "l_partkey",
+        "true_cnt",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"),
+                        (
+                            (F.lit(a) * (F.col("l_partkey") % _CMS_P) + F.lit(b))
+                            % _CMS_P
+                            % _CMS_W
+                        ).alias("cell"),
+                    )
+                    for j, a, b in _CMS_ROWS
+                ]
+            )
+        ).alias("hc"),
+    ).select("l_partkey", "true_cnt", F.col("hc.j").alias("j"), F.col("hc.cell").alias("cell"))
+    return (
+        F.broadcast(probes)
+        .join(cells, ["j", "cell"])
+        .groupBy("l_partkey")
+        .agg(
+            F.max("true_cnt").alias("true_cnt"),
+            F.min("c").alias("est_cnt"),
+        )
+    )

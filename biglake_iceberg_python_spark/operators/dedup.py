@@ -806,3 +806,132 @@ def dedup_trigram_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.filter(
         F.col("n_inter") * _TRGM_DEN >= F.col("n_union") * _TRGM_NUM
     )
+
+
+@query(
+    "dedup_minhash_oph",
+    oracle=None,  # hash-family specific → rows-only; recall vs the exact
+    # Jaccard operator is asserted in tests/test_operators.py.
+    tags=("llm", "dedup", "minhash", "oph", "lsh"),
+    bench=True,
+)
+def dedup_minhash_oph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-Permutation-Hashing MinHash + banded LSH — the signature build
+    that actually scales to 100 TB of text.
+
+    Classic MinHash (``dedup_minhash_lsh``) evaluates _N_PERM = 32
+    permutations per shingle: O(32 · Σ|shingles|) multiply-mod work. OPH
+    (Li, Owen, Zhang, NIPS 2012) hashes each shingle ONCE and routes it to
+    slot ``h % 32``, keeping the per-slot min — the signature costs one
+    xxhash64 + one mod per shingle, a 32× cut in the map-side arithmetic
+    that dominates the corpus pass. Empty slots are filled by rotation
+    densification (Shrivastava & Li, ICML 2014): slot i borrows the value
+    of the nearest populated slot to its right (cyclically), offset by
+    t · 2^31 per step so borrowed values never collide with genuine mins
+    from a different distance — preserving the per-slot collision
+    probability ≈ J that banding and estimation rely on.
+
+    Plan shape: shingle explode → ONE shuffle (groupBy doc_id with 32
+    conditional mins, map-side combined to one row per doc per partition)
+    → densify/band map-side → the same 8×4 banded bucket join as the
+    classic operator. The corpus is touched once; everything after the
+    per-doc rollup operates on 32-long signatures.
+
+    Determinism: xxhash64 and the rotation fill are deterministic — reruns
+    and both engines' row orders produce identical candidate sets (rows-only
+    check: DuckDB has no xxhash64).
+    """
+    k = _N_PERM
+    d = load_table(spark, sf_dir, "documents")
+    docs = d.select("doc_id", _words().alias("w")).select(
+        "doc_id", F.array_distinct(_shingles("w")).alias("shingles")
+    )
+    hashed = docs.select(
+        "doc_id", F.explode("shingles").alias("s")
+    ).select(
+        "doc_id", F.pmod(F.xxhash64("s"), F.lit(_MERSENNE)).alias("h")
+    )
+    slots = hashed.groupBy("doc_id").agg(
+        *[
+            F.min(F.when(F.col("h") % k == i, F.col("h"))).alias(f"s{i}")
+            for i in range(k)
+        ]
+    )
+    raw_sig = slots.select(
+        "doc_id", F.array(*[F.col(f"s{i}") for i in range(k)]).alias("rsig")
+    )
+    # Rotation densification: for slot i take the first non-null at
+    # cyclic offset t (t=0 is the slot itself), biased by t * 2^31 —
+    # values are < 2^31, offsets reach at most 31 * 2^31 < 2^36, so the
+    # arithmetic is ANSI-overflow-safe. Every doc has >= 1 shingle
+    # (whole-doc fallback in _shingles), so some slot is always populated.
+    sig = raw_sig.select(
+        "doc_id",
+        F.expr(
+            f"""
+            transform(sequence(0, {k - 1}), i ->
+              aggregate(
+                sequence(0, {k - 1}),
+                CAST(NULL AS BIGINT),
+                (acc, t) -> CASE
+                  WHEN acc IS NOT NULL THEN acc
+                  WHEN element_at(rsig, pmod(i + t, {k}) + 1) IS NOT NULL
+                  THEN element_at(rsig, pmod(i + t, {k}) + 1)
+                       + CAST(t AS BIGINT) * {1 << 31}
+                  ELSE NULL END))
+            """
+        ).alias("sig"),
+    ).localCheckpoint(eager=False)
+
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band"),
+                        F.xxhash64(
+                            *[
+                                F.col("sig")[bi * _BAND_SIZE + j]
+                                for j in range(_BAND_SIZE)
+                            ]
+                        ).alias("bh"),
+                    )
+                    for bi in range(k // _BAND_SIZE)
+                ]
+            )
+        ).alias("b"),
+    ).select("doc_id", "b.band", "b.bh")
+
+    x = bands.alias("x")
+    y = bands.alias("y")
+    cand = (
+        x.join(
+            y,
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.bh") == F.col("y.bh"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(
+            F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+
+    sa = sig.alias("sa")
+    sb = sig.alias("sb")
+    est = (
+        F.size(
+            F.filter(
+                F.zip_with(F.col("sa.sig"), F.col("sb.sig"), lambda p, q: p == q),
+                lambda eq: eq,
+            )
+        ).cast("double")
+        / k
+    )
+    return (
+        cand.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .select("doc_a", "doc_b", est.alias("est_jaccard"))
+        .filter(F.col("est_jaccard") >= _JACCARD_THRESHOLD)
+    )

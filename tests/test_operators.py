@@ -1042,3 +1042,40 @@ def test_coreset_kcenter_invariants(spark, sf_dir):
     assert all(a >= b - 1e-12 for a, b in zip(radii, radii[1:])), radii
     rows2 = REGISTRY["ml_coreset_kcenter"].fn(spark, sf_dir).collect()
     assert [tuple(r) for r in rows1] == [tuple(r) for r in rows2]
+
+
+def test_minhash_oph_recall_vs_exact_jaccard(spark, sf_dir):
+    """OPH candidates must recover the true near-dup pairs (J >= 0.6) at
+    least as well as the recall bound the classic operator is held to, and
+    the densified-slot estimator must track exact Jaccard."""
+    exact = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in REGISTRY["dedup_ngram_jaccard"].fn(spark, sf_dir).collect()
+    }
+    approx = {
+        (r["doc_a"], r["doc_b"]): r["est_jaccard"]
+        for r in REGISTRY["dedup_minhash_oph"].fn(spark, sf_dir).collect()
+    }
+    strong_true = {p for p, j in exact.items() if j >= 0.6}
+    if strong_true:
+        recall = len(strong_true & set(approx)) / len(strong_true)
+        assert recall >= 0.8, f"OPH recall {recall} over {len(strong_true)} pairs"
+    for pair in strong_true & set(approx):
+        assert abs(approx[pair] - exact[pair]) < 0.4
+
+
+def test_countmin_sketch_overestimates_within_bound(spark, sf_dir):
+    """CMS guarantees est >= true always, and est - true <= (e/w) * N with
+    probability 1 - e^-depth per query — at w=8192 over sf0.01's ~60K rows
+    the expected overestimate is ~20; assert a generous 10x envelope so the
+    test pins the guarantee, not the luck of the hash draw."""
+    from biglake_iceberg_python_spark.operators.aggregates import _CMS_W
+    from biglake_iceberg_python_spark.sources.tables import load_table
+
+    rows = REGISTRY["agg_countmin_sketch"].fn(spark, sf_dir).collect()
+    assert len(rows) > 0
+    n = load_table(spark, sf_dir, "lineitem").count()
+    bound = 10 * 2.718 * n / _CMS_W + 1
+    for r in rows:
+        assert r["est_cnt"] >= r["true_cnt"], r
+        assert r["est_cnt"] - r["true_cnt"] <= bound, (r, bound)

@@ -789,3 +789,18 @@ def test_bootstrap_expands_daily_rollup(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "events_bootstrap_ci_daily_mean")
     gen = plan.index("Generate explode")
     assert "HashAggregate" in plan[gen:], plan
+
+
+def test_minhash_oph_single_corpus_shuffle(spark, sf_dir):
+    """The OPH signature's whole point: the exploded shingle stream must
+    reach exactly ONE hash aggregation (groupBy doc_id, map-side combined)
+    — no per-permutation re-scan, no window, no self-join below the
+    signature; and the candidate join must stay an equi bucket join."""
+    plan = plan_of(spark, sf_dir, "dedup_minhash_oph")
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+    gen = plan.index("Generate explode")
+    below = plan[gen:]
+    assert "Window" not in below
+    # exactly one aggregate keyed on doc_id consumes the exploded stream
+    # (partial + final of the SAME groupBy — one exchange, not two)
+    assert below.count("Exchange hashpartitioning(doc_id") <= 1
