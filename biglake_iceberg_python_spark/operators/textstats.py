@@ -11,7 +11,7 @@ from __future__ import annotations
 
 import pandas as pd
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from biglake_iceberg_python_spark.functions.exprs import oracle_davg
@@ -1234,4 +1234,125 @@ def text_pmi_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("pmi_micro").desc(), "w1", "w2")
         .limit(_PMI_TOP)
+    )
+
+
+_RAKE_TOP = 15
+
+
+@query(
+    "text_rake_keywords",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split(text, ' '), x -> x <> '') AS ws
+      FROM documents
+    ), ti AS (
+      SELECT doc_id, unnest(generate_series(1, len(ws))) AS i, ws
+      FROM t
+    ), tok AS (
+      SELECT doc_id, i, ws[i] AS w,
+             CASE WHEN ws[i] IN ('{_STOP_SQL}') THEN 1 ELSE 0 END AS st
+      FROM ti
+    ), seg AS (
+      SELECT doc_id, i, w, st,
+             SUM(st) OVER (PARTITION BY doc_id ORDER BY i) AS pid
+      FROM tok
+    ), pw AS (
+      SELECT doc_id, pid, i, w,
+             COUNT(*) OVER (PARTITION BY doc_id, pid) AS plen
+      FROM seg WHERE st = 0
+    ), wstat AS (
+      SELECT w,
+             COUNT(*) AS freq,
+             SUM(plen) AS deg
+      FROM pw GROUP BY w
+    ), wscore AS (
+      SELECT w, (1000000 * deg) // freq AS ws_micro FROM wstat
+    ), phr AS (
+      SELECT p.doc_id, p.pid,
+             string_agg(p.w, ' ' ORDER BY p.i) AS phrase,
+             CAST(COUNT(*) AS BIGINT) AS n_words,
+             SUM(s.ws_micro) AS score_micro
+      FROM pw p JOIN wscore s ON p.w = s.w
+      GROUP BY p.doc_id, p.pid
+    )
+    SELECT phrase,
+           CAST(MAX(n_words) AS BIGINT) AS n_words,
+           CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+           CAST(MAX(score_micro) AS BIGINT) AS score_micro
+    FROM phr
+    GROUP BY phrase
+    ORDER BY score_micro DESC, n_occurrences DESC, phrase
+    LIMIT {_RAKE_TOP}
+    """,
+    tags=("llm", "text", "keywords", "rake"),
+)
+def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyword extraction (Rose et al. 2010): candidate phrases are
+    maximal stopword-free word runs; each word scores degree/frequency
+    (degree = Σ length of phrases containing it), a phrase scores the sum
+    of its word scores — the classic no-model keyphrase extractor, useful
+    in a corpus pipeline for topic tagging before any LLM touches the text.
+
+    Scale shape: one explode pass over the corpus; phrase segmentation is
+    a per-doc window prefix-sum over stopword flags (bounded doc length —
+    never a corpus-wide window); the word-score table is TYPE-level
+    (≤ |vocab| rows) and BROADCASTS into phrase scoring, so the corpus
+    never shuffles for the join; phrase dedup groups on the phrase string
+    with map-side combine. Top-{_RAKE_TOP} via TakeOrderedAndProject.
+
+    Determinism: word scores are exact integer floor-divisions
+    (1e6·deg DIV freq — positives, so floor = trunc in both engines);
+    phrase scores are int64 sums of those; the final ordering
+    (score, occurrences, phrase) is total. Hash-matches DuckDB.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.posexplode(_words()).alias("i", "w")
+    ).withColumn(
+        "st",
+        F.when(F.col("w").isin(*_STOPWORDS), F.lit(1)).otherwise(F.lit(0)),
+    )
+    seg = tok.withColumn(
+        "pid",
+        F.sum("st").over(
+            Window.partitionBy("doc_id").orderBy("i")
+        ),
+    )
+    pw = seg.filter(F.col("st") == 0).withColumn(
+        "plen",
+        F.count(F.lit(1)).over(Window.partitionBy("doc_id", "pid")),
+    )
+    wscore = (
+        pw.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"), F.sum("plen").alias("deg"))
+        .select("w", F.expr("(1000000 * deg) DIV freq").alias("ws_micro"))
+    )
+    phr = (
+        pw.join(F.broadcast(wscore), "w")
+        .groupBy("doc_id", "pid")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("i", "w"))),
+                    lambda x: x["w"],
+                ),
+                " ",
+            ).alias("phrase"),
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum("ws_micro").alias("score_micro"),
+        )
+    )
+    return (
+        phr.groupBy("phrase")
+        .agg(
+            F.max("n_words").alias("n_words"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.max("score_micro").alias("score_micro"),
+        )
+        .orderBy(
+            F.col("score_micro").desc(), F.col("n_occurrences").desc(), "phrase"
+        )
+        .limit(_RAKE_TOP)
     )
