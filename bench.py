@@ -68,6 +68,7 @@ def main() -> int:
     _SLOW_BATCH = {
         "graph_pagerank",
         "dedup_minhash_lsh",
+        "dedup_minhash_oph",
         "dedup_substring_spans",
         "pricing_summary",
         "tpch_q21_waiting_supplier",

@@ -791,16 +791,14 @@ def test_bootstrap_expands_daily_rollup(spark, sf_dir):
     assert "HashAggregate" in plan[gen:], plan
 
 
-def test_minhash_oph_single_corpus_shuffle(spark, sf_dir):
-    """The OPH signature's whole point: the exploded shingle stream must
-    reach exactly ONE hash aggregation (groupBy doc_id, map-side combined)
-    — no per-permutation re-scan, no window, no self-join below the
-    signature; and the candidate join must stay an equi bucket join."""
+def test_minhash_oph_signature_is_shuffle_free(spark, sf_dir):
+    """The OPH signature's whole point: hash → 32 slot mins → densify all
+    happen per-row inside codegen — the corpus never shuffles to build
+    signatures (no doc_id exchange exists anywhere: the downstream joins
+    broadcast), no window, no self-join, and the candidate join stays an
+    equi bucket join. The only hash exchange in the whole plan is the
+    candidate-pair distinct."""
     plan = plan_of(spark, sf_dir, "dedup_minhash_oph")
     assert "NestedLoop" not in plan and "CartesianProduct" not in plan
-    gen = plan.index("Generate explode")
-    below = plan[gen:]
-    assert "Window" not in below
-    # exactly one aggregate keyed on doc_id consumes the exploded stream
-    # (partial + final of the SAME groupBy — one exchange, not two)
-    assert below.count("Exchange hashpartitioning(doc_id") <= 1
+    assert "Window" not in plan
+    assert "Exchange hashpartitioning(doc_id" not in plan
