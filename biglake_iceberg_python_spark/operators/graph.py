@@ -128,20 +128,22 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     # Everything STATIC across power iterations is materialized once:
     # without checkpoints each iteration re-derives the order-key self-join
-    # (50 exchanges at sf0.001 for 3 iterations, measured). The degree is
-    # folded INTO the edge list (src, dst, deg) so an iteration is one
-    # join (ranks onto weighted edges) + one aggregation — not two joins —
-    # and N is checkpointed so its broadcast stops re-counting deg every
-    # iteration. 19 → 13 exchanges for 3 iterations, measured. On a real
-    # cluster the remaining per-iteration shuffle of the static edge side
-    # disappears by writing it as a table bucketed on src.
+    # (50 exchanges at sf0.001 for 3 iterations, measured). N is
+    # checkpointed so its broadcast stops re-counting deg every iteration.
+    # The quantized per-source contribution floor(rank/deg · Q) is hoisted
+    # INTO the |V|-row rank vector (one divide per NODE), so the edge list
+    # stays the bare (src, dst) pairs — the former edges⋈deg weighted-edge
+    # materialization (a full 2.4M-row pass at sf0.1) is gone entirely,
+    # and the per-edge work in the iteration join is a broadcast-hash
+    # lookup emitting a precomputed long. Bit-identical to the oracle:
+    # rank/deg is constant across a source's edges, so flooring per node
+    # equals flooring per edge.
     edges = _edges(spark, sf_dir).localCheckpoint(eager=False)
     deg = (
         edges.groupBy("src")
         .agg(F.count(F.lit(1)).alias("deg"))
         .localCheckpoint(eager=False)
     )
-    ew = edges.join(deg, "src").localCheckpoint(eager=False)
     n = deg.agg(F.count(F.lit(1)).alias("n")).localCheckpoint(eager=False)
 
     ranks = deg.crossJoin(F.broadcast(n)).select(
@@ -157,12 +159,15 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # a shuffle join against an edge table bucketed on src — the edge side
     # still never re-shuffles.
     for _ in range(_ITERS):
-        contrib = ew.join(F.broadcast(ranks), ew["src"] == ranks["node"]).select(
-            "dst",
+        rv = ranks.join(F.broadcast(deg), ranks["node"] == deg["src"]).select(
+            "node",
             F.floor(F.col("rank") / F.col("deg") * F.lit(_QUANT))
             .cast("long")
-            .alias("q"),
+            .alias("qsrc"),
         )
+        contrib = edges.join(
+            F.broadcast(rv), edges["src"] == rv["node"]
+        ).select("dst", F.col("qsrc").alias("q"))
         ranks = (
             contrib.groupBy("dst")
             .agg(F.sum("q").alias("sq"))
