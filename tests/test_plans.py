@@ -802,3 +802,38 @@ def test_minhash_oph_signature_is_shuffle_free(spark, sf_dir):
     assert "NestedLoop" not in plan and "CartesianProduct" not in plan
     assert "Window" not in plan
     assert "Exchange hashpartitioning(doc_id" not in plan
+
+
+def test_countmin_cells_shuffle_is_geometry_bounded(spark, sf_dir):
+    """The CMS build's only corpus-sized structure is map-side: the
+    exchange after the cell explode carries (j, cell) partial counts —
+    bounded by sketch geometry (4x8192), not by key cardinality. The
+    probe side must broadcast (no exact-count shuffle joined at scale),
+    and nothing nested-loops."""
+    plan = plan_of(spark, sf_dir, "agg_countmin_sketch")
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    # the sketch aggregation is partial (map-side combined) before its
+    # exchange: the (j, cell) pair rides ONE two-key exchange (Catalyst
+    # names the struct-field keys _groupingexpression)
+    import re
+
+    m = re.search(
+        r"Exchange hashpartitioning\(_groupingexpression#\d+, "
+        r"_groupingexpression#\d+L",
+        plan,
+    )
+    assert m, "cell-count exchange missing"
+
+
+def test_rake_has_no_corpus_wide_window(spark, sf_dir):
+    """RAKE's segmentation windows must be per-doc (bounded partitions) —
+    a window without doc_id in its partition spec would single-thread the
+    corpus; the word-score join must broadcast the type-level table."""
+    plan = plan_of(spark, sf_dir, "text_rake_keywords")
+    import re
+
+    for spec in re.findall(r"windowspecdefinition\(([^)]*)\)", plan):
+        assert "doc_id" in spec, f"corpus-wide window: {spec}"
+    assert "BroadcastHashJoin" in plan
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
