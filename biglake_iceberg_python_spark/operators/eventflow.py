@@ -2294,3 +2294,113 @@ def funnel_latency_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         at(90).alias("p90_latency_s"),
         at(99).alias("p99_latency_s"),
     )
+
+
+@query(
+    "ts_holt_forecast",
+    oracle=f"""
+    WITH RECURSIVE e AS (
+      SELECT event_type, ({_ORACLE_ES}) // {_DAY_S} AS day FROM events
+    ), daily AS (
+      SELECT event_type, day, CAST(COUNT(*) AS BIGINT) AS x
+      FROM e GROUP BY event_type, day
+    ), bounds AS (
+      SELECT event_type, MIN(day) AS d0, MAX(day) AS d1 FROM daily
+      GROUP BY event_type
+    ), grid AS (
+      SELECT event_type, unnest(generate_series(d0, d1)) AS day FROM bounds
+    ), filled AS (
+      SELECT g.event_type,
+             ROW_NUMBER() OVER (
+               PARTITION BY g.event_type ORDER BY g.day) AS t,
+             COALESCE(d.x, 0) * 1000 AS xm
+      FROM grid g LEFT JOIN daily d USING (event_type, day)
+    ), rec AS (
+      SELECT event_type, t, xm AS l, CAST(0 AS BIGINT) AS b
+      FROM filled WHERE t = 1
+      UNION ALL
+      SELECT s.event_type, s.t,
+             (5 * s.xm + 5 * (r.l + r.b)) // 10,
+             (3 * (((5 * s.xm + 5 * (r.l + r.b)) // 10) - r.l) + 7 * r.b)
+               // 10
+      FROM rec r JOIN filled s
+        ON s.event_type = r.event_type AND s.t = r.t + 1
+    ), fin AS (
+      SELECT event_type, MAX(t) AS n_days FROM rec GROUP BY event_type
+    )
+    SELECT r.event_type,
+           CAST(f.n_days AS BIGINT) AS n_days,
+           CAST(r.l AS BIGINT) AS level_milli,
+           CAST(r.b AS BIGINT) AS trend_milli,
+           CAST(r.l + 7 * r.b AS BIGINT) AS forecast_7d_milli
+    FROM rec r JOIN fin f
+      ON r.event_type = f.event_type AND r.t = f.n_days
+    """,
+    tags=("events", "timeseries", "forecast", "holt"),
+)
+def ts_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt linear-trend exponential smoothing (double ES) over each event
+    type's daily volume, with a 7-day-ahead forecast — the capacity-planning
+    primitive one notch above ``events_seasonal_naive_backtest``.
+
+    The recursion l_t = αx_t + (1-α)(l+b), b_t = β(l_t-l) + (1-β)b is
+    inherently ORDER-DEPENDENT — naive floating point would diverge across
+    engines and partitionings. Both engines instead run it in exact integer
+    milli-units with α=0.5, β=0.3 as integer ratios and truncating division
+    (Spark ``DIV`` and DuckDB ``//`` both truncate toward zero), so every
+    step state is a bit-identical pair of int64s: Spark folds the sorted
+    per-type series with the ``aggregate`` HOF per-row; the oracle unrolls
+    the identical recurrence as a recursive CTE. Init l₁=x₁, b₁=0.
+
+    Scale shape: the corpus collapses to per-(type, day) counts in one
+    map-side-combined shuffle; the dense grid generates from per-type
+    bounds (``sequence`` explode — no driver calendar); the fold then runs
+    over one array per SERIES (days, not events — thousands of elements at
+    most), so state never exceeds a scalar struct per group. At 100 TB the
+    heavy phase is the daily rollup, which is plain hash aggregation.
+    """
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type", F.expr(_ES).cast("long").alias("es")
+    )
+    daily = (
+        e.select("event_type", (F.col("es") / _DAY_S).cast("long").alias("day"))
+        .groupBy("event_type", "day")
+        .agg(F.count(F.lit(1)).alias("x"))
+    )
+    bounds = daily.groupBy("event_type").agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    grid = bounds.select(
+        "event_type", F.explode(F.sequence("d0", "d1")).alias("day")
+    )
+    filled = grid.join(daily, ["event_type", "day"], "left").select(
+        "event_type",
+        "day",
+        (F.coalesce(F.col("x"), F.lit(0)) * 1000).alias("xm"),
+    )
+    series = filled.groupBy("event_type").agg(
+        F.sort_array(F.collect_list(F.struct("day", "xm"))).alias("xs")
+    )
+    fold = F.expr(
+        """
+        aggregate(xs,
+          named_struct(
+            't', CAST(0 AS BIGINT), 'l', CAST(0 AS BIGINT),
+            'b', CAST(0 AS BIGINT)),
+          (acc, e) -> CASE WHEN acc.t = 0
+            THEN named_struct(
+              't', CAST(1 AS BIGINT), 'l', e.xm, 'b', CAST(0 AS BIGINT))
+            ELSE named_struct(
+              't', acc.t + 1,
+              'l', (5 * e.xm + 5 * (acc.l + acc.b)) DIV 10,
+              'b', (3 * (((5 * e.xm + 5 * (acc.l + acc.b)) DIV 10) - acc.l)
+                    + 7 * acc.b) DIV 10) END)
+        """
+    )
+    return series.select("event_type", fold.alias("st")).select(
+        "event_type",
+        F.col("st.t").alias("n_days"),
+        F.col("st.l").alias("level_milli"),
+        F.col("st.b").alias("trend_milli"),
+        (F.col("st.l") + 7 * F.col("st.b")).alias("forecast_7d_milli"),
+    )

@@ -1079,3 +1079,40 @@ def test_countmin_sketch_overestimates_within_bound(spark, sf_dir):
     for r in rows:
         assert r["est_cnt"] >= r["true_cnt"], r
         assert r["est_cnt"] - r["true_cnt"] <= bound, (r, bound)
+
+
+def test_holt_forecast_state_is_bounded_by_series(spark, sf_dir):
+    """Exponential smoothing is a convex combination of observations, so
+    the final level must lie inside the series' [min, max] daily-count
+    envelope (in milli-units) and the trend magnitude cannot exceed the
+    series range; n_days must equal the dense calendar span."""
+    from pyspark.sql import functions as F
+
+    from biglake_iceberg_python_spark.operators.eventflow import _DAY_S, _ES
+    from biglake_iceberg_python_spark.sources.tables import load_table
+
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            "event_type",
+            (F.expr(_ES).cast("long") / _DAY_S).cast("long").alias("day"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.count(F.lit(1)).alias("x"))
+        .groupBy("event_type")
+        .agg(
+            F.min("x").alias("lo"),
+            F.max("x").alias("hi"),
+            (F.max("day") - F.min("day") + 1).alias("span"),
+        )
+    )
+    env = {r["event_type"]: r for r in daily.collect()}
+    rows = REGISTRY["ts_holt_forecast"].fn(spark, sf_dir).collect()
+    assert len(rows) == len(env)
+    for r in rows:
+        e = env[r["event_type"]]
+        assert r["n_days"] == e["span"]
+        # zero-filled days can pull the level below the observed min, never
+        # below 0 and never above the observed max
+        assert 0 <= r["level_milli"] <= 1000 * e["hi"], r
+        assert abs(r["trend_milli"]) <= 1000 * e["hi"], r
