@@ -106,6 +106,9 @@ def test_query_results_partition_invariant(spark, sf_dir):
         "events_ratio_metric_delta_ci",    # decimal cross-moments
         "supplier_concentration_hhi",      # picounit-quantized shares
         "events_peak_concurrency",         # sweep-line running sum
+        "agg_countmin_sketch",             # polynomial-hash cell counts
+        "text_rake_keywords",              # integer floor-div word scores
+        "ts_holt_forecast",                # sorted-fold integer recursion
     ]
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     try:
