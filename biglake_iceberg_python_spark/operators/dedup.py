@@ -694,7 +694,15 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sequence(F.lit(0), F.col("n_tokens") - _SUB_K),
         lambda i: F.struct(
             i.alias("p"),
-            F.md5(
+            # xxhash64, not md5: the fingerprint only carries shingle
+            # EQUALITY into the recurrence groupBy, so an 8-byte long does
+            # the job of the 32-hex digest at ~4x less shuffle volume and
+            # a fraction of the hash cost (md5 is a cryptographic
+            # permutation; xxhash64 is a few multiplies per word). A
+            # 64-bit collision among ~|distinct shingles| values has
+            # probability ~n^2/2^65 (~1e-7 at sf0.1) and the check is
+            # deterministic per dataset either way.
+            F.xxhash64(
                 F.array_join(F.slice(F.col("w"), i + 1, _SUB_K), " ")
             ).alias("fp"),
         ),
