@@ -145,16 +145,20 @@ _PRIORITY_WINDOW = [
     "scalar_math",
 ]
 
-# ROUND-6 ROTATION PREP (numbers computed at round-5 close; recompute if
-# the registry changes): never-driver-verified pool after r5 (assuming the
-# window greens): ~110. By family: text ×11, lakehouse ×9, source ×9,
-# sql ×8 (+util ×2), sim ×7, join ×6, dedup ×6, udf ×5, agg ×15 remaining,
-# multimodal ×4, stream ×4, business remainder (funnel/cohort/ts/anomaly/
-# orders/basket/part/customer_rfm), tpch Q2/Q11/Q20, subquery_not_in_null,
-# window_nth_value, pack ×2, pipeline_release_gate, sample_weighted_expj.
-# Round 6 should take the hash-matched ones first (rows-only queries give
-# the driver a weaker signal); round 7 absorbs the remainder, then re-rotate
-# the r1-sampled relational/join/agg families per verdict #7.
+# ROUND-6 ROTATION PREP (exact numbers recomputed at round-5 close over
+# CORRECTNESS_r01-r04 ∪ the r5 window, registry = 310 after the round-5
+# additions): never-driver-verified pool after r5 (assuming the window
+# greens) = 114, of which 109 are hash-matched and 5 rows-only
+# (agg_hll_set_algebra, agg_kll_quantile_merge, agg_sketch_merge_rollup,
+# dedup_minhash_oph, text_compression_ratio). By family: agg ×16,
+# text ×12, lakehouse ×9, source ×9, sql ×8 (+util ×2), sim ×7, dedup ×7,
+# join ×6, udf ×5, multimodal ×4, stream ×4, tpch Q2/Q11/Q20, ts ×3
+# (incl. the round-5 ts_holt_forecast), scalar ×3, pack ×2, cohort ×2,
+# orders ×2, funnel ×2, and business/util singles. Round 6 takes 50 of
+# the 109 hash-matched, oldest families first (agg + text + lakehouse +
+# source covers it); round 7 absorbs the remainder incl. the 5 rows-only,
+# then re-rotate the r1-sampled relational/join/agg families per round-4
+# verdict #7.
 
 
 def load_all() -> dict[str, QuerySpec]:
