@@ -1770,3 +1770,92 @@ def pipeline_release_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return joined
+
+
+@query(
+    "curate_negative_sampling",
+    oracle="""
+    WITH words AS (
+      SELECT unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+        AS word
+      FROM documents
+    ), counts AS (
+      SELECT word, CAST(COUNT(*) AS BIGINT) AS c FROM words GROUP BY word
+    ), topk AS (
+      SELECT word, c FROM counts ORDER BY c DESC, word LIMIT 500
+    ), wt AS (
+      SELECT word, c,
+             CAST(FLOOR(SQRT(SQRT(CAST(c AS DOUBLE) * c * c)) * 1000)
+               AS BIGINT) AS w_milli
+      FROM topk
+    )
+    SELECT word, c, w_milli,
+           CAST(SUM(w_milli) OVER (ORDER BY c DESC, word
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_w_milli,
+           CAST(w_milli * 1000000 // SUM(w_milli) OVER () AS BIGINT)
+             AS sample_ppm
+    FROM wt
+    """,
+    tags=("curate", "sampling", "unigram", "word2vec"),
+)
+def curate_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram^0.75 negative-sampling table (word2vec / contrastive
+    pre-training): per-word sampling weight c^{3/4}, the cumulative-weight
+    column an inverse-CDF sampler binary-searches, and each word's share
+    of the draw in ppm.
+
+    The 3/4 power is computed WITHOUT libm: c^{3/4} = sqrt(sqrt(c^3)),
+    and IEEE 754 specifies sqrt and multiply as correctly rounded (unlike
+    ln/exp/pow, which shipped a driver-red row twice — see
+    tests/test_registry.py::test_no_oracle_emits_raw_transcendental; sqrt
+    is explicitly exempt there). int64→double conversion and the double
+    multiplies are also fully IEEE-specified, so
+    ``FLOOR(SQRT(SQRT(c·c·c)) * 1000)`` is bit-identical across engines
+    for any count up to 2^53^{1/3} per factor — far past any real corpus'
+    word frequency. Weights then quantize to integer milli-units, so the
+    cumulative sums are exact integer arithmetic.
+
+    Scale shape: explode→count is ONE map-side-combined shuffle on the
+    word key (the word-TYPE table is orders of magnitude smaller than the
+    corpus — same regime as text_bpe_pair_stats); the top-500 cut is
+    TakeOrderedAndProject (no global sort of the vocabulary); only then —
+    on the fixed-size 500-row table — does the cumulative window run in a
+    single bounded partition. Nothing corpus-sized crosses an exchange
+    after the first rollup. At 100 TB the vocabulary table is the only
+    growing intermediate, and it grows with type count, not token count.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        F.explode(
+            F.filter(F.split("text", " "), lambda x: x != "")
+        ).alias("word")
+    )
+    counts = words.groupBy("word").agg(F.count(F.lit(1)).alias("c"))
+    topk = counts.orderBy(F.col("c").desc(), "word").limit(500)
+    wt = topk.select(
+        "word",
+        F.col("c").cast("long").alias("c"),
+        F.expr(
+            "CAST(FLOOR(SQRT(SQRT(CAST(c AS DOUBLE) * c * c)) * 1000)"
+            " AS BIGINT)"
+        ).alias("w_milli"),
+    )
+    cum_w = (
+        Window.orderBy(F.col("c").desc(), "word")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return wt.select(
+        "word",
+        "c",
+        "w_milli",
+        F.sum("w_milli").over(cum_w).cast("long").alias("cum_w_milli"),
+        F.expr("w_milli * 1000000")
+        .alias("_num"),
+        F.sum("w_milli").over(Window.partitionBy()).alias("_tot"),
+    ).select(
+        "word",
+        "c",
+        "w_milli",
+        "cum_w_milli",
+        F.expr("CAST(_num DIV _tot AS BIGINT)").alias("sample_ppm"),
+    )

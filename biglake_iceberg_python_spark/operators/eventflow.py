@@ -2404,3 +2404,128 @@ def ts_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("st.b").alias("trend_milli"),
         (F.col("st.l") + 7 * F.col("st.b")).alias("forecast_7d_milli"),
     )
+
+
+@query(
+    "ts_seasonal_decompose",
+    oracle=f"""
+    WITH e AS (
+      SELECT event_type, ({_ORACLE_ES}) // {_DAY_S} AS day FROM events
+    ), daily AS (
+      SELECT event_type, day, CAST(COUNT(*) AS BIGINT) AS x
+      FROM e GROUP BY event_type, day
+    ), bounds AS (
+      SELECT event_type, MIN(day) AS d0, MAX(day) AS d1 FROM daily
+      GROUP BY event_type
+    ), grid AS (
+      SELECT event_type, unnest(generate_series(d0, d1)) AS day FROM bounds
+    ), filled AS (
+      SELECT g.event_type, g.day, COALESCE(d.x, 0) * 1000 AS xm
+      FROM grid g LEFT JOIN daily d USING (event_type, day)
+    ), win AS (
+      SELECT event_type, day, xm,
+             SUM(xm) OVER w AS s7, COUNT(*) OVER w AS c7
+      FROM filled
+      WINDOW w AS (PARTITION BY event_type ORDER BY day
+                   ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+    ), interior AS (
+      SELECT event_type, day % 7 AS dow, xm - s7 // 7 AS d
+      FROM win WHERE c7 = 7
+    ), seasonal AS (
+      SELECT event_type, dow,
+             CAST(COUNT(*) AS BIGINT) AS n_obs,
+             SUM(d) // COUNT(*) AS seasonal_milli
+      FROM interior GROUP BY event_type, dow
+    )
+    SELECT s.event_type, CAST(s.dow AS BIGINT) AS dow, s.n_obs,
+           CAST(s.seasonal_milli AS BIGINT) AS seasonal_milli,
+           CAST(SUM(ABS(i.d - s.seasonal_milli)) // s.n_obs AS BIGINT)
+             AS mean_abs_remainder_milli
+    FROM interior i
+    JOIN seasonal s ON i.event_type = s.event_type AND i.dow = s.dow
+    GROUP BY s.event_type, s.dow, s.n_obs, s.seasonal_milli
+    """,
+    tags=("events", "timeseries", "seasonal", "decompose"),
+)
+def ts_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive seasonal decomposition of each event type's daily
+    volume — trend (centered 7-day moving average), day-of-week seasonal
+    index, and the mean absolute remainder that tells you how much signal
+    the trend+seasonal model leaves unexplained (the STL-style readout one
+    notch below ``ts_holt_forecast``'s forecast).
+
+    Everything runs in exact integer milli-units so both engines agree
+    bit-for-bit: trend is ``(Σ_{{t-3..t+3}} xm) DIV 7`` on the dense daily
+    grid (defined only where the 7-day window is complete — ``c7 = 7``
+    filters the 3-day edges), the seasonal index is the truncating integer
+    mean of the detrended values per (type, day-of-week), and the
+    remainder statistic is the integer mean of absolute deviations from
+    that index. Spark ``DIV`` and DuckDB ``//`` both truncate toward zero
+    (verified on negative operands), so the negative detrended values on
+    below-trend days divide identically.
+
+    Scale shape: the corpus collapses to per-(type, day) counts in one
+    map-side-combined shuffle; the dense grid generates map-side from
+    per-type bounds (``sequence`` + ``explode`` — no driver calendar); the
+    moving-average window, the seasonal rollup, and the remainder join all
+    ride the same event_type hash partitioning, and every table after the
+    first rollup is days-per-type sized (thousands of rows), not corpus
+    sized. At 100 TB the heavy phase is the daily rollup — plain hash
+    aggregation with map-side combine.
+    """
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type", F.expr(_ES).cast("long").alias("es")
+    )
+    daily = (
+        e.select("event_type", (F.col("es") / _DAY_S).cast("long").alias("day"))
+        .groupBy("event_type", "day")
+        .agg(F.count(F.lit(1)).alias("x"))
+    )
+    bounds = daily.groupBy("event_type").agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    grid = bounds.select(
+        "event_type", F.explode(F.sequence("d0", "d1")).alias("day")
+    )
+    filled = grid.join(daily, ["event_type", "day"], "left").select(
+        "event_type",
+        "day",
+        (F.coalesce(F.col("x"), F.lit(0)) * 1000).alias("xm"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-3, 3)
+    )
+    win = filled.select(
+        "event_type",
+        "day",
+        "xm",
+        F.sum("xm").over(w).alias("s7"),
+        F.count(F.lit(1)).over(w).alias("c7"),
+    )
+    interior = win.filter(F.col("c7") == 7).select(
+        "event_type",
+        (F.col("day") % 7).alias("dow"),
+        (F.col("xm") - F.expr("s7 DIV 7")).alias("d"),
+    )
+    seasonal = interior.groupBy("event_type", "dow").agg(
+        F.count(F.lit(1)).cast("long").alias("n_obs"),
+        F.expr("SUM(d) DIV COUNT(*)").alias("seasonal_milli"),
+    )
+    return (
+        interior.join(seasonal, ["event_type", "dow"])
+        .groupBy("event_type", "dow", "n_obs", "seasonal_milli")
+        .agg(
+            F.expr("SUM(ABS(d - seasonal_milli)) DIV any_value(n_obs)")
+            .cast("long")
+            .alias("mean_abs_remainder_milli")
+        )
+        .select(
+            "event_type",
+            F.col("dow").cast("long").alias("dow"),
+            "n_obs",
+            F.col("seasonal_milli").cast("long").alias("seasonal_milli"),
+            "mean_abs_remainder_milli",
+        )
+    )

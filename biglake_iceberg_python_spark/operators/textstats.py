@@ -1356,3 +1356,122 @@ def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .limit(_RAKE_TOP)
     )
+
+
+@query(
+    "text_kneser_ney_bigram",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
+      FROM documents
+    ), ti AS (
+      SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 1)) AS i FROM t
+    ), b AS (
+      SELECT ws[i] AS w1, ws[i+1] AS w2 FROM ti
+    ), c12 AS (
+      SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12
+      FROM b GROUP BY w1, w2
+    ), c1 AS (
+      SELECT w1, SUM(c12) AS c1, CAST(COUNT(*) AS BIGINT) AS n1p_fwd
+      FROM c12 GROUP BY w1
+    ), bwd AS (
+      SELECT w2, CAST(COUNT(*) AS BIGINT) AS n1p_bwd
+      FROM c12 GROUP BY w2
+    ), nbt AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS nbt FROM c12
+    )
+    SELECT c12.w1, c12.w2, c12.c12,
+           CAST(c1.c1 AS BIGINT) AS c1,
+           c1.n1p_fwd, bwd.n1p_bwd,
+           CAST(
+             (1000000 * (4 * c12.c12 - 3)) // (4 * c1.c1)
+             + (1000000 * 3 * c1.n1p_fwd * bwd.n1p_bwd)
+               // (4 * c1.c1 * nbt.nbt)
+             AS BIGINT) AS p_kn_micro
+    FROM c12
+    JOIN c1 USING (w1)
+    JOIN bwd USING (w2)
+    CROSS JOIN nbt
+    ORDER BY c12.c12 DESC, c12.w1, c12.w2
+    LIMIT 20
+    """,
+    tags=("llm", "text", "ngram", "lm", "smoothing"),
+)
+def text_kneser_ney_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram probabilities — the smoothing that
+    actual n-gram LMs ship (CCNet's scoring models are KN-smoothed
+    KenLM), one notch of sophistication above ``text_lm_perplexity``'s
+    add-one: mass is discounted from seen bigrams and redistributed by
+    CONTINUATION count (how many distinct left-contexts a word follows —
+    why "francisco" gets low unigram backoff weight despite high raw
+    frequency), interpolated with weight proportional to the context's
+    distinct-successor count.
+
+    With discount d = 3/4,
+      P(w|v) = (c(vw) − 3/4)/c(v·)
+             + (3/4)·N₁₊(v·)/c(v·) · N₁₊(·w)/N_bigram_types
+    is a sum of two RATIONALS, so the micro-unit output needs no
+    transcendentals at all: each term is one truncating integer division
+    (Spark ``DIV`` ≡ DuckDB ``//``) of exact int64 products —
+    bit-identical across engines, partitionings, and reruns by
+    construction (stricter than the quantized-ln micro-nat scheme the
+    perplexity family needs). Term-wise flooring differs from flooring
+    the exact sum by at most 1 micro-unit but is the SAME expression on
+    both sides. int64 headroom: the interpolation numerator is
+    3e6·N₁₊(v·)·N₁₊(·w) ≤ 3e6·|V|² and the denominator 4·c(v·)·N_bt —
+    at trillion-token scale promote both to DECIMAL(38,0); the
+    arithmetic stays exact.
+
+    Scale shape: identical to text_lm_perplexity's model build — bigram
+    instances explode map-side, ONE (w1,w2) map-side-combined shuffle to
+    the TYPE-level model table, and every subsequent table (prefix
+    totals + distinct-successor counts from one w1-rollup, continuation
+    counts from one w2-rollup, the 1-row type total) is vocabulary-sized
+    or smaller. The final scoring joins ride the model's own keys and
+    the output is TakeOrderedAndProject's top-20 — no global sort, no
+    corpus-sized exchange after the first rollup.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    ws = _words()
+    bigs = d.select(
+        F.explode(
+            F.zip_with(
+                F.slice(ws, 1, F.size(ws) - 1),
+                F.slice(ws, 2, F.size(ws) - 1),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("bg"),
+    ).select("bg.w1", "bg.w2")
+    c12 = (
+        bigs.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("long").alias("c12"))
+        .localCheckpoint(eager=False)
+    )
+    c1 = c12.groupBy("w1").agg(
+        F.sum("c12").alias("c1"),
+        F.count(F.lit(1)).cast("long").alias("n1p_fwd"),
+    )
+    bwd = c12.groupBy("w2").agg(
+        F.count(F.lit(1)).cast("long").alias("n1p_bwd")
+    )
+    nbt = c12.agg(F.count(F.lit(1)).cast("long").alias("nbt"))
+    return (
+        c12.join(c1, "w1")
+        .join(bwd, "w2")
+        .crossJoin(F.broadcast(nbt))
+        .select(
+            "w1",
+            "w2",
+            "c12",
+            F.col("c1").cast("long").alias("c1"),
+            "n1p_fwd",
+            "n1p_bwd",
+            F.expr(
+                "CAST((1000000 * (4 * c12 - 3)) DIV (4 * c1)"
+                " + (1000000 * 3 * n1p_fwd * n1p_bwd)"
+                "   DIV (4 * c1 * nbt) AS BIGINT)"
+            ).alias("p_kn_micro"),
+        )
+        .orderBy(F.col("c12").desc(), "w1", "w2")
+        .limit(20)
+    )

@@ -1116,3 +1116,92 @@ def test_holt_forecast_state_is_bounded_by_series(spark, sf_dir):
         # below 0 and never above the observed max
         assert 0 <= r["level_milli"] <= 1000 * e["hi"], r
         assert abs(r["trend_milli"]) <= 1000 * e["hi"], r
+
+
+def test_seasonal_decompose_indices_center_near_zero(spark, sf_dir):
+    """The seasonal indices are truncating integer means of detrended
+    values, so per event type the n_obs-weighted index sum must sit within
+    one truncation quantum per dow-group of zero IF the trend captured the
+    level (additive decomposition identity). Also: exactly ≤7 dow rows per
+    type, and the remainder statistic is non-negative by construction."""
+    rows = REGISTRY["ts_seasonal_decompose"].fn(spark, sf_dir).collect()
+    assert rows, "decomposition produced no rows"
+    by_type: dict[str, list] = {}
+    for r in rows:
+        by_type.setdefault(r["event_type"], []).append(r)
+        assert 0 <= r["dow"] <= 6
+        assert r["n_obs"] >= 1
+        assert r["mean_abs_remainder_milli"] >= 0
+    for et, rs in by_type.items():
+        assert len(rs) <= 7
+        dows = [r["dow"] for r in rs]
+        assert len(set(dows)) == len(dows), f"duplicate dow rows for {et}"
+        # weighted seasonal sum ≈ total detrended sum; each group's
+        # truncating mean loses < 1 milli-unit per observation, and the
+        # detrended total itself is bounded by the same truncation of the
+        # moving average — allow one quantum per observation.
+        n_tot = sum(r["n_obs"] for r in rs)
+        wsum = sum(r["seasonal_milli"] * r["n_obs"] for r in rs)
+        # detrended values are count-scale (milli); the identity holds to
+        # within truncation noise, far below one daily count (1000 milli)
+        # per observation.
+        assert abs(wsum) <= 1000 * n_tot
+
+
+def test_negative_sampling_table_is_a_valid_cdf(spark, sf_dir):
+    """The cumulative column must be strictly increasing in table order
+    (every weight ≥ 1 milli for any word with c ≥ 1), the final cumulative
+    equals the sum of weights, ppm shares sum to ≤ 1e6 (truncating floor
+    loses < 1 ppm per row), and the 3/4-power weight is sandwiched by
+    sqrt-exactness: c^0.5·1000 ≤ w ≤ c·1000 for c ≥ 1."""
+    rows = REGISTRY["curate_negative_sampling"].fn(spark, sf_dir).collect()
+    assert rows
+    ordered = sorted(rows, key=lambda r: (-r["c"], r["word"]))
+    prev = 0
+    for r in ordered:
+        assert r["w_milli"] >= 1000, "c>=1 implies weight >= 1000 milli"
+        assert r["cum_w_milli"] == prev + r["w_milli"], "cumsum broken"
+        prev = r["cum_w_milli"]
+        assert int(round((r["c"] ** 0.5) * 1000)) - 1 <= r["w_milli"] <= r["c"] * 1000
+    tot_ppm = sum(r["sample_ppm"] for r in rows)
+    assert 1_000_000 - len(rows) <= tot_ppm <= 1_000_000
+
+
+def test_kneser_ney_is_a_subprobability(spark, sf_dir):
+    """Every emitted KN probability lies in (0, 1e6] micro-units, and for
+    any context v the discounted+interpolated mass over its TOP bigrams
+    cannot exceed the full distribution's total of 1e6 micro. Also the
+    continuation counts are bounded by the vocabulary: n1p_* ≥ 1 and
+    c12 ≤ c1."""
+    rows = REGISTRY["text_kneser_ney_bigram"].fn(spark, sf_dir).collect()
+    assert len(rows) == 20
+    by_ctx: dict[str, int] = {}
+    for r in rows:
+        assert 0 < r["p_kn_micro"] <= 1_000_000
+        assert 1 <= r["c12"] <= r["c1"]
+        assert r["n1p_fwd"] >= 1 and r["n1p_bwd"] >= 1
+        by_ctx[r["w1"]] = by_ctx.get(r["w1"], 0) + r["p_kn_micro"]
+    for ctx, mass in by_ctx.items():
+        assert mass <= 1_000_000, f"context {ctx} over-allocates mass"
+
+
+def test_resource_allocation_candidates_are_nonedges(spark, sf_dir):
+    """Every predicted link must be a genuine NON-edge with at least one
+    common neighbor, u < v canonical orientation, and a score consistent
+    with its common-neighbor count under the hub cap: n_common ≤ ra_nano
+    ≤ n_common · 1e9/2 (every middle has deg ≥ 2 — it touches both u and
+    v — and contributes at least 1e9/cap after flooring... at least 1)."""
+    from biglake_iceberg_python_spark.operators.graph import _edges
+
+    rows = REGISTRY["graph_resource_allocation"].fn(spark, sf_dir).collect()
+    assert rows
+    edge_set = {
+        (r["src"], r["dst"]) for r in _edges(spark, sf_dir).collect()
+    }
+    for r in rows:
+        assert r["u"] < r["v"]
+        assert (r["u"], r["v"]) not in edge_set, "predicted an existing edge"
+        assert r["n_common"] >= 1
+        # every middle has degree >= 2 (adjacent to both u and v), so each
+        # contribution is <= 1e9/2; and each is >= 1 nano after flooring.
+        assert r["n_common"] <= r["ra_nano"] <= r["n_common"] * 500_000_000
