@@ -1971,3 +1971,81 @@ def lakehouse_incremental_matview_join(
             F.col("total_cents").cast("long").alias("total_cents"),
         )
         return out.localCheckpoint(eager=True)
+
+
+@query(
+    "lakehouse_gdpr_forget",
+    oracle="""
+    SELECT 'customer' AS table_name,
+           CAST(COUNT(*) AS BIGINT) AS n_before,
+           CAST(COUNT(*) FILTER (WHERE c_custkey % 97 = 0) AS BIGINT)
+             AS n_deleted,
+           CAST(COUNT(*) FILTER (WHERE c_custkey % 97 <> 0) AS BIGINT)
+             AS n_after,
+           CAST(0 AS BIGINT) AS n_orphans
+    FROM customer
+    UNION ALL
+    SELECT 'orders',
+           CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(*) FILTER (WHERE o_custkey % 97 = 0) AS BIGINT),
+           CAST(COUNT(*) FILTER (WHERE o_custkey % 97 <> 0) AS BIGINT),
+           CAST(0 AS BIGINT)
+    FROM orders
+    """,
+    tags=("lakehouse", "governance", "delete", "gdpr"),
+)
+def lakehouse_gdpr_forget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten cascade: delete a deterministic cohort of
+    customers (custkey ≡ 0 mod 97 — standing in for the explicit erasure
+    list a DSR queue supplies) from the customer table AND every fact
+    table referencing them, then emit the per-table audit a privacy
+    review needs: rows before, rows erased, rows after, and — the actual
+    compliance bit — a recount of SURVIVING rows that still reference a
+    forgotten subject, which the oracle pins to exactly 0. If the
+    cascade missed rows anywhere, n_orphans goes nonzero and the hash
+    check fails; if it over-deleted, n_after mismatches.
+
+    Iceberg semantics under test: two independent SnapshotTables take
+    row-level copy-on-write deletes; both PRE-delete snapshots must stay
+    readable via time travel (asserted in-query — GDPR erasure in a
+    snapshot store additionally requires expire_snapshots to physically
+    drop the old files; that retention half is exercised by
+    ``lakehouse_expire_snapshots``).
+
+    Scale shape: each delete is one predicate-pushed scan + rewrite (in
+    real Iceberg COW, of only the files containing matches via manifest
+    min/max pruning — this emulation's dir-granularity boundary is
+    documented at `snapshots.py delete_where`); the audit recount is a
+    map-side filter count. With an explicit key list instead of a
+    predicate, the same cascade runs as a broadcast LEFT SEMI join per
+    table — the erasure list is human-scale, never corpus-scale. Nothing
+    here shuffles at all: deletes and counts are scan-shaped.
+    """
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    with tempfile.TemporaryDirectory(prefix="lh_gdpr_") as root:
+        tc = SnapshotTable(spark, os.path.join(root, "customer"))
+        to = SnapshotTable(spark, os.path.join(root, "orders"))
+        vc = tc.write(c, mode="append")
+        vo = to.write(o, mode="append")
+        nc_before = tc.read().count()
+        no_before = to.read().count()
+        tc.delete_where(F.col("c_custkey") % 97 == 0)
+        to.delete_where(F.col("o_custkey") % 97 == 0)
+        nc_after = tc.read().count()
+        no_after = to.read().count()
+        # Erasure must not rewrite history (time travel intact until
+        # expire_snapshots runs its retention pass).
+        if tc.read(vc).count() != nc_before or to.read(vo).count() != no_before:
+            raise AssertionError("pre-erasure snapshot was mutated")
+        orph_c = tc.read().filter(F.col("c_custkey") % 97 == 0).count()
+        orph_o = to.read().filter(F.col("o_custkey") % 97 == 0).count()
+        rows = [
+            ("customer", nc_before, nc_before - nc_after, nc_after, orph_c),
+            ("orders", no_before, no_before - no_after, no_after, orph_o),
+        ]
+        return spark.createDataFrame(
+            rows,
+            "table_name STRING, n_before BIGINT, n_deleted BIGINT,"
+            " n_after BIGINT, n_orphans BIGINT",
+        )

