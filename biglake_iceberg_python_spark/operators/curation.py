@@ -1772,6 +1772,20 @@ def pipeline_release_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined
 
 
+def _vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-500 vocabulary by (count DESC, word): the pre-checkpoint
+    subplan of curate_negative_sampling, split out so the plan test can
+    pin its TakeOrderedAndProject shape directly."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        F.explode(
+            F.filter(F.split("text", " "), lambda x: x != "")
+        ).alias("word")
+    )
+    counts = words.groupBy("word").agg(F.count(F.lit(1)).alias("c"))
+    return counts.orderBy(F.col("c").desc(), "word").limit(500)
+
+
 @query(
     "curate_negative_sampling",
     oracle="""
@@ -1818,20 +1832,16 @@ def curate_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: explode→count is ONE map-side-combined shuffle on the
     word key (the word-TYPE table is orders of magnitude smaller than the
     corpus — same regime as text_bpe_pair_stats); the top-500 cut is
-    TakeOrderedAndProject (no global sort of the vocabulary); only then —
+    TakeOrderedAndProject (no global range-sort of the vocabulary — the
+    cut is localCheckpoint-materialized so the limit is TERMINAL in its
+    own job; left inline, Catalyst plans the window-consumed limit as a
+    full rangepartitioning sort, measured in the plan test); only then —
     on the fixed-size 500-row table — does the cumulative window run in a
     single bounded partition. Nothing corpus-sized crosses an exchange
     after the first rollup. At 100 TB the vocabulary table is the only
     growing intermediate, and it grows with type count, not token count.
     """
-    docs = load_table(spark, sf_dir, "documents")
-    words = docs.select(
-        F.explode(
-            F.filter(F.split("text", " "), lambda x: x != "")
-        ).alias("word")
-    )
-    counts = words.groupBy("word").agg(F.count(F.lit(1)).alias("c"))
-    topk = counts.orderBy(F.col("c").desc(), "word").limit(500)
+    topk = _vocab_topk(spark, sf_dir).localCheckpoint(eager=False)
     wt = topk.select(
         "word",
         F.col("c").cast("long").alias("c"),

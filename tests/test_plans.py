@@ -837,3 +837,79 @@ def test_rake_has_no_corpus_wide_window(spark, sf_dir):
         assert "doc_id" in spec, f"corpus-wide window: {spec}"
     assert "BroadcastHashJoin" in plan
     assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+
+
+def test_negative_sampling_vocab_topk_avoids_global_sort(spark, sf_dir):
+    """The top-500 vocabulary cut must be TakeOrderedAndProject (never a
+    rangepartitioning sort of the whole vocabulary) — pinned on the
+    pre-checkpoint subplan, since the registered query materializes the
+    cut so its windows consume a 500-row RDD; the outer plan must show
+    exactly that (ExistingRDD, no rangepartitioning exchange), and the
+    corpus scan reads only the text column."""
+    from biglake_iceberg_python_spark.operators.curation import _vocab_topk
+
+    inner = (
+        _vocab_topk(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in inner
+    assert "Exchange rangepartitioning" not in inner
+    read_schema = inner.split("ReadSchema: ")[1].splitlines()[0]
+    assert "text" in read_schema and "doc_id" not in read_schema
+    outer = plan_of(spark, sf_dir, "curate_negative_sampling")
+    assert "Scan ExistingRDD" in outer
+    assert "Exchange rangepartitioning" not in outer
+    assert "documents.parquet" not in outer
+
+
+def test_kneser_ney_topk_and_single_corpus_scan(spark, sf_dir):
+    """Top-20 must be TakeOrderedAndProject; the bigram-type total (nbt)
+    broadcasts; the corpus explode feeds ONE model build (the
+    localCheckpoint makes the model table the only scan consumer)."""
+    plan = plan_of(spark, sf_dir, "text_kneser_ney_bigram")
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    # the checkpointed model is scanned, not the corpus, for every join
+    assert plan.count("Scan ExistingRDD") >= 2 or "Scan parquet" not in plan
+
+
+def test_resource_allocation_caps_hubs_before_wedge_join(spark, sf_dir):
+    """The deg<=cap filter must sit BELOW the z-z wedge self-join (the
+    fan-out bound depends on filtering first), the wedge join must be an
+    equi-join on z (never a cartesian), and top-20 must be
+    TakeOrderedAndProject."""
+    plan = plan_of(spark, sf_dir, "graph_resource_allocation")
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+    # the cap shows up as a pre-join filter on the degree column
+    assert "(deg#" in plan and "<= 256" in plan
+    # wedge join keyed on z: a SortMergeJoin/ShuffledHashJoin with z in
+    # its join keys exists
+    assert ("SortMergeJoin [z#" in plan) or ("ShuffledHashJoin [z#" in plan) or (
+        "BroadcastHashJoin [z#" in plan
+    )
+
+
+def test_seasonal_decompose_windows_grid_not_corpus(spark, sf_dir):
+    """The moving-average window must run over the dense per-(type,day)
+    GRID (thousands of rows), keyed on event_type — never over raw events;
+    the events scan reads only the two needed columns."""
+    plan = plan_of(spark, sf_dir, "ts_seasonal_decompose")
+    read_schema = plan.split("ReadSchema: ")[1].splitlines()[0]
+    assert "ts" in read_schema and "event_type" in read_schema
+    assert "props" not in read_schema and "user_id" not in read_schema
+    # exactly one corpus-sized exchange: the (type, day) rollup; the window
+    # partitions by event_type afterwards
+    assert "Window" in plan
+
+
+def test_cuped_single_user_shuffle_then_one_row(spark, sf_dir):
+    """CUPED must shuffle the corpus ONCE (per-user rollup on user_id);
+    the bounds row broadcasts; the final 12-column moment rollup is a
+    two-phase aggregate to a single row."""
+    plan = plan_of(spark, sf_dir, "events_cuped_adjusted_delta")
+    assert "BroadcastNestedLoopJoin" in plan  # 1-row bounds × events
+    assert plan.count("Exchange hashpartitioning(user_id") == 1
+    assert "Exchange SinglePartition" in plan  # the 1-row moment merge
