@@ -954,3 +954,101 @@ def dedup_minhash_oph(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b", est.alias("est_jaccard"))
         .filter(F.col("est_jaccard") >= _JACCARD_THRESHOLD)
     )
+
+
+_PARA_W = 10  # paragraph analog: non-overlapping 10-word chunks
+
+
+@query(
+    "dedup_paragraph_exact",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, source,
+             list_filter(string_split(text, ' '), x -> x <> '') AS ws
+      FROM documents
+    ), ti AS (
+      SELECT doc_id, source, ws,
+             unnest(generate_series(0, (len(ws) - 1) // {_PARA_W})) AS i
+      FROM t
+    ), c AS (
+      SELECT doc_id, source, i AS idx,
+             array_to_string(
+               ws[i * {_PARA_W} + 1 : i * {_PARA_W} + {_PARA_W}], ' ')
+               AS chunk,
+             len(ws[i * {_PARA_W} + 1 : i * {_PARA_W} + {_PARA_W}])
+               AS n_tok
+      FROM ti
+    ), r AS (
+      SELECT source, n_tok,
+             ROW_NUMBER() OVER (PARTITION BY chunk
+                                ORDER BY doc_id, idx) AS rn
+      FROM c
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(COUNT(*) FILTER (WHERE rn > 1) AS BIGINT) AS n_dup_removed,
+           CAST(COALESCE(SUM(n_tok) FILTER (WHERE rn = 1), 0) AS BIGINT)
+             AS kept_tokens,
+           CAST(COUNT(*) FILTER (WHERE rn > 1) * 1000000 // COUNT(*)
+             AS BIGINT) AS dup_ppm
+    FROM r GROUP BY source
+    """,
+    tags=("llm", "dedup", "paragraph", "exact"),
+)
+def dedup_paragraph_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paragraph-level exact dedup with REMOVAL accounting — the Dolma/C4
+    recipe one granularity below document hashing (`dedup_exact`) and one
+    above any-span matching (`dedup_substring_spans`): split every
+    document into non-overlapping {_PARA_W}-word chunks (the paragraph
+    analog for this corpus — real corpora split on newline), keep each
+    distinct chunk's FIRST occurrence in global (doc_id, position) order,
+    and report per source how many chunks were removed as duplicates and
+    how many tokens the cleaned corpus retains.
+
+    First-occurrence is a ROW_NUMBER over the chunk TEXT itself (no hash
+    in the dedup key — bit-exact by construction; at 100 TB you'd key on
+    xxhash64(chunk) and keep bodies out of the exchange, trading nothing
+    but collision odds of ~2⁻⁶⁴); the (doc_id, idx) tiebreak is a total
+    order, so the keep/remove decision is partition-invariant. All output
+    columns are exact integers; the ppm rate is truncating division.
+
+    Scale shape: chunking is map-side array arithmetic (sequence +
+    slice — no self-join, no explode beyond the chunk stream itself);
+    the only corpus-sized exchange is the ONE shuffle on the chunk key
+    for first-occurrence ranking — identical budget to dedup_exact; the
+    per-source rollup rides map-side combine. Chunk bodies cross the
+    exchange here only because the oracle needs bit-exactness — the
+    documented hash-key variant moves 8 bytes per chunk instead.
+    """
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", _words().alias("ws")
+    )
+    chunks = d.select(
+        "doc_id",
+        "source",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, (size(ws) - 1) DIV {_PARA_W}),"
+                f" i -> slice(ws, i * {_PARA_W} + 1, {_PARA_W}))"
+            )
+        ).alias("idx", "chunk_ws"),
+    ).select(
+        "doc_id",
+        "source",
+        "idx",
+        F.array_join("chunk_ws", " ").alias("chunk"),
+        F.size("chunk_ws").alias("n_tok"),
+    )
+    w = Window.partitionBy("chunk").orderBy("doc_id", "idx")
+    ranked = chunks.select(
+        "source", "n_tok", F.row_number().over(w).alias("rn")
+    )
+    return ranked.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_chunks"),
+        F.count(F.when(F.col("rn") > 1, 1)).cast("long").alias("n_dup_removed"),
+        F.coalesce(F.sum(F.when(F.col("rn") == 1, F.col("n_tok"))), F.lit(0))
+        .cast("long")
+        .alias("kept_tokens"),
+        F.expr("CAST(COUNT(IF(rn > 1, 1, NULL)) * 1000000 DIV COUNT(*) AS BIGINT)")
+        .alias("dup_ppm"),
+    )

@@ -1286,3 +1286,81 @@ def stream_windowed_dau(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format(F.col("win.start"), _TS_FMT).alias("window_start"),
         F.col("n_users").cast("long").alias("n_users"),
     )
+
+
+@query(
+    "stream_topk_trending",
+    oracle="""
+    WITH w AS (
+      SELECT
+        strftime(time_bucket(INTERVAL '10 minutes', ts),
+                 '%Y-%m-%d %H:%M:%S') AS window_start,
+        event_type,
+        CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM events
+      GROUP BY 1, 2
+    ), r AS (
+      SELECT window_start, event_type, n_events,
+             ROW_NUMBER() OVER (PARTITION BY window_start
+                                ORDER BY n_events DESC, event_type) AS rnk
+      FROM w
+    )
+    SELECT window_start, CAST(rnk AS BIGINT) AS rnk, event_type, n_events
+    FROM r WHERE rnk <= 3
+    """,
+    tags=("streaming", "window", "topk", "trending"),
+)
+def stream_topk_trending(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trending-items readout: streaming tumbling-window counts per event
+    type (append mode, watermark-evicted state — the same bounded-state
+    machinery as ``stream_tumbling_window``), then the top-3 types per
+    FINALIZED window with a deterministic (count DESC, type) tiebreak —
+    the leaderboard a live dashboard polls.
+
+    The ranking runs as a tiny batch window over the memory sink's
+    finalized-window table (|windows| × |types| rows — never the event
+    stream): in production the same rank runs per trigger in foreachBatch
+    over exactly the rows that batch finalized. For high-cardinality keys
+    where exact per-window counts blow state, the documented degradation
+    is approximate top-k (the mergeable Count-Min of
+    ``agg_countmin_sketch`` + a per-window heap); here types are
+    low-cardinality and the exact rank is the batch-twin-verifiable
+    semantics.
+
+    The flush sentinel closes the last real windows; its own far-future
+    window is never finalized before the trigger ends, so it cannot
+    reach the leaderboard.
+    """
+    input_dir, ckpt = stage_event_chunks(
+        spark, sf_dir, n_chunks=4, flush_sentinel=True
+    )
+    s = read_event_stream(spark, input_dir)
+    agg = (
+        s.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "10 minutes"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    name = f"trending_{uuid.uuid4().hex[:8]}"
+    LAST_STREAMING_QUERIES["stream_topk_trending"] = run_stream_to_memory(
+        agg, name, "append", ckpt
+    )
+    from pyspark.sql import Window
+
+    finalized = spark.table(name).select(
+        F.date_format(F.col("window.start"), _TS_FMT).alias("window_start"),
+        "event_type",
+        F.col("n_events").cast("long").alias("n_events"),
+    )
+    rw = Window.partitionBy("window_start").orderBy(
+        F.col("n_events").desc(), "event_type"
+    )
+    return (
+        finalized.select(
+            "window_start",
+            F.row_number().over(rw).cast("long").alias("rnk"),
+            "event_type",
+            "n_events",
+        )
+        .filter(F.col("rnk") <= 3)
+        .select("window_start", "rnk", "event_type", "n_events")
+    )

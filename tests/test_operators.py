@@ -1244,3 +1244,61 @@ def test_gdpr_forget_cascade_is_complete_and_conservative(spark, sf_dir):
         assert r["n_deleted"] + r["n_after"] == r["n_before"], name
         assert r["n_deleted"] >= 1, f"{name}: forget cohort empty — vacuous"
         assert r["n_orphans"] == 0, f"{name}: erasure incomplete"
+
+
+def test_paragraph_dedup_conserves_chunks(spark, sf_dir):
+    """Per-source chunk accounting must balance against an independent
+    recount of the chunking arithmetic (ceil(n_words/10) chunks per doc),
+    duplicates are a strict subset, and the cleaned corpus keeps at least
+    one token per surviving chunk."""
+    from biglake_iceberg_python_spark.sources.tables import load_table
+
+    rows = {
+        r["source"]: r
+        for r in REGISTRY["dedup_paragraph_exact"].fn(spark, sf_dir).collect()
+    }
+    assert rows
+    expected = {
+        r["source"]: (r["n_chunks"], r["n_words"])
+        for r in load_table(spark, sf_dir, "documents")
+        .select(
+            "source",
+            F.size(F.filter(F.split("text", " "), lambda x: x != "")).alias("nw"),
+        )
+        .groupBy("source")
+        .agg(
+            F.sum(F.expr("(nw - 1) DIV 10 + 1")).alias("n_chunks"),
+            F.sum("nw").alias("n_words"),
+        )
+        .collect()
+    }
+    for src, r in rows.items():
+        n_chunks_expected, n_words = expected[src]
+        assert r["n_chunks"] == n_chunks_expected, src
+        assert 0 <= r["n_dup_removed"] < r["n_chunks"], src
+        # kept tokens: everything minus what duplicate chunks carried;
+        # bounded by the source's total words and at least n_kept chunks' 1
+        # token each.
+        n_kept = r["n_chunks"] - r["n_dup_removed"]
+        assert n_kept <= r["kept_tokens"] <= n_words, src
+        assert r["dup_ppm"] == r["n_dup_removed"] * 1_000_000 // r["n_chunks"]
+
+
+def test_stream_topk_trending_ranks_are_contiguous(spark, sf_dir):
+    """Every finalized window's leaderboard must carry ranks 1..k (k ≤ 3)
+    with counts non-increasing in rank and the (count DESC, type)
+    tiebreak respected."""
+    rows = REGISTRY["stream_topk_trending"].fn(spark, sf_dir).collect()
+    assert rows
+    by_w: dict[str, list] = {}
+    for r in rows:
+        by_w.setdefault(r["window_start"], []).append(r)
+    for wstart, rs in by_w.items():
+        rs.sort(key=lambda r: r["rnk"])
+        assert [r["rnk"] for r in rs] == list(range(1, len(rs) + 1)), wstart
+        assert len(rs) <= 3
+        for a, b in zip(rs, rs[1:]):
+            assert (a["n_events"], b["event_type"]) >= (
+                b["n_events"],
+                a["event_type"],
+            ), f"tiebreak violated in {wstart}"
