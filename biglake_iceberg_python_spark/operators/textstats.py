@@ -1475,3 +1475,236 @@ def text_kneser_ney_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("c12").desc(), "w1", "w2")
         .limit(20)
     )
+
+
+_BPE_ROUNDS = 6
+
+
+def _bpe_chain_sql() -> str:
+    """The shared 6-round BPE trainer CTE chain (through t6) — same
+    argmax tiebreak and greedy replace as the Spark side (see
+    text_bpe_train_merges for why string replace IS the merge). Both BPE
+    oracles append their own final SELECT."""
+    rounds = []
+    for r in range(_BPE_ROUNDS):
+        rounds.append(f"""
+    , pr{r} AS (
+      SELECT freq, list_filter(string_split(s, '/'), x -> x <> '') AS ws
+      FROM t{r}
+    ), pi{r} AS (
+      SELECT freq, ws, unnest(generate_series(1, len(ws) - 1)) AS i
+      FROM pr{r}
+    ), p{r} AS (
+      SELECT ws[i] AS a, ws[i+1] AS b, CAST(SUM(freq) AS BIGINT) AS cnt
+      FROM pi{r} GROUP BY a, b
+    ), b{r} AS (
+      SELECT a, b, cnt FROM p{r} ORDER BY cnt DESC, a, b LIMIT 1
+    ), t{r + 1} AS (
+      SELECT word, freq,
+             replace(t{r}.s, b{r}.a || '/' || b{r}.b || '/',
+                     b{r}.a || b{r}.b || '/') AS s
+      FROM t{r} CROSS JOIN b{r}
+    )""")
+    return f"""
+    WITH words AS (
+      SELECT unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+        AS word
+      FROM documents
+    ), w AS (
+      SELECT word, CAST(COUNT(*) AS BIGINT) AS freq FROM words GROUP BY word
+    ), t0 AS (
+      SELECT word, freq, regexp_replace(word, '(.)', '\\1/', 'g') AS s
+      FROM w
+    ){''.join(rounds)}"""
+
+
+def _bpe_oracle() -> str:
+    union = "\n      UNION ALL\n".join(
+        f"      SELECT {r + 1} AS merge_rank, a AS left_tok, b AS right_tok,"
+        f" a || b AS merged, cnt FROM b{r}"
+        for r in range(_BPE_ROUNDS)
+    )
+    return f"""{_bpe_chain_sql()}
+    SELECT CAST(merge_rank AS BIGINT) AS merge_rank,
+           left_tok, right_tok, merged,
+           CAST(cnt AS BIGINT) AS weighted_count
+    FROM (
+{union}
+    )
+    """
+
+
+@query(
+    "text_bpe_train_merges",
+    oracle=_bpe_oracle(),
+    tags=("llm", "text", "bpe", "tokenizer", "iterative"),
+)
+def text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE tokenizer TRAINING — the full iterative loop, not
+    just the pair-statistics first step (`text_bpe_pair_stats`): six
+    rounds of (count frequency-weighted adjacent pairs over the word-TYPE
+    table → pick the argmax pair under a total (count DESC, pair) order →
+    merge every occurrence) producing the ordered merge table a tokenizer
+    ships. Hash-matched end-to-end: the DuckDB oracle unrolls the SAME
+    six rounds as chained CTEs, so the argmax choices and merge
+    applications must agree exactly, round by round.
+
+    The merge application needs no per-row loop on either engine: word
+    types are kept as '/'-TERMINATED token strings ('a/b/c/'), and
+    leftmost non-overlapping string ``replace`` of 'a/b/' with 'ab/' IS
+    the greedy left-to-right BPE merge (terminated tokens make prefix
+    collisions impossible — 'a/b/' cannot match inside 'a/bc/'; verified
+    identical across JVM and DuckDB replace semantics, including the
+    overlap case 'a/a/a/' → 'aa/a/').
+
+    Scale shape: the ONLY corpus-sized work is the one explode→count
+    shuffle building the word-type table (same budget as every text
+    query); all six training rounds run on the TYPE table (vocabulary-
+    sized — orders of magnitude below the corpus), each round = one
+    pair-count shuffle + a 1-row argmax (TakeOrdered) broadcast into a
+    map-side replace. localCheckpoint per round keeps the plan linear in
+    rounds. This is exactly how industrial BPE trainers distribute
+    (type-level counting, driver-coordinated argmax) — at a 1M-type
+    vocabulary each round's pair table is ~10M rows, trivial for a
+    cluster. Token arrays never explode per-occurrence: frequency
+    weighting carries occurrence counts.
+    """
+    _, merges = _bpe_train(spark, sf_dir)
+    out = merges[0]
+    for m in merges[1:]:
+        out = out.unionAll(m)
+    return out
+
+
+def _bpe_train(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, list[DataFrame]]:
+    """Run the 6-round trainer; return (final encoded type table, per-round
+    merge rows). Shared by text_bpe_train_merges and text_bpe_encode."""
+    d = load_table(spark, sf_dir, "documents")
+    w = (
+        d.select(F.explode(_words()).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+    )
+    t = w.select(
+        "word", "freq", F.regexp_replace("word", "(.)", "$1/").alias("s")
+    ).localCheckpoint(eager=False)
+    merges = []
+    for r in range(_BPE_ROUNDS):
+        tw = t.select(
+            "freq", F.expr("filter(split(s, '/'), x -> x != '')").alias("ws")
+        )
+        pairs = tw.select(
+            "freq",
+            F.explode(
+                F.zip_with(
+                    F.slice("ws", 1, F.size("ws") - 1),
+                    F.slice("ws", 2, F.size("ws") - 1),
+                    lambda a, b: F.struct(a.alias("a"), b.alias("b")),
+                )
+            ).alias("p"),
+        )
+        best = (
+            pairs.select("freq", "p.a", "p.b")
+            .groupBy("a", "b")
+            .agg(F.sum("freq").cast("long").alias("cnt"))
+            .orderBy(F.col("cnt").desc(), "a", "b")
+            .limit(1)
+            .localCheckpoint(eager=False)
+        )
+        merges.append(
+            best.select(
+                F.lit(r + 1).cast("long").alias("merge_rank"),
+                F.col("a").alias("left_tok"),
+                F.col("b").alias("right_tok"),
+                F.concat("a", "b").alias("merged"),
+                F.col("cnt").alias("weighted_count"),
+            )
+        )
+        t = (
+            t.crossJoin(F.broadcast(best))
+            .select(
+                "word",
+                "freq",
+                F.replace(
+                    F.col("s"),
+                    F.concat(F.col("a"), F.lit("/"), F.col("b"), F.lit("/")),
+                    F.concat(F.col("a"), F.col("b"), F.lit("/")),
+                ).alias("s"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return t, merges
+
+
+@query(
+    "text_bpe_encode",
+    oracle=f"""{_bpe_chain_sql()}
+    , cw AS (
+      SELECT source,
+             unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+               AS word
+      FROM documents
+    ), csw AS (
+      SELECT source, word, CAST(COUNT(*) AS BIGINT) AS c
+      FROM cw GROUP BY source, word
+    )
+    SELECT csw.source,
+           CAST(SUM(csw.c) AS BIGINT) AS n_words,
+           CAST(SUM(csw.c * length(csw.word)) AS BIGINT) AS n_chars,
+           CAST(SUM(csw.c * len(list_filter(string_split(t{_BPE_ROUNDS}.s,
+                  '/'), x -> x <> ''))) AS BIGINT) AS n_bpe_tokens,
+           CAST(SUM(csw.c * len(list_filter(string_split(t{_BPE_ROUNDS}.s,
+                  '/'), x -> x <> ''))) * 1000000
+                // SUM(csw.c * length(csw.word)) AS BIGINT)
+             AS tokens_per_char_ppm
+    FROM csw JOIN t{_BPE_ROUNDS} ON csw.word = t{_BPE_ROUNDS}.word
+    GROUP BY csw.source
+    """,
+    tags=("llm", "text", "bpe", "tokenizer", "encode"),
+)
+def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE ENCODING — apply the 6-merge tokenizer `text_bpe_train_merges`
+    learns to the whole corpus and report per-source token economics:
+    word count, character count, BPE token count, and tokens-per-char in
+    ppm (the fertility metric tokenizer evaluations quote). Hash-matched:
+    the oracle re-runs the identical unrolled trainer and the identical
+    type-level encoding join.
+
+    Encoding never touches documents row by row: the trainer's final
+    type table already holds every word's merged segmentation, so the
+    corpus is encoded by ONE equi-join of per-(source, word) counts
+    against the vocabulary — token counts multiply out by occurrence
+    count. The ppm is truncating integer division of exact int64 sums
+    (Spark ``DIV`` ≡ DuckDB ``//``), never float.
+
+    Scale shape: one corpus shuffle for the (source, word) rollup —
+    everything after is vocabulary-sized (the trainer's own budget plus
+    one broadcast-able join). This is the induction→application loop a
+    tokenizer pipeline actually runs, closed end-to-end.
+    """
+    t, _ = _bpe_train(spark, sf_dir)
+    d = load_table(spark, sf_dir, "documents")
+    csw = (
+        d.select("source", F.explode(_words()).alias("word"))
+        .groupBy("source", "word")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    enc = t.select(
+        "word",
+        F.size(F.expr("filter(split(s, '/'), x -> x != '')")).alias("n_tok"),
+    )
+    return (
+        csw.join(F.broadcast(enc), "word")
+        .groupBy("source")
+        .agg(
+            F.sum("c").cast("long").alias("n_words"),
+            F.sum(F.col("c") * F.length("word")).cast("long").alias("n_chars"),
+            F.sum(F.col("c") * F.col("n_tok")).cast("long").alias("n_bpe_tokens"),
+            F.expr(
+                "CAST(SUM(c * n_tok) * 1000000 DIV SUM(c * length(word))"
+                " AS BIGINT)"
+            ).alias("tokens_per_char_ppm"),
+        )
+    )

@@ -1302,3 +1302,38 @@ def test_stream_topk_trending_ranks_are_contiguous(spark, sf_dir):
                 b["n_events"],
                 a["event_type"],
             ), f"tiebreak violated in {wstart}"
+
+
+def test_bpe_training_merge_counts_monotone(spark, sf_dir):
+    """BPE argmax property: each round's best-pair count cannot exceed the
+    previous round's (pre-existing pairs only lose mass when a merge
+    consumes their members, and pairs created by a merge are bounded by
+    that merge's count) — so the merge table's weighted counts are
+    non-increasing in rank; merged tokens are the concatenation of their
+    parts; ranks are exactly 1..6."""
+    rows = sorted(
+        REGISTRY["text_bpe_train_merges"].fn(spark, sf_dir).collect(),
+        key=lambda r: r["merge_rank"],
+    )
+    assert [r["merge_rank"] for r in rows] == list(range(1, 7))
+    for r in rows:
+        assert r["merged"] == r["left_tok"] + r["right_tok"]
+        assert r["weighted_count"] >= 1
+    for a, b in zip(rows, rows[1:]):
+        assert a["weighted_count"] >= b["weighted_count"], (
+            "argmax monotonicity violated"
+        )
+
+
+def test_bpe_encode_token_economics(spark, sf_dir):
+    """Encoding sanity per source: at least one token per word, never more
+    tokens than characters (merges only shrink), and the fertility ppm is
+    the truncating ratio of the emitted integers."""
+    rows = REGISTRY["text_bpe_encode"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["n_words"] <= r["n_bpe_tokens"] <= r["n_chars"], r["source"]
+        assert (
+            r["tokens_per_char_ppm"]
+            == r["n_bpe_tokens"] * 1_000_000 // r["n_chars"]
+        )
