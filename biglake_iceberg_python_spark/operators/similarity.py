@@ -1309,3 +1309,160 @@ def sim_mips_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
     aug_set = {(r["qid"], r["cid"], r["rk"]) for r in aug_top.collect()}
     assert direct_set == aug_set, "MIPS reduction changed the ranking"
     return direct.select("qid", "cid", "dot", "rk")
+
+
+_MMR_POOL = 20  # relevance-ranked candidate pool fed to the greedy loop
+_MMR_K = 5  # diversified results returned
+
+
+def _mmr_oracle() -> str:
+    """Unrolled greedy MMR as chained CTEs — the same argmax tiebreak and
+    the same IEEE double sequence as the Spark loop."""
+    sim = (
+        "list_dot_product(p.cv, s.cv)"
+        " / sqrt(list_dot_product(p.cv, p.cv)"
+        " * list_dot_product(s.cv, s.cv))"
+    )
+    rounds = []
+    for r in range(1, _MMR_K):
+        rounds.append(f"""
+    , worst{r} AS (
+      SELECT p.cid, MAX({sim}) AS w
+      FROM pool p CROSS JOIN sel{r} s
+      WHERE p.cid NOT IN (SELECT cid FROM sel{r})
+      GROUP BY p.cid
+    ), pick{r} AS (
+      SELECT p.cid, p.rel, p.cv,
+             0.5 * p.rel - 0.5 * w.w AS mmr
+      FROM pool p JOIN worst{r} w ON p.cid = w.cid
+      ORDER BY mmr DESC, p.cid LIMIT 1
+    ), sel{r + 1} AS (
+      SELECT cid, rel, cv, mmr, rnk FROM sel{r}
+      UNION ALL
+      SELECT cid, rel, cv, mmr, {r + 1} FROM pick{r}
+    )""")
+    return f"""
+    WITH q AS (
+      SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0
+    ), c AS (
+      SELECT vec_id AS cid, embedding::DOUBLE[] AS cv
+      FROM embeddings WHERE vec_id <> 0
+    ), scored AS (
+      SELECT c.cid, c.cv,
+             list_dot_product(q.qv, c.cv)
+               / sqrt(list_dot_product(q.qv, q.qv)
+                      * list_dot_product(c.cv, c.cv)) AS rel
+      FROM c CROSS JOIN q
+    ), pool AS (
+      SELECT cid, cv, rel FROM scored ORDER BY rel DESC, cid
+      LIMIT {_MMR_POOL}
+    ), sel1 AS (
+      SELECT cid, rel, cv, CAST(NULL AS DOUBLE) AS mmr, 1 AS rnk
+      FROM pool ORDER BY rel DESC, cid LIMIT 1
+    ){''.join(rounds)}
+    SELECT CAST(rnk AS BIGINT) AS sel_rank, cid, rel AS rel_cosine,
+           mmr AS mmr_score
+    FROM sel{_MMR_K}
+    """
+
+
+@query(
+    "sim_mmr_diversify",
+    oracle=_mmr_oracle(),
+    tags=("llm", "similarity", "retrieval", "mmr", "iterative"),
+)
+def sim_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance (Carbonell & Goldstein, SIGIR'98) — the
+    diversified re-ranking every RAG retrieval stack ships: greedily pick
+    5 results that trade relevance to the query against redundancy with
+    what's already picked, MMR(i) = λ·rel(i) − (1−λ)·max_{{s∈S}} sim(i,s)
+    with λ = 1/2.
+
+    Hash-matched end to end even though the loop is order-dependent: the
+    relevance pool, every pairwise cosine, and every round's argmax use
+    the sequential-fold dot product that is bit-identical to DuckDB's
+    ``list_dot_product`` (`_dot`), λ-scaling by 0.5 is an exact binary
+    op, and ties break on cid — so the oracle can unroll the identical
+    four greedy rounds as CTEs and must pick the identical documents.
+
+    Scale shape: the expensive stage is the relevance scan — EXACTLY
+    sim_bruteforce_topk's shape (query broadcast, candidates stream,
+    TakeOrdered pool cut); the greedy loop then runs on the FIXED-SIZE
+    pool (20 rows × ≤4 selected comparisons per round — driver-side
+    cost, zero corpus involvement). In production the pool size is the
+    rerank window (100-1000), still O(1) to the corpus; swapping the
+    pool builder for the IVF scan (`sim_ann_ivf`) removes even the full
+    relevance pass.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == 0).select(
+        _as_double("embedding").alias("qv")
+    )
+    c = e.filter(F.col("vec_id") != 0).select(
+        F.col("vec_id").alias("cid"), _as_double("embedding").alias("cv")
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .select(
+            "cid",
+            "cv",
+            (
+                _dot(F.col("qv"), F.col("cv"))
+                / F.sqrt(
+                    _dot(F.col("qv"), F.col("qv"))
+                    * _dot(F.col("cv"), F.col("cv"))
+                )
+            ).alias("rel"),
+        )
+    )
+    pool = (
+        scored.orderBy(F.col("rel").desc(), "cid")
+        .limit(_MMR_POOL)
+        .localCheckpoint(eager=False)
+    )
+    sel = (
+        pool.orderBy(F.col("rel").desc(), "cid")
+        .limit(1)
+        .select(
+            "cid",
+            "rel",
+            "cv",
+            F.lit(None).cast("double").alias("mmr"),
+            F.lit(1).alias("rnk"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    sim = _dot(F.col("cv"), F.col("scv")) / F.sqrt(
+        _dot(F.col("cv"), F.col("cv")) * _dot(F.col("scv"), F.col("scv"))
+    )
+    for r in range(1, _MMR_K):
+        rest = pool.join(sel.select("cid"), "cid", "left_anti")
+        worst = (
+            rest.crossJoin(
+                F.broadcast(sel.select(F.col("cv").alias("scv")))
+            )
+            .select("cid", sim.alias("s"))
+            .groupBy("cid")
+            .agg(F.max("s").alias("w"))
+        )
+        pick = (
+            pool.join(worst, "cid")
+            .select(
+                "cid",
+                "rel",
+                "cv",
+                (F.lit(0.5) * F.col("rel") - F.lit(0.5) * F.col("w")).alias(
+                    "mmr"
+                ),
+            )
+            .orderBy(F.col("mmr").desc(), "cid")
+            .limit(1)
+            .select("cid", "rel", "cv", "mmr", F.lit(r + 1).alias("rnk"))
+        )
+        sel = sel.unionAll(pick).localCheckpoint(eager=False)
+    return sel.select(
+        F.col("rnk").cast("long").alias("sel_rank"),
+        "cid",
+        F.col("rel").alias("rel_cosine"),
+        F.col("mmr").alias("mmr_score"),
+    )

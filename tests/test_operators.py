@@ -1337,3 +1337,49 @@ def test_bpe_encode_token_economics(spark, sf_dir):
             r["tokens_per_char_ppm"]
             == r["n_bpe_tokens"] * 1_000_000 // r["n_chars"]
         )
+
+
+def test_mmr_diversifies_versus_pure_relevance(spark, sf_dir):
+    """MMR contract: 5 distinct picks ranked 1..5, the first pick is the
+    pure-relevance argmax, and the selected set is no LESS diverse than
+    the top-5-by-relevance set (max pairwise cosine must not increase —
+    that trade is the whole point of the λ penalty)."""
+    import math
+
+    from biglake_iceberg_python_spark.sources.tables import load_table
+
+    rows = sorted(
+        REGISTRY["sim_mmr_diversify"].fn(spark, sf_dir).collect(),
+        key=lambda r: r["sel_rank"],
+    )
+    assert [r["sel_rank"] for r in rows] == [1, 2, 3, 4, 5]
+    assert len({r["cid"] for r in rows}) == 5
+    assert rows[0]["mmr_score"] is None
+    assert rows[0]["rel_cosine"] == max(r["rel_cosine"] for r in rows)
+    vecs = {
+        r["vec_id"]: r["embedding"]
+        for r in load_table(spark, sf_dir, "embeddings").collect()
+    }
+    q = vecs[0]
+
+    def cos(a, b):
+        num = sum(x * y for x, y in zip(a, b))
+        return num / math.sqrt(
+            sum(x * x for x in a) * sum(y * y for y in b)
+        )
+
+    rel = sorted(
+        ((cos(q, v), cid) for cid, v in vecs.items() if cid != 0),
+        reverse=True,
+    )
+    top5 = [cid for _, cid in rel[:5]]
+    mmr5 = [r["cid"] for r in rows]
+
+    def max_pairwise(ids):
+        return max(
+            cos(vecs[a], vecs[b])
+            for i, a in enumerate(ids)
+            for b in ids[i + 1 :]
+        )
+
+    assert max_pairwise(mmr5) <= max_pairwise(top5) + 1e-12
