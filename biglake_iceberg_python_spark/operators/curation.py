@@ -1869,3 +1869,144 @@ def curate_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cum_w_milli",
         F.expr("CAST(_num DIV _tot AS BIGINT)").alias("sample_ppm"),
     )
+
+
+_DSIR_TARGET = "src0"  # proxy target domain for importance weights
+_DSIR_TOP = 20
+
+
+@query(
+    "curate_dsir_select",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, source,
+             list_filter(string_split(text, ' '), x -> x <> '') AS ws
+      FROM documents
+    ), ti AS (
+      SELECT doc_id, source, ws,
+             unnest(generate_series(1, len(ws) - 1)) AS i
+      FROM t
+    ), b AS (
+      SELECT doc_id, source, ws[i] AS w1, ws[i+1] AS w2 FROM ti
+    ), cr AS (
+      SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS cr FROM b GROUP BY w1, w2
+    ), ct AS (
+      SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS ct
+      FROM b WHERE source = '{_DSIR_TARGET}' GROUP BY w1, w2
+    ), tot AS (
+      SELECT
+        CAST((SELECT COUNT(*) FROM b) AS BIGINT) AS nr,
+        CAST((SELECT COUNT(*) FROM b WHERE source = '{_DSIR_TARGET}')
+          AS BIGINT) AS nt,
+        CAST((SELECT COUNT(*) FROM cr) AS BIGINT) AS v
+    ), model AS (
+      SELECT cr.w1, cr.w2,
+             CAST(round(1e6 * ln(COALESCE(ct.ct, 0) + 1)) AS BIGINT)
+           - CAST(round(1e6 * ln(tot.nt + tot.v)) AS BIGINT)
+           - CAST(round(1e6 * ln(cr.cr + 1)) AS BIGINT)
+           + CAST(round(1e6 * ln(tot.nr + tot.v)) AS BIGINT) AS lr_micro
+      FROM cr LEFT JOIN ct ON cr.w1 = ct.w1 AND cr.w2 = ct.w2
+      CROSS JOIN tot
+    ), scored AS (
+      SELECT b.doc_id, b.source,
+             CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+             CAST(SUM(m.lr_micro) AS BIGINT) AS score_micro
+      FROM b JOIN model m ON b.w1 = m.w1 AND b.w2 = m.w2
+      GROUP BY b.doc_id, b.source
+    )
+    SELECT doc_id, source, n_bigrams, score_micro
+    FROM scored ORDER BY score_micro DESC, doc_id LIMIT {_DSIR_TOP}
+    """,
+    tags=("llm", "curate", "dsir", "importance-sampling"),
+)
+def curate_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR — Data Selection via Importance Resampling (Xie et al.,
+    NeurIPS'23): rank raw-corpus documents by how much more likely a
+    TARGET-domain bigram model finds them than the raw-corpus model,
+    log w(x) = Σ_g [ln p_target(g) − ln p_raw(g)] with add-one-smoothed
+    bigram models — the importance weight modern pretraining pipelines
+    use to tilt a web crawl toward a quality domain. Here the target is
+    the '{_DSIR_TARGET}' source slice standing in for the curated
+    domain; output is the top-{_DSIR_TOP} selection.
+
+    Exactness is the quantized-ln micro-nat recipe the perplexity family
+    established: every ln is taken on an exact INTEGER (smoothed count or
+    total), quantized to round(1e6·ln n) BEFORE any aggregation, so
+    per-document scores are exact int64 sums — partition-invariant and
+    engine-identical (irrational ln values sit safely off the rounding
+    boundaries; see tests/test_registry.py rationale).
+
+    Scale shape: bigram instances explode map-side; the raw and target
+    models are ONE (w1,w2)-keyed shuffle each over the TYPE table (the
+    target side is a filtered re-aggregation, not a second corpus scan
+    materialization); totals are a 1-row broadcast; the scored model
+    BROADCASTS into the instance join exactly like text_lm_perplexity,
+    so the corpus-sized bigram stream never shuffles for scoring — the
+    only instance shuffle is the per-doc rollup; the cut is
+    TakeOrderedAndProject. DSIR's hashed-feature variant (fixed 10k
+    buckets) drops in by keying the model on hash(w1,w2) % B — same
+    plan, bounded model size at any corpus scale.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    ws = F.filter(F.split("text", " "), lambda x: x != "")
+    bigs = d.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.zip_with(
+                F.slice(ws, 1, F.size(ws) - 1),
+                F.slice(ws, 2, F.size(ws) - 1),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("bg"),
+    ).select("doc_id", "source", "bg.w1", "bg.w2")
+    cr = (
+        bigs.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("long").alias("cr"))
+        .localCheckpoint(eager=False)
+    )
+    ct = (
+        bigs.filter(F.col("source") == _DSIR_TARGET)
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("long").alias("ct"))
+    )
+    tot = (
+        bigs.agg(
+            F.count(F.lit(1)).cast("long").alias("nr"),
+            F.count(F.when(F.col("source") == _DSIR_TARGET, 1))
+            .cast("long")
+            .alias("nt"),
+        )
+        .crossJoin(
+            F.broadcast(cr.agg(F.count(F.lit(1)).cast("long").alias("v")))
+        )
+    )
+
+    def lmic(col):
+        return F.round(F.lit(1e6) * F.log(col)).cast("long")
+
+    model = (
+        cr.join(ct, ["w1", "w2"], "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "w1",
+            "w2",
+            (
+                lmic(F.coalesce(F.col("ct"), F.lit(0)) + 1)
+                - lmic(F.col("nt") + F.col("v"))
+                - lmic(F.col("cr") + 1)
+                + lmic(F.col("nr") + F.col("v"))
+            ).alias("lr_micro"),
+        )
+    )
+    scored = (
+        bigs.join(F.broadcast(model), ["w1", "w2"])
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.sum("lr_micro").cast("long").alias("score_micro"),
+        )
+    )
+    return scored.orderBy(F.col("score_micro").desc(), "doc_id").limit(
+        _DSIR_TOP
+    )

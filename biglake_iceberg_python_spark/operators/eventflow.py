@@ -2677,3 +2677,110 @@ def events_cuped_adjusted_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((raw - cov_n / varx_n * xdiff) / F.lit(100.0)).alias("cuped_delta"),
         (cov_n * cov_n / (varx_n * vary_n)).alias("var_reduction_rho_sq"),
     )
+
+
+@query(
+    "events_diff_in_diff",
+    oracle=f"""
+    WITH e AS (
+      SELECT user_id, {_ORACLE_ES} AS es,
+             CAST(round(CAST(value AS DECIMAL(18,2)) * 100) AS BIGINT)
+               AS cents
+      FROM events
+    ), b AS (
+      SELECT (MIN(es) + MAX(es)) // 2 AS mid FROM e
+    ), m AS (
+      SELECT
+        CAST(COUNT(*) FILTER (WHERE user_id % 2 = 0 AND es < b.mid)
+          AS BIGINT) AS n_c_pre,
+        CAST(COUNT(*) FILTER (WHERE user_id % 2 = 0 AND es >= b.mid)
+          AS BIGINT) AS n_c_post,
+        CAST(COUNT(*) FILTER (WHERE user_id % 2 = 1 AND es < b.mid)
+          AS BIGINT) AS n_t_pre,
+        CAST(COUNT(*) FILTER (WHERE user_id % 2 = 1 AND es >= b.mid)
+          AS BIGINT) AS n_t_post,
+        CAST(COALESCE(SUM(cents) FILTER (WHERE user_id % 2 = 0
+          AND es < b.mid), 0) AS BIGINT) AS s_c_pre,
+        CAST(COALESCE(SUM(cents) FILTER (WHERE user_id % 2 = 0
+          AND es >= b.mid), 0) AS BIGINT) AS s_c_post,
+        CAST(COALESCE(SUM(cents) FILTER (WHERE user_id % 2 = 1
+          AND es < b.mid), 0) AS BIGINT) AS s_t_pre,
+        CAST(COALESCE(SUM(cents) FILTER (WHERE user_id % 2 = 1
+          AND es >= b.mid), 0) AS BIGINT) AS s_t_post
+      FROM e CROSS JOIN b
+    )
+    SELECT n_c_pre, n_c_post, n_t_pre, n_t_post,
+           (CAST(s_t_post AS DOUBLE) / n_t_post
+            - CAST(s_t_pre AS DOUBLE) / n_t_pre) / 100.0 AS treated_delta,
+           (CAST(s_c_post AS DOUBLE) / n_c_post
+            - CAST(s_c_pre AS DOUBLE) / n_c_pre) / 100.0 AS control_delta,
+           ((CAST(s_t_post AS DOUBLE) / n_t_post
+             - CAST(s_t_pre AS DOUBLE) / n_t_pre)
+            - (CAST(s_c_post AS DOUBLE) / n_c_post
+               - CAST(s_c_pre AS DOUBLE) / n_c_pre)) / 100.0 AS did_estimate
+    FROM m
+    """,
+    tags=("events", "experimentation", "statistics", "did"),
+)
+def events_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences — the quasi-experimental estimator for a
+    treatment that switches on at a point in time for one group: the
+    treated group's pre→post mean change minus the control group's, which
+    nets out the common time trend the naive pre/post delta confounds.
+    Treated = odd user ids, period boundary = the integer midpoint of the
+    event-time range (the same deterministic split as
+    ``events_cuped_adjusted_delta``).
+
+    Exact-moment recipe: the four cell counts and four cell sums
+    accumulate as exact integer cents in ONE conditional-aggregation
+    pass; the three reported deltas derive through identical IEEE double
+    sequences, so the single-row readout hash-matches bit-for-bit.
+
+    100 TB: one map-side-combined scan to 8 integers (the 1-row bounds
+    table broadcasts) — cheaper than CUPED because no per-user rollup is
+    needed; this is the cheapest causal readout there is.
+    """
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.expr(_ES).cast("long").alias("es"),
+        F.round(F.col("value").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("cents"),
+    )
+    b = e.agg(F.expr("(MIN(es) + MAX(es)) DIV 2").alias("mid"))
+    ctl = F.col("user_id") % 2 == 0
+    trt = F.col("user_id") % 2 == 1
+    pre = F.col("es") < F.col("mid")
+    post = F.col("es") >= F.col("mid")
+
+    def cell(cond, name_n, name_s):
+        return [
+            F.count(F.when(cond, 1)).cast("long").alias(name_n),
+            F.coalesce(F.sum(F.when(cond, F.col("cents"))), F.lit(0))
+            .cast("long")
+            .alias(name_s),
+        ]
+
+    m = e.crossJoin(F.broadcast(b)).agg(
+        *cell(ctl & pre, "n_c_pre", "s_c_pre"),
+        *cell(ctl & post, "n_c_post", "s_c_post"),
+        *cell(trt & pre, "n_t_pre", "s_t_pre"),
+        *cell(trt & post, "n_t_post", "s_t_post"),
+    )
+    t_delta = (
+        F.col("s_t_post").cast("double") / F.col("n_t_post")
+        - F.col("s_t_pre").cast("double") / F.col("n_t_pre")
+    )
+    c_delta = (
+        F.col("s_c_post").cast("double") / F.col("n_c_post")
+        - F.col("s_c_pre").cast("double") / F.col("n_c_pre")
+    )
+    return m.select(
+        "n_c_pre",
+        "n_c_post",
+        "n_t_pre",
+        "n_t_post",
+        (t_delta / F.lit(100.0)).alias("treated_delta"),
+        (c_delta / F.lit(100.0)).alias("control_delta"),
+        ((t_delta - c_delta) / F.lit(100.0)).alias("did_estimate"),
+    )

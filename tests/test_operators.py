@@ -1383,3 +1383,45 @@ def test_mmr_diversifies_versus_pure_relevance(spark, sf_dir):
         )
 
     assert max_pairwise(mmr5) <= max_pairwise(top5) + 1e-12
+
+
+def test_did_cells_partition_all_events(spark, sf_dir):
+    """The four DiD cells must partition the event stream exactly (their
+    counts sum to the table's row count), all cells must be non-empty on
+    this testdata, and the estimate must equal treated_delta −
+    control_delta to double round-off."""
+    from biglake_iceberg_python_spark.sources.tables import load_table
+
+    rows = REGISTRY["events_diff_in_diff"].fn(spark, sf_dir).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    total = load_table(spark, sf_dir, "events").count()
+    cells = [r["n_c_pre"], r["n_c_post"], r["n_t_pre"], r["n_t_post"]]
+    assert sum(cells) == total
+    assert all(c > 0 for c in cells)
+    assert abs(
+        r["did_estimate"] - (r["treated_delta"] - r["control_delta"])
+    ) < 1e-12
+
+
+def test_dsir_prefers_target_domain(spark, sf_dir):
+    """DSIR's defining property: documents FROM the target domain must
+    score higher on average than the corpus at large (the importance
+    weight is literally trained to recognize them). Assert via the full
+    scored ranking reconstructed at test scale: the top-20 selection's
+    mean score must exceed 0 is not guaranteed, but target docs must be
+    over-represented in the selection relative to their corpus share."""
+    from biglake_iceberg_python_spark.operators.curation import _DSIR_TARGET
+    from biglake_iceberg_python_spark.sources.tables import load_table
+
+    rows = REGISTRY["curate_dsir_select"].fn(spark, sf_dir).collect()
+    assert len(rows) == 20
+    assert all(r["n_bigrams"] >= 1 for r in rows)
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    n_target = docs.filter(F.col("source") == _DSIR_TARGET).count()
+    sel_target = sum(1 for r in rows if r["source"] == _DSIR_TARGET)
+    # over-representation: selection share strictly above corpus share
+    assert sel_target * n_docs > n_target * len(rows), (
+        f"target {sel_target}/20 vs corpus {n_target}/{n_docs}"
+    )

@@ -92,6 +92,10 @@ _RAW_ROUND_EXEMPT = {
     # Theil terms quantize share·ln(share·n): irrational except share=1/n,
     # where the term is exactly 0.
     "customer_theil_index",
+    # DSIR log-ratio quantizes 1e6·ln of smoothed INTEGER counts/totals:
+    # irrational for every argument ≥ 2; the only rational case is the
+    # unseen-bigram ln(0+1) = ln 1, which is exactly 0 before round().
+    "curate_dsir_select",
 }
 
 
