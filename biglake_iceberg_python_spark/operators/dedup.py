@@ -994,6 +994,7 @@ _PARA_W = 10  # paragraph analog: non-overlapping 10-word chunks
     FROM r GROUP BY source
     """,
     tags=("llm", "dedup", "paragraph", "exact"),
+    bench=True,
 )
 def dedup_paragraph_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Paragraph-level exact dedup with REMOVAL accounting — the Dolma/C4

@@ -763,3 +763,153 @@ def sample_weighted_expj(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= _EXPJ_K)
         .select("lang", "doc_id", F.col("n_chars").cast("long").alias("n_chars"), F.col("rk").cast("long").alias("rk"))
     )
+
+
+_PACK_CTX = 128  # context-window token budget per packed bin
+
+
+@query(
+    "pack_length_pair_binning",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id,
+             CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+               AS BIGINT) AS n_tok
+      FROM documents
+    ), n AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n FROM d
+    ), r AS (
+      SELECT doc_id, n_tok,
+             ROW_NUMBER() OVER (ORDER BY n_tok DESC, doc_id) AS rd
+      FROM d
+    ), p AS (
+      SELECT a.n_tok AS ta, b.n_tok AS tb
+      FROM r a JOIN r b CROSS JOIN n
+        ON b.rd = n.n + 1 - a.rd AND a.rd < b.rd
+    ), mid AS (
+      SELECT r.n_tok FROM r CROSS JOIN n WHERE 2 * r.rd = n.n + 1
+    ), bins AS (
+      SELECT CASE WHEN ta + tb <= {_PACK_CTX} THEN 1 ELSE 2 END AS nb,
+             CASE WHEN ta + tb <= {_PACK_CTX} THEN 1 ELSE 0 END AS np,
+             CASE WHEN ta + tb <= {_PACK_CTX}
+                  THEN {_PACK_CTX} - ta - tb
+                  ELSE GREATEST(0, {_PACK_CTX} - ta)
+                     + GREATEST(0, {_PACK_CTX} - tb) END AS waste,
+             ta + tb AS toks
+      FROM p
+      UNION ALL
+      SELECT 1, 0, GREATEST(0, {_PACK_CTX} - n_tok), n_tok FROM mid
+    )
+    SELECT
+      (SELECT n FROM n) AS n_docs,
+      CAST(SUM(nb) AS BIGINT) AS n_bins,
+      CAST(SUM(np) AS BIGINT) AS n_paired_bins,
+      CAST(SUM(nb) - SUM(np) AS BIGINT) AS n_singletons,
+      CAST(SUM(toks) AS BIGINT) AS total_tokens,
+      CAST(SUM(waste) AS BIGINT) AS total_waste,
+      CAST(SUM(waste) * 1000000 // (SUM(nb) * {_PACK_CTX}) AS BIGINT)
+        AS waste_ppm
+    FROM bins
+    """,
+    tags=("llm", "pack", "binning", "training"),
+)
+def pack_length_pair_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-aware sample packing by MIRRORED-RANK PAIRING: rank documents
+    by token length descending, pair the i-th longest with the i-th
+    shortest, and pack each pair into one {_PACK_CTX}-token context window
+    when it fits (else both go alone) — the one-shot approximation of
+    sorted two-pointer packing that every distributed packing pipeline
+    uses, because the pairing is a FIXED function of rank (no sequential
+    pointer state) yet captures the same long+short complementarity.
+    Output is the packing economics: bins, pair rate, and padding waste
+    ppm against the bin budget.
+
+    The global length rank is computed WITHOUT a SinglePartition window
+    over documents — the pack_token_shards two-phase trick applied to
+    ranking: per-length group sizes (a map-side-combined rollup to the
+    tiny distinct-lengths table) take an exclusive prefix sum over that
+    SMALL table, and each doc's rank = its length-class offset + its
+    within-class ROW_NUMBER (a window keyed on n_tok, ordinary hash
+    partitioning). The mirror pairing is then one equi-join of rank
+    against n+1−rank. The oracle uses a plain global ROW_NUMBER — same
+    total order (n_tok DESC, doc_id), bit-identical ranks. Everything
+    downstream is exact integer arithmetic.
+    """
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(F.filter(F.split("text", " "), lambda x: x != ""))
+        .cast("long")
+        .alias("n_tok"),
+    )
+    n = d.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    # two-phase global rank: distinct-lengths table is tiny, so the
+    # unpartitioned window below it is bounded (documented at
+    # pack_token_shards for the same shape).
+    g = d.groupBy("n_tok").agg(F.count(F.lit(1)).alias("n_g"))
+    cum = g.select(
+        "n_tok",
+        (
+            F.coalesce(
+                F.sum("n_g").over(
+                    Window.orderBy(F.col("n_tok").desc()).rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            )
+        ).alias("offset"),
+    )
+    within = Window.partitionBy("n_tok").orderBy("doc_id")
+    r = (
+        d.join(F.broadcast(cum), "n_tok")
+        .select(
+            "doc_id",
+            "n_tok",
+            (F.col("offset") + F.row_number().over(within)).alias("rd"),
+        )
+        .crossJoin(F.broadcast(n))
+        .localCheckpoint(eager=False)
+    )
+    a = r.select(
+        F.col("n_tok").alias("ta"),
+        F.col("rd").alias("ra"),
+        (F.col("n") + 1 - F.col("rd")).alias("mirror"),
+    ).filter(F.col("ra") < F.col("mirror"))
+    b = r.select(F.col("n_tok").alias("tb"), F.col("rd").alias("rb"))
+    p = a.join(b, F.col("mirror") == F.col("rb"))
+    c = _PACK_CTX
+    pair_bins = p.select(
+        F.when(F.col("ta") + F.col("tb") <= c, 1).otherwise(2).alias("nb"),
+        F.when(F.col("ta") + F.col("tb") <= c, 1).otherwise(0).alias("np"),
+        F.when(
+            F.col("ta") + F.col("tb") <= c,
+            F.lit(c) - F.col("ta") - F.col("tb"),
+        )
+        .otherwise(
+            F.greatest(F.lit(0), F.lit(c) - F.col("ta"))
+            + F.greatest(F.lit(0), F.lit(c) - F.col("tb"))
+        )
+        .alias("waste"),
+        (F.col("ta") + F.col("tb")).alias("toks"),
+    )
+    mid_bins = (
+        r.filter(2 * F.col("rd") == F.col("n") + 1)
+        .select(
+            F.lit(1).alias("nb"),
+            F.lit(0).alias("np"),
+            F.greatest(F.lit(0), F.lit(c) - F.col("n_tok")).alias("waste"),
+            F.col("n_tok").alias("toks"),
+        )
+    )
+    bins = pair_bins.unionAll(mid_bins)
+    return bins.crossJoin(F.broadcast(n)).agg(
+        F.max("n").cast("long").alias("n_docs"),
+        F.sum("nb").cast("long").alias("n_bins"),
+        F.sum("np").cast("long").alias("n_paired_bins"),
+        (F.sum("nb") - F.sum("np")).cast("long").alias("n_singletons"),
+        F.sum("toks").cast("long").alias("total_tokens"),
+        F.sum("waste").cast("long").alias("total_waste"),
+        F.expr(
+            f"CAST(SUM(waste) * 1000000 DIV (SUM(nb) * {c}) AS BIGINT)"
+        ).alias("waste_ppm"),
+    )

@@ -1538,6 +1538,7 @@ def _bpe_oracle() -> str:
     "text_bpe_train_merges",
     oracle=_bpe_oracle(),
     tags=("llm", "text", "bpe", "tokenizer", "iterative"),
+    bench=True,
 )
 def text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed BPE tokenizer TRAINING — the full iterative loop, not

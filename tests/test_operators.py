@@ -1425,3 +1425,28 @@ def test_dsir_prefers_target_domain(spark, sf_dir):
     assert sel_target * n_docs > n_target * len(rows), (
         f"target {sel_target}/20 vs corpus {n_target}/{n_docs}"
     )
+
+
+def test_length_pair_binning_accounting(spark, sf_dir):
+    """Packing identities: every doc lands in exactly one bin
+    (n_docs = 2·paired + singletons), token totals equal the corpus sum,
+    and — when no document exceeds the context budget — waste is exactly
+    bins·budget − tokens."""
+    from biglake_iceberg_python_spark.operators.pipeline import _PACK_CTX
+    from biglake_iceberg_python_spark.sources.tables import load_table
+
+    rows = REGISTRY["pack_length_pair_binning"].fn(spark, sf_dir).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["n_docs"] == 2 * r["n_paired_bins"] + r["n_singletons"]
+    assert r["n_bins"] == r["n_paired_bins"] + r["n_singletons"]
+    toks = load_table(spark, sf_dir, "documents").select(
+        F.size(F.filter(F.split("text", " "), lambda x: x != "")).alias("t")
+    )
+    agg = toks.agg(F.sum("t").alias("s"), F.max("t").alias("m")).collect()[0]
+    assert r["total_tokens"] == agg["s"]
+    if agg["m"] <= _PACK_CTX:
+        assert (
+            r["total_waste"] == r["n_bins"] * _PACK_CTX - r["total_tokens"]
+        )
+    assert 0 <= r["waste_ppm"] <= 1_000_000
