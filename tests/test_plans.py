@@ -913,3 +913,53 @@ def test_cuped_single_user_shuffle_then_one_row(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" in plan  # 1-row bounds × events
     assert plan.count("Exchange hashpartitioning(user_id") == 1
     assert "Exchange SinglePartition" in plan  # the 1-row moment merge
+
+
+def test_paragraph_dedup_single_chunk_exchange(spark, sf_dir):
+    """The only corpus-sized exchange is the chunk-keyed shuffle for
+    first-occurrence ranking (dedup_exact's budget); chunking itself is
+    map-side array arithmetic — no self-join, no range sort."""
+    plan = plan_of(spark, sf_dir, "dedup_paragraph_exact")
+    assert plan.count("Exchange hashpartitioning(chunk#") == 1
+    assert "Exchange rangepartitioning" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_dsir_model_broadcasts_into_instance_join(spark, sf_dir):
+    """DSIR scoring must broadcast the type-level model into the bigram
+    instance join (the perplexity shape) — the corpus stream never
+    shuffles for scoring — and the cut is TakeOrderedAndProject."""
+    plan = plan_of(spark, sf_dir, "curate_dsir_select")
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+    # the per-doc rollup is the only instance-keyed exchange
+    assert plan.count("Exchange hashpartitioning(doc_id#") == 1
+
+
+def test_bpe_training_rounds_never_rescan_corpus(spark, sf_dir):
+    """The six training rounds run on checkpointed type tables: the
+    final merge-table plan must read only checkpoint RDDs (one per
+    round), never the documents parquet."""
+    plan = plan_of(spark, sf_dir, "text_bpe_train_merges")
+    assert "documents.parquet" not in plan
+    assert plan.count("Scan ExistingRDD") >= 6
+
+
+def test_length_pair_binning_avoids_corpus_range_sort(spark, sf_dir):
+    """The two-phase rank must not range-sort the corpus: no
+    rangepartitioning exchange anywhere (the only unpartitioned window
+    runs over the tiny distinct-lengths table), and the mirror pairing is
+    an equi-join."""
+    plan = plan_of(spark, sf_dir, "pack_length_pair_binning")
+    assert "Exchange rangepartitioning" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_cuped_vs_did_share_the_scan_shape(spark, sf_dir):
+    """DiD must be a pure scan-to-one-row aggregation: exactly one
+    SinglePartition exchange (the 8-integer moment merge) and zero
+    row-keyed shuffles beyond the broadcast of the 1-row bounds."""
+    plan = plan_of(spark, sf_dir, "events_diff_in_diff")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert plan.count("Exchange hashpartitioning") == 0
+    assert plan.count("Exchange SinglePartition") >= 1
