@@ -2784,3 +2784,197 @@ def events_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         (c_delta / F.lit(100.0)).alias("control_delta"),
         ((t_delta - c_delta) / F.lit(100.0)).alias("did_estimate"),
     )
+
+
+def _hw_lnew(xm: str, sp: str, l: str, b: str) -> str:
+    """The Holt-Winters level update as SQL text — repeated inline where
+    the trend/seasonal updates need it (recursive CTEs cannot name a
+    lateral intermediate, so both engines restate the identical
+    expression; see ts_holt_forecast for the same pattern)."""
+    return f"(5 * ({xm} - {sp}) + 5 * ({l} + {b})) DIV 10"
+
+
+@query(
+    "ts_holt_winters_forecast",
+    oracle=(
+        lambda _l: f"""
+    WITH RECURSIVE e AS (
+      SELECT event_type, ({_ORACLE_ES}) // {_DAY_S} AS day FROM events
+    ), daily AS (
+      SELECT event_type, day, CAST(COUNT(*) AS BIGINT) AS x
+      FROM e GROUP BY event_type, day
+    ), bounds AS (
+      SELECT event_type, MIN(day) AS d0, MAX(day) AS d1,
+             CAST(MAX(day) - MIN(day) + 1 AS BIGINT) AS n_days
+      FROM daily GROUP BY event_type
+    ), grid AS (
+      SELECT event_type, unnest(generate_series(d0, d1)) AS day FROM bounds
+    ), filled AS (
+      SELECT g.event_type, g.day,
+             ROW_NUMBER() OVER (PARTITION BY g.event_type
+                                ORDER BY g.day) AS t,
+             COALESCE(d.x, 0) * 1000 AS xm
+      FROM grid g LEFT JOIN daily d USING (event_type, day)
+    ), seed AS (
+      SELECT event_type,
+             SUM(xm) // 7 AS l, CAST(0 AS BIGINT) AS b,
+             [{", ".join(
+                 f"COALESCE(MAX(CASE WHEN day % 7 = {i} THEN xm END)"
+                 f" - SUM(xm) // 7, 0)" for i in range(7))}] AS s
+      FROM filled WHERE t <= 7 GROUP BY event_type
+    ), rec AS (
+      SELECT event_type, CAST(7 AS BIGINT) AS t, l, b, s FROM seed
+      UNION ALL
+      SELECT r.event_type, r.t + 1,
+             {_l("f.xm", "r.s[CAST(f.day % 7 AS INT) + 1]", "r.l", "r.b")},
+             (3 * (({_l("f.xm", "r.s[CAST(f.day % 7 AS INT) + 1]", "r.l",
+                       "r.b")}) - r.l) + 7 * r.b) // 10,
+             list_transform([0, 1, 2, 3, 4, 5, 6],
+               i -> CASE WHEN i = CAST(f.day % 7 AS INT)
+                    THEN (2 * (f.xm
+                          - ({_l("f.xm",
+                                 "r.s[CAST(f.day % 7 AS INT) + 1]",
+                                 "r.l", "r.b")}))
+                          + 8 * r.s[i + 1]) // 10
+                    ELSE r.s[i + 1] END)
+      FROM rec r JOIN filled f
+        ON f.event_type = r.event_type AND f.t = r.t + 1
+    )
+    SELECT r.event_type, bo.n_days,
+           CAST(r.l AS BIGINT) AS level_milli,
+           CAST(r.b AS BIGINT) AS trend_milli,
+           {", ".join(
+               f"CAST(r.s[{i + 1}] AS BIGINT) AS s{i}_milli"
+               for i in range(7))},
+           CAST(r.l + 7 * r.b + r.s[CAST(bo.d1 % 7 AS INT) + 1] AS BIGINT)
+             AS forecast_7d_milli
+    FROM rec r
+    JOIN bounds bo ON r.event_type = bo.event_type
+     AND r.t = GREATEST(bo.n_days, 7)
+    """
+    )(lambda xm, sp, l, b: f"(5 * ({xm} - {sp}) + 5 * ({l} + {b})) // 10"),
+    tags=("events", "timeseries", "forecast", "holt-winters"),
+)
+def ts_holt_winters_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt-Winters ADDITIVE triple exponential smoothing — level, trend,
+    and a 7-slot day-of-week seasonal state — with a 7-day-ahead forecast:
+    the seasonality-aware upgrade of ``ts_holt_forecast`` (and the model
+    `ts_seasonal_decompose` diagnoses statically, now tracked online).
+    α=1/2, β=3/10, γ=1/5 as integer ratios.
+
+    The order-dependent recursion carries an ARRAY in its state (the
+    seasonal vector), and still runs bit-identically on both engines:
+    every update is exact integer milli-unit arithmetic with truncating
+    division, the seasonal slot rewrite is an index-conditional array
+    rebuild (Spark ``transform`` ≡ DuckDB ``list_transform``), and the
+    seed is a closed-form aggregation over the first seven grid days
+    (l₀ = 7-day integer mean, s = that week's deviations, b₀ = 0). The
+    level expression is restated inline where trend/seasonal need it —
+    recursive SQL cannot name a lateral intermediate, so both engines
+    repeat the identical text (the ts_holt_forecast pattern).
+
+    Scale shape: identical to Holt — one map-side-combined daily rollup,
+    map-side dense-grid generation, then a per-SERIES fold whose state is
+    one struct of 2 ints + a 7-int array regardless of history length.
+    The 7-day-ahead forecast lands on the same day-of-week as the last
+    observation, so it reads the just-updated seasonal slot.
+    """
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type", F.expr(_ES).cast("long").alias("es")
+    )
+    daily = (
+        e.select("event_type", (F.col("es") / _DAY_S).cast("long").alias("day"))
+        .groupBy("event_type", "day")
+        .agg(F.count(F.lit(1)).alias("x"))
+    )
+    bounds = daily.groupBy("event_type").agg(
+        F.min("day").alias("d0"),
+        F.max("day").alias("d1"),
+        (F.max("day") - F.min("day") + 1).cast("long").alias("n_days"),
+    )
+    grid = bounds.select(
+        "event_type", F.explode(F.sequence("d0", "d1")).alias("day")
+    )
+    filled = (
+        grid.join(daily, ["event_type", "day"], "left")
+        .select(
+            "event_type",
+            "day",
+            (F.coalesce(F.col("x"), F.lit(0)) * 1000).alias("xm"),
+        )
+        .withColumn(
+            "t",
+            F.row_number().over(
+                Window.partitionBy("event_type").orderBy("day")
+            ),
+        )
+    )
+    seed = (
+        filled.filter(F.col("t") <= 7)
+        .groupBy("event_type")
+        .agg(
+            F.expr("SUM(xm) DIV 7").alias("l0"),
+            F.array(
+                *[
+                    F.expr(
+                        f"COALESCE(MAX(CASE WHEN day % 7 = {i} THEN xm END)"
+                        f" - SUM(xm) DIV 7, 0)"
+                    )
+                    for i in range(7)
+                ]
+            ).alias("s0"),
+        )
+    )
+    series = (
+        filled.filter(F.col("t") >= 8)
+        .groupBy("event_type")
+        .agg(F.sort_array(F.collect_list(F.struct("day", "xm"))).alias("xs"))
+    )
+    lnew = _hw_lnew(
+        "e.xm", "element_at(acc.s, CAST(e.day % 7 AS INT) + 1)", "acc.l",
+        "acc.b",
+    )
+    fold = F.expr(
+        f"""
+        aggregate(xs,
+          named_struct('l', l0, 'b', CAST(0 AS BIGINT), 's', s0),
+          (acc, e) -> named_struct(
+            'l', {lnew},
+            'b', (3 * (({lnew}) - acc.l) + 7 * acc.b) DIV 10,
+            's', transform(sequence(0, 6),
+                   i -> IF(i = e.day % 7,
+                           (2 * (e.xm - ({lnew}))
+                            + 8 * element_at(acc.s, CAST(i AS INT) + 1))
+                             DIV 10,
+                           element_at(acc.s, CAST(i AS INT) + 1)))))
+        """
+    )
+    # left join: a type with < 8 grid days has no series row — its state is
+    # the seed itself, matching the oracle's rec anchor at t = 7.
+    st = (
+        seed.join(series, "event_type", "left")
+        .join(bounds.select("event_type", "d1", "n_days"), "event_type")
+        .select(
+            "event_type",
+            "n_days",
+            "d1",
+            F.when(F.col("xs").isNull(),
+                   F.expr("named_struct('l', l0, 'b', CAST(0 AS BIGINT),"
+                          " 's', s0)"))
+            .otherwise(fold)
+            .alias("st"),
+        )
+    )
+    return st.select(
+        "event_type",
+        "n_days",
+        F.col("st.l").alias("level_milli"),
+        F.col("st.b").alias("trend_milli"),
+        *[
+            F.expr(f"element_at(st.s, {i + 1})").alias(f"s{i}_milli")
+            for i in range(7)
+        ],
+        F.expr(
+            "st.l + 7 * st.b + element_at(st.s, CAST(d1 % 7 AS INT) + 1)"
+        ).alias("forecast_7d_milli"),
+    )

@@ -146,9 +146,9 @@ _PRIORITY_WINDOW = [
 ]
 
 # ROUND-6 ROTATION PREP (exact numbers recomputed at round-5 close over
-# CORRECTNESS_r01-r04 ∪ the r5 window, registry = 324 after the round-5
+# CORRECTNESS_r01-r04 ∪ the r5 window, registry = 325 after the round-5
 # additions): never-driver-verified pool after r5 (assuming the window
-# greens) = 128, of which 123 are hash-matched and 5 rows-only
+# greens) = 129, of which 124 are hash-matched and 5 rows-only
 # (agg_hll_set_algebra, agg_kll_quantile_merge, agg_sketch_merge_rollup,
 # dedup_minhash_oph, text_compression_ratio). By family: agg ×16,
 # text ×15 (+ the round-5 text_kneser_ney_bigram and the BPE
@@ -157,13 +157,14 @@ _PRIORITY_WINDOW = [
 # (+ sim_mmr_diversify),
 # dedup ×8 (+ dedup_paragraph_exact), join ×6, udf ×5, multimodal ×4,
 # stream ×5 (+ stream_topk_trending), tpch Q2/Q11/Q20,
-# ts ×4 (incl. the round-5 ts_holt_forecast and ts_seasonal_decompose),
+# ts ×5 (incl. the round-5 ts_holt_forecast, ts_seasonal_decompose,
+# ts_holt_winters_forecast),
 # scalar ×3, pack ×3 (+ pack_length_pair_binning), cohort ×2,
 # orders ×2, funnel ×2, events +2
 # (events_cuped_adjusted_delta, events_diff_in_diff), curate +2
 # (curate_negative_sampling, curate_dsir_select),
 # graph +1 (graph_resource_allocation), and business/util singles.
-# Round 6 takes 50 of the 123 hash-matched, oldest families first
+# Round 6 takes 50 of the 124 hash-matched, oldest families first
 # (agg + text + lakehouse + source covers it); round 7 absorbs the
 # remainder incl. the 5 rows-only, then re-rotate the r1-sampled
 # relational/join/agg families per round-4 verdict #7.

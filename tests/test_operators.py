@@ -1450,3 +1450,43 @@ def test_length_pair_binning_accounting(spark, sf_dir):
             r["total_waste"] == r["n_bins"] * _PACK_CTX - r["total_tokens"]
         )
     assert 0 <= r["waste_ppm"] <= 1_000_000
+
+
+def test_holt_winters_state_invariants(spark, sf_dir):
+    """Triple-smoothing sanity: level must sit inside the series'
+    [0, max] daily envelope (convex combinations of observations minus
+    bounded seasonal terms cannot leave it by more than the seasonal
+    magnitude), the seasonal slots must each be bounded by the series
+    range, and the forecast must equal l + 7b + s[dow(last+7)] exactly
+    (recomputed from the emitted columns)."""
+    from pyspark.sql import functions as F
+
+    from biglake_iceberg_python_spark.operators.eventflow import _DAY_S, _ES
+    from biglake_iceberg_python_spark.sources.tables import load_table
+
+    env = {
+        r["event_type"]: r
+        for r in load_table(spark, sf_dir, "events")
+        .select(
+            "event_type",
+            (F.expr(_ES).cast("long") / _DAY_S).cast("long").alias("day"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.count(F.lit(1)).alias("x"))
+        .groupBy("event_type")
+        .agg(F.max("x").alias("hi"), F.max("day").alias("d1"))
+        .collect()
+    }
+    rows = REGISTRY["ts_holt_winters_forecast"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        e = env[r["event_type"]]
+        hi = 1000 * e["hi"]
+        assert -hi <= r["level_milli"] <= 2 * hi, r
+        for i in range(7):
+            assert abs(r[f"s{i}_milli"]) <= hi, (r["event_type"], i)
+        dow = e["d1"] % 7
+        assert (
+            r["forecast_7d_milli"]
+            == r["level_milli"] + 7 * r["trend_milli"] + r[f"s{dow}_milli"]
+        )
