@@ -1709,3 +1709,141 @@ def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("tokens_per_char_ppm"),
         )
     )
+
+
+@query(
+    "text_heaps_law",
+    oracle="""
+    WITH d AS (SELECT COUNT(*) AS nd FROM documents),
+    docs AS (
+      SELECT (doc_id * 10) // (SELECT nd FROM d) AS dec,
+             list_filter(string_split(text, ' '), x -> x <> '') AS ws
+      FROM documents
+    ), per_dec AS (
+      SELECT dec, COUNT(*) AS n_docs, SUM(len(ws)) AS dec_tokens
+      FROM docs GROUP BY dec
+    ), wordocc AS (
+      SELECT w, MIN(dec) AS dec
+      FROM (SELECT dec, unnest(ws) AS w FROM docs)
+      GROUP BY w
+    ), trioc AS (
+      SELECT t, MIN(dec) AS dec
+      FROM (
+        SELECT dec, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS t
+        FROM docs, (SELECT unnest(generate_series(1, 100000)) AS i) ix(i)
+        WHERE i <= len(ws) - 2
+      )
+      GROUP BY t
+    ), nw AS (
+      SELECT dec, COUNT(*) AS new_word_types FROM wordocc GROUP BY dec
+    ), nt AS (
+      SELECT dec, COUNT(*) AS new_tri_types FROM trioc GROUP BY dec
+    )
+    SELECT
+      p.dec AS decile,
+      CAST(p.n_docs AS BIGINT) AS n_docs,
+      CAST(SUM(p.dec_tokens) OVER (ORDER BY p.dec) AS BIGINT) AS cum_tokens,
+      CAST(SUM(COALESCE(w.new_word_types, 0)) OVER (ORDER BY p.dec) AS BIGINT)
+        AS cum_word_types,
+      CAST(COALESCE(t.new_tri_types, 0) AS BIGINT) AS new_tri_types,
+      CAST(SUM(COALESCE(t.new_tri_types, 0)) OVER (ORDER BY p.dec) AS BIGINT)
+        AS cum_tri_types,
+      CAST(SUM(COALESCE(t.new_tri_types, 0)) OVER (ORDER BY p.dec) * 1000000
+           // SUM(p.dec_tokens) OVER (ORDER BY p.dec) AS BIGINT)
+        AS tri_ttr_ppm
+    FROM per_dec p
+    LEFT JOIN nw w ON p.dec = w.dec
+    LEFT JOIN nt t ON p.dec = t.dec
+    ORDER BY decile
+    """,
+    tags=("llm", "text", "vocabulary", "heaps"),
+)
+def text_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary growth curve — the number every tokenizer-
+    vocabulary and dedup-budget decision starts from: how fast does the
+    TYPE count V(N) grow as the corpus token count N grows? Emits, per
+    corpus decile (by doc_id order), cumulative token, word-type, and
+    trigram-type counts plus the running trigram type/token ratio in ppm
+    — the discrete V(N) curve whose log-log slope is the Heaps exponent.
+    Word types saturate almost immediately (closed vocabulary); trigram
+    types keep growing — the contrast IS the readout, the same reason
+    dedup shingles on n-grams rather than unigrams.
+
+    Exactness: every output is integer arithmetic — no fitted exponent,
+    no logs — so the row hashes bit-for-bit. The decile assignment is
+    ``doc_id * 10 DIV count(*)`` (doc_ids are dense), identical in both
+    engines.
+
+    Scale shape: the corpus-sized shuffles are the two first-occurrence
+    reductions ``min(decile) BY type`` — type-level output, map-side
+    combined; shingles generate map-side (sequence+transform+explode,
+    `dedup_substring_spans`'s shape). The cumulative window runs over the
+    TEN decile rows, not the corpus (the same two-phase trick
+    `pack_token_shards` uses: reduce to a tiny keyed table first, then
+    window it). Would hold at 100 TB: deciles stay 10 rows regardless of
+    corpus size.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    nd = d.agg(F.count(F.lit(1)).alias("nd"))
+    docs = d.crossJoin(F.broadcast(nd)).select(
+        F.expr("doc_id * 10 DIV nd").alias("dec"),
+        _words().alias("ws"),
+    )
+    per_dec = docs.groupBy("dec").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size("ws")).cast("long").alias("dec_tokens"),
+    )
+    wordocc = (
+        docs.select("dec", F.explode("ws").alias("w"))
+        .groupBy("w")
+        .agg(F.min("dec").alias("dec"))
+    )
+    trioc = (
+        docs.select(
+            "dec",
+            F.explode(
+                F.expr(
+                    "CASE WHEN size(ws) >= 3 THEN transform("
+                    "  sequence(0, size(ws) - 3),"
+                    "  i -> concat_ws(' ', slice(ws, i + 1, 3)))"
+                    " ELSE array() END"
+                )
+            ).alias("t"),
+        )
+        .groupBy("t")
+        .agg(F.min("dec").alias("dec"))
+    )
+    nw = wordocc.groupBy("dec").agg(
+        F.count(F.lit(1)).cast("long").alias("new_word_types")
+    )
+    nt = trioc.groupBy("dec").agg(
+        F.count(F.lit(1)).cast("long").alias("new_tri_types")
+    )
+    ten = (
+        per_dec.join(nw, "dec", "left")
+        .join(nt, "dec", "left")
+        .select(
+            F.col("dec").alias("decile"),
+            "n_docs",
+            "dec_tokens",
+            F.coalesce("new_word_types", F.lit(0))
+            .cast("long")
+            .alias("new_word_types"),
+            F.coalesce("new_tri_types", F.lit(0))
+            .cast("long")
+            .alias("new_tri_types"),
+        )
+    )
+    w = Window.orderBy("decile")
+    return ten.select(
+        "decile",
+        "n_docs",
+        F.sum("dec_tokens").over(w).cast("long").alias("cum_tokens"),
+        F.sum("new_word_types").over(w).cast("long").alias("cum_word_types"),
+        "new_tri_types",
+        F.sum("new_tri_types").over(w).cast("long").alias("cum_tri_types"),
+        F.expr(
+            "CAST(SUM(new_tri_types) OVER (ORDER BY decile) * 1000000"
+            " DIV SUM(dec_tokens) OVER (ORDER BY decile) AS BIGINT)"
+        ).alias("tri_ttr_ppm"),
+    ).orderBy("decile")

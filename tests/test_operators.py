@@ -1490,3 +1490,31 @@ def test_holt_winters_state_invariants(spark, sf_dir):
             r["forecast_7d_milli"]
             == r["level_milli"] + 7 * r["trend_milli"] + r[f"s{dow}_milli"]
         )
+
+
+def test_heaps_law_growth_identities(spark, sf_dir):
+    """Vocabulary-growth identities: deciles are 0..9 with cumulative
+    columns non-decreasing, the final cum_word_types equals the corpus
+    word-type count, the final cum_tokens equals the corpus token count,
+    and new_tri_types sums to cum_tri_types' last value."""
+    from biglake_iceberg_python_spark.sources.tables import load_table
+
+    rows = (
+        REGISTRY["text_heaps_law"].fn(spark, sf_dir)
+        .orderBy("decile")
+        .collect()
+    )
+    assert [r["decile"] for r in rows] == sorted({r["decile"] for r in rows})
+    assert rows[0]["decile"] == 0 and rows[-1]["decile"] == 9
+    for prev, cur in zip(rows, rows[1:]):
+        assert cur["cum_tokens"] >= prev["cum_tokens"]
+        assert cur["cum_word_types"] >= prev["cum_word_types"]
+        assert cur["cum_tri_types"] >= prev["cum_tri_types"]
+    d = load_table(spark, sf_dir, "documents")
+    ws = F.filter(F.split("text", " "), lambda x: x != "")
+    agg = d.select(F.explode(ws).alias("w")).agg(
+        F.count(F.lit(1)).alias("toks"), F.count_distinct("w").alias("types")
+    ).collect()[0]
+    assert rows[-1]["cum_tokens"] == agg["toks"]
+    assert rows[-1]["cum_word_types"] == agg["types"]
+    assert sum(r["new_tri_types"] for r in rows) == rows[-1]["cum_tri_types"]
