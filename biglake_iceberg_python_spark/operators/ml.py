@@ -516,3 +516,121 @@ def ml_coreset_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(i + 1, cid, r) for i, (cid, r) in enumerate(rows)],
         "pick int, center_vec_id long, radius_sq_after double",
     )
+
+
+@query(
+    "ml_linreg_normal_eq",
+    oracle="""
+    WITH c AS (
+      SELECT
+        l_returnflag,
+        l_linestatus,
+        CAST(round(CAST(l_quantity AS DECIMAL(18,2)) * 100) AS BIGINT) AS qc,
+        CAST(round(CAST(l_extendedprice AS DECIMAL(18,2)) * 100) AS BIGINT)
+          AS pc
+      FROM lineitem
+    ), m AS (
+      SELECT
+        l_returnflag, l_linestatus,
+        COUNT(*) AS n, SUM(qc) AS sx, SUM(pc) AS sy,
+        SUM(qc * qc) AS sxx, SUM(qc * pc) AS sxy, SUM(pc * pc) AS syy
+      FROM c GROUP BY l_returnflag, l_linestatus
+    ), k AS (
+      SELECT *,
+        n * sxy - sx * sy AS num,
+        n * sxx - sx * sx AS denx,
+        n * syy - sy * sy AS deny
+      FROM m
+    )
+    SELECT
+      l_returnflag,
+      l_linestatus,
+      CAST(n AS BIGINT) AS n_rows,
+      CAST(num AS DOUBLE) / CAST(denx AS DOUBLE) AS slope_dollars_per_unit,
+      ((CAST(sy AS DOUBLE)
+        - (CAST(num AS DOUBLE) / CAST(denx AS DOUBLE)) * CAST(sx AS DOUBLE))
+       / CAST(n AS DOUBLE)) / 100.0 AS intercept_dollars,
+      (CAST(num AS DOUBLE) / CAST(denx AS DOUBLE))
+        * (CAST(num AS DOUBLE) / CAST(deny AS DOUBLE)) AS r_squared
+    FROM k
+    ORDER BY l_returnflag, l_linestatus
+    """,
+    tags=("ml", "regression", "exact-moments"),
+)
+def ml_linreg_normal_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass OLS by normal equations — the distributed regression
+    primitive: slope/intercept/R² of extendedprice on quantity per
+    (returnflag, linestatus), from five exact sufficient statistics
+    gathered in ONE scan. This is the moment-sketch shape MLlib's
+    `LinearRegression` summarizer tree-aggregates at scale: the model fit
+    costs O(groups), not O(rows), once the Gram moments exist.
+
+    Exactness across engines (the `events_cuped_adjusted_delta` recipe):
+    all moments are exact integers in centi-units — two-tier int64→
+    decimal(38,0) for n/Σx/Σy/Σx²/Σxy exactly like `pricing_summary`
+    (per-partition int64 partials can't wrap: Σxy ≤ 5.5e10/row allows
+    1.6e8 rows/split), while Σy² (1.2e14/row) goes straight to a
+    decimal(38,0) accumulator — an int64 partial would wrap at ~75k rows,
+    inside a real 128 MB split. The closed-form readout
+    (n·Σxy−ΣxΣy etc.) stays in decimal(38,0) — exact to 1e38 — and the
+    final slope/intercept/R² run the IDENTICAL double op sequence in both
+    engines (int→double casts and IEEE ÷,× are correctly rounded — no
+    libm anywhere), so the doubles hash bit-for-bit.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    qc = F.round(F.col("l_quantity") * 100).cast("long")
+    pc = F.round(F.col("l_extendedprice") * 100).cast("long")
+    _D38 = "decimal(38,0)"
+    part = (
+        li.select(
+            "l_returnflag", "l_linestatus", qc.alias("qc"), pc.alias("pc")
+        )
+        .groupBy(
+            "l_returnflag", "l_linestatus",
+            F.spark_partition_id().alias("__pid"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("qc").alias("sx"),
+            F.sum("pc").alias("sy"),
+            F.sum(F.col("qc") * F.col("qc")).alias("sxx"),
+            F.sum(F.col("qc") * F.col("pc")).alias("sxy"),
+            F.sum((F.col("pc") * F.col("pc")).cast(_D38)).alias("syy"),
+        )
+    )
+    m = part.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum("n").alias("n"),
+        F.sum(F.col("sx").cast(_D38)).alias("sx"),
+        F.sum(F.col("sy").cast(_D38)).alias("sy"),
+        F.sum(F.col("sxx").cast(_D38)).alias("sxx"),
+        F.sum(F.col("sxy").cast(_D38)).alias("sxy"),
+        F.sum("syy").alias("syy"),
+    )
+    k = m.select(
+        "l_returnflag",
+        "l_linestatus",
+        "n",
+        "sx",
+        "sy",
+        F.expr("CAST(n AS DECIMAL(38,0)) * sxy - sx * sy").alias("num"),
+        F.expr("CAST(n AS DECIMAL(38,0)) * sxx - sx * sx").alias("denx"),
+        F.expr("CAST(n AS DECIMAL(38,0)) * syy - sy * sy").alias("deny"),
+    )
+    return k.select(
+        "l_returnflag",
+        "l_linestatus",
+        F.col("n").cast("long").alias("n_rows"),
+        F.expr("CAST(num AS DOUBLE) / CAST(denx AS DOUBLE)").alias(
+            "slope_dollars_per_unit"
+        ),
+        F.expr(
+            "((CAST(sy AS DOUBLE)"
+            " - (CAST(num AS DOUBLE) / CAST(denx AS DOUBLE))"
+            "   * CAST(sx AS DOUBLE))"
+            " / CAST(n AS DOUBLE)) / 100.0"
+        ).alias("intercept_dollars"),
+        F.expr(
+            "(CAST(num AS DOUBLE) / CAST(denx AS DOUBLE))"
+            " * (CAST(num AS DOUBLE) / CAST(deny AS DOUBLE))"
+        ).alias("r_squared"),
+    ).orderBy("l_returnflag", "l_linestatus")

@@ -1518,3 +1518,28 @@ def test_heaps_law_growth_identities(spark, sf_dir):
     assert rows[-1]["cum_tokens"] == agg["toks"]
     assert rows[-1]["cum_word_types"] == agg["types"]
     assert sum(r["new_tri_types"] for r in rows) == rows[-1]["cum_tri_types"]
+
+
+def test_linreg_normal_eq_identities(spark, sf_dir):
+    """OLS sanity: R² ∈ [0, 1], group counts partition lineitem, and the
+    fitted line passes through the group mean (ȳ = slope·x̄ + intercept,
+    recomputed from the table within double tolerance)."""
+    from biglake_iceberg_python_spark.sources.tables import load_table
+
+    rows = REGISTRY["ml_linreg_normal_eq"].fn(spark, sf_dir).collect()
+    li = load_table(spark, sf_dir, "lineitem")
+    assert sum(r["n_rows"] for r in rows) == li.count()
+    means = {
+        (r["l_returnflag"], r["l_linestatus"]): r
+        for r in li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.avg("l_quantity").alias("mx"),
+            F.avg("l_extendedprice").alias("my"),
+        )
+        .collect()
+    }
+    for r in rows:
+        assert 0.0 <= r["r_squared"] <= 1.0
+        m = means[(r["l_returnflag"], r["l_linestatus"])]
+        fitted = r["slope_dollars_per_unit"] * m["mx"] + r["intercept_dollars"]
+        assert abs(fitted - m["my"]) < 1e-6 * max(1.0, abs(m["my"]))
