@@ -16,7 +16,7 @@ object is small (a few KB) and broadcast to executors by MLlib itself.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from biglake_iceberg_python_spark.operators.curation import (
@@ -634,3 +634,176 @@ def ml_linreg_normal_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
             " * (CAST(num AS DOUBLE) / CAST(deny AS DOUBLE))"
         ).alias("r_squared"),
     ).orderBy("l_returnflag", "l_linestatus")
+
+
+@query(
+    "ml_naive_bayes_langid",
+    oracle="""
+    WITH docs AS (
+      SELECT doc_id, lang,
+             list_filter(string_split(text, ' '), x -> x <> '') AS ws,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':nb'), 1, 8))
+               ::BIGINT % 5 = 0 AS is_test
+      FROM documents
+    ), train AS (SELECT * FROM docs WHERE NOT is_test),
+    test AS (SELECT * FROM docs WHERE is_test),
+    ntr AS (SELECT COUNT(*) AS n FROM train),
+    classes AS (SELECT lang AS clang, COUNT(*) AS dc FROM train GROUP BY lang),
+    wc AS (
+      SELECT lang AS clang, w, COUNT(*) AS c
+      FROM (SELECT lang, unnest(ws) AS w FROM train)
+      GROUP BY lang, w
+    ),
+    tokc AS (SELECT clang, SUM(c) AS tok FROM wc GROUP BY clang),
+    vn AS (SELECT COUNT(DISTINCT w) AS v FROM wc),
+    classtab AS (
+      SELECT c.clang,
+        CAST(round(1e6 * ln(c.dc)) AS BIGINT)
+          - CAST(round(1e6 * ln((SELECT n FROM ntr))) AS BIGINT) AS prior_micro,
+        CAST(round(1e6 * ln(t.tok + (SELECT v FROM vn))) AS BIGINT)
+          AS lognorm_micro
+      FROM classes c JOIN tokc t ON c.clang = t.clang
+    ),
+    model AS (
+      SELECT clang, w, CAST(round(1e6 * ln(c + 1)) AS BIGINT) AS smooth
+      FROM wc
+    ),
+    tw AS (
+      SELECT doc_id, w, COUNT(*) AS cnt
+      FROM (SELECT doc_id, unnest(ws) AS w FROM test)
+      GROUP BY doc_id, w
+    ),
+    tdoc AS (SELECT doc_id, lang AS actual_lang, len(ws) AS t_doc FROM test),
+    ssum AS (
+      SELECT tw.doc_id, m.clang, SUM(tw.cnt * m.smooth) AS s
+      FROM tw JOIN model m ON tw.w = m.w
+      GROUP BY tw.doc_id, m.clang
+    ),
+    scored AS (
+      SELECT td.doc_id, td.actual_lang, ct.clang,
+        ct.prior_micro + COALESCE(s.s, 0) - td.t_doc * ct.lognorm_micro
+          AS score
+      FROM tdoc td CROSS JOIN classtab ct
+      LEFT JOIN ssum s ON s.doc_id = td.doc_id AND s.clang = ct.clang
+    ),
+    pred AS (
+      SELECT actual_lang, clang AS predicted_lang,
+        ROW_NUMBER() OVER (PARTITION BY doc_id
+                           ORDER BY score DESC, clang) AS rn
+      FROM scored
+    )
+    SELECT actual_lang, predicted_lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM pred WHERE rn = 1
+    GROUP BY actual_lang, predicted_lang
+    ORDER BY actual_lang, predicted_lang
+    """,
+    tags=("ml", "llm", "classifier", "langid"),
+)
+def ml_naive_bayes_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial Naive Bayes language classifier, trained and scored
+    entirely in SQL ops — the fastText-style supervised counterpart to
+    `text_langid`'s heuristic: an 80/20 md5 split, add-one-smoothed
+    per-class word likelihoods from the training split, argmax posterior
+    on the held-out split, and the 5×5 confusion matrix as the readout.
+    The same shape scores quality/domain/toxicity classifiers at corpus
+    scale: training IS an aggregation, scoring IS a broadcast join.
+
+    Exactness (the `text_lm_perplexity` recipe): every log term —
+    ln(c_wc+1), ln(docs_c), ln(tok_c+V) — is quantized to integer
+    micro-nats BEFORE any sum, so posterior scores are exact int64 sums
+    (order- and partition-independent) and the argmax (ties broken by
+    class name) is identical in both engines; 1e6-quantization absorbs
+    the JVM-vs-libm last-ulp ln drift that red-flagged `scalar_math`.
+
+    Scale shape: the model is TYPE-level — |V|·5 rows ≪ corpus — built
+    with one (class, word) shuffle with map-side combine; scoring joins
+    held-out token counts against the model on the word key (model
+    broadcast-eligible at real vocab sizes), then 5 class rows broadcast
+    into the posterior assembly. No corpus-sized shuffle carries text.
+    """
+    from biglake_iceberg_python_spark.operators.pipeline import _md5_bucket
+
+    d = load_table(spark, sf_dir, "documents")
+    ws = F.filter(F.split("text", " "), lambda x: x != "")
+    docs = d.select(
+        "doc_id",
+        "lang",
+        ws.alias("ws"),
+        (_md5_bucket(F.col("doc_id"), "nb", 5) == 0).alias("is_test"),
+    )
+    train = docs.filter(~F.col("is_test"))
+    test = docs.filter(F.col("is_test"))
+    ntr = train.agg(F.count(F.lit(1)).alias("n"))
+    classes = train.groupBy(F.col("lang").alias("clang")).agg(
+        F.count(F.lit(1)).alias("dc")
+    )
+    wc = (
+        train.select(F.col("lang").alias("clang"), F.explode("ws").alias("w"))
+        .groupBy("clang", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    tokc = wc.groupBy("clang").agg(F.sum("c").alias("tok"))
+    vn = wc.select("w").distinct().agg(F.count(F.lit(1)).alias("v"))
+    classtab = (
+        classes.join(tokc, "clang")
+        .crossJoin(F.broadcast(ntr))
+        .crossJoin(F.broadcast(vn))
+        .select(
+            "clang",
+            F.expr(
+                "CAST(round(1e6 * ln(dc)) AS BIGINT)"
+                " - CAST(round(1e6 * ln(n)) AS BIGINT)"
+            ).alias("prior_micro"),
+            F.expr("CAST(round(1e6 * ln(tok + v)) AS BIGINT)").alias(
+                "lognorm_micro"
+            ),
+        )
+    )
+    model = wc.select(
+        "clang", "w", F.expr("CAST(round(1e6 * ln(c + 1)) AS BIGINT)").alias("smooth")
+    )
+    tw = (
+        test.select("doc_id", F.explode("ws").alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    tdoc = test.select(
+        "doc_id",
+        F.col("lang").alias("actual_lang"),
+        F.size("ws").cast("long").alias("t_doc"),
+    )
+    ssum = (
+        tw.join(model, "w")
+        .groupBy("doc_id", "clang")
+        .agg(F.sum(F.col("cnt") * F.col("smooth")).alias("s"))
+    )
+    scored = (
+        tdoc.crossJoin(F.broadcast(classtab))
+        .join(ssum, ["doc_id", "clang"], "left")
+        .select(
+            "doc_id",
+            "actual_lang",
+            "clang",
+            (
+                F.col("prior_micro")
+                + F.coalesce("s", F.lit(0))
+                - F.col("t_doc") * F.col("lognorm_micro")
+            ).alias("score"),
+        )
+    )
+    pred = scored.withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("doc_id").orderBy(
+                F.col("score").desc(), F.col("clang")
+            )
+        ),
+    ).filter(F.col("rn") == 1)
+    return (
+        pred.groupBy(
+            "actual_lang", F.col("clang").alias("predicted_lang")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+        .orderBy("actual_lang", "predicted_lang")
+    )

@@ -1543,3 +1543,32 @@ def test_linreg_normal_eq_identities(spark, sf_dir):
         m = means[(r["l_returnflag"], r["l_linestatus"])]
         fitted = r["slope_dollars_per_unit"] * m["mx"] + r["intercept_dollars"]
         assert abs(fitted - m["my"]) < 1e-6 * max(1.0, abs(m["my"]))
+
+
+def test_naive_bayes_confusion_partitions_test_split(spark, sf_dir):
+    """The confusion matrix must partition the held-out split exactly
+    (row sums = per-lang held-out doc counts), and the posterior argmax
+    must beat uniform chance on the diagonal (5 classes → 20%)."""
+    from biglake_iceberg_python_spark.operators.pipeline import _md5_bucket
+    from biglake_iceberg_python_spark.sources.tables import load_table
+
+    rows = REGISTRY["ml_naive_bayes_langid"].fn(spark, sf_dir).collect()
+    held = {
+        r["lang"]: r["n"]
+        for r in load_table(spark, sf_dir, "documents")
+        .filter(_md5_bucket(F.col("doc_id"), "nb", 5) == 0)
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    by_actual: dict[str, int] = {}
+    diag = total = 0
+    for r in rows:
+        by_actual[r["actual_lang"]] = (
+            by_actual.get(r["actual_lang"], 0) + r["n_docs"]
+        )
+        total += r["n_docs"]
+        if r["actual_lang"] == r["predicted_lang"]:
+            diag += r["n_docs"]
+    assert by_actual == held
+    assert diag / total > 1 / 5
