@@ -1466,3 +1466,82 @@ def sim_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rel").alias("rel_cosine"),
         F.col("mmr").alias("mmr_score"),
     )
+
+
+# Recall harness: both branch oracles are pulled from the registry at import
+# time so the eval can never drift from the queries it grades.
+from biglake_iceberg_python_spark.plans.registry import REGISTRY as _REG
+
+_RECALL_ORACLE = f"""
+    WITH bf AS (SELECT * FROM ({_REG["sim_bruteforce_topk"].oracle})),
+    ivf AS (SELECT * FROM ({_IVF_ORACLE})),
+    hits AS (
+      SELECT b.qid, COUNT(*) AS hit
+      FROM bf b JOIN ivf i ON i.qid = b.qid AND i.cid = b.cid
+      GROUP BY b.qid
+    ),
+    nb AS (SELECT qid, COUNT(*) AS n_exact FROM bf GROUP BY qid),
+    ni AS (SELECT qid, COUNT(*) AS n_ivf FROM ivf GROUP BY qid)
+    SELECT
+      nb.qid,
+      CAST(nb.n_exact AS BIGINT) AS n_exact,
+      CAST(COALESCE(ni.n_ivf, 0) AS BIGINT) AS n_ivf,
+      CAST(COALESCE(h.hit, 0) AS BIGINT) AS hits,
+      CAST(COALESCE(h.hit, 0) * 1000000 // nb.n_exact AS BIGINT)
+        AS recall_ppm
+    FROM nb
+    LEFT JOIN ni ON ni.qid = nb.qid
+    LEFT JOIN hits h ON h.qid = nb.qid
+    ORDER BY nb.qid
+    """
+
+
+@query(
+    "sim_recall_eval",
+    oracle=_RECALL_ORACLE,
+    tags=("llm", "similarity", "ann", "eval"),
+)
+def sim_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k evaluation of the IVF index against exact brute force —
+    the quality gate every ANN deployment runs before swapping an
+    approximate index into production, and re-runs as the corpus grows
+    (recall decays when list sizes drift from the codebook). Per query:
+    ground-truth size, IVF candidate count, overlap, and recall in ppm.
+
+    Both branches ARE the registered queries (`sim_bruteforce_topk`,
+    `sim_ann_ivf`) — the oracle string is composed from their registry
+    entries, so the eval grades exactly what the engine serves. All
+    outputs are exact integers (set intersection + integer division):
+    hash-matched despite grading an 'approximate' method, because the
+    IVF pipeline is deterministic end-to-end.
+
+    Scale shape: the eval join touches |Q|·k rows — negligible next to
+    the branches it reuses (query set broadcast, centroid-scoped
+    scoring, both already plan-audited). At 100 TB the eval cost IS the
+    index-build cost; the grading overlay adds one tiny join.
+    """
+    bf = sim_bruteforce_topk(spark, sf_dir).select("qid", "cid")
+    iv = sim_ann_ivf(spark, sf_dir).select("qid", "cid")
+    # (qid, cid) is unique on both sides, so the overlap is a plain
+    # equi-join (Catalyst turns intersect into the same left-semi shape).
+    hits = (
+        bf.join(iv, ["qid", "cid"], "left_semi")
+        .groupBy("qid")
+        .agg(F.count(F.lit(1)).alias("hit"))
+    )
+    nb = bf.groupBy("qid").agg(F.count(F.lit(1)).alias("n_exact"))
+    ni = iv.groupBy("qid").agg(F.count(F.lit(1)).alias("n_ivf"))
+    return (
+        nb.join(ni, "qid", "left")
+        .join(hits, "qid", "left")
+        .select(
+            "qid",
+            F.col("n_exact").cast("long").alias("n_exact"),
+            F.coalesce("n_ivf", F.lit(0)).cast("long").alias("n_ivf"),
+            F.coalesce("hit", F.lit(0)).cast("long").alias("hits"),
+            F.expr(
+                "CAST(coalesce(hit, 0) * 1000000 DIV n_exact AS BIGINT)"
+            ).alias("recall_ppm"),
+        )
+        .orderBy("qid")
+    )

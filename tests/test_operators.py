@@ -1572,3 +1572,20 @@ def test_naive_bayes_confusion_partitions_test_split(spark, sf_dir):
             diag += r["n_docs"]
     assert by_actual == held
     assert diag / total > 1 / 5
+
+
+def test_recall_eval_bounds(spark, sf_dir):
+    """Eval-harness identities: one row per query vector, ground truth is
+    exactly top-k sized, hits can't exceed either side, and recall_ppm is
+    the exact integer ratio of the emitted counts."""
+    from biglake_iceberg_python_spark.operators.similarity import (
+        _N_QUERIES,
+        _TOP_K,
+    )
+
+    rows = REGISTRY["sim_recall_eval"].fn(spark, sf_dir).collect()
+    assert len(rows) == _N_QUERIES
+    for r in rows:
+        assert r["n_exact"] == _TOP_K
+        assert r["hits"] <= min(r["n_exact"], r["n_ivf"])
+        assert r["recall_ppm"] == r["hits"] * 1_000_000 // r["n_exact"]
