@@ -484,3 +484,96 @@ def graph_resource_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         "left_anti",
     )
     return nonedge.orderBy(F.col("ra_nano").desc(), "u", "v").limit(20)
+
+
+_KCORE_ROUNDS = 4
+
+_KCORE_PEEL = """
+    d{t} AS (SELECT src, COUNT(*) AS d FROM e{p} GROUP BY src),
+    s{t} AS (SELECT src FROM d{t} WHERE d >= (SELECT k FROM kk)),
+    e{t} AS (
+      SELECT e.src, e.dst FROM e{p} e
+      JOIN s{t} a ON e.src = a.src
+      JOIN s{t} b ON e.dst = b.src
+    )"""
+
+_KCORE_STAT = """
+    SELECT {t} AS round,
+           (SELECT k FROM kk) AS k,
+           (SELECT COUNT(DISTINCT src) FROM e{t}) AS n_nodes,
+           (SELECT COUNT(*) FROM e{t}) // 2 AS n_edges"""
+
+
+@query(
+    "graph_kcore",
+    oracle=(
+        """
+    WITH items AS (
+      SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+    ), e0 AS (
+      SELECT DISTINCT a.pk AS src, b.pk AS dst
+      FROM items a JOIN items b ON a.ok = b.ok AND a.pk <> b.pk
+    ), kk AS (
+      SELECT (SELECT COUNT(*) FROM e0)
+               // (SELECT COUNT(DISTINCT src) FROM e0) + 1 AS k
+    ),"""
+        + ",".join(
+            _KCORE_PEEL.format(t=t, p=t - 1)
+            for t in range(1, _KCORE_ROUNDS + 1)
+        )
+        + f"""
+    SELECT CAST(round AS BIGINT) AS round, CAST(k AS BIGINT) AS k,
+           CAST(n_nodes AS BIGINT) AS n_nodes,
+           CAST(n_edges AS BIGINT) AS n_edges
+    FROM ({" UNION ALL ".join(_KCORE_STAT.format(t=t) for t in range(_KCORE_ROUNDS + 1))})
+    ORDER BY round
+    """
+    ),
+    tags=("graph", "iterative", "kcore"),
+)
+def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded k-core peeling — the degeneracy-ordering primitive behind
+    spam-farm detection and dense-community extraction on web graphs:
+    repeatedly delete nodes of degree < k and report how the graph
+    collapses. k adapts to the graph (floor(avg degree) + 1 of the
+    INITIAL graph) so the peel is non-trivial at every scale factor; four
+    rounds are unrolled (fixed iteration count, the `graph_pagerank`
+    discipline) and each round's surviving node and edge counts are the
+    readout — exact integers, so the row hashes bit-for-bit against the
+    oracle's identically-unrolled CTE chain.
+
+    Scale shape per round: one degree aggregation (map-side combined) +
+    two semi-joins of the edge list against the survivor set — all
+    equi-joins partitioned on the node key; nothing but node/edge keys
+    ever shuffles, and each round's edge list is materialized
+    (`localCheckpoint`) so Catalyst doesn't re-derive the whole peel
+    chain per consumer. Peeling strictly shrinks the edge list, so round
+    cost is monotonically decreasing — at 100 TB the first round
+    dominates and is exactly one shuffle of the edge list.
+    """
+    e0 = _edges(spark, sf_dir).localCheckpoint(eager=False)
+    nv = e0.select("src").distinct().count()
+    ne0 = e0.count()
+    k = ne0 // nv + 1
+    states = [e0]
+    cur = e0
+    for _ in range(_KCORE_ROUNDS):
+        deg = cur.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+        surv = deg.filter(F.col("d") >= k).select("src")
+        cur = (
+            cur.join(surv, "src", "left_semi")
+            .join(surv.withColumnRenamed("src", "dst"), "dst", "left_semi")
+            .select("src", "dst")
+            .localCheckpoint(eager=False)
+        )
+        states.append(cur)
+    stats = None
+    for t, e in enumerate(states):
+        row = e.agg(
+            F.lit(t).cast("long").alias("round"),
+            F.lit(k).cast("long").alias("k"),
+            F.count_distinct("src").cast("long").alias("n_nodes"),
+            (F.count(F.lit(1)) / 2).cast("long").alias("n_edges"),
+        )
+        stats = row if stats is None else stats.unionAll(row)
+    return stats.orderBy("round")

@@ -1589,3 +1589,21 @@ def test_recall_eval_bounds(spark, sf_dir):
         assert r["n_exact"] == _TOP_K
         assert r["hits"] <= min(r["n_exact"], r["n_ivf"])
         assert r["recall_ppm"] == r["hits"] * 1_000_000 // r["n_exact"]
+
+
+def test_kcore_peel_is_monotone(spark, sf_dir):
+    """Peeling can only shrink the graph: node and edge counts are
+    non-increasing over rounds, round 0 equals the full co-purchase
+    graph, and k is floor(avg degree) + 1 of the initial state."""
+    from biglake_iceberg_python_spark.operators.graph import _edges
+
+    rows = REGISTRY["graph_kcore"].fn(spark, sf_dir).orderBy("round").collect()
+    assert [r["round"] for r in rows] == [0, 1, 2, 3, 4]
+    for prev, cur in zip(rows, rows[1:]):
+        assert cur["n_nodes"] <= prev["n_nodes"]
+        assert cur["n_edges"] <= prev["n_edges"]
+    e0 = _edges(spark, sf_dir)
+    ne, nv = e0.count(), e0.select("src").distinct().count()
+    assert rows[0]["n_nodes"] == nv
+    assert rows[0]["n_edges"] == ne // 2
+    assert all(r["k"] == ne // nv + 1 for r in rows)
