@@ -23,6 +23,7 @@ from biglake_iceberg_python_spark.operators.curation import (
     _MAX_WORDS,
     _MIN_WORDS,
     _MWL_MIN,
+    _STOP_SQL,
     _STOPWORDS,
 )
 from biglake_iceberg_python_spark.plans.registry import query
@@ -806,4 +807,161 @@ def ml_naive_bayes_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
         .orderBy("actual_lang", "predicted_lang")
+    )
+
+
+_PR_THRESHOLDS = tuple(range(500, 1000, 50))  # per-mille score cutoffs
+
+
+@query(
+    "ml_pr_curve_quality",
+    oracle=f"""
+    WITH m AS (
+      SELECT
+        len(ws) AS n,
+        list_sum(list_transform(ws, x -> len(x))) AS sum_len,
+        len(list_distinct(ws)) AS n_dist,
+        len(list_intersect(ws, {_STOP_SQL})) > 0 AS has_stop
+      FROM (
+        SELECT list_filter(string_split(text, ' '), x -> x <> '') AS ws
+        FROM documents
+      )
+    ), scored AS (
+      SELECT
+        (n_dist * 1000000 // n) // 1000 AS score_milli,
+        (n BETWEEN {_MIN_WORDS} AND {_MAX_WORDS})
+          AND sum_len >= {_MWL_MIN} * n
+          AND 2 * n_dist >= n
+          AND has_stop AS label
+      FROM m WHERE n > 0
+    ), hist AS (
+      SELECT score_milli,
+             COUNT(*) FILTER (WHERE label) AS n_pos,
+             COUNT(*) FILTER (WHERE NOT label) AS n_neg
+      FROM scored GROUP BY score_milli
+    ), tot AS (
+      SELECT SUM(n_pos) AS pos_total, SUM(n_neg) AS neg_total FROM hist
+    ), sweep AS (
+      SELECT t.t_milli,
+             COALESCE(SUM(h.n_pos) FILTER (WHERE h.score_milli >= t.t_milli),
+                      0) AS tp,
+             COALESCE(SUM(h.n_neg) FILTER (WHERE h.score_milli >= t.t_milli),
+                      0) AS fp
+      FROM (SELECT unnest(ARRAY{list(_PR_THRESHOLDS)}) AS t_milli) t
+      CROSS JOIN hist h
+      GROUP BY t.t_milli
+    )
+    SELECT
+      CAST(s.t_milli AS BIGINT) AS t_milli,
+      CAST(s.tp AS BIGINT) AS tp,
+      CAST(s.fp AS BIGINT) AS fp,
+      CAST(g.pos_total - s.tp AS BIGINT) AS fn,
+      CAST(g.neg_total - s.fp AS BIGINT) AS tn,
+      CAST(CASE WHEN s.tp + s.fp = 0 THEN 0
+           ELSE s.tp * 1000000 // (s.tp + s.fp) END AS BIGINT)
+        AS precision_ppm,
+      CAST(CASE WHEN g.pos_total = 0 THEN 0
+           ELSE s.tp * 1000000 // g.pos_total END AS BIGINT) AS recall_ppm,
+      CAST(CASE WHEN 2 * s.tp + s.fp + (g.pos_total - s.tp) = 0 THEN 0
+           ELSE 2 * s.tp * 1000000
+                // (2 * s.tp + s.fp + (g.pos_total - s.tp)) END AS BIGINT)
+        AS f1_ppm
+    FROM sweep s CROSS JOIN tot g
+    ORDER BY t_milli
+    """,
+    tags=("ml", "llm", "eval", "pr-curve"),
+)
+def ml_pr_curve_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Precision/recall threshold sweep — the operating-point chart every
+    production quality classifier ships with: grade a cheap one-feature
+    scorer (distinct-word ratio, the repetition signal) against the full
+    Gopher rule-set label at ten per-mille cutoffs, emitting the exact
+    confusion counts plus precision/recall/F1 in ppm per threshold.
+
+    Exactness: scores quantize to per-mille buckets and thresholds are
+    per-mille multiples, so `bucket >= t` is EXACTLY `score_ppm >= t·1000`
+    (truncating division both sides) — no float comparisons anywhere, and
+    the ppm metrics are integer divisions of exact counts.
+
+    Scale shape: the corpus collapses map-side into a ≤1000-row
+    (score-bucket × label) histogram in one shuffle; the 10-threshold
+    sweep is a broadcast cross of that histogram — sweep cost is
+    O(buckets·thresholds), independent of corpus size. Adding a
+    thousand-point ladder at 100 TB costs nothing more.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    ws = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+    m = d.select(ws.alias("w")).select(
+        F.size("w").alias("n"),
+        F.aggregate(
+            "w", F.lit(0).cast("long"), lambda a, x: a + F.length(x)
+        ).alias("sum_len"),
+        F.size(F.array_distinct("w")).alias("n_dist"),
+        F.arrays_overlap(
+            "w", F.array(*[F.lit(s) for s in _STOPWORDS])
+        ).alias("has_stop"),
+    )
+    scored = m.filter(F.col("n") > 0).select(
+        F.expr("(n_dist * 1000000 DIV n) DIV 1000").alias("score_milli"),
+        (
+            F.col("n").between(_MIN_WORDS, _MAX_WORDS)
+            & (F.col("sum_len") >= _MWL_MIN * F.col("n"))
+            & (2 * F.col("n_dist") >= F.col("n"))
+            & F.col("has_stop")
+        ).alias("label"),
+    )
+    hist = scored.groupBy("score_milli").agg(
+        F.count(F.when(F.col("label"), 1)).alias("n_pos"),
+        F.count(F.when(~F.col("label"), 1)).alias("n_neg"),
+    )
+    tot = hist.agg(
+        F.sum("n_pos").alias("pos_total"), F.sum("n_neg").alias("neg_total")
+    )
+    thresholds = spark.createDataFrame(
+        [(t,) for t in _PR_THRESHOLDS], "t_milli int"
+    )
+    sweep = (
+        F.broadcast(thresholds)
+        .crossJoin(hist)
+        .groupBy("t_milli")
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.when(F.col("score_milli") >= F.col("t_milli"),
+                           F.col("n_pos"))
+                ),
+                F.lit(0),
+            ).alias("tp"),
+            F.coalesce(
+                F.sum(
+                    F.when(F.col("score_milli") >= F.col("t_milli"),
+                           F.col("n_neg"))
+                ),
+                F.lit(0),
+            ).alias("fp"),
+        )
+    )
+    return (
+        sweep.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("t_milli").cast("long").alias("t_milli"),
+            F.col("tp").cast("long").alias("tp"),
+            F.col("fp").cast("long").alias("fp"),
+            (F.col("pos_total") - F.col("tp")).cast("long").alias("fn"),
+            (F.col("neg_total") - F.col("fp")).cast("long").alias("tn"),
+            F.expr(
+                "CAST(CASE WHEN tp + fp = 0 THEN 0"
+                " ELSE tp * 1000000 DIV (tp + fp) END AS BIGINT)"
+            ).alias("precision_ppm"),
+            F.expr(
+                "CAST(CASE WHEN pos_total = 0 THEN 0"
+                " ELSE tp * 1000000 DIV pos_total END AS BIGINT)"
+            ).alias("recall_ppm"),
+            F.expr(
+                "CAST(CASE WHEN 2 * tp + fp + (pos_total - tp) = 0 THEN 0"
+                " ELSE 2 * tp * 1000000"
+                " DIV (2 * tp + fp + (pos_total - tp)) END AS BIGINT)"
+            ).alias("f1_ppm"),
+        )
+        .orderBy("t_milli")
     )

@@ -1607,3 +1607,26 @@ def test_kcore_peel_is_monotone(spark, sf_dir):
     assert rows[0]["n_nodes"] == nv
     assert rows[0]["n_edges"] == ne // 2
     assert all(r["k"] == ne // nv + 1 for r in rows)
+
+
+def test_pr_curve_monotone_and_consistent(spark, sf_dir):
+    """PR-sweep identities: tp+fn and fp+tn are threshold-invariant
+    totals, tp/fp are non-increasing in the threshold (a stricter cutoff
+    can only shrink the positive set), and recall_ppm is the exact
+    integer ratio of the emitted counts."""
+    rows = (
+        REGISTRY["ml_pr_curve_quality"].fn(spark, sf_dir)
+        .orderBy("t_milli")
+        .collect()
+    )
+    assert len(rows) == 10
+    pos = rows[0]["tp"] + rows[0]["fn"]
+    neg = rows[0]["fp"] + rows[0]["tn"]
+    for r in rows:
+        assert r["tp"] + r["fn"] == pos
+        assert r["fp"] + r["tn"] == neg
+        if pos:
+            assert r["recall_ppm"] == r["tp"] * 1_000_000 // pos
+    for prev, cur in zip(rows, rows[1:]):
+        assert cur["tp"] <= prev["tp"]
+        assert cur["fp"] <= prev["fp"]
