@@ -2010,3 +2010,119 @@ def curate_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.orderBy(F.col("score_micro").desc(), "doc_id").limit(
         _DSIR_TOP
     )
+
+
+_APPORTION_BUDGET = 100_000  # sample slots to distribute across sources
+
+
+@query(
+    "curate_mix_apportionment",
+    oracle=f"""
+    WITH tok AS (
+      SELECT
+        source,
+        len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tok,
+        CASE WHEN source IN {_PREMIUM_SQL}
+             THEN {_PREMIUM_WEIGHT} ELSE {_BASE_WEIGHT} END AS w
+      FROM documents
+    ), per_src AS (
+      SELECT source, w, SUM(n_tok) AS src_tokens,
+             w * SUM(n_tok) AS mass
+      FROM tok GROUP BY source, w
+    ), g AS (SELECT SUM(mass) AS total_mass FROM per_src),
+    quota AS (
+      SELECT p.source, p.src_tokens, p.mass,
+             {_APPORTION_BUDGET} * p.mass // g.total_mass AS fl,
+             {_APPORTION_BUDGET} * p.mass % g.total_mass AS rem
+      FROM per_src p CROSS JOIN g
+    ), leftover AS (
+      SELECT {_APPORTION_BUDGET} - SUM(fl) AS l FROM quota
+    ), ranked AS (
+      SELECT *,
+             ROW_NUMBER() OVER (ORDER BY rem DESC, source) AS rk
+      FROM quota
+    )
+    SELECT
+      r.source,
+      CAST(r.src_tokens AS BIGINT) AS src_tokens,
+      CAST(r.fl AS BIGINT) AS floor_slots,
+      CAST(CASE WHEN r.rk <= (SELECT l FROM leftover) THEN 1 ELSE 0 END
+           AS BIGINT) AS extra_slot,
+      CAST(r.fl + CASE WHEN r.rk <= (SELECT l FROM leftover)
+                       THEN 1 ELSE 0 END AS BIGINT) AS slots,
+      CAST((r.fl + CASE WHEN r.rk <= (SELECT l FROM leftover)
+                        THEN 1 ELSE 0 END) * 1000000
+           // {_APPORTION_BUDGET} AS BIGINT) AS share_ppm
+    FROM ranked r
+    ORDER BY source
+    """,
+    tags=("llm", "curation", "mixing", "apportionment"),
+)
+def curate_mix_apportionment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Largest-remainder (Hamilton) apportionment of a training-sample
+    budget across sources — the step after `curate_domain_mix` decides
+    proportions: converting fractional quotas into INTEGER per-source
+    sample counts that sum EXACTLY to the budget. Naive rounding
+    over/under-shoots by up to |sources|/2 slots; Hamilton floors every
+    quota and hands the leftover slots to the largest remainders
+    (deterministic source-name tiebreak), so Σslots ≡ budget — the
+    invariant shard writers and epoch schedulers rely on.
+
+    Exactness: quotas are exact integer div/mod of token-mass products
+    (no doubles anywhere), the remainder ranking is a window over
+    |sources| rows, and the guarantee Σslots = budget is asserted in
+    tests. Scale shape: one per-source rollup of the corpus (map-side
+    combined), then everything runs on the |sources|-row table — the
+    apportionment itself is free at any corpus size.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "source",
+        F.size(_words()).alias("n_tok"),
+        F.when(F.col("source").isin(*_PREMIUM_SOURCES), F.lit(_PREMIUM_WEIGHT))
+        .otherwise(F.lit(_BASE_WEIGHT))
+        .alias("w"),
+    )
+    per_src = tok.groupBy("source", "w").agg(
+        F.sum("n_tok").cast("long").alias("src_tokens"),
+    ).select(
+        "source",
+        "src_tokens",
+        (F.col("w") * F.col("src_tokens")).alias("mass"),
+    )
+    g = per_src.agg(F.sum("mass").alias("total_mass"))
+    quota = per_src.crossJoin(F.broadcast(g)).select(
+        "source",
+        "src_tokens",
+        F.expr(f"{_APPORTION_BUDGET} * mass DIV total_mass").alias("fl"),
+        F.expr(f"{_APPORTION_BUDGET} * mass % total_mass").alias("rem"),
+    )
+    leftover = quota.agg(
+        (F.lit(_APPORTION_BUDGET) - F.sum("fl")).alias("l")
+    )
+    ranked = quota.withColumn(
+        "rk",
+        F.row_number().over(
+            Window.orderBy(F.col("rem").desc(), F.col("source"))
+        ),
+    )
+    out = ranked.crossJoin(F.broadcast(leftover)).select(
+        "source",
+        "src_tokens",
+        F.col("fl").cast("long").alias("floor_slots"),
+        F.when(F.col("rk") <= F.col("l"), F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("extra_slot"),
+    )
+    return out.select(
+        "source",
+        "src_tokens",
+        "floor_slots",
+        "extra_slot",
+        (F.col("floor_slots") + F.col("extra_slot")).alias("slots"),
+        F.expr(
+            "CAST((floor_slots + extra_slot) * 1000000"
+            f" DIV {_APPORTION_BUDGET} AS BIGINT)"
+        ).alias("share_ppm"),
+    ).orderBy("source")

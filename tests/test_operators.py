@@ -1630,3 +1630,17 @@ def test_pr_curve_monotone_and_consistent(spark, sf_dir):
     for prev, cur in zip(rows, rows[1:]):
         assert cur["tp"] <= prev["tp"]
         assert cur["fp"] <= prev["fp"]
+
+
+def test_apportionment_sums_to_budget(spark, sf_dir):
+    """Hamilton's guarantee: Σ slots equals the budget exactly, every
+    extra_slot is 0/1, and floors never exceed finals."""
+    from biglake_iceberg_python_spark.operators.curation import (
+        _APPORTION_BUDGET,
+    )
+
+    rows = REGISTRY["curate_mix_apportionment"].fn(spark, sf_dir).collect()
+    assert sum(r["slots"] for r in rows) == _APPORTION_BUDGET
+    for r in rows:
+        assert r["extra_slot"] in (0, 1)
+        assert r["slots"] == r["floor_slots"] + r["extra_slot"]
