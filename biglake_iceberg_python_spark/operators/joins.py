@@ -1016,3 +1016,129 @@ def join_point_in_time_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         F.sum(cents).cast("long").alias("total_cents"),
     ).withColumnRenamed("segment", "segment_at_order")
+
+
+@query(
+    "join_asof_nearest",
+    oracle="""
+    WITH w AS (
+      SELECT
+        user_id,
+        ts,
+        event_type,
+        last_value(CASE WHEN event_type = 'purchase' THEN ts END IGNORE NULLS)
+          OVER (PARTITION BY user_id ORDER BY ts
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+          AS prev_ts,
+        first_value(CASE WHEN event_type = 'purchase' THEN ts END
+                    IGNORE NULLS)
+          OVER (PARTITION BY user_id ORDER BY ts
+                ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+          AS next_ts
+      FROM events
+    ), g AS (
+      SELECT
+        user_id,
+        date_diff('second', date_trunc('second', prev_ts),
+                  date_trunc('second', ts)) AS back_gap,
+        date_diff('second', date_trunc('second', ts),
+                  date_trunc('second', next_ts)) AS fwd_gap
+      FROM w WHERE event_type <> 'purchase'
+    ), pick AS (
+      SELECT
+        user_id,
+        CASE
+          WHEN back_gap IS NULL AND fwd_gap IS NULL THEN NULL
+          WHEN fwd_gap IS NULL THEN 'backward'
+          WHEN back_gap IS NULL THEN 'forward'
+          WHEN back_gap <= fwd_gap THEN 'backward'
+          ELSE 'forward' END AS side,
+        CASE
+          WHEN back_gap IS NULL AND fwd_gap IS NULL THEN NULL
+          WHEN fwd_gap IS NULL THEN back_gap
+          WHEN back_gap IS NULL THEN fwd_gap
+          WHEN back_gap <= fwd_gap THEN back_gap
+          ELSE fwd_gap END AS gap_s
+      FROM g
+    )
+    SELECT
+      user_id,
+      CAST(COUNT(*) AS BIGINT) AS n_events,
+      CAST(COUNT(gap_s) AS BIGINT) AS n_matched,
+      CAST(COUNT(*) FILTER (WHERE side = 'backward') AS BIGINT) AS n_backward,
+      CAST(COUNT(*) FILTER (WHERE side = 'forward') AS BIGINT) AS n_forward,
+      CAST(MAX(gap_s) AS BIGINT) AS max_nearest_gap_s
+    FROM pick
+    GROUP BY user_id
+    """,
+    tags=("join", "asof", "nearest"),
+)
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-neighbor as-of join (both directions): for every
+    non-purchase event, the temporally CLOSEST purchase by the same user —
+    backward or forward, ties to backward. pandas' `merge_asof
+    (direction='nearest')` semantics, re-expressed as the same
+    single-shuffle window pair as `join_asof`/`join_asof_forward`: one
+    backward last-IGNORE-NULLS, one forward first-IGNORE-NULLS, then a
+    pure map picks the smaller gap. No join, no pair blowup — two sorted
+    windows over one user_id shuffle (Spark evaluates both frames on one
+    sort), O(n log n) per key at any scale.
+
+    Gaps use the date_trunc-then-diff boundary-crossing form (the
+    `join_asof` gotcha) so Spark µs and DuckDB ns timestamps agree
+    bit-for-bit; all outputs are exact integer counts/seconds.
+    """
+    e = load_table(spark, sf_dir, "events")
+    wb = (
+        Window.partitionBy("user_id")
+        .orderBy("ts")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy("ts")
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    pts = F.when(F.col("event_type") == "purchase", F.col("ts"))
+    w = e.select(
+        "user_id",
+        "ts",
+        "event_type",
+        F.last(pts, ignorenulls=True).over(wb).alias("prev_ts"),
+        F.first(pts, ignorenulls=True).over(wf).alias("next_ts"),
+    ).filter(F.col("event_type") != "purchase")
+    g = w.select(
+        "user_id",
+        F.expr(
+            "timestampdiff(SECOND, date_trunc('second', prev_ts),"
+            " date_trunc('second', ts))"
+        ).alias("back_gap"),
+        F.expr(
+            "timestampdiff(SECOND, date_trunc('second', ts),"
+            " date_trunc('second', next_ts))"
+        ).alias("fwd_gap"),
+    )
+    pick = g.select(
+        "user_id",
+        F.expr(
+            "CASE WHEN back_gap IS NULL AND fwd_gap IS NULL THEN NULL"
+            " WHEN fwd_gap IS NULL THEN 'backward'"
+            " WHEN back_gap IS NULL THEN 'forward'"
+            " WHEN back_gap <= fwd_gap THEN 'backward'"
+            " ELSE 'forward' END"
+        ).alias("side"),
+        F.expr(
+            "CASE WHEN back_gap IS NULL AND fwd_gap IS NULL THEN NULL"
+            " WHEN fwd_gap IS NULL THEN back_gap"
+            " WHEN back_gap IS NULL THEN fwd_gap"
+            " WHEN back_gap <= fwd_gap THEN back_gap"
+            " ELSE fwd_gap END"
+        ).alias("gap_s"),
+    )
+    return pick.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count("gap_s").alias("n_matched"),
+        F.count(F.when(F.col("side") == "backward", 1)).alias("n_backward"),
+        F.count(F.when(F.col("side") == "forward", 1)).alias("n_forward"),
+        F.max("gap_s").cast("long").alias("max_nearest_gap_s"),
+    )

@@ -1644,3 +1644,15 @@ def test_apportionment_sums_to_budget(spark, sf_dir):
     for r in rows:
         assert r["extra_slot"] in (0, 1)
         assert r["slots"] == r["floor_slots"] + r["extra_slot"]
+
+
+def test_asof_nearest_sides_partition_matches(spark, sf_dir):
+    """The backward/forward pick partitions the matched set exactly, and
+    no user matches more events than they have."""
+    near = {
+        r["user_id"]: r
+        for r in REGISTRY["join_asof_nearest"].fn(spark, sf_dir).collect()
+    }
+    for r in near.values():
+        assert r["n_backward"] + r["n_forward"] == r["n_matched"]
+        assert r["n_matched"] <= r["n_events"]
