@@ -1053,3 +1053,146 @@ def dedup_paragraph_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST(COUNT(IF(rn > 1, 1, NULL)) * 1000000 DIV COUNT(*) AS BIGINT)")
         .alias("dup_ppm"),
     )
+
+
+@query(
+    "dedup_lsh_tuning_curve",
+    oracle=f"""
+    WITH words AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+      FROM documents
+    ), pos AS (
+      SELECT doc_id, unnest(w) AS word, generate_subscripts(w, 1) AS p
+      FROM words
+    ), sh AS (
+      SELECT DISTINCT a.doc_id,
+             a.word || ' ' || b.word || ' ' || c.word AS shingle
+      FROM pos a
+      JOIN pos b ON b.doc_id = a.doc_id AND b.p = a.p + 1
+      JOIN pos c ON c.doc_id = a.doc_id AND c.p = a.p + 2
+    ), rare AS (
+      SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= {_DF_CAP}
+    ), rs AS (
+      SELECT sh.doc_id, sh.shingle FROM sh JOIN rare USING (shingle)
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS n_sh FROM rs GROUP BY doc_id
+    ), inter AS (
+      SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, COUNT(*) AS n_inter
+      FROM rs x JOIN rs y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+      GROUP BY x.doc_id, y.doc_id
+    ), hist AS (
+      SELECT 20 * i.n_inter // (sa.n_sh + sb.n_sh - i.n_inter) AS bucket,
+             COUNT(*) AS n_pairs
+      FROM inter i
+      JOIN sizes sa ON sa.doc_id = i.doc_a
+      JOIN sizes sb ON sb.doc_id = i.doc_b
+      GROUP BY 1
+    ), curve AS (
+      SELECT bucket, n_pairs,
+             CAST(CASE WHEN 2 * bucket + 1 > 40 THEN 40
+                  ELSE 2 * bucket + 1 END AS DOUBLE) / 40.0 AS s
+      FROM hist
+    ), powed AS (
+      SELECT bucket, n_pairs, s,
+             (1.0 - s * s * s * s) AS u
+      FROM curve
+    )
+    SELECT
+      CAST(bucket AS BIGINT) AS sim_bucket,
+      CAST(n_pairs AS BIGINT) AS n_pairs,
+      1.0 - ((u * u) * (u * u)) * ((u * u) * (u * u)) AS p_candidate,
+      CAST(n_pairs AS DOUBLE)
+        * (1.0 - ((u * u) * (u * u)) * ((u * u) * (u * u)))
+        AS expected_candidates
+    FROM powed
+    ORDER BY sim_bucket
+    """,
+    tags=("llm", "dedup", "lsh", "eval", "tuning"),
+)
+def dedup_lsh_tuning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH banding tuning curve — the chart every MinHash deployment is
+    parameterized from: take THIS corpus' empirical candidate-pair
+    Jaccard histogram (5-percentage-point buckets over the rare-shingle
+    pairs) and overlay the analytic S-curve P(candidate | s) =
+    1 − (1 − s^r)^b for the deployed banding (r = {_BAND_SIZE} rows ×
+    b = {_N_PERM // _BAND_SIZE} bands), giving the expected candidate
+    count per similarity level. Where `sim_recall_eval` grades an ANN
+    index empirically, this grades the dedup banding analytically —
+    against the corpus' own similarity profile, which is what decides
+    whether b/r are right.
+
+    Exactness: buckets are integer div of exact intersection/union
+    counts; the S-curve avoids `pow` (libm, the `scalar_math` lesson) —
+    s^4 and (…)^8 are explicit multiply chains, each IEEE
+    correctly-rounded and sequenced identically in both engines, so the
+    doubles hash bit-for-bit.
+
+    Scale shape: the histogram rides the same rare-shingle postings join
+    as `dedup_ngram_jaccard` (df-capped, linear candidate volume); the
+    curve itself runs on ≤21 bucket rows.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    sh = (
+        d.select("doc_id", _words().alias("w"))
+        .select("doc_id", F.explode(_shingles("w")).alias("shingle"))
+        .distinct()
+    )
+    rare = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= _DF_CAP)
+        .select("shingle")
+    )
+    rs = sh.join(rare, "shingle").cache()
+    sizes = rs.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    x = rs.alias("x")
+    y = rs.alias("y")
+    inter = (
+        x.join(
+            y,
+            (F.col("x.shingle") == F.col("y.shingle"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .groupBy(
+            F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    hist = (
+        inter.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .select(
+            F.expr(
+                "20 * n_inter DIV (sa.n_sh + sb.n_sh - n_inter)"
+            ).alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+    powed = hist.select(
+        "bucket",
+        "n_pairs",
+        F.expr(
+            "1.0 - (CAST(CASE WHEN 2 * bucket + 1 > 40 THEN 40"
+            " ELSE 2 * bucket + 1 END AS DOUBLE) / 40.0)"
+            " * (CAST(CASE WHEN 2 * bucket + 1 > 40 THEN 40"
+            " ELSE 2 * bucket + 1 END AS DOUBLE) / 40.0)"
+            " * (CAST(CASE WHEN 2 * bucket + 1 > 40 THEN 40"
+            " ELSE 2 * bucket + 1 END AS DOUBLE) / 40.0)"
+            " * (CAST(CASE WHEN 2 * bucket + 1 > 40 THEN 40"
+            " ELSE 2 * bucket + 1 END AS DOUBLE) / 40.0)"
+        ).alias("u"),
+    )
+    return powed.select(
+        F.col("bucket").cast("long").alias("sim_bucket"),
+        F.col("n_pairs").cast("long").alias("n_pairs"),
+        F.expr(
+            "1.0 - ((u * u) * (u * u)) * ((u * u) * (u * u))"
+        ).alias("p_candidate"),
+        F.expr(
+            "CAST(n_pairs AS DOUBLE)"
+            " * (1.0 - ((u * u) * (u * u)) * ((u * u) * (u * u)))"
+        ).alias("expected_candidates"),
+    ).orderBy("sim_bucket")

@@ -1656,3 +1656,20 @@ def test_asof_nearest_sides_partition_matches(spark, sf_dir):
     for r in near.values():
         assert r["n_backward"] + r["n_forward"] == r["n_matched"]
         assert r["n_matched"] <= r["n_events"]
+
+
+def test_lsh_tuning_curve_is_an_s_curve(spark, sf_dir):
+    """S-curve identities: P(candidate) ∈ [0,1] and strictly increasing
+    in the similarity bucket, and expected candidates never exceed the
+    bucket's pair count."""
+    rows = (
+        REGISTRY["dedup_lsh_tuning_curve"].fn(spark, sf_dir)
+        .orderBy("sim_bucket")
+        .collect()
+    )
+    assert rows
+    for r in rows:
+        assert 0.0 <= r["p_candidate"] <= 1.0
+        assert r["expected_candidates"] <= r["n_pairs"] + 1e-9
+    for prev, cur in zip(rows, rows[1:]):
+        assert cur["p_candidate"] > prev["p_candidate"]
