@@ -2978,3 +2978,149 @@ def ts_holt_winters_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
             "st.l + 7 * st.b + element_at(st.s, CAST(d1 % 7 AS INT) + 1)"
         ).alias("forecast_7d_milli"),
     )
+
+
+# Shapley weight lattice for k = 3 channels (bits: view=1, click=2,
+# signup=4): for each channel, the subsets S of the OTHER channels with
+# |S|!·(k−|S|−1)! — {2, 1, 1, 2}, denominator 3! = 6.
+_SHAPLEY_W = [
+    ("click", 2, 0, 2), ("click", 2, 1, 1), ("click", 2, 4, 1),
+    ("click", 2, 5, 2),
+    ("signup", 4, 0, 2), ("signup", 4, 1, 1), ("signup", 4, 2, 1),
+    ("signup", 4, 3, 2),
+    ("view", 1, 0, 2), ("view", 1, 2, 1), ("view", 1, 4, 1),
+    ("view", 1, 6, 2),
+]
+
+_SHAPLEY_W_SQL = ", ".join(
+    f"('{ch}', {cbit}, {smask}, {wt})" for ch, cbit, smask, wt in _SHAPLEY_W
+)
+
+
+@query(
+    "events_shapley_attribution",
+    oracle=f"""
+    WITH conv AS (
+      SELECT user_id, MIN(ts) AS fp FROM events
+      WHERE event_type = 'purchase' GROUP BY user_id
+    ), touched AS (
+      SELECT c.user_id,
+        MAX(CASE WHEN e.event_type = 'view' THEN 1 ELSE 0 END) * 1
+        + MAX(CASE WHEN e.event_type = 'click' THEN 1 ELSE 0 END) * 2
+        + MAX(CASE WHEN e.event_type = 'signup' THEN 1 ELSE 0 END) * 4
+          AS mask
+      FROM conv c
+      LEFT JOIN events e
+        ON e.user_id = c.user_id AND e.ts < c.fp
+           AND e.event_type IN ('view', 'click', 'signup')
+      GROUP BY c.user_id
+    ), cnt AS (
+      SELECT mask, COUNT(*) AS n FROM touched GROUP BY mask
+    ), subsets AS (
+      SELECT unnest(generate_series(0, 7)) AS s
+    ), v AS (
+      SELECT s.s, COALESCE(SUM(c.n), 0) AS vv
+      FROM subsets s LEFT JOIN cnt c ON (c.mask & s.s) = c.mask
+      GROUP BY s.s
+    ), w AS (
+      SELECT * FROM (VALUES {_SHAPLEY_W_SQL}) AS t(ch, cbit, smask, wt)
+    ), phi AS (
+      SELECT w.ch, SUM(w.wt * (vc.vv - vs.vv)) AS phi_sixths
+      FROM w
+      JOIN v vs ON vs.s = w.smask
+      JOIN v vc ON vc.s = w.smask + w.cbit
+      GROUP BY w.ch
+    ), tot AS (SELECT SUM(phi_sixths) AS t FROM phi)
+    SELECT
+      ch AS channel,
+      CAST(phi_sixths AS BIGINT) AS phi_sixths,
+      CAST(CASE WHEN t.t = 0 THEN 0
+           ELSE phi_sixths * 1000000 // t.t END AS BIGINT) AS share_ppm
+    FROM phi CROSS JOIN tot t
+    ORDER BY channel
+    """,
+    tags=("events", "attribution", "shapley", "causal"),
+)
+def events_shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shapley-value channel attribution — the game-theoretic upgrade to
+    `events_attribution_multitouch`'s positional rules: each converting
+    user's pre-first-purchase touch set defines a coalition, the
+    characteristic function v(S) counts conversions reachable with
+    channels ⊆ S, and each channel's credit is its exact Shapley value —
+    the factorially-weighted average marginal contribution over all
+    channel orderings (Shapley 1953, as applied to ad attribution).
+
+    Exactness: with k = 3 channels the factorial weights are the
+    integers {{2, 1, 1, 2}} over denominator 3! — φ is emitted in exact
+    SIXTHS (no division until the final integer ppm share), so the row
+    hashes bit-for-bit. Coalitions are 3-bit masks; v(S) is a subset-sum
+    computed by a bitwise-containment join over the 8-row lattice.
+
+    Scale shape: the corpus collapses to an 8-row exact-touch-set
+    histogram in two aggregations (first-purchase timestamps, then
+    per-user masks — both one shuffle on user_id); the entire Shapley
+    computation runs on 8 + 12 broadcast rows. k more channels grows the
+    lattice 2^k but never touches the corpus-side cost.
+    """
+    e = load_table(spark, sf_dir, "events")
+    conv = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("fp"))
+    )
+    # Left join + strictly-before filter must keep untouched converters
+    # (mask 0): pre-filter the touch side, then left-join on user only.
+    t = (
+        e.filter(F.col("event_type").isin("view", "click", "signup"))
+        .select("user_id", "ts", "event_type")
+    )
+    joined = conv.join(t, "user_id", "left").select(
+        "user_id",
+        F.when(
+            F.col("ts").isNotNull() & (F.col("ts") < F.col("fp")),
+            F.col("event_type"),
+        ).alias("et"),
+    )
+    touched = joined.groupBy("user_id").agg(
+        (
+            F.max(F.when(F.col("et") == "view", 1).otherwise(0)) * 1
+            + F.max(F.when(F.col("et") == "click", 1).otherwise(0)) * 2
+            + F.max(F.when(F.col("et") == "signup", 1).otherwise(0)) * 4
+        ).alias("mask")
+    )
+    cnt = touched.groupBy("mask").agg(F.count(F.lit(1)).alias("n"))
+    subsets = spark.createDataFrame([(s,) for s in range(8)], "s int")
+    v = (
+        F.broadcast(subsets)
+        .join(cnt, F.expr("(mask & s) = mask"), "left")
+        .groupBy("s")
+        .agg(F.coalesce(F.sum("n"), F.lit(0)).alias("vv"))
+    )
+    w = spark.createDataFrame(
+        _SHAPLEY_W, "ch string, cbit int, smask int, wt int"
+    )
+    vs = v.alias("vs")
+    vc = v.alias("vc")
+    phi = (
+        w.join(vs, F.col("vs.s") == F.col("smask"))
+        .join(vc, F.col("vc.s") == F.col("smask") + F.col("cbit"))
+        .groupBy("ch")
+        .agg(
+            F.sum(F.col("wt") * (F.col("vc.vv") - F.col("vs.vv"))).alias(
+                "phi_sixths"
+            )
+        )
+    )
+    tot = phi.agg(F.sum("phi_sixths").alias("t"))
+    return (
+        phi.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("ch").alias("channel"),
+            F.col("phi_sixths").cast("long").alias("phi_sixths"),
+            F.expr(
+                "CAST(CASE WHEN t = 0 THEN 0"
+                " ELSE phi_sixths * 1000000 DIV t END AS BIGINT)"
+            ).alias("share_ppm"),
+        )
+        .orderBy("channel")
+    )

@@ -1673,3 +1673,28 @@ def test_lsh_tuning_curve_is_an_s_curve(spark, sf_dir):
         assert r["expected_candidates"] <= r["n_pairs"] + 1e-9
     for prev, cur in zip(rows, rows[1:]):
         assert cur["p_candidate"] > prev["p_candidate"]
+
+
+def test_shapley_efficiency_axiom(spark, sf_dir):
+    """Shapley's efficiency axiom: Σφ = v(full) − v(∅). In sixths:
+    Σ phi_sixths = 6·(converted users with a nonempty pre-purchase touch
+    set), recomputed independently from the events table."""
+    from biglake_iceberg_python_spark.sources.tables import load_table
+
+    rows = REGISTRY["events_shapley_attribution"].fn(spark, sf_dir).collect()
+    e = load_table(spark, sf_dir, "events")
+    conv = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("fp"))
+    )
+    t = e.filter(F.col("event_type").isin("view", "click", "signup"))
+    touched_users = (
+        conv.join(t.select("user_id", "ts"), "user_id")
+        .filter(F.col("ts") < F.col("fp"))
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+    assert sum(r["phi_sixths"] for r in rows) == 6 * touched_users
+    assert all(r["phi_sixths"] >= 0 for r in rows)
