@@ -963,3 +963,45 @@ def test_cuped_vs_did_share_the_scan_shape(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" in plan
     assert plan.count("Exchange hashpartitioning") == 0
     assert plan.count("Exchange SinglePartition") >= 1
+
+
+def test_naive_bayes_model_broadcasts_into_scoring(spark, sf_dir):
+    """The NB class table (5 rows) must broadcast into posterior assembly
+    and no Python may appear anywhere — train and score are pure SQL ops.
+    The model join on the word key and the doc-key windows are the only
+    hash exchanges."""
+    plan = plan_of(spark, sf_dir, "ml_naive_bayes_langid")
+    assert "BroadcastExchange" in plan
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_linreg_moments_accumulate_map_side(spark, sf_dir):
+    """Normal-equations OLS must be a two-phase aggregation (int64 partials
+    before the group exchange) with zero Python and zero extra scans: one
+    lineitem read feeds all six sufficient statistics."""
+    plan = plan_of(spark, sf_dir, "ml_linreg_normal_eq")
+    assert plan.count("HashAggregate") >= 2
+    assert "BatchEvalPython" not in plan
+    assert plan.count("FileScan parquet") == 1
+
+
+def test_heaps_law_windows_run_on_decile_rows(spark, sf_dir):
+    """The cumulative windows must consume the 10-row decile table, never
+    the corpus: every Window node sits above an aggregation, and the
+    corpus-side work is the two type-level min-decile reductions."""
+    plan = plan_of(spark, sf_dir, "text_heaps_law")
+    assert "Window" in plan
+    # windows read the joined per-decile aggregates (post-HashAggregate),
+    # so a range-partitioned corpus sort must not exist
+    assert "Exchange rangepartitioning" not in plan.split("Window")[-1]
+    assert "BatchEvalPython" not in plan
+
+
+def test_kcore_rounds_reuse_checkpointed_edges(spark, sf_dir):
+    """Each peel round must consume the previous round's materialized edge
+    list (localCheckpoint → Scan ExistingRDD), not re-derive the lineitem
+    self-join per round."""
+    plan = plan_of(spark, sf_dir, "graph_kcore")
+    assert "Scan ExistingRDD" in plan
+    assert plan.count("FileScan parquet") == 0  # all inputs checkpointed
