@@ -709,3 +709,147 @@ def customer_theil_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n").cast("long").alias("n_customers"), "theil_micro_nats"
         )
     )
+
+
+_APRIORI_MINSUP = 2   # absolute basket support
+_APRIORI_TOPN = 5     # per-size leaderboard depth
+
+
+@query(
+    "basket_apriori_itemsets",
+    oracle=f"""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+    ), f1 AS (
+      SELECT pk, COUNT(*) AS sup FROM items GROUP BY pk
+      HAVING COUNT(*) >= {_APRIORI_MINSUP}
+    ), p2 AS (
+      SELECT a.pk AS x, b.pk AS y, COUNT(*) AS sup
+      FROM items a
+      JOIN items b ON a.ok = b.ok AND a.pk < b.pk
+      JOIN f1 fa ON fa.pk = a.pk
+      JOIN f1 fb ON fb.pk = b.pk
+      GROUP BY a.pk, b.pk
+    ), f2 AS (
+      SELECT x, y, sup FROM p2 WHERE sup >= {_APRIORI_MINSUP}
+    ), f3 AS (
+      SELECT f.x, f.y, c.pk AS z, COUNT(*) AS sup
+      FROM f2 f
+      JOIN items b2 ON b2.pk = f.y
+      JOIN items c ON c.ok = b2.ok AND c.pk > f.y
+      JOIN items a2 ON a2.ok = b2.ok AND a2.pk = f.x
+      JOIN f2 xz ON xz.x = f.x AND xz.y = c.pk
+      JOIN f2 yz ON yz.x = f.y AND yz.y = c.pk
+      GROUP BY f.x, f.y, c.pk
+      HAVING COUNT(*) >= {_APRIORI_MINSUP}
+    ), all_sets AS (
+      SELECT CAST(pk AS VARCHAR) AS itemset, 1 AS sz, sup FROM f1
+      UNION ALL
+      SELECT x || '|' || y, 2, sup FROM f2
+      UNION ALL
+      SELECT x || '|' || y || '|' || z, 3, sup FROM f3
+    ), ranked AS (
+      SELECT itemset, sz, sup,
+             ROW_NUMBER() OVER (PARTITION BY sz
+                                ORDER BY sup DESC, itemset) AS rk
+      FROM all_sets
+    )
+    SELECT itemset, CAST(sz AS BIGINT) AS sz, CAST(sup AS BIGINT) AS support,
+           CAST(rk AS BIGINT) AS rk
+    FROM ranked WHERE rk <= {_APRIORI_TOPN}
+    ORDER BY sz, rk
+    """,
+    tags=("business", "basket", "apriori", "itemsets"),
+)
+def basket_apriori_itemsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent-itemset mining (Apriori, k ≤ 3) over order baskets — the
+    full market-basket upgrade to `basket_copurchase_lift`'s pairwise
+    view: frequent singles, pairs, and triples with ABSOLUTE basket
+    support ≥ {_APRIORI_MINSUP}, per-size top-{_APRIORI_TOPN}
+    leaderboard. Candidate generation uses the real Apriori pruning: a
+    triple (x,y,z) is counted ONLY if all three of its sub-pairs are
+    already frequent — the downward-closure property that keeps
+    candidate volume polynomial at 100 TB (MLlib's FPGrowth optimizes
+    the same lattice walk; the DataFrame join form keeps every count an
+    exact oracle-checkable integer).
+
+    Scale shape: baskets are ≤7 items (TPC-H), so the pair expansion is
+    bounded 21×/order; the triple closure joins candidate pairs back to
+    baskets on equi-keys only, and the frequent-pair set it probes is
+    support-thresholded (≪ corpus, broadcastable). Per-size top-k is a
+    3-partition window over already-thresholded sets.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    items = (
+        li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    f1 = (
+        items.groupBy("pk")
+        .agg(F.count(F.lit(1)).alias("sup"))
+        .filter(F.col("sup") >= _APRIORI_MINSUP)
+    )
+    a = items.alias("a")
+    b = items.alias("b")
+    p2 = (
+        a.join(b, (F.col("a.ok") == F.col("b.ok")) & (F.col("a.pk") < F.col("b.pk")))
+        .join(f1.select(F.col("pk").alias("fa")), F.col("a.pk") == F.col("fa"), "left_semi")
+        .join(f1.select(F.col("pk").alias("fb")), F.col("b.pk") == F.col("fb"), "left_semi")
+        .groupBy(F.col("a.pk").alias("x"), F.col("b.pk").alias("y"))
+        .agg(F.count(F.lit(1)).alias("sup"))
+    )
+    f2 = p2.filter(F.col("sup") >= _APRIORI_MINSUP).localCheckpoint(eager=False)
+    # Triple candidates: extend each frequent pair (x,y) with basket items
+    # z > y, require co-occurrence of x in the same basket, then prune by
+    # downward closure ((x,z) and (y,z) both frequent) BEFORE support
+    # thresholding.
+    b2 = items.alias("b2")
+    c = items.alias("c")
+    a2 = items.alias("a2")
+    c3 = (
+        f2.join(b2, F.col("b2.pk") == F.col("y"))
+        .join(c, (F.col("c.ok") == F.col("b2.ok")) & (F.col("c.pk") > F.col("y")))
+        .join(a2, (F.col("a2.ok") == F.col("b2.ok")) & (F.col("a2.pk") == F.col("x")))
+        .join(
+            f2.select(F.col("x").alias("px"), F.col("y").alias("py")).alias("xz"),
+            (F.col("xz.px") == F.col("x")) & (F.col("xz.py") == F.col("c.pk")),
+            "left_semi",
+        )
+        .join(
+            f2.select(F.col("x").alias("qx"), F.col("y").alias("qy")).alias("yz"),
+            (F.col("yz.qx") == F.col("y")) & (F.col("yz.qy") == F.col("c.pk")),
+            "left_semi",
+        )
+        .groupBy("x", "y", F.col("c.pk").alias("z"))
+        .agg(F.count(F.lit(1)).alias("sup"))
+        .filter(F.col("sup") >= _APRIORI_MINSUP)
+    )
+    all_sets = (
+        f1.select(F.col("pk").cast("string").alias("itemset"),
+                  F.lit(1).alias("sz"), "sup")
+        .unionAll(
+            f2.select(
+                F.concat_ws("|", "x", "y").alias("itemset"),
+                F.lit(2).alias("sz"), "sup",
+            )
+        )
+        .unionAll(
+            c3.select(
+                F.concat_ws("|", "x", "y", "z").alias("itemset"),
+                F.lit(3).alias("sz"), "sup",
+            )
+        )
+    )
+    ranked = all_sets.withColumn(
+        "rk",
+        F.row_number().over(
+            Window.partitionBy("sz").orderBy(F.col("sup").desc(), "itemset")
+        ),
+    ).filter(F.col("rk") <= _APRIORI_TOPN)
+    return ranked.select(
+        "itemset",
+        F.col("sz").cast("long").alias("sz"),
+        F.col("sup").cast("long").alias("support"),
+        F.col("rk").cast("long").alias("rk"),
+    ).orderBy("sz", "rk")

