@@ -3124,3 +3124,65 @@ def events_shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("channel")
     )
+
+
+@query(
+    "events_longest_streak",
+    oracle=f"""
+    WITH days AS (
+      SELECT DISTINCT user_id, ({_ORACLE_ES}) // 86400 AS day FROM events
+    ), isl AS (
+      SELECT user_id, day,
+             day - DENSE_RANK() OVER (PARTITION BY user_id ORDER BY day)
+               AS island
+      FROM days
+    ), streaks AS (
+      SELECT user_id, island, COUNT(*) AS len
+      FROM isl GROUP BY user_id, island
+    ), best AS (
+      SELECT user_id, MAX(len) AS streak FROM streaks GROUP BY user_id
+    )
+    SELECT CAST(streak AS BIGINT) AS streak_days,
+           CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM best GROUP BY streak ORDER BY streak_days
+    """,
+    tags=("events", "window", "gaps-islands"),
+)
+def events_longest_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: each user's longest run of CONSECUTIVE active
+    days — the canonical streak/retention metric (and the canonical SQL
+    island trick: day − dense_rank(day) is constant exactly within a
+    consecutive run, so islands fall out of one keyed window plus a
+    group-by, no self-joins, no recursion). Readout is the user
+    distribution by longest-streak length.
+
+    Day numbers are exact NTZ epoch-second integer division (the
+    session-timezone-proof form every events query uses), so islands and
+    the histogram are exact integers. Scale shape: one shuffle on
+    user_id for the window, then per-user aggregation — the same
+    single-key-shuffle budget as `join_asof`; the histogram output is
+    O(max streak) rows.
+    """
+    e = load_table(spark, sf_dir, "events")
+    days = e.select(
+        "user_id", F.expr(f"({_ES}) DIV 86400").alias("day")
+    ).distinct()
+    isl = days.select(
+        "user_id",
+        "day",
+        (
+            F.col("day")
+            - F.dense_rank().over(
+                Window.partitionBy("user_id").orderBy("day")
+            )
+        ).alias("island"),
+    )
+    streaks = isl.groupBy("user_id", "island").agg(
+        F.count(F.lit(1)).alias("len")
+    )
+    best = streaks.groupBy("user_id").agg(F.max("len").alias("streak"))
+    return (
+        best.groupBy(F.col("streak").cast("long").alias("streak_days"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+        .orderBy("streak_days")
+    )

@@ -1730,3 +1730,25 @@ def test_apriori_downward_closure(spark, sf_dir):
             .count()
         )
         assert sup == tri[0]["support"]
+
+
+def test_longest_streak_covers_all_users(spark, sf_dir):
+    """Every user appears in exactly one histogram bucket, and no streak
+    can exceed the user's distinct active-day count (checked via the
+    corpus-wide max)."""
+    from biglake_iceberg_python_spark.operators.eventflow import _ES
+    from biglake_iceberg_python_spark.sources.tables import load_table
+
+    rows = REGISTRY["events_longest_streak"].fn(spark, sf_dir).collect()
+    e = load_table(spark, sf_dir, "events")
+    n_users = e.select("user_id").distinct().count()
+    assert sum(r["n_users"] for r in rows) == n_users
+    max_days = (
+        e.select("user_id", F.expr(f"({_ES}) DIV 86400").alias("day"))
+        .distinct()
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("nd"))
+        .agg(F.max("nd").alias("m"))
+        .collect()[0]["m"]
+    )
+    assert max(r["streak_days"] for r in rows) <= max_days
