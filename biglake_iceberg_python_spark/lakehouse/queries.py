@@ -2049,3 +2049,154 @@ def lakehouse_gdpr_forget(spark: SparkSession, sf_dir: str) -> DataFrame:
             "table_name STRING, n_before BIGINT, n_deleted BIGINT,"
             " n_after BIGINT, n_orphans BIGINT",
         )
+
+
+def _keyed_rank(df: DataFrame, key: str) -> DataFrame:
+    """Global dense 0-based rank of ``key`` WITHOUT a SinglePartition
+    window: bucket by key range, row_number within each bucket (keyed
+    window, parallel), then offset each bucket by the cumulative count of
+    earlier buckets — a window over the tiny bucket table only (the
+    `pack_token_shards` two-phase trick applied to ranking)."""
+    from pyspark.sql import Window
+
+    b = df.withColumn("__b", F.expr(f"{key} DIV 4096"))
+    within = F.row_number().over(
+        Window.partitionBy("__b").orderBy(key)
+    )
+    b = b.withColumn("__w", within)
+    base = (
+        b.groupBy("__b")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .withColumn(
+            "__base",
+            F.coalesce(
+                F.sum("__n").over(
+                    Window.orderBy("__b").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("__b", "__base")
+    )
+    return (
+        b.join(F.broadcast(base), "__b")
+        .withColumn("rid", (F.col("__base") + F.col("__w") - 1).cast("long"))
+        .drop("__b", "__w", "__base")
+    )
+
+
+@query(
+    "lakehouse_row_lineage",
+    oracle="""
+    WITH f AS (
+      SELECT o_orderkey, o_orderpriority FROM orders
+      WHERE o_orderstatus = 'F'
+    ), v1 AS (
+      SELECT o_orderkey, o_orderpriority,
+             ROW_NUMBER() OVER (ORDER BY o_orderkey) - 1 AS rid
+      FROM f
+    ), nb AS (SELECT COUNT(*) AS n FROM f),
+    p AS (
+      SELECT o_orderkey, o_orderpriority FROM orders
+      WHERE o_orderstatus = 'P'
+    ), ins AS (
+      SELECT o_orderkey, o_orderpriority,
+             (SELECT n FROM nb)
+               + ROW_NUMBER() OVER (ORDER BY o_orderkey) - 1 AS rid
+      FROM p
+    ), final AS (
+      SELECT o_orderpriority, rid, 1 AS created,
+             CASE WHEN o_orderkey % 10 = 1 THEN 2 ELSE 1 END AS last_upd
+      FROM v1 WHERE o_orderkey % 10 <> 0
+      UNION ALL
+      SELECT o_orderpriority, rid, 2, 2 FROM ins
+    )
+    SELECT
+      o_orderpriority,
+      CAST(COUNT(*) AS BIGINT) AS n_rows,
+      CAST(COUNT(*) FILTER (WHERE created = 1 AND last_upd = 1) AS BIGINT)
+        AS n_untouched,
+      CAST(COUNT(*) FILTER (WHERE created = 1 AND last_upd = 2) AS BIGINT)
+        AS n_updated,
+      CAST(COUNT(*) FILTER (WHERE created = 2) AS BIGINT) AS n_inserted,
+      CAST(SUM(rid) AS BIGINT) AS rowid_sum,
+      CAST((SELECT n FROM nb) AS BIGINT) AS v1_rows
+    FROM final
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    tags=("lakehouse", "lineage", "merge", "time-travel"),
+)
+def lakehouse_row_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg-v3-style ROW LINEAGE through a merge: every row carries
+    `_row_id` (assigned once, from the table's next-row-id high-water
+    mark, by deterministic key rank), `_created_snapshot`, and
+    `_last_updated_snapshot`; a CDC-shaped second commit (delete every
+    10th base row, reprice every 10th+1, insert the 'P' orders) must
+    PRESERVE updated rows' ids, stamp their last-updated snapshot, and
+    mint fresh ids for inserts starting at the v1 high-water mark —
+    the invariants downstream incremental consumers and audit tooling
+    key on (Iceberg spec v3 row-lineage fields, emulated since no
+    Iceberg jar exists in this sandbox — see README parity table).
+
+    The readout aggregates the final table per priority (untouched /
+    updated / inserted counts + the exact row-id checksum) and proves
+    time travel still serves the pre-merge table via `v1_rows` read from
+    snapshot 1. Ranks are the two-phase bucket rank (no SinglePartition
+    window over the base table); everything else is exact integers.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    f = o.filter(F.col("o_orderstatus") == "F").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    v1 = _keyed_rank(f, "o_orderkey").select(
+        "o_orderkey",
+        "o_orderpriority",
+        "rid",
+        F.lit(1).alias("created"),
+        F.lit(1).alias("last_upd"),
+    )
+    with tempfile.TemporaryDirectory(prefix="lh_lineage_") as root:
+        t = SnapshotTable(spark, root)
+        snap1 = t.write(v1, mode="append")
+        nb = t.read(snapshot_id=snap1).count()
+        base = t.read(snapshot_id=snap1)
+        survived = base.filter(F.col("o_orderkey") % 10 != 0)
+        updated = survived.withColumn(
+            "last_upd",
+            F.when(F.col("o_orderkey") % 10 == 1, F.lit(2)).otherwise(
+                F.col("last_upd")
+            ),
+        )
+        p = o.filter(F.col("o_orderstatus") == "P").select(
+            "o_orderkey", "o_orderpriority"
+        )
+        ins = _keyed_rank(p, "o_orderkey").select(
+            "o_orderkey",
+            "o_orderpriority",
+            (F.col("rid") + F.lit(nb)).cast("long").alias("rid"),
+            F.lit(2).alias("created"),
+            F.lit(2).alias("last_upd"),
+        )
+        t.write(updated.unionByName(ins), mode="overwrite")
+        out = (
+            t.read()
+            .groupBy("o_orderpriority")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.count(
+                    F.when((F.col("created") == 1) & (F.col("last_upd") == 1), 1)
+                ).alias("n_untouched"),
+                F.count(
+                    F.when((F.col("created") == 1) & (F.col("last_upd") == 2), 1)
+                ).alias("n_updated"),
+                F.count(F.when(F.col("created") == 2, 1)).alias("n_inserted"),
+                F.sum("rid").cast("long").alias("rowid_sum"),
+            )
+            .withColumn("v1_rows", F.lit(nb).cast("long"))
+            .orderBy("o_orderpriority")
+        )
+        out = out.localCheckpoint(eager=True)  # materialize before tmp cleanup
+    return out

@@ -1752,3 +1752,26 @@ def test_longest_streak_covers_all_users(spark, sf_dir):
         .collect()[0]["m"]
     )
     assert max(r["streak_days"] for r in rows) <= max_days
+
+
+def test_row_lineage_ids_stable_and_fresh(spark, sf_dir):
+    """Lineage invariants: untouched + updated + inserted = n_rows per
+    priority, the global row-id checksum equals the closed form
+    (survivor ids ⊂ [0, v1) and insert ids are exactly
+    [v1, v1+n_inserted)), and v1_rows matches the time-travel base."""
+    from biglake_iceberg_python_spark.sources.tables import load_table
+
+    rows = REGISTRY["lakehouse_row_lineage"].fn(spark, sf_dir).collect()
+    o = load_table(spark, sf_dir, "orders")
+    v1 = o.filter(F.col("o_orderstatus") == "F").count()
+    n_ins = o.filter(F.col("o_orderstatus") == "P").count()
+    for r in rows:
+        assert r["n_untouched"] + r["n_updated"] + r["n_inserted"] == r["n_rows"]
+        assert r["v1_rows"] == v1
+    assert sum(r["n_inserted"] for r in rows) == n_ins
+    # insert ids occupy exactly [v1, v1 + n_ins): total checksum =
+    # (sum of surviving base ranks) + (sum of the fresh contiguous block)
+    total = sum(r["rowid_sum"] for r in rows)
+    fresh_block = sum(range(v1, v1 + n_ins))
+    surviving = total - fresh_block
+    assert 0 <= surviving < v1 * (v1 - 1) // 2 + 1
