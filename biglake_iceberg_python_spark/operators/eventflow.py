@@ -3186,3 +3186,114 @@ def events_longest_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
         .orderBy("streak_days")
     )
+
+
+@query(
+    "events_retention_powerlaw",
+    oracle=f"""
+    WITH ud AS (
+      SELECT DISTINCT user_id, ({_ORACLE_ES}) // 86400 AS day FROM events
+    ), fd AS (
+      SELECT user_id, MIN(day) AS f FROM ud GROUP BY user_id
+    ), coh AS (SELECT COUNT(*) AS n_users FROM fd),
+    act AS (
+      SELECT ud.day - fd.f AS k, COUNT(DISTINCT ud.user_id) AS active
+      FROM ud JOIN fd ON fd.user_id = ud.user_id
+      WHERE ud.day - fd.f >= 1
+      GROUP BY ud.day - fd.f
+    ), pts AS (
+      SELECT
+        CAST(round(1e6 * ln(k)) AS BIGINT) AS x,
+        CAST(round(1e6 * ln(active)) AS BIGINT)
+          - CAST(round(1e6 * ln((SELECT n_users FROM coh))) AS BIGINT) AS y
+      FROM act
+    ), m AS (
+      SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+             SUM(x * x) AS sxx, SUM(x * y) AS sxy, SUM(y * y) AS syy
+      FROM pts
+    ), kk AS (
+      SELECT *,
+        n * sxy - sx * sy AS num,
+        n * sxx - sx * sx AS denx,
+        n * syy - sy * sy AS deny
+      FROM m
+    )
+    SELECT
+      CAST(n AS BIGINT) AS n_points,
+      CAST(num AS DOUBLE) / CAST(denx AS DOUBLE) AS powerlaw_exponent,
+      ((CAST(sy AS DOUBLE)
+        - (CAST(num AS DOUBLE) / CAST(denx AS DOUBLE)) * CAST(sx AS DOUBLE))
+       / CAST(n AS DOUBLE)) / 1e6 AS ln_intercept,
+      (CAST(num AS DOUBLE) / CAST(denx AS DOUBLE))
+        * (CAST(num AS DOUBLE) / CAST(deny AS DOUBLE)) AS r_squared
+    FROM kk
+    """,
+    tags=("events", "retention", "powerlaw", "regression"),
+)
+def events_retention_powerlaw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Power-law retention decay fit — the one-number summary growth
+    teams put on dashboards: regress ln(active at day-offset k) on ln(k)
+    and report the decay exponent b of retention ∝ k^b (plus fit R²).
+    Composes two of the engine's exactness recipes end-to-end: both logs
+    quantize to integer micro-nats BEFORE aggregation (the
+    `text_lm_perplexity` rule — no raw libm doubles cross an engine
+    boundary), and the OLS readout is `ml_linreg_normal_eq`'s exact
+    integer moments with the identical-double-sequence closed form, so
+    even the fitted doubles hash bit-for-bit.
+
+    Scale shape: two shuffles on user_id (distinct days, first-day join)
+    collapse the corpus to ≤|days| offset rows; the regression runs on
+    that tiny table. The k ≥ 1 filter drops the trivially-full day-0
+    point, and absolute active counts (not ratios) keep the log exact —
+    the cohort constant moves into the intercept.
+    """
+    e = load_table(spark, sf_dir, "events")
+    ud = e.select(
+        "user_id", F.expr(f"({_ES}) DIV 86400").alias("day")
+    ).distinct()
+    fd = ud.groupBy("user_id").agg(F.min("day").alias("f"))
+    coh = fd.agg(F.count(F.lit(1)).alias("n_users"))
+    act = (
+        ud.join(fd, "user_id")
+        .select((F.col("day") - F.col("f")).alias("k"), "user_id")
+        .filter(F.col("k") >= 1)
+        .groupBy("k")
+        .agg(F.count_distinct("user_id").alias("active"))
+    )
+    pts = act.crossJoin(F.broadcast(coh)).select(
+        F.expr("CAST(round(1e6 * ln(k)) AS BIGINT)").alias("x"),
+        F.expr(
+            "CAST(round(1e6 * ln(active)) AS BIGINT)"
+            " - CAST(round(1e6 * ln(n_users)) AS BIGINT)"
+        ).alias("y"),
+    )
+    m = pts.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    kk = m.select(
+        "*",
+        F.expr("n * sxy - sx * sy").alias("num"),
+        F.expr("n * sxx - sx * sx").alias("denx"),
+        F.expr("n * syy - sy * sy").alias("deny"),
+    )
+    return kk.select(
+        F.col("n").cast("long").alias("n_points"),
+        F.expr("CAST(num AS DOUBLE) / CAST(denx AS DOUBLE)").alias(
+            "powerlaw_exponent"
+        ),
+        F.expr(
+            "((CAST(sy AS DOUBLE)"
+            " - (CAST(num AS DOUBLE) / CAST(denx AS DOUBLE))"
+            "   * CAST(sx AS DOUBLE))"
+            " / CAST(n AS DOUBLE)) / 1e6"
+        ).alias("ln_intercept"),
+        F.expr(
+            "(CAST(num AS DOUBLE) / CAST(denx AS DOUBLE))"
+            " * (CAST(num AS DOUBLE) / CAST(deny AS DOUBLE))"
+        ).alias("r_squared"),
+    )

@@ -1775,3 +1775,13 @@ def test_row_lineage_ids_stable_and_fresh(spark, sf_dir):
     fresh_block = sum(range(v1, v1 + n_ins))
     surviving = total - fresh_block
     assert 0 <= surviving < v1 * (v1 - 1) // 2 + 1
+
+
+def test_retention_powerlaw_fit_shape(spark, sf_dir):
+    """One summary row; the offset-point count can't exceed the day span
+    of the corpus; R² ∈ [0, 1]."""
+    rows = REGISTRY["events_retention_powerlaw"].fn(spark, sf_dir).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["n_points"] >= 1
+    assert 0.0 <= r["r_squared"] <= 1.0
