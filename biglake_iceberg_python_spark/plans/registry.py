@@ -146,9 +146,10 @@ _PRIORITY_WINDOW = [
 ]
 
 # ROUND-6 ROTATION PREP (exact numbers recomputed at round-5 close over
-# CORRECTNESS_r01-r04 ∪ the r5 window, registry = 325 after the round-5
-# additions): never-driver-verified pool after r5 (assuming the window
-# greens) = 129, of which 124 are hash-matched and 5 rows-only
+# CORRECTNESS_r01-r04 ∪ the r5 window, registry = 339 after the round-5
+# additions — the 14 third-wave queries below push the pool from 129 to
+# 143): never-driver-verified pool after r5 (assuming the window
+# greens) = 143, of which 138 are hash-matched and 5 rows-only
 # (agg_hll_set_algebra, agg_kll_quantile_merge, agg_sketch_merge_rollup,
 # dedup_minhash_oph, text_compression_ratio). By family: agg ×16,
 # text ×15 (+ the round-5 text_kneser_ney_bigram and the BPE
@@ -164,7 +165,13 @@ _PRIORITY_WINDOW = [
 # (events_cuped_adjusted_delta, events_diff_in_diff), curate +2
 # (curate_negative_sampling, curate_dsir_select),
 # graph +1 (graph_resource_allocation), and business/util singles.
-# Round 6 takes 50 of the 124 hash-matched, oldest families first
+# Round-5 third wave adds 14 more (all hash-matched): text_heaps_law,
+# ml_linreg_normal_eq, ml_naive_bayes_langid, ml_pr_curve_quality,
+# sim_recall_eval, graph_kcore, curate_mix_apportionment,
+# join_asof_nearest, dedup_lsh_tuning_curve, events_shapley_attribution,
+# basket_apriori_itemsets, events_longest_streak, lakehouse_row_lineage,
+# events_retention_powerlaw.
+# Round 6 takes 50 of the 138 hash-matched, oldest families first
 # (agg + text + lakehouse + source covers it); round 7 absorbs the
 # remainder incl. the 5 rows-only, then re-rotate the r1-sampled
 # relational/join/agg families per round-4 verdict #7.
