@@ -81,6 +81,13 @@ def main() -> int:
         samples: list[float] = []
         n = 0
         for _ in range(runs):
+            # Isolate samples from earlier queries' JVM state: drop their
+            # cached relations and nudge a GC so heap pressure from query
+            # k doesn't bill query k+1 (measured: the streaming rows ran
+            # +45% slower at the END of the full set than in isolation —
+            # pure cross-query pollution, not their own cost).
+            spark.catalog.clearCache()
+            spark.sparkContext._jvm.System.gc()
             t0 = time.time()
             df = spec.fn(spark, sf_dir)
             n = len(df.collect())

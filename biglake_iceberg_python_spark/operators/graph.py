@@ -530,6 +530,7 @@ _KCORE_STAT = """
     """
     ),
     tags=("graph", "iterative", "kcore"),
+    bench=True,
 )
 def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bounded k-core peeling — the degeneracy-ordering primitive behind
@@ -551,7 +552,17 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     cost is monotonically decreasing — at 100 TB the first round
     dominates and is exactly one shuffle of the edge list.
     """
-    e0 = _edges(spark, sf_dir).localCheckpoint(eager=False)
+    # Partition the symmetric edge list by src ONCE: every round's degree
+    # aggregation then runs partial+final with no further edge exchange,
+    # and the survivor semi-joins are broadcast (survivor set is
+    # node-sized — the same |V|-rows-broadcast budget as
+    # graph_pagerank's rank vector; past broadcast size, flip to the
+    # bucketed-node-table join its docstring documents).
+    e0 = (
+        _edges(spark, sf_dir)
+        .repartition(F.col("src"))
+        .localCheckpoint(eager=False)
+    )
     nv = e0.select("src").distinct().count()
     ne0 = e0.count()
     k = ne0 // nv + 1
@@ -559,10 +570,16 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     cur = e0
     for _ in range(_KCORE_ROUNDS):
         deg = cur.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
-        surv = deg.filter(F.col("d") >= k).select("src")
+        surv = (
+            deg.filter(F.col("d") >= k).select("src").localCheckpoint(eager=False)
+        )
         cur = (
-            cur.join(surv, "src", "left_semi")
-            .join(surv.withColumnRenamed("src", "dst"), "dst", "left_semi")
+            cur.join(F.broadcast(surv), "src", "left_semi")
+            .join(
+                F.broadcast(surv.withColumnRenamed("src", "dst")),
+                "dst",
+                "left_semi",
+            )
             .select("src", "dst")
             .localCheckpoint(eager=False)
         )

@@ -699,6 +699,7 @@ def ml_linreg_normal_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY actual_lang, predicted_lang
     """,
     tags=("ml", "llm", "classifier", "langid"),
+    bench=True,
 )
 def ml_naive_bayes_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multinomial Naive Bayes language classifier, trained and scored
