@@ -821,3 +821,65 @@ def util_table_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("price_mismatches"),
     )
+
+
+@query(
+    "sql_temp_function",
+    oracle="""
+    SELECT
+      l_returnflag,
+      CAST(COUNT(*) AS BIGINT) AS n_rows,
+      SUM(CAST(round(CAST(l_extendedprice AS DECIMAL(18,2))
+                     * (100 - round(CAST(l_discount AS DECIMAL(18,2)) * 100))
+               ) AS BIGINT))
+        AS disc_cents_sum,
+      CAST(COUNT(*) FILTER (
+        WHERE CASE WHEN l_quantity >= 40 THEN 'bulk'
+                   WHEN l_quantity >= 10 THEN 'mid'
+                   ELSE 'small' END = 'bulk') AS BIGINT) AS n_bulk
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    tags=("sql", "udf", "sql-function"),
+)
+def sql_temp_function(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL scalar UDFs (Spark's ``CREATE TEMPORARY FUNCTION … RETURN
+    expr``): reusable business expressions defined IN SQL and inlined by
+    the analyzer — the governed-semantics layer SQL-only teams use
+    instead of shipping Python. Two functions: an exact centi-unit
+    discounted-price (decimal round → int64 multiply, the
+    `pricing_summary` arithmetic as a named function) and a quantity
+    tier CASE. Because SQL UDFs inline at analysis time, the physical
+    plan — pushdown, codegen, two-phase agg — is identical to writing
+    the expressions by hand, which is exactly what the oracle does; the
+    hash pins that the function indirection costs nothing semantically.
+    """
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION disc_cents(p DOUBLE, d DOUBLE)"
+        " RETURNS BIGINT"
+        " RETURN CAST(round(CAST(p AS DECIMAL(18,2))"
+        "   * (100 - round(CAST(d AS DECIMAL(18,2)) * 100))) AS BIGINT)"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION qty_tier(q DOUBLE)"
+        " RETURNS STRING"
+        " RETURN CASE WHEN q >= 40 THEN 'bulk'"
+        " WHEN q >= 10 THEN 'mid' ELSE 'small' END"
+    )
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "lineitem_sqlfn"
+    )
+    return spark.sql(
+        """
+        SELECT
+          l_returnflag,
+          CAST(COUNT(*) AS BIGINT) AS n_rows,
+          SUM(disc_cents(l_extendedprice, l_discount)) AS disc_cents_sum,
+          CAST(COUNT(IF(qty_tier(l_quantity) = 'bulk', 1, NULL)) AS BIGINT)
+            AS n_bulk
+        FROM lineitem_sqlfn
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
+        """
+    )

@@ -1005,3 +1005,13 @@ def test_kcore_rounds_reuse_checkpointed_edges(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "graph_kcore")
     assert "Scan ExistingRDD" in plan
     assert plan.count("FileScan parquet") == 0  # all inputs checkpointed
+
+
+def test_sql_temp_function_inlines_into_codegen(spark, sf_dir):
+    """SQL UDFs must inline at analysis time: no Python evaluation node,
+    two-phase aggregation, single scan — the plan a hand-written
+    expression would get."""
+    plan = plan_of(spark, sf_dir, "sql_temp_function")
+    assert "BatchEvalPython" not in plan
+    assert plan.count("HashAggregate") >= 2
+    assert plan.count("FileScan parquet") == 1
