@@ -1436,3 +1436,67 @@ def agg_countmin_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("c").alias("est_cnt"),
         )
     )
+
+
+@query(
+    "agg_extrema_argminmax",
+    oracle="""
+    WITH o AS (
+      SELECT
+        o_orderpriority,
+        o_orderkey,
+        o_totalprice,
+        CAST(date_diff('day', TIMESTAMP '1970-01-01', o_orderdate)
+          AS BIGINT) * 10000000000 + o_orderkey AS ord
+      FROM orders
+    )
+    SELECT
+      o_orderpriority,
+      CAST(COUNT(*) AS BIGINT) AS n_orders,
+      CAST(arg_max(o_orderkey, ord) AS BIGINT) AS latest_orderkey,
+      CAST(arg_min(o_orderkey, ord) AS BIGINT) AS earliest_orderkey,
+      MAX(o_totalprice) AS max_price,
+      MIN(o_totalprice) AS min_price
+    FROM o
+    GROUP BY o_orderpriority
+    """,
+    tags=("agg", "argminmax"),
+)
+def agg_extrema_argminmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arg-extrema aggregation: per order priority, the order key of the
+    newest and oldest order (``max_by``/``min_by``) alongside the plain
+    price extrema — the "which row set the max" question that otherwise
+    costs a self-join or a rank window.
+
+    Determinism is the whole trick: ``max_by`` on a tied ordering value is
+    engine- and partition-order-dependent, so the ordering key is made
+    UNIQUE by construction — epoch-day · 10^10 + orderkey, pure integer
+    arithmetic both engines compute identically (DuckDB's twin is
+    ``arg_max``/``arg_min``). No floats in the ordering path.
+
+    Scale shape: single two-phase hash aggregate — ``max_by`` carries one
+    (value, ord) pair per group per partition through the partial, so the
+    shuffle is |groups| rows regardless of input size. This is the
+    O(1)-state alternative to the rank-window-then-filter idiom, which
+    would sort every group. 100 TB-safe by construction.
+    """
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        "o_orderkey",
+        "o_totalprice",
+        (
+            F.expr(
+                "timestampdiff(DAY, TIMESTAMP_NTZ '1970-01-01 00:00:00',"
+                " o_orderdate)"
+            ).cast("long")
+            * F.lit(10000000000).cast("long")
+            + F.col("o_orderkey")
+        ).alias("ord"),
+    )
+    return o.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.max_by("o_orderkey", "ord").alias("latest_orderkey"),
+        F.min_by("o_orderkey", "ord").alias("earliest_orderkey"),
+        F.max("o_totalprice").alias("max_price"),
+        F.min("o_totalprice").alias("min_price"),
+    )

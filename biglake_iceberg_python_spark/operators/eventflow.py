@@ -3297,3 +3297,117 @@ def events_retention_powerlaw(spark: SparkSession, sf_dir: str) -> DataFrame:
             " * (CAST(num AS DOUBLE) / CAST(deny AS DOUBLE))"
         ).alias("r_squared"),
     )
+
+
+@query(
+    "ts_interpolate_linear",
+    oracle=f"""
+    WITH e AS (
+      SELECT user_id, ({_ORACLE_ES}) // {_DAY_S} AS day FROM events
+    ), daily AS (
+      SELECT user_id, day, COUNT(*) AS n_ev FROM e GROUP BY user_id, day
+    ), bounds AS (
+      SELECT user_id, MIN(day) AS d0, MAX(day) AS d1 FROM daily
+      GROUP BY user_id
+    ), grid AS (
+      SELECT user_id, unnest(generate_series(d0, d1)) AS day FROM bounds
+    ), j AS (
+      SELECT g.user_id, g.day, d.n_ev
+      FROM grid g LEFT JOIN daily d USING (user_id, day)
+    ), anchored AS (
+      SELECT
+        user_id, day, n_ev,
+        last_value(n_ev IGNORE NULLS) OVER wb AS pv,
+        last_value(CASE WHEN n_ev IS NOT NULL THEN day END IGNORE NULLS)
+          OVER wb AS pd,
+        first_value(n_ev IGNORE NULLS) OVER wf AS nv,
+        first_value(CASE WHEN n_ev IS NOT NULL THEN day END IGNORE NULLS)
+          OVER wf AS nd
+      FROM j
+      WINDOW
+        wb AS (PARTITION BY user_id ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        wf AS (PARTITION BY user_id ORDER BY day
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT
+      user_id,
+      CAST(day AS BIGINT) AS day,
+      CAST(CASE WHEN n_ev IS NOT NULL THEN n_ev * 1000
+           ELSE (pv * (nd - day) + nv * (day - pd)) * 1000 // (nd - pd)
+           END AS BIGINT) AS interp_milli,
+      CAST(CASE WHEN n_ev IS NULL THEN 1 ELSE 0 END AS INTEGER)
+        AS is_interpolated
+    FROM anchored
+    """,
+    tags=("events", "timeseries", "gapfill", "window", "interpolation"),
+)
+def ts_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear interpolation of gaps in each user's daily event-count
+    series — LOCF's sibling (``ts_gap_fill_locf``) for metrics where a
+    straight line between anchors beats a step function.
+
+    The dense grid comes from per-user ``sequence(d0, d1)`` (map-side, one
+    input row per user); backward/forward anchor values AND anchor days
+    ride two frames of the SAME (user_id, day) sort — Spark plans one
+    sort, two window passes, zero extra shuffles past the grid join. Grid
+    endpoints are observed days by construction, so every interior null
+    has strict anchors on both sides and the denominator is ≥ 2.
+
+    Exactness: the lerp is the convex-combination form
+    ``(pv·(nd−day) + nv·(day−pd))·1000 // (nd−pd)`` — all-integer, the
+    numerator nonnegative, so floor (DuckDB ``//``) and truncating (Spark
+    ``DIV``) division agree and no float enters the result. Milli-count
+    units keep three decimals of slope without touching IEEE division.
+    """
+    e = _events_es(spark, sf_dir).select(
+        "user_id", (F.col("es") / _DAY_S).cast("long").alias("day")
+    )
+    daily = e.groupBy("user_id", "day").agg(F.count(F.lit(1)).alias("n_ev"))
+    bounds = daily.groupBy("user_id").agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    grid = bounds.select(
+        "user_id", F.explode(F.sequence("d0", "d1")).alias("day")
+    )
+    j = grid.join(daily, ["user_id", "day"], "left")
+    wb = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    anchored = j.select(
+        "user_id",
+        "day",
+        "n_ev",
+        F.last("n_ev", ignorenulls=True).over(wb).alias("pv"),
+        F.last(
+            F.when(F.col("n_ev").isNotNull(), F.col("day")), ignorenulls=True
+        ).over(wb).alias("pd"),
+        F.first("n_ev", ignorenulls=True).over(wf).alias("nv"),
+        F.first(
+            F.when(F.col("n_ev").isNotNull(), F.col("day")), ignorenulls=True
+        ).over(wf).alias("nd"),
+    )
+    return anchored.select(
+        "user_id",
+        F.col("day").cast("long").alias("day"),
+        F.when(
+            F.col("n_ev").isNotNull(), F.col("n_ev") * 1000
+        )
+        .otherwise(
+            F.expr(
+                "(pv * (nd - day) + nv * (day - pd)) * 1000 DIV (nd - pd)"
+            )
+        )
+        .cast("long")
+        .alias("interp_milli"),
+        F.when(F.col("n_ev").isNull(), 1).otherwise(0).cast("int").alias(
+            "is_interpolated"
+        ),
+    )

@@ -966,3 +966,116 @@ def ml_pr_curve_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("t_milli")
     )
+
+
+@query(
+    "ml_calibration_bins",
+    oracle=f"""
+    WITH m AS (
+      SELECT
+        len(ws) AS n,
+        list_sum(list_transform(ws, x -> len(x))) AS sum_len,
+        len(list_distinct(ws)) AS n_dist,
+        len(list_intersect(ws, {_STOP_SQL})) > 0 AS has_stop
+      FROM (
+        SELECT list_filter(string_split(text, ' '), x -> x <> '') AS ws
+        FROM documents
+      )
+    ), scored AS (
+      SELECT
+        LEAST(((n_dist * 1000000 // n) // 1000) // 100, 9) AS bin,
+        (n_dist * 1000000 // n) // 1000 AS score_milli,
+        (n BETWEEN {_MIN_WORDS} AND {_MAX_WORDS})
+          AND sum_len >= {_MWL_MIN} * n
+          AND 2 * n_dist >= n
+          AND has_stop AS label
+      FROM m WHERE n > 0
+    ), b AS (
+      SELECT bin,
+             COUNT(*) AS n_docs,
+             SUM(score_milli) AS sum_milli,
+             COUNT(*) FILTER (WHERE label) AS n_pos
+      FROM scored GROUP BY bin
+    ), tot AS (SELECT SUM(n_docs) AS n_total FROM b)
+    SELECT
+      CAST(bin AS INTEGER) AS bin,
+      CAST(n_docs AS BIGINT) AS n_docs,
+      CAST(sum_milli * 1000 // n_docs AS BIGINT) AS mean_conf_ppm,
+      CAST(n_pos * 1000000 // n_docs AS BIGINT) AS pos_rate_ppm,
+      CAST(abs(sum_milli * 1000 // n_docs - n_pos * 1000000 // n_docs)
+        AS BIGINT) AS gap_ppm,
+      CAST(n_docs * 1000000 // t.n_total AS BIGINT) AS weight_ppm
+    FROM b CROSS JOIN tot t
+    ORDER BY bin
+    """,
+    tags=("ml", "llm", "eval", "calibration"),
+)
+def ml_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram / ECE decomposition for the one-feature quality
+    scorer: decile-bin the predicted confidence (distinct-word ratio,
+    per-mille) and compare mean confidence against the empirical
+    Gopher-label positive rate per bin — the calibration check that
+    belongs next to ``ml_pr_curve_quality``'s operating-point sweep.
+
+    Exactness: confidence quantizes to per-mille before binning, so bin
+    edges are integer comparisons; per-bin means and rates are integer
+    floor-divisions of exact sums (numerators nonnegative — floor == trunc)
+    and the ECE terms (gap × weight) are derivable from the emitted exact
+    integers. No IEEE division anywhere.
+
+    Scale shape: one map-side fold per document (the word-list aggregate),
+    one shuffle into a ≤10-row bin histogram, and a broadcast cross join
+    against the 1-row total — identical cost profile to the PR sweep:
+    O(corpus) scan, O(1) state. 100 TB-safe.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    ws = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+    m = d.select(ws.alias("w")).select(
+        F.size("w").alias("n"),
+        F.aggregate(
+            "w", F.lit(0).cast("long"), lambda a, x: a + F.length(x)
+        ).alias("sum_len"),
+        F.size(F.array_distinct("w")).alias("n_dist"),
+        F.arrays_overlap(
+            "w", F.array(*[F.lit(s) for s in _STOPWORDS])
+        ).alias("has_stop"),
+    )
+    scored = m.filter(F.col("n") > 0).select(
+        F.expr(
+            "least(((n_dist * 1000000 DIV n) DIV 1000) DIV 100, 9)"
+        ).alias("bin"),
+        F.expr("(n_dist * 1000000 DIV n) DIV 1000").alias("score_milli"),
+        (
+            F.col("n").between(_MIN_WORDS, _MAX_WORDS)
+            & (F.col("sum_len") >= _MWL_MIN * F.col("n"))
+            & (2 * F.col("n_dist") >= F.col("n"))
+            & F.col("has_stop")
+        ).alias("label"),
+    )
+    b = scored.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("score_milli").alias("sum_milli"),
+        F.count(F.when(F.col("label"), 1)).alias("n_pos"),
+    )
+    tot = b.agg(F.sum("n_docs").alias("n_total"))
+    return (
+        b.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("bin").cast("int").alias("bin"),
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.expr("sum_milli * 1000 DIV n_docs").cast("long").alias(
+                "mean_conf_ppm"
+            ),
+            F.expr("n_pos * 1000000 DIV n_docs").cast("long").alias(
+                "pos_rate_ppm"
+            ),
+            F.expr(
+                "abs(sum_milli * 1000 DIV n_docs"
+                " - n_pos * 1000000 DIV n_docs)"
+            ).cast("long").alias("gap_ppm"),
+            F.expr("n_docs * 1000000 DIV n_total").cast("long").alias(
+                "weight_ppm"
+            ),
+        )
+        .orderBy("bin")
+    )

@@ -660,3 +660,55 @@ def scalar_array_reduce(spark: SparkSession, sf_dir: str) -> DataFrame:
         folded["m"].cast("long").alias("max_len"),
         folded["k"].cast("long").alias("n_long"),
     )
+
+
+@query(
+    "scalar_regex",
+    oracle=r"""
+    SELECT
+      p_partkey,
+      CAST(len(regexp_extract_all(p_name, '[a-z]+')) AS INTEGER)
+        AS n_words_re,
+      CAST(len(regexp_extract_all(p_name, '[aeiou]+')) AS INTEGER)
+        AS n_vowel_runs,
+      regexp_extract(p_type, '^[A-Z]+') AS type_head,
+      CAST(regexp_matches(p_type, '(TIN|NICKEL|BRASS|STEEL|COPPER)$')
+        AS INTEGER) AS is_metal,
+      regexp_replace(p_name, ' +', '_', 'g') AS name_snake_re,
+      CAST(len(string_split(p_type, ' ')) AS INTEGER) AS n_type_tokens
+    FROM part
+    WHERE p_partkey % 7 = 0
+    """,
+    tags=("scalar", "string", "regex"),
+)
+def scalar_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex battery: extract-all, match counting, anchored extraction,
+    boolean match, global replace, and split — the string ops a corpus
+    cleaner leans on hardest.
+
+    Cross-engine notes: patterns stay inside the character-class/anchor/
+    alternation subset where Java regex (Spark) and RE2 (DuckDB) agree;
+    `regexp_count` maps to DuckDB `len(regexp_extract_all(...))`, and the
+    replace is written with an explicit `' +'` quantifier so the 'g' flag
+    semantics match Spark's always-global `regexp_replace`. Booleans are
+    cast to INTEGER because hash canonicalization of bool differs.
+
+    Scale shape: pure map-side codegen over the `part` dim — no shuffle
+    at all (the final compare's sort is the harness's, not the query's);
+    at 100 TB this is a scan-bound projection with full pushdown.
+    """
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_partkey") % 7 == 0)
+    return p.select(
+        "p_partkey",
+        F.size(
+            F.regexp_extract_all("p_name", F.lit("[a-z]+"), F.lit(0))
+        ).alias("n_words_re"),
+        F.regexp_count("p_name", F.lit("[aeiou]+")).alias("n_vowel_runs"),
+        F.regexp_extract("p_type", "^[A-Z]+", 0).alias("type_head"),
+        F.col("p_type")
+        .rlike("(TIN|NICKEL|BRASS|STEEL|COPPER)$")
+        .cast("int")
+        .alias("is_metal"),
+        F.regexp_replace("p_name", " +", "_").alias("name_snake_re"),
+        F.size(F.split("p_type", " ")).alias("n_type_tokens"),
+    )

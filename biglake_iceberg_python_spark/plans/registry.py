@@ -146,10 +146,12 @@ _PRIORITY_WINDOW = [
 ]
 
 # ROUND-6 ROTATION PREP (exact numbers recomputed at round-5 close over
-# CORRECTNESS_r01-r04 ∪ the r5 window, registry = 339 after the round-5
-# additions — the 14 third-wave queries below push the pool from 129 to
-# 143): never-driver-verified pool after r5 (assuming the window
-# greens) = 143, of which 138 are hash-matched and 5 rows-only
+# CORRECTNESS_r01-r04 ∪ the r5 window, registry = 344 after the round-5
+# additions — the 14 third-wave queries below plus the fourth wave
+# (sql_temp_function, scalar_regex, agg_extrema_argminmax,
+# ts_interpolate_linear, ml_calibration_bins) push the pool from 129 to
+# 148): never-driver-verified pool after r5 (assuming the window
+# greens) = 148, of which 143 are hash-matched and 5 rows-only
 # (agg_hll_set_algebra, agg_kll_quantile_merge, agg_sketch_merge_rollup,
 # dedup_minhash_oph, text_compression_ratio). By family: agg ×16,
 # text ×15 (+ the round-5 text_kneser_ney_bigram and the BPE
@@ -170,7 +172,9 @@ _PRIORITY_WINDOW = [
 # sim_recall_eval, graph_kcore, curate_mix_apportionment,
 # join_asof_nearest, dedup_lsh_tuning_curve, events_shapley_attribution,
 # basket_apriori_itemsets, events_longest_streak, lakehouse_row_lineage,
-# events_retention_powerlaw.
+# events_retention_powerlaw. Fourth wave adds 5 more (all hash-matched):
+# sql_temp_function, scalar_regex, agg_extrema_argminmax,
+# ts_interpolate_linear, ml_calibration_bins.
 # Round 6 takes 50 of the 138 hash-matched, oldest families first
 # (agg + text + lakehouse + source covers it); round 7 absorbs the
 # remainder incl. the 5 rows-only, then re-rotate the r1-sampled

@@ -1015,3 +1015,46 @@ def test_sql_temp_function_inlines_into_codegen(spark, sf_dir):
     assert "BatchEvalPython" not in plan
     assert plan.count("HashAggregate") >= 2
     assert plan.count("FileScan parquet") == 1
+
+
+def test_scalar_regex_is_pure_codegen_projection(spark, sf_dir):
+    """The regex battery must stay map-side JVM codegen: one parquet scan,
+    zero exchanges, zero Python — regex evaluation never justifies a
+    shuffle or a UDF."""
+    plan = plan_of(spark, sf_dir, "scalar_regex")
+    assert plan.count("FileScan parquet") == 1
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_argminmax_is_single_two_phase_aggregate(spark, sf_dir):
+    """max_by/min_by must plan as ONE two-phase hash aggregate — partial
+    (value, ord) pairs before a single |groups|-row exchange — never the
+    rank-window-then-filter shape that sorts every group."""
+    plan = plan_of(spark, sf_dir, "agg_extrema_argminmax")
+    assert plan.count("HashAggregate") == 2
+    assert plan.count("Exchange") == 1
+    assert "Window" not in plan and "Sort" not in plan
+
+
+def test_interpolate_anchors_share_one_sort(spark, sf_dir):
+    """Backward and forward anchor windows must fuse into a single Window
+    pass over one (user_id, day) sort — interpolation costs no more than
+    LOCF. Grid generation must be map-side explode, not a driver calendar
+    (no extra exchange beyond daily agg, bounds agg, and the grid join)."""
+    plan = plan_of(spark, sf_dir, "ts_interpolate_linear")
+    assert plan.count("Window") == 1
+    assert plan.count("Sort ") == 1
+    assert plan.count("Exchange") <= 3
+    assert "BatchEvalPython" not in plan
+
+
+def test_calibration_totals_broadcast_into_bins(spark, sf_dir):
+    """The 1-row grand total must broadcast into the ≤10-row bin table
+    (BroadcastNestedLoopJoin on a broadcast cross join), and the corpus
+    must collapse through two-phase aggregation — never a corpus-wide
+    sort or Python fallback."""
+    plan = plan_of(spark, sf_dir, "ml_calibration_bins")
+    assert plan.count("BroadcastNestedLoop") == 1
+    assert plan.count("HashAggregate") >= 4
+    assert "BatchEvalPython" not in plan
