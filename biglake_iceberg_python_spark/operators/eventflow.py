@@ -3355,10 +3355,13 @@ def ts_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     has strict anchors on both sides and the denominator is ≥ 2.
 
     Exactness: the lerp is the convex-combination form
-    ``(pv·(nd−day) + nv·(day−pd))·1000 // (nd−pd)`` — all-integer, the
-    numerator nonnegative, so floor (DuckDB ``//``) and truncating (Spark
-    ``DIV``) division agree and no float enters the result. Milli-count
-    units keep three decimals of slope without touching IEEE division.
+    ``(pv·(nd−day) + nv·(day−pd))·1000 // (nd−pd)`` — all-integer. Both
+    engines truncate toward zero (DuckDB ``//`` and Spark ``DIV`` alike,
+    verified on negative operands — see ``ts_seasonal_decompose``), so the
+    division agrees unconditionally; the numerator happens to be
+    nonnegative here, which makes floor and trunc coincide anyway. No
+    float enters the result; milli-count units keep three decimals of
+    slope without touching IEEE division.
     """
     e = _events_es(spark, sf_dir).select(
         "user_id", (F.col("es") / _DAY_S).cast("long").alias("day")

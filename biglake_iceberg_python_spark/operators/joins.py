@@ -1027,12 +1027,12 @@ def join_point_in_time_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
         ts,
         event_type,
         last_value(CASE WHEN event_type = 'purchase' THEN ts END IGNORE NULLS)
-          OVER (PARTITION BY user_id ORDER BY ts
+          OVER (PARTITION BY user_id ORDER BY ts, event_type
                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
           AS prev_ts,
         first_value(CASE WHEN event_type = 'purchase' THEN ts END
                     IGNORE NULLS)
-          OVER (PARTITION BY user_id ORDER BY ts
+          OVER (PARTITION BY user_id ORDER BY ts, event_type
                 ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
           AS next_ts
       FROM events
@@ -1086,17 +1086,20 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Gaps use the date_trunc-then-diff boundary-crossing form (the
     `join_asof` gotcha) so Spark µs and DuckDB ns timestamps agree
-    bit-for-bit; all outputs are exact integer counts/seconds.
+    bit-for-bit; all outputs are exact integer counts/seconds. Both
+    windows (and the oracle's) order by (ts, event_type) so same-instant
+    rows have one canonical order on both engines — determinism does not
+    ride on per-user ts uniqueness in the generated data.
     """
     e = load_table(spark, sf_dir, "events")
     wb = (
         Window.partitionBy("user_id")
-        .orderBy("ts")
+        .orderBy("ts", "event_type")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     wf = (
         Window.partitionBy("user_id")
-        .orderBy("ts")
+        .orderBy("ts", "event_type")
         .rowsBetween(1, Window.unboundedFollowing)
     )
     pts = F.when(F.col("event_type") == "purchase", F.col("ts"))

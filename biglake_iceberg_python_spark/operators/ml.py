@@ -903,7 +903,7 @@ def ml_pr_curve_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("has_stop"),
     )
     scored = m.filter(F.col("n") > 0).select(
-        F.expr("(n_dist * 1000000 DIV n) DIV 1000").alias("score_milli"),
+        F.expr("(CAST(n_dist AS BIGINT) * 1000000 DIV n) DIV 1000").alias("score_milli"),
         (
             F.col("n").between(_MIN_WORDS, _MAX_WORDS)
             & (F.col("sum_len") >= _MWL_MIN * F.col("n"))
@@ -1042,9 +1042,9 @@ def ml_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     scored = m.filter(F.col("n") > 0).select(
         F.expr(
-            "least(((n_dist * 1000000 DIV n) DIV 1000) DIV 100, 9)"
+            "least(((CAST(n_dist AS BIGINT) * 1000000 DIV n) DIV 1000) DIV 100, 9)"
         ).alias("bin"),
-        F.expr("(n_dist * 1000000 DIV n) DIV 1000").alias("score_milli"),
+        F.expr("(CAST(n_dist AS BIGINT) * 1000000 DIV n) DIV 1000").alias("score_milli"),
         (
             F.col("n").between(_MIN_WORDS, _MAX_WORDS)
             & (F.col("sum_len") >= _MWL_MIN * F.col("n"))

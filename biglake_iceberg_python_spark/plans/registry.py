@@ -70,115 +70,82 @@ _loaded = False
 # tests/test_oracle_parity.py's full sweep, which runs every registered
 # query against its oracle regardless of ordering.
 #
-# Provenance of this rotation (round 5, per round-4 VERDICT "Next round"
-# #4): after rounds 1–4, 159 of 306 queries had never had a driver-verified
-# row. This window takes 49 of those 159, oldest families first exactly as
-# the verdict directed — the full curation battery (flagged "largest
-# evidence gap": zero driver-green rows since its round-2/3 registration),
-# the 20-query eventflow/statistics battery, graph, ml, agg_skew_kurtosis
-# (this round's libm-hardened oracle — verdict #3 required its fix BEFORE
-# rotation), and four business singles to fill to 50. `scalar_math` —
-# rounds 3 AND 4's one red row, root-caused by the round-4 judge as
-# JVM-vs-libm ln() last-ulp drift and fixed this round (price_ln cast to
-# REAL on both sides, pow(x,2) → x*x) — stays in per the verdict's "never
-# rotate a red row out" rule. Rounds 6–7 absorb the remaining ~109
-# never-verified names (sources, sql extras, text, sim, lakehouse
-# round-4 additions, join extras, tpch Q2/Q11/Q20), prioritizing
-# hash-matched queries over rows-only ones.
+# Provenance of this rotation (round 6, per round-4 VERDICT "Next round"
+# #4 and the round-5 prep below): CORRECTNESS_r05 came back 50/50 (45
+# hash-matched + the 5 documented rows-only ml queries), bringing
+# cumulative driver-verified coverage to 196 of the 344-query registry.
+# The never-driver-verified pool is therefore 148, of which 143 are
+# hash-matched and 5 rows-only (agg_sketch_merge_rollup,
+# agg_hll_set_algebra, agg_kll_quantile_merge, dedup_minhash_oph,
+# text_compression_ratio). [Round-5's prep comment said "138
+# hash-matched" in one place and 143 in another — 143 is correct; the
+# recount below is authoritative, per ADVICE r5.] This window takes the
+# 50 oldest hash-matched names: the full agg battery (14 hash-matched of
+# 17), the full text battery (15 of 16), all 11 lakehouse, all 9 source,
+# and sql_lateral_topn to fill to 50. Round 7 takes 50 of the remaining
+# 93 hash-matched (sql ×8, dedup ×8, sim ×9, join ×7, ts ×6, udf ×5,
+# events ×5, stream ×5, scalar ×4, ml ×4, multimodal ×4, tpch Q2/Q11/Q20,
+# pack ×3, curate ×3, util/funnel/cohort/basket/orders/graph pairs, and
+# singles); round 8 absorbs the last 43 plus the 5 rows-only, then
+# re-rotates the r1-sampled relational/join/agg families per round-4
+# verdict #7.
 _PRIORITY_WINDOW = [
-    # web-corpus curation battery (16) — round-4 "largest evidence gap"
-    "curate_gopher_filter",
-    "curate_domain_mix",
-    "curate_temperature_mix",
-    "curate_train_shards",
-    "curate_decontaminate",
-    "curate_pii_redact",
-    "curate_incremental_ingest",
-    "curate_dataset_card",
-    "curate_quality_weighted_sample",
-    "curate_boilerplate_strip",
-    "curate_expectations",
-    "curate_url_canonical",
-    "curate_winsorize",
-    "curate_url_refresh_pipeline",
-    "curate_k_anonymity",
-    "curate_incremental_ingest_bloom",
-    # eventflow / experimentation statistics battery (20)
-    "events_transition_matrix",
-    "events_dau_wau_stickiness",
-    "events_trend_slope",
-    "events_sequence_motif",
-    "events_ab_welch_ttest",
-    "events_cumulative_uniques",
-    "events_user_entropy",
-    "events_path_trigrams",
-    "events_heatmap_hour_dow",
-    "events_outlier_mad",
-    "events_autocorrelation",
-    "events_conversion_wilson_ci",
-    "events_changepoint_cusum",
-    "events_kaplan_meier_retention",
-    "events_ratio_metric_delta_ci",
-    "events_attribution_multitouch",
-    "events_bootstrap_ci_daily_mean",
-    "events_anova_hour_of_week",
-    "events_peak_concurrency",
-    "events_seasonal_naive_backtest",
-    # graph (2)
-    "graph_pagerank",
-    "graph_triangle_count",
-    # ml (6)
-    "ml_pca_gram",
-    "ml_pca_power",
-    "ml_kmeans_embeddings",
-    "ml_logistic_newton",
-    "ml_quality_distill",
-    "ml_coreset_kcenter",
-    # this round's libm-hardened moment oracle (1)
-    "agg_skew_kurtosis",
-    # business singles (4)
-    "customer_theil_index",
-    "customer_gini_spend",
-    "supplier_concentration_hhi",
-    "supplier_pareto",
-    # rounds-3/4 red row, re-verified with its libm fix (1)
-    "scalar_math",
+    # aggregate battery (14 hash-matched; the 3 sketch rows-only wait for r8)
+    "agg_unpivot",
+    "agg_heavy_hitters",
+    "agg_sessionize_events",
+    "agg_mode_deterministic",
+    "agg_histogram",
+    "agg_session_window_batch",
+    "agg_weighted_median",
+    "agg_listagg",
+    "agg_corr_covar",
+    "agg_rollup_count_distinct",
+    "agg_benford_digit_test",
+    "agg_countmin_sketch",
+    "agg_extrema_argminmax",
+    "agg_boolean",
+    # text-analysis battery (15 hash-matched; compression_ratio waits for r8)
+    "text_bm25_search",
+    "text_lm_perplexity",
+    "text_repetition_stats",
+    "text_vocab_coverage",
+    "text_zipf_fit",
+    "text_chunk_sliding",
+    "text_bpe_pair_stats",
+    "text_js_divergence_sources",
+    "text_heldout_bigram_coverage",
+    "text_pmi_cooccurrence",
+    "text_rake_keywords",
+    "text_kneser_ney_bigram",
+    "text_bpe_train_merges",
+    "text_bpe_encode",
+    "text_heaps_law",
+    # lakehouse round-4/5 additions (11)
+    "lakehouse_partition_evolution",
+    "lakehouse_write_audit_publish",
+    "lakehouse_incremental_matview",
+    "lakehouse_analyze_stats",
+    "lakehouse_dynamic_partition_overwrite",
+    "lakehouse_shallow_clone",
+    "lakehouse_write_distribution_smallfiles",
+    "lakehouse_metadata_count",
+    "lakehouse_incremental_matview_join",
+    "lakehouse_gdpr_forget",
+    "lakehouse_row_lineage",
+    # source / format battery (9)
+    "source_xml_roundtrip",
+    "source_binaryfile_digest",
+    "source_parquet_schema_merge",
+    "source_text_lines",
+    "source_csv_malformed_permissive",
+    "source_recursive_glob_read",
+    "source_python_datasource_pushdown",
+    "source_python_datasource_write",
+    "source_python_datasource_stream_write",
+    # sql extras (1, fills to 50)
+    "sql_lateral_topn",
 ]
-
-# ROUND-6 ROTATION PREP (exact numbers recomputed at round-5 close over
-# CORRECTNESS_r01-r04 ∪ the r5 window, registry = 344 after the round-5
-# additions — the 14 third-wave queries below plus the fourth wave
-# (sql_temp_function, scalar_regex, agg_extrema_argminmax,
-# ts_interpolate_linear, ml_calibration_bins) push the pool from 129 to
-# 148): never-driver-verified pool after r5 (assuming the window
-# greens) = 148, of which 143 are hash-matched and 5 rows-only
-# (agg_hll_set_algebra, agg_kll_quantile_merge, agg_sketch_merge_rollup,
-# dedup_minhash_oph, text_compression_ratio). By family: agg ×16,
-# text ×15 (+ the round-5 text_kneser_ney_bigram and the BPE
-# train/encode pair), lakehouse ×10
-# (+ lakehouse_gdpr_forget), source ×9, sql ×8 (+util ×2), sim ×8
-# (+ sim_mmr_diversify),
-# dedup ×8 (+ dedup_paragraph_exact), join ×6, udf ×5, multimodal ×4,
-# stream ×5 (+ stream_topk_trending), tpch Q2/Q11/Q20,
-# ts ×5 (incl. the round-5 ts_holt_forecast, ts_seasonal_decompose,
-# ts_holt_winters_forecast),
-# scalar ×3, pack ×3 (+ pack_length_pair_binning), cohort ×2,
-# orders ×2, funnel ×2, events +2
-# (events_cuped_adjusted_delta, events_diff_in_diff), curate +2
-# (curate_negative_sampling, curate_dsir_select),
-# graph +1 (graph_resource_allocation), and business/util singles.
-# Round-5 third wave adds 14 more (all hash-matched): text_heaps_law,
-# ml_linreg_normal_eq, ml_naive_bayes_langid, ml_pr_curve_quality,
-# sim_recall_eval, graph_kcore, curate_mix_apportionment,
-# join_asof_nearest, dedup_lsh_tuning_curve, events_shapley_attribution,
-# basket_apriori_itemsets, events_longest_streak, lakehouse_row_lineage,
-# events_retention_powerlaw. Fourth wave adds 5 more (all hash-matched):
-# sql_temp_function, scalar_regex, agg_extrema_argminmax,
-# ts_interpolate_linear, ml_calibration_bins.
-# Round 6 takes 50 of the 138 hash-matched, oldest families first
-# (agg + text + lakehouse + source covers it); round 7 absorbs the
-# remainder incl. the 5 rows-only, then re-rotate the r1-sampled
-# relational/join/agg families per round-4 verdict #7.
 
 
 def load_all() -> dict[str, QuerySpec]:

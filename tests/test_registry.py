@@ -96,6 +96,13 @@ _RAW_ROUND_EXEMPT = {
     # irrational for every argument ≥ 2; the only rational case is the
     # unseen-bigram ln(0+1) = ln 1, which is exactly 0 before round().
     "curate_dsir_select",
+    # Power-law fit quantizes 1e6·ln of INTEGER day-index / active-count /
+    # cohort-size — irrational except at 1, where ln is exactly 0.
+    "events_retention_powerlaw",
+    # NB log-likelihoods quantize 1e6·ln of INTEGER counts (doc counts,
+    # smoothed token counts, vocab-smoothed totals) — same integer-argument
+    # class: irrational except ln(1) = 0 exactly.
+    "ml_naive_bayes_langid",
 }
 
 
