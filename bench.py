@@ -66,6 +66,7 @@ def main() -> int:
     # single-run so the feedback loop stays fast.
     _STREAM_RUNS = 3
     _SLOW_BATCH = {
+        "graph_kcore",
         "graph_pagerank",
         "dedup_minhash_lsh",
         "dedup_minhash_oph",

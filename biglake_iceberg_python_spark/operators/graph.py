@@ -563,13 +563,29 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(F.col("src"))
         .localCheckpoint(eager=False)
     )
-    nv = e0.select("src").distinct().count()
-    ne0 = e0.count()
-    k = ne0 // nv + 1
-    states = [e0]
+    # Every readout comes from the per-round DEGREE table (|V| rows), not
+    # the edge list: n_nodes = its row count (distinct src by
+    # construction), n_edges = Σd/2 (each undirected edge contributes one
+    # d on each endpoint). The degree agg is already the peel's first
+    # step, so the stats pass costs one |V|-row agg per round instead of
+    # a count_distinct over the full |E|-row state — at 100 TB that is
+    # the difference between re-scanning every surviving edge five times
+    # and aggregating five node-sized tables.
     cur = e0
+    degs = []
     for _ in range(_KCORE_ROUNDS):
-        deg = cur.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+        deg = (
+            cur.groupBy("src")
+            .agg(F.count(F.lit(1)).alias("d"))
+            .localCheckpoint(eager=False)
+        )
+        degs.append(deg)
+        if len(degs) == 1:
+            row = deg.agg(
+                F.count(F.lit(1)).alias("nv"), F.sum("d").alias("ne")
+            ).collect()[0]
+            nv, ne0 = int(row["nv"]), int(row["ne"])
+            k = ne0 // nv + 1
         surv = (
             deg.filter(F.col("d") >= k).select("src").localCheckpoint(eager=False)
         )
@@ -583,14 +599,16 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("src", "dst")
             .localCheckpoint(eager=False)
         )
-        states.append(cur)
+    degs.append(cur.groupBy("src").agg(F.count(F.lit(1)).alias("d")))
     stats = None
-    for t, e in enumerate(states):
-        row = e.agg(
+    for t, deg in enumerate(degs):
+        row = deg.agg(
             F.lit(t).cast("long").alias("round"),
             F.lit(k).cast("long").alias("k"),
-            F.count_distinct("src").cast("long").alias("n_nodes"),
-            (F.count(F.lit(1)) / 2).cast("long").alias("n_edges"),
+            F.count(F.lit(1)).cast("long").alias("n_nodes"),
+            (F.coalesce(F.sum("d"), F.lit(0)) / 2).cast("long").alias(
+                "n_edges"
+            ),
         )
         stats = row if stats is None else stats.unionAll(row)
     return stats.orderBy("round")
