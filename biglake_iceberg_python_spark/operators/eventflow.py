@@ -3414,3 +3414,75 @@ def ts_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
             "is_interpolated"
         ),
     )
+
+
+@query(
+    "ts_downsample_m4",
+    oracle="""
+    WITH e AS (
+      SELECT event_id, value,
+             CAST(date_diff('second', TIMESTAMP '1970-01-01',
+                            date_trunc('second', ts)) AS BIGINT) AS es
+      FROM events
+    ), st AS (
+      SELECT MIN(es) AS mn, MAX(es) AS mx FROM e
+    ), b AS (
+      SELECT (es - mn) * 48 // (mx - mn + 1) AS bucket,
+             value,
+             (es - mn) * 10000000000 + event_id AS ord
+      FROM e, st
+    )
+    SELECT
+      CAST(bucket AS BIGINT) AS bucket,
+      CAST(COUNT(*) AS BIGINT) AS n_points,
+      MIN(value) AS v_min,
+      MAX(value) AS v_max,
+      arg_min(value, ord) AS v_first,
+      arg_max(value, ord) AS v_last
+    FROM b GROUP BY bucket
+    """,
+    tags=("timeseries", "downsample", "m4", "events"),
+)
+def ts_downsample_m4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M4 time-series downsampling (Jugel et al., VLDB 2014): split the
+    series' time range into 48 equal "pixel" buckets and keep each
+    bucket's min, max, first, and last value — the four points per pixel
+    that make a line chart of the reduced series pixel-identical to the
+    full one. The standard dashboard/observability reducer for plotting
+    100 TB of points on a 4K monitor.
+
+    Exactness: min/max/first/last SELECT input doubles untouched — no
+    float arithmetic ever happens, so both engines emit bit-identical
+    values. First/last use `min_by`/`max_by` (`arg_min`/`arg_max`) on a
+    UNIQUE integer ordering key — range-relative epoch seconds scaled by
+    1e10 plus the unique event_id (the `agg_extrema_argminmax`
+    determinism trick; the scale bound is ~29 years of range at int64,
+    re-derive the constant for longer retentions). Bucket assignment is
+    pure integer floor division of range-relative seconds.
+
+    Scale shape: one 2-value global agg (map-side partials) broadcasts
+    the time range; bucketing is then a map, and the rollup is a single
+    two-phase hash aggregate whose shuffle carries at most
+    48 x 4 values per upstream partition — O(pixels), not O(points),
+    exactly why M4 is THE big-data viz reducer. No sort, no window.
+    """
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "value",
+        F.expr(_ES).cast("long").alias("es"),
+    )
+    st = e.agg(F.min("es").alias("mn"), F.max("es").alias("mx"))
+    b = e.crossJoin(F.broadcast(st)).select(
+        F.expr("(es - mn) * 48 DIV (mx - mn + 1)").cast("long").alias(
+            "bucket"
+        ),
+        "value",
+        F.expr("(es - mn) * 10000000000 + event_id").alias("ord"),
+    )
+    return b.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.min("value").alias("v_min"),
+        F.max("value").alias("v_max"),
+        F.min_by("value", "ord").alias("v_first"),
+        F.max_by("value", "ord").alias("v_last"),
+    )

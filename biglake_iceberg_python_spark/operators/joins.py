@@ -1145,3 +1145,139 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(F.col("side") == "forward", 1)).alias("n_forward"),
         F.max("gap_s").cast("long").alias("max_nearest_gap_s"),
     )
+
+
+@query(
+    "join_interval_overlap",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_id,
+             CAST(date_diff('second', TIMESTAMP '1970-01-01',
+                            date_trunc('second', ts)) AS BIGINT) AS es
+      FROM events
+    ), flagged AS (
+      SELECT user_id, es,
+             CASE WHEN LAG(es) OVER w IS NULL
+                    OR es - LAG(es) OVER w > 1800 THEN 1 ELSE 0 END AS new_s
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY es, event_id)
+    ), numbered AS (
+      SELECT user_id, es,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY es
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM flagged
+    ), sessions AS (
+      SELECT user_id, sid, MIN(es) AS s0, MAX(es) AS s1
+      FROM numbered GROUP BY user_id, sid
+    ), hours AS (
+      SELECT es // 3600 AS hr, COUNT(*) AS c FROM e GROUP BY hr
+    ), tot AS (
+      SELECT SUM(c) AS total, COUNT(*) AS n_hours FROM hours
+    ), busy AS (
+      SELECT hr FROM hours, tot WHERE c * n_hours * 10 >= 11 * total
+    ), pairs AS (
+      SELECT s.user_id, s.sid, b.hr,
+             LEAST(s.s1, b.hr * 3600 + 3599)
+               - GREATEST(s.s0, b.hr * 3600) + 1 AS overlap_s
+      FROM sessions s JOIN busy b
+        ON s.s0 <= b.hr * 3600 + 3599 AND b.hr * 3600 <= s.s1
+    )
+    SELECT
+      user_id,
+      CAST(COUNT(DISTINCT sid) AS BIGINT) AS n_busy_sessions,
+      CAST(COUNT(*) AS BIGINT) AS n_pairs,
+      CAST(SUM(overlap_s) AS BIGINT) AS total_overlap_s,
+      CAST(MAX(overlap_s) AS BIGINT) AS max_overlap_s
+    FROM pairs GROUP BY user_id
+    """,
+    tags=("join", "interval", "range", "sessionization"),
+)
+def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join: each user's activity sessions (>30-min-gap
+    sessionization, the `agg_sessionize_events` rule) joined against the
+    corpus's BUSY HOURS (hour buckets whose event count is >= 1.1x the
+    per-hour average — a scale-free integer predicate, the
+    `agg_heavy_hitters` trick) on time-interval overlap, reporting per
+    user how much session time landed in busy hours.
+
+    The oracle states the join declaratively as the non-equi predicate
+    `s0 <= hr_end AND hr_start <= s1` — the form that would be a
+    cartesian-then-filter on a distributed engine. The Spark plan instead
+    BUCKETS the interval join: every session explodes into the hour
+    buckets it spans (`sequence(s0 DIV 3600, s1 DIV 3600)` — map-side,
+    fan-out = session span in hours, bounded and tiny for gap-capped
+    sessions), and overlap becomes an EQUI-join on the hour key — the
+    standard interval-bucketing rewrite that keeps 100 TB of sessions
+    shuffle-joinable (here the busy-hour side is also calendar-sized, so
+    it broadcasts and even the bucket shuffle disappears). Overlap
+    seconds are exact closed-interval integer arithmetic on
+    second-truncated epochs — no timestamp subtraction, no floats.
+    """
+    w = Window.partitionBy("user_id").orderBy("es", "event_id")
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.expr(
+            "timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00',"
+            " date_trunc('second', ts))"
+        ).cast("long").alias("es"),
+    )
+    flagged = e.withColumn(
+        "new_s",
+        F.when(
+            F.lag("es").over(w).isNull()
+            | ((F.col("es") - F.lag("es").over(w)) > 1800),
+            1,
+        ).otherwise(0),
+    )
+    numbered = flagged.withColumn(
+        "sid",
+        F.sum("new_s").over(
+            Window.partitionBy("user_id")
+            .orderBy("es")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    sessions = numbered.groupBy("user_id", "sid").agg(
+        F.min("es").alias("s0"), F.max("es").alias("s1")
+    )
+    hours = e.groupBy(F.expr("es DIV 3600").cast("long").alias("hr")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    tot = hours.agg(
+        F.sum("c").alias("total"), F.count(F.lit(1)).alias("n_hours")
+    )
+    busy = (
+        hours.crossJoin(F.broadcast(tot))
+        .filter(
+            F.col("c") * F.col("n_hours") * F.lit(10)
+            >= F.lit(11) * F.col("total")
+        )
+        .select("hr")
+    )
+    exploded = sessions.select(
+        "user_id",
+        "sid",
+        "s0",
+        "s1",
+        F.explode(
+            F.sequence(
+                F.expr("s0 DIV 3600").cast("long"),
+                F.expr("s1 DIV 3600").cast("long"),
+            )
+        ).alias("hr"),
+    )
+    pairs = exploded.join(F.broadcast(busy), "hr").select(
+        "user_id",
+        "sid",
+        (
+            F.least(F.col("s1"), F.col("hr") * 3600 + 3599)
+            - F.greatest(F.col("s0"), F.col("hr") * 3600)
+            + 1
+        ).alias("overlap_s"),
+    )
+    return pairs.groupBy("user_id").agg(
+        F.count_distinct("sid").alias("n_busy_sessions"),
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum("overlap_s").cast("long").alias("total_overlap_s"),
+        F.max("overlap_s").cast("long").alias("max_overlap_s"),
+    )

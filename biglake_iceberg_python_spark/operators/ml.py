@@ -1079,3 +1079,86 @@ def ml_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bin")
     )
+
+
+@query(
+    "ml_woe_binning",
+    oracle="""
+    WITH o AS (
+      SELECT LEAST(CAST(FLOOR(o_totalprice / 25000) AS BIGINT), 9) AS bin,
+             o_orderpriority = '1-URGENT' AS pos
+      FROM orders
+    ), h AS (
+      SELECT bin,
+             COUNT(*) FILTER (WHERE pos) AS n_pos,
+             COUNT(*) FILTER (WHERE NOT pos) AS n_neg
+      FROM o GROUP BY bin
+    ), t AS (
+      SELECT SUM(n_pos) AS pos_tot, SUM(n_neg) AS neg_tot FROM h
+    )
+    SELECT
+      CAST(bin AS BIGINT) AS bin,
+      CAST(n_pos + n_neg AS BIGINT) AS n_orders,
+      CAST(n_pos AS BIGINT) AS n_pos,
+      CAST(n_neg AS BIGINT) AS n_neg,
+      CAST(round(1e6 * ln(n_pos + 1)) AS BIGINT)
+        - CAST(round(1e6 * ln(pos_tot + 10)) AS BIGINT)
+        - CAST(round(1e6 * ln(n_neg + 1)) AS BIGINT)
+        + CAST(round(1e6 * ln(neg_tot + 10)) AS BIGINT) AS woe_micro,
+      n_pos * 1000000 // pos_tot - n_neg * 1000000 // neg_tot AS diff_ppm
+    FROM h, t
+    """,
+    tags=("ml", "feature", "woe", "binning"),
+)
+def ml_woe_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-of-evidence feature binning — the credit-scoring /
+    feature-selection primitive: bucket a numeric feature (order total
+    price, fixed-width bins capped at 10), then score each bin by
+    WOE = ln(P(bin|pos)) − ln(P(bin|neg)) for a binary target (urgent
+    priority), plus the per-bin rate gap that feeds information value.
+
+    Exactness: WOE decomposes into four lns of INTEGERS (Laplace-smoothed
+    counts: +1 per bin, +10 = n_bins on totals), each quantized to
+    integer micro-nats BEFORE the subtraction — the engine-portable
+    transcendental discipline every ln-emitting oracle here follows
+    (irrational except ln(1) = 0 exactly). The rate gap is pure integer
+    floor division in ppm. Bin assignment divides two doubles both
+    engines hold bit-identically — one correctly-rounded IEEE divide,
+    then floor.
+
+    Scale shape: one map-side bin + label projection, one shuffle into a
+    <= 10-row histogram (two-phase hash agg), and a broadcast cross of
+    the 1-row totals — O(corpus) scan, O(bins) state, the same profile
+    as ml_calibration_bins. Feature cardinality never matters: bins are
+    fixed-width arithmetic, not quantiles, so no global sort exists.
+    """
+    o = load_table(spark, sf_dir, "orders").select(
+        F.least(
+            F.floor(F.col("o_totalprice") / 25000).cast("long"), F.lit(9)
+        ).alias("bin"),
+        (F.col("o_orderpriority") == "1-URGENT").alias("pos"),
+    )
+    h = o.groupBy("bin").agg(
+        F.count(F.when(F.col("pos"), 1)).alias("n_pos"),
+        F.count(F.when(~F.col("pos"), 1)).alias("n_neg"),
+    )
+    t = h.agg(
+        F.sum("n_pos").alias("pos_tot"), F.sum("n_neg").alias("neg_tot")
+    )
+    q = lambda c: F.round(F.lit(1e6) * F.log(c)).cast("long")  # noqa: E731
+    return h.crossJoin(F.broadcast(t)).select(
+        F.col("bin").cast("long").alias("bin"),
+        (F.col("n_pos") + F.col("n_neg")).cast("long").alias("n_orders"),
+        F.col("n_pos").cast("long").alias("n_pos"),
+        F.col("n_neg").cast("long").alias("n_neg"),
+        (
+            q(F.col("n_pos") + 1)
+            - q(F.col("pos_tot") + 10)
+            - q(F.col("n_neg") + 1)
+            + q(F.col("neg_tot") + 10)
+        ).alias("woe_micro"),
+        (
+            F.expr("n_pos * 1000000 DIV pos_tot")
+            - F.expr("n_neg * 1000000 DIV neg_tot")
+        ).alias("diff_ppm"),
+    )
