@@ -27,7 +27,13 @@ def main() -> int:
     from biglake_iceberg_python_spark.session import build_session
 
     registry = load_all()
-    names = sys.argv[1:] or [n for n, s in registry.items() if s.bench]
+    # Pinned, rotation-independent execution order (round-6 verdict #3/#4:
+    # the registry iterates in driver-window order, so each rotation
+    # reshuffled the bench and confounded round-over-round per-query
+    # deltas with JIT/GC/page-cache neighborhood changes — 21 of 27
+    # queries "regressed" with zero code changes). Sorted-by-name is
+    # stable across rotations and new-query additions.
+    names = sys.argv[1:] or sorted(n for n, s in registry.items() if s.bench)
     unknown = [n for n in names if n not in registry]
     if unknown:
         print(

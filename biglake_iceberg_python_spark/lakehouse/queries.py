@@ -2200,3 +2200,94 @@ def lakehouse_row_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = out.localCheckpoint(eager=True)  # materialize before tmp cleanup
     return out
+
+
+# Fixed commit root for the second-engine-read proof: the DuckDB oracle is a
+# STATIC SQL string, so the committed layout must land at a deterministic
+# path. Each invocation wipes and recommits (idempotent); history is
+# append-only, so the data glob below equals the current snapshot's resolved
+# data-dir list exactly.
+_SECOND_ENGINE_ROOT = "/tmp/spark_graft_second_engine_read"
+
+
+@query(
+    "lakehouse_second_engine_read",
+    oracle=f"""
+    WITH t AS (
+      SELECT * FROM read_parquet(
+        '{_SECOND_ENGINE_ROOT}/data/*/*.parquet')
+    )
+    SELECT
+      c_mktsegment,
+      CAST(COUNT(*) AS BIGINT) AS n_customers,
+      CAST(COUNT(*) AS BIGINT) AS n_customers_src,
+      CAST(COUNT(*) FILTER (WHERE c_custkey % 2 = 0) AS BIGINT) AS n_commit1,
+      CAST(SUM(CAST(round(CAST(c_acctbal AS DECIMAL(18,2)) * 100)
+               AS BIGINT)) AS BIGINT) AS acctbal_cents,
+      CAST(MIN(c_custkey) AS BIGINT) AS min_custkey,
+      CAST(MAX(c_custkey) AS BIGINT) AS max_custkey
+    FROM t GROUP BY c_mktsegment
+    """,
+    tags=("lakehouse", "interop", "second-engine"),
+)
+def lakehouse_second_engine_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second-engine read of the COMMITTED table layout — the portable
+    analog of the reference's BigQuery auto-link (a BigLake Iceberg table
+    is readable by a second engine the moment Spark commits it,
+    iceberg_table_creation.py:63-74): Spark commits a SnapshotTable in two
+    appends, and the DuckDB oracle reads the committed parquet files
+    THEMSELVES (not the input parquet) via a static ``read_parquet`` glob
+    over the table's data directories.
+
+    Unlike every other lakehouse oracle (which re-derives the expected
+    result from the source tables), this one's evidence is the on-disk
+    commit: it hash-matches only if (a) DuckDB can parse the files Spark's
+    committed layout comprises — schema, encodings, and values
+    bit-for-bit — and (b) the commit was lossless: the Spark side computes
+    ``n_customers_src`` from the RAW source table while the oracle derives
+    it from the committed files, so a lifecycle that drops or duplicates
+    rows breaks the hash even though both engines read the same files for
+    the other columns. ``n_customers`` (Spark: manifest-resolved
+    ``t.read()``; oracle: raw file glob) additionally pins manifest
+    resolution to the physical layout — history is append-only, so the
+    glob IS the current snapshot's data-dir list.
+
+    Fixed root + wipe-per-invocation keeps the static oracle and the
+    committed state in lockstep; the cents rollup reuses the proven
+    decimal-cast pattern (`join_point_in_time_scd2`) so both engines
+    quantize the double identically. Scale: two distributed parquet
+    writes, one O(segments) rollup — commit metadata never holds rows.
+    """
+    import shutil
+
+    src = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    shutil.rmtree(_SECOND_ENGINE_ROOT, ignore_errors=True)
+    t = SnapshotTable(spark, _SECOND_ENGINE_ROOT)
+    t.write(src.filter(F.col("c_custkey") % 2 == 0), mode="append")
+    t.write(src.filter(F.col("c_custkey") % 2 == 1), mode="append")
+    cents = F.round(F.col("c_acctbal").cast("decimal(18,2)") * 100).cast("long")
+    back = (
+        t.read()
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.count(F.when(F.col("c_custkey") % 2 == 0, 1)).alias("n_commit1"),
+            F.sum(cents).cast("long").alias("acctbal_cents"),
+            F.min("c_custkey").cast("long").alias("min_custkey"),
+            F.max("c_custkey").cast("long").alias("max_custkey"),
+        )
+    )
+    src_n = src.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_customers_src")
+    )
+    return back.join(src_n, "c_mktsegment").select(
+        "c_mktsegment",
+        "n_customers",
+        "n_customers_src",
+        "n_commit1",
+        "acctbal_cents",
+        "min_custkey",
+        "max_custkey",
+    )

@@ -3456,9 +3456,13 @@ def ts_downsample_m4(spark: SparkSession, sf_dir: str) -> DataFrame:
     values. First/last use `min_by`/`max_by` (`arg_min`/`arg_max`) on a
     UNIQUE integer ordering key — range-relative epoch seconds scaled by
     1e10 plus the unique event_id (the `agg_extrema_argminmax`
-    determinism trick; the scale bound is ~29 years of range at int64,
-    re-derive the constant for longer retentions). Bucket assignment is
-    pure integer floor division of range-relative seconds.
+    determinism trick). Two preconditions bound the key: the time range
+    must span < ~29 years (int64 headroom on es·1e10) AND event_id must
+    stay < 1e10 — past 10B rows the addition bleeds into the seconds
+    digits and the key is no longer lexicographic (es, event_id);
+    re-derive the 1e10 multiplier from the actual max event_id for
+    larger corpora. Bucket assignment is pure integer floor division of
+    range-relative seconds.
 
     Scale shape: one 2-value global agg (map-side partials) broadcasts
     the time range; bucketing is then a map, and the rollup is a single

@@ -418,7 +418,7 @@ def join_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
         event_type,
         ts,
         last_value(CASE WHEN event_type = 'purchase' THEN ts END IGNORE NULLS)
-          OVER (PARTITION BY user_id ORDER BY ts
+          OVER (PARTITION BY user_id ORDER BY ts, event_type
                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_purchase_ts
       FROM events
     )
@@ -445,12 +445,14 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     window form since it is plain ANSI SQL).
 
     Gap is computed on epoch seconds (floor) so Spark's µs timestamps and
-    DuckDB's ns timestamps agree.
+    DuckDB's ns timestamps agree. Both windows (and the oracle's) order by
+    (ts, event_type) so same-instant rows have one canonical order on both
+    engines — determinism does not ride on per-user ts uniqueness.
     """
     e = load_table(spark, sf_dir, "events")
     w = (
         Window.partitionBy("user_id")
-        .orderBy("ts")
+        .orderBy("ts", "event_type")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     prev = F.last(
@@ -482,7 +484,7 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         user_id,
         ts,
         last_value(CASE WHEN event_type = 'purchase' THEN ts END IGNORE NULLS)
-          OVER (PARTITION BY user_id ORDER BY ts
+          OVER (PARTITION BY user_id ORDER BY ts, event_type
                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
           AS prev_purchase_ts
       FROM events
@@ -512,12 +514,14 @@ def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
     already-found nearest-earlier match, so it adds ZERO plan cost — which
     is the argument for the window form over a range join at 100 TB,
     where a tolerance predicate inside a join condition would re-shape
-    the whole plan.
+    the whole plan. Both windows (and the oracle's) order by
+    (ts, event_type) so same-instant rows have one canonical order on
+    both engines.
     """
     e = load_table(spark, sf_dir, "events")
     w = (
         Window.partitionBy("user_id")
-        .orderBy("ts")
+        .orderBy("ts", "event_type")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     prev = F.last(
@@ -876,7 +880,7 @@ def join_hint_strategies(spark: SparkSession, sf_dir: str) -> DataFrame:
         event_type,
         ts,
         first_value(CASE WHEN event_type = 'error' THEN ts END IGNORE NULLS)
-          OVER (PARTITION BY user_id ORDER BY ts
+          OVER (PARTITION BY user_id ORDER BY ts, event_type
                 ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
           AS next_error_ts
       FROM events
@@ -906,12 +910,14 @@ def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the SAME exchange serves the window and the final rollup.
 
     Gap computed on second-truncated timestamps so both engines count
-    boundary crossings identically.
+    boundary crossings identically. Both windows (and the oracle's) order
+    by (ts, event_type) so same-instant rows have one canonical order on
+    both engines.
     """
     e = load_table(spark, sf_dir, "events")
     w = (
         Window.partitionBy("user_id")
-        .orderBy("ts")
+        .orderBy("ts", "event_type")
         .rowsBetween(1, Window.unboundedFollowing)
     )
     nxt = F.first(
@@ -1156,13 +1162,13 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
                             date_trunc('second', ts)) AS BIGINT) AS es
       FROM events
     ), flagged AS (
-      SELECT user_id, es,
+      SELECT user_id, event_id, es,
              CASE WHEN LAG(es) OVER w IS NULL
                     OR es - LAG(es) OVER w > 1800 THEN 1 ELSE 0 END AS new_s
       FROM e WINDOW w AS (PARTITION BY user_id ORDER BY es, event_id)
     ), numbered AS (
       SELECT user_id, es,
-             SUM(new_s) OVER (PARTITION BY user_id ORDER BY es
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY es, event_id
                               ROWS UNBOUNDED PRECEDING) AS sid
       FROM flagged
     ), sessions AS (
@@ -1195,9 +1201,12 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interval-overlap join: each user's activity sessions (>30-min-gap
     sessionization, the `agg_sessionize_events` rule) joined against the
     corpus's BUSY HOURS (hour buckets whose event count is >= 1.1x the
-    per-hour average — a scale-free integer predicate, the
-    `agg_heavy_hitters` trick) on time-interval overlap, reporting per
-    user how much session time landed in busy hours.
+    per-hour average — an exact integer predicate, the
+    `agg_heavy_hitters` trick; `c * n_hours * 10` needs
+    c·n_hours < ~9.2e17 to stay in int64 — ample headroom for any real
+    corpus, but past it divide once on the broadcast side instead:
+    `c * 10 >= 11 * (total DIV n_hours)`) on time-interval overlap,
+    reporting per user how much session time landed in busy hours.
 
     The oracle states the join declaratively as the non-equi predicate
     `s0 <= hr_end AND hr_start <= s1` — the form that would be a
@@ -1233,7 +1242,7 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sid",
         F.sum("new_s").over(
             Window.partitionBy("user_id")
-            .orderBy("es")
+            .orderBy("es", "event_id")
             .rowsBetween(Window.unboundedPreceding, 0)
         ),
     )

@@ -70,81 +70,85 @@ _loaded = False
 # tests/test_oracle_parity.py's full sweep, which runs every registered
 # query against its oracle regardless of ordering.
 #
-# Provenance of this rotation (round 6, per round-4 VERDICT "Next round"
-# #4 and the round-5 prep below): CORRECTNESS_r05 came back 50/50 (45
-# hash-matched + the 5 documented rows-only ml queries), bringing
-# cumulative driver-verified coverage to 196 of the 344-query registry.
-# The never-driver-verified pool is therefore 148, of which 143 are
-# hash-matched and 5 rows-only (agg_sketch_merge_rollup,
-# agg_hll_set_algebra, agg_kll_quantile_merge, dedup_minhash_oph,
-# text_compression_ratio). [Round-5's prep comment said "138
-# hash-matched" in one place and 143 in another — 143 is correct; the
-# recount below is authoritative, per ADVICE r5.] This window takes the
-# 50 oldest hash-matched names: the full agg battery (14 hash-matched of
-# 17), the full text battery (15 of 16), all 11 lakehouse, all 9 source,
-# and sql_lateral_topn to fill to 50. Round 7 takes 50 of the remaining
-# 93 hash-matched (sql ×8, dedup ×8, sim ×9, join ×7, ts ×6, udf ×5,
-# events ×5, stream ×5, scalar ×4, ml ×4, multimodal ×4, tpch Q2/Q11/Q20,
-# pack ×3, curate ×3, util/funnel/cohort/basket/orders/graph pairs, and
-# singles); round 8 absorbs the last 43 plus the 5 rows-only, then
-# re-rotates the r1-sampled relational/join/agg families per round-4
-# verdict #7.
+# Provenance of this rotation (round 7, per round-6 VERDICT "Next round"
+# #3): CORRECTNESS_r06 came back 50/50 hash-matched, bringing cumulative
+# driver-verified coverage to 246 of the 347-query registry. The
+# never-driver-verified pool is therefore 101 — 96 hash-matched + 5
+# rows-only (agg_sketch_merge_rollup, agg_hll_set_algebra,
+# agg_kll_quantile_merge, dedup_minhash_oph, text_compression_ratio); the
+# round-6 judge pre-cleared all 101 at sf0.01 under hostile TZ. This
+# window takes 50: the COMPLETE pool families touched or at risk this
+# round — all 8 joins (incl. the four asof/interval queries whose
+# tie-breaks round 7 hardened), all 5 ml (incl. ml_woe_binning, whose
+# oracle-lint exemption round 7 must prove out), both graph names (the
+# broadcast→shuffle flip landed this round), all 9 sim, all 8 dedup, all
+# 7 ts, all 5 stream, all 5 udf — plus the NEW
+# lakehouse_second_engine_read (round-6 VERDICT #6) to fill to 50.
+# Round 8 absorbs the remaining 52 (sql ×8, events ×5, scalar ×4, pack
+# ×3, curate ×3, tpch Q2/Q11/Q20, multimodal ×4 … plus the 5 rows-only),
+# then re-rotates the r1-sampled relational/join/agg families per
+# round-4 verdict #7.
 _PRIORITY_WINDOW = [
-    # aggregate battery (14 hash-matched; the 3 sketch rows-only wait for r8)
-    "agg_unpivot",
-    "agg_heavy_hitters",
-    "agg_sessionize_events",
-    "agg_mode_deterministic",
-    "agg_histogram",
-    "agg_session_window_batch",
-    "agg_weighted_median",
-    "agg_listagg",
-    "agg_corr_covar",
-    "agg_rollup_count_distinct",
-    "agg_benford_digit_test",
-    "agg_countmin_sketch",
-    "agg_extrema_argminmax",
-    "agg_boolean",
-    # text-analysis battery (15 hash-matched; compression_ratio waits for r8)
-    "text_bm25_search",
-    "text_lm_perplexity",
-    "text_repetition_stats",
-    "text_vocab_coverage",
-    "text_zipf_fit",
-    "text_chunk_sliding",
-    "text_bpe_pair_stats",
-    "text_js_divergence_sources",
-    "text_heldout_bigram_coverage",
-    "text_pmi_cooccurrence",
-    "text_rake_keywords",
-    "text_kneser_ney_bigram",
-    "text_bpe_train_merges",
-    "text_bpe_encode",
-    "text_heaps_law",
-    # lakehouse round-4/5 additions (11)
-    "lakehouse_partition_evolution",
-    "lakehouse_write_audit_publish",
-    "lakehouse_incremental_matview",
-    "lakehouse_analyze_stats",
-    "lakehouse_dynamic_partition_overwrite",
-    "lakehouse_shallow_clone",
-    "lakehouse_write_distribution_smallfiles",
-    "lakehouse_metadata_count",
-    "lakehouse_incremental_matview_join",
-    "lakehouse_gdpr_forget",
-    "lakehouse_row_lineage",
-    # source / format battery (9)
-    "source_xml_roundtrip",
-    "source_binaryfile_digest",
-    "source_parquet_schema_merge",
-    "source_text_lines",
-    "source_csv_malformed_permissive",
-    "source_recursive_glob_read",
-    "source_python_datasource_pushdown",
-    "source_python_datasource_write",
-    "source_python_datasource_stream_write",
-    # sql extras (1, fills to 50)
-    "sql_lateral_topn",
+    # join battery (8 — entire never-verified join pool; four touched r7)
+    "join_dynamic_partition_pruning",
+    "join_runtime_bloom_filter",
+    "join_asof_tolerance",
+    "join_hint_strategies",
+    "join_asof_forward",
+    "join_point_in_time_scd2",
+    "join_asof_nearest",
+    "join_interval_overlap",
+    # ml battery (5 — incl. the lint-exempted ml_woe_binning)
+    "ml_linreg_normal_eq",
+    "ml_naive_bayes_langid",
+    "ml_pr_curve_quality",
+    "ml_calibration_bins",
+    "ml_woe_binning",
+    # graph (2 — size-adaptive join-strategy flip landed r7)
+    "graph_resource_allocation",
+    "graph_kcore",
+    # similarity battery (9)
+    "sim_hybrid_rrf",
+    "sim_quantize_int8",
+    "sim_ivf_index_persisted",
+    "dedup_semantic_ivf",
+    "sim_pq_adc",
+    "sim_matryoshka_rescore",
+    "sim_range_search",
+    "sim_mips_transform",
+    "sim_mmr_diversify",
+    # dedup battery (7 hash-matched; minhash_oph rows-only waits for r8)
+    "sim_recall_eval",
+    "dedup_containment",
+    "dedup_fuzzy_levenshtein",
+    "dedup_substring_spans",
+    "dedup_trigram_similarity",
+    "dedup_paragraph_exact",
+    "dedup_lsh_tuning_curve",
+    "dedup_cluster_representative",
+    # time-series battery (7)
+    "ts_gap_fill_locf",
+    "ts_ewma_decay",
+    "ts_holt_forecast",
+    "ts_seasonal_decompose",
+    "ts_holt_winters_forecast",
+    "ts_interpolate_linear",
+    "ts_downsample_m4",
+    # streaming (5 — exact batch-twin oracles)
+    "stream_stateful_timeout_session",
+    "stream_join_then_window",
+    "stream_file_sink_manifest",
+    "stream_windowed_dau",
+    "stream_topk_trending",
+    # udf matrix (5)
+    "udf_pandas_grouped_agg",
+    "udf_cogrouped_map",
+    "udf_pandas_scalar_iter",
+    "udf_pandas_window_agg",
+    "udf_udtf_polymorphic_analyze",
+    # new this round (1, fills to 50): second-engine read of the committed
+    # SnapshotTable layout (round-6 VERDICT "What's missing" #2)
+    "lakehouse_second_engine_read",
 ]
 
 

@@ -103,6 +103,13 @@ _RAW_ROUND_EXEMPT = {
     # smoothed token counts, vocab-smoothed totals) — same integer-argument
     # class: irrational except ln(1) = 0 exactly.
     "ml_naive_bayes_langid",
+    # WOE quantizes 1e6·ln of Laplace-smoothed INTEGER counts (+1 per bin,
+    # +10 = n_bins on totals), each rounded to micro-nats BEFORE the
+    # subtraction — the arguments are integers ≥ 1, so ln is irrational
+    # except ln(1) = 0 exactly (same class as events_retention_powerlaw /
+    # ml_naive_bayes_langid); the halfway set round() could disagree on is
+    # measure-zero.
+    "ml_woe_binning",
 }
 
 
