@@ -32,6 +32,29 @@ _ITERS = 3
 _QUANT = 1e12  # contribution quantum: floor(rank/deg * _QUANT) as BIGINT
 _TOP_N = 20
 
+# Size-adaptive join strategy for the node-sized state the iteratives carry
+# between rounds (pagerank's rank vector, k-core's survivor set): broadcast
+# while |V| fits an executor, flip to a co-partitioned shuffle join past it.
+# 20M nodes ≈ 320 MB of (long, double) rows — comfortably under the 8 GB
+# broadcast hard cap with headroom for row overhead; a 100 TB web graph
+# (billions of nodes) lands in the shuffle regime, where the edge list is
+# hash-partitioned on src ONCE and every per-round join reuses that
+# exchange. Tests force each regime via the conf
+# (tests/test_plans.py::test_graph_iteratives_*_regime).
+_BCAST_NODE_LIMIT_CONF = "spark.graft.graph.broadcastNodeLimit"
+_BCAST_NODE_LIMIT_DEFAULT = 20_000_000
+
+
+def _node_broadcast_limit(spark: SparkSession) -> int:
+    try:
+        return int(
+            spark.conf.get(
+                _BCAST_NODE_LIMIT_CONF, str(_BCAST_NODE_LIMIT_DEFAULT)
+            )
+        )
+    except (TypeError, ValueError):
+        return _BCAST_NODE_LIMIT_DEFAULT
+
 
 def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Undirected simple co-purchase graph: parts sharing an order.
@@ -150,23 +173,35 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("src").alias("node"),
         (F.lit(1.0) / F.col("n")).alias("rank"),
     )
-    # The rank vector is |V| rows (parts, not lineitems) — broadcast it
-    # into the per-iteration join so the edge list NEVER shuffles: each
-    # iteration is then map-side join + one partial-aggregated shuffle of
-    # contributions. (AQE can't pick this itself: the vector sits behind a
-    # lazy localCheckpoint lineage whose size estimate exceeds the
-    # threshold.) At 100 TB-graph scale (|V| past broadcast size) flip to
-    # a shuffle join against an edge table bucketed on src — the edge side
-    # still never re-shuffles.
+    # The rank vector is |V| rows (parts, not lineitems). Below the
+    # broadcast node limit it broadcasts into the per-iteration join so
+    # the edge list NEVER shuffles: each iteration is then map-side join +
+    # one partial-aggregated shuffle of contributions. (AQE can't pick
+    # this itself: the vector sits behind a lazy localCheckpoint lineage
+    # whose size estimate exceeds the threshold.) Past the limit —
+    # billions of nodes, where a |V|-row broadcast OOMs executors — the
+    # SAME loop runs as co-partitioned shuffle joins: the edge list is
+    # hash-partitioned on src once (checkpointed), so each iteration
+    # exchanges only the node-sized rank vector, never the edges. The
+    # regime costs one O(1) driver scalar (|V| from the 1-row n agg — the
+    # k-core k-derivation precedent).
+    nv = int(n.first()["n"])
+    use_bcast = nv <= _node_broadcast_limit(spark)
+    if not use_bcast:
+        edges = edges.repartition(F.col("src")).localCheckpoint(eager=False)
+
+    def _nb(df: DataFrame) -> DataFrame:
+        return F.broadcast(df) if use_bcast else df
+
     for _ in range(_ITERS):
-        rv = ranks.join(F.broadcast(deg), ranks["node"] == deg["src"]).select(
+        rv = ranks.join(_nb(deg), ranks["node"] == deg["src"]).select(
             "node",
             F.floor(F.col("rank") / F.col("deg") * F.lit(_QUANT))
             .cast("long")
             .alias("qsrc"),
         )
         contrib = edges.join(
-            F.broadcast(rv), edges["src"] == rv["node"]
+            _nb(rv), edges["src"] == rv["node"]
         ).select("dst", F.col("qsrc").alias("q"))
         ranks = (
             contrib.groupBy("dst")
@@ -554,15 +589,22 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     # Partition the symmetric edge list by src ONCE: every round's degree
     # aggregation then runs partial+final with no further edge exchange,
-    # and the survivor semi-joins are broadcast (survivor set is
-    # node-sized — the same |V|-rows-broadcast budget as
-    # graph_pagerank's rank vector; past broadcast size, flip to the
-    # bucketed-node-table join its docstring documents).
+    # and the survivor semi-joins broadcast while the survivor set
+    # (node-sized — the same |V|-rows budget as graph_pagerank's rank
+    # vector) fits the broadcast node limit. Past it, the SAME peel runs
+    # as shuffle semi-joins: the src-side join reuses the edge list's
+    # src partitioning, so each round exchanges the node-sized survivor
+    # set (twice) plus the dst-side probe — never an avoidable edge pass.
+    # The regime check rides the k-derivation collect (no extra action).
     e0 = (
         _edges(spark, sf_dir)
         .repartition(F.col("src"))
         .localCheckpoint(eager=False)
     )
+    use_bcast = True  # decided at round 1, before any survivor join
+
+    def _nb(df: DataFrame) -> DataFrame:
+        return F.broadcast(df) if use_bcast else df
     # Every readout comes from the per-round DEGREE table (|V| rows), not
     # the edge list: n_nodes = its row count (distinct src by
     # construction), n_edges = Σd/2 (each undirected edge contributes one
@@ -573,7 +615,7 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     # and aggregating five node-sized tables.
     cur = e0
     degs = []
-    for _ in range(_KCORE_ROUNDS):
+    for rnd in range(_KCORE_ROUNDS):
         deg = (
             cur.groupBy("src")
             .agg(F.count(F.lit(1)).alias("d"))
@@ -586,19 +628,26 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).collect()[0]
             nv, ne0 = int(row["nv"]), int(row["ne"])
             k = ne0 // nv + 1
+            use_bcast = nv <= _node_broadcast_limit(spark)
         surv = (
             deg.filter(F.col("d") >= k).select("src").localCheckpoint(eager=False)
         )
         cur = (
-            cur.join(F.broadcast(surv), "src", "left_semi")
+            cur.join(_nb(surv), "src", "left_semi")
             .join(
-                F.broadcast(surv.withColumnRenamed("src", "dst")),
+                _nb(surv.withColumnRenamed("src", "dst")),
                 "dst",
                 "left_semi",
             )
             .select("src", "dst")
-            .localCheckpoint(eager=False)
         )
+        # Mid-loop rounds checkpoint (3 consumers each: next deg + two
+        # probe sides); the LAST round's edge list has exactly one
+        # consumer (the final stats agg), so checkpointing it would cost
+        # a materialization for nothing — and leaving it lazy keeps the
+        # survivor-join strategy visible to the regime plan tests.
+        if rnd < _KCORE_ROUNDS - 1:
+            cur = cur.localCheckpoint(eager=False)
     degs.append(cur.groupBy("src").agg(F.count(F.lit(1)).alias("d")))
     stats = None
     for t, deg in enumerate(degs):

@@ -1058,3 +1058,46 @@ def test_calibration_totals_broadcast_into_bins(spark, sf_dir):
     assert plan.count("BroadcastNestedLoop") == 1
     assert plan.count("HashAggregate") >= 4
     assert "BatchEvalPython" not in plan
+
+
+def test_graph_iteratives_broadcast_regime(spark, sf_dir):
+    """Below the broadcast node limit (the default regime at every test
+    SF), the per-iteration node-state joins — pagerank's rank vector,
+    k-core's survivor set — must be broadcast-hash joins: the edge list
+    never shuffles inside the loop."""
+    for name in ("graph_pagerank", "graph_kcore"):
+        plan = plan_of(spark, sf_dir, name)
+        assert "BroadcastHashJoin" in plan, name
+
+
+def test_graph_iteratives_shuffle_regime(spark, sf_dir):
+    """Past the broadcast node limit (forced via the conf — the
+    billions-of-nodes regime where a |V|-row broadcast OOMs executors),
+    the SAME queries must plan shuffle joins instead of explicit
+    broadcasts AND still produce bit-identical results: the flip is a
+    physical strategy change, never a semantic one."""
+    from biglake_iceberg_python_spark.operators.graph import (
+        _BCAST_NODE_LIMIT_CONF,
+    )
+
+    def rows(name):
+        return sorted(
+            tuple(r) for r in REGISTRY[name].fn(spark, sf_dir).collect()
+        )
+
+    base = {n: rows(n) for n in ("graph_pagerank", "graph_kcore")}
+    # Disable Catalyst's own size-based broadcast too: at sf0.001 it would
+    # (rightly) re-broadcast the tiny sides and mask the strategy flip.
+    spark.conf.set(_BCAST_NODE_LIMIT_CONF, "1")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        for name in ("graph_pagerank", "graph_kcore"):
+            plan = plan_of(spark, sf_dir, name)
+            assert "BroadcastHashJoin" not in plan, name
+            assert (
+                "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+            ), name
+            assert rows(name) == base[name], name
+    finally:
+        spark.conf.unset(_BCAST_NODE_LIMIT_CONF)
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
