@@ -79,6 +79,12 @@ def main() -> int:
         "dedup_substring_spans",
         "pricing_summary",
         "tpch_q21_waiting_supplier",
+        # round-6 verdict #4: apparent r5→r6 regressions with zero code
+        # changes — median-of-3 so the order confound can't masquerade as
+        # a real regression again.
+        "ml_pca_gram",
+        "lakehouse_snapshot_diff",
+        "text_bpe_train_merges",
     }
     timings: dict[str, float] = {}
     spreads: dict[str, dict[str, float]] = {}

@@ -132,3 +132,75 @@ def test_query_results_partition_invariant(spark, sf_dir):
         assert not drifted, f"partition-dependent results: {drifted}"
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
+def test_asof_same_instant_ties_cross_engine(spark, tmp_path):
+    """Round-6 verdict #2: every asof variant (and the interval-overlap
+    sessionizer) must stay hash-identical to its oracle on data with
+    INJECTED same-instant rows — the tie class the generated testdata
+    happens not to contain. The (ts, event_type) / (es, event_id) window
+    tie-breaks are what make this pass; without them ROWS-frame contents
+    are engine-dependent."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from biglake_iceberg_python_spark.plans.check import (
+        compare,
+        duckdb_connect,
+    )
+    from biglake_iceberg_python_spark.plans.registry import load_all
+
+    base = dt.datetime(2024, 3, 1, 12, 0, 0)
+    rows = []
+
+    def add(u, sec, et, us=0):
+        rows.append(
+            (
+                len(rows) + 1,
+                base + dt.timedelta(seconds=sec, microseconds=us),
+                u,
+                et,
+                float(len(rows) + 1),
+                "{}",
+            )
+        )
+
+    for u in (1, 2, 3):
+        add(u, 0, "purchase")
+        add(u, 0, "click")  # same instant as the purchase (sorts before it)
+        add(u, 0, "view")  # same instant, sorts after 'purchase'
+        add(u, 10, "error")
+        add(u, 10, "purchase")  # error/purchase at one instant
+        add(u, 3600 * 7, "click")  # beyond the 6h staleness tolerance
+        add(u, 3600 * 7, "purchase")
+    # same-SECOND, different-µs pair: es collides after date_trunc, so the
+    # interval sessionizer's running sum needs the event_id tie-break
+    add(1, 20, "click", us=100)
+    add(1, 20, "view", us=200)
+
+    tbl = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array([r[3] for r in rows], pa.string()),
+            "value": pa.array([r[4] for r in rows], pa.float64()),
+            "props": pa.array([r[5] for r in rows], pa.string()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "events.parquet"))
+
+    registry = load_all()
+    con = duckdb_connect(str(tmp_path))
+    for name in (
+        "join_asof",
+        "join_asof_forward",
+        "join_asof_tolerance",
+        "join_asof_nearest",
+        "join_interval_overlap",
+    ):
+        spec = registry[name]
+        r = compare(spec.fn(spark, str(tmp_path)), con, spec.oracle)
+        assert r["ok"], (name, r)
