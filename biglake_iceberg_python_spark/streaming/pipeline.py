@@ -114,7 +114,15 @@ def stage_event_chunks(
     # run APPEND output with a minutes-scale watermark: chunk i+1's min ts
     # >= chunk i's max ts, so nothing is ever late, while the watermark
     # still finalizes + evicts old windows batch by batch.
-    t = t.sort_by([("ts", "ascending")])
+    # (ts, event_id) — not ts alone: chunk bounds are row-index slices, so
+    # a global same-µs tie straddling a boundary would make the chunk
+    # assignment depend on sort stability, and the watermark-progression
+    # oracle (stream_late_data_drop) replays chunking with the same
+    # two-key ORDER BY. Generated data has unique ts today; the tie-break
+    # removes the latent assumption. (Injected duplicates tie on BOTH
+    # keys, but the two copies are identical rows — either order stages
+    # the same bytes.)
+    t = t.sort_by([("ts", "ascending"), ("event_id", "ascending")])
     n = t.num_rows
     bounds = [n * i // n_chunks for i in range(n_chunks + 1)]
     now = time.time()

@@ -423,9 +423,10 @@ def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame
 @query(
     "stream_late_data_drop",
     # The drop set IS SQL-expressible because the staging is deterministic:
-    # event ts values are unique, chunks are quantile slices of the
-    # ts-sorted table (row j of n → chunk floor(4j/n), matching the
-    # staging's n*i//4 bounds), arrival order is odds-then-evens
+    # chunks are quantile slices of the (ts, event_id)-sorted table (row j
+    # of n → chunk floor(4j/n), matching the staging's n*i//4 bounds and
+    # its two-key sort — no reliance on ts uniqueness or sort stability;
+    # the oracle's row_number uses the same keys), arrival order is odds-then-evens
     # (chunk→pos: 1→0, 3→1, 0→2, 2→3), and Spark's watermark entering
     # batch p is max event time over batches q<p (post-type-filter, as the
     # stream filters before withWatermark) minus 10 minutes. A row
@@ -435,7 +436,7 @@ def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame
     oracle="""
     WITH allrows AS (
       SELECT ts, event_type,
-             row_number() OVER (ORDER BY ts) - 1 AS rn,
+             row_number() OVER (ORDER BY ts, event_id) - 1 AS rn,
              count(*) OVER () AS n
       FROM events
     ), chunked AS (
