@@ -440,7 +440,11 @@ def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame
              count(*) OVER () AS n
       FROM events
     ), chunked AS (
-      SELECT ts, event_type, CAST(floor(4.0 * rn / n) AS INT) AS chunk
+      -- floor((4·rn+3)/n) is the EXACT inverse of the staging's
+      -- n*i//4 slice bounds for every n; the simpler floor(4·rn/n)
+      -- coincides only when n % 4 = 0 (true at every shipped SF, but a
+      -- latent off-by-one for other corpus sizes).
+      SELECT ts, event_type, CAST(floor((4.0 * rn + 3) / n) AS INT) AS chunk
       FROM allrows
     ), typed AS (
       SELECT ts, event_type,

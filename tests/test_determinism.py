@@ -204,3 +204,80 @@ def test_asof_same_instant_ties_cross_engine(spark, tmp_path):
         spec = registry[name]
         r = compare(spec.fn(spark, str(tmp_path)), con, spec.oracle)
         assert r["ok"], (name, r)
+
+
+def test_stream_chunk_tie_at_boundary_cross_engine(spark, tmp_path):
+    """A same-instant block STRADDLING a staging chunk boundary must split
+    identically in the pyarrow staging sort and the oracle's row_number —
+    the (ts, event_id) two-key order on both sides is what pins it.
+
+    Geometry is chosen so every watermark-lag model the engine might
+    apply agrees on which rows are late (the tied block straddles the
+    chunk1|chunk2 boundary; chunk1 arrives FIRST, chunk2 LAST, and by
+    then the watermark is hours past the tied window under one- and
+    two-batch-lag models alike — the engine's late filter was measured
+    to lag the reported watermark by one extra batch, so a geometry
+    where the models diverge would test the lag model, not the tie):
+    n=16 rows, bounds [0,4,8,12,16]; six tied purchases at rn 6..11, so
+    ids 7,8 land in chunk1 (survive) and ids 9..12 in chunk2 (dropped).
+    An engine splitting the tie differently changes the surviving count.
+    """
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from biglake_iceberg_python_spark.plans.check import (
+        compare,
+        duckdb_connect,
+    )
+    from biglake_iceberg_python_spark.plans.registry import load_all
+
+    base = dt.datetime(2024, 3, 1, 12, 0, 0)
+    rows = []
+
+    def add(sec, et, us=0):
+        rows.append(
+            (
+                len(rows) + 1,
+                base + dt.timedelta(seconds=sec, microseconds=us),
+                1 + len(rows) % 3,
+                et,
+                float(len(rows) + 1),
+                "{}",
+            )
+        )
+
+    for s in (0, 1, 2, 3):  # chunk0: filtered out entirely (clicks)
+        add(s, "click")
+    add(300, "purchase")  # chunk1 head
+    add(301, "purchase")
+    for _ in range(6):  # the tied block: rn 6..11 straddles bound rn=8
+        add(420, "purchase")
+    for s in (0, 1, 2, 3):  # chunk3: 7h later, drives the watermark
+        add(3600 * 7 + s, "purchase")
+
+    tbl = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array([r[3] for r in rows], pa.string()),
+            "value": pa.array([r[4] for r in rows], pa.float64()),
+            "props": pa.array([r[5] for r in rows], pa.string()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "events.parquet"))
+
+    registry = load_all()
+    con = duckdb_connect(str(tmp_path))
+    spec = registry["stream_late_data_drop"]
+    df = spec.fn(spark, str(tmp_path))
+    r = compare(df, con, spec.oracle)
+    assert r["ok"], r
+    # Pin the absolute expectation too, not just cross-engine agreement:
+    # survivors = chunk1's 4 (2 head + first 2 of the tie) + chunk3's 4,
+    # in 2 (window, type) groups; chunk2's 4 tied rows arrive last and
+    # are dropped by the watermark.
+    row = df.collect()[0]
+    assert (row["n_windows"], row["n_surviving_events"]) == (2, 8), row
