@@ -424,7 +424,7 @@ def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame
     "stream_late_data_drop",
     # The drop set IS SQL-expressible because the staging is deterministic:
     # chunks are quantile slices of the (ts, event_id)-sorted table (row j
-    # of n → chunk floor(4j/n), matching the staging's n*i//4 bounds and
+    # of n → chunk floor((4j+3)/n), matching the staging's n*i//4 bounds and
     # its two-key sort — no reliance on ts uniqueness or sort stability;
     # the oracle's row_number uses the same keys), arrival order is odds-then-evens
     # (chunk→pos: 1→0, 3→1, 0→2, 2→3), and Spark's watermark entering
