@@ -97,7 +97,9 @@ SHOWCASES = {
     "broadcast into every round's join: the edge list NEVER re-shuffles; "
     "an iteration is one map-side broadcast join + one partial-aggregated "
     "contribution shuffle, and static relations (edges, degrees, N) are "
-    "localCheckpoint-materialized once.",
+    "localCheckpoint-materialized once. The node-state join strategy is "
+    "size-adaptive (`spark.graft.graph.broadcastNodeLimit`); the forced "
+    "shuffle-regime plan is dumped as its own section below.",
     "text_chunk_sliding": "Sliding-window chunking with ZERO exchanges: "
     "tokenize, offset generation (sequence+posexplode), and the per-chunk "
     "slice are all map-side inside the scan stage — a 1→N expansion that "
@@ -157,12 +159,45 @@ def main() -> int:
         "`explain('formatted')` output at sf0.001.\nPlan-shape invariants "
         "are enforced in `tests/test_plans.py`.\n"
     )
-    for name, commentary in SHOWCASES.items():
+    def dump(name: str, commentary: str, title: str | None = None) -> None:
         df = registry[name].fn(spark, sf_dir)
         plan = df._sc._jvm.PythonSQLUtils.explainString(
             df._jdf.queryExecution(), "formatted"
         )
-        out.write(f"\n## {name}\n\n{commentary}\n\n```\n{plan}\n```\n")
+        out.write(
+            f"\n## {title or name}\n\n{commentary}\n\n```\n{plan}\n```\n"
+        )
+
+    for name, commentary in SHOWCASES.items():
+        dump(name, commentary)
+
+    # The billions-of-nodes regime of the size-adaptive graph iteratives:
+    # force the broadcast→shuffle flip via the conf (and suppress
+    # Catalyst's own size-based re-broadcast, which would mask it at
+    # sf0.001) and dump the SAME query's plan — the per-iteration
+    # node-state joins become co-partitioned shuffle joins while the edge
+    # list still exchanges only once (tests/test_plans.py pins the shape
+    # and bit-identical results in both regimes).
+    from biglake_iceberg_python_spark.operators.graph import (
+        _BCAST_NODE_LIMIT_CONF,
+    )
+
+    spark.conf.set(_BCAST_NODE_LIMIT_CONF, "1")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        dump(
+            "graph_pagerank",
+            "The SAME power iteration past the broadcast node limit "
+            "(forced via `spark.graft.graph.broadcastNodeLimit=1`): the "
+            "rank-vector join flips to a co-partitioned shuffle join — "
+            "each round exchanges the node-sized vector, never the "
+            "src-partitioned edge list — and results stay bit-identical "
+            "to the broadcast regime.",
+            title="graph_pagerank (forced shuffle regime)",
+        )
+    finally:
+        spark.conf.unset(_BCAST_NODE_LIMIT_CONF)
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
 
     with open("PLANS.md", "w") as f:
         f.write(out.getvalue())
