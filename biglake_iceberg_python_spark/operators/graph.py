@@ -91,8 +91,13 @@ def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# MATERIALIZED mirrors the Spark side's localCheckpoint: edges is
+# referenced by deg, all three rounds, and the final ranking — without the
+# hint DuckDB's CTE inlining re-derives the co-purchase self-join per
+# reference (linear blowup here; the kcore chain below is the exponential
+# case). No semantic effect.
 _ORACLE_ITER = """
-    r{t} AS (
+    r{t} AS MATERIALIZED (
       SELECT e.dst AS node,
              CAST(0.15 AS DOUBLE) / any_value(nn.n)
                + CAST(0.85 AS DOUBLE)
@@ -110,12 +115,12 @@ _ORACLE_ITER = """
     "graph_pagerank",
     oracle=(
         """
-    WITH items AS (
+    WITH items AS MATERIALIZED (
       SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
-    ), edges AS (
+    ), edges AS MATERIALIZED (
       SELECT DISTINCT a.pk AS src, b.pk AS dst
       FROM items a JOIN items b ON a.ok = b.ok AND a.pk <> b.pk
-    ), deg AS (
+    ), deg AS MATERIALIZED (
       SELECT src, COUNT(*) AS deg FROM edges GROUP BY src
     ), n AS (
       SELECT COUNT(*) AS n FROM deg
@@ -523,10 +528,17 @@ def graph_resource_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _KCORE_ROUNDS = 4
 
+# MATERIALIZED is load-bearing: every e{t} is referenced 4× (next round's
+# degree agg + survivor join, and two stat subqueries), so without it
+# DuckDB's CTE inlining re-expands the chain ~3×-per-round — ~81
+# re-evaluations of the co-purchase self-join by round 4 (measured: >37
+# CPU-minutes at sf0.1 vs 0.94 s materialized). It is the evaluation-
+# strategy mirror of the Spark side's per-round localCheckpoint and
+# changes no semantics.
 _KCORE_PEEL = """
-    d{t} AS (SELECT src, COUNT(*) AS d FROM e{p} GROUP BY src),
-    s{t} AS (SELECT src FROM d{t} WHERE d >= (SELECT k FROM kk)),
-    e{t} AS (
+    d{t} AS MATERIALIZED (SELECT src, COUNT(*) AS d FROM e{p} GROUP BY src),
+    s{t} AS MATERIALIZED (SELECT src FROM d{t} WHERE d >= (SELECT k FROM kk)),
+    e{t} AS MATERIALIZED (
       SELECT e.src, e.dst FROM e{p} e
       JOIN s{t} a ON e.src = a.src
       JOIN s{t} b ON e.dst = b.src
@@ -543,9 +555,9 @@ _KCORE_STAT = """
     "graph_kcore",
     oracle=(
         """
-    WITH items AS (
+    WITH items AS MATERIALIZED (
       SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
-    ), e0 AS (
+    ), e0 AS MATERIALIZED (
       SELECT DISTINCT a.pk AS src, b.pk AS dst
       FROM items a JOIN items b ON a.ok = b.ok AND a.pk <> b.pk
     ), kk AS (
