@@ -536,13 +536,16 @@ _LEV_REL_DEN = 5  # lev/max_chars <= 20%
        AND a.doc_id < b.doc_id
        AND abs(a.n_words - b.n_words) <= {_LEV_BAND}
     )
-    SELECT
-      doc_id_a, doc_id_b,
-      CAST(levenshtein(text_a, text_b) AS BIGINT) AS edit_distance,
-      CAST(greatest(length(text_a), length(text_b)) AS BIGINT) AS max_chars
-    FROM cand
-    WHERE {_LEV_REL_DEN} * levenshtein(text_a, text_b)
-          <= greatest(length(text_a), length(text_b))
+    SELECT doc_id_a, doc_id_b, edit_distance, max_chars
+    FROM (
+      SELECT
+        doc_id_a, doc_id_b,
+        CAST(levenshtein(text_a, text_b) AS BIGINT) AS edit_distance,
+        CAST(greatest(length(text_a), length(text_b)) AS BIGINT)
+          AS max_chars
+      FROM cand
+    )
+    WHERE {_LEV_REL_DEN} * edit_distance <= max_chars
     """,
     tags=("llm", "dedup", "fuzzy", "levenshtein"),
 )

@@ -427,18 +427,23 @@ _RA_HUB_CAP = 256  # skip middles with deg > cap: contribution < 1e9/256
 
 @query(
     "graph_resource_allocation",
+    # MATERIALIZED: edges feeds und/deg/ez and ez self-joins — DuckDB's
+    # CTE inlining otherwise re-derives the co-purchase self-join per
+    # reference (measured: >30 s timeout at sf0.1 unhinted, 90 s hinted —
+    # the residual is genuine wedge volume). Same no-semantic-change
+    # rationale as graph_pagerank/graph_kcore above.
     oracle=f"""
-    WITH items AS (
+    WITH items AS MATERIALIZED (
       SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
-    ), edges AS (
+    ), edges AS MATERIALIZED (
       SELECT DISTINCT a.pk AS src, b.pk AS dst
       FROM items a JOIN items b ON a.ok = b.ok AND a.pk <> b.pk
-    ), und AS (
+    ), und AS MATERIALIZED (
       SELECT src AS a, dst AS b FROM edges WHERE src < dst
-    ), deg AS (
+    ), deg AS MATERIALIZED (
       SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS deg
       FROM edges GROUP BY src
-    ), ez AS (
+    ), ez AS MATERIALIZED (
       SELECT e.src AS z, e.dst AS nbr, 1000000000 // d.deg AS contrib
       FROM edges e JOIN deg d ON e.src = d.node
       WHERE d.deg <= {_RA_HUB_CAP}
