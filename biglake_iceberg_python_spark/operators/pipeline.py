@@ -120,9 +120,16 @@ def _cc_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "dedup_connected_components",
+    # pairs/sym/lab MATERIALIZED (here and in
+    # dedup_cluster_representative below): the near-dup pair
+    # derivation is referenced twice via sym and sym twice via reach;
+    # DuckDB's CTE inlining re-ran it per reference (measured
+    # 4.9 s -> 0.7 s at sf0.1). Evaluation-strategy hint only,
+    # mirroring the Spark side's localCheckpoint; reach stays plain
+    # (it is the recursion).
     oracle=f"""
-    WITH RECURSIVE pairs AS ({NEAR_DUP_PAIRS_SQL}),
-    sym AS (
+    WITH RECURSIVE pairs AS MATERIALIZED ({NEAR_DUP_PAIRS_SQL}),
+    sym AS MATERIALIZED (
       SELECT doc_a AS src, doc_b AS dst FROM pairs
       UNION ALL
       SELECT doc_b AS src, doc_a AS dst FROM pairs
@@ -132,7 +139,7 @@ def _cc_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
       UNION
       SELECT r.a, s.dst FROM reach r JOIN sym s ON s.src = r.b
     ),
-    lab AS (SELECT a AS node, MIN(b) AS label FROM reach GROUP BY a)
+    lab AS MATERIALIZED (SELECT a AS node, MIN(b) AS label FROM reach GROUP BY a)
     SELECT
       CAST(label AS BIGINT) AS component_id,
       CAST(COUNT(*) AS BIGINT) AS n_members,
@@ -551,8 +558,8 @@ def pack_padding_waste(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "dedup_cluster_representative",
     oracle=f"""
-    WITH RECURSIVE pairs AS ({NEAR_DUP_PAIRS_SQL}),
-    sym AS (
+    WITH RECURSIVE pairs AS MATERIALIZED ({NEAR_DUP_PAIRS_SQL}),
+    sym AS MATERIALIZED (
       SELECT doc_a AS src, doc_b AS dst FROM pairs
       UNION ALL
       SELECT doc_b AS src, doc_a AS dst FROM pairs
@@ -562,7 +569,7 @@ def pack_padding_waste(spark: SparkSession, sf_dir: str) -> DataFrame:
       UNION
       SELECT r.a, s.dst FROM reach r JOIN sym s ON s.src = r.b
     ),
-    lab AS (SELECT a AS node, MIN(b) AS label FROM reach GROUP BY a),
+    lab AS MATERIALIZED (SELECT a AS node, MIN(b) AS label FROM reach GROUP BY a),
     scored AS (
       SELECT l.label, l.node, d.n_chars,
              ROW_NUMBER() OVER (PARTITION BY l.label
