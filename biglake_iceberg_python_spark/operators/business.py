@@ -341,7 +341,9 @@ def customer_gini_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
     final division is the only float op — bit-stable and hash-matched.
 
     100 TB: one shuffle aggregates orders to customer grain (map-side
-    combined), the 25-row nation dim broadcasts, and the rank window
+    combined); the 25-row nation dim broadcasts, the customer projection
+    joins unhinted (AQE: broadcast small, custkey shuffle at scale), and
+    the rank window
     partitions by nation — the same single-exchange window shape as the
     Pareto/ABC query it complements.
     """
@@ -353,7 +355,7 @@ def customer_gini_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.select("o_custkey", cents.alias("cents"))
         .groupBy("o_custkey")
         .agg(F.sum("cents").alias("cents"))
-        .join(F.broadcast(c.select("c_custkey", "c_nationkey")),
+        .join(c.select("c_custkey", "c_nationkey"),
               F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
         .select("n_name", "o_custkey", "cents")

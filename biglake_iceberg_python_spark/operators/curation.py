@@ -1019,9 +1019,12 @@ def curate_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
     before committing a batch.
 
     Scale shape: domain/range rules are map-side codegen; the referential
-    check broadcasts the dimension key set; uniqueness is a groupBy on the
-    key whose duplicate list (usually ~empty) broadcasts back. One
-    accounting aggregation, no second scan per rule.
+    check joins the dimension key set unhinted — the key set is O(SF)
+    rows, so AQE broadcasts it while small and flips to a custkey shuffle
+    at warehouse scale (forcing the broadcast would OOM executors at
+    100 TB). Uniqueness is a groupBy on the key whose duplicate list
+    (usually ~empty — AQE sees its measured size and broadcasts it)
+    joins back. One accounting aggregation, no second scan per rule.
     """
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer").select("c_custkey")
@@ -1032,8 +1035,8 @@ def curate_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_orderkey")
     )
     checked = (
-        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"], "left")
-        .join(F.broadcast(dup.withColumnRenamed("o_orderkey", "dup_key")),
+        o.join(c, o["o_custkey"] == c["c_custkey"], "left")
+        .join(dup.withColumnRenamed("o_orderkey", "dup_key"),
               F.col("o_orderkey") == F.col("dup_key"), "left")
         .select(
             (F.col("o_totalprice") > 0).alias("p_price"),

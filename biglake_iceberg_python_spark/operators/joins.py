@@ -569,8 +569,9 @@ def join_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3-style: 3-way join, filtered on both fact and dims, grouped,
     global top-10 by revenue.
 
-    customer(filtered) broadcasts into orders; orders⋈lineitem shuffles on
-    orderkey (the unavoidable one); TakeOrderedAndProject gives top-k
+    customer(filtered) joins unhinted — a broadcast at bench scale, a
+    custkey shuffle once AQE sees it exceed the threshold (it is O(SF)
+    rows); orders⋈lineitem shuffles on orderkey (the unavoidable one); TakeOrderedAndProject gives top-k
     without a global sort. Dates surface as strings so both engines agree.
     """
     c = load_table(spark, sf_dir, "customer").filter(
@@ -585,7 +586,7 @@ def join_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(dsum(revenue, "revenue"))
         .select(
@@ -625,8 +626,9 @@ def join_q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer-nation = supplier-nation locality condition.
 
     Join order matters at scale: lineitem⋈orders shuffles on orderkey (the
-    one unavoidable big shuffle); customer joins on custkey; supplier/
-    nation/region broadcast. The locality predicate c_nationkey =
+    one unavoidable big shuffle); customer joins on custkey; nation/region
+    broadcast (bounded); supplier joins unhinted — broadcast while it fits
+    the AQE threshold, suppkey shuffle past it. The locality predicate c_nationkey =
     s_nationkey is applied as a post-join filter the optimizer can push
     between the joins.
     """
@@ -643,7 +645,7 @@ def join_q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
         .filter(F.col("c_nationkey") == F.col("s_nationkey"))
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)

@@ -9,8 +9,17 @@ simple scans — these queries extend that to the standard warehouse suite).
 The testdata schema omits ``partsupp``, ``l_shipmode``, ``l_commitdate`` and
 ``l_receiptdate``, so Q12/Q16 are re-expressed over columns that exist while
 keeping their operator shape (conditional aggregation; distinct-count over a
-grouped join). Every query is declared via the DataFrame API, dims broadcast
-explicitly where they stay small at every scale factor, and all double sums
+grouped join). Every query is declared via the DataFrame API. Join-strategy
+policy: only PROVABLY bounded sides carry an explicit ``F.broadcast`` hint —
+nation/region (25/5 rows at every scale factor) and one-row aggregates.
+Linearly-growing sides (part, supplier, customer, and filtered subsets of
+them — still O(SF) rows) carry NO hint: at bench scale the optimizer
+broadcasts them anyway (they sit far under the 10 MB threshold, so the plan
+is identical), while at 100 TB — where a hint would force an executor-OOM
+broadcast of a multi-GB build side — AQE's runtime sizes flip the same join
+to shuffle. This is the size-adaptive discipline the graph iteratives encode
+manually, obtained for free on equi-joins by leaving Catalyst in charge.
+All double sums
 go through :func:`dsum` so results are order-independent (bit-identical
 under any partitioning — the property that makes 1000-executor reruns
 reproducible).
@@ -55,8 +64,9 @@ def tpch_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     direction and ship year.
 
     Plan shape at scale: lineitem⋈orders is the one big orderkey shuffle;
-    customer rides the custkey shuffle; supplier and BOTH nation role-aliases
-    broadcast. The nation-pair disjunction lands after the broadcasts as a
+    customer rides the custkey shuffle; both nation role-aliases broadcast
+    (bounded), and supplier joins unhinted — broadcast at bench scale,
+    shuffle once AQE sees it exceed the threshold. The disjunction lands as a
     cheap in-memory filter, and AQE prunes the now-tiny agg. Year is cast to
     int on both sides (DuckDB year() returns BIGINT).
     """
@@ -78,7 +88,7 @@ def tpch_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
         .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
         .filter(
@@ -129,8 +139,9 @@ def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q8 (national market share): NATION_3's share of PROMO-part
     revenue sold into ASIA customers, per order year.
 
-    Eight-table join where only lineitem⋈orders(⋈customer) shuffles; part,
-    supplier and both nation role-aliases plus region broadcast. The share
+    Eight-table join where only lineitem⋈orders(⋈customer) shuffles; the
+    nation role-aliases and region broadcast (bounded); part and supplier
+    join unhinted (AQE: broadcast small, shuffle at warehouse scale). The share
     is a conditional-sum ratio: both numerator and denominator are exact
     decimal sums cast to double BEFORE the division (IEEE division of
     identical doubles is engine-independent; decimal division scales are
@@ -159,8 +170,8 @@ def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     sales = (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
-        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(p, li.l_partkey == p.p_partkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
         .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
         .join(F.broadcast(r), F.col("cn_rkey") == F.col("r_regionkey"))
@@ -289,8 +300,9 @@ def tpch_q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q14 (promotion effect): percent of revenue from PROMO parts in
     a six-month ship window — a global (no-key) conditional ratio.
 
-    part broadcasts into the filtered lineitem scan, so the whole query is
-    scan → broadcast-join → one-row partial+final agg: zero wide shuffles.
+    part joins into the filtered lineitem scan unhinted — a broadcast join
+    at bench scale (zero wide shuffles: scan → join → one-row agg), a
+    partkey shuffle once part outgrows the AQE threshold.
     Ratio divides two exact decimal sums cast to double (order-independent,
     cross-engine identical).
     """
@@ -308,7 +320,7 @@ def tpch_q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     total = F.sum(rev).cast("double")
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .agg((F.lit(100.00) * promo / total).alias("promo_revenue"))
     )
 
@@ -336,7 +348,8 @@ def tpch_q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame
     lineitem shipments — same operator shape (anti-filtered dim join +
     COUNT DISTINCT per group).
 
-    The brand/type/size filters broadcast-prune part BEFORE the join, so
+    The brand/type/size filters prune part BEFORE the join (broadcast at
+    bench scale, AQE-sized past it), so
     only matching lineitems survive to the distinct. COUNT(DISTINCT key)
     per group plans as a two-phase aggregate on (group, suppkey) — one
     shuffle, no Expand (single distinct column, by design; see
@@ -349,7 +362,7 @@ def tpch_q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame
         & (F.col("p_size").isin(1, 4, 9, 14, 19, 23, 36, 49))
     )
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
     )
@@ -385,7 +398,8 @@ def tpch_q18_large_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     The IN-subquery is a self-aggregation of lineitem → left-semi join. At
     scale the winning plan aggregates lineitem ONCE on l_orderkey, filters
     with HAVING, and semi-joins the (tiny) surviving keyset back — which is
-    exactly how it's declared here; the qualifying-key set broadcasts. The
+    exactly how it's declared here; the qualifying-key set (a handful of
+    rows — AQE broadcasts it from its measured runtime size). The
     outer re-aggregation then shuffles only qualifying lineitems.
     """
     li = load_table(spark, sf_dir, "lineitem")
@@ -398,7 +412,7 @@ def tpch_q18_large_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l_orderkey")
     )
     return (
-        li.join(F.broadcast(big), "l_orderkey", "left_semi")
+        li.join(big, "l_orderkey", "left_semi")
         .join(o, li.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
         .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
@@ -438,7 +452,7 @@ def tpch_q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Declared as an equi-join on partkey with the disjunction as a residual
     filter (NOT as three unioned scans — one pass over lineitem). The
-    brand/size half of each bundle prunes the broadcast part build side via
+    brand/size half of each bundle prunes the part build side (AQE-sized) via
     the derived common predicate; the quantity half filters probe rows.
     """
     li = load_table(spark, sf_dir, "lineitem")
@@ -454,7 +468,7 @@ def tpch_q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .filter(bundle)
         .agg(dsum(revenue, "revenue"))
     )
@@ -657,7 +671,7 @@ def tpch_q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFra
     li = load_table(spark, sf_dir, "lineitem")
     p = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#23")
     pk = p.select("p_partkey")
-    li_brand = li.join(F.broadcast(pk), li.l_partkey == pk.p_partkey)
+    li_brand = li.join(pk, li.l_partkey == pk.p_partkey)
     thresholds = li_brand.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
         (
             F.lit(0.2)
@@ -709,8 +723,10 @@ def tpch_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     proxied by p_retailprice — the operator shape (5-table join, derived
     measure, two-level group) is unchanged.
 
-    lineitem⋈orders shuffles on orderkey; part (type-filtered), supplier
-    and nation broadcast. The profit expression folds into the partial agg
+    lineitem⋈orders shuffles on orderkey; nation broadcasts (bounded);
+    part (type-filtered) and supplier join unhinted — broadcast at bench
+    scale, partkey/suppkey shuffles at warehouse scale (AQE decides).
+    The profit expression folds into the partial agg
     as one decimal term — no second pass.
     """
     li = load_table(spark, sf_dir, "lineitem")
@@ -723,8 +739,8 @@ def tpch_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ) * F.col("l_quantity")
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(p, li.l_partkey == p.p_partkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .groupBy(
             F.col("n_name").alias("nation"),
@@ -791,7 +807,7 @@ def tpch_q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("n_supp") > 1) & (F.col("n_late") == 1))
     )
     return (
-        per_order.join(F.broadcast(s), per_order.the_late_supp == s.s_suppkey)
+        per_order.join(s, per_order.the_late_supp == s.s_suppkey)
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
     )
@@ -901,7 +917,8 @@ def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan shape at scale: the supply derivation is the one big shuffle
     (groupBy partkey+suppkey over lineitem, map-side combined). The
-    region-filtered supplier side broadcasts; the min-cost match is a
+    region-filtered supplier side joins unhinted (AQE-sized); the min-cost
+    match is a
     partkey-clustered shuffle join — mins has one row per part, which at
     warehouse scale is itself large, so it must NOT broadcast (AQE
     converts it when small). The double division is a per-row IEEE op —
@@ -919,7 +936,7 @@ def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost")
     )
     eligible = (
-        supply.join(F.broadcast(s), supply.l_suppkey == s.s_suppkey)
+        supply.join(s, supply.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .select("l_partkey", "unit_cost", "s_acctbal", "s_name", "n_name")
@@ -933,7 +950,7 @@ def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             (eligible.l_partkey == mins.m_partkey)
             & (eligible.unit_cost == mins.min_cost),
         )
-        .join(F.broadcast(p), eligible.l_partkey == p.p_partkey)
+        .join(p, eligible.l_partkey == p.p_partkey)
         .select(
             "s_acctbal", "s_name", "n_name", "p_partkey", "p_brand", "p_type",
             F.col("unit_cost").alias("supplycost"),
@@ -969,8 +986,8 @@ def tpch_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     partsupp, so value is DERIVED from lineitem: sum of extended price per
     part over the nation's suppliers.
 
-    Plan shape at scale: nation-filtered supplier broadcasts into the
-    lineitem scan, then ONE partkey shuffle builds the per-part value
+    Plan shape at scale: nation-filtered supplier joins into the lineitem
+    scan unhinted (broadcast while small — AQE decides), then ONE partkey shuffle builds the per-part value
     table; the global total re-aggregates that (tiny) table and broadcasts
     back as a one-row cross join — lineitem is read once, and no collect()
     touches the driver. Both sides of the threshold comparison are exact
@@ -983,7 +1000,7 @@ def tpch_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_name") == "NATION_3"
     )
     v = (
-        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        li.join(s, li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .groupBy(F.col("l_partkey").alias("ps_partkey"))
         .agg(F.sum(F.col("l_extendedprice").cast("decimal(30,6)")).alias("value_dec"))
@@ -1031,11 +1048,11 @@ def tpch_q20_promo_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     supplied, vs quantity shipped in 1998; "excess" = total > 2× the 1998
     consumption (with some 1998 activity).
 
-    Plan shape at scale: the part-name filter broadcasts into the lineitem
-    scan (semi shape — only partkey survives); ONE (suppkey, partkey)
+    Plan shape at scale: the part-name-filtered part joins into the
+    lineitem scan unhinted (semi shape — only partkey survives); ONE (suppkey, partkey)
     shuffle computes both conditional sums map-side-combined in the same
     pass; the qualifying supplier set then semi-joins (DISTINCT) against
-    the broadcast nation-filtered supplier dim. Quantities compare as
+    the nation-filtered supplier dim (AQE-sized). Quantities compare as
     exact decimals — no double-sum ordering anywhere.
     """
     li = load_table(spark, sf_dir, "lineitem")
@@ -1051,7 +1068,7 @@ def tpch_q20_promo_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_shipdate") < F.lit("1999-01-01").cast("timestamp"))
     )
     sp = (
-        li.join(F.broadcast(pp), li.l_partkey == pp.p_partkey)
+        li.join(pp, li.l_partkey == pp.p_partkey)
         .groupBy("l_suppkey", "l_partkey")
         .agg(
             F.sum(F.col("l_quantity").cast("decimal(30,6)")).alias("avail"),
@@ -1063,7 +1080,7 @@ def tpch_q20_promo_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("avail") > 2 * F.col("qty98")) & (F.col("qty98") > 0))
     )
     return (
-        sp.join(F.broadcast(s), sp.l_suppkey == s.s_suppkey)
+        sp.join(s, sp.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .select("s_name", "s_acctbal")
         .distinct()

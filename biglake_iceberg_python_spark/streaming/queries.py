@@ -884,16 +884,18 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     static customer dimension per micro-batch, then aggregated.
 
     The static side is re-planned each micro-batch (so dim updates between
-    batches are picked up) and broadcasts — the standard enrichment shape
-    for streams at scale: the stream NEVER shuffles for the join, only for
-    its own aggregation. Batch twin = the same join in plain SQL.
+    batches are picked up) and joins unhinted — the micro-batch planner
+    broadcasts it while it fits (the standard enrichment shape: the
+    stream never shuffles for the join, only for its own aggregation)
+    and falls back to a shuffle join once the dimension outgrows the
+    threshold, instead of OOMing on a forced broadcast. Batch twin = the same join in plain SQL.
     """
     input_dir, ckpt = stage_event_chunks(spark, sf_dir, n_chunks=4)
     s = read_event_stream(spark, input_dir).filter(
         F.col("event_type").isin("purchase", "error")
     )
     c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
-    joined = s.join(F.broadcast(c), s.user_id == c.c_custkey)
+    joined = s.join(c, s.user_id == c.c_custkey)
     agg = joined.groupBy("c_mktsegment", "event_type").agg(
         F.count(F.lit(1)).alias("n_events"),
         F.sum(F.col("value").cast("decimal(30,6)")).alias("sum_dec"),

@@ -1101,3 +1101,35 @@ def test_graph_iteratives_shuffle_regime(spark, sf_dir):
     finally:
         spark.conf.unset(_BCAST_NODE_LIMIT_CONF)
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
+
+def test_growing_dims_flip_to_shuffle_when_broadcast_disabled(spark, sf_dir):
+    """The equi-join twin of the graph regime tests: linearly-growing
+    dimension sides (part, supplier, customer) carry NO broadcast hint
+    (tpch.py module docstring), so Catalyst chooses broadcast only from
+    SIZE. Forcing the threshold to -1 models the 100 TB regime where those
+    dims exceed executor memory: the joins must flip to shuffle joins and
+    return bit-identical rows, while the explicitly-hinted bounded dims
+    (nation/region) keep their broadcast regardless of threshold — the
+    hint is reserved for sides that are provably small at every scale."""
+
+    def rows(name):
+        return sorted(
+            tuple(r) for r in REGISTRY[name].fn(spark, sf_dir).collect()
+        )
+
+    names = ("tpch_q9_product_profit", "join_q5_local_supplier")
+    base = {n: rows(n) for n in names}
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try:
+        for name in names:
+            plan = plan_of(spark, sf_dir, name)
+            # part/supplier/customer now shuffle…
+            assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, name
+            # …but the hinted nation (and region) broadcasts survive.
+            assert "BroadcastHashJoin" in plan, name
+            assert rows(name) == base[name], name
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
