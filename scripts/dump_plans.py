@@ -158,6 +158,12 @@ def main() -> int:
         "changes).\nEach section: why this plan scales, then the "
         "`explain('formatted')` output at sf0.001.\nPlan-shape invariants "
         "are enforced in `tests/test_plans.py`.\n"
+        "BroadcastHashJoins on part/supplier/customer sides below are "
+        "SIZE-chosen by Catalyst, not hinted: explicit `F.broadcast` is "
+        "reserved for provably bounded sides (nation/region, one-row "
+        "aggregates, codebooks), so at warehouse scale AQE flips these "
+        "same joins to shuffle instead of OOMing on a forced broadcast "
+        "(`test_growing_dims_flip_to_shuffle_when_broadcast_disabled`).\n"
     )
     def dump(name: str, commentary: str, title: str | None = None) -> None:
         df = registry[name].fn(spark, sf_dir)
