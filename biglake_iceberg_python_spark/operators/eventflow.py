@@ -2027,9 +2027,11 @@ def events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Sessions come from the same 30-minute-gap sessionization as
     `agg_sessionize_events` (a session "ends" one gap after its last
-    event). Everything is integer epoch arithmetic; the global boundary
-    window runs over |sessions|·2 rows, ≪ events — and at 100 TB the
-    sweep generalizes to per-shard maxima + boundary-crossing merge.
+    event). Everything is integer epoch arithmetic, and the sweep is the
+    per-shard-maxima + merge form, not a single global sort: running sums
+    and their maxima are computed per day-bucket in parallel, and only
+    the one-row-per-day totals table crosses a global window — so no
+    single partition ever holds the full boundary set at 100 TB.
     """
     e = load_table(spark, sf_dir, "events").select(
         "user_id", F.expr(_ES).cast("long").alias("es")
@@ -2058,17 +2060,50 @@ def events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         sess.select(F.col("s_end").alias("t"), F.lit(-1).alias("delta"))
     )
     sweep = bounds.groupBy("t").agg(F.sum("delta").alias("d"))
-    run = sweep.withColumn(
-        "live",
-        F.sum("d").over(
-            Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    # Two-phase running sum (the pack_token_shards discipline) — never a
+    # global single-partition window over the boundary table: boundaries
+    # bucket by calendar day, the running sum and its max are computed
+    # WITHIN each bucket (partitioned, parallel), and only the per-DAY
+    # totals — one row per day, bounded by calendar span, not by data
+    # volume — take the global exclusive prefix sum. The peak is then
+    # max over buckets of (base + local max), identical to the global
+    # running-sum max because buckets partition t in order. Exact integer
+    # arithmetic throughout; an extreme-density day nests the same trick
+    # one level down (hour buckets) without changing the readout.
+    b = sweep.withColumn("bucket", (F.col("t") / F.lit(86400)).cast("long"))
+    wloc = (
+        Window.partitionBy("bucket")
+        .orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    per_bucket = (
+        b.withColumn("run_loc", F.sum("d").over(wloc))
+        .groupBy("bucket")
+        .agg(
+            F.max("run_loc").alias("loc_max"),
+            F.sum("d").alias("btot"),
+            F.min("t").alias("bt_min"),
+            F.max("t").alias("bt_max"),
+        )
+    )
+    based = per_bucket.withColumn(
+        "base",
+        F.coalesce(
+            F.sum("btot").over(
+                Window.orderBy("bucket").rowsBetween(
+                    Window.unboundedPreceding, -1
+                )
+            ),
+            F.lit(0),
         ),
     )
     n_sessions = sess.agg(F.count(F.lit(1)).alias("ns"))
-    return run.agg(
-        F.max("live").cast("long").alias("peak_concurrent_sessions"),
-        F.min("t").cast("long").alias("first_boundary_es"),
-        F.max("t").cast("long").alias("last_boundary_es"),
+    return based.agg(
+        F.max(F.col("base") + F.col("loc_max"))
+        .cast("long")
+        .alias("peak_concurrent_sessions"),
+        F.min("bt_min").cast("long").alias("first_boundary_es"),
+        F.max("bt_max").cast("long").alias("last_boundary_es"),
     ).crossJoin(F.broadcast(n_sessions)).select(
         "peak_concurrent_sessions",
         F.col("ns").cast("long").alias("n_sessions"),
