@@ -11,10 +11,12 @@ SURVEY.md §2A); contract-mandated [EXT] surface. Scale notes:
     exact continuous percentiles (Spark ``percentile`` == DuckDB
     ``quantile_cont`` — interpolation matches bit-for-bit, proven by
     agg_percentile_exact).
-  * Pareto — revenue ranks and the running share are windows over the
-    SUPPLIER rollup (rows = suppliers, not lineitems), so the unavoidable
-    global ordering touches a table thousands of times smaller than the
-    fact input. Cumulative sums run over exact decimals.
+  * Pareto / ABC / Gini — revenue ranks and running shares run over the
+    SUPPLIER/part/customer rollups (not lineitems) AND are two-phase
+    (``functions.twophase.two_phase_rank``): value-range buckets rank in
+    parallel, only the 4096-row bucket table crosses an ordered window —
+    the rollup, itself O(SF) rows, never funnels through one partition.
+    Cumulative sums run over exact decimals/longs.
 """
 
 from __future__ import annotations
@@ -22,6 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from biglake_iceberg_python_spark.functions.twophase import two_phase_rank
 from biglake_iceberg_python_spark.functions.exprs import dsum, oracle_dsum
 from biglake_iceberg_python_spark.plans.registry import query
 from biglake_iceberg_python_spark.sources.tables import load_table
@@ -171,29 +174,32 @@ def supplier_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pareto / ABC analysis: suppliers ranked by revenue with cumulative
     share, classed A (first 80% of revenue), B (to 95%), C (tail).
 
-    The global ordering runs over the per-supplier rollup — suppliers,
-    not line items — so the single-partition window sees thousands of
-    rows where the input had billions; the heavy work (the revenue
-    rollup) is an ordinary partial-agg shuffle. Cumulative and total sums
-    stay in exact decimal until the final share division, so the running
-    shares match DuckDB bit-for-bit.
+    The global ordering runs over the per-supplier rollup — but suppliers
+    still grow O(SF), so the rank and running sum are TWO-PHASE
+    (:func:`two_phase_rank`): revenue-range buckets rank/cumsum in
+    parallel and only the 4096-row bucket table crosses an ordered
+    window — no single partition ever holds the full rollup. The bucket
+    key is exact integer micro-units (scale-6 decimal × 10⁶; supplier
+    revenue ≪ 2⁵⁰ micro-units at any realistic SF, see twophase.py's
+    int64 bound), cumulative and total sums stay in exact decimal until
+    the final share division, so the running shares match DuckDB's naive
+    global window bit-for-bit.
     """
     li = load_table(spark, sf_dir, "lineitem")
     rev = li.groupBy("l_suppkey").agg(
         dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue")
     )
-    order = [F.col("revenue").desc(), F.col("l_suppkey")]
-    w_cum = Window.orderBy(*order).rowsBetween(Window.unboundedPreceding, 0)
-    w_all = Window.orderBy(*order).rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
-    )
     dec = F.col("revenue").cast("decimal(30,6)")
-    ranked = rev.select(
+    # revenue DESC, suppkey ASC == ascending on the negated micro-unit key
+    key = -((dec * 1000000).cast("long"))
+    ranked = two_phase_rank(rev, key, "l_suppkey", cums={"revenue": dec})
+    tot = rev.agg(F.sum(dec).alias("__tot"))
+    ranked = ranked.crossJoin(F.broadcast(tot)).select(
         "l_suppkey",
-        F.row_number().over(Window.orderBy(*order)).cast("long").alias("rk"),
+        F.col("rk").cast("long").alias("rk"),
         "revenue",
-        F.sum(dec).over(w_cum).cast("double").alias("cum_revenue"),
-        F.sum(dec).over(w_all).cast("double").alias("total_revenue"),
+        F.col("cum_revenue").cast("double").alias("cum_revenue"),
+        F.col("__tot").cast("double").alias("total_revenue"),
     )
     share = F.col("cum_revenue") / F.col("total_revenue")
     return ranked.select(
@@ -336,16 +342,19 @@ def customer_gini_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
     dashboards, computed by the exact rank formula
     G = (2·Σ rk·x − (n+1)·Σx) / (n·Σx).
 
-    Ranks come from a per-nation window with a custkey tiebreak and spend
-    is integer cents, so Σ rk·x and Σ x are exact integers and the single
-    final division is the only float op — bit-stable and hash-matched.
+    Ranks come from the two-phase per-nation rank
+    (:func:`two_phase_rank`, custkey tiebreak): spend-range buckets rank
+    in parallel and only each nation's 4096-row bucket table crosses an
+    ordered window — a nation's customers never funnel through one
+    partition. Spend is integer cents, so Σ rk·x and Σ x are exact
+    integers and the single final division is the only float op —
+    bit-stable and hash-matched.
 
     100 TB: one shuffle aggregates orders to customer grain (map-side
     combined); the 25-row nation dim broadcasts, the customer projection
     joins unhinted (AQE: broadcast small, custkey shuffle at scale), and
-    the rank window
-    partitions by nation — the same single-exchange window shape as the
-    Pareto/ABC query it complements.
+    the rank is bucket-parallel per nation — the same two-phase shape as
+    the Pareto/ABC queries it complements.
     """
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
@@ -360,8 +369,9 @@ def customer_gini_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
         .select("n_name", "o_custkey", "cents")
     )
-    w = Window.partitionBy("n_name").orderBy("cents", "o_custkey")
-    ranked = spend.withColumn("rk", F.row_number().over(w))
+    ranked = two_phase_rank(
+        spend, F.col("cents"), "o_custkey", partition_cols=("n_name",)
+    )
     nd = F.count(F.lit(1)).cast("double")
     sx = F.sum("cents")
     srx = F.sum(F.col("rk") * F.col("cents"))
@@ -550,8 +560,9 @@ def part_abc_xyz_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross-multiplies cumulative vs total revenue (cum·10 ≤ tot·8), and
     the CV cut compares n·Σq²−(Σq)² against cv²·(Σq)² in DECIMAL — no
     float thresholds anywhere, so per-part classes and the 9-cell rollup
-    hash-match. One part-key shuffle + one ordered window over the part
-    rollup (|parts| rows, ≪ lineitem).
+    hash-match. One part-key shuffle; the rank/cumsum over the O(SF) part
+    rollup is two-phase (:func:`two_phase_rank`) — only the 4096-row
+    bucket table crosses an ordered window.
     """
     li = load_table(spark, sf_dir, "lineitem")
     rev_c = F.round(F.col("l_extendedprice").cast("decimal(18,2)") * 100).cast(
@@ -564,15 +575,14 @@ def part_abc_xyz_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(qty_c).cast("decimal(38,0)").alias("sq"),
         F.sum(qty_c.cast("decimal(38,0)") * qty_c).alias("sqq"),
     )
-    w_cum = Window.orderBy(F.col("rev").desc(), "l_partkey").rowsBetween(
-        Window.unboundedPreceding, 0
+    # rev DESC, partkey ASC == ascending on the negated long-cents key;
+    # two-phase rank/cumsum: no single-partition window over the O(SF)
+    # part rollup (see supplier_pareto / twophase.py).
+    ranked = two_phase_rank(
+        pr, -F.col("rev"), "l_partkey", cums={"rev": F.col("rev")}
     )
-    w_all = Window.partitionBy()
-    ranked = pr.select(
-        "*",
-        F.sum("rev").over(w_cum).alias("cum_rev"),
-        F.sum("rev").over(w_all).alias("tot_rev"),
-    )
+    tot = pr.agg(F.sum("rev").alias("tot_rev"))
+    ranked = ranked.crossJoin(F.broadcast(tot))
     css = F.col("n") * F.col("sqq") - F.col("sq") * F.col("sq")
     classed = ranked.select(
         F.when(F.col("cum_rev") * 10 <= F.col("tot_rev") * 8, "A")

@@ -2289,10 +2289,15 @@ def funnel_latency_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     the mean's hours).
 
     Latencies are exact integer seconds; percentiles are exact lower
-    order statistics at rank ⌈q·n⌉ with integer ceiling arithmetic and a
-    user_id tiebreak — never interpolated. The rank window runs over the
-    |converters| table; raw events contribute only the two
-    min-aggregations that the funnel already established.
+    order statistics at rank ⌈q·n⌉ with integer ceiling arithmetic —
+    never interpolated. The converter table never crosses a global
+    window: it collapses to per-DISTINCT-latency counts first (a
+    partial-agg shuffle), and the cumulative window runs over that
+    value-domain table — bounded by the span in seconds, like the
+    Kaplan-Meier per-day table, not by the number of converters. The
+    order statistic at rank r is then MIN(lat_s | cum ≥ r), identical to
+    the oracle's ROW_NUMBER probe because equal latencies are
+    interchangeable at a rank boundary.
     """
     e = load_table(spark, sf_dir, "events").select(
         "user_id", "event_type", F.expr(_ES).cast("long").alias("es")
@@ -2312,15 +2317,22 @@ def funnel_latency_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     lat = p.select(
         "user_id", (F.col("t_buy") - F.col("t_view")).alias("lat_s")
     )
-    w = Window.orderBy("lat_s", "user_id")
-    ranked = lat.select(
-        "lat_s",
-        F.row_number().over(w).alias("rk"),
-        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+    cnt = lat.groupBy("lat_s").agg(F.count(F.lit(1)).alias("c"))
+    cum = cnt.withColumn(
+        "cum",
+        F.sum("c").over(
+            Window.orderBy("lat_s").rowsBetween(Window.unboundedPreceding, 0)
+        ),
     )
+    n_tab = lat.agg(F.count(F.lit(1)).alias("n"))
+    ranked = cum.crossJoin(F.broadcast(n_tab))
+
     def at(q):
-        return F.max(
-            F.when(F.col("rk") == F.expr(f"({q} * n + 99) div 100"), F.col("lat_s"))
+        return F.min(
+            F.when(
+                F.col("cum") >= F.expr(f"({q} * n + 99) div 100"),
+                F.col("lat_s"),
+            )
         ).cast("long")
 
     return ranked.agg(

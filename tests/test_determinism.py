@@ -281,3 +281,64 @@ def test_stream_chunk_tie_at_boundary_cross_engine(spark, tmp_path):
     # are dropped by the watermark.
     row = df.collect()[0]
     assert (row["n_windows"], row["n_surviving_events"]) == (2, 8), row
+
+
+def test_two_phase_rank_matches_global_window(spark):
+    """two_phase_rank must reproduce the naive global window's rank and
+    running sum EXACTLY — including duplicate keys (bucket boundaries),
+    negative keys (descending callers negate), a constant-key degenerate
+    (single bucket), and per-group partitioning — under a partition count
+    that forces rows to straddle buckets."""
+    import random
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from biglake_iceberg_python_spark.functions.twophase import (
+        two_phase_rank,
+    )
+
+    rnd = random.Random(7)
+    rows = [
+        (g, i, rnd.choice([-(10**12), -5, 0, 3, 7, 7, 10**11, k]))
+        for g in ("a", "b")
+        for i, k in enumerate(rnd.sample(range(-(10**12), 10**12), 200))
+    ]
+    df = spark.createDataFrame(rows, "g string, tie long, key long").withColumn(
+        "m", (F.col("key") % 1000 + 1000).cast("decimal(30,6)")
+    )
+    got = (
+        two_phase_rank(
+            df,
+            F.col("key"),
+            "tie",
+            cums={"m": F.col("m")},
+            partition_cols=("g",),
+            n_buckets=8,  # tiny bucket count → many straddles
+        )
+        .select("g", "tie", "rk", "cum_m")
+        .collect()
+    )
+    w = Window.partitionBy("g").orderBy("key", "tie")
+    want = (
+        df.select(
+            "g",
+            "tie",
+            F.row_number().over(w).alias("rk"),
+            F.sum("m").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias(
+                "cum_m"
+            ),
+        )
+        .collect()
+    )
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+
+    # constant key: everything lands in bucket 0, still correct
+    const = df.withColumn("key", F.lit(5))
+    got_c = two_phase_rank(const, F.col("key"), "tie", partition_cols=("g",))
+    want_c = const.select(
+        "g", "tie", F.row_number().over(Window.partitionBy("g").orderBy("key", "tie")).alias("rk")
+    )
+    assert sorted(
+        (r["g"], r["tie"], r["rk"]) for r in got_c.collect()
+    ) == sorted((r["g"], r["tie"], r["rk"]) for r in want_c.collect())

@@ -1133,3 +1133,36 @@ def test_growing_dims_flip_to_shuffle_when_broadcast_disabled(spark, sf_dir):
     finally:
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+
+
+def _partitionless_specs(plan: str) -> int:
+    """Count window specs with NO partition columns: in plan text a spec
+    renders ``windowspecdefinition(<partition exprs>, <order> ASC|DESC
+    ..., specifiedwindowframe...)`` — when the FIRST argument already
+    carries a sort direction, the partition list is empty."""
+    n = 0
+    for chunk in plan.split("windowspecdefinition(")[1:]:
+        first = chunk.split(",")[0]
+        if " ASC" in first or " DESC" in first:
+            n += 1
+    return n
+
+
+def test_pareto_family_windows_are_bucket_partitioned(spark, sf_dir):
+    """The Pareto/ABC/Gini ranks are two-phase (functions/twophase.py):
+    the O(SF) rollup's rank/cumsum windows must partition by the value
+    bucket, and the only partition-less ordered pass allowed is over the
+    per-bucket aggregate (≤ 4096 rows per group) — never the rollup
+    itself. supplier_pareto/part_abc pay exactly those bucket-table
+    windows; gini partitions its bucket pass by nation, so it has none."""
+    for name, max_free in (
+        ("supplier_pareto", 2),  # bucket-table base_n + base_revenue
+        ("part_abc_xyz_classification", 2),
+        ("customer_gini_spend", 0),  # bucket table partitioned by nation
+    ):
+        plan = plan_of(spark, sf_dir, name)
+        assert "__bucket" in plan, name
+        assert _partitionless_specs(plan) <= max_free, (
+            name,
+            _partitionless_specs(plan),
+        )
