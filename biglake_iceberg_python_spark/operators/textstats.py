@@ -528,10 +528,12 @@ def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     coverage divides two exact integers (bit-stable across engines).
 
     Scale shape: the token count is one explode → map-side-combined shuffle
-    on the word key; everything after runs on the TYPE table (|V| rows,
-    ≪ corpus), where the deliberately partition-less ROW_NUMBER window is
-    safe — it sorts the vocabulary, never the corpus. The K probes and
-    totals are broadcast-sized cross joins.
+    on the word key; the head-of-vocabulary selection is a
+    TakeOrderedAndProject (per-partition heaps of max(K) rows — the full
+    type table, which still grows with the corpus under Heaps' law, is
+    never sorted through one partition), and the ROW_NUMBER window runs
+    over the max(K)-row head only. The K probes and totals are
+    broadcast-sized cross joins.
     """
     from pyspark.sql import Window
 
@@ -545,9 +547,15 @@ def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("c"))
         .localCheckpoint(eager=False)
     )
-    ranked = cnt.withColumn(
-        "rnk",
-        F.row_number().over(Window.orderBy(F.col("c").desc(), F.col("word"))),
+    ranked = (
+        cnt.orderBy(F.col("c").desc(), F.col("word"))
+        .limit(max(_VOCAB_KS))
+        .withColumn(
+            "rnk",
+            F.row_number().over(
+                Window.orderBy(F.col("c").desc(), F.col("word"))
+            ),
+        )
     )
     tot = cnt.agg(
         F.sum("c").alias("total_tokens"), F.count(F.lit(1)).alias("total_types")
@@ -713,10 +721,19 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("c"))
     )
-    ranked = cnt.withColumn(
-        "r",
-        F.row_number().over(Window.orderBy(F.col("c").desc(), F.col("word"))),
-    ).filter(F.col("r") <= _ZIPF_RANKS)
+    # TakeOrderedAndProject head selection, then rank the tiny head —
+    # never a single-partition ROW_NUMBER over the full (Heaps-law-growing)
+    # type table.
+    ranked = (
+        cnt.orderBy(F.col("c").desc(), F.col("word"))
+        .limit(_ZIPF_RANKS)
+        .withColumn(
+            "r",
+            F.row_number().over(
+                Window.orderBy(F.col("c").desc(), F.col("word"))
+            ),
+        )
+    )
     pts = ranked.select(
         F.round(F.lit(1e6) * F.log("r")).cast("long").alias("x"),
         F.round(F.lit(1e6) * F.log("c")).cast("long").alias("y"),

@@ -741,13 +741,22 @@ def test_welch_ttest_single_pass(spark, sf_dir):
     assert plan.count("HashAggregate") >= 2  # map-side partial + final
 
 
-def test_gini_single_window_exchange(spark, sf_dir):
-    """The per-nation rank window and the final rollup must share the
-    nation partitioning — one hash exchange on the window key, with both
-    dims broadcast."""
+def test_gini_two_phase_rank_no_data_sized_window_partition(spark, sf_dir):
+    """The per-nation rank must be the two-phase bucketed form: the
+    per-row ROW_NUMBER window partitions by (n_name, __bucket) — a
+    nation's customers never funnel through one window partition — and
+    only the ≤4096-row per-bucket base table crosses the n_name-only
+    ordered window. Dims broadcast; no sort-merge join, no cartesian."""
     plan = plan_of(spark, sf_dir, "customer_gini_spend")
-    assert plan.count("BroadcastHashJoin") == 2
     assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # the data-proportional window is bucket-partitioned
+    assert "windowspecdefinition(n_name" in plan and "__bucket" in plan
+    row_windows = [
+        ln for ln in plan.splitlines()
+        if "row_number() windowspecdefinition" in ln
+    ]
+    assert row_windows and all("__bucket" in ln for ln in row_windows)
 
 
 def test_skew_kurtosis_single_pass(spark, sf_dir):
