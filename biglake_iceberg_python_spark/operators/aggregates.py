@@ -21,6 +21,7 @@ from biglake_iceberg_python_spark.functions.exprs import (
     oracle_davg,
     oracle_dsum,
 )
+from biglake_iceberg_python_spark.functions.twophase import two_phase_rank
 from biglake_iceberg_python_spark.plans.registry import query
 from biglake_iceberg_python_spark.sources.tables import load_table
 
@@ -873,34 +874,52 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     (price weighted by quantity), and the median is the first value whose
     cumulative weight reaches half the total. The threshold test is the
     integer cross-comparison 2·cum ≥ tot (no float division), and the
-    cumulative window's (price, orderkey, linenumber) ordering is a total
-    order, so both engines pick the identical row.
+    cumulative ordering (price, orderkey, linenumber) is a total order,
+    so both engines pick the identical row.
 
-    Scale shape: one exchange on the group key serves the cumulative
-    window, the total-weight window, and the final rollup (key-prefix
-    reuse); weights accumulate as exact int64.
+    Scale shape: l_returnflag has THREE values, so a flag-partitioned
+    cumulative window would funnel the whole lineitem table through three
+    tasks. The running weight instead comes from the two-phase bucketed
+    cumsum (:func:`two_phase_rank`): price-range buckets accumulate in
+    parallel and only the ≤4096-row per-bucket totals cross an ordered
+    window per flag. Keys are integer cents (injective on the 2-decimal
+    price, range·4096 ≪ 2^63) and the tie ``orderkey·8 + linenumber``
+    (linenumber ≤ 7) reproduces the (orderkey, linenumber) lexicographic
+    order, so the bucketed cumsum is bit-identical to the naive window.
+    Group totals are a separate map-side-combined rollup broadcast back.
     """
     li = load_table(spark, sf_dir, "lineitem")
-    cum_w = (
-        Window.partitionBy("l_returnflag")
-        .orderBy("l_extendedprice", "l_orderkey", "l_linenumber")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    tot_w = Window.partitionBy("l_returnflag")
     wt = F.col("l_quantity").cast("long")
-    w = li.select(
+    cents = (
+        F.round(F.col("l_extendedprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+    )
+    base = li.select(
         "l_returnflag",
         F.col("l_extendedprice").alias("price"),
-        F.sum(wt).over(cum_w).alias("cum_wt"),
-        F.sum(wt).over(tot_w).alias("tot_wt"),
+        cents.alias("price_c"),
+        wt.alias("wt"),
+        (F.col("l_orderkey") * 8 + F.col("l_linenumber")).alias("tie"),
     )
-    return w.groupBy("l_returnflag").agg(
-        F.max("tot_wt").cast("long").alias("total_weight"),
-        F.min(
-            F.when(2 * F.col("cum_wt") >= F.col("tot_wt"), F.col("price"))
+    cum = two_phase_rank(
+        base,
+        F.col("price_c"),
+        "tie",
+        cums={"wt": F.col("wt")},
+        partition_cols=("l_returnflag",),
+    )
+    tot = base.groupBy("l_returnflag").agg(F.sum("wt").alias("tot_wt"))
+    return (
+        cum.join(F.broadcast(tot), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            F.max("tot_wt").cast("long").alias("total_weight"),
+            F.min(
+                F.when(2 * F.col("cum_wt") >= F.col("tot_wt"), F.col("price"))
+            )
+            .cast("double")
+            .alias("weighted_median_price"),
         )
-        .cast("double")
-        .alias("weighted_median_price"),
     )
 
 

@@ -40,6 +40,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from biglake_iceberg_python_spark.functions.twophase import two_phase_rank
 from biglake_iceberg_python_spark.operators.dedup import _shingles, _words
 from biglake_iceberg_python_spark.operators.pipeline import (
     _md5_bucket,
@@ -738,37 +739,30 @@ def curate_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     p50 / p90 / max), and leading-content fingerprint duplicate counts —
     the datasheet a curated corpus ships with.
 
-    Quantiles are DISCRETE and engine-exact: a row_number over
-    (n_tok, doc_id) picks the ceil(q·n)-th element with pure integer
-    position arithmetic — no interpolation, no float thresholds, identical
-    tie-breaks on both engines. The window partitions on (source, lang)
-    and the rollup groups on the same key, so Catalyst plans ONE exchange
-    for both; at 100 TB this is a single corpus pass plus a
-    |sources|×|langs|-row result.
+    Quantiles are DISCRETE and engine-exact: a rank over (n_tok, doc_id)
+    picks the ceil(q·n)-th element with pure integer position arithmetic —
+    no interpolation, no float thresholds, identical tie-breaks on both
+    engines. (source, lang) has |sources|×|langs| ≈ dozens of values, so a
+    group-partitioned rank window would funnel the corpus through dozens
+    of tasks; the rank instead comes from the two-phase bucketed form
+    (:func:`two_phase_rank`): length-range buckets rank in parallel and
+    only each group's ≤4096-row bucket table crosses an ordered window.
+    Group sizes are a map-side rollup broadcast back; the datasheet rollup
+    itself is one exchange on (source, lang).
     """
-    from pyspark.sql import Window
-
     d = load_table(spark, sf_dir, "documents")
     t = d.select(
         "doc_id",
         "source",
         "lang",
         "n_chars",
-        F.size(_words()).alias("n_tok"),
+        F.size(_words()).cast("long").alias("n_tok"),
         F.md5(F.concat_ws(" ", F.slice(_words(), 1, _FP_WORDS))).alias("fp"),
-    )
-    w = Window.partitionBy("source", "lang").orderBy("n_tok", "doc_id")
-    wn = Window.partitionBy("source", "lang")
-    r = t.select(
-        "source",
-        "lang",
-        "n_tok",
-        "n_chars",
-        "fp",
-        F.row_number().over(w).alias("rn"),
-        F.count(F.lit(1)).over(wn).alias("n"),
-    )
-    pos50 = (F.col("n") + 1).cast("long") / 2
+    ).localCheckpoint(eager=False)
+    n_by_g = t.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("n"))
+    r = two_phase_rank(
+        t, F.col("n_tok"), "doc_id", partition_cols=("source", "lang")
+    ).withColumnRenamed("rk", "rn").join(F.broadcast(n_by_g), ["source", "lang"])
     return r.groupBy("source", "lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tok").cast("long").alias("n_tokens"),
@@ -1341,34 +1335,30 @@ def curate_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine — so clip decisions, clipped counts, and the winsorized sum are
     all integers and hash-match the oracle.
 
-    100 TB: ONE exchange on lang serves the rank window, both cutoff
-    broadcasts (window MAX over the same partition — no second shuffle),
-    and the final rollup. For corpora where a single language dominates,
-    swap the rank window for the distributed KLL cutoff
-    (`agg_kll_quantile_merge`) and keep the identical clip stage.
+    100 TB: lang has handful cardinality, so a lang-partitioned rank
+    window would funnel the corpus through a few tasks (the failure mode
+    the old docstring hedged with a KLL swap). Ranks instead come from the
+    two-phase bucketed form (:func:`two_phase_rank`): length-range buckets
+    rank in parallel and only each language's ≤4096-row bucket table
+    crosses an ordered window. The two cutoff rows collapse to a
+    |langs|-row table broadcast back onto the narrow (lang, n_chars)
+    projection for the clip rollup — every corpus-sized pass is
+    column-pruned and embarrassingly parallel.
     """
-    d = load_table(spark, sf_dir, "documents")
-    w = Window.partitionBy("lang")
-    ranked = d.select(
-        "lang",
-        "n_chars",
-        F.row_number()
-        .over(w.orderBy("n_chars", "doc_id"))
-        .alias("rk"),
-        F.count(F.lit(1)).over(w).alias("n_lang"),
+    d = load_table(spark, sf_dir, "documents").select(
+        "lang", "doc_id", F.col("n_chars").cast("long").alias("n_chars")
     )
+    n_by_lang = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_lang"))
+    ranked = two_phase_rank(
+        d, F.col("n_chars"), "doc_id", partition_cols=("lang",)
+    ).join(F.broadcast(n_by_lang), "lang")
     lo_rank = F.expr("(5 * n_lang + 99) div 100")
     hi_rank = F.expr("(95 * n_lang + 99) div 100")
-    cut = ranked.select(
-        "lang",
-        "n_chars",
-        F.max(F.when(F.col("rk") == lo_rank, F.col("n_chars")))
-        .over(w)
-        .alias("lo_cut"),
-        F.max(F.when(F.col("rk") == hi_rank, F.col("n_chars")))
-        .over(w)
-        .alias("hi_cut"),
+    cuts = ranked.groupBy("lang").agg(
+        F.max(F.when(F.col("rk") == lo_rank, F.col("n_chars"))).alias("lo_cut"),
+        F.max(F.when(F.col("rk") == hi_rank, F.col("n_chars"))).alias("hi_cut"),
     )
+    cut = d.join(F.broadcast(cuts), "lang")
     clipped = F.least(F.greatest(F.col("n_chars"), F.col("lo_cut")), F.col("hi_cut"))
     return cut.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),

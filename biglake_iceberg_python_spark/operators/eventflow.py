@@ -29,6 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from biglake_iceberg_python_spark.functions.twophase import two_phase_rank
 from biglake_iceberg_python_spark.plans.registry import query
 from biglake_iceberg_python_spark.sources.tables import load_table
 
@@ -1170,38 +1171,48 @@ def events_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     partitioning for both rank windows and both joins: one logical key
     end to end.
 
-    100 TB: rank-window medians assume per-group data fits a partition;
-    at larger groups swap the exact rank for the KLL sketch cutoff
-    (`agg_kll_quantile_merge`) and keep the identical flag stage.
+    100 TB: event_type has HANDFUL cardinality, so a type-partitioned
+    rank window would funnel the whole events table through a few tasks.
+    Both order statistics instead come from the two-phase bucketed rank
+    (:func:`two_phase_rank`, event_id tiebreak — a refinement of the
+    value order, so the (n+1)÷2-th smallest VALUE is unchanged):
+    value-range buckets rank in parallel and only each type's ≤4096-row
+    bucket table crosses an ordered window. Group sizes are a map-side
+    rollup broadcast back.
     """
     v = load_table(spark, sf_dir, "events").select(
         "event_type",
+        "event_id",
         F.round(F.col("value").cast("decimal(18,2)") * 100)
         .cast("long")
         .alias("cents"),
     )
-    wt = Window.partitionBy("event_type")
-    med_rk = v.select(
-        "event_type",
-        "cents",
-        F.row_number().over(wt.orderBy("cents")).alias("rk"),
-        F.count(F.lit(1)).over(wt).alias("n"),
+    n_by_type = (
+        v.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=False)
     )
+    med_rk = two_phase_rank(
+        v, F.col("cents"), "event_id", partition_cols=("event_type",)
+    ).join(F.broadcast(n_by_type), "event_type")
+    # |types|-row table: checkpoint so the three downstream consumers
+    # (dev, the mad two-phase's min/max scan, the final rollup) don't each
+    # re-derive the whole median phase.
     m = med_rk.groupBy("event_type").agg(
         F.max(
             F.when(F.col("rk") == F.expr("(n + 1) div 2"), F.col("cents"))
         ).alias("med")
-    )
-    dev = v.join(m, "event_type").select(
-        "event_type", "cents", F.abs(F.col("cents") - F.col("med")).alias("adev"), "med"
-    )
-    mad_rk = dev.select(
+    ).localCheckpoint(eager=False)
+    dev = v.join(F.broadcast(m), "event_type").select(
         "event_type",
-        "adev",
+        "event_id",
+        "cents",
+        F.abs(F.col("cents") - F.col("med")).alias("adev"),
         "med",
-        F.row_number().over(wt.orderBy("adev")).alias("rk"),
-        F.count(F.lit(1)).over(wt).alias("n"),
     )
+    mad_rk = two_phase_rank(
+        dev, F.col("adev"), "event_id", partition_cols=("event_type",)
+    ).join(F.broadcast(n_by_type), "event_type")
     mad = mad_rk.groupBy("event_type").agg(
         F.max("med").alias("med"),
         F.max(

@@ -1175,3 +1175,28 @@ def test_pareto_family_windows_are_bucket_partitioned(spark, sf_dir):
             name,
             _partitionless_specs(plan),
         )
+
+
+def test_low_cardinality_group_ranks_are_bucket_partitioned(spark, sf_dir):
+    """Exact order statistics grouped by a handful-cardinality key
+    (l_returnflag, event_type, lang, source×lang) must use the two-phase
+    bucketed rank: every corpus-sized row_number/cumsum window partitions
+    by (group, __bucket), never the bare group key — otherwise the whole
+    table funnels through |groups| tasks. Group-key-only windows may
+    appear solely over the ≤4096-row per-bucket base tables."""
+    for name in (
+        "agg_weighted_median",
+        "events_outlier_mad",
+        "curate_dataset_card",
+        "curate_winsorize",
+    ):
+        plan = plan_of(spark, sf_dir, name)
+        assert "__bucket" in plan, name
+        assert _partitionless_specs(plan) == 0, name
+        for ln in plan.splitlines():
+            if "windowspecdefinition" not in ln:
+                continue
+            spec = ln.split("windowspecdefinition(", 1)[1]
+            # either a bucketed per-row window or the bucket-table base
+            # pass ordered BY __bucket — both mention the bucket column
+            assert "__bucket" in spec, (name, ln.strip()[:120])
