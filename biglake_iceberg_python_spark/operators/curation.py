@@ -1345,8 +1345,12 @@ def curate_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     projection for the clip rollup — every corpus-sized pass is
     column-pruned and embarrassingly parallel.
     """
-    d = load_table(spark, sf_dir, "documents").select(
-        "lang", "doc_id", F.col("n_chars").cast("long").alias("n_chars")
+    # Narrow 3-column projection materialized once: the two-phase rank,
+    # the lang sizes, and the clip join otherwise each re-scan documents.
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .select("lang", "doc_id", F.col("n_chars").cast("long").alias("n_chars"))
+        .localCheckpoint(eager=False)
     )
     n_by_lang = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_lang"))
     ranked = two_phase_rank(

@@ -258,15 +258,16 @@ def test_tfidf_doc_count_is_broadcast_not_collected(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" in plan
 
 
-def test_dataset_card_single_exchange(spark, sf_dir):
-    """The dataset-card report's window (discrete quantile positions) and
-    its rollup both key on (source, lang) — Catalyst must plan exactly ONE
-    exchange, reused by both, with no global sort."""
+def test_dataset_card_no_funnel_exchanges(spark, sf_dir):
+    """The dataset-card quantiles use the two-phase bucketed rank: no
+    global sort, no single-partition exchange, and the corpus projection
+    is checkpoint-materialized so the rank phases don't re-tokenize. The
+    extra hash exchanges vs the old one-exchange window shape are bounded
+    rollups (bucket bases, group sizes) — never a |groups|-task funnel."""
     plan = plan_of(spark, sf_dir, "curate_dataset_card")
-    n_exchanges = plan.count("Exchange hashpartitioning")
-    assert n_exchanges == 1, f"expected 1 exchange, plan has {n_exchanges}"
     assert "Exchange rangepartitioning" not in plan
-    assert "SinglePartition" not in plan
+    assert "Exchange SinglePartition" not in plan
+    assert "__bucket" in plan
 
 
 def test_q11_reuses_value_table_exchange(spark, sf_dir):
@@ -666,11 +667,17 @@ def test_url_canonical_all_codegen(spark, sf_dir):
     assert plan.count("Exchange hashpartitioning") <= 2
 
 
-def test_winsorize_one_exchange(spark, sf_dir):
-    """Rank window, both cutoff window-MAXes, and the final per-lang rollup
-    must all ride ONE exchange on lang (key-prefix reuse)."""
+def test_winsorize_no_funnel_exchanges(spark, sf_dir):
+    """The winsorize cutoffs use the two-phase bucketed rank over a
+    checkpoint-materialized 3-column projection: no global sort, no
+    single-partition exchange, cutoffs broadcast back for the clip
+    rollup."""
     plan = plan_of(spark, sf_dir, "curate_winsorize")
-    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Exchange rangepartitioning" not in plan
+    assert "Exchange SinglePartition" not in plan
+    assert "__bucket" in plan
+    # the narrow projection is materialized once, not re-scanned per phase
+    assert plan.count("Scan parquet") == 0
 
 
 def test_pca_gram_fixed_size_partials(spark, sf_dir):
