@@ -81,10 +81,10 @@ SHOWCASES = {
     "passes. Surprisal quantized to integer micro-nats pre-aggregation, so "
     "the per-doc NLL sum is exact int64.",
     "text_vocab_coverage": "OOV curve: the corpus contributes only the "
-    "word-count shuffle inside the checkpoint build; the partition-less "
-    "rank window and totals run over the vocab-sized checkpoint (Scan "
-    "ExistingRDD ×2) — the global sort orders |V| types, never corpus "
-    "rows.",
+    "word-count shuffle inside the checkpoint build; the top-of-vocabulary "
+    "head is a TakeOrderedAndProject (per-partition max(K)-row heaps — the "
+    "Heaps-law-growing type table is never sorted through one partition) "
+    "and the rank window runs over the bounded head only.",
     "curate_quality_weighted_sample": "Quality-weighted sampling: keep "
     "decision is bucket·n < 1e6·n_dist integer cross-multiplication in "
     "codegen over the scan — zero joins, zero RNG; the only exchange "
