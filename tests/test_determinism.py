@@ -98,6 +98,9 @@ def test_query_results_partition_invariant(spark, sf_dir):
         "text_bm25_search",         # quantized idf·tfnorm + top-k
         "ts_ewma_decay",            # integer-literal weighted sums
         "customer_gini_spend",      # rank-weighted integer sums
+        "agg_weighted_median",      # two-phase cumsum threshold pick
+        "events_outlier_mad",       # two-phase median + MAD ranks
+        "curate_winsorize",         # two-phase percentile cutoffs
         "dedup_substring_spans",    # fingerprint join + interval merge
         "graph_pagerank",           # quantized iterative contributions
         "events_bootstrap_ci_daily_mean",  # md5-resample order statistics
