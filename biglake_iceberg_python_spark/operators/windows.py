@@ -241,7 +241,14 @@ def window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 def window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """percent_rank / cume_dist distribution functions per brand — rank
     normalization, the window form of quantile features (both are exact
-    rational values n/m so they hash identically across engines)."""
+    rational values n/m so they hash identically across engines).
+
+    This query exists to cover the built-in distribution-function surface;
+    its per-brand window funnels each brand through one task. When the
+    output must stay per-row at warehouse scale, derive both values from
+    the two-phase bucketed rank instead (``functions/twophase.py``:
+    pr = (rk-1)/(n-1), cd = rk/n under this total order) — the form the
+    exact-order-statistic queries here already use."""
     p = load_table(spark, sf_dir, "part").filter(F.col("p_size") > 40)
     pw = Window.partitionBy("p_brand").orderBy("p_retailprice", "p_partkey")
     return p.select(
