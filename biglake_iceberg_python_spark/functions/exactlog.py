@@ -1,0 +1,72 @@
+"""Engine-portable integer micro-nat logarithms — exact by construction.
+
+``round(1e6 * ln(n))`` evaluated as a DOUBLE is engine-dependent: JVM
+``Math.log`` (fdlibm-derived), glibc, and DuckDB's libm disagree in the
+last ulp, so whenever ``1e6 * ln(n)`` lands within ~1e-9 of a ``.5``
+boundary the engines round apart. CORRECTNESS_r07's single red
+(``ml_woe_binning``) was this exact hazard class — previously waived by a
+measure-zero argument the driver empirically voted against.
+
+The by-construction fix: the ln arguments in these queries come from a
+BOUNDED, data-derived integer domain (a <=10-bin histogram, a
+calendar-span day table), so the quantity is computed ONCE here, in
+Python ``decimal`` arithmetic (``Decimal.ln`` is correctly rounded and
+platform-independent), and callers inline the resulting INTEGER literals
+into BOTH the Spark plan (a literal map lookup) and the DuckDB oracle (a
+literal ``VALUES`` join). Neither engine ever evaluates a transcendental,
+so there is no boundary left to disagree on.
+
+Scale shape of the pattern: the corpus collapses to the bounded argument
+table through ordinary distributed aggregation; that table is cached,
+collected (O(bins) / O(days) rows — within the repo's documented
+driver-collect budget), mapped through :func:`micro_nat`, and rejoined as
+literals. One corpus scan, O(domain) driver state.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable
+from decimal import ROUND_HALF_UP, Decimal, localcontext
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# 40 significant digits: a correctly-rounded ln at this precision sits
+# within 1e-33 of the true value, and 1e6*ln(integer) is irrational (hence
+# never ON a boundary), so the HALF_UP quantize below is unambiguous.
+_PREC = 40
+
+
+def micro_nat(n: int) -> int:
+    """``round(1e6 * ln(n))`` for an integer ``n >= 1``, deterministic
+    across platforms and engines (pure decimal arithmetic, no libm)."""
+    if n < 1:
+        raise ValueError(f"micro_nat requires n >= 1, got {n}")
+    if n == 1:
+        return 0
+    with localcontext() as ctx:
+        ctx.prec = _PREC
+        v = Decimal(n).ln() * Decimal(1_000_000)
+    return int(v.quantize(Decimal(1), rounding=ROUND_HALF_UP))
+
+
+def micro_nat_map(args: Iterable[int]) -> Column:
+    """A Spark literal ``map<bigint, bigint>`` from each argument to its
+    micro-nat value — ``element_at``/bracket lookups replace ``F.log`` in
+    the plan. Lookups of an argument outside ``args`` yield NULL, which
+    propagates into the output and fails the correctness gate loudly."""
+    pairs: list[Column] = []
+    for a in sorted(set(int(a) for a in args)):
+        pairs.append(F.lit(a).cast("long"))
+        pairs.append(F.lit(micro_nat(a)).cast("long"))
+    return F.create_map(*pairs)
+
+
+def micro_nat_values_sql(args: Iterable[int]) -> str:
+    """The DuckDB twin of :func:`micro_nat_map`: the body of a
+    ``ln_tab(n, micro)`` VALUES list holding the SAME integer literals."""
+    rows = [
+        f"(CAST({a} AS BIGINT), CAST({micro_nat(a)} AS BIGINT))"
+        for a in sorted(set(int(a) for a in args))
+    ]
+    return ", ".join(rows)

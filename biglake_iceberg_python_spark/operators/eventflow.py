@@ -3246,11 +3246,9 @@ def events_longest_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "events_retention_powerlaw",
-    oracle=f"""
+_POWERLAW_ACT_SQL = """
     WITH ud AS (
-      SELECT DISTINCT user_id, ({_ORACLE_ES}) // 86400 AS day FROM events
+      SELECT DISTINCT user_id, ({es}) // 86400 AS day FROM {events}
     ), fd AS (
       SELECT user_id, MIN(day) AS f FROM ud GROUP BY user_id
     ), coh AS (SELECT COUNT(*) AS n_users FROM fd),
@@ -3259,12 +3257,45 @@ def events_longest_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM ud JOIN fd ON fd.user_id = ud.user_id
       WHERE ud.day - fd.f >= 1
       GROUP BY ud.day - fd.f
-    ), pts AS (
-      SELECT
-        CAST(round(1e6 * ln(k)) AS BIGINT) AS x,
-        CAST(round(1e6 * ln(active)) AS BIGINT)
-          - CAST(round(1e6 * ln((SELECT n_users FROM coh))) AS BIGINT) AS y
+    )
+"""
+
+
+def _powerlaw_oracle(sf_dir: str) -> str:
+    """Data-dependent oracle (the ml_woe_binning pattern): DuckDB
+    recomputes the day-offset active table itself, but every ln enters as
+    a Python-decimal micro-nat literal (functions/exactlog.py) — the same
+    integers the Spark plan inlines, so no libm boundary exists in either
+    engine. A literal/act mismatch would drop rows via the inner joins
+    and fail the gate loudly."""
+    import duckdb
+
+    from biglake_iceberg_python_spark.functions.exactlog import (
+        micro_nat_values_sql,
+    )
+
+    con = duckdb.connect()
+    body = _POWERLAW_ACT_SQL.format(
+        es=_ORACLE_ES, events=f"read_parquet('{sf_dir}/events.parquet')"
+    )
+    rows = con.execute(
+        body + " SELECT act.k, act.active, coh.n_users FROM act, coh"
+    ).fetchall()
+    con.close()
+    args = {r[0] for r in rows} | {r[1] for r in rows} | {
+        r[2] for r in rows
+    }
+    body = _POWERLAW_ACT_SQL.format(es=_ORACLE_ES, events="events")
+    return f"""
+    {body},
+    ln_tab(n, micro) AS (VALUES {micro_nat_values_sql(args or [1])}),
+    pts AS (
+      SELECT lk.micro AS x, la.micro - lc.micro AS y
       FROM act
+      JOIN coh ON TRUE
+      JOIN ln_tab lk ON lk.n = act.k
+      JOIN ln_tab la ON la.n = act.active
+      JOIN ln_tab lc ON lc.n = coh.n_users
     ), m AS (
       SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
              SUM(x * x) AS sxx, SUM(x * y) AS sxy, SUM(y * y) AS syy
@@ -3285,26 +3316,43 @@ def events_longest_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
       (CAST(num AS DOUBLE) / CAST(denx AS DOUBLE))
         * (CAST(num AS DOUBLE) / CAST(deny AS DOUBLE)) AS r_squared
     FROM kk
-    """,
+    """
+
+
+@query(
+    "events_retention_powerlaw",
+    oracle_builder=_powerlaw_oracle,
     tags=("events", "retention", "powerlaw", "regression"),
 )
 def events_retention_powerlaw(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Power-law retention decay fit — the one-number summary growth
     teams put on dashboards: regress ln(active at day-offset k) on ln(k)
     and report the decay exponent b of retention ∝ k^b (plus fit R²).
-    Composes two of the engine's exactness recipes end-to-end: both logs
-    quantize to integer micro-nats BEFORE aggregation (the
-    `text_lm_perplexity` rule — no raw libm doubles cross an engine
-    boundary), and the OLS readout is `ml_linreg_normal_eq`'s exact
-    integer moments with the identical-double-sequence closed form, so
-    even the fitted doubles hash bit-for-bit.
+
+    Exactness (by construction since round 8, the ml_woe_binning
+    pattern): both logs quantize to integer micro-nats computed ONCE in
+    Python decimal arithmetic (functions/exactlog.py) over the bounded
+    argument domain — day offsets, active counts, cohort size — and the
+    identical integer literals enter the Spark plan (literal map lookup)
+    and the DuckDB oracle (literal VALUES join). Neither engine runs ln,
+    so the JVM-vs-libm ulp boundary the old round(1e6*ln(n)) carried is
+    gone. The OLS readout stays ml_linreg_normal_eq's exact integer
+    moments with the identical-double-sequence closed form, so the
+    fitted doubles hash bit-for-bit.
 
     Scale shape: two shuffles on user_id (distinct days, first-day join)
-    collapse the corpus to ≤|days| offset rows; the regression runs on
-    that tiny table. The k ≥ 1 filter drops the trivially-full day-0
-    point, and absolute active counts (not ratios) keep the log exact —
-    the cohort constant moves into the intercept.
+    collapse the corpus to <=|days| offset rows; that calendar-bounded
+    table is cached and collected (O(days) driver state) to derive the
+    literal ln table, then the cached copy feeds the regression — the
+    corpus is scanned exactly once. The k >= 1 filter drops the
+    trivially-full day-0 point, and absolute active counts (not ratios)
+    keep the log arguments integral — the cohort constant moves into
+    the intercept.
     """
+    from biglake_iceberg_python_spark.functions.exactlog import (
+        micro_nat_map,
+    )
+
     e = load_table(spark, sf_dir, "events")
     ud = e.select(
         "user_id", F.expr(f"({_ES}) DIV 86400").alias("day")
@@ -3318,11 +3366,19 @@ def events_retention_powerlaw(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("k")
         .agg(F.count_distinct("user_id").alias("active"))
     )
-    pts = act.crossJoin(F.broadcast(coh)).select(
-        F.expr("CAST(round(1e6 * ln(k)) AS BIGINT)").alias("x"),
-        F.expr(
-            "CAST(round(1e6 * ln(active)) AS BIGINT)"
-            " - CAST(round(1e6 * ln(n_users)) AS BIGINT)"
+    base = act.crossJoin(F.broadcast(coh)).cache()
+    pts_rows = base.collect()  # <=|calendar days| rows — bounded collect
+    mp = micro_nat_map(
+        {r["k"] for r in pts_rows}
+        | {r["active"] for r in pts_rows}
+        | {r["n_users"] for r in pts_rows}
+        or {1}
+    )
+    pts = base.select(
+        mp[F.col("k").cast("long")].alias("x"),
+        (
+            mp[F.col("active").cast("long")]
+            - mp[F.col("n_users").cast("long")]
         ).alias("y"),
     )
     m = pts.agg(

@@ -1081,33 +1081,66 @@ def ml_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_WOE_HIST_SQL = """
+    SELECT LEAST(CAST(FLOOR(o_totalprice / 25000) AS BIGINT), 9) AS bin,
+           COUNT(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS n_pos,
+           COUNT(*) FILTER (WHERE o_orderpriority <> '1-URGENT') AS n_neg
+    FROM {orders} GROUP BY bin
+"""
+
+
+def _woe_oracle(sf_dir: str) -> str:
+    """Data-dependent oracle: DuckDB recomputes the histogram itself, but
+    every ln comes from the SAME Python-decimal micro-nat literal table the
+    Spark plan uses (functions/exactlog.py) — zero transcendentals in
+    either engine, so no libm boundary exists. If the literal table ever
+    disagreed with the histogram, the inner joins would drop rows and the
+    gate would fail loudly on row count."""
+    import duckdb
+
+    from biglake_iceberg_python_spark.functions.exactlog import (
+        micro_nat_values_sql,
+    )
+
+    con = duckdb.connect()
+    hist = con.execute(
+        _WOE_HIST_SQL.format(
+            orders=f"read_parquet('{sf_dir}/orders.parquet')"
+        )
+    ).fetchall()
+    con.close()
+    pos_tot = sum(r[1] for r in hist)
+    neg_tot = sum(r[2] for r in hist)
+    args = (
+        {r[1] + 1 for r in hist}
+        | {r[2] + 1 for r in hist}
+        | {pos_tot + 10, neg_tot + 10}
+    )
+    hist_sql = _WOE_HIST_SQL.format(orders="orders")
+    return f"""
+    WITH h AS ({hist_sql}),
+    t AS (SELECT SUM(n_pos) AS pos_tot, SUM(n_neg) AS neg_tot FROM h),
+    ln_tab(n, micro) AS (VALUES {micro_nat_values_sql(args)})
+    SELECT
+      CAST(h.bin AS BIGINT) AS bin,
+      CAST(h.n_pos + h.n_neg AS BIGINT) AS n_orders,
+      CAST(h.n_pos AS BIGINT) AS n_pos,
+      CAST(h.n_neg AS BIGINT) AS n_neg,
+      CAST(lp.micro - ltp.micro - lnn.micro + ltn.micro AS BIGINT)
+        AS woe_micro,
+      CAST(h.n_pos * 1000000 // t.pos_tot
+           - h.n_neg * 1000000 // t.neg_tot AS BIGINT) AS diff_ppm
+    FROM h, t
+    JOIN ln_tab lp ON lp.n = h.n_pos + 1
+    JOIN ln_tab lnn ON lnn.n = h.n_neg + 1
+    JOIN ln_tab ltp ON ltp.n = t.pos_tot + 10
+    JOIN ln_tab ltn ON ltn.n = t.neg_tot + 10
+    """
+
+
 @query(
     "ml_woe_binning",
-    oracle="""
-    WITH o AS (
-      SELECT LEAST(CAST(FLOOR(o_totalprice / 25000) AS BIGINT), 9) AS bin,
-             o_orderpriority = '1-URGENT' AS pos
-      FROM orders
-    ), h AS (
-      SELECT bin,
-             COUNT(*) FILTER (WHERE pos) AS n_pos,
-             COUNT(*) FILTER (WHERE NOT pos) AS n_neg
-      FROM o GROUP BY bin
-    ), t AS (
-      SELECT SUM(n_pos) AS pos_tot, SUM(n_neg) AS neg_tot FROM h
-    )
-    SELECT
-      CAST(bin AS BIGINT) AS bin,
-      CAST(n_pos + n_neg AS BIGINT) AS n_orders,
-      CAST(n_pos AS BIGINT) AS n_pos,
-      CAST(n_neg AS BIGINT) AS n_neg,
-      CAST(round(1e6 * ln(n_pos + 1)) AS BIGINT)
-        - CAST(round(1e6 * ln(pos_tot + 10)) AS BIGINT)
-        - CAST(round(1e6 * ln(n_neg + 1)) AS BIGINT)
-        + CAST(round(1e6 * ln(neg_tot + 10)) AS BIGINT) AS woe_micro,
-      n_pos * 1000000 // pos_tot - n_neg * 1000000 // neg_tot AS diff_ppm
-    FROM h, t
-    """,
+    oracle_builder=_woe_oracle,
     tags=("ml", "feature", "woe", "binning"),
 )
 def ml_woe_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1117,21 +1150,32 @@ def ml_woe_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
     WOE = ln(P(bin|pos)) − ln(P(bin|neg)) for a binary target (urgent
     priority), plus the per-bin rate gap that feeds information value.
 
-    Exactness: WOE decomposes into four lns of INTEGERS (Laplace-smoothed
-    counts: +1 per bin, +10 = n_bins on totals), each quantized to
-    integer micro-nats BEFORE the subtraction — the engine-portable
-    transcendental discipline every ln-emitting oracle here follows
-    (irrational except ln(1) = 0 exactly). The rate gap is pure integer
-    floor division in ppm. Bin assignment divides two doubles both
-    engines hold bit-identically — one correctly-rounded IEEE divide,
-    then floor.
+    Exactness (by construction since round 8): WOE decomposes into four
+    lns of Laplace-smoothed INTEGER counts (+1 per bin, +10 = n_bins on
+    totals). Those integers live in a <=22-value domain derived from the
+    <=10-row histogram, so the micro-nat quantization round(1e6*ln(n))
+    is computed ONCE in Python decimal arithmetic
+    (functions/exactlog.py) and enters BOTH engines as integer literals
+    — the Spark plan looks them up in a literal map, the oracle joins a
+    literal VALUES table. No engine evaluates ln at all, which retires
+    the JVM-vs-libm ulp boundary behind CORRECTNESS_r07's one flaky
+    driver red on this query. The rate gap is pure integer floor
+    division in ppm; bin assignment divides two doubles both engines
+    hold bit-identically — one correctly-rounded IEEE divide, then
+    floor.
 
     Scale shape: one map-side bin + label projection, one shuffle into a
-    <= 10-row histogram (two-phase hash agg), and a broadcast cross of
-    the 1-row totals — O(corpus) scan, O(bins) state, the same profile
-    as ml_calibration_bins. Feature cardinality never matters: bins are
-    fixed-width arithmetic, not quantiles, so no global sort exists.
+    <=10-row histogram (two-phase hash agg), cached and collected
+    (O(bins) driver state — the k-means-centroid collect class) to
+    derive the literal table; the cached histogram then feeds the final
+    projection, so the corpus is scanned exactly once. Feature
+    cardinality never matters: bins are fixed-width arithmetic, not
+    quantiles, so no global sort exists.
     """
+    from biglake_iceberg_python_spark.functions.exactlog import (
+        micro_nat_map,
+    )
+
     o = load_table(spark, sf_dir, "orders").select(
         F.least(
             F.floor(F.col("o_totalprice") / 25000).cast("long"), F.lit(9)
@@ -1141,21 +1185,28 @@ def ml_woe_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
     h = o.groupBy("bin").agg(
         F.count(F.when(F.col("pos"), 1)).alias("n_pos"),
         F.count(F.when(~F.col("pos"), 1)).alias("n_neg"),
+    ).cache()
+    hist = h.collect()  # <=10 rows, exact integers — O(bins) driver state
+    pos_tot = sum(r["n_pos"] for r in hist)
+    neg_tot = sum(r["n_neg"] for r in hist)
+    mp = micro_nat_map(
+        {r["n_pos"] + 1 for r in hist}
+        | {r["n_neg"] + 1 for r in hist}
+        | {pos_tot + 10, neg_tot + 10}
     )
     t = h.agg(
         F.sum("n_pos").alias("pos_tot"), F.sum("n_neg").alias("neg_tot")
     )
-    q = lambda c: F.round(F.lit(1e6) * F.log(c)).cast("long")  # noqa: E731
     return h.crossJoin(F.broadcast(t)).select(
         F.col("bin").cast("long").alias("bin"),
         (F.col("n_pos") + F.col("n_neg")).cast("long").alias("n_orders"),
         F.col("n_pos").cast("long").alias("n_pos"),
         F.col("n_neg").cast("long").alias("n_neg"),
         (
-            q(F.col("n_pos") + 1)
-            - q(F.col("pos_tot") + 10)
-            - q(F.col("n_neg") + 1)
-            + q(F.col("neg_tot") + 10)
+            mp[(F.col("n_pos") + F.lit(1)).cast("long")]
+            - mp[(F.col("pos_tot") + F.lit(10)).cast("long")]
+            - mp[(F.col("n_neg") + F.lit(1)).cast("long")]
+            + mp[(F.col("neg_tot") + F.lit(10)).cast("long")]
         ).alias("woe_micro"),
         (
             F.expr("n_pos * 1000000 DIV pos_tot")

@@ -22,7 +22,7 @@ import time
 import duckdb
 from pyspark.sql import DataFrame, SparkSession
 
-from biglake_iceberg_python_spark.plans.registry import load_all
+from biglake_iceberg_python_spark.plans.registry import load_all, resolve_oracle
 from biglake_iceberg_python_spark.sources.tables import TABLES
 
 
@@ -107,11 +107,12 @@ def run_checks(
         t0 = time.time()
         try:
             df = spec.fn(spark, sf_dir)
-            if spec.oracle is None:
+            sql = resolve_oracle(spec, sf_dir)
+            if sql is None:
                 n = df.count()
                 out[name] = {"ok": n >= 0, "rows_spark": n, "oracle": "rows-only"}
             else:
-                out[name] = compare(df, con, spec.oracle)
+                out[name] = compare(df, con, sql)
         except Exception as e:  # keep sweeping; report the failure
             out[name] = {"ok": False, "error": f"{type(e).__name__}: {e}"}
         out[name]["sec"] = round(time.time() - t0, 2)

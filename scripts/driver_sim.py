@@ -23,7 +23,10 @@ from biglake_iceberg_python_spark.plans.check import (  # noqa: E402
     compare,
     duckdb_connect,
 )
-from biglake_iceberg_python_spark.plans.registry import load_all  # noqa: E402
+from biglake_iceberg_python_spark.plans.registry import (  # noqa: E402
+    load_all,
+    resolve_oracle,
+)
 
 
 def main() -> int:
@@ -42,11 +45,12 @@ def main() -> int:
         spec = registry[name]
         try:
             df = spec.fn(spark, sf_dir)
-            if spec.oracle is None:
+            sql = resolve_oracle(spec, sf_dir)
+            if sql is None:
                 ok = df.count() >= 0
                 detail = "rows-only"
             else:
-                r = compare(df, con, spec.oracle)
+                r = compare(df, con, sql)
                 ok = r["ok"]
                 detail = "" if ok else str(
                     {k: v for k, v in r.items() if k != "ok"}

@@ -1,0 +1,54 @@
+"""functions/exactlog.py — the by-construction micro-nat tables that
+retired the _RAW_ROUND_EXEMPT entries for ml_woe_binning and
+events_retention_powerlaw (round-7 verdict #1)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from biglake_iceberg_python_spark.functions.exactlog import (
+    micro_nat,
+    micro_nat_map,
+    micro_nat_values_sql,
+)
+
+
+def test_micro_nat_exact_anchors():
+    assert micro_nat(1) == 0
+    # ln(2) = 0.693147180559945..., 1e6x = 693147.18... -> 693147
+    assert micro_nat(2) == 693147
+    # ln(10) = 2.302585092994046 -> 2302585.09... -> 2302585
+    assert micro_nat(10) == 2302585
+    with pytest.raises(ValueError):
+        micro_nat(0)
+
+
+def test_micro_nat_tracks_libm_within_one():
+    """Decimal ln and platform libm agree except possibly AT a rounding
+    boundary — which is the whole point: the decimal value is the single
+    deterministic truth both engines inline."""
+    for n in list(range(2, 500)) + [10**6, 10**9, 10**12, 123456789]:
+        assert abs(micro_nat(n) - round(1e6 * math.log(n))) <= 1, n
+
+
+def test_micro_nat_values_sql_roundtrip_duckdb():
+    import duckdb
+
+    args = [1, 2, 7, 1500, 10**9]
+    sql = f"SELECT n, micro FROM (VALUES {micro_nat_values_sql(args)}) t(n, micro) ORDER BY n"
+    got = duckdb.connect().execute(sql).fetchall()
+    assert got == [(a, micro_nat(a)) for a in sorted(args)]
+
+
+def test_micro_nat_map_spark_lookup(spark):
+    from pyspark.sql import functions as F
+
+    mp = micro_nat_map([3, 50, 7])
+    row = spark.range(1).select(
+        mp[F.lit(50).cast("long")].alias("hit"),
+        mp[F.lit(999).cast("long")].alias("miss"),
+    ).collect()[0]
+    assert row["hit"] == micro_nat(50)
+    assert row["miss"] is None  # out-of-domain lookups fail the gate loudly

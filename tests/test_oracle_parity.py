@@ -7,7 +7,7 @@ from __future__ import annotations
 import pytest
 
 from biglake_iceberg_python_spark.plans.check import compare, duckdb_connect
-from biglake_iceberg_python_spark.plans.registry import load_all
+from biglake_iceberg_python_spark.plans.registry import load_all, resolve_oracle
 
 REGISTRY = load_all()
 
@@ -21,8 +21,9 @@ def oracle_con(sf_dir):
 def test_query_parity(name, spark, sf_dir, oracle_con):
     spec = REGISTRY[name]
     df = spec.fn(spark, sf_dir)
-    if spec.oracle is None:
+    sql = resolve_oracle(spec, sf_dir)
+    if sql is None:
         assert df.count() >= 0  # executes; semantics asserted in test_operators
         return
-    result = compare(df, oracle_con, spec.oracle)
+    result = compare(df, oracle_con, sql)
     assert result["ok"], {k: v for k, v in result.items() if k != "ok"}

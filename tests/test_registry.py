@@ -10,7 +10,17 @@ instead of a bricked round.
 from biglake_iceberg_python_spark.plans.registry import (
     _PRIORITY_WINDOW,
     load_all,
+    resolve_oracle,
 )
+
+# Lint target for data-dependent oracle builders: resolve against the pytest
+# sf so the GENERATED SQL is what gets linted (it must itself be clean —
+# the whole point of a builder is that no transcendental survives into it).
+_LINT_SF_DIR = "/root/testdata/sf0.001"
+
+
+def _lint_sql(spec):
+    return resolve_oracle(spec, _LINT_SF_DIR)
 
 
 def test_load_all_succeeds_and_window_is_registered():
@@ -55,6 +65,10 @@ def test_every_spec_is_well_formed():
     for name, spec in load_all().items():
         assert callable(spec.fn), name
         assert spec.oracle is None or isinstance(spec.oracle, str), name
+        if spec.oracle_builder is not None:
+            assert spec.oracle is None, name  # exclusive by contract
+            assert callable(spec.oracle_builder), name
+            assert isinstance(_lint_sql(spec), str), name
 
 
 # round() on an irrational value (ln of an integer count) is never
@@ -96,20 +110,17 @@ _RAW_ROUND_EXEMPT = {
     # irrational for every argument ≥ 2; the only rational case is the
     # unseen-bigram ln(0+1) = ln 1, which is exactly 0 before round().
     "curate_dsir_select",
-    # Power-law fit quantizes 1e6·ln of INTEGER day-index / active-count /
-    # cohort-size — irrational except at 1, where ln is exactly 0.
-    "events_retention_powerlaw",
     # NB log-likelihoods quantize 1e6·ln of INTEGER counts (doc counts,
     # smoothed token counts, vocab-smoothed totals) — same integer-argument
     # class: irrational except ln(1) = 0 exactly.
     "ml_naive_bayes_langid",
-    # WOE quantizes 1e6·ln of Laplace-smoothed INTEGER counts (+1 per bin,
-    # +10 = n_bins on totals), each rounded to micro-nats BEFORE the
-    # subtraction — the arguments are integers ≥ 1, so ln is irrational
-    # except ln(1) = 0 exactly (same class as events_retention_powerlaw /
-    # ml_naive_bayes_langid); the halfway set round() could disagree on is
-    # measure-zero.
-    "ml_woe_binning",
+    # ml_woe_binning and events_retention_powerlaw carried this exemption
+    # through round 7 on the same integer-argument measure-zero argument —
+    # and the round-7 driver run flaked red on ml_woe_binning anyway.
+    # Round 8 made both exact by construction (functions/exactlog.py
+    # literal tables in BOTH engines; their oracles now contain no ln at
+    # all), so the entries are gone. The same retirement path applies to
+    # the entries above if any ever flakes.
 }
 
 
@@ -183,9 +194,10 @@ def test_no_oracle_emits_raw_transcendental():
 
     offenders = []
     for name, spec in load_all().items():
-        if spec.oracle is None or name in order_only_exempt:
+        raw = _lint_sql(spec)
+        if raw is None or name in order_only_exempt:
             continue
-        sql = re.sub(r"--[^\n]*", "", spec.oracle)  # strip SQL comments
+        sql = re.sub(r"--[^\n]*", "", raw)  # strip SQL comments
         spans = _protected_spans(sql)
         for m in re.finditer(
             r"\b(ln|log|log2|log10|exp|pow|power)\s*\(", sql, re.IGNORECASE
@@ -205,9 +217,10 @@ def test_no_oracle_rounds_a_raw_double():
     documented irrational-value quantizers above."""
     offenders = []
     for name, spec in load_all().items():
-        if spec.oracle is None or name in _RAW_ROUND_EXEMPT:
+        sql = _lint_sql(spec)
+        if sql is None or name in _RAW_ROUND_EXEMPT:
             continue
-        for arg in _round_args(spec.oracle):
+        for arg in _round_args(sql):
             if "AS DECIMAL" not in arg.upper():
                 offenders.append((name, arg.strip()[:80]))
     assert not offenders, f"oracle round() on raw DOUBLE: {offenders}"
