@@ -95,85 +95,89 @@ _loaded = False
 # tests/test_oracle_parity.py's full sweep, which runs every registered
 # query against its oracle regardless of ordering.
 #
-# Provenance of this rotation (round 7, per round-6 VERDICT "Next round"
-# #3): CORRECTNESS_r06 came back 50/50 hash-matched, bringing cumulative
-# driver-verified coverage to 246 of the 347-query registry. The
-# never-driver-verified pool is therefore 101 — 96 hash-matched + 5
-# rows-only (agg_sketch_merge_rollup, agg_hll_set_algebra,
-# agg_kll_quantile_merge, dedup_minhash_oph, text_compression_ratio); the
-# round-6 judge pre-cleared all 101 at sf0.01 under hostile TZ. This
-# window takes 50: the COMPLETE pool families touched or at risk this
-# round — all 8 joins (incl. the four asof/interval queries whose
-# tie-breaks round 7 hardened), all 5 ml (incl. ml_woe_binning, whose
-# oracle-lint exemption round 7 must prove out), both graph names (the
-# broadcast→shuffle flip landed this round), all 9 sim, all 8 dedup, all
-# 7 ts, all 5 stream, all 5 udf — plus the NEW
-# lakehouse_second_engine_read (round-6 VERDICT #6) to fill to 50.
-# Round 8 absorbs the remaining 52 (sql ×8, events ×5, scalar ×4, pack
-# ×3, curate ×3, tpch Q2/Q11/Q20, multimodal ×4 … plus the 5 rows-only),
-# then re-rotates the r1-sampled relational/join/agg families per
-# round-4 verdict #7.
+# Provenance of this rotation (round 8, per round-7 VERDICT "Next round"
+# #2): CORRECTNESS_r07 came back 49/50 (the one red, ml_woe_binning, is a
+# libm-rounding flake made exact by construction this round — see
+# operators/ml.py + functions/exactlog.py). Cumulative driver-verified
+# coverage is 296 of 348; the never-driver-verified pool is 52 — 47
+# hash-matched + 5 rows-only — all 52 pre-cleared by the round-7 judge at
+# sf0.01 under hostile TZ. This window takes ml_woe_binning (to prove the
+# by-construction fix under the real driver) plus 49 of the 52: every
+# hash-checkable name (sql ×9, events ×6 incl. the also-rewritten
+# events_retention_powerlaw, scalar ×4, tpch Q2/Q11/Q20, multimodal ×4,
+# pack ×3, curate ×2 + curate_dsir_select + sample_weighted_expj,
+# basket/cohort/funnel/util/orders ×10, window_nth_value,
+# subquery_not_in_null, anomaly_zscore_daily, sql_recursive_reachability,
+# pipeline_release_gate) and 2 of the 5 rows-only (dedup_minhash_oph,
+# text_compression_ratio). Round 9 sweeps the remaining 3 rows-only
+# sketches (agg_sketch_merge_rollup, agg_hll_set_algebra,
+# agg_kll_quantile_merge — weakest driver signal, deferred by design),
+# reaching 348/348 cumulative, then re-rotates the r1-sampled
+# relational/join/agg families per round-4 verdict #7.
 _PRIORITY_WINDOW = [
-    # join battery (8 — entire never-verified join pool; four touched r7)
-    "join_dynamic_partition_pruning",
-    "join_runtime_bloom_filter",
-    "join_asof_tolerance",
-    "join_hint_strategies",
-    "join_asof_forward",
-    "join_point_in_time_scd2",
-    "join_asof_nearest",
-    "join_interval_overlap",
-    # ml battery (5 — incl. the lint-exempted ml_woe_binning)
-    "ml_linreg_normal_eq",
-    "ml_naive_bayes_langid",
-    "ml_pr_curve_quality",
-    "ml_calibration_bins",
+    # the round-7 red, now exact by construction — prove it under the driver
     "ml_woe_binning",
-    # graph (2 — size-adaptive join-strategy flip landed r7)
-    "graph_resource_allocation",
-    "graph_kcore",
-    # similarity battery (9)
-    "sim_hybrid_rrf",
-    "sim_quantize_int8",
-    "sim_ivf_index_persisted",
-    "dedup_semantic_ivf",
-    "sim_pq_adc",
-    "sim_matryoshka_rescore",
-    "sim_range_search",
-    "sim_mips_transform",
-    "sim_mmr_diversify",
-    # dedup battery (7 hash-matched; minhash_oph rows-only waits for r8)
-    "sim_recall_eval",
-    "dedup_containment",
-    "dedup_fuzzy_levenshtein",
-    "dedup_substring_spans",
-    "dedup_trigram_similarity",
-    "dedup_paragraph_exact",
-    "dedup_lsh_tuning_curve",
-    "dedup_cluster_representative",
-    # time-series battery (7)
-    "ts_gap_fill_locf",
-    "ts_ewma_decay",
-    "ts_holt_forecast",
-    "ts_seasonal_decompose",
-    "ts_holt_winters_forecast",
-    "ts_interpolate_linear",
-    "ts_downsample_m4",
-    # streaming (5 — exact batch-twin oracles)
-    "stream_stateful_timeout_session",
-    "stream_join_then_window",
-    "stream_file_sink_manifest",
-    "stream_windowed_dau",
-    "stream_topk_trending",
-    # udf matrix (5)
-    "udf_pandas_grouped_agg",
-    "udf_cogrouped_map",
-    "udf_pandas_scalar_iter",
-    "udf_pandas_window_agg",
-    "udf_udtf_polymorphic_analyze",
-    # new this round (1, fills to 50): second-engine read of the committed
-    # SnapshotTable layout (round-6 VERDICT "What's missing" #2)
-    "lakehouse_second_engine_read",
+    # sql battery (9)
+    "sql_group_order_by_all",
+    "sql_identifier_clause",
+    "sql_named_window",
+    "sql_session_variable",
+    "sql_execute_immediate",
+    "sql_values_inline",
+    "sql_temp_function",
+    "sql_recursive_reachability",
+    "window_nth_value",
+    # events / experimentation (6 — incl. the rewritten power-law)
+    "events_cuped_adjusted_delta",
+    "events_diff_in_diff",
+    "events_shapley_attribution",
+    "events_longest_streak",
+    "events_retention_powerlaw",
+    "anomaly_zscore_daily",
+    # funnel / cohort (4)
+    "funnel_conversion",
+    "funnel_latency_percentiles",
+    "cohort_retention",
+    "cohort_ltv_curve",
+    # scalar battery (4)
+    "scalar_interval",
+    "scalar_binary_encoding",
+    "scalar_array_reduce",
+    "scalar_regex",
+    # tpch tail (3)
+    "tpch_q2_min_cost_supplier",
+    "tpch_q11_important_stock",
+    "tpch_q20_promo_suppliers",
+    # multimodal (4)
+    "multimodal_dedup_payload",
+    "multimodal_training_record",
+    "multimodal_phash_neardup",
+    "multimodal_content_sniff_audit",
+    # packing (3)
+    "pack_padding_waste",
+    "pack_span_corruption",
+    "pack_length_pair_binning",
+    # curation / sampling (4)
+    "curate_negative_sampling",
+    "curate_dsir_select",
+    "curate_mix_apportionment",
+    "sample_weighted_expj",
+    # business analytics (6)
+    "customer_rfm_segments",
+    "basket_copurchase_lift",
+    "basket_apriori_itemsets",
+    "orders_mix_shift_chi2",
+    "orders_aging_buckets",
+    "part_abc_xyz_classification",
+    # utilities / pipeline (3)
+    "util_profile_table",
+    "util_table_reconcile",
+    "pipeline_release_gate",
+    # not-in-null semantics (1)
+    "subquery_not_in_null",
+    # rows-only pair with documented determinism tests (2)
+    "dedup_minhash_oph",
+    "text_compression_ratio",
 ]
 
 
