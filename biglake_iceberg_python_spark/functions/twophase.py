@@ -21,7 +21,17 @@ buckets partition the key range in order and all sums are decimal/long.
 
 Key-domain bound: ``(max_key - min_key) * n_buckets`` must fit int64 —
 callers pass micro/centi-unit long keys whose global range stays well under
-2^50 (documented per call site), leaving 2^12-bucket headroom of 2^62.
+2^50 (documented per call site), leaving 2^12-bucket headroom of 2^62. The
+bound is now GUARDED, not just documented: the per-group min/max aggregate
+recomputes the product with try_ arithmetic and raises on overflow instead
+of letting non-ANSI int64 wraparound produce silently-wrong ranks.
+
+NULL keys are rejected loudly too: a NULL ordering key would get a NULL
+``__bucket`` and vanish in the equi-join back onto the bucket bases —
+silently losing rows where a naive global window would rank NULLS FIRST.
+No call site feeds NULLs; the guard turns a future violation into an error
+instead of a wrong answer. (Both guards live on already-materialized tiny
+or per-row codegen paths — no extra shuffle, no measurable cost.)
 """
 
 from __future__ import annotations
@@ -47,19 +57,52 @@ def two_phase_rank(
     seeing more than ``n_buckets`` rows (per ``partition_cols`` group) or
     one bucket's worth of data.
 
-    ``key`` must evaluate to LONG; order descending by passing the negated
-    key. ``tie`` must be unique within a ``partition_cols`` group. ``cums``
-    values should already be exact types (decimal/long) — the running sum
-    is exact partial-sum addition, bit-identical to a direct global window.
+    ``key`` must evaluate to LONG and NON-NULL (NULL keys raise — see the
+    module docstring); order descending by passing the negated key. ``tie``
+    must be unique within a ``partition_cols`` group. ``cums`` values
+    should already be exact types (decimal/long) — the running sum is
+    exact partial-sum addition, bit-identical to a direct global window.
     """
     cums = dict(cums or {})
     part = list(partition_cols)
+    mtypes: dict[str, str] = {}
     for alias, col in cums.items():
         df = df.withColumn(f"__m_{alias}", col)
-    df = df.withColumn("__key", key)
+        mtypes[alias] = df.schema[f"__m_{alias}"].dataType.simpleString()
+    df = df.withColumn(
+        "__key",
+        F.when(key.isNotNull(), key).otherwise(
+            F.raise_error(
+                F.lit(
+                    "two_phase_rank: NULL ordering key — NULL rows would be"
+                    " silently dropped by the bucket join"
+                )
+            )
+        ),
+    )
 
     mm = df.groupBy(*part).agg(
         F.min("__key").alias("__mn"), F.max("__key").alias("__mx")
+    )
+    # Loud int64 guard for the documented (max-min)*n_buckets bound: try_
+    # arithmetic yields NULL exactly when the real multiply would wrap.
+    mm = mm.withColumn(
+        "__mx",
+        F.when(
+            F.expr(
+                f"try_multiply(try_subtract(__mx, __mn),"
+                f" CAST({n_buckets} AS BIGINT)) IS NOT NULL"
+            ),
+            F.col("__mx"),
+        ).otherwise(
+            F.raise_error(
+                F.lit(
+                    "two_phase_rank: (max_key - min_key) * n_buckets"
+                    " overflows int64 — key domain violates the documented"
+                    " bound"
+                )
+            )
+        ),
     )
     if part:
         df = df.join(F.broadcast(mm), part)
@@ -98,9 +141,14 @@ def two_phase_rank(
         *part,
         "__bucket",
         F.coalesce(F.sum("__bn").over(w_b), F.lit(0)).alias("__base_n"),
+        # Typed zero, NOT `0 * __bsum`: the first bucket's sum is NULL when
+        # its measures are all NULL, and multiplying by it would NULL every
+        # cum_<alias> in the group — the naive window resumes non-null
+        # partial sums at the first non-null measure, and so must we.
         *[
-            F.coalesce(F.sum(f"__bsum_{a}").over(w_b), F.lit(0) * F.col(f"__bsum_{a}"))
-            .alias(f"__base_{a}")
+            F.coalesce(
+                F.sum(f"__bsum_{a}").over(w_b), F.lit(0).cast(mtypes[a])
+            ).alias(f"__base_{a}")
             for a in cums
         ],
     )

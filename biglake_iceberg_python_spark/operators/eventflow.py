@@ -2081,7 +2081,10 @@ def events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     # running-sum max because buckets partition t in order. Exact integer
     # arithmetic throughout; an extreme-density day nests the same trick
     # one level down (hour buckets) without changing the readout.
-    b = sweep.withColumn("bucket", (F.col("t") / F.lit(86400)).cast("long"))
+    # exact int64 floor division (the twophase.py discipline) — the old
+    # double-divide-then-cast truncated toward zero, which happens to agree
+    # for positive epochs but would mis-bucket pre-1970 timestamps
+    b = sweep.withColumn("bucket", F.expr("t DIV 86400"))
     wloc = (
         Window.partitionBy("bucket")
         .orderBy("t")

@@ -345,3 +345,54 @@ def test_two_phase_rank_matches_global_window(spark):
     assert sorted(
         (r["g"], r["tie"], r["rk"]) for r in got_c.collect()
     ) == sorted((r["g"], r["tie"], r["rk"]) for r in want_c.collect())
+
+def test_two_phase_rank_guards_and_null_measures(spark):
+    """Round-8 ADVICE hardening: NULL ordering keys and int64 bucket-bound
+    violations must raise loudly (previously: silent row loss / wraparound),
+    and an all-NULL first-bucket measure must not NULL the whole group's
+    running sum (typed-zero base, not `0 * NULL`)."""
+    import pytest
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+    from pyspark.sql.utils import PythonException
+
+    from biglake_iceberg_python_spark.functions.twophase import (
+        two_phase_rank,
+    )
+
+    # 1) NULL key raises instead of silently dropping the row
+    df_null = spark.createDataFrame(
+        [(1, 10), (2, None), (3, 30)], "tie long, key long"
+    )
+    with pytest.raises(Exception, match="NULL ordering key"):
+        two_phase_rank(df_null, F.col("key"), "tie").collect()
+
+    # 2) key span that wraps (max-min)*n_buckets past int64 raises
+    df_wide = spark.createDataFrame(
+        [(1, -(2**62)), (2, 2**62)], "tie long, key long"
+    )
+    with pytest.raises(Exception, match="overflows int64"):
+        two_phase_rank(df_wide, F.col("key"), "tie").collect()
+
+    # 3) leading all-NULL measures COVERING the entire first bucket (keys
+    # 10..400, 4 buckets → bucket 0 is i <= 10; NULLs run to i = 12):
+    # bit-identical to the naive window (NULL until the first non-null
+    # measure, then partial sums resume) — `0 * NULL` would NULL them all
+    rows = [(i, i * 10, None if i <= 12 else float(i)) for i in range(1, 41)]
+    df = spark.createDataFrame(rows, "tie long, key long, v double").withColumn(
+        "m", F.col("v").cast("decimal(30,6)")
+    )
+    got = two_phase_rank(
+        df, F.col("key"), "tie", cums={"m": F.col("m")}, n_buckets=4
+    ).select("tie", "rk", "cum_m")
+    w = Window.orderBy("key", "tie")
+    want = df.select(
+        "tie",
+        F.row_number().over(w).alias("rk"),
+        F.sum("m").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias(
+            "cum_m"
+        ),
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
