@@ -62,6 +62,19 @@ def main() -> int:
             registry[name].fn(spark, warm_dir).collect()
         except Exception as exc:  # warm-up must never fail the bench
             print(f"# warm-up skip {name}: {exc}", file=sys.stderr)
+    # Round-7 verdict #3: the FIRST measured sample of each streaming query
+    # at the bench sf paid one-time costs the later samples don't — the
+    # chunk-staging write (cached per process, so it lands on whichever
+    # sample stages first), the first directory listing, OS page cache for
+    # the staged files. One unmeasured pass at the BENCH sf pays all of
+    # that outside the timed window, so the median-of-3 measures only the
+    # per-run engine cost (checkpoint init + micro-batch replay).
+    for name in names:
+        if "streaming" in registry[name].tags:
+            try:
+                registry[name].fn(spark, sf_dir).collect()
+            except Exception as exc:
+                print(f"# stream pre-stage skip {name}: {exc}", file=sys.stderr)
 
     # Streaming queries re-stage files and run 6 micro-batches per pass;
     # their run-to-run spread is large (builder-measured 2.7-25.7s for the
