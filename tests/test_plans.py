@@ -1207,3 +1207,62 @@ def test_low_cardinality_group_ranks_are_bucket_partitioned(spark, sf_dir):
             # either a bucketed per-row window or the bucket-table base
             # pass ordered BY __bucket — both mention the bucket column
             assert "__bucket" in spec, (name, ln.strip()[:120])
+
+
+def test_registry_wide_unpartitioned_window_audit(spark, sf_dir):
+    """Round-7 verdict #4: promote the per-query single-partition-window
+    audits to a REGISTRY-WIDE regression gate. Sweep every registered
+    query's physical plan and flag each `windowspecdefinition` whose spec
+    starts with a sort column (no partition key — the whole input funnels
+    through one task). Every hit must be a documented value-domain-bounded
+    table; a new query that slips an unpartitioned window over a
+    data-proportional table fails here until audited.
+
+    Streaming queries are excluded: their returned DataFrame is a
+    memory-sink table scan (the real plan runs inside the streaming
+    engine, whose state bounds are asserted in test_streaming_state).
+    """
+    import re
+
+    # name -> why the windowed table is bounded (not O(data))
+    allowed = {
+        # two_phase_rank / two-phase prefix-sum per-bucket base tables:
+        # <= n_buckets (4096) rows by construction (functions/twophase.py)
+        "part_abc_xyz_classification": "two-phase bucket base table",
+        "supplier_pareto": "two-phase bucket base table",
+        "pack_token_shards": "two-phase bucket base table",
+        "pipeline_corpus_build": "two-phase bucket base table",
+        "events_peak_concurrency": "per-calendar-day boundary totals",
+        # calendar / value-domain tables
+        "events_cumulative_uniques": "calendar-hour table",
+        "events_kaplan_meier_retention": "day-offset table (calendar span)",
+        "funnel_latency_percentiles":
+            "per-DISTINCT-latency counts (span-seconds domain, pre-agg)",
+        "text_heaps_law": "10-row decile table",
+        # explicit head-selection before the window
+        "curate_negative_sampling": "top-500 vocab head (TakeOrdered)",
+        "text_vocab_coverage": "vocab head (TakeOrdered since r7)",
+        "text_zipf_fit": "vocab head (TakeOrdered since r7)",
+        "graph_pagerank": "window after .limit(top-N)",
+        "sim_hybrid_rrf": "per-query top-K fused candidate lists",
+        # handful-cardinality keys
+        "curate_mix_apportionment": "per-source quota table",
+    }
+    offenders: dict[str, list[str]] = {}
+    for name, spec in REGISTRY.items():
+        if "streaming" in spec.tags:
+            continue
+        plan = plan_of(spark, sf_dir, name)
+        hits = sorted(
+            {
+                m.group(1).strip()
+                for m in re.finditer(r"windowspecdefinition\(([^,)]*)", plan)
+                if " ASC" in m.group(1) or " DESC" in m.group(1)
+            }
+        )
+        if hits:
+            offenders[name] = hits
+    unaudited = {n: h for n, h in offenders.items() if n not in allowed}
+    stale = sorted(set(allowed) - set(offenders))
+    assert not unaudited, f"unpartitioned window needs a scale audit: {unaudited}"
+    assert not stale, f"allowlist entries no longer needed: {stale}"
