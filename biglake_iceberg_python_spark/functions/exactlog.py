@@ -50,6 +50,21 @@ def micro_nat(n: int) -> int:
     return int(v.quantize(Decimal(1), rounding=ROUND_HALF_UP))
 
 
+def micro_nat_ratio(num: int, den: int) -> int:
+    """``round(1e6 * ln(num/den))`` for positive integers — the rational-
+    argument variant (Kaplan–Meier hazards quantize −ln(1 − d/n) =
+    ln(n / (n−d))). Ties round away from zero (decimal ROUND_HALF_UP),
+    matching SQL round() for either sign."""
+    if num < 1 or den < 1:
+        raise ValueError(f"micro_nat_ratio requires positive ints, got {num}/{den}")
+    if num == den:
+        return 0
+    with localcontext() as ctx:
+        ctx.prec = _PREC
+        v = (Decimal(num).ln() - Decimal(den).ln()) * Decimal(1_000_000)
+    return int(v.quantize(Decimal(1), rounding=ROUND_HALF_UP))
+
+
 def micro_nat_map(args: Iterable[int]) -> Column:
     """A Spark literal ``map<bigint, bigint>`` from each argument to its
     micro-nat value — ``element_at``/bracket lookups replace ``F.log`` in

@@ -1479,19 +1479,17 @@ def events_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
 _KM_CENSOR_DAYS = 7
 
 
-@query(
-    "events_kaplan_meier_retention",
-    oracle=f"""
+_KM_RISK_SQL = """
     WITH span AS (
       SELECT user_id,
-             MIN(({_ORACLE_ES}) // {_DAY_S}) AS d0,
-             MAX(({_ORACLE_ES}) // {_DAY_S}) AS d1
-      FROM events GROUP BY user_id
+             MIN(({es}) // {day_s}) AS d0,
+             MAX(({es}) // {day_s}) AS d1
+      FROM {events} GROUP BY user_id
     ), horizon AS (
       SELECT MAX(d1) AS dmax FROM span
     ), lt AS (
       SELECT s.user_id, s.d1 - s.d0 + 1 AS lifetime,
-             (s.d1 >= h.dmax - {_KM_CENSOR_DAYS}) AS censored
+             (s.d1 >= h.dmax - {censor}) AS censored
       FROM span s CROSS JOIN horizon h
     ), per_t AS (
       SELECT lifetime AS t,
@@ -1503,13 +1501,49 @@ _KM_CENSOR_DAYS = 7
              SUM(leaving) OVER (ORDER BY t DESC
                ROWS UNBOUNDED PRECEDING) AS n_at_risk
       FROM per_t
-    ), hazard AS (
-      SELECT t, d_events, n_at_risk,
-             CASE WHEN d_events = 0 THEN 0
-                  ELSE CAST(round(-1e6 * ln(1.0 - CAST(d_events AS DOUBLE)
-                                                 / n_at_risk)) AS BIGINT)
-             END AS nll_micro
-      FROM risk
+    )
+"""
+
+
+def _km_body_sql(events: str) -> str:
+    return _KM_RISK_SQL.format(
+        es=_ORACLE_ES, day_s=_DAY_S, events=events, censor=_KM_CENSOR_DAYS
+    )
+
+
+def _km_oracle(sf_dir: str) -> str:
+    """Data-dependent oracle (the ml_woe_binning pattern, rational
+    arguments): DuckDB rebuilds the lifetime/at-risk table itself; each
+    hazard's −ln(1 − d/n) = ln(n/(n−d)) micro-nat enters as a
+    Python-decimal literal keyed on the (d, n) pair (functions/
+    exactlog.py micro_nat_ratio). The pair domain is the lifetime table —
+    calendar-bounded. An uncovered (d>0, n) pair would surface as a NULL
+    running sum and fail the hash gate loudly."""
+    import duckdb
+
+    from biglake_iceberg_python_spark.functions.exactlog import (
+        micro_nat_ratio,
+    )
+
+    con = duckdb.connect()
+    pairs = con.execute(
+        _km_body_sql(f"read_parquet('{sf_dir}/events.parquet')")
+        + " SELECT d_events, n_at_risk FROM risk WHERE d_events > 0"
+    ).fetchall()
+    con.close()
+    rows = [
+        f"(CAST({d} AS BIGINT), CAST({n} AS BIGINT),"
+        f" CAST({micro_nat_ratio(n, n - d)} AS BIGINT))"
+        for d, n in sorted(set(pairs))
+    ] or ["(CAST(0 AS BIGINT), CAST(-1 AS BIGINT), CAST(0 AS BIGINT))"]
+    return f"""
+    {_km_body_sql("events")},
+    nll_tab(d, n, micro) AS (VALUES {", ".join(rows)}),
+    hazard AS (
+      SELECT r.t, r.d_events, r.n_at_risk,
+             CASE WHEN r.d_events = 0 THEN 0 ELSE nt.micro END AS nll_micro
+      FROM risk r LEFT JOIN nll_tab nt
+        ON nt.d = r.d_events AND nt.n = r.n_at_risk
     )
     SELECT
       CAST(t AS BIGINT) AS t_days,
@@ -1518,7 +1552,12 @@ _KM_CENSOR_DAYS = 7
       CAST(SUM(nll_micro) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING)
         AS BIGINT) AS surv_nll_micro
     FROM hazard
-    """,
+    """
+
+
+@query(
+    "events_kaplan_meier_retention",
+    oracle_builder=_km_oracle,
     tags=("events", "survival", "retention"),
 )
 def events_kaplan_meier_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1528,18 +1567,27 @@ def events_kaplan_meier_retention(spark: SparkSession, sf_dir: str) -> DataFrame
     censored; KM handles exactly that, here with a {c}-day censor
     window).
 
-    Exactness: n_at_risk and event counts are pure integers (at-risk via
-    a DESCENDING cumulative sum over the lifetime table); the survival
-    product Π(1−d/n) becomes a SUM by quantizing each hazard's −ln term
-    to integer micro-nats (the perplexity recipe — S(t) =
-    exp(−nll/1e6)), so the whole curve is exact int64. All windows and
-    rollups run over the |lifetimes| table, never raw events.
+    Exactness (by construction since round 8, the ml_woe_binning pattern
+    with RATIONAL ln arguments): n_at_risk and event counts are pure
+    integers (at-risk via a DESCENDING cumulative sum over the lifetime
+    table); each hazard −ln(1−d/n) = ln(n/(n−d)) is an integer micro-nat
+    computed once in Python decimal arithmetic over the collected
+    (d, n) pair domain — calendar-bounded, like the table itself — and
+    inlined into both engines (broadcast literal join in Spark, VALUES
+    join in the oracle). No engine evaluates ln, the survival product
+    Π(1−d/n) is a SUM of exact int64 terms (S(t) = exp(−nll/1e6)), and
+    the whole curve hashes bit-for-bit. All windows and rollups run over
+    the |lifetimes| table, never raw events.
 
     (On this synthetic corpus users are active throughout the window, so
     only a few distinct lifetimes exist — the curve is short but every
     mechanism (censor split, descending at-risk, hazard quantization) is
     exercised with non-trivial values at each sf.)
     """
+    from biglake_iceberg_python_spark.functions.exactlog import (
+        micro_nat_ratio,
+    )
+
     e = load_table(spark, sf_dir, "events").select(
         "user_id", (F.expr(_ES).cast("long") / _DAY_S).cast("long").alias("day")
     )
@@ -1558,18 +1606,29 @@ def events_kaplan_meier_retention(spark: SparkSession, sf_dir: str) -> DataFrame
     w_desc = Window.orderBy(F.col("t").desc()).rowsBetween(
         Window.unboundedPreceding, 0
     )
-    risk = per_t.withColumn("n_at_risk", F.sum("leaving").over(w_desc))
-    hazard = risk.withColumn(
+    risk = per_t.withColumn(
+        "n_at_risk", F.sum("leaving").over(w_desc)
+    ).cache()
+    # calendar-bounded collect: one (d, n) pair per distinct lifetime
+    pairs = sorted(
+        {
+            (r["d_events"], r["n_at_risk"])
+            for r in risk.collect()
+            if r["d_events"] > 0
+        }
+    )
+    nll_tab = spark.createDataFrame(
+        [(d, n, micro_nat_ratio(n, n - d)) for d, n in pairs]
+        or [(0, -1, 0)],
+        "d long, n long, micro long",
+    )
+    hazard = risk.join(
+        F.broadcast(nll_tab),
+        (F.col("d_events") == F.col("d")) & (F.col("n_at_risk") == F.col("n")),
+        "left",
+    ).withColumn(
         "nll_micro",
-        F.when(F.col("d_events") == 0, F.lit(0)).otherwise(
-            F.round(
-                F.lit(-1e6)
-                * F.log(
-                    F.lit(1.0)
-                    - F.col("d_events").cast("double") / F.col("n_at_risk")
-                )
-            ).cast("long")
-        ),
+        F.when(F.col("d_events") == 0, F.lit(0)).otherwise(F.col("micro")),
     )
     w_asc = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
     return hazard.select(

@@ -637,37 +637,84 @@ def ml_linreg_normal_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("l_returnflag", "l_linestatus")
 
 
-@query(
-    "ml_naive_bayes_langid",
-    oracle="""
+_NB_WC_SQL = """
     WITH docs AS (
       SELECT doc_id, lang,
              list_filter(string_split(text, ' '), x -> x <> '') AS ws,
              ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':nb'), 1, 8))
                ::BIGINT % 5 = 0 AS is_test
-      FROM documents
+      FROM {documents}
     ), train AS (SELECT * FROM docs WHERE NOT is_test),
-    test AS (SELECT * FROM docs WHERE is_test),
-    ntr AS (SELECT COUNT(*) AS n FROM train),
     classes AS (SELECT lang AS clang, COUNT(*) AS dc FROM train GROUP BY lang),
     wc AS (
       SELECT lang AS clang, w, COUNT(*) AS c
       FROM (SELECT lang, unnest(ws) AS w FROM train)
       GROUP BY lang, w
-    ),
+    )
+"""
+
+
+def _nb_oracle(sf_dir: str) -> str:
+    """Data-dependent oracle (the ml_woe_binning pattern, over a TYPE-level
+    domain): DuckDB rebuilds the split, the model counts, and the scoring
+    joins itself; only the ln micro-nat values enter as Python-decimal
+    literals (functions/exactlog.py), joined on the integer argument. The
+    argument domain is {c+1} ∪ {dc} ∪ {n_train} ∪ {tok+V} — bounded by
+    DISTINCT word-count values (Zipf-collapsed, ≪ vocab), not by corpus
+    size. An uncovered argument would drop rows via the inner joins and
+    fail the row-count gate loudly."""
+    import duckdb
+
+    from biglake_iceberg_python_spark.functions.exactlog import (
+        micro_nat_values_sql,
+    )
+
+    con = duckdb.connect()
+    body = _NB_WC_SQL.format(
+        documents=f"read_parquet('{sf_dir}/documents.parquet')"
+    )
+    cvals = [r[0] for r in con.execute(
+        body + " SELECT DISTINCT c FROM wc"
+    ).fetchall()]
+    stats = con.execute(
+        body
+        + """
+        SELECT c.clang, c.dc, t.tok,
+               (SELECT COUNT(DISTINCT w) FROM wc) AS v
+        FROM classes c
+        JOIN (SELECT clang, SUM(c) AS tok FROM wc GROUP BY clang) t
+          ON c.clang = t.clang
+        """
+    ).fetchall()
+    con.close()
+    n_train = sum(r[1] for r in stats)
+    args = (
+        {c + 1 for c in cvals}
+        | {r[1] for r in stats}
+        | {n_train}
+        | {r[2] + r[3] for r in stats}
+    )
+    body = _NB_WC_SQL.format(documents="documents")
+    return f"""
+    {body},
+    test AS (SELECT * FROM docs WHERE is_test),
+    ntr AS (SELECT SUM(dc) AS n FROM classes),
     tokc AS (SELECT clang, SUM(c) AS tok FROM wc GROUP BY clang),
     vn AS (SELECT COUNT(DISTINCT w) AS v FROM wc),
+    ln_t(arg, micro) AS (VALUES {micro_nat_values_sql(args or [1])}),
     classtab AS (
       SELECT c.clang,
-        CAST(round(1e6 * ln(c.dc)) AS BIGINT)
-          - CAST(round(1e6 * ln((SELECT n FROM ntr))) AS BIGINT) AS prior_micro,
-        CAST(round(1e6 * ln(t.tok + (SELECT v FROM vn))) AS BIGINT)
-          AS lognorm_micro
-      FROM classes c JOIN tokc t ON c.clang = t.clang
+        ld.micro - ln_.micro AS prior_micro,
+        lt.micro AS lognorm_micro
+      FROM classes c
+      JOIN tokc t ON c.clang = t.clang
+      JOIN ln_t ld ON ld.arg = c.dc
+      JOIN ln_t ln_ ON ln_.arg = (SELECT n FROM ntr)
+      JOIN ln_t lt ON lt.arg = t.tok + (SELECT v FROM vn)
     ),
     model AS (
-      SELECT clang, w, CAST(round(1e6 * ln(c + 1)) AS BIGINT) AS smooth
-      FROM wc
+      SELECT wc.clang, wc.w, lc.micro AS smooth
+      FROM wc JOIN ln_t lc ON lc.arg = wc.c + 1
     ),
     tw AS (
       SELECT doc_id, w, COUNT(*) AS cnt
@@ -697,7 +744,12 @@ def ml_linreg_normal_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM pred WHERE rn = 1
     GROUP BY actual_lang, predicted_lang
     ORDER BY actual_lang, predicted_lang
-    """,
+    """
+
+
+@query(
+    "ml_naive_bayes_langid",
+    oracle_builder=_nb_oracle,
     tags=("ml", "llm", "classifier", "langid"),
     bench=True,
 )
@@ -710,19 +762,29 @@ def ml_naive_bayes_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     The same shape scores quality/domain/toxicity classifiers at corpus
     scale: training IS an aggregation, scoring IS a broadcast join.
 
-    Exactness (the `text_lm_perplexity` recipe): every log term —
-    ln(c_wc+1), ln(docs_c), ln(tok_c+V) — is quantized to integer
-    micro-nats BEFORE any sum, so posterior scores are exact int64 sums
-    (order- and partition-independent) and the argmax (ties broken by
-    class name) is identical in both engines; 1e6-quantization absorbs
-    the JVM-vs-libm last-ulp ln drift that red-flagged `scalar_math`.
+    Exactness (by construction since round 8, the ml_woe_binning pattern
+    over a TYPE-level domain): every log term — ln(c_wc+1), ln(docs_c),
+    ln(n_train), ln(tok_c+V) — is an integer micro-nat computed ONCE in
+    Python decimal arithmetic (functions/exactlog.py) over the collected
+    DISTINCT-argument set, entering the Spark plan as a broadcast-joined
+    literal table and the DuckDB oracle as a literal VALUES join. Neither
+    engine evaluates ln, so posterior scores are exact int64 sums under
+    any partitioning and the argmax (ties broken by class name) is
+    engine-identical — the JVM-vs-libm hazard class is gone, not merely
+    measure-zero-argued.
 
     Scale shape: the model is TYPE-level — |V|·5 rows ≪ corpus — built
-    with one (class, word) shuffle with map-side combine; scoring joins
-    held-out token counts against the model on the word key (model
-    broadcast-eligible at real vocab sizes), then 5 class rows broadcast
-    into the posterior assembly. No corpus-sized shuffle carries text.
+    with one (class, word) shuffle with map-side combine and
+    lazily-checkpointed; the ln-argument domain (DISTINCT count values,
+    Zipf-collapsed ≪ |V|) and the 5-row class stats are collected from
+    that checkpoint (plus one train-split count scan whose results become
+    the literal classtab — REMOVING the ntr/classes corpus scans the
+    previous version re-ran inside the final DAG). Scoring joins held-out
+    token counts against the model on the word key, then 5 class rows
+    broadcast into the posterior assembly. No corpus-sized shuffle
+    carries text.
     """
+    from biglake_iceberg_python_spark.functions.exactlog import micro_nat
     from biglake_iceberg_python_spark.operators.pipeline import _md5_bucket
 
     d = load_table(spark, sf_dir, "documents")
@@ -735,36 +797,50 @@ def ml_naive_bayes_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     train = docs.filter(~F.col("is_test"))
     test = docs.filter(F.col("is_test"))
-    ntr = train.agg(F.count(F.lit(1)).alias("n"))
-    classes = train.groupBy(F.col("lang").alias("clang")).agg(
-        F.count(F.lit(1)).alias("dc")
-    )
     wc = (
         train.select(F.col("lang").alias("clang"), F.explode("ws").alias("w"))
         .groupBy("clang", "w")
         .agg(F.count(F.lit(1)).alias("c"))
         .localCheckpoint(eager=False)
     )
-    tokc = wc.groupBy("clang").agg(F.sum("c").alias("tok"))
-    vn = wc.select("w").distinct().agg(F.count(F.lit(1)).alias("v"))
-    classtab = (
-        classes.join(tokc, "clang")
-        .crossJoin(F.broadcast(ntr))
-        .crossJoin(F.broadcast(vn))
-        .select(
-            "clang",
-            F.expr(
-                "CAST(round(1e6 * ln(dc)) AS BIGINT)"
-                " - CAST(round(1e6 * ln(n)) AS BIGINT)"
-            ).alias("prior_micro"),
-            F.expr("CAST(round(1e6 * ln(tok + v)) AS BIGINT)").alias(
-                "lognorm_micro"
-            ),
-        )
+    # Driver-side literal derivation (all from the materialized checkpoint
+    # + one train count scan): DISTINCT count values (type-level,
+    # Zipf-collapsed), per-class token totals, vocab size, class doc
+    # counts. n_train = Σ dc — no separate corpus count job.
+    # ONE job over the checkpointed type table: rollup's grand-total row
+    # carries the global distinct-count domain (collect_set c) and vocab
+    # size, the per-class rows carry token totals.
+    stats = wc.rollup("clang").agg(
+        F.sum("c").alias("tok"),
+        F.collect_set("c").alias("cs"),
+        F.count_distinct("w").alias("nw"),
+        F.grouping_id().alias("g"),
+    ).collect()
+    total = next(r for r in stats if r["g"] == 1)
+    cvals, v = total["cs"], total["nw"]
+    cstats = [r for r in stats if r["g"] == 0]
+    dc = {
+        r["lang"]: r["n"]
+        for r in train.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    n_train = sum(dc.values())
+    classtab = spark.createDataFrame(
+        [
+            (
+                r["clang"],
+                micro_nat(dc[r["clang"]]) - micro_nat(n_train),
+                micro_nat(r["tok"] + v),
+            )
+            for r in cstats
+        ],
+        "clang string, prior_micro long, lognorm_micro long",
     )
-    model = wc.select(
-        "clang", "w", F.expr("CAST(round(1e6 * ln(c + 1)) AS BIGINT)").alias("smooth")
+    lntab = spark.createDataFrame(
+        [(c, micro_nat(c + 1)) for c in sorted(cvals)], "c long, smooth long"
     )
+    model = wc.join(F.broadcast(lntab), "c").select("clang", "w", "smooth")
     tw = (
         test.select("doc_id", F.explode("ws").alias("w"))
         .groupBy("doc_id", "w")

@@ -663,23 +663,54 @@ def text_bigram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ZIPF_RANKS = 200  # fit over the head of the frequency distribution
 
 
-@query(
-    "text_zipf_fit",
-    oracle=f"""
+_ZIPF_HEAD_SQL = """
     WITH cnt AS (
       SELECT word, COUNT(*) AS c
       FROM (
         SELECT unnest(list_filter(string_split(text, ' '), x -> x <> ''))
           AS word
-        FROM documents
+        FROM {documents}
       ) GROUP BY word
     ), ranked AS (
       SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, word) AS r FROM cnt
-    ), pts AS (
-      SELECT
-        CAST(round(1e6 * ln(r)) AS BIGINT) AS x,
-        CAST(round(1e6 * ln(c)) AS BIGINT) AS y
-      FROM ranked WHERE r <= {_ZIPF_RANKS}
+    )
+"""
+
+
+def _zipf_oracle(sf_dir: str) -> str:
+    """Data-dependent oracle (the ml_woe_binning pattern): DuckDB ranks
+    the frequency head itself; the ln micro-nats for ranks 1..200 (static)
+    and the head's count values (collected here) enter as Python-decimal
+    literals joined on the integer argument — no transcendental runs in
+    either engine."""
+    import duckdb
+
+    from biglake_iceberg_python_spark.functions.exactlog import (
+        micro_nat_values_sql,
+    )
+
+    con = duckdb.connect()
+    cvals = [
+        r[0]
+        for r in con.execute(
+            _ZIPF_HEAD_SQL.format(
+                documents=f"read_parquet('{sf_dir}/documents.parquet')"
+            )
+            + f" SELECT DISTINCT c FROM ranked WHERE r <= {_ZIPF_RANKS}"
+        ).fetchall()
+    ]
+    con.close()
+    args = set(cvals) | set(range(1, _ZIPF_RANKS + 1))
+    body = _ZIPF_HEAD_SQL.format(documents="documents")
+    return f"""
+    {body},
+    ln_t(arg, micro) AS (VALUES {micro_nat_values_sql(args)}),
+    pts AS (
+      SELECT lr.micro AS x, lc.micro AS y
+      FROM ranked
+      JOIN ln_t lr ON lr.arg = ranked.r
+      JOIN ln_t lc ON lc.arg = ranked.c
+      WHERE ranked.r <= {_ZIPF_RANKS}
     ), s AS (
       SELECT
         CAST(COUNT(*) AS DECIMAL(38,0)) AS n,
@@ -696,7 +727,12 @@ _ZIPF_RANKS = 200  # fit over the head of the frequency distribution
       CAST(CAST(n * sxy - sx * sy AS DOUBLE)
            / CAST(n * sxx - sx * sx AS DOUBLE) AS DOUBLE) AS zipf_exponent
     FROM s
-    """,
+    """
+
+
+@query(
+    "text_zipf_fit",
+    oracle_builder=_zipf_oracle,
     tags=("llm", "text", "zipf", "statistics"),
 )
 def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -706,14 +742,22 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     degenerate corpora — a cheap corpus-health check beside the quality
     filters).
 
-    Exactness: the regression runs on integer micro-nat logs (the
-    text_lm_perplexity trick), with the normal-equation sums combined in
-    DECIMAL(38,0) so the products cannot overflow int64 in either engine;
-    only the final slope division is floating point — one IEEE op on
-    identical exact inputs. The rank window runs over the TYPE table,
-    never corpus rows.
+    Exactness (by construction since round 8, the ml_woe_binning
+    pattern): log-rank (ranks 1..200, a STATIC domain) and log-frequency
+    (the head's 200 count values, collected from the cached head) are
+    integer micro-nats computed once in Python decimal arithmetic
+    (functions/exactlog.py) and inlined into both engines as literal map
+    lookups / VALUES joins — no ln runs anywhere. The normal-equation
+    sums combine in DECIMAL(38,0) so the products cannot overflow int64
+    in either engine; only the final slope division is floating point —
+    one IEEE op on identical exact inputs. The rank window runs over the
+    TYPE table, never corpus rows.
     """
     from pyspark.sql import Window
+
+    from biglake_iceberg_python_spark.functions.exactlog import (
+        micro_nat_map,
+    )
 
     d = load_table(spark, sf_dir, "documents")
     cnt = (
@@ -723,7 +767,9 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # TakeOrderedAndProject head selection, then rank the tiny head —
     # never a single-partition ROW_NUMBER over the full (Heaps-law-growing)
-    # type table.
+    # type table. Cached: the 200-row head is collected once to derive the
+    # ln literal table, then feeds the regression without a second corpus
+    # scan.
     ranked = (
         cnt.orderBy(F.col("c").desc(), F.col("word"))
         .limit(_ZIPF_RANKS)
@@ -733,10 +779,15 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
                 Window.orderBy(F.col("c").desc(), F.col("word"))
             ),
         )
+        .cache()
+    )
+    head = ranked.collect()  # <= 200 rows — bounded head collect
+    mp = micro_nat_map(
+        {r["c"] for r in head} | set(range(1, _ZIPF_RANKS + 1))
     )
     pts = ranked.select(
-        F.round(F.lit(1e6) * F.log("r")).cast("long").alias("x"),
-        F.round(F.lit(1e6) * F.log("c")).cast("long").alias("y"),
+        mp[F.col("r").cast("long")].alias("x"),
+        mp[F.col("c").cast("long")].alias("y"),
     )
     s = pts.agg(
         F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),

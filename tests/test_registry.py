@@ -79,7 +79,6 @@ def test_every_spec_is_well_formed():
 # their behavior at any boundary they can actually hit.
 _RAW_ROUND_EXEMPT = {
     "text_lm_perplexity",
-    "text_zipf_fit",
     # BM25 quantizes 1e6·idf·tfnorm where idf = ln(1 + rational) is
     # irrational for every reachable df — same measure-zero argument as
     # the perplexity quantizer. The RRF fusion itself is pure integer
@@ -94,9 +93,6 @@ _RAW_ROUND_EXEMPT = {
     # JSD terms quantize 1e6·p·ln(p/m): irrational except p = q, where the
     # term is exactly 0 (and the closed-form tail multiplies ln 2).
     "text_js_divergence_sources",
-    # KM hazards quantize −1e6·ln(1−d/n): irrational except d = 0, which
-    # short-circuits to an exact 0 before any round().
-    "events_kaplan_meier_retention",
     # PMI quantizes 1e6·ln of a rational ratio — irrational except ratio=1,
     # where the value is exactly 0.
     "text_pmi_cooccurrence",
@@ -110,17 +106,19 @@ _RAW_ROUND_EXEMPT = {
     # irrational for every argument ≥ 2; the only rational case is the
     # unseen-bigram ln(0+1) = ln 1, which is exactly 0 before round().
     "curate_dsir_select",
-    # NB log-likelihoods quantize 1e6·ln of INTEGER counts (doc counts,
-    # smoothed token counts, vocab-smoothed totals) — same integer-argument
-    # class: irrational except ln(1) = 0 exactly.
-    "ml_naive_bayes_langid",
-    # ml_woe_binning and events_retention_powerlaw carried this exemption
-    # through round 7 on the same integer-argument measure-zero argument —
-    # and the round-7 driver run flaked red on ml_woe_binning anyway.
-    # Round 8 made both exact by construction (functions/exactlog.py
-    # literal tables in BOTH engines; their oracles now contain no ln at
-    # all), so the entries are gone. The same retirement path applies to
-    # the entries above if any ever flakes.
+    # ml_woe_binning, events_retention_powerlaw, ml_naive_bayes_langid,
+    # text_zipf_fit, and events_kaplan_meier_retention carried this
+    # exemption through round 7 on the same measure-zero argument — and
+    # the round-7 driver run flaked red on ml_woe_binning anyway. Round 8
+    # made all five exact by construction (functions/exactlog.py literal
+    # tables in BOTH engines, integer and rational variants; their
+    # oracles now contain no ln at all), so the entries are gone. The
+    # remaining entries above quantize ln over argument domains that are
+    # entity- or type²-proportional (per-user shares, per-bigram ratios,
+    # per-(doc,term) tf norms, full-vocab idf) — there is no bounded
+    # literal table to inline, and their halfway sets stay measure-zero.
+    # The same retirement path applies if any ever flakes and its domain
+    # permits.
 }
 
 
