@@ -52,3 +52,36 @@ def test_micro_nat_map_spark_lookup(spark):
     ).collect()[0]
     assert row["hit"] == micro_nat(50)
     assert row["miss"] is None  # out-of-domain lookups fail the gate loudly
+
+
+def test_oracle_builders_resolve_per_sf():
+    """Data-dependent oracle builders must resolve against the sf they are
+    compared at: the literal ln tables derive from that sf's histograms, so
+    the generated SQL differs between SFs, and the driver-contract path
+    (all_oracle_sql) honors the SPARK_GRAFT_ORACLE_SF_DIR override."""
+    import os
+
+    from biglake_iceberg_python_spark.plans.registry import (
+        load_all,
+        resolve_oracle,
+    )
+
+    spec = load_all()["ml_woe_binning"]
+    sql_small = resolve_oracle(spec, "/root/testdata/sf0.001")
+    sql_mid = resolve_oracle(spec, "/root/testdata/sf0.01")
+    assert "ln_tab" in sql_small and "ln(" not in sql_small
+    assert sql_small != sql_mid  # histograms differ -> literal tables differ
+
+    from biglake_iceberg_python_spark.plans import registry as reg_mod
+
+    old = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR")
+    try:
+        os.environ["SPARK_GRAFT_ORACLE_SF_DIR"] = "/root/testdata/sf0.001"
+        assert reg_mod.all_oracle_sql()["ml_woe_binning"] == sql_small
+        os.environ["SPARK_GRAFT_ORACLE_SF_DIR"] = "/root/testdata/sf0.01"
+        assert reg_mod.all_oracle_sql()["ml_woe_binning"] == sql_mid
+    finally:
+        if old is None:
+            os.environ.pop("SPARK_GRAFT_ORACLE_SF_DIR", None)
+        else:
+            os.environ["SPARK_GRAFT_ORACLE_SF_DIR"] = old
