@@ -241,53 +241,103 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "text_tfidf_top_terms",
-    oracle="""
+_TFIDF_DF_SQL = """
     WITH toks AS (
       SELECT DISTINCT doc_id,
         unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS word
-      FROM documents
+      FROM {documents}
     ), df AS (
       SELECT word, COUNT(*) AS doc_freq FROM toks GROUP BY word
     ), n AS (
-      SELECT COUNT(*) AS n_docs FROM documents
+      SELECT COUNT(*) AS n_docs FROM {documents}
     )
+"""
+
+
+def _tfidf_oracle(sf_dir: str) -> str:
+    """Data-dependent oracle (the ml_woe_binning pattern, rational
+    arguments): DuckDB rebuilds the doc-frequency table itself; each
+    idf = ln(n_docs/df) micro-nat enters as a Python-decimal literal
+    (functions/exactlog.py micro_nat_ratio) keyed on the doc-frequency —
+    a Zipf-collapsed distinct-value domain, vocab-bounded. No ln runs in
+    either engine."""
+    import duckdb
+
+    from biglake_iceberg_python_spark.functions.exactlog import (
+        micro_nat_ratio,
+    )
+
+    con = duckdb.connect()
+    body = _TFIDF_DF_SQL.format(
+        documents=f"read_parquet('{sf_dir}/documents.parquet')"
+    )
+    dfs = [r[0] for r in con.execute(
+        body + " SELECT DISTINCT doc_freq FROM df"
+    ).fetchall()]
+    n_docs = con.execute(
+        body + " SELECT n_docs FROM n"
+    ).fetchone()[0]
+    con.close()
+    rows = [
+        f"(CAST({d} AS BIGINT), CAST({micro_nat_ratio(n_docs, d)} AS BIGINT))"
+        for d in sorted(dfs)
+    ] or ["(CAST(-1 AS BIGINT), CAST(0 AS BIGINT))"]
+    body = _TFIDF_DF_SQL.format(documents="documents")
+    return f"""
+    {body},
+    idf_tab(dfreq, micro) AS (VALUES {", ".join(rows)})
     SELECT
       word,
       doc_freq,
-      CAST(round(1e6 * ln(CAST(n.n_docs AS DOUBLE) / doc_freq)) AS BIGINT)
-        AS idf_micro
-    FROM df CROSS JOIN n
+      it.micro AS idf_micro
+    FROM df JOIN idf_tab it ON it.dfreq = df.doc_freq
     ORDER BY idf_micro DESC, word
     LIMIT 15
-    """,
+    """
+
+
+@query(
+    "text_tfidf_top_terms",
+    oracle_builder=_tfidf_oracle,
     tags=("llm", "text", "tfidf"),
 )
 def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IDF table: distinct (doc, word) postings → doc-frequency → ln(N/df),
     top-15 most distinctive terms. The distributed shape of TF-IDF: both
-    stages are partial-aggregated; N is a broadcast scalar.
+    stages are partial-aggregated; the idf values join back from a
+    broadcast literal table.
 
-    idf is emitted as integer micro-nats (round(1e6·ln)), same as the other
-    ten ln-based oracles: a raw double ln output is JVM-vs-libm
-    ulp-dependent and fails the repr-precision hash."""
+    Exactness (by construction since round 8, the ml_woe_binning pattern
+    with RATIONAL arguments): idf = ln(n_docs/doc_freq) is an integer
+    micro-nat computed once in Python decimal arithmetic
+    (functions/exactlog.py micro_nat_ratio) over the collected
+    DISTINCT-doc-frequency domain (Zipf-collapsed, ≪ vocab) and inlined
+    into both engines as a broadcast literal join / VALUES join — no ln
+    runs anywhere, retiring this query's raw-round lint exemption.
+
+    Scale shape: the doc-frequency table is TYPE-level and cached; one
+    collect of its distinct doc-freq values (bounded) plus the doc count
+    derive the literal table, then the cached copy feeds the top-15
+    TakeOrdered — the corpus posting explode runs exactly once.
+    """
+    from biglake_iceberg_python_spark.functions.exactlog import (
+        micro_nat_ratio,
+    )
+
     d = load_table(spark, sf_dir, "documents")
     toks = d.select("doc_id", F.explode(_words()).alias("word")).distinct()
-    df_tbl = toks.groupBy("word").agg(F.count(F.lit(1)).alias("doc_freq"))
-    # N as a broadcast 1-row cross join (same shape as the oracle): the doc
-    # count stays inside the one job instead of a separate driver-side
-    # d.count() action that re-scans documents.
-    n = d.agg(F.count(F.lit(1)).cast("double").alias("__n_docs"))
+    df_tbl = toks.groupBy("word").agg(
+        F.count(F.lit(1)).alias("doc_freq")
+    ).cache()
+    dfs = [r["doc_freq"] for r in df_tbl.select("doc_freq").distinct().collect()]
+    n_docs = d.count()
+    idf_tab = spark.createDataFrame(
+        [(f, micro_nat_ratio(n_docs, f)) for f in sorted(dfs)] or [(-1, 0)],
+        "doc_freq long, idf_micro long",
+    )
     return (
-        df_tbl.crossJoin(F.broadcast(n))
-        .select(
-            "word",
-            "doc_freq",
-            F.round(F.lit(1e6) * F.log(F.col("__n_docs") / F.col("doc_freq")))
-            .cast("long")
-            .alias("idf_micro"),
-        )
+        df_tbl.join(F.broadcast(idf_tab), "doc_freq")
+        .select("word", "doc_freq", "idf_micro")
         .orderBy(F.col("idf_micro").desc(), "word")
         .limit(15)
     )

@@ -251,11 +251,19 @@ def test_train_shards_no_corpus_shuffle(spark, sf_dir):
     assert plan.count("Exchange hashpartitioning") == 1
 
 
-def test_tfidf_doc_count_is_broadcast_not_collected(spark, sf_dir):
-    """text_tfidf_top_terms must derive N inside the plan (broadcast 1-row
-    aggregate), not via a separate driver-side count() job."""
+def test_tfidf_idf_table_broadcasts_and_no_ln(spark, sf_dir):
+    """text_tfidf_top_terms (round-8 by-construction form): the idf
+    micro-nat literal table must broadcast into the cached doc-frequency
+    table, no ln may appear anywhere in the plan, and the top-15 must be
+    TakeOrderedAndProject, never a range sort. (N is a parquet-footer
+    statistics count on the driver — replacing the pre-round-8 in-plan
+    1-row broadcast — because the literal table derivation needs N at
+    plan-construction time; a footer count reads no data at any scale.)"""
     plan = plan_of(spark, sf_dir, "text_tfidf_top_terms")
-    assert "BroadcastNestedLoopJoin" in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+    assert "LOG(" not in plan.upper()
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange rangepartitioning" not in plan
 
 
 def test_dataset_card_no_funnel_exchanges(spark, sf_dir):

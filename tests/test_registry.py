@@ -96,9 +96,6 @@ _RAW_ROUND_EXEMPT = {
     # PMI quantizes 1e6·ln of a rational ratio — irrational except ratio=1,
     # where the value is exactly 0.
     "text_pmi_cooccurrence",
-    # idf quantizes 1e6·ln(n_docs/doc_freq): irrational except
-    # doc_freq = n_docs, where ln(1) is exactly 0 (same class as PMI).
-    "text_tfidf_top_terms",
     # Theil terms quantize share·ln(share·n): irrational except share=1/n,
     # where the term is exactly 0.
     "customer_theil_index",
@@ -107,18 +104,19 @@ _RAW_ROUND_EXEMPT = {
     # unseen-bigram ln(0+1) = ln 1, which is exactly 0 before round().
     "curate_dsir_select",
     # ml_woe_binning, events_retention_powerlaw, ml_naive_bayes_langid,
-    # text_zipf_fit, and events_kaplan_meier_retention carried this
-    # exemption through round 7 on the same measure-zero argument — and
-    # the round-7 driver run flaked red on ml_woe_binning anyway. Round 8
-    # made all five exact by construction (functions/exactlog.py literal
-    # tables in BOTH engines, integer and rational variants; their
-    # oracles now contain no ln at all), so the entries are gone. The
-    # remaining entries above quantize ln over argument domains that are
-    # entity- or type²-proportional (per-user shares, per-bigram ratios,
-    # per-(doc,term) tf norms, full-vocab idf) — there is no bounded
-    # literal table to inline, and their halfway sets stay measure-zero.
-    # The same retirement path applies if any ever flakes and its domain
-    # permits.
+    # text_zipf_fit, events_kaplan_meier_retention, and
+    # text_tfidf_top_terms carried this exemption through round 7 on the
+    # same measure-zero argument — and the round-7 driver run flaked red
+    # on ml_woe_binning anyway. Round 8 made all six exact by
+    # construction (functions/exactlog.py literal tables in BOTH engines,
+    # integer and rational variants; their oracles now contain no ln at
+    # all), so the entries are gone. The remaining entries above quantize
+    # ln over argument domains with no bounded literal table to inline —
+    # per-user shares, per-bigram ratios, per-(doc,term) tf norms, or a
+    # benched hot path where the collect barrier isn't worth it
+    # (text_lm_perplexity, curate_dsir_select: Zipf-collapsed integer
+    # domains, convertible by the same recipe if they ever flake) — and
+    # their halfway sets stay measure-zero.
 }
 
 
