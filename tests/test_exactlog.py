@@ -85,3 +85,18 @@ def test_oracle_builders_resolve_per_sf():
             os.environ.pop("SPARK_GRAFT_ORACLE_SF_DIR", None)
         else:
             os.environ["SPARK_GRAFT_ORACLE_SF_DIR"] = old
+
+
+def test_micro_nat_ratio_identities():
+    """ln(n/1) = ln(n); ln(a/b) = -ln(b/a) exactly under half-away-from-zero
+    rounding; ln(n/n) = 0."""
+    from biglake_iceberg_python_spark.functions.exactlog import (
+        micro_nat,
+        micro_nat_ratio,
+    )
+
+    for n in (1, 2, 97, 10**6, 123456789):
+        assert micro_nat_ratio(n, 1) == micro_nat(n)
+        assert micro_nat_ratio(n, n) == 0
+    for a, b in ((3, 7), (1500, 11), (10**9, 997)):
+        assert micro_nat_ratio(a, b) == -micro_nat_ratio(b, a)
