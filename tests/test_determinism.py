@@ -396,3 +396,23 @@ def test_two_phase_rank_guards_and_null_measures(spark):
     assert sorted(map(tuple, got.collect())) == sorted(
         map(tuple, want.collect())
     )
+
+
+def test_two_phase_rank_guard_allows_legal_wide_spans(spark):
+    """The overflow guard must not false-positive: a key span just inside
+    the documented (max-min)*n_buckets int64 bound ranks fine."""
+    from pyspark.sql import functions as F
+
+    from biglake_iceberg_python_spark.functions.twophase import (
+        two_phase_rank,
+    )
+
+    span = (2**63 - 1) // 4096 - 1  # legal: span * 4096 < int64 max
+    df = spark.createDataFrame(
+        [(1, 0), (2, span // 2), (3, span)], "tie long, key long"
+    )
+    got = sorted(
+        (r["tie"], r["rk"])
+        for r in two_phase_rank(df, F.col("key"), "tie").collect()
+    )
+    assert got == [(1, 1), (2, 2), (3, 3)]
