@@ -31,10 +31,19 @@ from biglake_iceberg_python_spark.plans.registry import (  # noqa: E402
 
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    # Hostile-environment axes, each overridable so one script covers the
+    # TZ sweep (default) AND the adversarial-partition-count sweep the
+    # round-8 hardening added (e.g. SIM_CORES=3 SIM_PARTITIONS=3
+    # SIM_TZ=Pacific/Chatham — few, uneven partitions shake out
+    # partition-order/-count-dependent results the TZ axis can't).
+    cores = os.environ.get("SPARK_GRAFT_SIM_CORES", "8")
+    parts = os.environ.get("SPARK_GRAFT_SIM_PARTITIONS", cores)
+    tz = os.environ.get("SPARK_GRAFT_SIM_TZ", "Asia/Kathmandu")
     spark = (
-        SparkSession.builder.master("local[8]")
-        .config("spark.sql.session.timeZone", "Asia/Kathmandu")
-        .config("spark.sql.shuffle.partitions", "8")
+        SparkSession.builder.master(f"local[{cores}]")
+        .config("spark.sql.session.timeZone", tz)
+        .config("spark.sql.shuffle.partitions", parts)
+        .config("spark.default.parallelism", parts)
         .getOrCreate()
     )
     registry = load_all()
