@@ -86,11 +86,15 @@ def two_phase_rank(
     )
     # Loud int64 guard for the documented (max-min)*n_buckets bound: try_
     # arithmetic yields NULL exactly when the real multiply would wrap.
+    # `__mn IS NULL` passes the guard: a global (no partition_cols) min/max
+    # over an EMPTY input yields one all-NULL row — legal (the cross join
+    # below then matches nothing and the result is empty, as before the
+    # guard), not an overflow.
     mm = mm.withColumn(
         "__mx",
         F.when(
             F.expr(
-                f"try_multiply(try_subtract(__mx, __mn),"
+                f"__mn IS NULL OR try_multiply(try_subtract(__mx, __mn),"
                 f" CAST({n_buckets} AS BIGINT)) IS NOT NULL"
             ),
             F.col("__mx"),

@@ -1518,7 +1518,13 @@ def _km_oracle(sf_dir: str) -> str:
     Python-decimal literal keyed on the (d, n) pair (functions/
     exactlog.py micro_nat_ratio). The pair domain is the lifetime table —
     calendar-bounded. An uncovered (d>0, n) pair would surface as a NULL
-    running sum and fail the hash gate loudly."""
+    running sum and fail the hash gate loudly.
+
+    The d = n pair (hazard 1, S(t) = 0, −ln S = +inf) is excluded from the
+    table by construction — it can only occur at the LAST time point
+    (d = n needs everyone-at-risk to leave, so no later row exists), and
+    that terminal row reports surv_nll_micro = NULL (−ln 0 has no int64
+    representation) in BOTH engines instead of crashing the builder."""
     import duckdb
 
     from biglake_iceberg_python_spark.functions.exactlog import (
@@ -1528,7 +1534,8 @@ def _km_oracle(sf_dir: str) -> str:
     con = duckdb.connect()
     pairs = con.execute(
         _km_body_sql(f"read_parquet('{sf_dir}/events.parquet')")
-        + " SELECT d_events, n_at_risk FROM risk WHERE d_events > 0"
+        + " SELECT d_events, n_at_risk FROM risk"
+        "  WHERE d_events > 0 AND d_events < n_at_risk"
     ).fetchall()
     con.close()
     rows = [
@@ -1541,7 +1548,8 @@ def _km_oracle(sf_dir: str) -> str:
     nll_tab(d, n, micro) AS (VALUES {", ".join(rows)}),
     hazard AS (
       SELECT r.t, r.d_events, r.n_at_risk,
-             CASE WHEN r.d_events = 0 THEN 0 ELSE nt.micro END AS nll_micro
+             CASE WHEN r.d_events = 0 OR r.d_events = r.n_at_risk THEN 0
+                  ELSE nt.micro END AS nll_micro
       FROM risk r LEFT JOIN nll_tab nt
         ON nt.d = r.d_events AND nt.n = r.n_at_risk
     )
@@ -1549,8 +1557,9 @@ def _km_oracle(sf_dir: str) -> str:
       CAST(t AS BIGINT) AS t_days,
       CAST(n_at_risk AS BIGINT) AS n_at_risk,
       CAST(d_events AS BIGINT) AS churn_events,
-      CAST(SUM(nll_micro) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING)
-        AS BIGINT) AS surv_nll_micro
+      CASE WHEN d_events > 0 AND d_events = n_at_risk THEN NULL
+           ELSE CAST(SUM(nll_micro) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING)
+             AS BIGINT) END AS surv_nll_micro
     FROM hazard
     """
 
@@ -1577,7 +1586,10 @@ def events_kaplan_meier_retention(spark: SparkSession, sf_dir: str) -> DataFrame
     join in the oracle). No engine evaluates ln, the survival product
     Π(1−d/n) is a SUM of exact int64 terms (S(t) = exp(−nll/1e6)), and
     the whole curve hashes bit-for-bit. All windows and rollups run over
-    the |lifetimes| table, never raw events.
+    the |lifetimes| table, never raw events. If the curve hits S = 0
+    (d = n: every at-risk user churns — only possible at the last time
+    point), that terminal row reports surv_nll_micro = NULL (−ln 0) in
+    both engines rather than crashing the literal-table builder.
 
     (On this synthetic corpus users are active throughout the window, so
     only a few distinct lifetimes exist — the curve is short but every
@@ -1609,12 +1621,15 @@ def events_kaplan_meier_retention(spark: SparkSession, sf_dir: str) -> DataFrame
     risk = per_t.withColumn(
         "n_at_risk", F.sum("leaving").over(w_desc)
     ).cache()
-    # calendar-bounded collect: one (d, n) pair per distinct lifetime
+    # calendar-bounded collect: one (d, n) pair per distinct lifetime.
+    # d = n (hazard 1 → S = 0 → −ln S = +inf) is excluded: it can only be
+    # the LAST time point (everyone at risk leaves), and that terminal row
+    # reports surv_nll_micro = NULL below instead of crashing here.
     pairs = sorted(
         {
             (r["d_events"], r["n_at_risk"])
             for r in risk.collect()
-            if r["d_events"] > 0
+            if 0 < r["d_events"] < r["n_at_risk"]
         }
     )
     nll_tab = spark.createDataFrame(
@@ -1628,14 +1643,25 @@ def events_kaplan_meier_retention(spark: SparkSession, sf_dir: str) -> DataFrame
         "left",
     ).withColumn(
         "nll_micro",
-        F.when(F.col("d_events") == 0, F.lit(0)).otherwise(F.col("micro")),
+        F.when(
+            (F.col("d_events") == 0)
+            | (F.col("d_events") == F.col("n_at_risk")),
+            F.lit(0),
+        ).otherwise(F.col("micro")),
     )
     w_asc = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
     return hazard.select(
         F.col("t").cast("long").alias("t_days"),
         F.col("n_at_risk").cast("long").alias("n_at_risk"),
         F.col("d_events").cast("long").alias("churn_events"),
-        F.sum("nll_micro").over(w_asc).cast("long").alias("surv_nll_micro"),
+        F.when(
+            (F.col("d_events") > 0)
+            & (F.col("d_events") == F.col("n_at_risk")),
+            F.lit(None),
+        )
+        .otherwise(F.sum("nll_micro").over(w_asc))
+        .cast("long")
+        .alias("surv_nll_micro"),
     )
 
 
@@ -2140,9 +2166,10 @@ def events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     # running-sum max because buckets partition t in order. Exact integer
     # arithmetic throughout; an extreme-density day nests the same trick
     # one level down (hour buckets) without changing the readout.
-    # exact int64 floor division (the twophase.py discipline) — the old
-    # double-divide-then-cast truncated toward zero, which happens to agree
-    # for positive epochs but would mis-bucket pre-1970 timestamps
+    # exact int64 division (the twophase.py discipline) — same
+    # truncate-toward-zero semantics as the old double-divide-then-cast
+    # (and as DuckDB's //), but exact for |t| beyond double's 2^53 mantissa
+    # instead of silently rounding through a double
     b = sweep.withColumn("bucket", F.expr("t DIV 86400"))
     wloc = (
         Window.partitionBy("bucket")

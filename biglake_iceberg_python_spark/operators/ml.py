@@ -676,13 +676,19 @@ def _nb_oracle(sf_dir: str) -> str:
     cvals = [r[0] for r in con.execute(
         body + " SELECT DISTINCT c FROM wc"
     ).fetchall()]
+    # LEFT join so a class whose train docs all tokenize empty still
+    # contributes its dc to n_train — the oracle's ntr is SUM(dc) over ALL
+    # classes, and an n_train literal derived from only token-bearing
+    # classes would miss that argument and empty the oracle's classtab.
+    # (Token-less classes are excluded from classtab itself by BOTH
+    # engines — inner join on tokc in SQL, wc-rollup rows in Spark.)
     stats = con.execute(
         body
         + """
         SELECT c.clang, c.dc, t.tok,
                (SELECT COUNT(DISTINCT w) FROM wc) AS v
         FROM classes c
-        JOIN (SELECT clang, SUM(c) AS tok FROM wc GROUP BY clang) t
+        LEFT JOIN (SELECT clang, SUM(c) AS tok FROM wc GROUP BY clang) t
           ON c.clang = t.clang
         """
     ).fetchall()
@@ -692,7 +698,7 @@ def _nb_oracle(sf_dir: str) -> str:
         {c + 1 for c in cvals}
         | {r[1] for r in stats}
         | {n_train}
-        | {r[2] + r[3] for r in stats}
+        | {r[2] + r[3] for r in stats if r[2] is not None}
     )
     body = _NB_WC_SQL.format(documents="documents")
     return f"""

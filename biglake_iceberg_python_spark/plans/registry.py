@@ -52,10 +52,21 @@ class QuerySpec:
         return self.oracle is not None or self.oracle_builder is not None
 
 
+# Builder results memoized per (query, sf_dir): each builder scans parquet
+# to derive its literal table, and the lint/parity tests resolve the same
+# oracle several times per session. Safe because the testdata under a given
+# sf_dir is immutable for the life of a process (tests that craft their own
+# tables write to a fresh tmp_path, i.e. a new key).
+_BUILDER_CACHE: dict[tuple[str, str], str] = {}
+
+
 def resolve_oracle(spec: QuerySpec, sf_dir: str) -> str | None:
     """The oracle SQL to run against the parquet tables under ``sf_dir``."""
     if spec.oracle_builder is not None:
-        return spec.oracle_builder(sf_dir)
+        key = (spec.name, sf_dir)
+        if key not in _BUILDER_CACHE:
+            _BUILDER_CACHE[key] = spec.oracle_builder(sf_dir)
+        return _BUILDER_CACHE[key]
     return spec.oracle
 
 

@@ -416,3 +416,74 @@ def test_two_phase_rank_guard_allows_legal_wide_spans(spark):
         for r in two_phase_rank(df, F.col("key"), "tie").collect()
     )
     assert got == [(1, 1), (2, 2), (3, 3)]
+
+
+def test_two_phase_rank_empty_input_returns_empty(spark):
+    """An empty unpartitioned input yields one all-NULL global min/max row;
+    the overflow guard must read that as 'no data' (empty result, as before
+    the guard existed), not as a bound violation."""
+    from pyspark.sql import functions as F
+
+    from biglake_iceberg_python_spark.functions.twophase import (
+        two_phase_rank,
+    )
+
+    df = spark.createDataFrame([], "tie long, key long, m decimal(20,2)")
+    out = two_phase_rank(
+        df, F.col("key"), "tie", cums={"c": F.col("m")}
+    )
+    assert out.count() == 0
+
+
+def test_km_retention_survival_zero_terminal_row(spark, tmp_path):
+    """S(t) = 0 (d = n: every at-risk user churns at the last time point)
+    is a legitimate KM terminal state. The literal-table builders must
+    skip the d = n pair (−ln 0 has no micro-nat) and BOTH engines must
+    report that row's surv_nll_micro as NULL — not crash, not diverge."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from biglake_iceberg_python_spark.plans.check import (
+        compare,
+        duckdb_connect,
+    )
+    from biglake_iceberg_python_spark.plans.registry import (
+        load_all,
+        resolve_oracle,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+
+    def add(u, day):
+        rows.append((len(rows) + 1, base + dt.timedelta(days=day), u))
+
+    # user 1: lifetime 51, d1 = day 50 < dmax - 7 = day 53 -> UNCENSORED
+    # and uniquely longest-lived: at t = 51, d_events = n_at_risk = 1.
+    add(1, 0)
+    add(1, 50)
+    # user 2: lifetime 6, d1 = dmax -> censored (keeps dmax at 60)
+    add(2, 55)
+    add(2, 60)
+    tbl = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array(["click"] * len(rows), pa.string()),
+            "value": pa.array([1.0] * len(rows), pa.float64()),
+            "props": pa.array(["{}"] * len(rows), pa.string()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "events.parquet"))
+
+    spec = load_all()["events_kaplan_meier_retention"]
+    df = spec.fn(spark, str(tmp_path))
+    got = {r["t_days"]: r["surv_nll_micro"] for r in df.collect()}
+    assert got[51] is None  # S(51) = 0 -> -ln S unrepresentable
+    assert got[6] == 0  # censored-only row: hazard 0
+    con = duckdb_connect(str(tmp_path))
+    r = compare(df, con, resolve_oracle(spec, str(tmp_path)))
+    assert r["ok"], r
