@@ -963,10 +963,13 @@ def agg_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE l_discount = 0
       ) AS BIGINT) AS n_null_ratio,
       CAST(SUM(CASE WHEN l_discount <> 0
-                    THEN CAST(round(CAST(l_extendedprice / l_discount
-                                         AS DECIMAL(30,8)), 2)
-                              AS DECIMAL(30,6)) END)
-           AS DOUBLE) AS sum_price_per_discount,
+               THEN (200 * CAST(round(CAST(l_extendedprice AS DECIMAL(18,2))
+                                      * 100) AS BIGINT)
+                     + CAST(round(CAST(l_discount AS DECIMAL(18,2)) * 100)
+                            AS BIGINT))
+                    // (2 * CAST(round(CAST(l_discount AS DECIMAL(18,2))
+                                       * 100) AS BIGINT)) END)
+           AS BIGINT) AS sum_ratio_hundredths,
       CAST(COUNT(*) AS BIGINT) AS n_rows
     FROM lineitem
     GROUP BY l_returnflag
@@ -982,28 +985,35 @@ def scalar_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
     row 40-billion of a 100 TB scan. The rollup counts the NULLs (the
     rows a non-try division would have killed) and sums the survivors.
 
-    Rounding to 2 decimals happens per row BEFORE the sum, and the sum
-    accumulates in DECIMAL(30,6) (the repo's order-independence
-    convention), so both engines aggregate identical values under any
-    partitioning. The per-row round goes through DECIMAL(30,8): quotients
-    of 2-decimal prices by 2-decimal discounts can terminate exactly on a
-    halfway boundary (0.01/0.08 = 0.125), where round() on a raw DOUBLE is
-    oracle-version-dependent — terminating quotients have ≤4 fractional
-    digits, so the DECIMAL(30,8) cast is exact and the halfway decision is
-    decimal-exact in both engines.
+    The NULL count pins try_divide's permissive semantics (the operator
+    under test). The survivor sum is exact by construction (round-9
+    rewrite): price/discount is the RATIONAL cents_p/cents_d, and its
+    2dp half-up rounding is the pure integer ``(200·a + b) // (2·b)``
+    (hundredth units) — no decimal round exists at all. The previous form
+    rounded a DECIMAL(30,8) quotient to 2dp: quotients of 2-decimal
+    prices by 2-decimal discounts terminate exactly on a halfway boundary
+    on 3,071 rows at sf0.01 (0.01/0.08 = 0.125 and friends) — the same
+    tie-dense hazard class that flipped round-8's ``sql_temp_function``
+    driver hash. Integer division has no tie for an engine to break, and
+    the int64 sum is order-independent under any partitioning
+    (per-row ≤ 1e9 hundredths; 6e8 rows at sf100 stays below 2^63).
     """
     li = load_table(spark, sf_dir, "lineitem")
-    ratio = F.round(
-        F.try_divide(F.col("l_extendedprice"), F.col("l_discount")).cast(
-            "decimal(30,8)"
+    raw_ratio = F.try_divide(F.col("l_extendedprice"), F.col("l_discount"))
+    hundredths = F.when(
+        F.col("l_discount") != 0,
+        F.expr(
+            "(200 * CAST(round(CAST(l_extendedprice AS DECIMAL(18,2)) * 100)"
+            "       AS BIGINT)"
+            " + CAST(round(CAST(l_discount AS DECIMAL(18,2)) * 100)"
+            "        AS BIGINT))"
+            " div (2 * CAST(round(CAST(l_discount AS DECIMAL(18,2)) * 100)"
+            "          AS BIGINT))"
         ),
-        2,
     )
     return li.groupBy("l_returnflag").agg(
-        F.count(F.when(ratio.isNull(), 1)).alias("n_null_ratio"),
-        F.sum(ratio.cast("decimal(30,6)"))
-        .cast("double")
-        .alias("sum_price_per_discount"),
+        F.count(F.when(raw_ratio.isNull(), 1)).alias("n_null_ratio"),
+        F.sum(hundredths).alias("sum_ratio_hundredths"),
         F.count(F.lit(1)).alias("n_rows"),
     )
 

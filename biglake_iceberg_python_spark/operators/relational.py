@@ -829,10 +829,10 @@ def util_table_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT
       l_returnflag,
       CAST(COUNT(*) AS BIGINT) AS n_rows,
-      SUM(CAST(round(CAST(l_extendedprice AS DECIMAL(18,2))
-                     * (100 - round(CAST(l_discount AS DECIMAL(18,2)) * 100))
-               ) AS BIGINT))
-        AS disc_cents_sum,
+      SUM(CAST(round(CAST(l_extendedprice AS DECIMAL(18,2)) * 100) AS BIGINT)
+          * (100 - CAST(round(CAST(l_discount AS DECIMAL(18,2)) * 100)
+                        AS BIGINT)))
+        AS disc_centicents_sum,
       CAST(COUNT(*) FILTER (
         WHERE CASE WHEN l_quantity >= 40 THEN 'bulk'
                    WHEN l_quantity >= 10 THEN 'mid'
@@ -848,18 +848,29 @@ def sql_temp_function(spark: SparkSession, sf_dir: str) -> DataFrame:
     expr``): reusable business expressions defined IN SQL and inlined by
     the analyzer — the governed-semantics layer SQL-only teams use
     instead of shipping Python. Two functions: an exact centi-unit
-    discounted-price (decimal round → int64 multiply, the
-    `pricing_summary` arithmetic as a named function) and a quantity
-    tier CASE. Because SQL UDFs inline at analysis time, the physical
-    plan — pushdown, codegen, two-phase agg — is identical to writing
-    the expressions by hand, which is exactly what the oracle does; the
-    hash pins that the function indirection costs nothing semantically.
+    discounted-price (integer cents × integer discount-percent = pure
+    int64 centicents, the `pricing_summary` arithmetic as a named
+    function) and a quantity tier CASE. Because SQL UDFs inline at
+    analysis time, the physical plan — pushdown, codegen, two-phase agg
+    — is identical to writing the expressions by hand, which is exactly
+    what the oracle does; the hash pins that the function indirection
+    costs nothing semantically.
+
+    Tie-surface note (round-8 driver red, round-9 fix): the previous
+    body rounded the DECIMAL(18,2) product ``price × (100 − disc_pct)``
+    to integer — 1,115 rows at sf0.01 land on an exact ``.50`` rounding
+    tie, so any half-up/half-even divergence between engines flips the
+    hash. The rewrite keeps each round() tie-free by construction:
+    ``round(CAST(x AS DECIMAL(18,2)) * 100)`` rounds a value that is an
+    exact integer (x is exact 2dp), then all further arithmetic is pure
+    int64 (cents × percent = centicents; no outer round exists at all).
     """
     spark.sql(
-        "CREATE OR REPLACE TEMPORARY FUNCTION disc_cents(p DOUBLE, d DOUBLE)"
+        "CREATE OR REPLACE TEMPORARY FUNCTION disc_centicents"
+        "(p DOUBLE, d DOUBLE)"
         " RETURNS BIGINT"
-        " RETURN CAST(round(CAST(p AS DECIMAL(18,2))"
-        "   * (100 - round(CAST(d AS DECIMAL(18,2)) * 100))) AS BIGINT)"
+        " RETURN CAST(round(CAST(p AS DECIMAL(18,2)) * 100) AS BIGINT)"
+        "   * (100 - CAST(round(CAST(d AS DECIMAL(18,2)) * 100) AS BIGINT))"
     )
     spark.sql(
         "CREATE OR REPLACE TEMPORARY FUNCTION qty_tier(q DOUBLE)"
@@ -875,7 +886,8 @@ def sql_temp_function(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT
           l_returnflag,
           CAST(COUNT(*) AS BIGINT) AS n_rows,
-          SUM(disc_cents(l_extendedprice, l_discount)) AS disc_cents_sum,
+          SUM(disc_centicents(l_extendedprice, l_discount))
+            AS disc_centicents_sum,
           CAST(COUNT(IF(qty_tier(l_quantity) = 'bulk', 1, NULL)) AS BIGINT)
             AS n_bulk
         FROM lineitem_sqlfn

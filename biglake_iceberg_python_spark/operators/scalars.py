@@ -181,7 +181,8 @@ def scalar_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT
       l_orderkey,
       l_linenumber,
-      CAST(round(CAST(l_extendedprice AS DECIMAL(18,2)), 1) AS DOUBLE)
+      CAST((CAST(round(CAST(l_extendedprice AS DECIMAL(18,2)) * 100)
+                 AS BIGINT) + 5) // 10 AS DOUBLE) / 10
         AS price_round1,
       abs(l_discount - 0.05) AS disc_dev,
       CAST(ceil(l_quantity / 7) AS BIGINT) AS qty_ceil,
@@ -202,8 +203,15 @@ def scalar_math(spark: SparkSession, sf_dir: str) -> DataFrame:
     decimal boundary is oracle-VERSION-dependent (a price of 26612.55 is
     binary ≈26612.549999999999, and engines disagree on whether to round the
     shortest decimal repr half-up or truncate the true binary value — this
-    was round 3's one driver-red row). Deciding the halfway case on an exact
-    decimal, then casting back to DOUBLE, is deterministic in both engines.
+    was round 3's one driver-red row). The Spark body demos
+    ``F.round(decimal, 1)`` (HALF_UP per Spark's Decimal spec); the ORACLE
+    does not mirror the decimal round — a 2dp price rounded to 1dp is a
+    halfway tie on every ``.x5`` (6,013 rows at sf0.01, the same tie-dense
+    hazard class as round-8's ``sql_temp_function`` red), so the oracle
+    instead computes half-up by pure integer arithmetic
+    (``(cents + 5) // 10``), which has no tie for any engine to break. The
+    hash therefore pins Spark's decimal HALF_UP against the integer
+    formula — bit-deterministic on both sides by construction.
 
     ln() is NOT correctly rounded by either engine's libm (JVM Math.log vs
     DuckDB's system libm drift in the last ulp on ~2% of rows — round 4's

@@ -205,6 +205,104 @@ def test_no_oracle_emits_raw_transcendental():
     assert not offenders, f"raw transcendental in oracle output: {offenders}"
 
 
+# round() over a DECIMAL expression whose fractional scale EXCEEDS the round
+# target is tie-DENSE: the argument lands exactly on the half-way boundary on
+# a macroscopic fraction of rows (round 8's one driver red,
+# sql_temp_function, had 1,115 exact-.50 ties at sf0.01; scalar_math's old
+# 1dp round had 6,013), so any half-up/half-even divergence between the
+# driver's engines flips the hash. Each entry here carries a tie-FREE proof
+# instead of a rewrite.
+_TIE_DENSE_ROUND_EXEMPT = {
+    # round(CAST(l_quantity AS DECIMAL(18,2))): nominal scale 2 > target 0,
+    # but l_quantity is INTEGER-valued in TPC-H (dbgen draws 1..50; verified
+    # by test_lint_exemption_l_quantity_is_integral below), so the fractional
+    # part is exactly .00 on every row — the halfway boundary is unreachable.
+    "udf_grouped_map",
+}
+
+
+def _split_round_target(arg: str):
+    """Split a round() argument into (expr, target_scale) at the top-level
+    comma; target defaults to 0 (round-to-integer)."""
+    depth = 0
+    for i, ch in enumerate(arg):
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            tgt = arg[i + 1 :].strip()
+            try:
+                return arg[:i], int(tgt)
+            except ValueError:
+                return arg[:i], None  # non-literal target: treat as unknown
+    return arg, 0
+
+
+def _decimal_tie_scale(expr: str):
+    """Worst-case fractional scale of a round() argument built from
+    ``CAST(… AS DECIMAL(p,s))``, after cancelling literal power-of-ten
+    multipliers (the canonical exact-cents idiom
+    ``CAST(x AS DECIMAL(18,2)) * 100`` has effective scale 0: the product
+    is integral by construction). Returns None when no decimal cast is
+    present (the raw-DOUBLE lint owns that case)."""
+    import re
+
+    scales = [
+        int(m.group(1))
+        for m in re.finditer(
+            r"AS\s+DECIMAL\s*\(\s*\d+\s*,\s*(\d+)\s*\)", expr, re.IGNORECASE
+        )
+    ]
+    if not scales:
+        return None
+    s = max(scales)
+    for m in re.finditer(r"\*\s*1(0+)(?!\d)", expr):
+        s -= len(m.group(1))
+    return s
+
+
+def test_no_oracle_round_is_tie_dense():
+    """Round 8's one driver red (sql_temp_function) was round() on a DECIMAL
+    product whose scale exceeded the round target — 1,115 rows sat exactly on
+    .50, so the hash depended on both engines sharing a tie rule. The
+    raw-DOUBLE lint above never saw it (the argument WAS decimal). This lint
+    closes the class: every oracle round() must have effective argument scale
+    ≤ its target scale (tie surface empty by construction), carry a
+    documented tie-free proof in _TIE_DENSE_ROUND_EXEMPT, or be one of the
+    irrational-quantizer exemptions (measure-zero ties, no decimal cast)."""
+    offenders = []
+    for name, spec in load_all().items():
+        sql = _lint_sql(spec)
+        if sql is None or name in _TIE_DENSE_ROUND_EXEMPT:
+            continue
+        for arg in _round_args(sql):
+            expr, target = _split_round_target(arg)
+            scale = _decimal_tie_scale(expr)
+            if scale is None:
+                continue
+            if target is None or scale > target:
+                offenders.append((name, arg.strip()[:100]))
+    assert not offenders, f"tie-dense decimal round in oracle: {offenders}"
+
+
+def test_lint_exemption_l_quantity_is_integral():
+    """Executable counterpart of udf_grouped_map's tie-free proof: every
+    l_quantity in the generated data is integer-valued, so
+    round(CAST(l_quantity AS DECIMAL(18,2))) has a .00 fraction on every
+    row and can never reach the halfway boundary."""
+    import duckdb
+
+    con = duckdb.connect()
+    n = con.execute(
+        "SELECT COUNT(*) FROM "
+        "read_parquet('/root/testdata/sf0.001/lineitem.parquet') "
+        "WHERE l_quantity <> floor(l_quantity)"
+    ).fetchone()[0]
+    con.close()
+    assert n == 0, f"{n} non-integral l_quantity rows invalidate the proof"
+
+
 def test_no_oracle_rounds_a_raw_double():
     """Round 3's one driver-red row was round() on a raw DOUBLE whose value
     sat on an exact decimal halfway boundary — engines disagree on those by
