@@ -101,6 +101,12 @@ def main() -> int:
         # round-8: single samples ranged 0.97-1.93s on identical code (page
         # cache + JIT warm-in); median-of-3 keeps the r7→r8 delta honest.
         "join_shipping_priority",
+        # round-9 (verdict #6): four more single-run rows moved >19%
+        # round-over-round with zero code changes — same noise class.
+        "ml_naive_bayes_langid",
+        "tpch_q9_product_profit",
+        "join_inner",
+        "dedup_paragraph_exact",
     }
     timings: dict[str, float] = {}
     spreads: dict[str, dict[str, float]] = {}

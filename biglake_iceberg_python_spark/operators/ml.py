@@ -782,10 +782,11 @@ def ml_naive_bayes_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the model is TYPE-level — |V|·5 rows ≪ corpus — built
     with one (class, word) shuffle with map-side combine and
     lazily-checkpointed; the ln-argument domain (DISTINCT count values,
-    Zipf-collapsed ≪ |V|) and the 5-row class stats are collected from
-    that checkpoint (plus one train-split count scan whose results become
-    the literal classtab — REMOVING the ntr/classes corpus scans the
-    previous version re-ran inside the final DAG). Scoring joins held-out
+    Zipf-collapsed ≪ |V|), the 5-row class stats, and the class doc
+    counts all arrive in ONE collect (rollup ∪ doc-count agg, tagged by
+    grouping id) whose results become the literal classtab — REMOVING
+    both the ntr/classes corpus scans the round-7 version re-ran inside
+    the final DAG and the extra collect round-trip round 8 added. Scoring joins held-out
     token counts against the model on the word key, then 5 class rows
     broadcast into the posterior assembly. No corpus-sized shuffle
     carries text.
@@ -813,81 +814,103 @@ def ml_naive_bayes_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     # + one train count scan): DISTINCT count values (type-level,
     # Zipf-collapsed), per-class token totals, vocab size, class doc
     # counts. n_train = Σ dc — no separate corpus count job.
-    # ONE job over the checkpointed type table: rollup's grand-total row
-    # carries the global distinct-count domain (collect_set c) and vocab
-    # size, the per-class rows carry token totals.
-    stats = wc.rollup("clang").agg(
+    # ONE driver action for the whole model skeleton (round-9 fix for the
+    # round-8 +41% bench regression, which came from an extra collect
+    # round-trip): the rollup over the checkpointed type table (grand-total
+    # row g=1 carries the distinct-count domain + vocab size, per-class
+    # rows g=0 carry token totals) is UNIONed with the class doc-count agg
+    # (tagged g=2, column-pruned scan — Catalyst drops the split(text))
+    # and collected once.
+    rollup = wc.rollup("clang").agg(
         F.sum("c").alias("tok"),
         F.collect_set("c").alias("cs"),
         F.count_distinct("w").alias("nw"),
-        F.grouping_id().alias("g"),
-    ).collect()
-    total = next(r for r in stats if r["g"] == 1)
+        F.grouping_id().cast("int").alias("g"),
+    )
+    doc_counts = train.groupBy(F.col("lang").alias("clang")).agg(
+        F.count(F.lit(1)).alias("tok"),
+        F.lit(None).cast("array<long>").alias("cs"),
+        F.lit(None).cast("long").alias("nw"),
+        F.lit(2).alias("g"),
+    )
+    stats = rollup.unionByName(doc_counts).collect()
+    total = next((r for r in stats if r["g"] == 1), None)
+    if total is None:
+        # Empty/degenerate training corpus: a rollup over empty input
+        # emits no grand-total row; degrade to an empty confusion matrix
+        # (the pre-round-8 behavior) instead of raising.
+        return spark.createDataFrame(
+            [], "actual_lang string, predicted_lang string, n_docs long"
+        )
     cvals, v = total["cs"], total["nw"]
     cstats = [r for r in stats if r["g"] == 0]
-    dc = {
-        r["lang"]: r["n"]
-        for r in train.groupBy("lang")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .collect()
-    }
+    dc = {r["clang"]: r["tok"] for r in stats if r["g"] == 2}
     n_train = sum(dc.values())
-    classtab = spark.createDataFrame(
-        [
-            (
-                r["clang"],
-                micro_nat(dc[r["clang"]]) - micro_nat(n_train),
-                micro_nat(r["tok"] + v),
-            )
-            for r in cstats
-        ],
-        "clang string, prior_micro long, lognorm_micro long",
-    )
+    # Class priors and normalizers are PYTHON ints at this point — inline
+    # them as literals instead of crossJoin-ing a 5-row classtab and
+    # window-ranking 5 rows per doc (the round-8 shape): the per-class
+    # score becomes a codegen column, and the argmax a struct-max over a
+    # literal array. Removes one shuffle (the (doc,class) groupBy), the
+    # broadcast crossJoin, and the ranking window from the scoring DAG.
+    classes = sorted(r["clang"] for r in cstats)
+    prior = {
+        r["clang"]: micro_nat(dc[r["clang"]]) - micro_nat(n_train)
+        for r in cstats
+    }
+    lognorm = {r["clang"]: micro_nat(r["tok"] + v) for r in cstats}
     lntab = spark.createDataFrame(
         [(c, micro_nat(c + 1)) for c in sorted(cvals)], "c long, smooth long"
     )
     model = wc.join(F.broadcast(lntab), "c").select("clang", "w", "smooth")
-    tw = (
+    # Per-(doc, class) smoothed-likelihood sums in ONE groupBy(doc_id):
+    # exploded test tokens join the type-level model on the word key (each
+    # occurrence contributes its class's smooth term once — multiplicity
+    # is the row count, no pre-agg shuffle needed), then 5 conditional
+    # sums pivot the classes into columns.
+    ssum = (
         test.select("doc_id", F.explode("ws").alias("w"))
-        .groupBy("doc_id", "w")
-        .agg(F.count(F.lit(1)).alias("cnt"))
+        .join(model, "w")
+        .groupBy("doc_id")
+        .agg(
+            *[
+                F.sum(
+                    F.when(F.col("clang") == c, F.col("smooth"))
+                ).alias(f"s_{i}")
+                for i, c in enumerate(classes)
+            ]
+        )
     )
     tdoc = test.select(
         "doc_id",
         F.col("lang").alias("actual_lang"),
         F.size("ws").cast("long").alias("t_doc"),
     )
-    ssum = (
-        tw.join(model, "w")
-        .groupBy("doc_id", "clang")
-        .agg(F.sum(F.col("cnt") * F.col("smooth")).alias("s"))
-    )
-    scored = (
-        tdoc.crossJoin(F.broadcast(classtab))
-        .join(ssum, ["doc_id", "clang"], "left")
-        .select(
-            "doc_id",
-            "actual_lang",
-            "clang",
-            (
-                F.col("prior_micro")
-                + F.coalesce("s", F.lit(0))
-                - F.col("t_doc") * F.col("lognorm_micro")
-            ).alias("score"),
-        )
-    )
-    pred = scored.withColumn(
-        "rn",
-        F.row_number().over(
-            Window.partitionBy("doc_id").orderBy(
-                F.col("score").desc(), F.col("clang")
+    # score_c = prior_c + Σ smooth − t_doc · lognorm_c (pure int64 on
+    # literals). Argmax with smallest-name tie-break: struct ordering on
+    # (score, reverse class index) — classes sorted ascending, so a larger
+    # reverse index IS the lexicographically smaller name.
+    nclasses = len(classes)
+    scored = tdoc.join(ssum, "doc_id", "left").select(
+        "actual_lang",
+        F.array_max(
+            F.array(
+                *[
+                    F.struct(
+                        (
+                            F.lit(prior[c])
+                            + F.coalesce(F.col(f"s_{i}"), F.lit(0))
+                            - F.col("t_doc") * F.lit(lognorm[c])
+                        ).alias("score"),
+                        F.lit(nclasses - 1 - i).alias("revidx"),
+                        F.lit(c).alias("name"),
+                    )
+                    for i, c in enumerate(classes)
+                ]
             )
-        ),
-    ).filter(F.col("rn") == 1)
+        )["name"].alias("predicted_lang"),
+    )
     return (
-        pred.groupBy(
-            "actual_lang", F.col("clang").alias("predicted_lang")
-        )
+        scored.groupBy("actual_lang", "predicted_lang")
         .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
         .orderBy("actual_lang", "predicted_lang")
     )

@@ -250,8 +250,20 @@ def all_queries() -> dict[str, QueryFn]:
 
 def all_oracle_sql() -> dict[str, str]:
     """Driver contract: oracle SQL per query, builders resolved at the
-    driver's comparison sf (env-overridable for local harnesses)."""
+    driver's comparison sf (env-overridable for local harnesses).
+
+    The builder oracles are DATA-DEPENDENT (their micro-nat literal tables
+    come from the parquet under ``sf_dir``), so a driver comparing at any
+    other sf without setting ``SPARK_GRAFT_ORACLE_SF_DIR`` would get
+    literal tables derived from the wrong data — silent dropped-row hash
+    mismatches. Fail loudly instead: the resolved dir must exist."""
     sf_dir = os.environ.get(_ORACLE_SF_ENV, DRIVER_ORACLE_SF_DIR)
+    if not os.path.isdir(sf_dir):
+        raise FileNotFoundError(
+            f"oracle sf_dir {sf_dir!r} does not exist; set {_ORACLE_SF_ENV} "
+            "to the directory the driver compares at (builder oracles "
+            "derive literal tables from that data)"
+        )
     return {
         name: resolve_oracle(spec, sf_dir)
         for name, spec in load_all().items()

@@ -990,10 +990,11 @@ def test_cuped_vs_did_share_the_scan_shape(spark, sf_dir):
 
 
 def test_naive_bayes_model_broadcasts_into_scoring(spark, sf_dir):
-    """The NB class table (5 rows) must broadcast into posterior assembly
-    and no Python may appear anywhere — train and score are pure SQL ops.
-    The model join on the word key and the doc-key windows are the only
-    hash exchanges."""
+    """NB posterior assembly must stay broadcast-joined and Python-free —
+    train and score are pure SQL ops. Since round 9 the class table is
+    inlined as literals (no crossJoin, no ranking window); the model join
+    on the word key and the doc-key aggregation are the only hash
+    exchanges."""
     plan = plan_of(spark, sf_dir, "ml_naive_bayes_langid")
     assert "BroadcastExchange" in plan
     assert "BatchEvalPython" not in plan
