@@ -106,89 +106,82 @@ _loaded = False
 # tests/test_oracle_parity.py's full sweep, which runs every registered
 # query against its oracle regardless of ordering.
 #
-# Provenance of this rotation (round 8, per round-7 VERDICT "Next round"
-# #2): CORRECTNESS_r07 came back 49/50 (the one red, ml_woe_binning, is a
-# libm-rounding flake made exact by construction this round — see
-# operators/ml.py + functions/exactlog.py). Cumulative driver-verified
-# coverage is 296 of 348; the never-driver-verified pool is 52 — 47
-# hash-matched + 5 rows-only — all 52 pre-cleared by the round-7 judge at
-# sf0.01 under hostile TZ. This window takes ml_woe_binning (to prove the
-# by-construction fix under the real driver) plus 49 of the 52: every
-# hash-checkable name (sql ×9, events ×6 incl. the also-rewritten
-# events_retention_powerlaw, scalar ×4, tpch Q2/Q11/Q20, multimodal ×4,
-# pack ×3, curate ×2 + curate_dsir_select + sample_weighted_expj,
-# basket/cohort/funnel/util/orders ×10, window_nth_value,
-# subquery_not_in_null, anomaly_zscore_daily, sql_recursive_reachability,
-# pipeline_release_gate) and 2 of the 5 rows-only (dedup_minhash_oph,
-# text_compression_ratio). Round 9 sweeps the remaining 3 rows-only
-# sketches (agg_sketch_merge_rollup, agg_hll_set_algebra,
-# agg_kll_quantile_merge — weakest driver signal, deferred by design),
-# reaching 348/348 cumulative, then re-rotates the r1-sampled
-# relational/join/agg families per round-4 verdict #7.
+# Provenance of this rotation (round 9, per round-8 VERDICT "Next round"
+# #3): CORRECTNESS_r08 came back 47 hash + 2 rows-only + 1 red
+# (sql_temp_function — a tie-dense DECIMAL round, 1,115 exact-.50 ties at
+# sf0.01, rewritten this round to pure int64 centicents; the extended
+# tie-dense lint in tests/test_registry.py also caught scalar_math and
+# scalar_try_arithmetic, both rewritten). This window takes: the three
+# tie-dense rewrites, the 3 never-driver-verified rows-only sketches
+# (reaching 348/348 cumulative), the round-8 exact-by-construction set for
+# driver re-confirmation (incl. ml_naive_bayes_langid, whose scoring DAG
+# was restructured again this round), and 39 of the 48 names whose only
+# driver verification is round 1 — the stalest signal in the registry
+# (joins ×11, tpch ×15, aggs ×10, subqueries ×2, hypertable rollup).
+# Deferred to round 10: the 4 source roundtrips, pricing_summary (runs as
+# the entry() smoke every round anyway), filter_predicates,
+# projection_compute, scan_limit_topk, agg_distinct — the lowest-risk
+# residue of the r1 pool.
 _PRIORITY_WINDOW = [
-    # the round-7 red, now exact by construction — prove it under the driver
-    "ml_woe_binning",
-    # sql battery (9)
-    "sql_group_order_by_all",
-    "sql_identifier_clause",
-    "sql_named_window",
-    "sql_session_variable",
-    "sql_execute_immediate",
-    "sql_values_inline",
+    # the round-8 red + this round's two lint-caught rewrites — prove the
+    # by-construction forms under the real driver
     "sql_temp_function",
-    "sql_recursive_reachability",
-    "window_nth_value",
-    # events / experimentation (6 — incl. the rewritten power-law)
-    "events_cuped_adjusted_delta",
-    "events_diff_in_diff",
-    "events_shapley_attribution",
-    "events_longest_streak",
+    "scalar_math",
+    "scalar_try_arithmetic",
+    # never-driver-verified rows-only sketches (3) → 348/348 cumulative
+    "agg_hll_set_algebra",
+    "agg_kll_quantile_merge",
+    "agg_sketch_merge_rollup",
+    # round-8 exact-by-construction set, driver re-confirmation (5)
+    "ml_naive_bayes_langid",
+    "events_kaplan_meier_retention",
+    "text_zipf_fit",
+    "text_tfidf_top_terms",
     "events_retention_powerlaw",
-    "anomaly_zscore_daily",
-    # funnel / cohort (4)
-    "funnel_conversion",
-    "funnel_latency_percentiles",
-    "cohort_retention",
-    "cohort_ltv_curve",
-    # scalar battery (4)
-    "scalar_interval",
-    "scalar_binary_encoding",
-    "scalar_array_reduce",
-    "scalar_regex",
-    # tpch tail (3)
-    "tpch_q2_min_cost_supplier",
-    "tpch_q11_important_stock",
-    "tpch_q20_promo_suppliers",
-    # multimodal (4)
-    "multimodal_dedup_payload",
-    "multimodal_training_record",
-    "multimodal_phash_neardup",
-    "multimodal_content_sniff_audit",
-    # packing (3)
-    "pack_padding_waste",
-    "pack_span_corruption",
-    "pack_length_pair_binning",
-    # curation / sampling (4)
-    "curate_negative_sampling",
-    "curate_dsir_select",
-    "curate_mix_apportionment",
-    "sample_weighted_expj",
-    # business analytics (6)
-    "customer_rfm_segments",
-    "basket_copurchase_lift",
-    "basket_apriori_itemsets",
-    "orders_mix_shift_chi2",
-    "orders_aging_buckets",
-    "part_abc_xyz_classification",
-    # utilities / pipeline (3)
-    "util_profile_table",
-    "util_table_reconcile",
-    "pipeline_release_gate",
-    # not-in-null semantics (1)
-    "subquery_not_in_null",
-    # rows-only pair with documented determinism tests (2)
-    "dedup_minhash_oph",
-    "text_compression_ratio",
+    # r1-stale joins (11)
+    "join_inner",
+    "join_left_outer",
+    "join_full_outer",
+    "join_semi",
+    "join_anti",
+    "join_broadcast_star",
+    "join_theta_range",
+    "join_asof",
+    "join_shipping_priority",
+    "join_q5_local_supplier",
+    "join_range_bucketed",
+    # r1-stale join specials (2)
+    "join_skew_salted",
+    "join_fuzzy_levenshtein",
+    # r1-stale tpch (15)
+    "tpch_q4_order_priority",
+    "tpch_q6_revenue_forecast",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "tpch_q9_product_profit",
+    "tpch_q10_returned_items",
+    "tpch_q13_customer_distribution",
+    "tpch_q14_promo_effect",
+    "tpch_q15_top_supplier",
+    "tpch_q16_supplier_part_counts",
+    "tpch_q17_small_quantity_revenue",
+    "tpch_q18_large_volume",
+    "tpch_q19_discounted_revenue",
+    "tpch_q21_waiting_supplier",
+    "tpch_q22_sales_opportunity",
+    # r1-stale aggregates (10)
+    "agg_stats",
+    "agg_dropduplicates",
+    "agg_percentile_exact",
+    "agg_rollup",
+    "agg_cube",
+    "agg_grouping_sets",
+    "agg_variance",
+    "agg_pivot",
+    "agg_time_rollup_hypertable",
+    "subquery_scalar",
+    # r1-stale correlated subquery (1)
+    "subquery_correlated",
 ]
 
 
