@@ -1872,38 +1872,83 @@ _DSIR_TARGET = "src0"  # proxy target domain for importance weights
 _DSIR_TOP = 20
 
 
-@query(
-    "curate_dsir_select",
-    oracle=f"""
+_DSIR_MODEL_SQL = """
     WITH t AS (
       SELECT doc_id, source,
              list_filter(string_split(text, ' '), x -> x <> '') AS ws
-      FROM documents
+      FROM {documents}
     ), ti AS (
       SELECT doc_id, source, ws,
              unnest(generate_series(1, len(ws) - 1)) AS i
       FROM t
     ), b AS (
       SELECT doc_id, source, ws[i] AS w1, ws[i+1] AS w2 FROM ti
-    ), cr AS (
-      SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS cr FROM b GROUP BY w1, w2
-    ), ct AS (
-      SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS ct
-      FROM b WHERE source = '{_DSIR_TARGET}' GROUP BY w1, w2
+    ), mb AS (
+      SELECT w1, w2,
+             CAST(COUNT(*) AS BIGINT) AS cr,
+             CAST(COUNT(*) FILTER (WHERE source = '{target}') AS BIGINT)
+               AS ct
+      FROM b GROUP BY w1, w2
     ), tot AS (
-      SELECT
-        CAST((SELECT COUNT(*) FROM b) AS BIGINT) AS nr,
-        CAST((SELECT COUNT(*) FROM b WHERE source = '{_DSIR_TARGET}')
-          AS BIGINT) AS nt,
-        CAST((SELECT COUNT(*) FROM cr) AS BIGINT) AS v
-    ), model AS (
-      SELECT cr.w1, cr.w2,
-             CAST(round(1e6 * ln(COALESCE(ct.ct, 0) + 1)) AS BIGINT)
-           - CAST(round(1e6 * ln(tot.nt + tot.v)) AS BIGINT)
-           - CAST(round(1e6 * ln(cr.cr + 1)) AS BIGINT)
-           + CAST(round(1e6 * ln(tot.nr + tot.v)) AS BIGINT) AS lr_micro
-      FROM cr LEFT JOIN ct ON cr.w1 = ct.w1 AND cr.w2 = ct.w2
-      CROSS JOIN tot
+      SELECT CAST(SUM(cr) AS BIGINT) AS nr,
+             CAST(SUM(ct) AS BIGINT) AS nt,
+             CAST(COUNT(*) AS BIGINT) AS v
+      FROM mb
+    )
+"""
+
+
+def _dsir_oracle(sf_dir: str) -> str:
+    """Data-dependent oracle (the micro-nat literal recipe): DuckDB
+    rebuilds the bigram model; ln(ct+1) and ln(cr+1) enter as
+    Python-decimal micro-nat literals keyed on the Zipf-collapsed
+    distinct-count domains, and the two corpus-total terms fold into ONE
+    integer constant — no ln runs in either engine, retiring this
+    query's raw-round lint exemption."""
+    import duckdb
+
+    from biglake_iceberg_python_spark.functions.exactlog import micro_nat
+
+    con = duckdb.connect()
+    body = _DSIR_MODEL_SQL.format(
+        documents=f"read_parquet('{sf_dir}/documents.parquet')",
+        target=_DSIR_TARGET,
+    )
+    crs = [r[0] for r in con.execute(
+        body + " SELECT DISTINCT cr FROM mb"
+    ).fetchall()]
+    cts = [r[0] for r in con.execute(
+        body + " SELECT DISTINCT ct FROM mb"
+    ).fetchall()]
+    nr, nt, v = con.execute(
+        body + " SELECT nr, nt, v FROM tot"
+    ).fetchone() or (0, 0, 0)
+    con.close()
+    nr, nt, v = nr or 0, nt or 0, v or 0
+    const = (
+        micro_nat(nr + v) - micro_nat(nt + v)
+        if nr + v >= 1 and nt + v >= 1
+        else 0
+    )
+    lncr = [
+        f"(CAST({c} AS BIGINT), CAST({micro_nat(c + 1)} AS BIGINT))"
+        for c in sorted(crs)
+    ] or ["(CAST(-1 AS BIGINT), CAST(0 AS BIGINT))"]
+    lnct = [
+        f"(CAST({c} AS BIGINT), CAST({micro_nat(c + 1)} AS BIGINT))"
+        for c in sorted(cts)
+    ] or ["(CAST(-1 AS BIGINT), CAST(0 AS BIGINT))"]
+    body = _DSIR_MODEL_SQL.format(documents="documents", target=_DSIR_TARGET)
+    return f"""
+    {body},
+    lncr_tab(cv, micro) AS (VALUES {", ".join(lncr)}),
+    lnct_tab(cv, micro) AS (VALUES {", ".join(lnct)}),
+    model AS (
+      SELECT mb.w1, mb.w2,
+             lt.micro - lr.micro + CAST({const} AS BIGINT) AS lr_micro
+      FROM mb
+      JOIN lncr_tab lr ON lr.cv = mb.cr
+      JOIN lnct_tab lt ON lt.cv = mb.ct
     ), scored AS (
       SELECT b.doc_id, b.source,
              CAST(COUNT(*) AS BIGINT) AS n_bigrams,
@@ -1913,7 +1958,12 @@ _DSIR_TOP = 20
     )
     SELECT doc_id, source, n_bigrams, score_micro
     FROM scored ORDER BY score_micro DESC, doc_id LIMIT {_DSIR_TOP}
-    """,
+    """
+
+
+@query(
+    "curate_dsir_select",
+    oracle_builder=_dsir_oracle,
     tags=("llm", "curate", "dsir", "importance-sampling"),
 )
 def curate_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1926,24 +1976,29 @@ def curate_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     the '{_DSIR_TARGET}' source slice standing in for the curated
     domain; output is the top-{_DSIR_TOP} selection.
 
-    Exactness is the quantized-ln micro-nat recipe the perplexity family
-    established: every ln is taken on an exact INTEGER (smoothed count or
-    total), quantized to round(1e6·ln n) BEFORE any aggregation, so
-    per-document scores are exact int64 sums — partition-invariant and
-    engine-identical (irrational ln values sit safely off the rounding
-    boundaries; see tests/test_registry.py rationale).
+    Exactness (by construction since round 9, the text_lm_perplexity
+    recipe): every ln argument is an exact integer from a Zipf-collapsed
+    distinct-count domain — ln(ct+1) and ln(cr+1) enter both engines as
+    micro-nat literals (functions/exactlog.py), and the two corpus-total
+    terms ln(nr+V) − ln(nt+V) fold into ONE integer constant — so no
+    engine evaluates a transcendental and per-document scores are exact
+    int64 sums, partition-invariant and engine-identical. This retired
+    the query's raw-round lint exemption.
 
-    Scale shape: bigram instances explode map-side; the raw and target
-    models are ONE (w1,w2)-keyed shuffle each over the TYPE table (the
-    target side is a filtered re-aggregation, not a second corpus scan
-    materialization); totals are a 1-row broadcast; the scored model
-    BROADCASTS into the instance join exactly like text_lm_perplexity,
-    so the corpus-sized bigram stream never shuffles for scoring — the
-    only instance shuffle is the per-doc rollup; the cut is
-    TakeOrderedAndProject. DSIR's hashed-feature variant (fixed 10k
-    buckets) drops in by keying the model on hash(w1,w2) % B — same
-    plan, bounded model size at any corpus scale.
+    Scale shape (also improved in round 9): ONE corpus pass builds the
+    type-level model table carrying BOTH raw and target counts (the
+    target count is a conditional agg in the same shuffle, not a second
+    corpus aggregation — the previous version paid separate cr/ct/totals
+    passes, 4 corpus scans total; now 2: model build + scoring). The
+    scored model BROADCASTS into the instance join, so the corpus-sized
+    bigram stream never shuffles for scoring — the only instance shuffle
+    is the per-doc rollup; the cut is TakeOrderedAndProject. DSIR's
+    hashed-feature variant (fixed 10k buckets) drops in by keying the
+    model on hash(w1,w2) % B — same plan, bounded model size at any
+    corpus scale.
     """
+    from biglake_iceberg_python_spark.functions.exactlog import micro_nat
+
     d = load_table(spark, sf_dir, "documents")
     ws = F.filter(F.split("text", " "), lambda x: x != "")
     bigs = d.select(
@@ -1957,44 +2012,43 @@ def curate_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("bg"),
     ).select("doc_id", "source", "bg.w1", "bg.w2")
-    cr = (
+    mb = (
         bigs.groupBy("w1", "w2")
-        .agg(F.count(F.lit(1)).cast("long").alias("cr"))
-        .localCheckpoint(eager=False)
-    )
-    ct = (
-        bigs.filter(F.col("source") == _DSIR_TARGET)
-        .groupBy("w1", "w2")
-        .agg(F.count(F.lit(1)).cast("long").alias("ct"))
-    )
-    tot = (
-        bigs.agg(
-            F.count(F.lit(1)).cast("long").alias("nr"),
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("cr"),
             F.count(F.when(F.col("source") == _DSIR_TARGET, 1))
             .cast("long")
-            .alias("nt"),
+            .alias("ct"),
         )
-        .crossJoin(
-            F.broadcast(cr.agg(F.count(F.lit(1)).cast("long").alias("v")))
-        )
+        .localCheckpoint(eager=False)
+    )
+    head = mb.agg(
+        F.collect_set("cr").alias("crs"),
+        F.collect_set("ct").alias("cts"),
+        F.sum("cr").alias("nr"),
+        F.sum("ct").alias("nt"),
+        F.count(F.lit(1)).alias("v"),
+    ).collect()[0]
+    nr, nt, v = head["nr"] or 0, head["nt"] or 0, head["v"] or 0
+    const = (
+        micro_nat(nr + v) - micro_nat(nt + v)
+        if nr + v >= 1 and nt + v >= 1
+        else 0
     )
 
-    def lmic(col):
-        return F.round(F.lit(1e6) * F.log(col)).cast("long")
-
-    model = (
-        cr.join(ct, ["w1", "w2"], "left")
-        .crossJoin(F.broadcast(tot))
-        .select(
-            "w1",
-            "w2",
-            (
-                lmic(F.coalesce(F.col("ct"), F.lit(0)) + 1)
-                - lmic(F.col("nt") + F.col("v"))
-                - lmic(F.col("cr") + 1)
-                + lmic(F.col("nr") + F.col("v"))
-            ).alias("lr_micro"),
+    def _mlit(vals):
+        pairs = sorted((int(c), micro_nat(c + 1)) for c in vals)
+        return F.create_map(
+            *[x for k, mv in pairs for x in (F.lit(k), F.lit(mv))]
         )
+
+    model = mb.select(
+        "w1",
+        "w2",
+        (_mlit(head["cts"])[F.col("ct")] - _mlit(head["crs"])[F.col("cr")]
+         + F.lit(const))
+        .cast("long")
+        .alias("lr_micro"),
     )
     scored = (
         bigs.join(F.broadcast(model), ["w1", "w2"])

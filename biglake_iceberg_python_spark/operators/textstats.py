@@ -343,12 +343,10 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "text_lm_perplexity",
-    oracle="""
+_BIGRAM_MODEL_SQL = """
     WITH t AS (
       SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
-      FROM documents
+      FROM {documents}
     ), ti AS (
       SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 1)) AS i FROM t
     ), b AS (
@@ -359,11 +357,51 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT w1, SUM(c12) AS c1 FROM c12 GROUP BY w1
     ), v AS (
       SELECT COUNT(DISTINCT w2) AS vsz FROM c12
-    ), s AS (
-      SELECT c12.w1, c12.w2,
-             CAST(round(1e6 * ln(c1.c1 + v.vsz)) AS BIGINT)
-           - CAST(round(1e6 * ln(c12.c12 + 1)) AS BIGINT) AS smicro
-      FROM c12 JOIN c1 USING (w1) CROSS JOIN v
+    )
+"""
+
+
+def _lm_perplexity_oracle(sf_dir: str) -> str:
+    """Data-dependent oracle (the ml_woe_binning pattern): DuckDB rebuilds
+    the bigram model itself; the two surprisal terms ln(c1+V) and
+    ln(c12+1) enter as Python-decimal micro-nat literals keyed on the
+    Zipf-collapsed distinct-count domains — no ln runs in either engine,
+    retiring this query's raw-round lint exemption."""
+    import duckdb
+
+    from biglake_iceberg_python_spark.functions.exactlog import micro_nat
+
+    con = duckdb.connect()
+    body = _BIGRAM_MODEL_SQL.format(
+        documents=f"read_parquet('{sf_dir}/documents.parquet')"
+    )
+    c12s = [r[0] for r in con.execute(
+        body + " SELECT DISTINCT c12 FROM c12"
+    ).fetchall()]
+    c1s = [r[0] for r in con.execute(
+        body + " SELECT DISTINCT c1 FROM c1"
+    ).fetchall()]
+    vsz = con.execute(body + " SELECT vsz FROM v").fetchone()[0] or 0
+    con.close()
+    ln12 = [
+        f"(CAST({c} AS BIGINT), CAST({micro_nat(c + 1)} AS BIGINT))"
+        for c in sorted(c12s)
+    ] or ["(CAST(-1 AS BIGINT), CAST(0 AS BIGINT))"]
+    ln1 = [
+        f"(CAST({c} AS BIGINT), CAST({micro_nat(c + vsz)} AS BIGINT))"
+        for c in sorted(c1s)
+    ] or ["(CAST(-1 AS BIGINT), CAST(0 AS BIGINT))"]
+    body = _BIGRAM_MODEL_SQL.format(documents="documents")
+    return f"""
+    {body},
+    ln12_tab(cv, micro) AS (VALUES {", ".join(ln12)}),
+    ln1_tab(cv, micro) AS (VALUES {", ".join(ln1)}),
+    s AS (
+      SELECT c12.w1, c12.w2, l1.micro - l12.micro AS smicro
+      FROM c12
+      JOIN c1 USING (w1)
+      JOIN ln12_tab l12 ON l12.cv = c12.c12
+      JOIN ln1_tab l1 ON l1.cv = c1.c1
     )
     SELECT
       b.doc_id,
@@ -372,7 +410,12 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
       CAST(SUM(s.smicro) AS DOUBLE) / COUNT(*) AS avg_nll_micro
     FROM b JOIN s ON b.w1 = s.w1 AND b.w2 = s.w2
     GROUP BY b.doc_id
-    """,
+    """
+
+
+@query(
+    "text_lm_perplexity",
+    oracle_builder=_lm_perplexity_oracle,
     tags=("llm", "text", "ngram", "lm", "quality"),
     bench=True,
 )
@@ -384,13 +427,17 @@ def text_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Cross-engine exactness for a log-prob sum (which text_bigram_novelty's
     docstring rightly calls order-dependent in naive floating point): each
-    bigram's surprisal ln(c1+V) − ln(c12+1) is computed as TWO logs of
-    exact integers, each quantized to integer micro-nats BEFORE any
-    aggregation, so the per-doc sum is exact int64 arithmetic — order- and
-    partitioning-independent, and identical in Spark and DuckDB (one
-    IEEE-double ln per distinct integer, then round; both engines round
-    half-away-from-zero for positives). The single double division at the
-    end divides two exact integers, so it too is bit-stable.
+    bigram's surprisal ln(c1+V) − ln(c12+1) is an integer micro-nat
+    computed ONCE in Python decimal arithmetic (functions/exactlog.py)
+    over the two collected DISTINCT-count domains (Zipf-collapsed ≪ |V|²)
+    and inlined into both engines as broadcast literal joins / VALUES
+    joins — by construction since round 9, retiring the raw-round lint
+    exemption this query carried (its previous in-engine
+    ``round(1e6·ln(n))`` leaned on the measure-zero-tie argument that the
+    driver voted against twice in this hazard family). The per-doc sum is
+    exact int64 arithmetic — order- and partitioning-independent; the
+    single double division at the end divides two exact integers, so it
+    too is bit-stable.
 
     Scale shape: bigram instances explode map-side; the model (bigram-type
     counts) is one shuffle on (w1,w2) with map-side combine, then
@@ -418,25 +465,62 @@ def text_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("bg"),
     ).select("doc_id", "bg.w1", "bg.w2")
+    from biglake_iceberg_python_spark.functions.exactlog import micro_nat
+
     c12 = (
         bigs.groupBy("w1", "w2")
         .agg(F.count(F.lit(1)).alias("c12"))
         .localCheckpoint(eager=False)
     )
     c1 = c12.groupBy("w1").agg(F.sum("c12").alias("c1"))
-    v = c12.agg(F.count_distinct("w2").alias("vsz"))
-    scored = (
-        c12.join(c1, "w1")
-        .crossJoin(F.broadcast(v))
-        .select(
+    # Two bounded driver collects derive the micro-nat literal tables: the
+    # first (distinct bigram counts + vocab size) materializes the
+    # checkpoint, the second (distinct prefix counts) reads it back. Both
+    # domains are Zipf-collapsed count VALUES — O(√instances) rows, never
+    # the type tables themselves.
+    head = c12.agg(
+        F.collect_set("c12").alias("cs"),
+        F.count_distinct("w2").alias("vsz"),
+    ).collect()[0]
+    c12_vals, vsz = head["cs"], head["vsz"] or 0
+    c1_vals = [
+        r["c1"] for r in c1.select("c1").distinct().collect()
+    ]
+    pairs12 = sorted((int(c), micro_nat(c + 1)) for c in c12_vals)
+    pairs1 = sorted((int(c), micro_nat(c + vsz)) for c in c1_vals)
+    joined = c12.join(c1, "w1")
+    if max(len(pairs12), len(pairs1)) <= 10_000:
+        # Small-domain fast path (the expected case: Zipf-collapsed count
+        # domains are ~O(√instances); 108 + 29 values at sf0.1): literal
+        # map lookups stay inside the projection — no extra joins, no
+        # broadcast jobs. A missing key yields NULL, which propagates into
+        # the hashed output and fails the gate loudly.
+        def _mlit(pairs):
+            return F.create_map(
+                *[c for k, v in pairs for c in (F.lit(k), F.lit(v))]
+            )
+
+        scored = joined.select(
             "w1",
             "w2",
-            (
-                F.round(F.lit(1e6) * F.log(F.col("c1") + F.col("vsz"))).cast("long")
-                - F.round(F.lit(1e6) * F.log(F.col("c12") + F.lit(1))).cast("long")
-            ).alias("smicro"),
+            (_mlit(pairs1)[F.col("c1")] - _mlit(pairs12)[F.col("c12")])
+            .cast("long")
+            .alias("smicro"),
         )
-    )
+    else:
+        # Large-domain path (corpus scale): the literal tables broadcast-
+        # join instead of inlining 10k+ literals into one expression tree.
+        ln12_tab = spark.createDataFrame(
+            pairs12 or [(-1, 0)], "c12 long, l12 long"
+        )
+        ln1_tab = spark.createDataFrame(pairs1 or [(-1, 0)], "c1 long, l1 long")
+        scored = (
+            joined.join(F.broadcast(ln12_tab), "c12")
+            .join(F.broadcast(ln1_tab), "c1")
+            .select(
+                "w1", "w2", (F.col("l1") - F.col("l12")).alias("smicro")
+            )
+        )
     return (
         bigs.join(F.broadcast(scored), ["w1", "w2"])
         .groupBy("doc_id")

@@ -78,7 +78,6 @@ def test_every_spec_is_well_formed():
 # BIGINT precisely to absorb libm ulp drift; a decimal cast would not change
 # their behavior at any boundary they can actually hit.
 _RAW_ROUND_EXEMPT = {
-    "text_lm_perplexity",
     # BM25 quantizes 1e6·idf·tfnorm where idf = ln(1 + rational) is
     # irrational for every reachable df — same measure-zero argument as
     # the perplexity quantizer. The RRF fusion itself is pure integer
@@ -99,10 +98,6 @@ _RAW_ROUND_EXEMPT = {
     # Theil terms quantize share·ln(share·n): irrational except share=1/n,
     # where the term is exactly 0.
     "customer_theil_index",
-    # DSIR log-ratio quantizes 1e6·ln of smoothed INTEGER counts/totals:
-    # irrational for every argument ≥ 2; the only rational case is the
-    # unseen-bigram ln(0+1) = ln 1, which is exactly 0 before round().
-    "curate_dsir_select",
     # ml_woe_binning, events_retention_powerlaw, ml_naive_bayes_langid,
     # text_zipf_fit, events_kaplan_meier_retention, and
     # text_tfidf_top_terms carried this exemption through round 7 on the
@@ -110,13 +105,25 @@ _RAW_ROUND_EXEMPT = {
     # on ml_woe_binning anyway. Round 8 made all six exact by
     # construction (functions/exactlog.py literal tables in BOTH engines,
     # integer and rational variants; their oracles now contain no ln at
-    # all), so the entries are gone. The remaining entries above quantize
-    # ln over argument domains with no bounded literal table to inline —
-    # per-user shares, per-bigram ratios, per-(doc,term) tf norms, or a
-    # benched hot path where the collect barrier isn't worth it
-    # (text_lm_perplexity, curate_dsir_select: Zipf-collapsed integer
-    # domains, convertible by the same recipe if they ever flake) — and
-    # their halfway sets stay measure-zero.
+    # all); round 9 converted text_lm_perplexity and curate_dsir_select
+    # the same way (Zipf-collapsed integer count domains → micro-nat
+    # literal maps). The remaining entries above quantize ln over
+    # argument domains with NO bounded literal table to inline, each with
+    # its impossibility note:
+    # - bm25/rrf/url_refresh: the quantized quantity is the PRODUCT
+    #   idf·tfnorm — idf is ln of a rational but tfnorm is a per-(doc,
+    #   term) rational whose (tf, doclen) pair domain grows with the
+    #   corpus (not Zipf-collapsed: doclen is near-unique per doc), so
+    #   the product has no bounded integer argument table.
+    # - events_user_entropy / customer_theil_index: terms quantize
+    #   share·ln(share·n) over per-user/per-customer (cnt, n) PAIRS —
+    #   the pair domain is ~one per user, corpus-sized.
+    # - text_js_divergence_sources / text_pmi_cooccurrence: per-term
+    #   ratios p/m, p·q pairs — again a pair domain keyed by two
+    #   independent counts, corpus-sized, no literal table.
+    # Their halfway sets stay measure-zero (irrational arguments), the
+    # original justification — now the documented residual, not the
+    # default.
 }
 
 
