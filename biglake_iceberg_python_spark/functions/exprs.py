@@ -66,3 +66,16 @@ def ts_s(col: str | Column, alias: str | None = None) -> Column:
 
 
 ORACLE_TS_S = "strftime({}, '%Y-%m-%d %H:%M:%S')"
+
+
+def adjacent_pairs(ws: Column, combine) -> Column:
+    """Adjacent word pairs (bigram instances) via ``zip_with`` over two
+    shifted slices — ``combine(a, b)`` builds each pair element.
+
+    The tail-slice length clamps at 0: ``F.slice`` RAISES on negative
+    lengths, so a 0- or 1-token document must yield an empty array rather
+    than crash the scan (the DuckDB twin ``generate_series(1, len-1)`` is
+    naturally empty there — round-9 fix, the unguarded form failed on any
+    corpus containing an empty document)."""
+    n = F.greatest(F.size(ws) - 1, F.lit(0))
+    return F.zip_with(F.slice(ws, 1, n), F.slice(ws, 2, n), combine)

@@ -40,6 +40,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from biglake_iceberg_python_spark.functions.exprs import adjacent_pairs
 from biglake_iceberg_python_spark.functions.twophase import two_phase_rank
 from biglake_iceberg_python_spark.operators.dedup import _shingles, _words
 from biglake_iceberg_python_spark.operators.pipeline import (
@@ -2005,9 +2006,8 @@ def curate_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "source",
         F.explode(
-            F.zip_with(
-                F.slice(ws, 1, F.size(ws) - 1),
-                F.slice(ws, 2, F.size(ws) - 1),
+            adjacent_pairs(
+                ws,
                 lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
             )
         ).alias("bg"),
@@ -2037,7 +2037,10 @@ def curate_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def _mlit(vals):
-        pairs = sorted((int(c), micro_nat(c + 1)) for c in vals)
+        # (-1, 0) placeholder keeps the map typed map<int,int> on an empty
+        # domain (bare map() is map<void,void> and fails the lookup's type
+        # check); counts are ≥ 0 so -1 never matches.
+        pairs = sorted((int(c), micro_nat(c + 1)) for c in vals) or [(-1, 0)]
         return F.create_map(
             *[x for k, mv in pairs for x in (F.lit(k), F.lit(mv))]
         )

@@ -14,7 +14,10 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from biglake_iceberg_python_spark.functions.exprs import oracle_davg
+from biglake_iceberg_python_spark.functions.exprs import (
+    adjacent_pairs,
+    oracle_davg,
+)
 from biglake_iceberg_python_spark.plans.registry import query
 from biglake_iceberg_python_spark.sources.tables import load_table
 
@@ -458,9 +461,8 @@ def text_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     bigs = d.select(
         "doc_id",
         F.explode(
-            F.zip_with(
-                F.slice(ws, 1, F.size(ws) - 1),
-                F.slice(ws, 2, F.size(ws) - 1),
+            adjacent_pairs(
+                ws,
                 lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
             )
         ).alias("bg"),
@@ -496,8 +498,12 @@ def text_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         # broadcast jobs. A missing key yields NULL, which propagates into
         # the hashed output and fails the gate loudly.
         def _mlit(pairs):
+            # (-1, 0) placeholder keeps the map typed map<int,int> on an
+            # empty domain (bare map() is map<void,void> and fails the
+            # lookup's type check); counts are ≥ 1 so -1 never matches.
             return F.create_map(
-                *[c for k, v in pairs for c in (F.lit(k), F.lit(v))]
+                *[c for k, v in (pairs or [(-1, 0)])
+                  for c in (F.lit(k), F.lit(v))]
             )
 
         scored = joined.select(
@@ -589,9 +595,8 @@ def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "source",
         F.explode(
-            F.zip_with(
-                F.slice(ws, 1, F.size(ws) - 1),
-                F.slice(ws, 2, F.size(ws) - 1),
+            adjacent_pairs(
+                ws,
                 lambda a, b: F.concat_ws(" ", a, b),
             )
         ).alias("bigram"),
@@ -766,9 +771,8 @@ def text_bigram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     bigs = d.select(
         "doc_id",
         F.explode(
-            F.zip_with(
-                F.slice(ws, 1, F.size(ws) - 1),
-                F.slice(ws, 2, F.size(ws) - 1),
+            adjacent_pairs(
+                ws,
                 lambda a, b: F.concat_ws(" ", a, b),
             )
         ).alias("bigram"),
@@ -1637,9 +1641,8 @@ def text_kneser_ney_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     ws = _words()
     bigs = d.select(
         F.explode(
-            F.zip_with(
-                F.slice(ws, 1, F.size(ws) - 1),
-                F.slice(ws, 2, F.size(ws) - 1),
+            adjacent_pairs(
+                ws,
                 lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
             )
         ).alias("bg"),

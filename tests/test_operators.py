@@ -1785,3 +1785,37 @@ def test_retention_powerlaw_fit_shape(spark, sf_dir):
     r = rows[0]
     assert r["n_points"] >= 1
     assert 0.0 <= r["r_squared"] <= 1.0
+
+
+def test_bigram_family_tolerates_empty_documents(spark, sf_dir, tmp_path):
+    """A real corpus contains empty and single-token documents; the bigram
+    queries must degrade to zero bigrams for those docs, exactly like
+    their DuckDB twins' generate_series(1, len-1) (round-9 fix:
+    functions/exprs.adjacent_pairs clamps the tail-slice length — the
+    unguarded F.slice(ws, 2, size-1) raised INVALID_PARAMETER_VALUE on
+    size 0). Crafted corpus: every doc tokenizes empty."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = str(tmp_path / "sf_empty")
+    os.makedirs(d)
+    for t in [
+        "region", "nation", "customer", "supplier", "part", "orders",
+        "lineitem", "events", "embeddings",
+    ]:
+        os.symlink(f"{sf_dir}/{t}.parquet", f"{d}/{t}.parquet")
+    base = pq.read_table(f"{sf_dir}/documents.parquet").slice(0, 5)
+    cols = {n: base[n] for n in base.column_names}
+    cols["text"] = pa.array([""] * 5, type=pa.string())
+    pq.write_table(pa.table(cols), f"{d}/documents.parquet")
+    for q in [
+        "text_lm_perplexity",
+        "text_repetition_stats",
+        "text_bigram_novelty",
+        "text_kneser_ney_bigram",
+        "curate_dsir_select",
+        "ml_naive_bayes_langid",
+    ]:
+        assert REGISTRY[q].fn(spark, d).collect() == [], q
