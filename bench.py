@@ -107,6 +107,10 @@ def main() -> int:
         "tpch_q9_product_profit",
         "join_inner",
         "dedup_paragraph_exact",
+        # round-9: the exact-by-construction rewrite added two bounded
+        # driver collects (structural ~+0.4s) with extra run-to-run
+        # variance — median it so the structural cost reads clean.
+        "text_lm_perplexity",
     }
     timings: dict[str, float] = {}
     spreads: dict[str, dict[str, float]] = {}

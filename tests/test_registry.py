@@ -263,7 +263,12 @@ def _decimal_tie_scale(expr: str):
     ]
     if not scales:
         return None
-    s = max(scales)
+    # Multiplication ADDS decimal scales, so with multiple casts in one
+    # argument the conservative bound is the SUM (a product of two 2dp
+    # casts has scale 4; taking the max would under-flag). Addition keeps
+    # the max, so this can false-positive on sums of casts — no such
+    # oracle exists today, and a new one must earn an explicit exemption.
+    s = sum(scales) if len(scales) > 1 else scales[0]
     for m in re.finditer(r"\*\s*1(0+)(?!\d)", expr):
         s -= len(m.group(1))
     return s
