@@ -85,3 +85,46 @@ def micro_nat_values_sql(args: Iterable[int]) -> str:
         for a in sorted(set(int(a) for a in args))
     ]
     return ", ".join(rows)
+
+
+# Above this many distinct keys, a literal create_map would inline 2×N
+# literal expressions into one projection — past Catalyst codegen limits
+# long before the broadcast-join alternative feels any strain. Callers
+# switch to a broadcast-joined literal DataFrame at this size.
+MAP_LITERAL_MAX = 10_000
+
+
+def micro_nat_shift_pairs(
+    keys: Iterable[int], shift: int = 0
+) -> list[tuple[int, int]]:
+    """Sorted ``(k, micro_nat(k + shift))`` pairs — the literal table for
+    quantized ``ln(k + shift)`` keyed on the RAW data value ``k`` (e.g.
+    add-one smoothing keys on the count, shift=1). Empty domains get a
+    ``(-1, 0)`` placeholder: count keys are never negative, so the
+    placeholder can't match, and it keeps downstream map/DataFrame
+    literals TYPED (a bare ``map()`` is ``map<void,void>`` and fails the
+    lookup's type check)."""
+    pairs = sorted(
+        (int(k), micro_nat(int(k) + shift)) for k in set(keys)
+    )
+    return pairs or [(-1, 0)]
+
+
+def micro_nat_shift_lookup(pairs: list[tuple[int, int]], key: Column) -> Column:
+    """Literal-map lookup ``map[key]`` over :func:`micro_nat_shift_pairs`
+    output — the small-domain fast path (≤ :data:`MAP_LITERAL_MAX`); the
+    caller owns the broadcast-join fallback past that. A key outside the
+    domain yields NULL, which propagates into the hashed output and fails
+    the correctness gate loudly."""
+    m = F.create_map(
+        *[c for k, v in pairs for c in (F.lit(k), F.lit(v))]
+    )
+    return m[key]
+
+
+def micro_nat_shift_values_sql(pairs: list[tuple[int, int]]) -> str:
+    """The DuckDB twin of :func:`micro_nat_shift_lookup`: the body of a
+    ``tab(cv, micro)`` VALUES list holding the SAME integer literals."""
+    return ", ".join(
+        f"(CAST({k} AS BIGINT), CAST({v} AS BIGINT))" for k, v in pairs
+    )

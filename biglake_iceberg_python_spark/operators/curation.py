@@ -1908,7 +1908,11 @@ def _dsir_oracle(sf_dir: str) -> str:
     query's raw-round lint exemption."""
     import duckdb
 
-    from biglake_iceberg_python_spark.functions.exactlog import micro_nat
+    from biglake_iceberg_python_spark.functions.exactlog import (
+        micro_nat,
+        micro_nat_shift_pairs,
+        micro_nat_shift_values_sql,
+    )
 
     con = duckdb.connect()
     body = _DSIR_MODEL_SQL.format(
@@ -1931,19 +1935,13 @@ def _dsir_oracle(sf_dir: str) -> str:
         if nr + v >= 1 and nt + v >= 1
         else 0
     )
-    lncr = [
-        f"(CAST({c} AS BIGINT), CAST({micro_nat(c + 1)} AS BIGINT))"
-        for c in sorted(crs)
-    ] or ["(CAST(-1 AS BIGINT), CAST(0 AS BIGINT))"]
-    lnct = [
-        f"(CAST({c} AS BIGINT), CAST({micro_nat(c + 1)} AS BIGINT))"
-        for c in sorted(cts)
-    ] or ["(CAST(-1 AS BIGINT), CAST(0 AS BIGINT))"]
+    lncr = micro_nat_shift_values_sql(micro_nat_shift_pairs(crs, 1))
+    lnct = micro_nat_shift_values_sql(micro_nat_shift_pairs(cts, 1))
     body = _DSIR_MODEL_SQL.format(documents="documents", target=_DSIR_TARGET)
     return f"""
     {body},
-    lncr_tab(cv, micro) AS (VALUES {", ".join(lncr)}),
-    lnct_tab(cv, micro) AS (VALUES {", ".join(lnct)}),
+    lncr_tab(cv, micro) AS (VALUES {lncr}),
+    lnct_tab(cv, micro) AS (VALUES {lnct}),
     model AS (
       SELECT mb.w1, mb.w2,
              lt.micro - lr.micro + CAST({const} AS BIGINT) AS lr_micro
@@ -2036,23 +2034,44 @@ def curate_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         else 0
     )
 
-    def _mlit(vals):
-        # (-1, 0) placeholder keeps the map typed map<int,int> on an empty
-        # domain (bare map() is map<void,void> and fails the lookup's type
-        # check); counts are ≥ 0 so -1 never matches.
-        pairs = sorted((int(c), micro_nat(c + 1)) for c in vals) or [(-1, 0)]
-        return F.create_map(
-            *[x for k, mv in pairs for x in (F.lit(k), F.lit(mv))]
-        )
-
-    model = mb.select(
-        "w1",
-        "w2",
-        (_mlit(head["cts"])[F.col("ct")] - _mlit(head["crs"])[F.col("cr")]
-         + F.lit(const))
-        .cast("long")
-        .alias("lr_micro"),
+    from biglake_iceberg_python_spark.functions.exactlog import (
+        MAP_LITERAL_MAX,
+        micro_nat_shift_lookup,
+        micro_nat_shift_pairs,
     )
+
+    pairs_ct = micro_nat_shift_pairs(head["cts"], 1)
+    pairs_cr = micro_nat_shift_pairs(head["crs"], 1)
+    if max(len(pairs_ct), len(pairs_cr)) <= MAP_LITERAL_MAX:
+        # Small-domain fast path (the expected case: Zipf-collapsed count
+        # domains): literal map lookups inside the projection.
+        model = mb.select(
+            "w1",
+            "w2",
+            (
+                micro_nat_shift_lookup(pairs_ct, F.col("ct"))
+                - micro_nat_shift_lookup(pairs_cr, F.col("cr"))
+                + F.lit(const)
+            )
+            .cast("long")
+            .alias("lr_micro"),
+        )
+    else:
+        # Large-domain path (corpus scale): broadcast-joined literal
+        # tables instead of 10k+ literals in one expression tree.
+        lnct_tab = spark.createDataFrame(pairs_ct, "ct long, lct long")
+        lncr_tab = spark.createDataFrame(pairs_cr, "cr long, lcr long")
+        model = (
+            mb.join(F.broadcast(lnct_tab), "ct")
+            .join(F.broadcast(lncr_tab), "cr")
+            .select(
+                "w1",
+                "w2",
+                (F.col("lct") - F.col("lcr") + F.lit(const))
+                .cast("long")
+                .alias("lr_micro"),
+            )
+        )
     scored = (
         bigs.join(F.broadcast(model), ["w1", "w2"])
         .groupBy("doc_id", "source")

@@ -372,7 +372,10 @@ def _lm_perplexity_oracle(sf_dir: str) -> str:
     retiring this query's raw-round lint exemption."""
     import duckdb
 
-    from biglake_iceberg_python_spark.functions.exactlog import micro_nat
+    from biglake_iceberg_python_spark.functions.exactlog import (
+        micro_nat_shift_pairs,
+        micro_nat_shift_values_sql,
+    )
 
     con = duckdb.connect()
     body = _BIGRAM_MODEL_SQL.format(
@@ -386,19 +389,13 @@ def _lm_perplexity_oracle(sf_dir: str) -> str:
     ).fetchall()]
     vsz = con.execute(body + " SELECT vsz FROM v").fetchone()[0] or 0
     con.close()
-    ln12 = [
-        f"(CAST({c} AS BIGINT), CAST({micro_nat(c + 1)} AS BIGINT))"
-        for c in sorted(c12s)
-    ] or ["(CAST(-1 AS BIGINT), CAST(0 AS BIGINT))"]
-    ln1 = [
-        f"(CAST({c} AS BIGINT), CAST({micro_nat(c + vsz)} AS BIGINT))"
-        for c in sorted(c1s)
-    ] or ["(CAST(-1 AS BIGINT), CAST(0 AS BIGINT))"]
+    ln12 = micro_nat_shift_values_sql(micro_nat_shift_pairs(c12s, 1))
+    ln1 = micro_nat_shift_values_sql(micro_nat_shift_pairs(c1s, vsz))
     body = _BIGRAM_MODEL_SQL.format(documents="documents")
     return f"""
     {body},
-    ln12_tab(cv, micro) AS (VALUES {", ".join(ln12)}),
-    ln1_tab(cv, micro) AS (VALUES {", ".join(ln1)}),
+    ln12_tab(cv, micro) AS (VALUES {ln12}),
+    ln1_tab(cv, micro) AS (VALUES {ln1}),
     s AS (
       SELECT c12.w1, c12.w2, l1.micro - l12.micro AS smicro
       FROM c12
@@ -467,7 +464,11 @@ def text_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("bg"),
     ).select("doc_id", "bg.w1", "bg.w2")
-    from biglake_iceberg_python_spark.functions.exactlog import micro_nat
+    from biglake_iceberg_python_spark.functions.exactlog import (
+        MAP_LITERAL_MAX,
+        micro_nat_shift_lookup,
+        micro_nat_shift_pairs,
+    )
 
     c12 = (
         bigs.groupBy("w1", "w2")
@@ -475,51 +476,51 @@ def text_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=False)
     )
     c1 = c12.groupBy("w1").agg(F.sum("c12").alias("c1"))
-    # Two bounded driver collects derive the micro-nat literal tables: the
-    # first (distinct bigram counts + vocab size) materializes the
-    # checkpoint, the second (distinct prefix counts) reads it back. Both
+    # ONE driver action derives both micro-nat literal domains (the NB
+    # tagged-union pattern): the c12-level branch (distinct bigram counts
+    # + vocab size, g=0) unions with the c1-level branch (distinct prefix
+    # counts, g=1); the shared checkpointed shuffle stage runs once. Both
     # domains are Zipf-collapsed count VALUES — O(√instances) rows, never
     # the type tables themselves.
-    head = c12.agg(
-        F.collect_set("c12").alias("cs"),
-        F.count_distinct("w2").alias("vsz"),
-    ).collect()[0]
-    c12_vals, vsz = head["cs"], head["vsz"] or 0
-    c1_vals = [
-        r["c1"] for r in c1.select("c1").distinct().collect()
-    ]
-    pairs12 = sorted((int(c), micro_nat(c + 1)) for c in c12_vals)
-    pairs1 = sorted((int(c), micro_nat(c + vsz)) for c in c1_vals)
-    joined = c12.join(c1, "w1")
-    if max(len(pairs12), len(pairs1)) <= 10_000:
-        # Small-domain fast path (the expected case: Zipf-collapsed count
-        # domains are ~O(√instances); 108 + 29 values at sf0.1): literal
-        # map lookups stay inside the projection — no extra joins, no
-        # broadcast jobs. A missing key yields NULL, which propagates into
-        # the hashed output and fails the gate loudly.
-        def _mlit(pairs):
-            # (-1, 0) placeholder keeps the map typed map<int,int> on an
-            # empty domain (bare map() is map<void,void> and fails the
-            # lookup's type check); counts are ≥ 1 so -1 never matches.
-            return F.create_map(
-                *[c for k, v in (pairs or [(-1, 0)])
-                  for c in (F.lit(k), F.lit(v))]
+    stats = (
+        c12.agg(
+            F.collect_set("c12").alias("cs"),
+            F.count_distinct("w2").alias("vsz"),
+            F.lit(0).alias("g"),
+        )
+        .unionByName(
+            c1.agg(
+                F.collect_set("c1").alias("cs"),
+                F.lit(None).cast("long").alias("vsz"),
+                F.lit(1).alias("g"),
             )
-
+        )
+        .collect()
+    )
+    by_g = {r["g"]: r for r in stats}
+    vsz = by_g[0]["vsz"] or 0
+    pairs12 = micro_nat_shift_pairs(by_g[0]["cs"], 1)
+    pairs1 = micro_nat_shift_pairs(by_g[1]["cs"], vsz)
+    joined = c12.join(c1, "w1")
+    if max(len(pairs12), len(pairs1)) <= MAP_LITERAL_MAX:
+        # Small-domain fast path (the expected case: 108 + 29 values at
+        # sf0.1): literal map lookups stay inside the projection — no
+        # extra joins, no broadcast jobs.
         scored = joined.select(
             "w1",
             "w2",
-            (_mlit(pairs1)[F.col("c1")] - _mlit(pairs12)[F.col("c12")])
+            (
+                micro_nat_shift_lookup(pairs1, F.col("c1"))
+                - micro_nat_shift_lookup(pairs12, F.col("c12"))
+            )
             .cast("long")
             .alias("smicro"),
         )
     else:
         # Large-domain path (corpus scale): the literal tables broadcast-
         # join instead of inlining 10k+ literals into one expression tree.
-        ln12_tab = spark.createDataFrame(
-            pairs12 or [(-1, 0)], "c12 long, l12 long"
-        )
-        ln1_tab = spark.createDataFrame(pairs1 or [(-1, 0)], "c1 long, l1 long")
+        ln12_tab = spark.createDataFrame(pairs12, "c12 long, l12 long")
+        ln1_tab = spark.createDataFrame(pairs1, "c1 long, l1 long")
         scored = (
             joined.join(F.broadcast(ln12_tab), "c12")
             .join(F.broadcast(ln1_tab), "c1")
@@ -1273,9 +1274,8 @@ def text_heldout_bigram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     bi = split.select(
         "is_heldout",
         F.explode(
-            F.zip_with(
-                F.slice("ws", 1, F.size("ws") - 1),
-                F.slice("ws", 2, F.size("ws") - 1),
+            adjacent_pairs(
+                F.col("ws"),
                 lambda a, b: F.concat_ws(" ", a, b),
             )
         ).alias("bg"),
@@ -1804,9 +1804,8 @@ def _bpe_train(
         pairs = tw.select(
             "freq",
             F.explode(
-                F.zip_with(
-                    F.slice("ws", 1, F.size("ws") - 1),
-                    F.slice("ws", 2, F.size("ws") - 1),
+                adjacent_pairs(
+                    F.col("ws"),
                     lambda a, b: F.struct(a.alias("a"), b.alias("b")),
                 )
             ).alias("p"),

@@ -1815,7 +1815,13 @@ def test_bigram_family_tolerates_empty_documents(spark, sf_dir, tmp_path):
         "text_repetition_stats",
         "text_bigram_novelty",
         "text_kneser_ney_bigram",
+        "text_heldout_bigram_coverage",
         "curate_dsir_select",
         "ml_naive_bayes_langid",
     ]:
-        assert REGISTRY[q].fn(spark, d).collect() == [], q
+        rows = REGISTRY[q].fn(spark, d).collect()
+        if q == "text_heldout_bigram_coverage":
+            # global agg: one all-zero row rather than zero rows
+            assert [tuple(r) for r in rows] == [(0, 0, 0, 0)], q
+        else:
+            assert rows == [], q

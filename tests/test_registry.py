@@ -255,12 +255,22 @@ def _decimal_tie_scale(expr: str):
     present (the raw-DOUBLE lint owns that case)."""
     import re
 
-    scales = [
-        int(m.group(1))
-        for m in re.finditer(
-            r"AS\s+DECIMAL\s*\(\s*\d+\s*,\s*(\d+)\s*\)", expr, re.IGNORECASE
-        )
-    ]
+    # Per-cast scale, cancelled ONLY by a literal power-of-ten that
+    # DIRECTLY multiplies that cast (`CAST(x AS DECIMAL(p,s)) * 100`, the
+    # canonical exact-cents idiom). A free-floating `* 100` elsewhere in
+    # the argument (e.g. `CAST(p AS DECIMAL(18,2)) + n * 100` or
+    # `* (d * 100)`) must NOT cancel — position-blind cancellation would
+    # readmit the tie-dense class as a silent false negative.
+    scales = []
+    for m in re.finditer(
+        r"AS\s+DECIMAL\s*\(\s*\d+\s*,\s*(\d+)\s*\)\s*\)(\s*\*\s*1(0+)(?!\d))?",
+        expr,
+        re.IGNORECASE,
+    ):
+        s = int(m.group(1))
+        if m.group(3):
+            s -= len(m.group(3))
+        scales.append(s)
     if not scales:
         return None
     # Multiplication ADDS decimal scales, so with multiple casts in one
@@ -268,10 +278,7 @@ def _decimal_tie_scale(expr: str):
     # casts has scale 4; taking the max would under-flag). Addition keeps
     # the max, so this can false-positive on sums of casts — no such
     # oracle exists today, and a new one must earn an explicit exemption.
-    s = sum(scales) if len(scales) > 1 else scales[0]
-    for m in re.finditer(r"\*\s*1(0+)(?!\d)", expr):
-        s -= len(m.group(1))
-    return s
+    return sum(scales) if len(scales) > 1 else scales[0]
 
 
 def test_no_oracle_round_is_tie_dense():
@@ -308,7 +315,7 @@ def test_lint_exemption_l_quantity_is_integral():
     con = duckdb.connect()
     n = con.execute(
         "SELECT COUNT(*) FROM "
-        "read_parquet('/root/testdata/sf0.001/lineitem.parquet') "
+        f"read_parquet('{_LINT_SF_DIR}/lineitem.parquet') "
         "WHERE l_quantity <> floor(l_quantity)"
     ).fetchone()[0]
     con.close()
