@@ -116,8 +116,15 @@ def micro_nat_shift_lookup(pairs: list[tuple[int, int]], key: Column) -> Column:
     caller owns the broadcast-join fallback past that. A key outside the
     domain yields NULL, which propagates into the hashed output and fails
     the correctness gate loudly."""
+    # Explicit long casts: bare F.lit(small_int) types the map
+    # map<int,int>, and a LONG lookup key would then be DOWN-cast to int —
+    # an overflow hazard once counts exceed 2^31 at corpus scale.
     m = F.create_map(
-        *[c for k, v in pairs for c in (F.lit(k), F.lit(v))]
+        *[
+            c
+            for k, v in pairs
+            for c in (F.lit(k).cast("long"), F.lit(v).cast("long"))
+        ]
     )
     return m[key]
 
