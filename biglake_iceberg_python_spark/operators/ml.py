@@ -16,7 +16,7 @@ object is small (a few KB) and broadcast to executors by MLlib itself.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from biglake_iceberg_python_spark.operators.curation import (
