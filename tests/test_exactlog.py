@@ -100,3 +100,47 @@ def test_micro_nat_ratio_identities():
         assert micro_nat_ratio(n, n) == 0
     for a, b in ((3, 7), (1500, 11), (10**9, 997)):
         assert micro_nat_ratio(a, b) == -micro_nat_ratio(b, a)
+
+
+def test_micro_nat_shift_helpers(spark):
+    """The shared shift-keyed literal machinery (round 9): pairs are keyed
+    on the RAW value with the shift applied inside micro_nat; empty
+    domains get the typed (-1, 0) placeholder; the Spark lookup and the
+    DuckDB VALUES twin carry identical integers; map keys/values are LONG
+    so corpus-scale counts never downcast."""
+    import duckdb
+
+    from biglake_iceberg_python_spark.functions.exactlog import (
+        micro_nat,
+        micro_nat_shift_lookup,
+        micro_nat_shift_pairs,
+        micro_nat_shift_values_sql,
+    )
+    from pyspark.sql import functions as F
+
+    pairs = micro_nat_shift_pairs([5, 1, 5, 12], shift=1)
+    assert pairs == [(1, micro_nat(2)), (5, micro_nat(6)), (12, micro_nat(13))]
+    assert micro_nat_shift_pairs([], shift=1) == [(-1, 0)]
+
+    # Spark lookup returns the exact literal (incl. a > 2^31 key: the map
+    # must be map<long,long>, not map<int,int>).
+    big = 3_000_000_000
+    bpairs = micro_nat_shift_pairs([big], shift=1)
+    df = spark.range(1).select(
+        micro_nat_shift_lookup(pairs, F.lit(5).cast("long")).alias("a"),
+        micro_nat_shift_lookup(bpairs, F.lit(big).cast("long")).alias("b"),
+        micro_nat_shift_lookup(pairs, F.lit(99).cast("long")).alias("miss"),
+    )
+    r = df.collect()[0]
+    assert r["a"] == micro_nat(6)
+    assert r["b"] == micro_nat(big + 1)
+    assert r["miss"] is None  # out-of-domain -> NULL, fails gates loudly
+
+    # DuckDB twin holds the same integers.
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT * FROM (VALUES {micro_nat_shift_values_sql(pairs)})"
+        " t(cv, micro) ORDER BY cv"
+    ).fetchall()
+    con.close()
+    assert [(int(a), int(b)) for a, b in rows] == pairs
