@@ -705,9 +705,11 @@ def curate_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH t AS (
       SELECT
         doc_id, source, lang, n_chars,
-        len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tok,
+        len(list_filter(string_split(COALESCE(text, ''), ' '),
+                        x -> x <> '')) AS n_tok,
         md5(array_to_string(
-          (list_filter(string_split(text, ' '), x -> x <> ''))
+          (list_filter(string_split(COALESCE(text, ''), ' '),
+                       x -> x <> ''))
             [1:{_FP_WORDS}], ' ')) AS fp
       FROM documents
     ), r AS (
@@ -750,15 +752,25 @@ def curate_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     only each group's ≤4096-row bucket table crosses an ordered window.
     Group sizes are a map-side rollup broadcast back; the datasheet rollup
     itself is one exchange on (source, lang).
+
+    NULL text coalesces to '' on BOTH engines (0 tokens, md5('')
+    fingerprint): unguarded, Spark's concat_ws turns a NULL token array
+    into '' while DuckDB's array_to_string stays NULL — diverging
+    n_fp_dups — and the NULL n_tok ordering key would trip
+    two_phase_rank's loud NULL-key guard on any corpus with NULL docs.
     """
     d = load_table(spark, sf_dir, "documents")
+    ws = F.filter(
+        F.split(F.coalesce(F.col("text"), F.lit("")), " "),
+        lambda x: x != "",
+    )
     t = d.select(
         "doc_id",
         "source",
         "lang",
         "n_chars",
-        F.size(_words()).cast("long").alias("n_tok"),
-        F.md5(F.concat_ws(" ", F.slice(_words(), 1, _FP_WORDS))).alias("fp"),
+        F.size(ws).cast("long").alias("n_tok"),
+        F.md5(F.concat_ws(" ", F.slice(ws, 1, _FP_WORDS))).alias("fp"),
     ).localCheckpoint(eager=False)
     n_by_g = t.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("n"))
     r = two_phase_rank(

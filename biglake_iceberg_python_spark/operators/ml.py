@@ -37,8 +37,16 @@ _HOLDOUT_MOD, _HOLDOUT_REM = 5, 4
 def _quality_features(d: DataFrame) -> DataFrame:
     """Engineered quality signals, all in codegen (no UDFs): word count,
     summed word length, distinct-word count, stopword hits — the inputs the
-    Gopher-style heuristic (operators/curation.py) thresholds on."""
-    ws = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+    Gopher-style heuristic (operators/curation.py) thresholds on.
+
+    NULL text coalesces to an empty token array (all features 0, heuristic
+    rejects) — real corpora contain NULL documents, and NULL features
+    would otherwise NULL the derived ML label and abort Spark ML's fit
+    ("Labels MUST NOT be Null or NaN")."""
+    ws = F.filter(
+        F.split(F.coalesce(F.col("text"), F.lit("")), " "),
+        lambda x: x != "",
+    )
     return d.select(
         "doc_id",
         "lang",

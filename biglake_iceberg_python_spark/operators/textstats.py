@@ -55,8 +55,8 @@ def _words(col: str = "text") -> Column:
       lang,
       COUNT(*) AS n_docs,
       {oracle_davg('n_words')} AS avg_words,
-      {oracle_davg('CAST(n_chars_actual AS DOUBLE) / n_words')} AS avg_chars_per_word,
-      {oracle_davg('CAST(n_stop AS DOUBLE) / n_words')} AS avg_stopword_ratio,
+      {oracle_davg('CAST(n_chars_actual AS DOUBLE) / NULLIF(n_words, 0)')} AS avg_chars_per_word,
+      {oracle_davg('CAST(n_stop AS DOUBLE) / NULLIF(n_words, 0)')} AS avg_stopword_ratio,
       CAST(MIN(n_words) AS BIGINT) AS min_words,
       CAST(MAX(n_words) AS BIGINT) AS max_words
     FROM per_doc
@@ -68,7 +68,14 @@ def _words(col: str = "text") -> Column:
 def text_quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-score features per language: word counts, chars/word,
     stopword ratio — the standard cheap filters before expensive pipeline
-    stages. One pass, one 5-group shuffle."""
+    stages. One pass, one 5-group shuffle.
+
+    Empty/NULL documents (n_words = 0) contribute NULL ratios via
+    NULLIF on both engines — under Spark's default ANSI mode a bare
+    division would ABORT the whole job on the first empty doc (real
+    corpora always contain some), while DuckDB would return inf; NULLIF
+    makes both engines skip those rows in the ratio sums identically.
+    """
     d = load_table(spark, sf_dir, "documents")
     w = _words()
     stop_arr = F.array(*[F.lit(s) for s in _STOPWORDS])
@@ -78,12 +85,13 @@ def text_quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("text").alias("n_chars_actual"),
         F.size(F.filter(w, lambda x: F.array_contains(stop_arr, x))).alias("n_stop"),
     )
+    nw_nz = F.nullif(F.col("n_words"), F.lit(0))
     return per_doc.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
         (F.sum(F.col("n_words").cast("decimal(30,6)")).cast("double") / F.count(F.lit(1))).alias("avg_words"),
         (
             F.sum(
-                (F.col("n_chars_actual").cast("double") / F.col("n_words")).cast(
+                (F.col("n_chars_actual").cast("double") / nw_nz).cast(
                     "decimal(30,6)"
                 )
             ).cast("double")
@@ -91,7 +99,7 @@ def text_quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("avg_chars_per_word"),
         (
             F.sum(
-                (F.col("n_stop").cast("double") / F.col("n_words")).cast(
+                (F.col("n_stop").cast("double") / nw_nz).cast(
                     "decimal(30,6)"
                 )
             ).cast("double")
@@ -1004,8 +1012,14 @@ def text_chunk_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "t",
         "n",
+        # n = 0 (empty doc) or NULL (NULL text) must yield zero chunks:
+        # sequence(0, -1, +24) RAISES, so gate it — posexplode drops the
+        # row on NULL, matching the oracle's empty range(0, 0, S).
         F.posexplode(
-            F.sequence(F.lit(0), F.col("n") - 1, F.lit(_CHUNK_S))
+            F.when(
+                F.col("n") >= 1,
+                F.sequence(F.lit(0), F.col("n") - 1, F.lit(_CHUNK_S)),
+            )
         ).alias("chunk_idx", "start"),
     )
     chunk = F.slice(
@@ -1329,14 +1343,17 @@ def text_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     def compressed_len(text: pd.Series) -> pd.Series:
         import zlib
 
+        # NULL text compresses as empty: keeps the three output buckets a
+        # PARTITION of n_docs (a NULL comp_len would fall in none of them)
+        # and matches the coalesced raw_len below.
         return text.map(
-            lambda t: len(zlib.compress(t.encode("utf-8"), 6))
+            lambda t: len(zlib.compress((t or "").encode("utf-8"), 6))
         ).astype("int32")
 
     d = load_table(spark, sf_dir, "documents")
     sized = d.select(
         "source",
-        F.length("text").alias("raw_len"),
+        F.length(F.coalesce(F.col("text"), F.lit(""))).alias("raw_len"),
         compressed_len(F.col("text")).alias("comp_len"),
     )
     # ratio thresholds as integer cross-multiplications (no float compare)

@@ -199,7 +199,7 @@ def source_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id,
            CAST(octet_length(CAST(text AS BLOB)) AS INTEGER) AS n_bytes,
            md5(text) AS digest
-    FROM documents WHERE doc_id < 20
+    FROM documents WHERE doc_id < 20 AND text IS NOT NULL
     """,
     tags=("source", "binary", "multimodal"),
 )
@@ -216,9 +216,12 @@ def source_binaryfile_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
     projected); payload bytes stay executor-side. The 20 driver-side file
     writes are test staging, not the operator.
     """
+    # NULL text = no payload = no file, mirrored by the oracle's
+    # `text IS NOT NULL` (writing b"" instead would digest md5('') where
+    # the oracle digests NULL — a hash mismatch on any corpus with NULLs).
     docs = (
         load_table(spark, sf_dir, "documents")
-        .filter(F.col("doc_id") < 20)
+        .filter((F.col("doc_id") < 20) & F.col("text").isNotNull())
         .select("doc_id", "text")
         .collect()
     )

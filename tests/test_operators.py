@@ -1808,7 +1808,8 @@ def test_bigram_family_tolerates_empty_documents(spark, sf_dir, tmp_path):
         os.symlink(f"{sf_dir}/{t}.parquet", f"{d}/{t}.parquet")
     base = pq.read_table(f"{sf_dir}/documents.parquet").slice(0, 5)
     cols = {n: base[n] for n in base.column_names}
-    cols["text"] = pa.array([""] * 5, type=pa.string())
+    # NULL, empty, and single-token texts — all three degenerate shapes.
+    cols["text"] = pa.array([None, None, "", "", "single"], type=pa.string())
     pq.write_table(pa.table(cols), f"{d}/documents.parquet")
     for q in [
         "text_lm_perplexity",
@@ -1825,3 +1826,15 @@ def test_bigram_family_tolerates_empty_documents(spark, sf_dir, tmp_path):
             assert [tuple(r) for r in rows] == [(0, 0, 0, 0)], q
         else:
             assert rows == [], q
+    # The round-9 NULL-corpus sweep's other crashers: ANSI divide-by-zero
+    # (quality stats), sequence(0,-1) (chunking), NULL rank key (dataset
+    # card), None.encode (binaryFile staging), zlib on None (compression).
+    # Each must now degrade gracefully, not abort the job.
+    for q in [
+        "text_quality_stats",
+        "text_chunk_sliding",
+        "curate_dataset_card",
+        "source_binaryfile_digest",
+        "text_compression_ratio",
+    ]:
+        REGISTRY[q].fn(spark, d).collect()
