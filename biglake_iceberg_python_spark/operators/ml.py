@@ -143,17 +143,19 @@ def ml_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     nondeterminism cannot flip assignments between runs.
     """
     e = load_table(spark, sf_dir, "embeddings")
-    vecs = e.select(
+    # Exclude NULL/wrong-dimension vectors (failed-encoder rows in a real
+    # pipeline): the fold expressions assume exactly _KM_DIM components,
+    # and a NULL init row would crash the driver-side centroid list.
+    vecs = e.filter(
+        F.col("embedding").isNotNull() & (F.size("embedding") == _KM_DIM)
+    ).select(
         "vec_id",
         F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("v"),
     )
 
-    init = (
-        vecs.filter(F.col("vec_id") < _KM_K)
-        .orderBy("vec_id")
-        .select("v")
-        .collect()
-    )
+    # Init = first k VALID vectors by vec_id (identical to "vec_id < k"
+    # on a clean corpus, and still k centers when early ids were filtered).
+    init = vecs.orderBy("vec_id").select("v").limit(_KM_K).collect()
     cents: list[list[float]] = [list(r["v"]) for r in init]
 
     history: list[tuple[int, int, int, float]] = []
@@ -497,11 +499,24 @@ def ml_coreset_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
     (max over corpus of distance to nearest center) AFTER each pick —
     the radius curve is the coreset's quality certificate.
     """
-    e = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    # Exclude NULL/wrong-dimension vectors (failed-encoder rows): the
+    # distance folds assume equal-length arrays, and a NULL seed row
+    # would crash the driver-side center list.
+    e = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(
+            F.col("embedding").isNotNull()
+            & (F.size("embedding") == _KM_DIM)
+        )
+        .select(
+            "vec_id",
+            F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+        )
     )
-    first = e.filter(F.col("vec_id") == 0).select("v").first()
-    centers = [(0, [float(x) for x in first["v"]])]
+    # Seed = first VALID vector by vec_id (identical to "vec_id 0" on a
+    # clean corpus, and still defined when vec 0 itself was filtered).
+    first = e.orderBy("vec_id").select("vec_id", "v").first()
+    centers = [(int(first["vec_id"]), [float(x) for x in first["v"]])]
     sq = lambda a, b: F.aggregate(  # noqa: E731
         F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
         F.lit(0.0),

@@ -252,6 +252,7 @@ def sim_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH v AS (
       SELECT vec_id, label, embedding::DOUBLE[] AS ev FROM embeddings
+      WHERE list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0
     ), pairs AS (
       SELECT
         a.vec_id AS vec_a, b.vec_id AS vec_b,
@@ -275,8 +276,16 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     threshold semantics run behind the multi-table LSH candidate generator
     (sim_ann_lsh's plan) so only bucket-mates are scored; this operator is
     the ground-truth/verification tier of that pipeline.
+
+    NULL and zero-norm vectors are excluded on BOTH engines (norm > 0
+    filter): cosine is undefined there, and under Spark's default ANSI
+    mode the bare division would abort the whole job on the first
+    degenerate vector a real embedding pipeline emits (failed encoder
+    calls land as NULL/empty rows).
     """
-    e = load_table(spark, sf_dir, "embeddings")
+    e = load_table(spark, sf_dir, "embeddings").filter(
+        _dot(_as_double("embedding"), _as_double("embedding")) > 0
+    )
     a = e.select(
         F.col("vec_id").alias("vec_a"),
         F.col("label").alias("la"),

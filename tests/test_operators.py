@@ -1838,3 +1838,40 @@ def test_bigram_family_tolerates_empty_documents(spark, sf_dir, tmp_path):
         "text_compression_ratio",
     ]:
         REGISTRY[q].fn(spark, d).collect()
+
+
+def test_vector_family_tolerates_degenerate_embeddings(spark, sf_dir, tmp_path):
+    """Failed-encoder rows (NULL / wrong-dimension / empty vectors) must be
+    excluded, not abort the job: cosine is undefined at norm 0 (ANSI mode
+    turns the bare division into a job-killer), the k-means/coreset folds
+    assume exactly _KM_DIM components, and a NULL seed row crashed the
+    driver-side center list (round-9 degenerate-corpus sweep)."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = str(tmp_path / "sf_degenerate_emb")
+    os.makedirs(d)
+    for t in [
+        "region", "nation", "customer", "supplier", "part", "orders",
+        "lineitem", "events", "documents",
+    ]:
+        os.symlink(f"{sf_dir}/{t}.parquet", f"{d}/{t}.parquet")
+    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    cols = {n: tbl[n] for n in tbl.column_names}
+    vals = cols["embedding"].to_pylist()
+    vals[0] = None                      # seed row NULLed on purpose
+    vals[1] = vals[1][:10]              # wrong dimension
+    vals[2] = []                        # empty
+    cols["embedding"] = pa.array(
+        vals, type=tbl.schema.field("embedding").type
+    )
+    pq.write_table(pa.table(cols), f"{d}/embeddings.parquet")
+    for q in [
+        "dedup_embedding_cosine",
+        "ml_kmeans_embeddings",
+        "ml_coreset_kcenter",
+        "sim_bruteforce_topk",
+    ]:
+        REGISTRY[q].fn(spark, d).collect()
