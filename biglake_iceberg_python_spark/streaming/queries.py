@@ -791,7 +791,15 @@ def stream_stateful_timeout_session(
     input_dir, ckpt = stage_event_chunks(
         spark, sf_dir, n_chunks=4, flush_sentinel=True
     )
-    s = read_event_stream(spark, input_dir).withWatermark("ts", "10 minutes")
+    # Timestamp-less events cannot be sessionized — drop them BEFORE the
+    # stateful operator (a real pipeline dead-letters them): a NULL
+    # event-time reaches the state function as NaT and kills the stream
+    # inside astype("int64") (round-9 degenerate-corpus sweep).
+    s = (
+        read_event_stream(spark, input_dir)
+        .filter(F.col("ts").isNotNull())
+        .withWatermark("ts", "10 minutes")
+    )
 
     def fmt(sec: int) -> str:
         return pd.to_datetime(int(sec), unit="s", utc=True).strftime(
