@@ -626,9 +626,10 @@ _FP_WORDS = 10
     oracle=f"""
     WITH tagged AS (
       SELECT doc_id, source,
-             md5(array_to_string(
-               (list_filter(string_split(text, ' '), x -> x <> ''))
-                 [1:{_FP_WORDS}], ' ')) AS h,
+             md5(COALESCE(array_to_string(
+               (list_filter(string_split(COALESCE(text, ''), ' '),
+                            x -> x <> ''))
+                 [1:{_FP_WORDS}], ' '), '')) AS h,
              {_oracle_md5_bucket("doc_id", "ingest", 100)} < {_HIST_PCT}
                AS is_hist
       FROM documents
@@ -667,11 +668,26 @@ def curate_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     hashes, never document bodies. On a real lakehouse the history index
     is bucketed by hash so the join co-locates with zero history movement;
     here both sides derive from one table and AQE picks the exchange.
+
+    NULL text coalesces to '' on BOTH engines before the fingerprint
+    (round-9 ADVICE): unguarded, Spark's concat_ws turns the NULL token
+    array into '' (fingerprint md5('')) while DuckDB's array_to_string
+    stays NULL — n_dup_vs_history / n_ingested diverge on any corpus with
+    NULL documents, the exact hazard fixed in curate_dataset_card. The
+    joined string needs its own COALESCE too: DuckDB 1.0.0's
+    array_to_string returns NULL for an EMPTY list (a zero-token doc),
+    not just a NULL one, while Spark's concat_ws returns '' — found by
+    the round-10 NULL-corpus parity test, which compares engines rather
+    than only checking Spark doesn't crash.
     """
+    fp_words = F.filter(
+        F.split(F.coalesce(F.col("text"), F.lit("")), " "),
+        lambda x: x != "",
+    )
     d = load_table(spark, sf_dir, "documents").select(
         "doc_id",
         "source",
-        F.md5(F.concat_ws(" ", F.slice(_words(), 1, _FP_WORDS))).alias("h"),
+        F.md5(F.concat_ws(" ", F.slice(fp_words, 1, _FP_WORDS))).alias("h"),
         (_md5_bucket(F.col("doc_id"), "ingest", 100) < _HIST_PCT).alias(
             "is_hist"
         ),
@@ -707,10 +723,10 @@ def curate_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         doc_id, source, lang, n_chars,
         len(list_filter(string_split(COALESCE(text, ''), ' '),
                         x -> x <> '')) AS n_tok,
-        md5(array_to_string(
+        md5(COALESCE(array_to_string(
           (list_filter(string_split(COALESCE(text, ''), ' '),
                        x -> x <> ''))
-            [1:{_FP_WORDS}], ' ')) AS fp
+            [1:{_FP_WORDS}], ' '), '')) AS fp
       FROM documents
     ), r AS (
       SELECT
@@ -758,6 +774,10 @@ def curate_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     into '' while DuckDB's array_to_string stays NULL — diverging
     n_fp_dups — and the NULL n_tok ordering key would trip
     two_phase_rank's loud NULL-key guard on any corpus with NULL docs.
+    The oracle additionally COALESCEs the joined string itself (round
+    10): DuckDB 1.0.0's array_to_string returns NULL for an EMPTY list
+    too, so a zero-token doc's fingerprint was NULL in DuckDB vs
+    md5('') in Spark — off-by-one n_fp_dups whenever such docs exist.
     """
     d = load_table(spark, sf_dir, "documents")
     ws = F.filter(

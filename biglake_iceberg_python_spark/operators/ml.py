@@ -157,6 +157,16 @@ def ml_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     # on a clean corpus, and still k centers when early ids were filtered).
     init = vecs.orderBy("vec_id").select("v").limit(_KM_K).collect()
     cents: list[list[float]] = [list(r["v"]) for r in init]
+    if not cents:
+        # All-degenerate corpus (round-9 ADVICE): zero valid vectors means
+        # zero centers — F.array() over an empty choice list is malformed,
+        # so return an empty history, mirroring ml_coreset_kcenter and the
+        # NB empty-train early return. (1 ≤ |cents| < k needs no guard:
+        # the assignment array just has fewer choices and absent clusters
+        # carry over as empty.)
+        return spark.createDataFrame(
+            [], "iter int, cluster int, n_points bigint, inertia double"
+        )
 
     history: list[tuple[int, int, int, float]] = []
     for it in range(_KM_ITERS):
@@ -516,6 +526,15 @@ def ml_coreset_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Seed = first VALID vector by vec_id (identical to "vec_id 0" on a
     # clean corpus, and still defined when vec 0 itself was filtered).
     first = e.orderBy("vec_id").select("vec_id", "v").first()
+    if first is None:
+        # Every embedding row was NULL/wrong-dim (round-9 ADVICE: the
+        # validity filter can empty the table on an all-degenerate
+        # corpus): no seed exists, so degrade to an empty pick list —
+        # the NB empty-train discipline — instead of TypeError-ing on
+        # first["vec_id"].
+        return spark.createDataFrame(
+            [], "pick int, center_vec_id long, radius_sq_after double"
+        )
     centers = [(int(first["vec_id"]), [float(x) for x in first["v"]])]
     sq = lambda a, b: F.aggregate(  # noqa: E731
         F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),

@@ -252,7 +252,8 @@ def sim_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH v AS (
       SELECT vec_id, label, embedding::DOUBLE[] AS ev FROM embeddings
-      WHERE list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0
+      WHERE len(embedding) = 64
+        AND list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0
     ), pairs AS (
       SELECT
         a.vec_id AS vec_a, b.vec_id AS vec_b,
@@ -277,14 +278,20 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     (sim_ann_lsh's plan) so only bucket-mates are scored; this operator is
     the ground-truth/verification tier of that pipeline.
 
-    NULL and zero-norm vectors are excluded on BOTH engines (norm > 0
-    filter): cosine is undefined there, and under Spark's default ANSI
-    mode the bare division would abort the whole job on the first
-    degenerate vector a real embedding pipeline emits (failed encoder
-    calls land as NULL/empty rows).
+    NULL, zero-norm, AND wrong-dimension vectors are excluded on BOTH
+    engines (size = {_DIM} plus norm > 0): cosine is undefined for the
+    first two, and under Spark's default ANSI mode the bare division
+    would abort the whole job on the first degenerate vector a real
+    embedding pipeline emits (failed encoder calls land as NULL/empty
+    rows). The dimension predicate (round-9 ADVICE) closes a
+    crash-vs-drop divergence: a wrong-dim row passes norm > 0 on both
+    engines, then Spark's zip_with NULL-pads the mismatched pair
+    (silently dropped) while DuckDB's list_dot_product raises on length
+    mismatch — the same _KM_DIM filter kmeans/coreset already carry.
     """
     e = load_table(spark, sf_dir, "embeddings").filter(
-        _dot(_as_double("embedding"), _as_double("embedding")) > 0
+        (F.size("embedding") == _DIM)
+        & (_dot(_as_double("embedding"), _as_double("embedding")) > 0)
     )
     a = e.select(
         F.col("vec_id").alias("vec_a"),

@@ -106,82 +106,86 @@ _loaded = False
 # tests/test_oracle_parity.py's full sweep, which runs every registered
 # query against its oracle regardless of ordering.
 #
-# Provenance of this rotation (round 9, per round-8 VERDICT "Next round"
-# #3): CORRECTNESS_r08 came back 47 hash + 2 rows-only + 1 red
-# (sql_temp_function — a tie-dense DECIMAL round, 1,115 exact-.50 ties at
-# sf0.01, rewritten this round to pure int64 centicents; the extended
-# tie-dense lint in tests/test_registry.py also caught scalar_math and
-# scalar_try_arithmetic, both rewritten). This window takes: the three
-# tie-dense rewrites, the 3 never-driver-verified rows-only sketches
-# (reaching 348/348 cumulative), the round-8 exact-by-construction set for
-# driver re-confirmation (incl. ml_naive_bayes_langid, whose scoring DAG
-# was restructured again this round), and 39 of the 48 names whose only
-# driver verification is round 1 — the stalest signal in the registry
-# (joins ×11, tpch ×15, aggs ×10, subqueries ×2, hypertable rollup).
-# Deferred to round 10: the 4 source roundtrips, pricing_summary (runs as
-# the entry() smoke every round anyway), filter_predicates,
-# projection_compute, scan_limit_topk, agg_distinct — the lowest-risk
-# residue of the r1 pool.
+# Provenance of this rotation (round 10, per round-9 VERDICT "Next round"
+# #1/#2): CORRECTNESS_r09 came back 46 hash + 3 rows-only (the no-oracle
+# sketches, by design) + 1 red (sql_temp_function, second consecutive round
+# despite a judge-proved tie-free body — this round runs the discriminating
+# experiment: renamed sum column `disc_sum_v10` as a stale-oracle schema
+# canary + pure IEEE floor(x*100+0.5) cents, see operators/relational.py).
+# Every other slot goes to oracle-BEARING names only (r9 lesson: no-oracle
+# names can only return `err: no_oracle` and waste the slot), ordered by
+# staleness computed from CORRECTNESS_r01..r09: the 1 never-driver-verified
+# oracle (multimodal_decode_features — its only window slot, r3, predates
+# its oracle), the 2 r9-rewritten exact-by-construction forms whose last
+# hash-pass predates the rewrite (text_lm_perplexity r6,
+# curate_dsir_select r8), the 9 names last verified in round 1, and 37 of
+# the 43 names last verified in round 3. Deferred to round 11 (r3-stale
+# families whose siblings hash-passed in r5–r8, the lowest-marginal-value
+# residue): sim_knn_classify, sim_label_centroids, sample_hash_stratified,
+# sample_reservoir_pergroup, pack_token_shards, pipeline_corpus_build.
 _PRIORITY_WINDOW = [
-    # the round-8 red + this round's two lint-caught rewrites — prove the
-    # by-construction forms under the real driver
+    # the r8+r9 red, rewritten as the discriminating experiment — keep first
     "sql_temp_function",
-    "scalar_math",
-    "scalar_try_arithmetic",
-    # never-driver-verified rows-only sketches (3) → 348/348 cumulative
-    "agg_hll_set_algebra",
-    "agg_kll_quantile_merge",
-    "agg_sketch_merge_rollup",
-    # round-8 exact-by-construction set, driver re-confirmation (5)
-    "ml_naive_bayes_langid",
-    "events_kaplan_meier_retention",
-    "text_zipf_fit",
-    "text_tfidf_top_terms",
-    "events_retention_powerlaw",
-    # r1-stale joins (11)
-    "join_inner",
-    "join_left_outer",
-    "join_full_outer",
-    "join_semi",
-    "join_anti",
-    "join_broadcast_star",
-    "join_theta_range",
-    "join_asof",
-    "join_shipping_priority",
-    "join_q5_local_supplier",
-    "join_range_bucketed",
-    # r1-stale join specials (2)
-    "join_skew_salted",
-    "join_fuzzy_levenshtein",
-    # r1-stale tpch (15)
-    "tpch_q4_order_priority",
-    "tpch_q6_revenue_forecast",
-    "tpch_q7_volume_shipping",
-    "tpch_q8_market_share",
-    "tpch_q9_product_profit",
-    "tpch_q10_returned_items",
-    "tpch_q13_customer_distribution",
-    "tpch_q14_promo_effect",
-    "tpch_q15_top_supplier",
-    "tpch_q16_supplier_part_counts",
-    "tpch_q17_small_quantity_revenue",
-    "tpch_q18_large_volume",
-    "tpch_q19_discounted_revenue",
-    "tpch_q21_waiting_supplier",
-    "tpch_q22_sales_opportunity",
-    # r1-stale aggregates (10)
-    "agg_stats",
-    "agg_dropduplicates",
-    "agg_percentile_exact",
-    "agg_rollup",
-    "agg_cube",
-    "agg_grouping_sets",
-    "agg_variance",
-    "agg_pivot",
-    "agg_time_rollup_hypertable",
-    "subquery_scalar",
-    # r1-stale correlated subquery (1)
-    "subquery_correlated",
+    # only remaining oracle-bearing name with no driver hash-pass on record
+    "multimodal_decode_features",
+    # r9 exact-by-construction rewrites, never driver-verified in that form
+    "text_lm_perplexity",
+    "curate_dsir_select",
+    # r1-stale (9): deferred residue from the round-9 rotation
+    "pricing_summary",
+    "filter_predicates",
+    "projection_compute",
+    "scan_limit_topk",
+    "agg_distinct",
+    "source_csv_roundtrip",
+    "source_json_roundtrip",
+    "source_orc_roundtrip",
+    "source_partitioned_write_prune",
+    # r3-stale scalars (8)
+    "scalar_string",
+    "scalar_datetime",
+    "scalar_datetime_events",
+    "scalar_conditional",
+    "scalar_array",
+    "scalar_array_explode",
+    "scalar_json",
+    "scalar_json_struct",
+    # r3-stale windows (6)
+    "window_ranking",
+    "window_analytic",
+    "window_frames",
+    "window_range_frame",
+    "window_distribution",
+    "window_topk_per_group",
+    # r3-stale streaming batch-twins (9)
+    "stream_tumbling_window",
+    "stream_sliding_window",
+    "stream_session_window",
+    "stream_dedup",
+    "stream_dedup_within_watermark",
+    "stream_custom_stateful",
+    "stream_static_join",
+    "stream_stream_join",
+    "stream_foreachbatch_upsert",
+    # r3-stale text (5)
+    "text_quality_stats",
+    "text_langid",
+    "text_token_count",
+    "text_fingerprint",
+    "text_bigram_novelty",
+    # r3-stale dedup (4)
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_embedding_cosine",
+    "dedup_connected_components",
+    # r3-stale similarity (2)
+    "sim_bruteforce_topk",
+    "sim_ann_ivf",
+    # r3-stale multimodal (2)
+    "multimodal_binary_meta",
+    "multimodal_frame_sample",
+    # r3-stale tpch (1)
+    "tpch_q12_priority_counts",
 ]
 
 
@@ -249,9 +253,15 @@ def all_oracle_sql() -> dict[str, str]:
     come from the parquet under ``sf_dir``), so a driver comparing at any
     other sf without setting ``SPARK_GRAFT_ORACLE_SF_DIR`` would get
     literal tables derived from the wrong data — silent dropped-row hash
-    mismatches. Fail loudly instead: the resolved dir must exist."""
+    mismatches. Fail loudly instead: the resolved dir must exist — but
+    only when a registered spec actually HAS an oracle_builder (round-9
+    ADVICE: data-free environments — docs/lint tooling over the static
+    oracle inventory — must still be able to enumerate; today builders
+    always exist, so the driver path is unchanged)."""
     sf_dir = os.environ.get(_ORACLE_SF_ENV, DRIVER_ORACLE_SF_DIR)
-    if not os.path.isdir(sf_dir):
+    specs = load_all()
+    needs_data = any(s.oracle_builder is not None for s in specs.values())
+    if needs_data and not os.path.isdir(sf_dir):
         raise FileNotFoundError(
             f"oracle sf_dir {sf_dir!r} does not exist; set {_ORACLE_SF_ENV} "
             "to the directory the driver compares at (builder oracles "
@@ -259,6 +269,6 @@ def all_oracle_sql() -> dict[str, str]:
         )
     return {
         name: resolve_oracle(spec, sf_dir)
-        for name, spec in load_all().items()
+        for name, spec in specs.items()
         if spec.has_oracle()
     }

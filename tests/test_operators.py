@@ -1875,3 +1875,85 @@ def test_vector_family_tolerates_degenerate_embeddings(spark, sf_dir, tmp_path):
         "sim_bruteforce_topk",
     ]:
         REGISTRY[q].fn(spark, d).collect()
+    # Round-10 (r9 ADVICE): the wrong-dim row was a crash-vs-drop
+    # divergence for dedup_embedding_cosine — Spark's zip_with NULL-pads
+    # mismatched pairs (silently dropped) while DuckDB's list_dot_product
+    # raises on length mismatch. Both engines now exclude wrong-dim rows
+    # up front; the parity compare proves it end-to-end on this corpus.
+    from biglake_iceberg_python_spark.plans.check import compare, duckdb_connect
+
+    spec = REGISTRY["dedup_embedding_cosine"]
+    result = compare(spec.fn(spark, d), duckdb_connect(d), spec.oracle)
+    assert result["ok"], {k: v for k, v in result.items() if k != "ok"}
+
+
+def test_ml_family_tolerates_all_degenerate_embeddings(spark, sf_dir, tmp_path):
+    """When EVERY embedding row is NULL/wrong-dim/empty, the validity
+    filter empties the table: the seed/init collects come back empty and
+    must degrade to an empty result frame — the NB empty-train discipline
+    — not TypeError on first['vec_id'] / build F.array() with zero
+    choices (round-9 ADVICE; the mixed-corpus sweep above never hit this
+    because valid rows remained)."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = str(tmp_path / "sf_all_degenerate_emb")
+    os.makedirs(d)
+    for t in [
+        "region", "nation", "customer", "supplier", "part", "orders",
+        "lineitem", "events", "documents",
+    ]:
+        os.symlink(f"{sf_dir}/{t}.parquet", f"{d}/{t}.parquet")
+    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet").slice(0, 6)
+    cols = {n: tbl[n] for n in tbl.column_names}
+    vals = cols["embedding"].to_pylist()
+    new_vals = []
+    for i, v in enumerate(vals):
+        new_vals.append(None if i % 3 == 0 else ([] if i % 3 == 1 else v[:10]))
+    cols["embedding"] = pa.array(
+        new_vals, type=tbl.schema.field("embedding").type
+    )
+    pq.write_table(pa.table(cols), f"{d}/embeddings.parquet")
+    for q in ["ml_coreset_kcenter", "ml_kmeans_embeddings"]:
+        assert REGISTRY[q].fn(spark, d).collect() == [], q
+
+
+def test_incremental_ingest_null_text_parity(spark, sf_dir, tmp_path):
+    """curate_incremental_ingest was left out of the round-9 NULL-text
+    sweep (r9 ADVICE): unguarded, Spark fingerprinted NULL-text docs as
+    md5('') (concat_ws on a NULL array) while the DuckDB oracle produced
+    NULL h — n_dup_vs_history/n_ingested diverged on any corpus with NULL
+    documents. Both sides now COALESCE(text, '') before the fingerprint;
+    parity on a NULL-bearing corpus pins it."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from biglake_iceberg_python_spark.plans.check import compare, duckdb_connect
+
+    d = str(tmp_path / "sf_null_text")
+    os.makedirs(d)
+    for t in [
+        "region", "nation", "customer", "supplier", "part", "orders",
+        "lineitem", "events", "embeddings",
+    ]:
+        os.symlink(f"{sf_dir}/{t}.parquet", f"{d}/{t}.parquet")
+    base = pq.read_table(f"{sf_dir}/documents.parquet")
+    cols = {n: base[n] for n in base.column_names}
+    texts = cols["text"].to_pylist()
+    # NULL out every 5th document on both sides of the history split so
+    # NULL fingerprints appear among history AND arrivals.
+    texts = [None if i % 5 == 0 else t for i, t in enumerate(texts)]
+    cols["text"] = pa.array(texts, type=pa.string())
+    pq.write_table(pa.table(cols), f"{d}/documents.parquet")
+    con = duckdb_connect(d)
+    # dataset_card shares the fingerprint (and found the second hazard:
+    # DuckDB's array_to_string is NULL for EMPTY lists, not just NULL
+    # arrays — n_fp_dups was off by one wherever zero-token docs exist).
+    for q in ["curate_incremental_ingest", "curate_dataset_card"]:
+        spec = REGISTRY[q]
+        result = compare(spec.fn(spark, d), con, spec.oracle)
+        assert result["ok"], (q, {k: v for k, v in result.items() if k != "ok"})
