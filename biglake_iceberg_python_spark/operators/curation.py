@@ -86,7 +86,7 @@ _STOP_SQL = "[" + ", ".join(f"'{s}'" for s in _STOPWORDS) + "]"
         len(list_distinct(ws)) AS n_dist,
         len(list_intersect(ws, {_STOP_SQL})) > 0 AS has_stop
       FROM (
-        SELECT lang, list_filter(string_split(text, ' '), x -> x <> '') AS ws
+        SELECT lang, list_filter(string_split(COALESCE(text, ''), ' '), x -> x <> '') AS ws
         FROM documents
       )
     ), r AS (
@@ -165,7 +165,7 @@ _PREMIUM_SQL = "(" + ", ".join(f"'{s}'" for s in _PREMIUM_SOURCES) + ")"
     WITH tok AS (
       SELECT
         doc_id, source,
-        len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tok,
+        len(list_filter(string_split(COALESCE(text, ''), ' '), x -> x <> '')) AS n_tok,
         CASE WHEN source IN {_PREMIUM_SQL}
              THEN {_PREMIUM_WEIGHT} ELSE {_BASE_WEIGHT} END AS w
       FROM documents
@@ -273,7 +273,7 @@ _TEMP_BUDGET_NUM, _TEMP_BUDGET_DEN = 1, 2
     oracle=f"""
     WITH tok AS (
       SELECT doc_id, source,
-             len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tok
+             len(list_filter(string_split(COALESCE(text, ''), ' '), x -> x <> '')) AS n_tok
       FROM documents
     ), per_src AS (
       SELECT source, COUNT(*) AS n_docs, SUM(n_tok) AS src_tokens,
@@ -384,7 +384,7 @@ def curate_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH t AS (
       SELECT
         doc_id,
-        len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tok,
+        len(list_filter(string_split(COALESCE(text, ''), ' '), x -> x <> '')) AS n_tok,
         {_oracle_md5_bucket("doc_id", _EPOCH_SALT, _N_SHARDS)} AS shard_id,
         md5(CAST(doc_id AS VARCHAR) || ':{_EPOCH_SALT}') AS h
       FROM documents
@@ -431,7 +431,7 @@ def curate_train_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     "curate_decontaminate",
     oracle=f"""
     WITH w AS (
-      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
+      SELECT doc_id, list_filter(string_split(COALESCE(text, ''), ' '), x -> x <> '') AS ws
       FROM documents
     ), sh AS (
       SELECT DISTINCT doc_id, md5(g0) AS g FROM (
@@ -825,7 +825,7 @@ def curate_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         {_oracle_md5_bucket("doc_id", "qws", 1000000)} AS bucket
       FROM (
         SELECT doc_id, source,
-               list_filter(string_split(text, ' '), x -> x <> '') AS ws
+               list_filter(string_split(COALESCE(text, ''), ' '), x -> x <> '') AS ws
         FROM documents
       )
       WHERE len(ws) > 0
@@ -895,7 +895,7 @@ _BOILER_DF_MUL = 5
     oracle=f"""
     WITH t AS (
       SELECT doc_id, source,
-             list_filter(string_split(text, ' '), x -> x <> '') AS ws
+             list_filter(string_split(COALESCE(text, ''), ' '), x -> x <> '') AS ws
       FROM documents
     ), ti AS (
       SELECT doc_id, source, ws,
@@ -955,7 +955,13 @@ def curate_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     d = load_table(spark, sf_dir, "documents")
     base = d.select("doc_id", "source", _words().alias("w"))
-    inst = base.select(
+    # Docs shorter than the shingle width contribute NO shingles (round-10
+    # degenerate sweep): _shingles' ELSE branch emits a whole-doc shingle
+    # for short docs (the right call for MinHash, where short docs must
+    # still get signatures), but boilerplate df-counting must not see a
+    # shared '' shingle across empty docs — and the oracle's
+    # generate_series(1, len-1) is empty for len < 2 already.
+    inst = base.filter(F.size("w") >= _BOILER_NGRAM).select(
         "doc_id",
         "source",
         F.explode(_shingles("w", _BOILER_NGRAM)).alias("shingle"),
@@ -1589,9 +1595,10 @@ def _bloom_pos_col(col, j: int):
     oracle=f"""
     WITH d AS (
       SELECT doc_id, source,
-             md5(array_to_string(
-               list_filter(string_split(text, ' '), x -> x <> '')[1:{_FP_WORDS}],
-               ' ')) AS h,
+             md5(COALESCE(array_to_string(
+               list_filter(string_split(COALESCE(text, ''), ' '),
+                           x -> x <> '')[1:{_FP_WORDS}],
+               ' '), '')) AS h,
              ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':ingest'), 1, 8))::BIGINT
                % 100 < {_HIST_PCT} AS is_hist
       FROM documents
@@ -1634,11 +1641,22 @@ def curate_incremental_ingest_bloom(spark: SparkSession, sf_dir: str) -> DataFra
     itself is hash-verified, not just the final accounting. Two
     broadcasts (bit set, then the slow path's history anti-join side),
     shuffles carry fingerprints only.
+
+    Fingerprint degenerate-doc guard (round-10 array_to_string audit,
+    same fix as curate_incremental_ingest): NULL/zero-token docs must
+    fingerprint as md5('') on BOTH engines — unguarded, DuckDB's h was
+    NULL, its bloom positions md5(NULL || ':bj') were NULL, and
+    maybe_dup became NULL (excluded from the NOT-filter), so n_fast_path
+    diverged on any corpus with NULL documents.
     """
+    fp_words = F.filter(
+        F.split(F.coalesce(F.col("text"), F.lit("")), " "),
+        lambda x: x != "",
+    )
     d = load_table(spark, sf_dir, "documents").select(
         "doc_id",
         "source",
-        F.md5(F.concat_ws(" ", F.slice(_words(), 1, _FP_WORDS))).alias("h"),
+        F.md5(F.concat_ws(" ", F.slice(fp_words, 1, _FP_WORDS))).alias("h"),
         (_md5_bucket(F.col("doc_id"), "ingest", 100) < _HIST_PCT).alias(
             "is_hist"
         ),
@@ -1809,7 +1827,7 @@ def _vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     words = docs.select(
         F.explode(
-            F.filter(F.split("text", " "), lambda x: x != "")
+            F.filter(F.split(F.coalesce(F.col("text"), F.lit("")), " "), lambda x: x != "")
         ).alias("word")
     )
     counts = words.groupBy("word").agg(F.count(F.lit(1)).alias("c"))
@@ -1820,7 +1838,7 @@ def _vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "curate_negative_sampling",
     oracle="""
     WITH words AS (
-      SELECT unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+      SELECT unnest(list_filter(string_split(COALESCE(text, ''), ' '), x -> x <> ''))
         AS word
       FROM documents
     ), counts AS (
@@ -1908,7 +1926,7 @@ _DSIR_TOP = 20
 _DSIR_MODEL_SQL = """
     WITH t AS (
       SELECT doc_id, source,
-             list_filter(string_split(text, ' '), x -> x <> '') AS ws
+             list_filter(string_split(COALESCE(text, ''), ' '), x -> x <> '') AS ws
       FROM {documents}
     ), ti AS (
       SELECT doc_id, source, ws,
@@ -2031,7 +2049,7 @@ def curate_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     from biglake_iceberg_python_spark.functions.exactlog import micro_nat
 
     d = load_table(spark, sf_dir, "documents")
-    ws = F.filter(F.split("text", " "), lambda x: x != "")
+    ws = F.filter(F.split(F.coalesce(F.col("text"), F.lit("")), " "), lambda x: x != "")
     bigs = d.select(
         "doc_id",
         "source",
@@ -2126,7 +2144,7 @@ _APPORTION_BUDGET = 100_000  # sample slots to distribute across sources
     WITH tok AS (
       SELECT
         source,
-        len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tok,
+        len(list_filter(string_split(COALESCE(text, ''), ' '), x -> x <> '')) AS n_tok,
         CASE WHEN source IN {_PREMIUM_SQL}
              THEN {_PREMIUM_WEIGHT} ELSE {_BASE_WEIGHT} END AS w
       FROM documents

@@ -42,7 +42,13 @@ _MERSENNE = (1 << 31) - 1
 
 
 def _words(col: str = "text"):
-    return F.filter(F.split(col, " "), lambda x: x != "")
+    # COALESCE first (round-10 degenerate parity sweep): NULL text must
+    # tokenize to an EMPTY list on both engines — see the matching note
+    # on textstats._words; the oracle twins use
+    # string_split(COALESCE(text, ''), ' ').
+    return F.filter(
+        F.split(F.coalesce(F.col(col), F.lit("")), " "), lambda x: x != ""
+    )
 
 
 def _shingles(words_col, n: int = 3):
@@ -110,7 +116,7 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 # oracles (duplicate-cluster connected components in operators/pipeline.py).
 NEAR_DUP_PAIRS_SQL = f"""
     WITH words AS (
-      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+      SELECT doc_id, list_filter(string_split(COALESCE(text, ''), ' '), x -> x <> '') AS w
       FROM documents
     ), pos AS (
       SELECT doc_id, unnest(w) AS word, generate_subscripts(w, 1) AS p, len(w) AS nw
@@ -401,7 +407,7 @@ _CONTAIN_T = 0.6  # containment threshold: fraction of the SMALLER doc's
     "dedup_containment",
     oracle=f"""
     WITH words AS (
-      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+      SELECT doc_id, list_filter(string_split(COALESCE(text, ''), ' '), x -> x <> '') AS w
       FROM documents
     ), pos AS (
       SELECT doc_id, unnest(w) AS word, generate_subscripts(w, 1) AS p
@@ -519,7 +525,7 @@ _LEV_REL_DEN = 5  # lev/max_chars <= 20%
     oracle=f"""
     WITH base AS (
       SELECT doc_id, lang, text,
-             len(list_filter(string_split(text, ' '), x -> x <> ''))
+             len(list_filter(string_split(COALESCE(text, ''), ' '), x -> x <> ''))
                AS n_words
       FROM documents
     ), bucketed AS (
@@ -631,7 +637,7 @@ _SUB_K = 8
     oracle=f"""
     WITH words AS (
       SELECT doc_id,
-             list_filter(string_split(text, ' '), x -> x <> '') AS w
+             list_filter(string_split(COALESCE(text, ''), ' '), x -> x <> '') AS w
       FROM documents
     ), pos AS (
       SELECT doc_id, len(w) AS n_tokens, i.i AS p,
@@ -689,7 +695,7 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     token totals hash-match the oracle.
     """
     d = load_table(spark, sf_dir, "documents")
-    w = F.filter(F.split("text", " "), lambda x: x != "")
+    w = F.filter(F.split(F.coalesce(F.col("text"), F.lit("")), " "), lambda x: x != "")
     base = d.select("doc_id", w.alias("w"), F.size(w).alias("n_tokens")).filter(
         F.col("n_tokens") >= _SUB_K
     )
@@ -967,12 +973,16 @@ _PARA_W = 10  # paragraph analog: non-overlapping 10-word chunks
     oracle=f"""
     WITH t AS (
       SELECT doc_id, source,
-             list_filter(string_split(text, ' '), x -> x <> '') AS ws
+             list_filter(string_split(COALESCE(text, ''), ' '),
+                         x -> x <> '') AS ws
       FROM documents
     ), ti AS (
+      -- len >= 1 gate: DuckDB's integer // TRUNCATES toward zero, so an
+      -- empty doc's (0-1)//W is 0 (not -1) and generate_series(0, 0)
+      -- would emit one phantom empty chunk per empty doc.
       SELECT doc_id, source, ws,
              unnest(generate_series(0, (len(ws) - 1) // {_PARA_W})) AS i
-      FROM t
+      FROM t WHERE len(ws) >= 1
     ), c AS (
       SELECT doc_id, source, i AS idx,
              array_to_string(
@@ -1024,16 +1034,28 @@ def dedup_paragraph_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     exchange here only because the oracle needs bit-exactness — the
     documented hash-key variant moves 8 bytes per chunk instead.
     """
+    # NULL/empty docs must yield ZERO chunks on both engines (round-10
+    # degenerate parity sweep): unguarded, Spark's sequence(0, -1) on a
+    # 0/-1-sized ws emitted bogus descending-sequence chunks while
+    # DuckDB's generate_series(0, -1) is empty — the text_chunk_sliding
+    # gate applied here (coalesce the tokenizer, gate the sequence,
+    # posexplode drops the NULL row).
     d = load_table(spark, sf_dir, "documents").select(
-        "doc_id", "source", _words().alias("ws")
+        "doc_id",
+        "source",
+        F.filter(
+            F.split(F.coalesce(F.col("text"), F.lit("")), " "),
+            lambda x: x != "",
+        ).alias("ws"),
     )
     chunks = d.select(
         "doc_id",
         "source",
         F.posexplode(
             F.expr(
-                f"transform(sequence(0, (size(ws) - 1) DIV {_PARA_W}),"
-                f" i -> slice(ws, i * {_PARA_W} + 1, {_PARA_W}))"
+                f"CASE WHEN size(ws) >= 1 THEN"
+                f" transform(sequence(0, (size(ws) - 1) DIV {_PARA_W}),"
+                f" i -> slice(ws, i * {_PARA_W} + 1, {_PARA_W})) END"
             )
         ).alias("idx", "chunk_ws"),
     ).select(
@@ -1062,7 +1084,7 @@ def dedup_paragraph_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_lsh_tuning_curve",
     oracle=f"""
     WITH words AS (
-      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+      SELECT doc_id, list_filter(string_split(COALESCE(text, ''), ' '), x -> x <> '') AS w
       FROM documents
     ), pos AS (
       SELECT doc_id, unnest(w) AS word, generate_subscripts(w, 1) AS p

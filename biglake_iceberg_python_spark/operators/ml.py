@@ -372,7 +372,16 @@ def _pca_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    e = load_table(spark, sf_dir, "embeddings").select("embedding")
+    # Rectangular input only (round-10 degenerate sweep): NULL/wrong-dim
+    # rows crash np.stack's ragged conversion, and the oracle carries the
+    # identical len(embedding) = {_PCA_DIM} predicate. Zero-norm vectors
+    # STAY — they are valid data points for a moment matrix (unlike the
+    # cosine family, whose _valid_embeddings also requires norm > 0).
+    e = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.size("embedding") == _PCA_DIM)
+        .select("embedding")
+    )
     partials = e.mapInArrow(
         batch_gram, "i int, j int, n bigint, si bigint, sj bigint, sij bigint"
     )
@@ -389,7 +398,8 @@ def _pca_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ml_pca_gram",
     oracle=f"""
     WITH dims AS (SELECT unnest(generate_series(1, {_PCA_DIM})) AS i),
-    q AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    q AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+          WHERE len(embedding) = {_PCA_DIM}),
     x AS (
       SELECT vec_id, d.i AS i,
              CAST(floor(v[d.i] * {_PCA_QUANT}) AS BIGINT) AS xi
@@ -682,7 +692,7 @@ def ml_linreg_normal_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
 _NB_WC_SQL = """
     WITH docs AS (
       SELECT doc_id, lang,
-             list_filter(string_split(text, ' '), x -> x <> '') AS ws,
+             list_filter(string_split(COALESCE(text, ''), ' '), x -> x <> '') AS ws,
              ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':nb'), 1, 8))
                ::BIGINT % 5 = 0 AS is_test
       FROM {documents}
@@ -837,7 +847,7 @@ def ml_naive_bayes_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     from biglake_iceberg_python_spark.operators.pipeline import _md5_bucket
 
     d = load_table(spark, sf_dir, "documents")
-    ws = F.filter(F.split("text", " "), lambda x: x != "")
+    ws = F.filter(F.split(F.coalesce(F.col("text"), F.lit("")), " "), lambda x: x != "")
     docs = d.select(
         "doc_id",
         "lang",
@@ -971,7 +981,7 @@ _PR_THRESHOLDS = tuple(range(500, 1000, 50))  # per-mille score cutoffs
         len(list_distinct(ws)) AS n_dist,
         len(list_intersect(ws, {_STOP_SQL})) > 0 AS has_stop
       FROM (
-        SELECT list_filter(string_split(text, ' '), x -> x <> '') AS ws
+        SELECT list_filter(string_split(COALESCE(text, ''), ' '), x -> x <> '') AS ws
         FROM documents
       )
     ), scored AS (
@@ -1038,7 +1048,7 @@ def ml_pr_curve_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     thousand-point ladder at 100 TB costs nothing more.
     """
     d = load_table(spark, sf_dir, "documents")
-    ws = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+    ws = F.filter(F.split(F.coalesce(F.col("text"), F.lit("")), " "), lambda x: x != "")
     m = d.select(ws.alias("w")).select(
         F.size("w").alias("n"),
         F.aggregate(
@@ -1125,7 +1135,7 @@ def ml_pr_curve_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         len(list_distinct(ws)) AS n_dist,
         len(list_intersect(ws, {_STOP_SQL})) > 0 AS has_stop
       FROM (
-        SELECT list_filter(string_split(text, ' '), x -> x <> '') AS ws
+        SELECT list_filter(string_split(COALESCE(text, ''), ' '), x -> x <> '') AS ws
         FROM documents
       )
     ), scored AS (
@@ -1176,7 +1186,7 @@ def ml_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(corpus) scan, O(1) state. 100 TB-safe.
     """
     d = load_table(spark, sf_dir, "documents")
-    ws = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+    ws = F.filter(F.split(F.coalesce(F.col("text"), F.lit("")), " "), lambda x: x != "")
     m = d.select(ws.alias("w")).select(
         F.size("w").alias("n"),
         F.aggregate(

@@ -84,12 +84,17 @@ def _decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     and lets a real decoder release the GIL / use vectorized libs.
     """
     for pdf in batches:
+        # NULL payload = nothing to decode: skip the row (round-10
+        # degenerate sweep — bytes(None) raised in the worker), exactly
+        # as the oracle's recursive CTE drops NULL-text docs. Empty
+        # payloads stay: checksum 0, the 16x16 floor dimensions.
+        pdf = pdf[pdf["payload"].notna()]
         decoded = [decode_image_stub(p) for p in pdf["payload"]]
         yield pd.DataFrame(
             {
                 "doc_id": pdf["doc_id"].values,
                 "media_type": pdf["media_type"].values,
-                "payload_bytes": pdf["payload"].map(len).astype("int32"),
+                "payload_bytes": pdf["payload"].map(len).astype("int32").values,
                 "width": pd.Series([d[0] for d in decoded], dtype="int32"),
                 "height": pd.Series([d[1] for d in decoded], dtype="int32"),
                 "checksum": pd.Series([d[2] for d in decoded], dtype="int64"),
@@ -237,7 +242,9 @@ def _frame_sample_batches(
     for pdf in batches:
         out: dict[str, list] = {"doc_id": [], "frame_idx": [], "frame_md5": []}
         for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-            data = bytes(payload)
+            # NULL payload → zero frames, like the oracle's NULL-length
+            # join predicate (round-10 degenerate sweep).
+            data = bytes(payload) if payload is not None else b""
             for i in range(_MAX_FRAMES):
                 start = i * _FRAME_STRIDE
                 if start + _FRAME_LEN > len(data):
@@ -332,13 +339,15 @@ def multimodal_dedup_payload(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH rec AS (
       SELECT
         d.source,
-        len(list_filter(string_split(d.text, ' '), x -> x <> ''))
+        len(list_filter(string_split(COALESCE(d.text, ''), ' '), x -> x <> ''))
           AS n_tokens,
         length(d.text) AS payload_bytes,
         CAST(FLOOR(1e6 * sqrt(list_dot_product(e.embedding::DOUBLE[],
                                                e.embedding::DOUBLE[])))
              AS BIGINT) AS norm_micro
-      FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+      FROM documents d
+      JOIN (SELECT * FROM embeddings WHERE len(embedding) = 64) e
+        ON d.doc_id = e.vec_id
     )
     SELECT
       source,
@@ -367,15 +376,27 @@ def multimodal_training_record(spark: SparkSession, sf_dir: str) -> DataFrame:
     — the same exactness convention as the LM-surprisal sums.
     """
     mm = _with_binary_payload(spark, sf_dir)
-    e = load_table(spark, sf_dir, "embeddings")
+    # Records need a WELL-FORMED embedding (exactly 64 components — NULL
+    # and wrong-dim failed-encoder rows drop out of the join on both
+    # engines; zero-norm stays, norm 0 is representable) and a NULL
+    # payload tokenizes to zero tokens (round-10 degenerate sweep: the
+    # uncoalesced size(split(NULL)) subtracted one token per NULL doc
+    # under ANSI-off sessions).
+    e = load_table(spark, sf_dir, "embeddings").filter(
+        F.size("embedding") == 64
+    )
     ev = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     dot = F.aggregate(
         F.zip_with(ev, ev, lambda a, b: a * b),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
-    tokens = F.size(F.filter(F.split(F.decode("payload", "UTF-8"), " "),
-                             lambda x: x != ""))
+    tokens = F.size(
+        F.filter(
+            F.split(F.coalesce(F.decode("payload", "UTF-8"), F.lit("")), " "),
+            lambda x: x != "",
+        )
+    )
     rec = mm.join(e, mm["doc_id"] == e["vec_id"]).select(
         F.col("meta.source").alias("source"),
         tokens.alias("n_tokens"),

@@ -284,7 +284,7 @@ def sample_reservoir_pergroup(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH t AS (
       SELECT doc_id,
-             len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tok
+             len(list_filter(string_split(COALESCE(text, ''), ' '), x -> x <> '')) AS n_tok
       FROM documents
     ), o AS (
       SELECT doc_id, n_tok,
@@ -320,7 +320,7 @@ def pack_token_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     t = d.select(
         "doc_id",
-        F.size(F.filter(F.split("text", " "), lambda x: x != "")).alias("n_tok"),
+        F.size(F.filter(F.split(F.coalesce(F.col("text"), F.lit("")), " "), lambda x: x != "")).alias("n_tok"),
         (F.col("doc_id") / _SHARD_BUCKET_WIDTH).cast("long").alias("bucket"),
     )
     within = F.coalesce(
@@ -371,7 +371,7 @@ _MIN_TOKENS = 20
     oracle=f"""
     WITH tok AS (
       SELECT doc_id, lang,
-             list_filter(string_split(text, ' '), x -> x <> '') AS ws
+             list_filter(string_split(COALESCE(text, ''), ' '), x -> x <> '') AS ws
       FROM documents
     ), q AS (
       SELECT doc_id, lang, len(ws) AS n_tok,
@@ -421,7 +421,7 @@ def pipeline_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     never materialize.
     """
     d = load_table(spark, sf_dir, "documents")
-    ws = F.filter(F.split("text", " "), lambda x: x != "")
+    ws = F.filter(F.split(F.coalesce(F.col("text"), F.lit("")), " "), lambda x: x != "")
     q = d.select(
         "doc_id",
         "lang",
@@ -501,7 +501,7 @@ _PAD_QUANT = 64  # sequence-length bucket width (tokens)
     oracle=f"""
     WITH t AS (
       SELECT
-        len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tok
+        len(list_filter(string_split(COALESCE(text, ''), ' '), x -> x <> '')) AS n_tok
       FROM documents
     ), b AS (
       SELECT
@@ -535,7 +535,7 @@ def pack_padding_waste(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus statistic here.
     """
     d = load_table(spark, sf_dir, "documents")
-    n_tok = F.size(F.filter(F.split("text", " "), lambda x: x != ""))
+    n_tok = F.size(F.filter(F.split(F.coalesce(F.col("text"), F.lit("")), " "), lambda x: x != ""))
     b = d.select(n_tok.alias("n_tok")).filter(F.col("n_tok") > 0).select(
         "n_tok",
         (
@@ -644,7 +644,7 @@ _SPAN_SENTINEL = "<extra_id_0>"
     oracle=f"""
     WITH base AS (
       SELECT doc_id,
-             list_filter(string_split(text, ' '), x -> x <> '') AS w
+             list_filter(string_split(COALESCE(text, ''), ' '), x -> x <> '') AS w
       FROM documents
     ), sized AS (
       SELECT doc_id, w, len(w) AS n FROM base WHERE len(w) > {_SPAN_LEN}
@@ -679,7 +679,7 @@ def pack_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
     map over the scan, exactly what a 100 TB objective-prep pass must be.
     """
     d = load_table(spark, sf_dir, "documents")
-    w = F.filter(F.split("text", " "), lambda x: x != "")
+    w = F.filter(F.split(F.coalesce(F.col("text"), F.lit("")), " "), lambda x: x != "")
     sized = d.select("doc_id", w.alias("w"), F.size(w).alias("n")).filter(
         F.col("n") > _SPAN_LEN
     )
@@ -780,7 +780,7 @@ _PACK_CTX = 128  # context-window token budget per packed bin
     oracle=f"""
     WITH d AS (
       SELECT doc_id,
-             CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+             CAST(len(list_filter(string_split(COALESCE(text, ''), ' '), x -> x <> ''))
                AS BIGINT) AS n_tok
       FROM documents
     ), n AS (
@@ -844,7 +844,7 @@ def pack_length_pair_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     d = load_table(spark, sf_dir, "documents").select(
         "doc_id",
-        F.size(F.filter(F.split("text", " "), lambda x: x != ""))
+        F.size(F.filter(F.split(F.coalesce(F.col("text"), F.lit("")), " "), lambda x: x != ""))
         .cast("long")
         .alias("n_tok"),
     )

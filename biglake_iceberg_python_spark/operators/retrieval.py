@@ -42,7 +42,16 @@ _RRF_C = 60  # the standard reciprocal-rank-fusion constant
 
 
 def _words() -> Column:
-    return F.filter(F.split("text", " "), lambda x: x != "")
+    # COALESCE first (round-10 degenerate sweep): a NULL-text doc must
+    # tokenize to an EMPTY list (dl=0, tf=0, score 0 → filtered) on both
+    # engines. Unguarded, DuckDB excluded NULL docs from sum_dl while
+    # Spark's size(split(NULL)) is session-dependent (-1 with ANSI off,
+    # NULL with ANSI on) — corpus stats, hence EVERY document's idf/avgdl,
+    # drifted between engines on any corpus with NULL documents.
+    return F.filter(
+        F.split(F.coalesce(F.col("text"), F.lit("")), " "),
+        lambda x: x != "",
+    )
 
 
 def _tf(term: str) -> Column:
@@ -122,7 +131,8 @@ def _oracle_bm25() -> str:
         len(w) AS dl,
         {tf_cols}
       FROM (SELECT doc_id,
-                   list_filter(string_split(text, ' '), x -> x <> '') AS w
+                   list_filter(string_split(COALESCE(text, ''), ' '),
+                               x -> x <> '') AS w
             FROM documents)
     ), stats AS (
       SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl,

@@ -282,15 +282,18 @@ def scalar_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH toks AS (
       SELECT
         doc_id,
-        list_filter(string_split(text, ' '), x -> x <> '') AS words
+        list_filter(string_split(COALESCE(text, ''), ' '), x -> x <> '')
+          AS words
       FROM documents
     )
     SELECT
       doc_id,
       CAST(len(words) AS INTEGER) AS n_words,
       CAST(list_contains(words, 'spark') AS INTEGER) AS has_spark,
-      array_to_string(list_sort(list_distinct(words)), ',') AS vocab,
-      array_to_string(list_transform(words, x -> upper(x)), ',') AS words_upper,
+      COALESCE(array_to_string(list_sort(list_distinct(words)), ','), '')
+        AS vocab,
+      COALESCE(array_to_string(list_transform(words, x -> upper(x)), ','), '')
+        AS words_upper,
       CAST(len(list_filter(words, x -> length(x) > 4)) AS INTEGER) AS n_long_words
     FROM toks
     WHERE doc_id % 25 = 0
@@ -300,9 +303,18 @@ def scalar_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
 def scalar_array(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array battery + higher-order functions: split, size, contains,
     distinct+sort (deterministic serialization), transform, filter.
-    All HOFs run in codegen — no UDFs."""
+    All HOFs run in codegen — no UDFs.
+
+    Degenerate-doc symmetry (round-10 array_to_string audit): text
+    coalesces to '' on both engines (Spark's size(split(NULL)) is -1 and
+    DuckDB's len(NULL) is NULL), and the serialized vocab/words_upper of
+    an EMPTY word list is pinned to '' on both (Spark's array_join([])
+    is '' but DuckDB 1.0.0's array_to_string([]) is NULL)."""
     d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 25 == 0)
-    words = F.filter(F.split("text", " "), lambda x: x != "")
+    words = F.filter(
+        F.split(F.coalesce(F.col("text"), F.lit("")), " "),
+        lambda x: x != "",
+    )
     return d.select(
         "doc_id",
         F.size(words).alias("n_words"),
@@ -320,7 +332,7 @@ def scalar_array(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT word, COUNT(*) AS freq
     FROM (
-      SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS word
+      SELECT unnest(list_filter(string_split(COALESCE(text, ''), ' '), x -> x <> '')) AS word
       FROM documents
     )
     GROUP BY word
@@ -335,7 +347,7 @@ def scalar_array_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
     count shape that underlies every corpus statistic at scale. Generator
     (explode) stays in the JVM; one agg shuffle; top-k via ordered limit."""
     d = load_table(spark, sf_dir, "documents")
-    words = F.filter(F.split("text", " "), lambda x: x != "")
+    words = F.filter(F.split(F.coalesce(F.col("text"), F.lit("")), " "), lambda x: x != "")
     return (
         d.select(F.explode(words).alias("word"))
         .groupBy("word")
@@ -620,14 +632,19 @@ def scalar_binary_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH w AS (
       SELECT doc_id,
-             list_filter(string_split(text, ' '), x -> x <> '') AS ws
+             list_filter(string_split(COALESCE(text, ''), ' '), x -> x <> '') AS ws
       FROM documents WHERE doc_id < 200
     )
     SELECT
       doc_id,
       CAST(len(ws) AS BIGINT) AS n_words,
-      CAST(list_sum(list_transform(ws, x -> length(x))) AS BIGINT) AS sum_len,
-      CAST(list_max(list_transform(ws, x -> length(x))) AS BIGINT) AS max_len,
+      -- COALESCE to the fold identities (round-10 degenerate sweep):
+      -- DuckDB's list_sum/list_max of an EMPTY list are NULL, while the
+      -- Spark fold's zero-token result is its (0, 0, 0) init struct.
+      CAST(COALESCE(list_sum(list_transform(ws, x -> length(x))), 0)
+           AS BIGINT) AS sum_len,
+      CAST(COALESCE(list_max(list_transform(ws, x -> length(x))), 0)
+           AS BIGINT) AS max_len,
       CAST(len(list_filter(ws, x -> length(x) >= 5)) AS BIGINT) AS n_long
     FROM w
     """,
@@ -647,7 +664,7 @@ def scalar_array_reduce(spark: SparkSession, sf_dir: str) -> DataFrame:
     Everything runs in codegen; zero shuffles.
     """
     d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
-    ws = F.filter(F.split("text", " "), lambda x: x != "")
+    ws = F.filter(F.split(F.coalesce(F.col("text"), F.lit("")), " "), lambda x: x != "")
     acc0 = F.struct(
         F.lit(0).alias("s"), F.lit(0).alias("m"), F.lit(0).alias("k")
     )

@@ -49,15 +49,32 @@ def _as_double(col: str) -> Column:
     return F.transform(F.col(col), lambda x: x.cast("double"))
 
 
+def _valid_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The embeddings rows a distance/cosine pipeline can score: exactly
+    _DIM components (excludes NULL and wrong-dim failed-encoder rows —
+    session-invariantly: size() of NULL is -1 with ANSI off and NULL with
+    ANSI on, both ≠ _DIM) and nonzero norm (cosine undefined; DuckDB's
+    list_dot_product raises on NULL/mismatched lists). Every similarity
+    oracle wraps its embeddings scan in the identical SQL predicate, so
+    degenerate rows are excluded SYMMETRICALLY — round-10 degenerate
+    parity sweep, generalizing the round-9 dedup_embedding_cosine fix.
+    On a clean corpus the filter keeps every row and the plan cost is one
+    codegen predicate on the scan."""
+    return load_table(spark, sf_dir, "embeddings").filter(
+        (F.size("embedding") == _DIM)
+        & (_dot(_as_double("embedding"), _as_double("embedding")) > 0)
+    )
+
+
 @query(
     "sim_bruteforce_topk",
     oracle=f"""
     WITH q AS (
       SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
-      FROM embeddings WHERE vec_id < {_N_QUERIES}
+      FROM (SELECT * FROM embeddings WHERE len(embedding) = 64 AND list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0) embeddings WHERE vec_id < {_N_QUERIES}
     ), c AS (
       SELECT vec_id AS cid, label, embedding::DOUBLE[] AS cv
-      FROM embeddings
+      FROM (SELECT * FROM embeddings WHERE len(embedding) = 64 AND list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0) embeddings
     ), scored AS (
       SELECT
         q.qid, c.cid, c.label,
@@ -84,7 +101,7 @@ def sim_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     are a codegen fold — identical arithmetic order to the DuckDB oracle, so
     scores hash-match exactly with no tolerance.
     """
-    e = load_table(spark, sf_dir, "embeddings")
+    e = _valid_embeddings(spark, sf_dir)
     q = e.filter(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("qid"), _as_double("embedding").alias("qv")
     )
@@ -159,7 +176,7 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-query top-k) is unchanged at any corpus size, and no pairwise scan
     ever happens.
     """
-    e = load_table(spark, sf_dir, "embeddings")
+    e = _valid_embeddings(spark, sf_dir)
     vecs = e.select("vec_id", "label", _as_double("embedding").alias("v"))
     keys = vecs.select(
         "vec_id", F.explode(_lsh_table_buckets("v")).alias("tb")
@@ -207,7 +224,7 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         label,
         generate_subscripts(embedding, 1) AS dim,
         CAST(unnest(embedding) AS DOUBLE) AS comp
-      FROM embeddings
+      FROM (SELECT * FROM embeddings WHERE len(embedding) = 64 AND list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0) embeddings
     )
     SELECT
       label,
@@ -233,7 +250,7 @@ def sim_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     are dyadic rationals, which can land exactly on a decimal-scale-12
     halfway point, where Spark rounds HALF_UP and DuckDB half-even.
     """
-    e = load_table(spark, sf_dir, "embeddings")
+    e = _valid_embeddings(spark, sf_dir)
     expanded = e.select(
         "label", F.posexplode(_as_double("embedding")).alias("dim", "comp")
     )
@@ -251,7 +268,7 @@ def sim_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_embedding_cosine",
     oracle="""
     WITH v AS (
-      SELECT vec_id, label, embedding::DOUBLE[] AS ev FROM embeddings
+      SELECT vec_id, label, embedding::DOUBLE[] AS ev FROM (SELECT * FROM embeddings WHERE len(embedding) = 64 AND list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0) embeddings
       WHERE len(embedding) = 64
         AND list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0
     ), pairs AS (
@@ -289,10 +306,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     (silently dropped) while DuckDB's list_dot_product raises on length
     mismatch — the same _KM_DIM filter kmeans/coreset already carry.
     """
-    e = load_table(spark, sf_dir, "embeddings").filter(
-        (F.size("embedding") == _DIM)
-        & (_dot(_as_double("embedding"), _as_double("embedding")) > 0)
-    )
+    e = _valid_embeddings(spark, sf_dir)
     a = e.select(
         F.col("vec_id").alias("vec_a"),
         F.col("label").alias("la"),
@@ -330,7 +344,7 @@ _IVF_NPROBE = 6  # lists probed per query
 
 _IVF_ORACLE = f"""
     WITH v AS (
-      SELECT vec_id, label, embedding::DOUBLE[] AS ev FROM embeddings
+      SELECT vec_id, label, embedding::DOUBLE[] AS ev FROM (SELECT * FROM embeddings WHERE len(embedding) = 64 AND list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0) embeddings
     ), comp AS (
       SELECT vec_id % {_IVF_K} AS list_id,
              generate_subscripts(ev, 1) AS dim,
@@ -446,7 +460,7 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     would run a few more Lloyd iterations to tighten the codebook (same
     plan per iteration) without changing any downstream shape.
     """
-    e = load_table(spark, sf_dir, "embeddings")
+    e = _valid_embeddings(spark, sf_dir)
     v = e.select("vec_id", "label", _as_double("embedding").alias("ev"))
     cent = _ivf_codebook(v)
     ranked = _ivf_rank(v, cent)
@@ -492,10 +506,10 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH q AS (
       SELECT vec_id AS qid, embedding::DOUBLE[] AS qv, label AS true_label
-      FROM embeddings WHERE vec_id < {_N_QUERIES}
+      FROM (SELECT * FROM embeddings WHERE len(embedding) = 64 AND list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0) embeddings WHERE vec_id < {_N_QUERIES}
     ), c AS (
       SELECT vec_id AS cid, label, embedding::DOUBLE[] AS cv
-      FROM embeddings
+      FROM (SELECT * FROM embeddings WHERE len(embedding) = 64 AND list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0) embeddings
     ), scored AS (
       SELECT
         q.qid, c.cid, c.label,
@@ -547,7 +561,7 @@ def sim_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("qid", F.col("label").alias("pred_label"), "n_votes")
     )
     truth = (
-        load_table(spark, sf_dir, "embeddings")
+        _valid_embeddings(spark, sf_dir)
         .filter(F.col("vec_id") < _N_QUERIES)
         .select(F.col("vec_id").alias("qid"), F.col("label").alias("true_label"))
     )
@@ -562,7 +576,7 @@ def sim_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH comp AS (
       SELECT vec_id, label, generate_subscripts(embedding, 1) AS dim,
              CAST(unnest(embedding) AS DOUBLE) AS x
-      FROM embeddings
+      FROM (SELECT * FROM embeddings WHERE len(embedding) = 64 AND list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0) embeddings
     ), stats AS (
       SELECT dim, MIN(x) AS lo, MAX(x) AS hi FROM comp GROUP BY dim
     ), coded AS (
@@ -580,7 +594,7 @@ def sim_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM coded GROUP BY vec_id
     ), q AS (
       SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
-      FROM embeddings WHERE vec_id < {_N_QUERIES}
+      FROM (SELECT * FROM embeddings WHERE len(embedding) = 64 AND list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0) embeddings WHERE vec_id < {_N_QUERIES}
     ), scored AS (
       SELECT qid, cid, label, code_sum, list_dot_product(qv, rv) AS adot
       FROM q CROSS JOIN cand WHERE qid <> cid
@@ -611,7 +625,7 @@ def sim_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     is the identical IEEE-double expression tree in the DuckDB oracle, so
     codes match exactly and dot products hash-match bit-for-bit.
     """
-    e = load_table(spark, sf_dir, "embeddings")
+    e = _valid_embeddings(spark, sf_dir)
     vecs = e.select("vec_id", "label", _as_double("embedding").alias("v"))
     stats = vecs.agg(
         F.array(*[F.min(F.get("v", d)) for d in range(_DIM)]).alias("lo"),
@@ -704,7 +718,7 @@ def sim_ivf_index_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from biglake_iceberg_python_spark.lakehouse.snapshots import SnapshotTable
 
-    e = load_table(spark, sf_dir, "embeddings")
+    e = _valid_embeddings(spark, sf_dir)
     v = e.select("vec_id", "label", _as_double("embedding").alias("ev"))
 
     # Offline build → two committed tables (codebook + inverted lists).
@@ -769,7 +783,7 @@ _SEM_T = 0.5  # within-cluster cosine threshold for semantic duplicates
     "dedup_semantic_ivf",
     oracle=f"""
     WITH base AS (
-      SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings
+      SELECT vec_id, embedding::DOUBLE[] AS ev FROM (SELECT * FROM embeddings WHERE len(embedding) = 64 AND list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0) embeddings
     ), v AS (
       -- deterministic planted duplicates: every 50th vector re-enters the
       -- corpus as an exact copy under a high id (paraphrase stand-in)
@@ -851,7 +865,7 @@ def dedup_semantic_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly the planted set, which the oracle verifies cluster by
     cluster.
     """
-    e = load_table(spark, sf_dir, "embeddings")
+    e = _valid_embeddings(spark, sf_dir)
     base = e.select("vec_id", _as_double("embedding").alias("ev"))
     v = base.unionByName(
         base.filter(F.col("vec_id") % 50 == 0).select(
@@ -915,7 +929,7 @@ _PQ_K = 16  # codes per sub-codebook → 4 codes of 4 bits each per vector
 
 _PQ_ORACLE = f"""
     WITH v AS (
-      SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings
+      SELECT vec_id, embedding::DOUBLE[] AS ev FROM (SELECT * FROM embeddings WHERE len(embedding) = 64 AND list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0) embeddings
     ), sub AS (
       SELECT vec_id, s,
              ev[s * {_PQ_SUBDIM} + 1 : s * {_PQ_SUBDIM} + {_PQ_SUBDIM}] AS sv
@@ -986,7 +1000,7 @@ def sim_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     IVF lists (sim_ann_ivf) to bound candidates; here ADC scans the full
     corpus so the oracle covers every pair.
     """
-    e = load_table(spark, sf_dir, "embeddings")
+    e = _valid_embeddings(spark, sf_dir)
     v = e.select("vec_id", _as_double("embedding").alias("ev"))
     sub = v.select(
         "vec_id",
@@ -1079,9 +1093,9 @@ _MRL_SHORTLIST = 30
     oracle=f"""
     WITH q AS (
       SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
-      FROM embeddings WHERE vec_id < {_N_QUERIES}
+      FROM (SELECT * FROM embeddings WHERE len(embedding) = 64 AND list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0) embeddings WHERE vec_id < {_N_QUERIES}
     ), c AS (
-      SELECT vec_id AS cid, embedding::DOUBLE[] AS cv FROM embeddings
+      SELECT vec_id AS cid, embedding::DOUBLE[] AS cv FROM (SELECT * FROM embeddings WHERE len(embedding) = 64 AND list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0) embeddings
     ), coarse AS (
       SELECT
         q.qid, c.cid, q.qv, c.cv,
@@ -1135,7 +1149,7 @@ def sim_matryoshka_rescore(spark: SparkSession, sf_dir: str) -> DataFrame:
     vector bytes — with MRL-sliced column storage, a quarter of the
     scan — and the rescore cost is independent of corpus size.
     """
-    e = load_table(spark, sf_dir, "embeddings")
+    e = _valid_embeddings(spark, sf_dir)
     q = (
         e.filter(F.col("vec_id") < _N_QUERIES)
         .select(
@@ -1194,9 +1208,9 @@ _RANGE_TAU = 0.28  # ~p99 of the cosine distribution → a few hits per query
     oracle=f"""
     WITH q AS (
       SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
-      FROM embeddings WHERE vec_id < {_N_QUERIES}
+      FROM (SELECT * FROM embeddings WHERE len(embedding) = 64 AND list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0) embeddings WHERE vec_id < {_N_QUERIES}
     ), c AS (
-      SELECT vec_id AS cid, label, embedding::DOUBLE[] AS cv FROM embeddings
+      SELECT vec_id AS cid, label, embedding::DOUBLE[] AS cv FROM (SELECT * FROM embeddings WHERE len(embedding) = 64 AND list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0) embeddings
     )
     SELECT
       q.qid, c.cid, c.label,
@@ -1225,7 +1239,7 @@ def sim_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     cosines hash-match exactly. At corpus scale, swap the candidate
     stream for IVF/LSH buckets (`sim_ann_ivf`) and keep the filter.
     """
-    e = load_table(spark, sf_dir, "embeddings")
+    e = _valid_embeddings(spark, sf_dir)
     q = e.filter(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("qid"), _as_double("embedding").alias("qv")
     )
@@ -1249,9 +1263,9 @@ def sim_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH q AS (
       SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
-      FROM embeddings WHERE vec_id < {_N_QUERIES}
+      FROM (SELECT * FROM embeddings WHERE len(embedding) = 64 AND list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0) embeddings WHERE vec_id < {_N_QUERIES}
     ), c AS (
-      SELECT vec_id AS cid, embedding::DOUBLE[] AS cv FROM embeddings
+      SELECT vec_id AS cid, embedding::DOUBLE[] AS cv FROM (SELECT * FROM embeddings WHERE len(embedding) = 64 AND list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0) embeddings
     ), scored AS (
       SELECT q.qid, c.cid, list_dot_product(q.qv, c.cv) AS dot
       FROM q CROSS JOIN c WHERE q.qid <> c.cid
@@ -1279,7 +1293,7 @@ def sim_mips_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
     query set / streaming candidates shape of `sim_bruteforce_topk`; the
     augmentation adds one map-side column, no extra shuffle.
     """
-    e = load_table(spark, sf_dir, "embeddings")
+    e = _valid_embeddings(spark, sf_dir)
     q = e.filter(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("qid"), _as_double("embedding").alias("qv")
     )
@@ -1359,10 +1373,10 @@ def _mmr_oracle() -> str:
     )""")
     return f"""
     WITH q AS (
-      SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0
+      SELECT embedding::DOUBLE[] AS qv FROM (SELECT * FROM embeddings WHERE len(embedding) = 64 AND list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0) embeddings WHERE vec_id = 0
     ), c AS (
       SELECT vec_id AS cid, embedding::DOUBLE[] AS cv
-      FROM embeddings WHERE vec_id <> 0
+      FROM (SELECT * FROM embeddings WHERE len(embedding) = 64 AND list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0) embeddings WHERE vec_id <> 0
     ), scored AS (
       SELECT c.cid, c.cv,
              list_dot_product(q.qv, c.cv)
@@ -1410,7 +1424,7 @@ def sim_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
     pool builder for the IVF scan (`sim_ann_ivf`) removes even the full
     relevance pass.
     """
-    e = load_table(spark, sf_dir, "embeddings")
+    e = _valid_embeddings(spark, sf_dir)
     q = e.filter(F.col("vec_id") == 0).select(
         _as_double("embedding").alias("qv")
     )

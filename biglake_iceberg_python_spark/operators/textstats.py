@@ -35,7 +35,15 @@ _LANG_MARKERS = {
 
 
 def _words(col: str = "text") -> Column:
-    return F.filter(F.split(col, " "), lambda x: x != "")
+    # COALESCE first (round-10 degenerate parity sweep): a NULL-text doc
+    # must tokenize to an EMPTY list on both engines. Unguarded, Spark's
+    # size(split(NULL)) is session-dependent (-1 with ANSI off, NULL with
+    # ANSI on) while DuckDB's len(NULL) is NULL — token totals silently
+    # diverged on any corpus with NULL documents. The oracle twins carry
+    # the matching string_split(COALESCE(text, ''), ' ').
+    return F.filter(
+        F.split(F.coalesce(F.col(col), F.lit("")), " "), lambda x: x != ""
+    )
 
 
 @query(
@@ -44,10 +52,10 @@ def _words(col: str = "text") -> Column:
     WITH per_doc AS (
       SELECT
         lang,
-        len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_words,
+        len(list_filter(string_split(COALESCE(text, ''), ' '), x -> x <> '')) AS n_words,
         length(text) AS n_chars_actual,
         length(text) - length(replace(text, ' ', '')) AS n_spaces,
-        len(list_filter(string_split(text, ' '),
+        len(list_filter(string_split(COALESCE(text, ''), ' '),
                         x -> x IN ('{_STOP_SQL}'))) AS n_stop
       FROM documents
     )
@@ -75,6 +83,11 @@ def text_quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     division would ABORT the whole job on the first empty doc (real
     corpora always contain some), while DuckDB would return inf; NULLIF
     makes both engines skip those rows in the ratio sums identically.
+    The ratio means divide by the count of DEFINED ratios, not n_docs
+    (round-10 degenerate sweep: oracle_davg's COUNT(expr) skips NULLs,
+    and a COUNT(*) denominator silently deflated both averages on any
+    corpus with empty docs): "mean chars-per-word among docs that have
+    words" is also the statistic a quality filter actually wants.
     """
     d = load_table(spark, sf_dir, "documents")
     w = _words()
@@ -86,24 +99,16 @@ def text_quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.filter(w, lambda x: F.array_contains(stop_arr, x))).alias("n_stop"),
     )
     nw_nz = F.nullif(F.col("n_words"), F.lit(0))
+    cpw = F.col("n_chars_actual").cast("double") / nw_nz
+    swr = F.col("n_stop").cast("double") / nw_nz
     return per_doc.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
         (F.sum(F.col("n_words").cast("decimal(30,6)")).cast("double") / F.count(F.lit(1))).alias("avg_words"),
         (
-            F.sum(
-                (F.col("n_chars_actual").cast("double") / nw_nz).cast(
-                    "decimal(30,6)"
-                )
-            ).cast("double")
-            / F.count(F.lit(1))
+            F.sum(cpw.cast("decimal(30,6)")).cast("double") / F.count(cpw)
         ).alias("avg_chars_per_word"),
         (
-            F.sum(
-                (F.col("n_stop").cast("double") / nw_nz).cast(
-                    "decimal(30,6)"
-                )
-            ).cast("double")
-            / F.count(F.lit(1))
+            F.sum(swr.cast("decimal(30,6)")).cast("double") / F.count(swr)
         ).alias("avg_stopword_ratio"),
         F.min("n_words").cast("long").alias("min_words"),
         F.max("n_words").cast("long").alias("max_words"),
@@ -113,7 +118,7 @@ def text_quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _lang_score_sql(lang: str) -> str:
     m = "', '".join(_LANG_MARKERS[lang])
     return (
-        f"len(list_filter(list_filter(string_split(text, ' '), x -> x <> ''),"
+        f"len(list_filter(list_filter(string_split(COALESCE(text, ''), ' '), x -> x <> ''),"
         f" x -> x IN ('{m}')))"
     )
 
@@ -171,9 +176,10 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=r"""
     SELECT
       source,
-      CAST(SUM(len(list_filter(string_split(text, ' '), x -> x <> '')))
+      CAST(SUM(len(list_filter(string_split(COALESCE(text, ''), ' '), x -> x <> '')))
         AS BIGINT) AS ws_tokens,
-      CAST(SUM(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')))
+      CAST(SUM(len(regexp_extract_all(COALESCE(text, ''),
+                                      '[a-z]+|[0-9]+|[^a-z0-9 ]')))
         AS BIGINT) AS bpe_ish_tokens,
       CAST(SUM(length(text)) AS BIGINT) AS total_chars
     FROM documents
@@ -184,12 +190,21 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting two ways: whitespace split and a BPE-ish regex
     lexer (letter runs / digit runs / single punctuation) — the standard
-    pre-tokenizer shape. regexp_extract_all stays JVM-side."""
+    pre-tokenizer shape. regexp_extract_all stays JVM-side. The lexer
+    input coalesces NULL text to '' on both engines (round-10 degenerate
+    sweep: Spark's size(regexp_extract_all(NULL)) is -1 with ANSI off —
+    each NULL doc silently SUBTRACTED one token from its source)."""
     d = load_table(spark, sf_dir, "documents")
     return d.groupBy("source").agg(
         F.sum(F.size(_words())).cast("long").alias("ws_tokens"),
         F.sum(
-            F.size(F.regexp_extract_all("text", F.lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), 0))
+            F.size(
+                F.regexp_extract_all(
+                    F.coalesce(F.col("text"), F.lit("")),
+                    F.lit("[a-z]+|[0-9]+|[^a-z0-9 ]"),
+                    0,
+                )
+            )
         )
         .cast("long")
         .alias("bpe_ish_tokens"),
@@ -203,8 +218,8 @@ def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH toks AS (
       SELECT
         doc_id,
-        unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS word,
-        generate_subscripts(list_filter(string_split(text, ' '), x -> x <> ''), 1)
+        unnest(list_filter(string_split(COALESCE(text, ''), ' '), x -> x <> '')) AS word,
+        generate_subscripts(list_filter(string_split(COALESCE(text, ''), ' '), x -> x <> ''), 1)
           AS pos
       FROM documents
     ), fp AS (
@@ -255,7 +270,7 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 _TFIDF_DF_SQL = """
     WITH toks AS (
       SELECT DISTINCT doc_id,
-        unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS word
+        unnest(list_filter(string_split(COALESCE(text, ''), ' '), x -> x <> '')) AS word
       FROM {documents}
     ), df AS (
       SELECT word, COUNT(*) AS doc_freq FROM toks GROUP BY word
@@ -356,7 +371,7 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _BIGRAM_MODEL_SQL = """
     WITH t AS (
-      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
+      SELECT doc_id, list_filter(string_split(COALESCE(text, ''), ' '), x -> x <> '') AS ws
       FROM {documents}
     ), ti AS (
       SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 1)) AS i FROM t
@@ -568,7 +583,7 @@ def text_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH t AS (
       SELECT doc_id, source,
-             list_filter(string_split(text, ' '), x -> x <> '') AS ws
+             list_filter(string_split(COALESCE(text, ''), ' '), x -> x <> '') AS ws
       FROM documents
     ), ti AS (
       SELECT doc_id, source, ws,
@@ -657,7 +672,7 @@ _VOCAB_KS = (100, 500, 2000)
     WITH cnt AS (
       SELECT word, COUNT(*) AS c
       FROM (
-        SELECT unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+        SELECT unnest(list_filter(string_split(COALESCE(text, ''), ' '), x -> x <> ''))
           AS word
         FROM documents
       ) GROUP BY word
@@ -754,7 +769,7 @@ def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     "text_bigram_novelty",
     oracle="""
     WITH t AS (
-      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
+      SELECT doc_id, list_filter(string_split(COALESCE(text, ''), ' '), x -> x <> '') AS ws
       FROM documents
     ), ti AS (
       SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 1)) AS i FROM t
@@ -790,7 +805,7 @@ def text_bigram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_id.
     """
     d = load_table(spark, sf_dir, "documents")
-    ws = F.filter(F.split("text", " "), lambda x: x != "")
+    ws = F.filter(F.split(F.coalesce(F.col("text"), F.lit("")), " "), lambda x: x != "")
     bigs = d.select(
         "doc_id",
         F.explode(
@@ -828,7 +843,7 @@ _ZIPF_HEAD_SQL = """
     WITH cnt AS (
       SELECT word, COUNT(*) AS c
       FROM (
-        SELECT unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+        SELECT unnest(list_filter(string_split(COALESCE(text, ''), ' '), x -> x <> ''))
           AS word
         FROM {documents}
       ) GROUP BY word
@@ -984,7 +999,7 @@ _CHUNK_S = 24
     oracle=f"""
     WITH toks AS (
       SELECT doc_id,
-             list_filter(string_split(text, ' '), x -> x <> '') AS t
+             list_filter(string_split(COALESCE(text, ''), ' '), x -> x <> '') AS t
       FROM documents
     ), base AS (
       SELECT doc_id, t, len(t) AS n FROM toks
@@ -1056,7 +1071,7 @@ _BPE_TOP = 20
     "text_bpe_pair_stats",
     oracle=f"""
     WITH words AS (
-      SELECT unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+      SELECT unnest(list_filter(string_split(COALESCE(text, ''), ' '), x -> x <> ''))
         AS w
       FROM documents
     ), wc AS (
@@ -1120,7 +1135,7 @@ def text_bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH w AS (
       SELECT source,
-             unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS word
+             unnest(list_filter(string_split(COALESCE(text, ''), ' '), x -> x <> '')) AS word
       FROM documents
     ), sc AS (
       SELECT source, word, COUNT(*) AS c FROM w GROUP BY source, word
@@ -1252,7 +1267,7 @@ def text_js_divergence_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH split AS (
       SELECT doc_id,
-             list_filter(string_split(text, ' '), x -> x <> '') AS ws,
+             list_filter(string_split(COALESCE(text, ''), ' '), x -> x <> '') AS ws,
              ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':heldout'), 1, 8))::BIGINT
                % 5 = 0 AS is_heldout
       FROM documents
@@ -1391,7 +1406,7 @@ _PMI_TOP = 20
     oracle=f"""
     WITH dw AS (
       SELECT DISTINCT doc_id,
-             unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
+             unnest(list_filter(string_split(COALESCE(text, ''), ' '), x -> x <> '')) AS w
       FROM documents
     ), n_docs AS (SELECT COUNT(DISTINCT doc_id) AS nd FROM dw),
     df AS (SELECT w, COUNT(*) AS dfw FROM dw GROUP BY w),
@@ -1482,7 +1497,7 @@ _RAKE_TOP = 15
     oracle=f"""
     WITH t AS (
       SELECT doc_id,
-             list_filter(string_split(text, ' '), x -> x <> '') AS ws
+             list_filter(string_split(COALESCE(text, ''), ' '), x -> x <> '') AS ws
       FROM documents
     ), ti AS (
       SELECT doc_id, unnest(generate_series(1, len(ws))) AS i, ws
@@ -1599,7 +1614,7 @@ def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     "text_kneser_ney_bigram",
     oracle="""
     WITH t AS (
-      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
+      SELECT doc_id, list_filter(string_split(COALESCE(text, ''), ' '), x -> x <> '') AS ws
       FROM documents
     ), ti AS (
       SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 1)) AS i FROM t
@@ -1743,7 +1758,7 @@ def _bpe_chain_sql() -> str:
     )""")
     return f"""
     WITH words AS (
-      SELECT unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+      SELECT unnest(list_filter(string_split(COALESCE(text, ''), ' '), x -> x <> ''))
         AS word
       FROM documents
     ), w AS (
@@ -1879,7 +1894,7 @@ def _bpe_train(
     oracle=f"""{_bpe_chain_sql()}
     , cw AS (
       SELECT source,
-             unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+             unnest(list_filter(string_split(COALESCE(text, ''), ' '), x -> x <> ''))
                AS word
       FROM documents
     ), csw AS (
@@ -1952,7 +1967,7 @@ def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH d AS (SELECT COUNT(*) AS nd FROM documents),
     docs AS (
       SELECT (doc_id * 10) // (SELECT nd FROM d) AS dec,
-             list_filter(string_split(text, ' '), x -> x <> '') AS ws
+             list_filter(string_split(COALESCE(text, ''), ' '), x -> x <> '') AS ws
       FROM documents
     ), per_dec AS (
       SELECT dec, COUNT(*) AS n_docs, SUM(len(ws)) AS dec_tokens

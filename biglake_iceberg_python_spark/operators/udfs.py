@@ -256,7 +256,7 @@ def udf_python_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
         t.pos
       FROM (
         SELECT source,
-               list_filter(string_split(text, ' '), x -> x <> '') AS ws
+               list_filter(string_split(COALESCE(text, ''), ' '), x -> x <> '') AS ws
         FROM documents
       ) d, LATERAL (
         SELECT unnest(d.ws) AS word, generate_subscripts(d.ws, 1) - 1 AS pos

@@ -199,7 +199,8 @@ def source_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id,
            CAST(octet_length(CAST(text AS BLOB)) AS INTEGER) AS n_bytes,
            md5(text) AS digest
-    FROM documents WHERE doc_id < 20 AND text IS NOT NULL
+    FROM documents
+    WHERE doc_id < 20 AND text IS NOT NULL AND text <> ''
     """,
     tags=("source", "binary", "multimodal"),
 )
@@ -219,9 +220,17 @@ def source_binaryfile_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
     # NULL text = no payload = no file, mirrored by the oracle's
     # `text IS NOT NULL` (writing b"" instead would digest md5('') where
     # the oracle digests NULL — a hash mismatch on any corpus with NULLs).
+    # EMPTY text is excluded too (round-10 degenerate sweep): Spark's
+    # binaryFile source silently emits no row for a 0-byte file, so an
+    # ''-payload doc written out would appear in the oracle but never
+    # come back through the reader — "no content, no digest" on both.
     docs = (
         load_table(spark, sf_dir, "documents")
-        .filter((F.col("doc_id") < 20) & F.col("text").isNotNull())
+        .filter(
+            (F.col("doc_id") < 20)
+            & F.col("text").isNotNull()
+            & (F.col("text") != "")
+        )
         .select("doc_id", "text")
         .collect()
     )

@@ -1,0 +1,144 @@
+#!/usr/bin/env python
+"""Degenerate-corpus PARITY sweep (round 10).
+
+The round-9 degenerate sweep asserted the engine doesn't CRASH on
+NULL/empty/short documents and NULL/zero-norm/wrong-dim embeddings. That
+left a class of silent divergences open: queries where BOTH engines run
+fine but disagree on degenerate rows (found in round 10: the
+array_to_string-on-empty-list family, BM25's session-dependent
+size(split(NULL)) corpus stats, DuckDB's truncating integer // emitting
+phantom chunks). This script closes the class: it crafts the degenerate
+corpora and runs the FULL Spark-vs-DuckDB compare for every oracle-bearing
+query that reads the affected table.
+
+Usage:  python scripts/degenerate_parity_sweep.py [--table documents|embeddings|all]
+
+Exit 0 iff every comparable query matches. Queries whose oracle builders
+derive literal tables are resolved against the crafted corpus (the same
+data both engines see). Oracle-less queries are skipped (they have no
+comparison semantics here; the no-crash sweep in tests/test_operators.py
+still covers them).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_BASE = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+def craft_documents(d: str) -> None:
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(d)
+    for t in TABLES:
+        if t != "documents":
+            os.symlink(f"{SF_BASE}/{t}.parquet", f"{d}/{t}.parquet")
+    base = pq.read_table(f"{SF_BASE}/documents.parquet")
+    cols = {n: base[n] for n in base.column_names}
+    texts = cols["text"].to_pylist()
+    for i in range(len(texts)):
+        if i % 7 == 0:
+            texts[i] = None
+        elif i % 7 == 1:
+            texts[i] = ""
+        elif i % 7 == 2:
+            texts[i] = "solo"
+    cols["text"] = pa.array(texts, type=pa.string())
+    pq.write_table(pa.table(cols), f"{d}/documents.parquet")
+
+
+def craft_embeddings(d: str) -> None:
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(d)
+    for t in TABLES:
+        if t != "embeddings":
+            os.symlink(f"{SF_BASE}/{t}.parquet", f"{d}/{t}.parquet")
+    tbl = pq.read_table(f"{SF_BASE}/embeddings.parquet")
+    cols = {n: tbl[n] for n in tbl.column_names}
+    vals = cols["embedding"].to_pylist()
+    for i in range(len(vals)):
+        if i % 11 == 0:
+            vals[i] = None
+        elif i % 11 == 1:
+            vals[i] = []
+        elif i % 11 == 2:
+            vals[i] = vals[i][:10]  # wrong dimension
+        elif i % 11 == 3:
+            vals[i] = [0.0] * len(vals[i])  # zero norm
+    cols["embedding"] = pa.array(vals, type=tbl.schema.field("embedding").type)
+    pq.write_table(pa.table(cols), f"{d}/embeddings.parquet")
+
+
+def reads_table(name, spec, table: str) -> bool:
+    import inspect
+
+    src = inspect.getsource(spec.fn)
+    sql = spec.oracle or ""
+    return f'"{table}"' in src or table in sql
+
+
+def main() -> int:
+    which = "all"
+    if "--table" in sys.argv:
+        which = sys.argv[sys.argv.index("--table") + 1]
+
+    from biglake_iceberg_python_spark.plans.check import compare, duckdb_connect
+    from biglake_iceberg_python_spark.plans.registry import (
+        load_all,
+        resolve_oracle,
+    )
+    from biglake_iceberg_python_spark.session import build_session
+
+    spark = build_session("degenerate-sweep", shuffle_partitions=8)
+    reg = load_all()
+    fails = 0
+    total = 0
+    for table, craft in [
+        ("documents", craft_documents),
+        ("embeddings", craft_embeddings),
+    ]:
+        if which not in ("all", table):
+            continue
+        d = f"/tmp/sf_degenerate_{table}"
+        shutil.rmtree(d, ignore_errors=True)
+        craft(d)
+        con = duckdb_connect(d)
+        names = sorted(
+            n for n, s in reg.items()
+            if s.has_oracle() and reads_table(n, s, table)
+        )
+        print(f"== {table}: {len(names)} oracle-bearing readers ==", flush=True)
+        for name in names:
+            spec = reg[name]
+            total += 1
+            try:
+                sql = resolve_oracle(spec, d)
+                res = compare(spec.fn(spark, d), con, sql)
+                if res["ok"]:
+                    print(f"OK   {name}", flush=True)
+                else:
+                    fails += 1
+                    detail = {k: v for k, v in res.items() if k != "ok"}
+                    print(f"FAIL {name} {detail}", flush=True)
+            except Exception as exc:  # noqa: BLE001 — sweep must finish
+                fails += 1
+                print(f"ERR  {name} {type(exc).__name__}: {str(exc)[:200]}",
+                      flush=True)
+    print(f"{total - fails}/{total} ok")
+    return 1 if fails else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

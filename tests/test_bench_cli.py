@@ -30,13 +30,18 @@ def test_bench_cli_exits_zero_with_json_contract():
     )
     assert proc.returncode == 0, proc.stderr[-2000:]
     lines = [l for l in proc.stdout.strip().splitlines() if l.strip()]
-    assert len(lines) == 1, f"expected ONE JSON line, got: {proc.stdout!r}"
+    # Contract since round 10: the JSON line, then ONE compact headline
+    # line (the driver stores only the tail of stdout, and the r9 artifact
+    # lost metric/value to mid-JSON truncation — the trailing summary is
+    # the truncation-proof copy).
+    assert len(lines) == 2, f"expected JSON + TOTAL lines, got: {proc.stdout!r}"
     payload = json.loads(lines[0])
     assert payload["metric"] == "bench_total_wall"
     assert payload["unit"] == "sec"
     assert set(payload["queries"]) == {"join_inner", "pricing_summary"}
     assert payload["value"] > 0
     assert payload["sf"] == 0.001
+    assert lines[1] == f"TOTAL {payload['value']}s n=2 sf=0.001 rc=0"
 
 
 def test_bench_cli_rejects_unknown_query():

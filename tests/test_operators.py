@@ -1887,6 +1887,82 @@ def test_vector_family_tolerates_degenerate_embeddings(spark, sf_dir, tmp_path):
     assert result["ok"], {k: v for k, v in result.items() if k != "ok"}
 
 
+def test_degenerate_parity_round10_regressions(spark, sf_dir, tmp_path):
+    """Pin the 31 queries the round-10 degenerate PARITY sweep found
+    diverging (or crashing one engine) on NULL/empty/short documents and
+    NULL/empty/wrong-dim/zero-norm embeddings — full Spark-vs-DuckDB
+    compare, not just no-crash. The full 95-reader sweep lives in
+    scripts/degenerate_parity_sweep.py (run it per round before the
+    snapshot); this test keeps the once-red subset red-proof in CI.
+    Hazard classes closed: unguarded tokenizers (size(split(NULL)) is
+    session-dependent: -1 ANSI-off / NULL ANSI-on, vs DuckDB's NULL),
+    DuckDB array_to_string([]) = NULL, DuckDB truncating integer //,
+    similarity oracles crashing on degenerate vectors the Spark side
+    filtered, np.stack on ragged embedding batches, bytes(None) in
+    Python workers, binaryFile dropping 0-byte files."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from biglake_iceberg_python_spark.plans.check import compare, duckdb_connect
+    from biglake_iceberg_python_spark.plans.registry import resolve_oracle
+
+    d = str(tmp_path / "sf_degenerate_both")
+    os.makedirs(d)
+    for t in [
+        "region", "nation", "customer", "supplier", "part", "orders",
+        "lineitem", "events",
+    ]:
+        os.symlink(f"{sf_dir}/{t}.parquet", f"{d}/{t}.parquet")
+    base = pq.read_table(f"{sf_dir}/documents.parquet")
+    cols = {n: base[n] for n in base.column_names}
+    texts = cols["text"].to_pylist()
+    for i in range(len(texts)):
+        if i % 7 == 0:
+            texts[i] = None
+        elif i % 7 == 1:
+            texts[i] = ""
+        elif i % 7 == 2:
+            texts[i] = "solo"
+    cols["text"] = pa.array(texts, type=pa.string())
+    pq.write_table(pa.table(cols), f"{d}/documents.parquet")
+    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    ecols = {n: tbl[n] for n in tbl.column_names}
+    vals = ecols["embedding"].to_pylist()
+    for i in range(len(vals)):
+        if i % 11 == 0:
+            vals[i] = None
+        elif i % 11 == 1:
+            vals[i] = []
+        elif i % 11 == 2:
+            vals[i] = vals[i][:10]
+        elif i % 11 == 3:
+            vals[i] = [0.0] * len(vals[i])
+    ecols["embedding"] = pa.array(vals, type=tbl.schema.field("embedding").type)
+    pq.write_table(pa.table(ecols), f"{d}/embeddings.parquet")
+    con = duckdb_connect(d)
+    names = [
+        "curate_boilerplate_strip", "curate_domain_mix",
+        "curate_gopher_filter", "curate_mix_apportionment",
+        "curate_temperature_mix", "curate_train_shards",
+        "dedup_semantic_ivf", "ml_naive_bayes_langid", "ml_pca_gram",
+        "multimodal_decode_features", "multimodal_frame_sample",
+        "multimodal_training_record", "pack_length_pair_binning",
+        "pack_token_shards", "scalar_array_reduce", "sim_ann_ivf",
+        "sim_bruteforce_topk", "sim_ivf_index_persisted",
+        "sim_knn_classify", "sim_label_centroids",
+        "sim_matryoshka_rescore", "sim_mips_transform",
+        "sim_mmr_diversify", "sim_pq_adc", "sim_quantize_int8",
+        "sim_range_search", "sim_recall_eval", "source_binaryfile_digest",
+        "text_heaps_law", "text_quality_stats", "text_token_count",
+    ]
+    for q in names:
+        spec = REGISTRY[q]
+        result = compare(spec.fn(spark, d), con, resolve_oracle(spec, d))
+        assert result["ok"], (q, {k: v for k, v in result.items() if k != "ok"})
+
+
 def test_ml_family_tolerates_all_degenerate_embeddings(spark, sf_dir, tmp_path):
     """When EVERY embedding row is NULL/wrong-dim/empty, the validity
     filter empties the table: the seed/init collects come back empty and
@@ -1920,13 +1996,20 @@ def test_ml_family_tolerates_all_degenerate_embeddings(spark, sf_dir, tmp_path):
         assert REGISTRY[q].fn(spark, d).collect() == [], q
 
 
-def test_incremental_ingest_null_text_parity(spark, sf_dir, tmp_path):
-    """curate_incremental_ingest was left out of the round-9 NULL-text
-    sweep (r9 ADVICE): unguarded, Spark fingerprinted NULL-text docs as
-    md5('') (concat_ws on a NULL array) while the DuckDB oracle produced
-    NULL h — n_dup_vs_history/n_ingested diverged on any corpus with NULL
-    documents. Both sides now COALESCE(text, '') before the fingerprint;
-    parity on a NULL-bearing corpus pins it."""
+def test_array_to_string_family_null_text_parity(spark, sf_dir, tmp_path):
+    """Hazard CLASS closure (round-10, grew out of the r9 ADVICE on
+    curate_incremental_ingest): DuckDB 1.0.0's array_to_string returns
+    NULL both for a NULL list AND for an EMPTY list, while Spark's
+    concat_ws/array_join return '' — so every oracle that serializes a
+    possibly-empty token list silently diverges from its Spark twin on
+    corpora with NULL/empty/short documents. This test auto-discovers
+    every registered static oracle using array_to_string and runs the
+    FULL engine-vs-engine compare on a crafted degenerate corpus (the
+    round-9 sweep only checked Spark didn't crash — which is why the
+    class survived it). A new query joining the family is covered the
+    moment it registers. First run caught 4: the two ingest
+    fingerprints, dataset_card's fp (off-by-one n_fp_dups), and
+    scalar_array's vocab serialization."""
     import os
 
     import pyarrow as pa
@@ -1944,16 +2027,25 @@ def test_incremental_ingest_null_text_parity(spark, sf_dir, tmp_path):
     base = pq.read_table(f"{sf_dir}/documents.parquet")
     cols = {n: base[n] for n in base.column_names}
     texts = cols["text"].to_pylist()
-    # NULL out every 5th document on both sides of the history split so
-    # NULL fingerprints appear among history AND arrivals.
-    texts = [None if i % 5 == 0 else t for i, t in enumerate(texts)]
+    # NULL, empty, and single-token docs interleaved with untouched ones,
+    # so degenerate fingerprints land among history AND arrivals of the
+    # ingest splits.
+    for i in range(len(texts)):
+        if i % 7 == 0:
+            texts[i] = None
+        elif i % 7 == 1:
+            texts[i] = ""
+        elif i % 7 == 2:
+            texts[i] = "solo"
     cols["text"] = pa.array(texts, type=pa.string())
     pq.write_table(pa.table(cols), f"{d}/documents.parquet")
     con = duckdb_connect(d)
-    # dataset_card shares the fingerprint (and found the second hazard:
-    # DuckDB's array_to_string is NULL for EMPTY lists, not just NULL
-    # arrays — n_fp_dups was off by one wherever zero-token docs exist).
-    for q in ["curate_incremental_ingest", "curate_dataset_card"]:
+    family = sorted(
+        n for n, s in REGISTRY.items()
+        if s.oracle is not None and "array_to_string" in s.oracle
+    )
+    assert len(family) >= 13  # the round-10 inventory; growth is fine
+    for q in family:
         spec = REGISTRY[q]
         result = compare(spec.fn(spark, d), con, spec.oracle)
         assert result["ok"], (q, {k: v for k, v in result.items() if k != "ok"})
