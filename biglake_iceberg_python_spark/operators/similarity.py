@@ -49,7 +49,9 @@ def _as_double(col: str) -> Column:
     return F.transform(F.col(col), lambda x: x.cast("double"))
 
 
-def _valid_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _valid_embeddings(
+    spark: SparkSession, sf_dir: str, with_norm2: bool = False
+) -> DataFrame:
     """The embeddings rows a distance/cosine pipeline can score: exactly
     _DIM components (excludes NULL and wrong-dim failed-encoder rows —
     session-invariantly: size() of NULL is -1 with ANSI off and NULL with
@@ -59,11 +61,18 @@ def _valid_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     degenerate rows are excluded SYMMETRICALLY — round-10 degenerate
     parity sweep, generalizing the round-9 dedup_embedding_cosine fix.
     On a clean corpus the filter keeps every row and the plan cost is one
-    codegen predicate on the scan."""
-    return load_table(spark, sf_dir, "embeddings").filter(
-        (F.size("embedding") == _DIM)
-        & (_dot(_as_double("embedding"), _as_double("embedding")) > 0)
-    )
+    codegen predicate on the scan.
+
+    ``with_norm2=True`` keeps the filter's norm² fold as a ``_n2``
+    column so cosine consumers reuse it instead of re-folding per row —
+    the fold is projected once (filter references the projected column),
+    and ``sqrt(_n2_a * _n2_b)`` is bit-identical to the oracle's
+    ``sqrt(dot(a,a) * dot(b,b))`` because _n2 IS the same sequential
+    fold."""
+    e = load_table(spark, sf_dir, "embeddings").withColumn(
+        "_n2", _dot(_as_double("embedding"), _as_double("embedding"))
+    ).filter((F.size("embedding") == _DIM) & (F.col("_n2") > 0))
+    return e if with_norm2 else e.drop("_n2")
 
 
 @query(
@@ -101,12 +110,17 @@ def sim_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     are a codegen fold — identical arithmetic order to the DuckDB oracle, so
     scores hash-match exactly with no tolerance.
     """
-    e = _valid_embeddings(spark, sf_dir)
+    e = _valid_embeddings(spark, sf_dir, with_norm2=True)
     q = e.filter(F.col("vec_id") < _N_QUERIES).select(
-        F.col("vec_id").alias("qid"), _as_double("embedding").alias("qv")
+        F.col("vec_id").alias("qid"),
+        _as_double("embedding").alias("qv"),
+        F.col("_n2").alias("qn2"),
     )
     c = e.select(
-        F.col("vec_id").alias("cid"), "label", _as_double("embedding").alias("cv")
+        F.col("vec_id").alias("cid"),
+        "label",
+        _as_double("embedding").alias("cv"),
+        F.col("_n2").alias("cn2"),
     )
     scored = (
         F.broadcast(q)
@@ -116,11 +130,12 @@ def sim_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "qid",
             "cid",
             "label",
+            # _n2 reuse keeps this ONE fold per (q, c) pair — the validity
+            # filter's norm² is projected once on the scan, not re-folded
+            # here; bit-identical to sqrt(dot(q,q) * dot(c,c)).
             (
                 _dot(F.col("qv"), F.col("cv"))
-                / F.sqrt(
-                    _dot(F.col("qv"), F.col("qv")) * _dot(F.col("cv"), F.col("cv"))
-                )
+                / F.sqrt(F.col("qn2") * F.col("cn2"))
             ).alias("cosine"),
         )
     )
