@@ -623,7 +623,7 @@ def agg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT user_id, event_id,
              CAST(date_diff('second', TIMESTAMP '1970-01-01',
                             date_trunc('second', ts)) AS BIGINT) AS es
-      FROM events
+      FROM events WHERE ts IS NOT NULL
     ), flagged AS (
       SELECT user_id, event_id, es,
              CASE WHEN LAG(es) OVER w IS NULL
@@ -663,7 +663,12 @@ def agg_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     sub-second precision (SURVEY.md §1.3; cross-engine cookbook).
     """
     w = Window.partitionBy("user_id").orderBy("es", "event_id")
-    e = load_table(spark, sf_dir, "events").select(
+    # Dead-letter NULL event-times (round-10 events parity sweep): a NULL
+    # es is unordered — Spark sorts NULLS FIRST, DuckDB NULLS LAST, so
+    # session boundaries diverge; both engines drop timestamp-less rows.
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull()
+    ).select(
         "user_id",
         "event_id",
         F.expr(
@@ -794,7 +799,7 @@ def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
                   >= INTERVAL '30 minutes'
              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
              THEN 1 ELSE 0 END AS new_session
-      FROM events
+      FROM events WHERE ts IS NOT NULL
     ), sessions AS (
       SELECT
         user_id, ts, value,
@@ -825,8 +830,12 @@ def agg_session_window_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     sort pass over the raw events is needed, which is the win over the
     gaps-and-islands formulation at 100 TB (it needs a full per-user
     ordered window before it can even flag session starts).
+
+    NULL event-times are dead-lettered on both engines (round-10 events
+    parity sweep): Spark's session_window silently drops them while the
+    oracle's gaps-and-islands window sorted them into a phantom session.
     """
-    e = load_table(spark, sf_dir, "events")
+    e = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     return (
         e.groupBy(F.session_window("ts", "30 minutes"), "user_id")
         .agg(

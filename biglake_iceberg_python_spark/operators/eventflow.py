@@ -48,8 +48,23 @@ _WEEK_S = 7 * 86400
 _DAY_S = 86400
 
 
+def _timed_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events with a defined event-time — the input every query in this
+    module computes over. A row with NULL ts cannot be sessionized,
+    bucketed, ordered, or watermarked; worse, it makes results
+    ENGINE-DIVERGENT (Spark windows order NULLS FIRST, DuckDB NULLS
+    LAST; epoch arithmetic yields NULL keys that each engine routes
+    differently) and SESSION-DEPENDENT on the Spark side. Round-10
+    events parity sweep: dead-letter them at load, exactly as the
+    streaming surface drops them at ingestion — every oracle in this
+    module carries the matching `WHERE ts IS NOT NULL` wrap."""
+    return load_table(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull()
+    )
+
+
 def _events_es(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return load_table(spark, sf_dir, "events").select(
+    return _timed_events(spark, sf_dir).select(
         "user_id",
         "event_type",
         F.expr(_ES).cast("long").alias("es"),
@@ -60,7 +75,7 @@ def _events_es(spark: SparkSession, sf_dir: str) -> DataFrame:
     "funnel_conversion",
     oracle=f"""
     WITH e AS (
-      SELECT user_id, event_type, {_ORACLE_ES} AS es FROM events
+      SELECT user_id, event_type, {_ORACLE_ES} AS es FROM (SELECT * FROM events WHERE ts IS NOT NULL) events
     ), s1 AS (
       SELECT user_id, MIN(es) AS t1 FROM e
       WHERE event_type = 'view' GROUP BY user_id
@@ -149,7 +164,7 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     "cohort_retention",
     oracle=f"""
     WITH e AS (
-      SELECT DISTINCT user_id, ({_ORACLE_ES}) // {_WEEK_S} AS w FROM events
+      SELECT DISTINCT user_id, ({_ORACLE_ES}) // {_WEEK_S} AS w FROM (SELECT * FROM events WHERE ts IS NOT NULL) events
     ), cohort AS (
       SELECT user_id, MIN(w) AS cw FROM e GROUP BY user_id
     )
@@ -192,7 +207,7 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ts_gap_fill_locf",
     oracle=f"""
     WITH e AS (
-      SELECT user_id, ({_ORACLE_ES}) // {_DAY_S} AS day FROM events
+      SELECT user_id, ({_ORACLE_ES}) // {_DAY_S} AS day FROM (SELECT * FROM events WHERE ts IS NOT NULL) events
     ), daily AS (
       SELECT user_id, day, COUNT(*) AS n_ev FROM e GROUP BY user_id, day
     ), bounds AS (
@@ -261,7 +276,7 @@ def ts_gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     "events_transition_matrix",
     oracle=f"""
     WITH e AS (
-      SELECT user_id, event_id, event_type, {_ORACLE_ES} AS es FROM events
+      SELECT user_id, event_id, event_type, {_ORACLE_ES} AS es FROM (SELECT * FROM events WHERE ts IS NOT NULL) events
     ), pairs AS (
       SELECT
         LAG(event_type) OVER (
@@ -295,7 +310,7 @@ def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     divide two exact integers once as double, so both engines emit the
     same bits.
     """
-    e = load_table(spark, sf_dir, "events").select(
+    e = _timed_events(spark, sf_dir).select(
         "user_id",
         "event_id",
         "event_type",
@@ -325,7 +340,7 @@ def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     "anomaly_zscore_daily",
     oracle=f"""
     WITH e AS (
-      SELECT user_id, ({_ORACLE_ES}) // {_DAY_S} AS day FROM events
+      SELECT user_id, ({_ORACLE_ES}) // {_DAY_S} AS day FROM (SELECT * FROM events WHERE ts IS NOT NULL) events
     ), daily AS (
       SELECT user_id, day, COUNT(*) AS n_ev FROM e GROUP BY user_id, day
     ), stats AS (
@@ -390,7 +405,7 @@ def anomaly_zscore_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     "events_dau_wau_stickiness",
     oracle=f"""
     WITH ud AS (
-      SELECT DISTINCT user_id, ({_ORACLE_ES}) // {_DAY_S} AS day FROM events
+      SELECT DISTINCT user_id, ({_ORACLE_ES}) // {_DAY_S} AS day FROM (SELECT * FROM events WHERE ts IS NOT NULL) events
     ), dau AS (
       SELECT day, COUNT(*) AS dau FROM ud GROUP BY day
     ), cover AS (
@@ -535,7 +550,7 @@ def agg_hll_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
         date_diff('second', TIMESTAMP '2024-01-01 00:00:00',
                   date_trunc('second', ts)) AS x,
         CAST(round(CAST(value AS DECIMAL(18,2)) * 100) AS BIGINT) AS y
-      FROM events
+      FROM (SELECT * FROM events WHERE ts IS NOT NULL) events
     ), s AS (
       SELECT
         event_type,
@@ -569,7 +584,7 @@ def events_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     text_zipf_fit discipline applied per group. One map-side-combined
     shuffle on event_type.
     """
-    e = load_table(spark, sf_dir, "events")
+    e = _timed_events(spark, sf_dir)
     pts = e.select(
         "event_type",
         F.expr(
@@ -611,7 +626,7 @@ def events_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
                WHEN 'view' THEN 'v' WHEN 'click' THEN 'c'
                WHEN 'purchase' THEN 'p' WHEN 'signup' THEN 's'
                ELSE 'e' END AS ch
-      FROM events
+      FROM (SELECT * FROM events WHERE ts IS NOT NULL) events
     ), seqs AS (
       SELECT user_id, string_agg(ch, '' ORDER BY es, event_id) AS seq
       FROM e GROUP BY user_id
@@ -644,7 +659,7 @@ def events_sequence_motif(spark: SparkSession, sf_dir: str) -> DataFrame:
     sequence table are scan-speed regex evaluations, the standard
     funnel-DSL backend shape.
     """
-    e = load_table(spark, sf_dir, "events").select(
+    e = _timed_events(spark, sf_dir).select(
         "user_id",
         "event_id",
         F.expr(_ES).cast("long").alias("es"),
@@ -697,7 +712,7 @@ def agg_kll_quantile_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle. Estimates carry KLL's ~1.7% rank-error bound (k=200
     default); n is exact and is asserted against the true weekly count.
     """
-    e = load_table(spark, sf_dir, "events").select(
+    e = _timed_events(spark, sf_dir).select(
         "value",
         (F.expr(_ES).cast("long") / _DAY_S).cast("long").alias("day"),
     )
@@ -742,7 +757,7 @@ _EWMA_W = [1000000, 700000, 489999, 342999, 240099, 168069, 117648]
         user_id,
         ({_ORACLE_ES}) // {_DAY_S} AS day,
         SUM(CAST(round(CAST(value AS DECIMAL(18,2)) * 100) AS BIGINT)) AS v
-      FROM events
+      FROM (SELECT * FROM events WHERE ts IS NOT NULL) events
       GROUP BY user_id, ({_ORACLE_ES}) // {_DAY_S}
     ), w AS (
       SELECT * FROM (VALUES
@@ -782,7 +797,7 @@ def ts_ewma_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB: the expansion is over the DAILY ROLLUP (≪ raw events), 7× a
     per-user-day table; both aggregations shuffle on user-prefixed keys.
     """
-    e = load_table(spark, sf_dir, "events").select(
+    e = _timed_events(spark, sf_dir).select(
         "user_id",
         (F.expr(_ES).cast("long") / _DAY_S).cast("long").alias("day"),
         F.round(F.col("value").cast("decimal(18,2)") * 100)
@@ -832,7 +847,7 @@ def ts_ewma_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
         SUM(CAST(round(CAST(value AS DECIMAL(18,2)) * 100) AS BIGINT)
           * CAST(round(CAST(value AS DECIMAL(18,2)) * 100) AS BIGINT))
           FILTER (WHERE user_id % 2 = 1) AS q1
-      FROM events
+      FROM (SELECT * FROM events WHERE ts IS NOT NULL) events
       GROUP BY event_type
     )
     SELECT
@@ -875,7 +890,7 @@ def events_ab_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB: one map-side-combined shuffle of |event_types| groups; this is
     the cheapest possible experiment readout and it is already exact.
     """
-    e = load_table(spark, sf_dir, "events")
+    e = _timed_events(spark, sf_dir)
     cents = F.round(F.col("value").cast("decimal(18,2)") * 100).cast("long")
     v0 = F.col("user_id") % 2 == 0
     v1 = F.col("user_id") % 2 == 1
@@ -911,7 +926,7 @@ def events_ab_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH first_hour AS (
       SELECT user_id, MIN(({_ORACLE_ES}) // 3600) AS hour
-      FROM events GROUP BY user_id
+      FROM (SELECT * FROM events WHERE ts IS NOT NULL) events GROUP BY user_id
     ), hourly_new AS (
       SELECT hour, COUNT(*) AS new_users FROM first_hour GROUP BY hour
     )
@@ -938,7 +953,7 @@ def events_cumulative_uniques(spark: SparkSession, sf_dir: str) -> DataFrame:
     on |hours| rows (hundreds), so the global window is trivially cheap —
     the raw event set is never windowed.
     """
-    e = load_table(spark, sf_dir, "events").select(
+    e = _timed_events(spark, sf_dir).select(
         "user_id", (F.expr(_ES).cast("long") / 3600).cast("long").alias("hour")
     )
     first_hour = e.groupBy("user_id").agg(F.min("hour").alias("hour"))
@@ -956,7 +971,7 @@ def events_cumulative_uniques(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH c AS (
       SELECT user_id, event_type, COUNT(*) AS cnt
-      FROM events GROUP BY user_id, event_type
+      FROM (SELECT * FROM events WHERE ts IS NOT NULL) events GROUP BY user_id, event_type
     ), t AS (
       SELECT user_id, SUM(cnt) AS n, COUNT(*) AS n_types FROM c GROUP BY user_id
     ), terms AS (
@@ -991,7 +1006,7 @@ def events_user_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     on the same key — one logical exchange of (user, type) counts; never
     a window, never raw events twice.
     """
-    e = load_table(spark, sf_dir, "events")
+    e = _timed_events(spark, sf_dir)
     c = e.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("cnt"))
     t = c.groupBy("user_id").agg(
         F.sum("cnt").alias("n"), F.count(F.lit(1)).alias("n_types")
@@ -1023,7 +1038,8 @@ def events_user_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
              LEAD(event_type, 1) OVER w AS nxt1,
              LEAD(event_type, 2) OVER w AS nxt2
       FROM (SELECT user_id, event_type, ({_ORACLE_ES}) AS es, event_id
-            FROM events)
+            FROM (SELECT * FROM events WHERE ts IS NOT NULL) events
+            WHERE event_type IS NOT NULL)
       WINDOW w AS (PARTITION BY user_id ORDER BY es, event_id)
     ), tri AS (
       SELECT event_type || '>' || nxt1 || '>' || nxt2 AS path
@@ -1052,9 +1068,22 @@ def events_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB: the shuffle carries one short string per event; the trigram
     key space is |types|³ (tiny), so the count aggregation collapses
     map-side.
+
+    A typeless event is not a journey step: NULL event_type rows are
+    excluded from the sequence on BOTH engines (round-10 events parity
+    sweep — unguarded, Spark's concat_ws silently SKIPPED the NULL
+    segment producing a 2-step path while DuckDB's `||` NULLed the whole
+    path).
     """
-    ev = load_table(spark, sf_dir, "events").select(
-        "user_id", "event_type", F.expr(_ES).cast("long").alias("es"), "event_id"
+    ev = (
+        _timed_events(spark, sf_dir)
+        .filter(F.col("event_type").isNotNull())
+        .select(
+            "user_id",
+            "event_type",
+            F.expr(_ES).cast("long").alias("es"),
+            "event_id",
+        )
     )
     w = Window.partitionBy("user_id").orderBy("es", "event_id")
     tri = (
@@ -1080,7 +1109,7 @@ def events_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         (({_ORACLE_ES}) // 86400 + 4) % 7 AS dow,
         (({_ORACLE_ES}) % 86400) // 3600 AS hour,
         CAST(round(CAST(value AS DECIMAL(18,2)) * 100) AS BIGINT) AS cents
-      FROM events
+      FROM (SELECT * FROM events WHERE ts IS NOT NULL) events
     )
     SELECT
       CAST(dow AS BIGINT) AS dow,
@@ -1102,7 +1131,7 @@ def events_heatmap_hour_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
     session — the same TZ-independence discipline as every epoch
     extraction here. One map-side-combined shuffle of ≤168 cells.
     """
-    e = load_table(spark, sf_dir, "events").select(
+    e = _timed_events(spark, sf_dir).select(
         F.expr(_ES).cast("long").alias("es"),
         F.round(F.col("value").cast("decimal(18,2)") * 100)
         .cast("long")
@@ -1123,9 +1152,13 @@ def events_heatmap_hour_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
     "events_outlier_mad",
     oracle="""
     WITH v AS (
+      -- value IS NOT NULL: a MAD over undefined values is undefined; a
+      -- NULL cents rank key would also trip two_phase_rank's loud
+      -- NULL-key guard on the Spark side (round-10 events parity sweep).
       SELECT event_type,
              CAST(round(CAST(value AS DECIMAL(18,2)) * 100) AS BIGINT) AS cents
-      FROM events
+      FROM (SELECT * FROM events WHERE ts IS NOT NULL) events
+      WHERE value IS NOT NULL
     ), med AS (
       SELECT event_type, cents,
              ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY cents) AS rk,
@@ -1180,12 +1213,16 @@ def events_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket table crosses an ordered window. Group sizes are a map-side
     rollup broadcast back.
     """
-    v = load_table(spark, sf_dir, "events").select(
-        "event_type",
-        "event_id",
-        F.round(F.col("value").cast("decimal(18,2)") * 100)
-        .cast("long")
-        .alias("cents"),
+    v = (
+        _timed_events(spark, sf_dir)
+        .filter(F.col("value").isNotNull())
+        .select(
+            "event_type",
+            "event_id",
+            F.round(F.col("value").cast("decimal(18,2)") * 100)
+            .cast("long")
+            .alias("cents"),
+        )
     )
     n_by_type = (
         v.groupBy("event_type")
@@ -1247,7 +1284,7 @@ def events_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         event_type,
         ({_ORACLE_ES}) // {_DAY_S} AS day,
         SUM(CAST(round(CAST(value AS DECIMAL(18,2)) * 100) AS BIGINT)) AS v
-      FROM events
+      FROM (SELECT * FROM events WHERE ts IS NOT NULL) events
       GROUP BY event_type, ({_ORACLE_ES}) // {_DAY_S}
     ), lagk AS (
       SELECT a.event_type, l.lag_k, a.v AS x, b.v AS y
@@ -1288,7 +1325,7 @@ def events_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
     formula runs on exact integer moments like `agg_corr_covar`, making
     the coefficients bit-stable.
     """
-    e = load_table(spark, sf_dir, "events").select(
+    e = _timed_events(spark, sf_dir).select(
         "event_type",
         (F.expr(_ES).cast("long") / _DAY_S).cast("long").alias("day"),
         F.round(F.col("value").cast("decimal(18,2)") * 100)
@@ -1348,7 +1385,7 @@ def events_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
         user_id % 2 AS variant,
         COUNT(*) FILTER (WHERE event_type = 'purchase') AS k,
         COUNT(*) AS n
-      FROM events
+      FROM (SELECT * FROM events WHERE ts IS NOT NULL) events
       GROUP BY user_id % 2
     )
     SELECT
@@ -1379,7 +1416,7 @@ def events_conversion_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-stable. One map-side-combined shuffle of 2 groups.
     """
     z = 1.9599639845400545
-    e = load_table(spark, sf_dir, "events")
+    e = _timed_events(spark, sf_dir)
     c = e.groupBy((F.col("user_id") % 2).alias("variant")).agg(
         F.count(F.when(F.col("event_type") == "purchase", 1)).alias("k"),
         F.count(F.lit(1)).alias("n"),
@@ -1406,7 +1443,7 @@ def events_conversion_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH daily AS (
       SELECT event_type, ({_ORACLE_ES}) // {_DAY_S} AS day,
              SUM(CAST(round(CAST(value AS DECIMAL(18,2)) * 100) AS BIGINT)) AS v
-      FROM events GROUP BY event_type, ({_ORACLE_ES}) // {_DAY_S}
+      FROM (SELECT * FROM events WHERE ts IS NOT NULL) events GROUP BY event_type, ({_ORACLE_ES}) // {_DAY_S}
     ), tot AS (
       SELECT event_type, SUM(v) AS t, COUNT(*) AS n FROM daily
       GROUP BY event_type
@@ -1443,7 +1480,7 @@ def events_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     heavy-hitters threshold. Window and rollup both ride the event_type
     partitioning of the tiny daily table.
     """
-    e = load_table(spark, sf_dir, "events").select(
+    e = _timed_events(spark, sf_dir).select(
         "event_type",
         (F.expr(_ES).cast("long") / _DAY_S).cast("long").alias("day"),
         F.round(F.col("value").cast("decimal(18,2)") * 100)
@@ -1600,7 +1637,7 @@ def events_kaplan_meier_retention(spark: SparkSession, sf_dir: str) -> DataFrame
         micro_nat_ratio,
     )
 
-    e = load_table(spark, sf_dir, "events").select(
+    e = _timed_events(spark, sf_dir).select(
         "user_id", (F.expr(_ES).cast("long") / _DAY_S).cast("long").alias("day")
     )
     span = e.groupBy("user_id").agg(
@@ -1672,7 +1709,7 @@ def events_kaplan_meier_retention(spark: SparkSession, sf_dir: str) -> DataFrame
       SELECT user_id % 2 AS variant, user_id,
              SUM(CAST(round(CAST(value AS DECIMAL(18,2)) * 100) AS BIGINT)) AS x,
              COUNT(*) AS y
-      FROM events WHERE event_type = 'purchase'
+      FROM (SELECT * FROM events WHERE ts IS NOT NULL) events WHERE event_type = 'purchase'
       GROUP BY user_id % 2, user_id
     ), m AS (
       SELECT variant,
@@ -1715,7 +1752,7 @@ def events_ratio_metric_delta_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     an identical double sequence in both engines — bit-stable SEs.
     One user-grain shuffle, one |variants|-row rollup.
     """
-    e = load_table(spark, sf_dir, "events").filter(
+    e = _timed_events(spark, sf_dir).filter(
         F.col("event_type") == "purchase"
     )
     cents = F.round(F.col("value").cast("decimal(18,2)") * 100).cast("long")
@@ -1761,7 +1798,7 @@ _ATTR_WINDOW_S = 7 * 86400  # lookback for credit assignment
     "events_attribution_multitouch",
     oracle=f"""
     WITH e AS (
-      SELECT user_id, event_type, event_id, ({_ORACLE_ES}) AS es FROM events
+      SELECT user_id, event_type, event_id, ({_ORACLE_ES}) AS es FROM (SELECT * FROM events WHERE ts IS NOT NULL) events
     ), conv AS (
       SELECT user_id, event_id AS conv_id, es AS conv_es
       FROM e WHERE event_type = 'purchase'
@@ -1803,7 +1840,7 @@ def events_attribution_multitouch(spark: SparkSession, sf_dir: str) -> DataFrame
     shape as `join_range_bucketed`, and both window functions ride the
     conv_id partitioning the join already established.
     """
-    e = load_table(spark, sf_dir, "events").select(
+    e = _timed_events(spark, sf_dir).select(
         "user_id", "event_type", "event_id", F.expr(_ES).cast("long").alias("es")
     )
     conv = e.filter(F.col("event_type") == "purchase").select(
@@ -1842,7 +1879,7 @@ _BOOT_B = 50  # resamples; deterministic md5 draws, no RNG
     WITH daily AS (
       SELECT event_type, ({_ORACLE_ES}) // {_DAY_S} AS day,
              SUM(CAST(round(CAST(value AS DECIMAL(18,2)) * 100) AS BIGINT)) AS v
-      FROM events GROUP BY event_type, ({_ORACLE_ES}) // {_DAY_S}
+      FROM (SELECT * FROM events WHERE ts IS NOT NULL) events GROUP BY event_type, ({_ORACLE_ES}) // {_DAY_S}
     ), idx AS (
       SELECT event_type, v,
              ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) - 1 AS i,
@@ -1889,7 +1926,7 @@ def events_bootstrap_ci_daily_mean(spark: SparkSession, sf_dir: str) -> DataFram
     exact integer total, and the per-resample sums are exact — ranks
     break ties on the resample id, so the reported bounds hash-match.
     """
-    e = load_table(spark, sf_dir, "events").select(
+    e = _timed_events(spark, sf_dir).select(
         "event_type",
         (F.expr(_ES).cast("long") / _DAY_S).cast("long").alias("day"),
         F.round(F.col("value").cast("decimal(18,2)") * 100)
@@ -1970,7 +2007,7 @@ def events_bootstrap_ci_daily_mean(spark: SparkSession, sf_dir: str) -> DataFram
              ((({_ORACLE_ES}) // 86400 + 4) % 7) * 24
                + (({_ORACLE_ES}) % 86400) // 3600 AS cell,
              CAST(round(CAST(value AS DECIMAL(18,2)) * 100) AS BIGINT) AS v
-      FROM events
+      FROM (SELECT * FROM events WHERE ts IS NOT NULL) events
     ), per_cell AS (
       SELECT event_type, cell,
              CAST(COUNT(*) AS DECIMAL(38,0)) AS nc,
@@ -2021,7 +2058,7 @@ def events_anova_hour_of_week(spark: SparkSession, sf_dir: str) -> DataFrame:
     quadratic forms are the identical double sequence in both engines. Two aggregations share
     the event_type key; the per-cell table is ≤ |types|·168 rows.
     """
-    e = load_table(spark, sf_dir, "events").select(
+    e = _timed_events(spark, sf_dir).select(
         "event_type",
         (
             (((F.expr(_ES).cast("long") / 86400).cast("long") + 4) % 7) * 24
@@ -2076,7 +2113,7 @@ _CONC_GAP_S = 30 * 60  # session gap, matches the sessionization queries
     "events_peak_concurrency",
     oracle=f"""
     WITH e AS (
-      SELECT user_id, ({_ORACLE_ES}) AS es FROM events
+      SELECT user_id, ({_ORACLE_ES}) AS es FROM (SELECT * FROM events WHERE ts IS NOT NULL) events
     ), flagged AS (
       SELECT user_id, es,
              CASE WHEN es - COALESCE(LAG(es) OVER (PARTITION BY user_id
@@ -2129,7 +2166,7 @@ def events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     the one-row-per-day totals table crosses a global window — so no
     single partition ever holds the full boundary set at 100 TB.
     """
-    e = load_table(spark, sf_dir, "events").select(
+    e = _timed_events(spark, sf_dir).select(
         "user_id", F.expr(_ES).cast("long").alias("es")
     )
     wu = Window.partitionBy("user_id").orderBy("es")
@@ -2218,7 +2255,7 @@ def events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH daily AS (
       SELECT event_type, ({_ORACLE_ES}) // {_DAY_S} AS day,
              SUM(CAST(round(CAST(value AS DECIMAL(18,2)) * 100) AS BIGINT)) AS v
-      FROM events GROUP BY event_type, ({_ORACLE_ES}) // {_DAY_S}
+      FROM (SELECT * FROM events WHERE ts IS NOT NULL) events GROUP BY event_type, ({_ORACLE_ES}) // {_DAY_S}
     )
     SELECT
       a.event_type,
@@ -2245,7 +2282,7 @@ def events_seasonal_naive_backtest(spark: SparkSession, sf_dir: str) -> DataFram
     cross-multiplication (|err|·10 ≤ actual). All work is over the daily
     rollup.
     """
-    e = load_table(spark, sf_dir, "events").select(
+    e = _timed_events(spark, sf_dir).select(
         "event_type",
         (F.expr(_ES).cast("long") / _DAY_S).cast("long").alias("day"),
         F.round(F.col("value").cast("decimal(18,2)") * 100)
@@ -2281,7 +2318,7 @@ def events_seasonal_naive_backtest(spark: SparkSession, sf_dir: str) -> DataFram
     WITH e AS (
       SELECT user_id, ({_ORACLE_ES}) // {_WEEK_S} AS w,
              CAST(round(CAST(value AS DECIMAL(18,2)) * 100) AS BIGINT) AS cents
-      FROM events WHERE event_type = 'purchase'
+      FROM (SELECT * FROM events WHERE ts IS NOT NULL) events WHERE event_type = 'purchase'
     ), cohort AS (
       SELECT user_id, MIN(w) AS cw FROM e GROUP BY user_id
     ), wk AS (
@@ -2316,7 +2353,7 @@ def cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     established. The retention triangle, monetary column, and LTV window
     share one dataflow.
     """
-    e = load_table(spark, sf_dir, "events").filter(
+    e = _timed_events(spark, sf_dir).filter(
         F.col("event_type") == "purchase"
     ).select(
         "user_id",
@@ -2354,7 +2391,7 @@ def cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     "funnel_latency_percentiles",
     oracle=f"""
     WITH e AS (
-      SELECT user_id, event_type, ({_ORACLE_ES}) AS es FROM events
+      SELECT user_id, event_type, ({_ORACLE_ES}) AS es FROM (SELECT * FROM events WHERE ts IS NOT NULL) events
     ), v AS (
       SELECT user_id, MIN(es) AS t_view FROM e
       WHERE event_type = 'view' GROUP BY user_id
@@ -2399,7 +2436,7 @@ def funnel_latency_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     the oracle's ROW_NUMBER probe because equal latencies are
     interchangeable at a rank boundary.
     """
-    e = load_table(spark, sf_dir, "events").select(
+    e = _timed_events(spark, sf_dir).select(
         "user_id", "event_type", F.expr(_ES).cast("long").alias("es")
     )
     v = (
@@ -2447,7 +2484,14 @@ def funnel_latency_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ts_holt_forecast",
     oracle=f"""
     WITH RECURSIVE e AS (
-      SELECT event_type, ({_ORACLE_ES}) // {_DAY_S} AS day FROM events
+      -- event_type IS NOT NULL: the per-type recursion equi-joins on
+      -- event_type and NULL never matches — DuckDB's recursive CTE
+      -- silently lost the NULL-type series while Spark's groupBy kept it
+      -- (round-10 events parity sweep); a typeless series is
+      -- unattributable, so both engines drop it.
+      SELECT event_type, ({_ORACLE_ES}) // {_DAY_S} AS day
+      FROM (SELECT * FROM events WHERE ts IS NOT NULL) events
+      WHERE event_type IS NOT NULL
     ), daily AS (
       SELECT event_type, day, CAST(COUNT(*) AS BIGINT) AS x
       FROM e GROUP BY event_type, day
@@ -2506,8 +2550,11 @@ def ts_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     most), so state never exceeds a scalar struct per group. At 100 TB the
     heavy phase is the daily rollup, which is plain hash aggregation.
     """
-    e = load_table(spark, sf_dir, "events").select(
-        "event_type", F.expr(_ES).cast("long").alias("es")
+    # Typeless events dropped on both engines — see the oracle CTE note.
+    e = (
+        _timed_events(spark, sf_dir)
+        .filter(F.col("event_type").isNotNull())
+        .select("event_type", F.expr(_ES).cast("long").alias("es"))
     )
     daily = (
         e.select("event_type", (F.col("es") / _DAY_S).cast("long").alias("day"))
@@ -2557,7 +2604,7 @@ def ts_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ts_seasonal_decompose",
     oracle=f"""
     WITH e AS (
-      SELECT event_type, ({_ORACLE_ES}) // {_DAY_S} AS day FROM events
+      SELECT event_type, ({_ORACLE_ES}) // {_DAY_S} AS day FROM (SELECT * FROM events WHERE ts IS NOT NULL) events
     ), daily AS (
       SELECT event_type, day, CAST(COUNT(*) AS BIGINT) AS x
       FROM e GROUP BY event_type, day
@@ -2620,7 +2667,7 @@ def ts_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
     sized. At 100 TB the heavy phase is the daily rollup — plain hash
     aggregation with map-side combine.
     """
-    e = load_table(spark, sf_dir, "events").select(
+    e = _timed_events(spark, sf_dir).select(
         "event_type", F.expr(_ES).cast("long").alias("es")
     )
     daily = (
@@ -2685,7 +2732,7 @@ def ts_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT user_id, {_ORACLE_ES} AS es,
              CAST(round(CAST(value AS DECIMAL(18,2)) * 100) AS BIGINT)
                AS cents
-      FROM events
+      FROM (SELECT * FROM events WHERE ts IS NOT NULL) events
     ), b AS (
       SELECT (MIN(es) + MAX(es)) // 2 AS mid FROM e
     ), pu AS (
@@ -2758,7 +2805,7 @@ def events_cuped_adjusted_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     variance-reduced readout — two exchanges end to end, both tiny past
     the first.
     """
-    e = load_table(spark, sf_dir, "events").select(
+    e = _timed_events(spark, sf_dir).select(
         "user_id",
         F.expr(_ES).cast("long").alias("es"),
         F.round(F.col("value").cast("decimal(18,2)") * 100)
@@ -2833,7 +2880,7 @@ def events_cuped_adjusted_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT user_id, {_ORACLE_ES} AS es,
              CAST(round(CAST(value AS DECIMAL(18,2)) * 100) AS BIGINT)
                AS cents
-      FROM events
+      FROM (SELECT * FROM events WHERE ts IS NOT NULL) events
     ), b AS (
       SELECT (MIN(es) + MAX(es)) // 2 AS mid FROM e
     ), m AS (
@@ -2887,7 +2934,7 @@ def events_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     table broadcasts) — cheaper than CUPED because no per-user rollup is
     needed; this is the cheapest causal readout there is.
     """
-    e = load_table(spark, sf_dir, "events").select(
+    e = _timed_events(spark, sf_dir).select(
         "user_id",
         F.expr(_ES).cast("long").alias("es"),
         F.round(F.col("value").cast("decimal(18,2)") * 100)
@@ -2946,7 +2993,14 @@ def _hw_lnew(xm: str, sp: str, l: str, b: str) -> str:
     oracle=(
         lambda _l: f"""
     WITH RECURSIVE e AS (
-      SELECT event_type, ({_ORACLE_ES}) // {_DAY_S} AS day FROM events
+      -- event_type IS NOT NULL: the per-type recursion equi-joins on
+      -- event_type and NULL never matches — DuckDB's recursive CTE
+      -- silently lost the NULL-type series while Spark's groupBy kept it
+      -- (round-10 events parity sweep); a typeless series is
+      -- unattributable, so both engines drop it.
+      SELECT event_type, ({_ORACLE_ES}) // {_DAY_S} AS day
+      FROM (SELECT * FROM events WHERE ts IS NOT NULL) events
+      WHERE event_type IS NOT NULL
     ), daily AS (
       SELECT event_type, day, CAST(COUNT(*) AS BIGINT) AS x
       FROM e GROUP BY event_type, day
@@ -3026,8 +3080,11 @@ def ts_holt_winters_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     The 7-day-ahead forecast lands on the same day-of-week as the last
     observation, so it reads the just-updated seasonal slot.
     """
-    e = load_table(spark, sf_dir, "events").select(
-        "event_type", F.expr(_ES).cast("long").alias("es")
+    # Typeless events dropped on both engines — see the oracle CTE note.
+    e = (
+        _timed_events(spark, sf_dir)
+        .filter(F.col("event_type").isNotNull())
+        .select("event_type", F.expr(_ES).cast("long").alias("es"))
     )
     daily = (
         e.select("event_type", (F.col("es") / _DAY_S).cast("long").alias("day"))
@@ -3148,7 +3205,7 @@ _SHAPLEY_W_SQL = ", ".join(
     "events_shapley_attribution",
     oracle=f"""
     WITH conv AS (
-      SELECT user_id, MIN(ts) AS fp FROM events
+      SELECT user_id, MIN(ts) AS fp FROM (SELECT * FROM events WHERE ts IS NOT NULL) events
       WHERE event_type = 'purchase' GROUP BY user_id
     ), touched AS (
       SELECT c.user_id,
@@ -3209,7 +3266,7 @@ def events_shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     computation runs on 8 + 12 broadcast rows. k more channels grows the
     lattice 2^k but never touches the corpus-side cost.
     """
-    e = load_table(spark, sf_dir, "events")
+    e = _timed_events(spark, sf_dir)
     conv = (
         e.filter(F.col("event_type") == "purchase")
         .groupBy("user_id")
@@ -3277,7 +3334,7 @@ def events_shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     "events_longest_streak",
     oracle=f"""
     WITH days AS (
-      SELECT DISTINCT user_id, ({_ORACLE_ES}) // 86400 AS day FROM events
+      SELECT DISTINCT user_id, ({_ORACLE_ES}) // 86400 AS day FROM (SELECT * FROM events WHERE ts IS NOT NULL) events
     ), isl AS (
       SELECT user_id, day,
              day - DENSE_RANK() OVER (PARTITION BY user_id ORDER BY day)
@@ -3310,7 +3367,7 @@ def events_longest_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
     single-key-shuffle budget as `join_asof`; the histogram output is
     O(max streak) rows.
     """
-    e = load_table(spark, sf_dir, "events")
+    e = _timed_events(spark, sf_dir)
     days = e.select(
         "user_id", F.expr(f"({_ES}) DIV 86400").alias("day")
     ).distinct()
@@ -3442,7 +3499,7 @@ def events_retention_powerlaw(spark: SparkSession, sf_dir: str) -> DataFrame:
         micro_nat_map,
     )
 
-    e = load_table(spark, sf_dir, "events")
+    e = _timed_events(spark, sf_dir)
     ud = e.select(
         "user_id", F.expr(f"({_ES}) DIV 86400").alias("day")
     ).distinct()
@@ -3506,7 +3563,7 @@ def events_retention_powerlaw(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ts_interpolate_linear",
     oracle=f"""
     WITH e AS (
-      SELECT user_id, ({_ORACLE_ES}) // {_DAY_S} AS day FROM events
+      SELECT user_id, ({_ORACLE_ES}) // {_DAY_S} AS day FROM (SELECT * FROM events WHERE ts IS NOT NULL) events
     ), daily AS (
       SELECT user_id, day, COUNT(*) AS n_ev FROM e GROUP BY user_id, day
     ), bounds AS (
@@ -3623,10 +3680,15 @@ def ts_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ts_downsample_m4",
     oracle="""
     WITH e AS (
+      -- value IS NOT NULL: a point with no value cannot be plotted, and
+      -- the engines disagree on it — DuckDB's arg_min/arg_max SKIP
+      -- NULL-valued rows while Spark's min_by/max_by return the NULL
+      -- (round-10 events parity sweep); min/max skip it on both anyway.
       SELECT event_id, value,
              CAST(date_diff('second', TIMESTAMP '1970-01-01',
                             date_trunc('second', ts)) AS BIGINT) AS es
-      FROM events
+      FROM (SELECT * FROM events WHERE ts IS NOT NULL) events
+      WHERE value IS NOT NULL
     ), st AS (
       SELECT MIN(es) AS mn, MAX(es) AS mx FROM e
     ), b AS (
@@ -3673,10 +3735,11 @@ def ts_downsample_m4(spark: SparkSession, sf_dir: str) -> DataFrame:
     48 x 4 values per upstream partition — O(pixels), not O(points),
     exactly why M4 is THE big-data viz reducer. No sort, no window.
     """
-    e = load_table(spark, sf_dir, "events").select(
-        "event_id",
-        "value",
-        F.expr(_ES).cast("long").alias("es"),
+    # NULL-value points excluded on both engines — see the oracle note.
+    e = (
+        _timed_events(spark, sf_dir)
+        .filter(F.col("value").isNotNull())
+        .select("event_id", "value", F.expr(_ES).cast("long").alias("es"))
     )
     st = e.agg(F.min("es").alias("mn"), F.max("es").alias("mx"))
     b = e.crossJoin(F.broadcast(st)).select(

@@ -420,7 +420,7 @@ def join_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
         last_value(CASE WHEN event_type = 'purchase' THEN ts END IGNORE NULLS)
           OVER (PARTITION BY user_id ORDER BY ts, event_type
                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_purchase_ts
-      FROM events
+      FROM events WHERE ts IS NOT NULL
     )
     SELECT
       user_id,
@@ -449,7 +449,13 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     (ts, event_type) so same-instant rows have one canonical order on both
     engines — determinism does not ride on per-user ts uniqueness.
     """
-    e = load_table(spark, sf_dir, "events")
+    e = load_table(spark, sf_dir, "events").filter(
+        # Dead-letter NULL event-times (round-10 events parity
+        # sweep): a timestamp-less row is unordered in the as-of
+        # window — Spark sorts NULLS FIRST, DuckDB NULLS LAST, so
+        # prior-match existence flips by engine; both sides drop.
+        F.col("ts").isNotNull()
+    )
     w = (
         Window.partitionBy("user_id")
         .orderBy("ts", "event_type")
@@ -487,7 +493,7 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
           OVER (PARTITION BY user_id ORDER BY ts, event_type
                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
           AS prev_purchase_ts
-      FROM events
+      FROM events WHERE ts IS NOT NULL
     ), g AS (
       SELECT user_id,
              date_diff('second', prev_purchase_ts, ts) AS gap_s
@@ -518,7 +524,13 @@ def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
     (ts, event_type) so same-instant rows have one canonical order on
     both engines.
     """
-    e = load_table(spark, sf_dir, "events")
+    e = load_table(spark, sf_dir, "events").filter(
+        # Dead-letter NULL event-times (round-10 events parity
+        # sweep): a timestamp-less row is unordered in the as-of
+        # window — Spark sorts NULLS FIRST, DuckDB NULLS LAST, so
+        # prior-match existence flips by engine; both sides drop.
+        F.col("ts").isNotNull()
+    )
     w = (
         Window.partitionBy("user_id")
         .orderBy("ts", "event_type")
@@ -885,7 +897,7 @@ def join_hint_strategies(spark: SparkSession, sf_dir: str) -> DataFrame:
           OVER (PARTITION BY user_id ORDER BY ts, event_type
                 ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
           AS next_error_ts
-      FROM events
+      FROM events WHERE ts IS NOT NULL
     )
     SELECT
       user_id,
@@ -916,7 +928,13 @@ def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
     by (ts, event_type) so same-instant rows have one canonical order on
     both engines.
     """
-    e = load_table(spark, sf_dir, "events")
+    e = load_table(spark, sf_dir, "events").filter(
+        # Dead-letter NULL event-times (round-10 events parity
+        # sweep): a timestamp-less row is unordered in the as-of
+        # window — Spark sorts NULLS FIRST, DuckDB NULLS LAST, so
+        # prior-match existence flips by engine; both sides drop.
+        F.col("ts").isNotNull()
+    )
     w = (
         Window.partitionBy("user_id")
         .orderBy("ts", "event_type")
@@ -1043,7 +1061,7 @@ def join_point_in_time_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
           OVER (PARTITION BY user_id ORDER BY ts, event_type
                 ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
           AS next_ts
-      FROM events
+      FROM events WHERE ts IS NOT NULL
     ), g AS (
       SELECT
         user_id,
@@ -1099,7 +1117,13 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows have one canonical order on both engines — determinism does not
     ride on per-user ts uniqueness in the generated data.
     """
-    e = load_table(spark, sf_dir, "events")
+    e = load_table(spark, sf_dir, "events").filter(
+        # Dead-letter NULL event-times (round-10 events parity
+        # sweep): a timestamp-less row is unordered in the as-of
+        # window — Spark sorts NULLS FIRST, DuckDB NULLS LAST, so
+        # prior-match existence flips by engine; both sides drop.
+        F.col("ts").isNotNull()
+    )
     wb = (
         Window.partitionBy("user_id")
         .orderBy("ts", "event_type")

@@ -94,6 +94,17 @@ def stage_event_chunks(
     import pyarrow.parquet as pq
 
     t = pq.read_table(os.path.join(sf_dir, "events.parquet"))
+    # DEAD-LETTER at ingestion (round-10 events parity sweep, extending
+    # the round-9 stateful-sessionization fix to the whole streaming
+    # surface): an event with no event-time cannot participate in ANY
+    # watermark-driven computation — Spark's window() silently drops it,
+    # NaT kills applyInPandasWithState, and each oracle would have to
+    # guess which partial fate it met. Dropping it at the source mirrors
+    # production (route to a dead-letter queue, alert, reprocess) and
+    # every stream oracle carries the matching `WHERE ts IS NOT NULL`.
+    import pyarrow.compute as pc
+
+    t = t.filter(pc.is_valid(t.column("ts")))
     idx = t.schema.get_field_index("ts")
     ts_utc = t.column("ts").cast(pa.timestamp("us"), safe=False).cast(
         pa.timestamp("us", tz="UTC")

@@ -44,7 +44,7 @@ LAST_STREAMING_QUERIES: dict[str, object] = {}
       event_type,
       COUNT(*) AS n_events,
       {oracle_dsum('value')} AS sum_value
-    FROM events
+    FROM (SELECT * FROM events WHERE ts IS NOT NULL) events
     WHERE event_type IN ('purchase', 'error')
     GROUP BY 1, 2
     """,
@@ -99,7 +99,7 @@ def stream_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         time_bucket(INTERVAL '10 minutes', e.ts)
           - to_minutes(CAST(o.off_min AS BIGINT)) AS window_start,
         e.value
-      FROM events e CROSS JOIN offs o
+      FROM (SELECT * FROM events WHERE ts IS NOT NULL) e CROSS JOIN offs o
       WHERE e.event_type = 'purchase'
     )
     SELECT
@@ -158,7 +158,7 @@ def stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
                   >= INTERVAL '30 minutes'
              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
              THEN 1 ELSE 0 END AS new_session
-      FROM events
+      FROM (SELECT * FROM events WHERE ts IS NOT NULL) events
     ), sessions AS (
       SELECT
         user_id, ts, value,
@@ -223,7 +223,7 @@ def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
       event_type,
       COUNT(*) AS n_events,
       {oracle_dsum('value')} AS sum_value
-    FROM events
+    FROM (SELECT * FROM events WHERE ts IS NOT NULL) events
     WHERE event_type IN ('purchase', 'error')
     GROUP BY 1, 2
     """,
@@ -292,7 +292,7 @@ def stream_tumbling_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     "stream_dedup_rocksdb",
     oracle="""
     SELECT event_type, COUNT(*) AS n_unique_events
-    FROM events
+    FROM (SELECT * FROM events WHERE ts IS NOT NULL) events
     GROUP BY event_type
     """,
     tags=("streaming", "dedup", "stateful", "watermark", "rocksdb"),
@@ -336,7 +336,7 @@ def stream_dedup_rocksdb(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark.conf.set(prov_key, prev)
     return (
         spark.table(name)
-        .filter(F.col("event_type") != SENTINEL_EVENT_TYPE)
+        .filter(~F.col("event_type").eqNullSafe(SENTINEL_EVENT_TYPE))
         .groupBy("event_type")
         .agg(F.count(F.lit(1)).alias("n_unique_events"))
     )
@@ -346,7 +346,7 @@ def stream_dedup_rocksdb(spark: SparkSession, sf_dir: str) -> DataFrame:
     "stream_dedup",
     oracle="""
     SELECT event_type, COUNT(*) AS n_unique_events
-    FROM events
+    FROM (SELECT * FROM events WHERE ts IS NOT NULL) events
     GROUP BY event_type
     """,
     tags=("streaming", "dedup", "stateful"),
@@ -379,7 +379,7 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "stream_dedup_within_watermark",
     oracle="""
     SELECT event_type, COUNT(*) AS n_unique_events
-    FROM events
+    FROM (SELECT * FROM events WHERE ts IS NOT NULL) events
     GROUP BY event_type
     """,
     tags=("streaming", "dedup", "stateful", "watermark"),
@@ -414,7 +414,7 @@ def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     return (
         spark.table(name)
-        .filter(F.col("event_type") != SENTINEL_EVENT_TYPE)
+        .filter(~F.col("event_type").eqNullSafe(SENTINEL_EVENT_TYPE))
         .groupBy("event_type")
         .agg(F.count(F.lit(1)).alias("n_unique_events"))
     )
@@ -438,7 +438,7 @@ def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame
       SELECT ts, event_type,
              row_number() OVER (ORDER BY ts, event_id) - 1 AS rn,
              count(*) OVER () AS n
-      FROM events
+      FROM (SELECT * FROM events WHERE ts IS NOT NULL) events
     ), chunked AS (
       -- floor((4·rn+3)/n) is the EXACT inverse of the staging's
       -- n*i//4 slice bounds for every n; the simpler floor(4·rn/n)
@@ -548,8 +548,12 @@ def _make_user_upsert(state):
             return
         prev = state.read().alias("p")
         cur = partial.alias("c")
+        # eqNullSafe: MERGE keys compare null-safely — with a bare `=`,
+        # each micro-batch's NULL-user partial never matched the state
+        # row and appended a NEW row per batch (state diverged from the
+        # oracle's single NULL group; round-10 events parity sweep).
         merged = prev.join(
-            cur, F.col("p.user_id") == F.col("c.user_id"), "full_outer"
+            cur, F.col("p.user_id").eqNullSafe(F.col("c.user_id")), "full_outer"
         ).select(
             F.coalesce(F.col("p.user_id"), F.col("c.user_id")).alias("user_id"),
             (
@@ -573,7 +577,7 @@ def _make_user_upsert(state):
       user_id,
       COUNT(*) AS n_events,
       {oracle_dsum('value')} AS total_value
-    FROM events
+    FROM (SELECT * FROM events WHERE ts IS NOT NULL) events
     GROUP BY user_id
     """,
     tags=("streaming", "checkpoint", "recovery", "exactly-once"),
@@ -635,7 +639,7 @@ def stream_restart_exactly_once(spark: SparkSession, sf_dir: str) -> DataFrame:
       user_id,
       COUNT(*) AS n_events,
       {oracle_dsum('value')} AS total_value
-    FROM events
+    FROM (SELECT * FROM events WHERE ts IS NOT NULL) events
     GROUP BY user_id
     """,
     tags=("streaming", "foreachBatch", "merge"),
@@ -673,7 +677,7 @@ def stream_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
       COUNT(*) AS n_events,
       CAST(COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS BIGINT)
         AS n_purchases
-    FROM events
+    FROM (SELECT * FROM events WHERE ts IS NOT NULL) events
     GROUP BY user_id
     """,
     tags=("streaming", "stateful", "applyInPandasWithState"),
@@ -738,7 +742,7 @@ def stream_custom_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH e AS (
       SELECT user_id,
              CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS sec
-      FROM events
+      FROM (SELECT * FROM events WHERE ts IS NOT NULL) events
     ), x AS (
       SELECT user_id, sec,
              CASE WHEN lag(sec) OVER (PARTITION BY user_id ORDER BY sec)
@@ -869,7 +873,12 @@ def stream_stateful_timeout_session(
     LAST_STREAMING_QUERIES["stream_stateful_timeout_session"] = (
         run_stream_to_memory(out, name, "update", ckpt)
     )
-    return spark.table(name).filter(F.col("user_id") >= 0)
+    return spark.table(name).filter(
+        # null-safe sentinel drop (round-10 events parity sweep):
+        # NULL >= 0 is NULL, which silently discarded the NULL-user
+        # session the oracle keeps as its own group.
+        (F.col("user_id") >= 0) | F.col("user_id").isNull()
+    )
 
 
 @query(
@@ -880,7 +889,7 @@ def stream_stateful_timeout_session(
       e.event_type,
       COUNT(*) AS n_events,
       {oracle_dsum('e.value')} AS sum_value
-    FROM events e
+    FROM (SELECT * FROM events WHERE ts IS NOT NULL) e
     JOIN customer c ON e.user_id = c.c_custkey
     WHERE e.event_type IN ('purchase', 'error')
     GROUP BY c.c_mktsegment, e.event_type
@@ -923,10 +932,10 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH p AS (
       SELECT user_id, date_trunc('second', ts) AS ts_p, value
-      FROM events WHERE event_type = 'purchase'
+      FROM (SELECT * FROM events WHERE ts IS NOT NULL) events WHERE event_type = 'purchase'
     ), e AS (
       SELECT user_id, event_id, date_trunc('second', ts) AS ts_e
-      FROM events WHERE event_type = 'error'
+      FROM (SELECT * FROM events WHERE ts IS NOT NULL) events WHERE event_type = 'error'
     )
     SELECT
       p.user_id,
@@ -1008,10 +1017,10 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH p AS (
       SELECT user_id, date_trunc('second', ts) AS ts_p, value
-      FROM events WHERE event_type = 'purchase'
+      FROM (SELECT * FROM events WHERE ts IS NOT NULL) events WHERE event_type = 'purchase'
     ), e AS (
       SELECT user_id, date_trunc('second', ts) AS ts_e
-      FROM events WHERE event_type = 'error'
+      FROM (SELECT * FROM events WHERE ts IS NOT NULL) events WHERE event_type = 'error'
     ), j AS (
       SELECT p.user_id, p.value, e.user_id AS matched
       FROM p LEFT JOIN e ON p.user_id = e.user_id
@@ -1078,7 +1087,11 @@ def stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         spark.table(name)
-        .filter(F.col("p_user") >= 0)  # drop the sentinel's own row
+        .filter(
+            # null-safe: keep NULL-user purchases (their own group in
+            # the oracle); only the sentinel's -1 row drops.
+            (F.col("p_user") >= 0) | F.col("p_user").isNull()
+        )
         .groupBy(F.col("p_user").alias("user_id"))
         .agg(
             F.count(F.lit(1)).alias("n_rows"),
@@ -1096,10 +1109,10 @@ def stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH p AS (
       SELECT user_id, date_trunc('second', ts) AS ts_p, value
-      FROM events WHERE event_type = 'purchase'
+      FROM (SELECT * FROM events WHERE ts IS NOT NULL) events WHERE event_type = 'purchase'
     ), e AS (
       SELECT user_id, date_trunc('second', ts) AS ts_e
-      FROM events WHERE event_type = 'error'
+      FROM (SELECT * FROM events WHERE ts IS NOT NULL) events WHERE event_type = 'error'
     ), j AS (
       SELECT p.ts_p, p.value
       FROM p JOIN e ON p.user_id = e.user_id
@@ -1183,7 +1196,7 @@ def stream_join_then_window(spark: SparkSession, sf_dir: str) -> DataFrame:
       CAST(COUNT(*) AS BIGINT) AS n_events,
       CAST(SUM(CAST(round(CAST(value AS DECIMAL(18,2)) * 100) AS BIGINT))
         AS BIGINT) AS total_cents
-    FROM events
+    FROM (SELECT * FROM events WHERE ts IS NOT NULL) events
     GROUP BY event_type
     """,
     tags=("streaming", "sink", "file", "exactly-once"),
@@ -1257,7 +1270,7 @@ def stream_file_sink_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT DISTINCT
         time_bucket(INTERVAL '10 minutes', ts) AS window_start,
         user_id
-      FROM events
+      FROM (SELECT * FROM events WHERE ts IS NOT NULL) events
       WHERE event_type IN ('purchase', 'error')
     )
     SELECT
@@ -1312,7 +1325,7 @@ def stream_windowed_dau(spark: SparkSession, sf_dir: str) -> DataFrame:
                  '%Y-%m-%d %H:%M:%S') AS window_start,
         event_type,
         CAST(COUNT(*) AS BIGINT) AS n_events
-      FROM events
+      FROM (SELECT * FROM events WHERE ts IS NOT NULL) events
       GROUP BY 1, 2
     ), r AS (
       SELECT window_start, event_type, n_events,
@@ -1366,8 +1379,11 @@ def stream_topk_trending(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.col("n_events").cast("long").alias("n_events"),
     )
+    # asc_nulls_last: DuckDB sorts NULLs LAST by default, Spark FIRST —
+    # on a count tie the NULL-type group's rank flipped by engine
+    # (round-10 events parity sweep).
     rw = Window.partitionBy("window_start").orderBy(
-        F.col("n_events").desc(), "event_type"
+        F.col("n_events").desc(), F.col("event_type").asc_nulls_last()
     )
     return (
         finalized.select(

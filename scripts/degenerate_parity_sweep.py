@@ -81,6 +81,38 @@ def craft_embeddings(d: str) -> None:
     pq.write_table(pa.table(cols), f"{d}/embeddings.parquet")
 
 
+def craft_events(d: str) -> None:
+    """NULL ts / user_id / event_type / value / props interleaved — the
+    shapes a real event stream delivers (late ingestion writes NULL
+    event-time, anonymous sessions NULL user, schema drift NULLs
+    props). The round-9 probe asserted no-crash; this sweep asserts the
+    engines AGREE."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(d)
+    for t in TABLES:
+        if t != "events":
+            os.symlink(f"{SF_BASE}/{t}.parquet", f"{d}/{t}.parquet")
+    tbl = pq.read_table(f"{SF_BASE}/events.parquet")
+    cols = {n: tbl[n] for n in tbl.column_names}
+    n = tbl.num_rows
+
+    def null_out(name, mod, rem):
+        vals = cols[name].to_pylist()
+        for i in range(n):
+            if i % mod == rem:
+                vals[i] = None
+        cols[name] = pa.array(vals, type=tbl.schema.field(name).type)
+
+    null_out("ts", 13, 0)
+    null_out("user_id", 13, 1)
+    null_out("event_type", 13, 2)
+    null_out("value", 13, 3)
+    null_out("props", 13, 4)
+    pq.write_table(pa.table(cols), f"{d}/events.parquet")
+
+
 def reads_table(name, spec, table: str) -> bool:
     import inspect
 
@@ -108,6 +140,7 @@ def main() -> int:
     for table, craft in [
         ("documents", craft_documents),
         ("embeddings", craft_embeddings),
+        ("events", craft_events),
     ]:
         if which not in ("all", table):
             continue

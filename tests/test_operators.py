@@ -1912,9 +1912,19 @@ def test_degenerate_parity_round10_regressions(spark, sf_dir, tmp_path):
     os.makedirs(d)
     for t in [
         "region", "nation", "customer", "supplier", "part", "orders",
-        "lineitem", "events",
+        "lineitem",
     ]:
         os.symlink(f"{sf_dir}/{t}.parquet", f"{d}/{t}.parquet")
+    etbl = pq.read_table(f"{sf_dir}/events.parquet")
+    ecols2 = {n: etbl[n] for n in etbl.column_names}
+    for name, rem in [("ts", 0), ("user_id", 1), ("event_type", 2),
+                      ("value", 3), ("props", 4)]:
+        vals = ecols2[name].to_pylist()
+        for i in range(etbl.num_rows):
+            if i % 13 == rem:
+                vals[i] = None
+        ecols2[name] = pa.array(vals, type=etbl.schema.field(name).type)
+    pq.write_table(pa.table(ecols2), f"{d}/events.parquet")
     base = pq.read_table(f"{sf_dir}/documents.parquet")
     cols = {n: base[n] for n in base.column_names}
     texts = cols["text"].to_pylist()
@@ -1956,6 +1966,17 @@ def test_degenerate_parity_round10_regressions(spark, sf_dir, tmp_path):
         "sim_mmr_diversify", "sim_pq_adc", "sim_quantize_int8",
         "sim_range_search", "sim_recall_eval", "source_binaryfile_digest",
         "text_heaps_law", "text_quality_stats", "text_token_count",
+        # events once-red batch subset (NULL ts/user/type/value rows):
+        # dead-letter + 3VL + NULL-ordering fixes; the streaming once-reds
+        # are covered by scripts/degenerate_parity_sweep.py per round
+        # (full stream replays are too slow for this test).
+        "agg_session_window_batch", "agg_sessionize_events",
+        "cohort_ltv_curve", "events_bootstrap_ci_daily_mean",
+        "events_changepoint_cusum", "events_outlier_mad",
+        "events_path_trigrams", "events_peak_concurrency",
+        "events_sequence_motif", "events_transition_matrix",
+        "join_asof", "join_asof_forward", "ts_downsample_m4",
+        "ts_holt_forecast",
     ]
     for q in names:
         spec = REGISTRY[q]
