@@ -1731,7 +1731,7 @@ def events_kaplan_meier_retention(spark: SparkSession, sf_dir: str) -> DataFrame
           * (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
         - 2.0 * (CAST(sx AS DOUBLE) / CAST(sy AS DOUBLE))
           * (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
-        ) / (CAST(n AS DOUBLE) - 1.0)
+        ) / NULLIF(CAST(n AS DOUBLE) - 1.0, 0.0)
       ) * sqrt(CAST(n AS DOUBLE))
         / CAST(sy AS DOUBLE) / 100.0 AS delta_se
     FROM m
@@ -1751,6 +1751,12 @@ def events_ratio_metric_delta_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     in DECIMAL(38,0) (the `agg_corr_covar` recipe) and the closed form is
     an identical double sequence in both engines — bit-stable SEs.
     One user-grain shuffle, one |variants|-row rollup.
+
+    A single-user variant (degenerate corpora: all NULL-user purchases
+    collapse to one per_user row) has no sample variance: NULLIF guards
+    the n−1 divisor on BOTH engines (round-10 ANSI-mode sweep — under
+    the driver's ANSI default the bare division is a job-killing
+    DIVIDE_BY_ZERO, not a silent NULL).
     """
     e = _timed_events(spark, sf_dir).filter(
         F.col("event_type") == "purchase"
@@ -1778,7 +1784,10 @@ def events_ratio_metric_delta_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     css_y = syy - sy * sy / nd
     ccs_xy = sxy - sx * sy / nd
     se = (
-        F.sqrt((css_x + r * r * css_y - F.lit(2.0) * r * ccs_xy) / (nd - F.lit(1.0)))
+        F.sqrt(
+            (css_x + r * r * css_y - F.lit(2.0) * r * ccs_xy)
+            / F.nullif(nd - F.lit(1.0), F.lit(0.0))
+        )
         * F.sqrt(nd)
         / sy
         / F.lit(100.0)

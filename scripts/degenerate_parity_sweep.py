@@ -133,7 +133,19 @@ def main() -> int:
     )
     from biglake_iceberg_python_spark.session import build_session
 
-    spark = build_session("degenerate-sweep", shuffle_partitions=8)
+    # SPARK_GRAFT_SWEEP_ANSI=1 runs the sweep under ANSI mode — the
+    # driver's plain Spark-4 session default, where a degenerate row can
+    # turn a silent NULL (ANSI off) into a job-killing error: division by
+    # zero, overflow, bad casts, out-of-range element_at. Degenerate
+    # corpora must be parity-clean under BOTH modes.
+    if os.environ.get("SPARK_GRAFT_SWEEP_ANSI") == "1":
+        spark = build_session(
+            "degenerate-sweep-ansi",
+            shuffle_partitions=8,
+            extra_conf={"spark.sql.ansi.enabled": "true"},
+        )
+    else:
+        spark = build_session("degenerate-sweep", shuffle_partitions=8)
     reg = load_all()
     fails = 0
     total = 0
