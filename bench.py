@@ -115,6 +115,11 @@ def main() -> int:
         # single-run noise class (text_bpe_train_merges, flagged alongside
         # it, has been median-of-3 since round 6).
         "text_bm25_search",
+        # round-10: single-run row read +120% on a settled box while a
+        # controlled same-session A/B of the old vs new form showed the
+        # NEW form 40% FASTER (warm 1.29s vs 2.18s) — noise class, and
+        # the one bench row where a single sample repeatedly misleads.
+        "sim_bruteforce_topk",
     }
     timings: dict[str, float] = {}
     spreads: dict[str, dict[str, float]] = {}
