@@ -452,7 +452,7 @@ def subquery_not_in_null(spark: SparkSession, sf_dir: str) -> DataFrame:
         date_trunc('hour', ts) AS b_hour,
         time_bucket(INTERVAL '10 minutes', ts) AS b_10m,
         value
-      FROM events WHERE event_type = 'purchase'
+      FROM (SELECT * REPLACE (CASE WHEN isfinite(value) THEN value END AS value) FROM events) events WHERE event_type = 'purchase'
     )
     SELECT
       COALESCE(strftime(b_day, '%Y-%m-%d %H:%M:%S'), 'ALL') AS bucket_day,
@@ -478,8 +478,19 @@ def agg_time_rollup_hypertable(spark: SparkSession, sf_dir: str) -> DataFrame:
     the NTZ timestamp (timezone-proof, equals DuckDB's epoch-aligned
     time_bucket for divisors of 60).
     """
-    e = load_table(spark, sf_dir, "events").filter(
-        F.col("event_type") == "purchase"
+    # Non-finite measures reduce to NULL on both engines (round-10
+    # NaN/Inf probe): under ANSI the decimal sum would otherwise abort on
+    # the first NaN, and DuckDB's DECIMAL cast raises unconditionally.
+    e = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .withColumn(
+            "value",
+            F.when(
+                ~F.isnan("value") & (F.abs("value") != F.lit(float("inf"))),
+                F.col("value"),
+            ),
+        )
     )
     b = e.select(
         F.date_trunc("day", "ts").alias("b_day"),
@@ -799,7 +810,7 @@ def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
                   >= INTERVAL '30 minutes'
              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
              THEN 1 ELSE 0 END AS new_session
-      FROM events WHERE ts IS NOT NULL
+      FROM (SELECT * REPLACE (CASE WHEN isfinite(value) THEN value END AS value) FROM events WHERE ts IS NOT NULL) events
     ), sessions AS (
       SELECT
         user_id, ts, value,
@@ -835,7 +846,17 @@ def agg_session_window_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     parity sweep): Spark's session_window silently drops them while the
     oracle's gaps-and-islands window sorted them into a phantom session.
     """
-    e = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    e = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull())
+        .withColumn(
+            "value",
+            F.when(
+                ~F.isnan("value") & (F.abs("value") != F.lit(float("inf"))),
+                F.col("value"),
+            ),
+        )
+    )
     return (
         e.groupBy(F.session_window("ts", "30 minutes"), "user_id")
         .agg(

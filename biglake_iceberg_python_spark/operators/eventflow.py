@@ -58,8 +58,23 @@ def _timed_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     events parity sweep: dead-letter them at load, exactly as the
     streaming surface drops them at ingestion — every oracle in this
     module carries the matching `WHERE ts IS NOT NULL` wrap."""
-    return load_table(spark, sf_dir, "events").filter(
-        F.col("ts").isNotNull()
+    return (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull())
+        # Non-finite measures reduce to NULL — the missing-measure class
+        # this module already handles symmetrically (round-10 NaN/Inf
+        # probe: both engines order NaN ABOVE everything, so NaN slips
+        # every `> 0` guard, then DuckDB's DECIMAL casts raise where
+        # Spark ANSI-off silently NULLs). Oracle twin: the
+        # `* REPLACE (CASE WHEN isfinite(value) ...)` wrap.
+        .withColumn(
+            "value",
+            F.when(
+                ~F.isnan("value")
+                & (F.abs("value") != F.lit(float("inf"))),
+                F.col("value"),
+            ),
+        )
     )
 
 
@@ -75,7 +90,7 @@ def _events_es(spark: SparkSession, sf_dir: str) -> DataFrame:
     "funnel_conversion",
     oracle=f"""
     WITH e AS (
-      SELECT user_id, event_type, {_ORACLE_ES} AS es FROM (SELECT * FROM events WHERE ts IS NOT NULL) events
+      SELECT user_id, event_type, {_ORACLE_ES} AS es FROM (SELECT * REPLACE (CASE WHEN isfinite(value) THEN value END AS value) FROM events WHERE ts IS NOT NULL) events
     ), s1 AS (
       SELECT user_id, MIN(es) AS t1 FROM e
       WHERE event_type = 'view' GROUP BY user_id
@@ -164,7 +179,7 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     "cohort_retention",
     oracle=f"""
     WITH e AS (
-      SELECT DISTINCT user_id, ({_ORACLE_ES}) // {_WEEK_S} AS w FROM (SELECT * FROM events WHERE ts IS NOT NULL) events
+      SELECT DISTINCT user_id, ({_ORACLE_ES}) // {_WEEK_S} AS w FROM (SELECT * REPLACE (CASE WHEN isfinite(value) THEN value END AS value) FROM events WHERE ts IS NOT NULL) events
     ), cohort AS (
       SELECT user_id, MIN(w) AS cw FROM e GROUP BY user_id
     )
@@ -207,7 +222,7 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ts_gap_fill_locf",
     oracle=f"""
     WITH e AS (
-      SELECT user_id, ({_ORACLE_ES}) // {_DAY_S} AS day FROM (SELECT * FROM events WHERE ts IS NOT NULL) events
+      SELECT user_id, ({_ORACLE_ES}) // {_DAY_S} AS day FROM (SELECT * REPLACE (CASE WHEN isfinite(value) THEN value END AS value) FROM events WHERE ts IS NOT NULL) events
     ), daily AS (
       SELECT user_id, day, COUNT(*) AS n_ev FROM e GROUP BY user_id, day
     ), bounds AS (
@@ -276,7 +291,7 @@ def ts_gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     "events_transition_matrix",
     oracle=f"""
     WITH e AS (
-      SELECT user_id, event_id, event_type, {_ORACLE_ES} AS es FROM (SELECT * FROM events WHERE ts IS NOT NULL) events
+      SELECT user_id, event_id, event_type, {_ORACLE_ES} AS es FROM (SELECT * REPLACE (CASE WHEN isfinite(value) THEN value END AS value) FROM events WHERE ts IS NOT NULL) events
     ), pairs AS (
       SELECT
         LAG(event_type) OVER (
@@ -340,7 +355,7 @@ def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     "anomaly_zscore_daily",
     oracle=f"""
     WITH e AS (
-      SELECT user_id, ({_ORACLE_ES}) // {_DAY_S} AS day FROM (SELECT * FROM events WHERE ts IS NOT NULL) events
+      SELECT user_id, ({_ORACLE_ES}) // {_DAY_S} AS day FROM (SELECT * REPLACE (CASE WHEN isfinite(value) THEN value END AS value) FROM events WHERE ts IS NOT NULL) events
     ), daily AS (
       SELECT user_id, day, COUNT(*) AS n_ev FROM e GROUP BY user_id, day
     ), stats AS (
@@ -405,7 +420,7 @@ def anomaly_zscore_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     "events_dau_wau_stickiness",
     oracle=f"""
     WITH ud AS (
-      SELECT DISTINCT user_id, ({_ORACLE_ES}) // {_DAY_S} AS day FROM (SELECT * FROM events WHERE ts IS NOT NULL) events
+      SELECT DISTINCT user_id, ({_ORACLE_ES}) // {_DAY_S} AS day FROM (SELECT * REPLACE (CASE WHEN isfinite(value) THEN value END AS value) FROM events WHERE ts IS NOT NULL) events
     ), dau AS (
       SELECT day, COUNT(*) AS dau FROM ud GROUP BY day
     ), cover AS (
@@ -550,7 +565,7 @@ def agg_hll_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
         date_diff('second', TIMESTAMP '2024-01-01 00:00:00',
                   date_trunc('second', ts)) AS x,
         CAST(round(CAST(value AS DECIMAL(18,2)) * 100) AS BIGINT) AS y
-      FROM (SELECT * FROM events WHERE ts IS NOT NULL) events
+      FROM (SELECT * REPLACE (CASE WHEN isfinite(value) THEN value END AS value) FROM events WHERE ts IS NOT NULL) events
     ), s AS (
       SELECT
         event_type,
@@ -626,7 +641,7 @@ def events_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
                WHEN 'view' THEN 'v' WHEN 'click' THEN 'c'
                WHEN 'purchase' THEN 'p' WHEN 'signup' THEN 's'
                ELSE 'e' END AS ch
-      FROM (SELECT * FROM events WHERE ts IS NOT NULL) events
+      FROM (SELECT * REPLACE (CASE WHEN isfinite(value) THEN value END AS value) FROM events WHERE ts IS NOT NULL) events
     ), seqs AS (
       SELECT user_id, string_agg(ch, '' ORDER BY es, event_id) AS seq
       FROM e GROUP BY user_id
@@ -757,7 +772,7 @@ _EWMA_W = [1000000, 700000, 489999, 342999, 240099, 168069, 117648]
         user_id,
         ({_ORACLE_ES}) // {_DAY_S} AS day,
         SUM(CAST(round(CAST(value AS DECIMAL(18,2)) * 100) AS BIGINT)) AS v
-      FROM (SELECT * FROM events WHERE ts IS NOT NULL) events
+      FROM (SELECT * REPLACE (CASE WHEN isfinite(value) THEN value END AS value) FROM events WHERE ts IS NOT NULL) events
       GROUP BY user_id, ({_ORACLE_ES}) // {_DAY_S}
     ), w AS (
       SELECT * FROM (VALUES
@@ -847,7 +862,7 @@ def ts_ewma_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
         SUM(CAST(round(CAST(value AS DECIMAL(18,2)) * 100) AS BIGINT)
           * CAST(round(CAST(value AS DECIMAL(18,2)) * 100) AS BIGINT))
           FILTER (WHERE user_id % 2 = 1) AS q1
-      FROM (SELECT * FROM events WHERE ts IS NOT NULL) events
+      FROM (SELECT * REPLACE (CASE WHEN isfinite(value) THEN value END AS value) FROM events WHERE ts IS NOT NULL) events
       GROUP BY event_type
     )
     SELECT
@@ -926,7 +941,7 @@ def events_ab_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH first_hour AS (
       SELECT user_id, MIN(({_ORACLE_ES}) // 3600) AS hour
-      FROM (SELECT * FROM events WHERE ts IS NOT NULL) events GROUP BY user_id
+      FROM (SELECT * REPLACE (CASE WHEN isfinite(value) THEN value END AS value) FROM events WHERE ts IS NOT NULL) events GROUP BY user_id
     ), hourly_new AS (
       SELECT hour, COUNT(*) AS new_users FROM first_hour GROUP BY hour
     )
@@ -971,7 +986,7 @@ def events_cumulative_uniques(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH c AS (
       SELECT user_id, event_type, COUNT(*) AS cnt
-      FROM (SELECT * FROM events WHERE ts IS NOT NULL) events GROUP BY user_id, event_type
+      FROM (SELECT * REPLACE (CASE WHEN isfinite(value) THEN value END AS value) FROM events WHERE ts IS NOT NULL) events GROUP BY user_id, event_type
     ), t AS (
       SELECT user_id, SUM(cnt) AS n, COUNT(*) AS n_types FROM c GROUP BY user_id
     ), terms AS (
@@ -1038,7 +1053,7 @@ def events_user_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
              LEAD(event_type, 1) OVER w AS nxt1,
              LEAD(event_type, 2) OVER w AS nxt2
       FROM (SELECT user_id, event_type, ({_ORACLE_ES}) AS es, event_id
-            FROM (SELECT * FROM events WHERE ts IS NOT NULL) events
+            FROM (SELECT * REPLACE (CASE WHEN isfinite(value) THEN value END AS value) FROM events WHERE ts IS NOT NULL) events
             WHERE event_type IS NOT NULL)
       WINDOW w AS (PARTITION BY user_id ORDER BY es, event_id)
     ), tri AS (
@@ -1109,7 +1124,7 @@ def events_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         (({_ORACLE_ES}) // 86400 + 4) % 7 AS dow,
         (({_ORACLE_ES}) % 86400) // 3600 AS hour,
         CAST(round(CAST(value AS DECIMAL(18,2)) * 100) AS BIGINT) AS cents
-      FROM (SELECT * FROM events WHERE ts IS NOT NULL) events
+      FROM (SELECT * REPLACE (CASE WHEN isfinite(value) THEN value END AS value) FROM events WHERE ts IS NOT NULL) events
     )
     SELECT
       CAST(dow AS BIGINT) AS dow,
@@ -1157,7 +1172,7 @@ def events_heatmap_hour_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
       -- NULL-key guard on the Spark side (round-10 events parity sweep).
       SELECT event_type,
              CAST(round(CAST(value AS DECIMAL(18,2)) * 100) AS BIGINT) AS cents
-      FROM (SELECT * FROM events WHERE ts IS NOT NULL) events
+      FROM (SELECT * REPLACE (CASE WHEN isfinite(value) THEN value END AS value) FROM events WHERE ts IS NOT NULL) events
       WHERE value IS NOT NULL
     ), med AS (
       SELECT event_type, cents,
@@ -1284,7 +1299,7 @@ def events_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         event_type,
         ({_ORACLE_ES}) // {_DAY_S} AS day,
         SUM(CAST(round(CAST(value AS DECIMAL(18,2)) * 100) AS BIGINT)) AS v
-      FROM (SELECT * FROM events WHERE ts IS NOT NULL) events
+      FROM (SELECT * REPLACE (CASE WHEN isfinite(value) THEN value END AS value) FROM events WHERE ts IS NOT NULL) events
       GROUP BY event_type, ({_ORACLE_ES}) // {_DAY_S}
     ), lagk AS (
       SELECT a.event_type, l.lag_k, a.v AS x, b.v AS y
@@ -1385,7 +1400,7 @@ def events_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
         user_id % 2 AS variant,
         COUNT(*) FILTER (WHERE event_type = 'purchase') AS k,
         COUNT(*) AS n
-      FROM (SELECT * FROM events WHERE ts IS NOT NULL) events
+      FROM (SELECT * REPLACE (CASE WHEN isfinite(value) THEN value END AS value) FROM events WHERE ts IS NOT NULL) events
       GROUP BY user_id % 2
     )
     SELECT
@@ -1443,7 +1458,7 @@ def events_conversion_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH daily AS (
       SELECT event_type, ({_ORACLE_ES}) // {_DAY_S} AS day,
              SUM(CAST(round(CAST(value AS DECIMAL(18,2)) * 100) AS BIGINT)) AS v
-      FROM (SELECT * FROM events WHERE ts IS NOT NULL) events GROUP BY event_type, ({_ORACLE_ES}) // {_DAY_S}
+      FROM (SELECT * REPLACE (CASE WHEN isfinite(value) THEN value END AS value) FROM events WHERE ts IS NOT NULL) events GROUP BY event_type, ({_ORACLE_ES}) // {_DAY_S}
     ), tot AS (
       SELECT event_type, SUM(v) AS t, COUNT(*) AS n FROM daily
       GROUP BY event_type
@@ -1709,7 +1724,7 @@ def events_kaplan_meier_retention(spark: SparkSession, sf_dir: str) -> DataFrame
       SELECT user_id % 2 AS variant, user_id,
              SUM(CAST(round(CAST(value AS DECIMAL(18,2)) * 100) AS BIGINT)) AS x,
              COUNT(*) AS y
-      FROM (SELECT * FROM events WHERE ts IS NOT NULL) events WHERE event_type = 'purchase'
+      FROM (SELECT * REPLACE (CASE WHEN isfinite(value) THEN value END AS value) FROM events WHERE ts IS NOT NULL) events WHERE event_type = 'purchase'
       GROUP BY user_id % 2, user_id
     ), m AS (
       SELECT variant,
@@ -1807,7 +1822,7 @@ _ATTR_WINDOW_S = 7 * 86400  # lookback for credit assignment
     "events_attribution_multitouch",
     oracle=f"""
     WITH e AS (
-      SELECT user_id, event_type, event_id, ({_ORACLE_ES}) AS es FROM (SELECT * FROM events WHERE ts IS NOT NULL) events
+      SELECT user_id, event_type, event_id, ({_ORACLE_ES}) AS es FROM (SELECT * REPLACE (CASE WHEN isfinite(value) THEN value END AS value) FROM events WHERE ts IS NOT NULL) events
     ), conv AS (
       SELECT user_id, event_id AS conv_id, es AS conv_es
       FROM e WHERE event_type = 'purchase'
@@ -1888,7 +1903,7 @@ _BOOT_B = 50  # resamples; deterministic md5 draws, no RNG
     WITH daily AS (
       SELECT event_type, ({_ORACLE_ES}) // {_DAY_S} AS day,
              SUM(CAST(round(CAST(value AS DECIMAL(18,2)) * 100) AS BIGINT)) AS v
-      FROM (SELECT * FROM events WHERE ts IS NOT NULL) events GROUP BY event_type, ({_ORACLE_ES}) // {_DAY_S}
+      FROM (SELECT * REPLACE (CASE WHEN isfinite(value) THEN value END AS value) FROM events WHERE ts IS NOT NULL) events GROUP BY event_type, ({_ORACLE_ES}) // {_DAY_S}
     ), idx AS (
       SELECT event_type, v,
              ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) - 1 AS i,
@@ -2016,7 +2031,7 @@ def events_bootstrap_ci_daily_mean(spark: SparkSession, sf_dir: str) -> DataFram
              ((({_ORACLE_ES}) // 86400 + 4) % 7) * 24
                + (({_ORACLE_ES}) % 86400) // 3600 AS cell,
              CAST(round(CAST(value AS DECIMAL(18,2)) * 100) AS BIGINT) AS v
-      FROM (SELECT * FROM events WHERE ts IS NOT NULL) events
+      FROM (SELECT * REPLACE (CASE WHEN isfinite(value) THEN value END AS value) FROM events WHERE ts IS NOT NULL) events
     ), per_cell AS (
       SELECT event_type, cell,
              CAST(COUNT(*) AS DECIMAL(38,0)) AS nc,
@@ -2122,7 +2137,7 @@ _CONC_GAP_S = 30 * 60  # session gap, matches the sessionization queries
     "events_peak_concurrency",
     oracle=f"""
     WITH e AS (
-      SELECT user_id, ({_ORACLE_ES}) AS es FROM (SELECT * FROM events WHERE ts IS NOT NULL) events
+      SELECT user_id, ({_ORACLE_ES}) AS es FROM (SELECT * REPLACE (CASE WHEN isfinite(value) THEN value END AS value) FROM events WHERE ts IS NOT NULL) events
     ), flagged AS (
       SELECT user_id, es,
              CASE WHEN es - COALESCE(LAG(es) OVER (PARTITION BY user_id
@@ -2264,7 +2279,7 @@ def events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH daily AS (
       SELECT event_type, ({_ORACLE_ES}) // {_DAY_S} AS day,
              SUM(CAST(round(CAST(value AS DECIMAL(18,2)) * 100) AS BIGINT)) AS v
-      FROM (SELECT * FROM events WHERE ts IS NOT NULL) events GROUP BY event_type, ({_ORACLE_ES}) // {_DAY_S}
+      FROM (SELECT * REPLACE (CASE WHEN isfinite(value) THEN value END AS value) FROM events WHERE ts IS NOT NULL) events GROUP BY event_type, ({_ORACLE_ES}) // {_DAY_S}
     )
     SELECT
       a.event_type,
@@ -2327,7 +2342,7 @@ def events_seasonal_naive_backtest(spark: SparkSession, sf_dir: str) -> DataFram
     WITH e AS (
       SELECT user_id, ({_ORACLE_ES}) // {_WEEK_S} AS w,
              CAST(round(CAST(value AS DECIMAL(18,2)) * 100) AS BIGINT) AS cents
-      FROM (SELECT * FROM events WHERE ts IS NOT NULL) events WHERE event_type = 'purchase'
+      FROM (SELECT * REPLACE (CASE WHEN isfinite(value) THEN value END AS value) FROM events WHERE ts IS NOT NULL) events WHERE event_type = 'purchase'
     ), cohort AS (
       SELECT user_id, MIN(w) AS cw FROM e GROUP BY user_id
     ), wk AS (
@@ -2400,7 +2415,7 @@ def cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     "funnel_latency_percentiles",
     oracle=f"""
     WITH e AS (
-      SELECT user_id, event_type, ({_ORACLE_ES}) AS es FROM (SELECT * FROM events WHERE ts IS NOT NULL) events
+      SELECT user_id, event_type, ({_ORACLE_ES}) AS es FROM (SELECT * REPLACE (CASE WHEN isfinite(value) THEN value END AS value) FROM events WHERE ts IS NOT NULL) events
     ), v AS (
       SELECT user_id, MIN(es) AS t_view FROM e
       WHERE event_type = 'view' GROUP BY user_id
@@ -2499,7 +2514,7 @@ def funnel_latency_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
       -- (round-10 events parity sweep); a typeless series is
       -- unattributable, so both engines drop it.
       SELECT event_type, ({_ORACLE_ES}) // {_DAY_S} AS day
-      FROM (SELECT * FROM events WHERE ts IS NOT NULL) events
+      FROM (SELECT * REPLACE (CASE WHEN isfinite(value) THEN value END AS value) FROM events WHERE ts IS NOT NULL) events
       WHERE event_type IS NOT NULL
     ), daily AS (
       SELECT event_type, day, CAST(COUNT(*) AS BIGINT) AS x
@@ -2613,7 +2628,7 @@ def ts_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ts_seasonal_decompose",
     oracle=f"""
     WITH e AS (
-      SELECT event_type, ({_ORACLE_ES}) // {_DAY_S} AS day FROM (SELECT * FROM events WHERE ts IS NOT NULL) events
+      SELECT event_type, ({_ORACLE_ES}) // {_DAY_S} AS day FROM (SELECT * REPLACE (CASE WHEN isfinite(value) THEN value END AS value) FROM events WHERE ts IS NOT NULL) events
     ), daily AS (
       SELECT event_type, day, CAST(COUNT(*) AS BIGINT) AS x
       FROM e GROUP BY event_type, day
@@ -2741,7 +2756,7 @@ def ts_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT user_id, {_ORACLE_ES} AS es,
              CAST(round(CAST(value AS DECIMAL(18,2)) * 100) AS BIGINT)
                AS cents
-      FROM (SELECT * FROM events WHERE ts IS NOT NULL) events
+      FROM (SELECT * REPLACE (CASE WHEN isfinite(value) THEN value END AS value) FROM events WHERE ts IS NOT NULL) events
     ), b AS (
       SELECT (MIN(es) + MAX(es)) // 2 AS mid FROM e
     ), pu AS (
@@ -2889,7 +2904,7 @@ def events_cuped_adjusted_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT user_id, {_ORACLE_ES} AS es,
              CAST(round(CAST(value AS DECIMAL(18,2)) * 100) AS BIGINT)
                AS cents
-      FROM (SELECT * FROM events WHERE ts IS NOT NULL) events
+      FROM (SELECT * REPLACE (CASE WHEN isfinite(value) THEN value END AS value) FROM events WHERE ts IS NOT NULL) events
     ), b AS (
       SELECT (MIN(es) + MAX(es)) // 2 AS mid FROM e
     ), m AS (
@@ -3008,7 +3023,7 @@ def _hw_lnew(xm: str, sp: str, l: str, b: str) -> str:
       -- (round-10 events parity sweep); a typeless series is
       -- unattributable, so both engines drop it.
       SELECT event_type, ({_ORACLE_ES}) // {_DAY_S} AS day
-      FROM (SELECT * FROM events WHERE ts IS NOT NULL) events
+      FROM (SELECT * REPLACE (CASE WHEN isfinite(value) THEN value END AS value) FROM events WHERE ts IS NOT NULL) events
       WHERE event_type IS NOT NULL
     ), daily AS (
       SELECT event_type, day, CAST(COUNT(*) AS BIGINT) AS x
@@ -3214,7 +3229,7 @@ _SHAPLEY_W_SQL = ", ".join(
     "events_shapley_attribution",
     oracle=f"""
     WITH conv AS (
-      SELECT user_id, MIN(ts) AS fp FROM (SELECT * FROM events WHERE ts IS NOT NULL) events
+      SELECT user_id, MIN(ts) AS fp FROM (SELECT * REPLACE (CASE WHEN isfinite(value) THEN value END AS value) FROM events WHERE ts IS NOT NULL) events
       WHERE event_type = 'purchase' GROUP BY user_id
     ), touched AS (
       SELECT c.user_id,
@@ -3343,7 +3358,7 @@ def events_shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     "events_longest_streak",
     oracle=f"""
     WITH days AS (
-      SELECT DISTINCT user_id, ({_ORACLE_ES}) // 86400 AS day FROM (SELECT * FROM events WHERE ts IS NOT NULL) events
+      SELECT DISTINCT user_id, ({_ORACLE_ES}) // 86400 AS day FROM (SELECT * REPLACE (CASE WHEN isfinite(value) THEN value END AS value) FROM events WHERE ts IS NOT NULL) events
     ), isl AS (
       SELECT user_id, day,
              day - DENSE_RANK() OVER (PARTITION BY user_id ORDER BY day)
@@ -3572,7 +3587,7 @@ def events_retention_powerlaw(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ts_interpolate_linear",
     oracle=f"""
     WITH e AS (
-      SELECT user_id, ({_ORACLE_ES}) // {_DAY_S} AS day FROM (SELECT * FROM events WHERE ts IS NOT NULL) events
+      SELECT user_id, ({_ORACLE_ES}) // {_DAY_S} AS day FROM (SELECT * REPLACE (CASE WHEN isfinite(value) THEN value END AS value) FROM events WHERE ts IS NOT NULL) events
     ), daily AS (
       SELECT user_id, day, COUNT(*) AS n_ev FROM e GROUP BY user_id, day
     ), bounds AS (
@@ -3696,7 +3711,7 @@ def ts_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT event_id, value,
              CAST(date_diff('second', TIMESTAMP '1970-01-01',
                             date_trunc('second', ts)) AS BIGINT) AS es
-      FROM (SELECT * FROM events WHERE ts IS NOT NULL) events
+      FROM (SELECT * REPLACE (CASE WHEN isfinite(value) THEN value END AS value) FROM events WHERE ts IS NOT NULL) events
       WHERE value IS NOT NULL
     ), st AS (
       SELECT MIN(es) AS mn, MAX(es) AS mx FROM e

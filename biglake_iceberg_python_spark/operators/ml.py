@@ -147,7 +147,14 @@ def ml_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pipeline): the fold expressions assume exactly _KM_DIM components,
     # and a NULL init row would crash the driver-side centroid list.
     vecs = e.filter(
-        F.col("embedding").isNotNull() & (F.size("embedding") == _KM_DIM)
+        F.col("embedding").isNotNull()
+        & (F.size("embedding") == _KM_DIM)
+        & F.forall(
+            F.transform("embedding", lambda x: x.cast("double")),
+            lambda x: x.isNotNull()
+            & ~F.isnan(x)
+            & (F.abs(x) != F.lit(float("inf"))),
+        )
     ).select(
         "vec_id",
         F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("v"),
@@ -377,9 +384,15 @@ def _pca_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
     # identical len(embedding) = {_PCA_DIM} predicate. Zero-norm vectors
     # STAY — they are valid data points for a moment matrix (unlike the
     # cosine family, whose _valid_embeddings also requires norm > 0).
+    finite = F.forall(
+        F.transform("embedding", lambda x: x.cast("double")),
+        lambda x: x.isNotNull()
+        & ~F.isnan(x)
+        & (F.abs(x) != F.lit(float("inf"))),
+    )
     e = (
         load_table(spark, sf_dir, "embeddings")
-        .filter(F.size("embedding") == _PCA_DIM)
+        .filter((F.size("embedding") == _PCA_DIM) & finite)
         .select("embedding")
     )
     partials = e.mapInArrow(
@@ -399,7 +412,9 @@ def _pca_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH dims AS (SELECT unnest(generate_series(1, {_PCA_DIM})) AS i),
     q AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
-          WHERE len(embedding) = {_PCA_DIM}),
+          WHERE len(embedding) = {_PCA_DIM}
+            AND len(list_filter(embedding,
+                    x -> x IS NULL OR NOT isfinite(x::DOUBLE))) = 0),
     x AS (
       SELECT vec_id, d.i AS i,
              CAST(floor(v[d.i] * {_PCA_QUANT}) AS BIGINT) AS xi
@@ -527,6 +542,12 @@ def ml_coreset_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(
             F.col("embedding").isNotNull()
             & (F.size("embedding") == _KM_DIM)
+            & F.forall(
+                F.transform("embedding", lambda x: x.cast("double")),
+                lambda x: x.isNotNull()
+                & ~F.isnan(x)
+                & (F.abs(x) != F.lit(float("inf"))),
+            )
         )
         .select(
             "vec_id",

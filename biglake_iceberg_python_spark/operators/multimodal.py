@@ -346,7 +346,9 @@ def multimodal_dedup_payload(spark: SparkSession, sf_dir: str) -> DataFrame:
                                                e.embedding::DOUBLE[])))
              AS BIGINT) AS norm_micro
       FROM documents d
-      JOIN (SELECT * FROM embeddings WHERE len(embedding) = 64) e
+      JOIN (SELECT * FROM embeddings WHERE len(embedding) = 64
+            AND len(list_filter(embedding,
+                    x -> x IS NULL OR NOT isfinite(x::DOUBLE))) = 0) e
         ON d.doc_id = e.vec_id
     )
     SELECT
@@ -383,7 +385,13 @@ def multimodal_training_record(spark: SparkSession, sf_dir: str) -> DataFrame:
     # uncoalesced size(split(NULL)) subtracted one token per NULL doc
     # under ANSI-off sessions).
     e = load_table(spark, sf_dir, "embeddings").filter(
-        F.size("embedding") == 64
+        (F.size("embedding") == 64)
+        & F.forall(
+            F.transform("embedding", lambda x: x.cast("double")),
+            lambda x: x.isNotNull()
+            & ~F.isnan(x)
+            & (F.abs(x) != F.lit(float("inf"))),
+        )
     )
     ev = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     dot = F.aggregate(

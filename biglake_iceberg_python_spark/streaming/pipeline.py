@@ -105,6 +105,17 @@ def stage_event_chunks(
     import pyarrow.compute as pc
 
     t = t.filter(pc.is_valid(t.column("ts")))
+    # Non-finite measures reduce to NULL at ingestion (round-10 NaN/Inf
+    # probe): NaN orders ABOVE everything on both engines so it slips
+    # `> 0` guards, and DuckDB's DECIMAL casts raise where Spark ANSI-off
+    # NULLs — the missing-measure (NULL value) semantics are already
+    # parity-verified, so non-finite folds into that class. Oracle twin:
+    # `* REPLACE (CASE WHEN isfinite(value) ...)` in every stream oracle.
+    vidx = t.schema.get_field_index("value")
+    t = t.set_column(
+        vidx, "value", pc.if_else(pc.is_finite(t.column("value")),
+                                  t.column("value"), None)
+    )
     idx = t.schema.get_field_index("ts")
     ts_utc = t.column("ts").cast(pa.timestamp("us"), safe=False).cast(
         pa.timestamp("us", tz="UTC")

@@ -77,6 +77,10 @@ def craft_embeddings(d: str) -> None:
             vals[i] = vals[i][:10]  # wrong dimension
         elif i % 11 == 3:
             vals[i] = [0.0] * len(vals[i])  # zero norm
+        elif i % 11 == 4:
+            vals[i] = [float("nan")] + vals[i][1:]  # NaN component
+        elif i % 11 == 5:
+            vals[i] = [float("inf")] + vals[i][1:]  # Inf component
     cols["embedding"] = pa.array(vals, type=tbl.schema.field("embedding").type)
     pq.write_table(pa.table(cols), f"{d}/embeddings.parquet")
 
@@ -110,6 +114,16 @@ def craft_events(d: str) -> None:
     null_out("event_type", 13, 2)
     null_out("value", 13, 3)
     null_out("props", 13, 4)
+    # Non-finite measures (round-10 NaN/Inf probe): NaN orders above
+    # everything on BOTH engines, so it slips `> 0` guards into DECIMAL
+    # casts that raise in DuckDB and (under ANSI) in Spark.
+    vals = cols["value"].to_pylist()
+    for i in range(n):
+        if i % 13 == 5:
+            vals[i] = float("nan")
+        elif i % 13 == 6:
+            vals[i] = float("inf")
+    cols["value"] = pa.array(vals, type=tbl.schema.field("value").type)
     pq.write_table(pa.table(cols), f"{d}/events.parquet")
 
 

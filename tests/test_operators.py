@@ -1924,6 +1924,13 @@ def test_degenerate_parity_round10_regressions(spark, sf_dir, tmp_path):
             if i % 13 == rem:
                 vals[i] = None
         ecols2[name] = pa.array(vals, type=etbl.schema.field(name).type)
+    vals = ecols2["value"].to_pylist()
+    for i in range(etbl.num_rows):
+        if i % 13 == 5:
+            vals[i] = float("nan")
+        elif i % 13 == 6:
+            vals[i] = float("inf")
+    ecols2["value"] = pa.array(vals, type=etbl.schema.field("value").type)
     pq.write_table(pa.table(ecols2), f"{d}/events.parquet")
     base = pq.read_table(f"{sf_dir}/documents.parquet")
     cols = {n: base[n] for n in base.column_names}
@@ -1949,6 +1956,10 @@ def test_degenerate_parity_round10_regressions(spark, sf_dir, tmp_path):
             vals[i] = vals[i][:10]
         elif i % 11 == 3:
             vals[i] = [0.0] * len(vals[i])
+        elif i % 11 == 4:
+            vals[i] = [float("nan")] + vals[i][1:]
+        elif i % 11 == 5:
+            vals[i] = [float("inf")] + vals[i][1:]
     ecols["embedding"] = pa.array(vals, type=tbl.schema.field("embedding").type)
     pq.write_table(pa.table(ecols), f"{d}/embeddings.parquet")
     con = duckdb_connect(d)
