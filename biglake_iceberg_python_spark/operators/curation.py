@@ -719,6 +719,10 @@ def curate_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     "curate_dataset_card",
     oracle=f"""
     WITH t AS (
+      -- (source, lang) key the datasheet rows; a doc with a NULL key
+      -- belongs to no row (round-10 NULL-metadata probe: Spark's
+      -- group-size re-joins drop NULL keys where this window keeps
+      -- them — excluded on BOTH engines instead).
       SELECT
         doc_id, source, lang, n_chars,
         len(list_filter(string_split(COALESCE(text, ''), ' '),
@@ -728,6 +732,7 @@ def curate_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
                        x -> x <> ''))
             [1:{_FP_WORDS}], ' '), '')) AS fp
       FROM documents
+      WHERE source IS NOT NULL AND lang IS NOT NULL
     ), r AS (
       SELECT
         source, lang, n_tok, n_chars, fp,
@@ -779,7 +784,11 @@ def curate_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     too, so a zero-token doc's fingerprint was NULL in DuckDB vs
     md5('') in Spark — off-by-one n_fp_dups whenever such docs exist.
     """
-    d = load_table(spark, sf_dir, "documents")
+    # NULL (source, lang) keys excluded on both engines — see the
+    # oracle CTE note.
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("source").isNotNull() & F.col("lang").isNotNull()
+    )
     ws = F.filter(
         F.split(F.coalesce(F.col("text"), F.lit("")), " "),
         lambda x: x != "",
@@ -1336,11 +1345,14 @@ def curate_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     "curate_winsorize",
     oracle="""
     WITH ranked AS (
+      -- n_chars IS NOT NULL: a lengthless doc has no place in a length
+      -- distribution, and a NULL rank key trips two_phase_rank's loud
+      -- NULL-key guard on the Spark side (round-10 NULL-metadata probe).
       SELECT
         lang, n_chars,
         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS rk,
         COUNT(*) OVER (PARTITION BY lang) AS n_lang
-      FROM documents
+      FROM documents WHERE n_chars IS NOT NULL AND lang IS NOT NULL
     ), cut AS (
       SELECT
         lang, n_chars, rk, n_lang,
@@ -1386,8 +1398,13 @@ def curate_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     # Narrow 3-column projection materialized once: the two-phase rank,
     # the lang sizes, and the clip join otherwise each re-scan documents.
+    # lang IS NOT NULL too (round-10 NULL-metadata probe): the per-lang
+    # cut tables re-join on lang, where a NULL key silently drops the
+    # group Spark-side while the oracle's PARTITION BY window keeps it —
+    # an unattributable doc belongs to no language's distribution.
     d = (
         load_table(spark, sf_dir, "documents")
+        .filter(F.col("n_chars").isNotNull() & F.col("lang").isNotNull())
         .select("lang", "doc_id", F.col("n_chars").cast("long").alias("n_chars"))
         .localCheckpoint(eager=False)
     )

@@ -712,11 +712,15 @@ def ml_linreg_normal_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _NB_WC_SQL = """
     WITH docs AS (
+      -- lang IS NOT NULL: a supervised classifier needs a label — an
+      -- unlabeled doc can neither train a class nor anchor a confusion
+      -- row, and a None label crashed the Spark driver's sorted(classes)
+      -- (round-10 NULL-metadata probe).
       SELECT doc_id, lang,
              list_filter(string_split(COALESCE(text, ''), ' '), x -> x <> '') AS ws,
              ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':nb'), 1, 8))
                ::BIGINT % 5 = 0 AS is_test
-      FROM {documents}
+      FROM {documents} WHERE lang IS NOT NULL
     ), train AS (SELECT * FROM docs WHERE NOT is_test),
     classes AS (SELECT lang AS clang, COUNT(*) AS dc FROM train GROUP BY lang),
     wc AS (
@@ -867,7 +871,10 @@ def ml_naive_bayes_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     from biglake_iceberg_python_spark.functions.exactlog import micro_nat
     from biglake_iceberg_python_spark.operators.pipeline import _md5_bucket
 
-    d = load_table(spark, sf_dir, "documents")
+    # Unlabeled docs excluded on both engines — see the _NB_WC_SQL note.
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("lang").isNotNull()
+    )
     ws = F.filter(F.split(F.coalesce(F.col("text"), F.lit("")), " "), lambda x: x != "")
     docs = d.select(
         "doc_id",

@@ -332,7 +332,10 @@ def udf_arrow_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact.
     """
     f = F.udf(
-        lambda t, n: len(t) * n if t is not None else None,
+        # BOTH args need the None guard (round-10 NULL-metadata probe: a
+        # NULL n_chars crashed the worker) — the SQL twin
+        # `length(text) * n_chars` is NULL when EITHER side is NULL.
+        lambda t, n: len(t) * n if t is not None and n is not None else None,
         "long",
         useArrow=True,
     )

@@ -54,6 +54,15 @@ def craft_documents(d: str) -> None:
         elif i % 7 == 2:
             texts[i] = "solo"
     cols["text"] = pa.array(texts, type=pa.string())
+    # NULL metadata keys (round-10 probe): rank keys trip two_phase_rank's
+    # loud guard, labels crash sorted(classes), and NULL group keys drop
+    # at Spark's equi-joins while oracle windows keep them.
+    for name, rem in [("lang", 3), ("source", 4), ("n_chars", 5)]:
+        vals = cols[name].to_pylist()
+        for i in range(len(vals)):
+            if i % 19 == rem:
+                vals[i] = None
+        cols[name] = pa.array(vals, type=base.schema.field(name).type)
     pq.write_table(pa.table(cols), f"{d}/documents.parquet")
 
 

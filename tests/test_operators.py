@@ -1943,6 +1943,12 @@ def test_degenerate_parity_round10_regressions(spark, sf_dir, tmp_path):
         elif i % 7 == 2:
             texts[i] = "solo"
     cols["text"] = pa.array(texts, type=pa.string())
+    for mname, rem in [("lang", 3), ("source", 4), ("n_chars", 5)]:
+        mvals = cols[mname].to_pylist()
+        for i in range(len(mvals)):
+            if i % 19 == rem:
+                mvals[i] = None
+        cols[mname] = pa.array(mvals, type=base.schema.field(mname).type)
     pq.write_table(pa.table(cols), f"{d}/documents.parquet")
     tbl = pq.read_table(f"{sf_dir}/embeddings.parquet")
     ecols = {n: tbl[n] for n in tbl.column_names}
@@ -1988,6 +1994,10 @@ def test_degenerate_parity_round10_regressions(spark, sf_dir, tmp_path):
         "events_sequence_motif", "events_transition_matrix",
         "join_asof", "join_asof_forward", "ts_downsample_m4",
         "ts_holt_forecast",
+        # NULL-metadata once-reds (round-10 probe: NULL lang/source/
+        # n_chars): rank-key guard, sorted(None) label crash, NULL-arg
+        # UDF crash, NULL group keys dropping at equi-joins.
+        "curate_winsorize", "curate_dataset_card", "udf_arrow_scalar",
     ]
     for q in names:
         spec = REGISTRY[q]
