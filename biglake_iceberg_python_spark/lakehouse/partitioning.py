@@ -106,17 +106,19 @@ class HiddenPartitionedTable:
         self.spark = spark
         self.root = os.path.join(root, "data")
         self.transform = transform
+        self._schema = None
 
     def write(self, df: DataFrame) -> None:
-        (
-            df.withColumn(_PCOL, self.transform.derive())
-            .write.mode("overwrite")
-            .partitionBy(_PCOL)
-            .parquet(self.root)
-        )
+        staged = df.withColumn(_PCOL, self.transform.derive())
+        # The table schema lives in table metadata, exactly as Iceberg
+        # readers plan from the metadata schema — never file inference,
+        # which fails outright on a 0-row table (no data files to sniff;
+        # round-10 empty-table parity axis).
+        self._schema = staged.schema
+        staged.write.mode("overwrite").partitionBy(_PCOL).parquet(self.root)
 
     def _scan(self) -> DataFrame:
-        return self.spark.read.parquet(self.root)
+        return self.spark.read.schema(self._schema).parquet(self.root)
 
     def scan_range(self, lower: str, upper_exclusive: str) -> DataFrame:
         """Read rows with ``lower <= source_col < upper_exclusive``:
@@ -167,6 +169,7 @@ class SpecEvolvedTable:
         self.spark = spark
         self.root = root
         self.specs: list = []  # index = spec_id
+        self._schemas: dict = {}  # spec_id -> staged schema (metadata)
 
     def evolve(self, transform) -> int:
         """Make ``transform`` the current partition spec; existing data is
@@ -184,19 +187,16 @@ class SpecEvolvedTable:
             raise ValueError("no partition spec; call evolve() first")
         spec_id = len(self.specs) - 1
         t = self.specs[spec_id]
+        staged = df.withColumn(_PCOL, t.derive())
+        self._schemas[spec_id] = staged.schema  # metadata, not inference
         (
-            df.withColumn(_PCOL, t.derive())
-            .write.mode("append")
+            staged.write.mode("append")
             .partitionBy(_PCOL)
             .parquet(self._spec_root(spec_id))
         )
 
     def _written_specs(self) -> list[int]:
-        return [
-            i
-            for i in range(len(self.specs))
-            if os.path.isdir(self._spec_root(i))
-        ]
+        return [i for i in range(len(self.specs)) if i in self._schemas]
 
     def scan_range(self, lower: str, upper_exclusive: str) -> DataFrame:
         """Rows with ``lower <= source_col < upper_exclusive`` across ALL
@@ -208,7 +208,8 @@ class SpecEvolvedTable:
             t = self.specs[spec_id]
             c = F.col(t.source_col)
             parts.append(
-                self.spark.read.parquet(self._spec_root(spec_id))
+                self.spark.read.schema(self._schemas[spec_id])
+                .parquet(self._spec_root(spec_id))
                 .filter(t.project_range(lower, upper_exclusive))
                 .filter(
                     (c >= F.lit(lower).cast("timestamp"))

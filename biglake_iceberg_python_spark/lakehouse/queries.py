@@ -1000,7 +1000,11 @@ def lakehouse_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
             .write.partitionBy("file_id")
             .parquet(root, mode="overwrite")
         )
-        table = spark.read.parquet(root)
+        # Schema pinned from the written frame — file inference fails on
+        # a 0-row write (round-10 empty-table parity axis).
+        table = spark.read.schema(
+            zed.drop("plo", "phi", "slo", "shi", "p8", "s8").schema
+        ).parquet(root)
 
         # The query box as a broadcast 1-row table (derived from stats,
         # never collected per-file).
@@ -1611,7 +1615,13 @@ def lakehouse_analyze_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                     r["info_name"]: r["info_value"]
                     for r in spark.sql(f"DESCRIBE EXTENDED {tname} {c}").collect()
                 }
-                rows.append((c, int(d["min"]), int(d["max"]), int(d["num_nulls"]), n_rows))
+                # ANALYZE on a 0-row table records min/max as the string
+                # 'NULL' — surface them as real NULLs, matching the
+                # oracle's MIN/MAX over zero rows (round-10 parity axis).
+                stat = lambda v: None if v == "NULL" else int(v)  # noqa: E731
+                rows.append(
+                    (c, stat(d["min"]), stat(d["max"]), int(d["num_nulls"]), n_rows)
+                )
             out = spark.createDataFrame(
                 rows,
                 "col_name string, min_val long, max_val long, "
@@ -1810,17 +1820,18 @@ def lakehouse_write_distribution_smallfiles(
         ).parquet(clustered)
         n_naive = len(glob.glob(os.path.join(naive, "*", "*.parquet")))
         n_clustered = len(glob.glob(os.path.join(clustered, "*", "*.parquet")))
-        n_parts = (
-            spark.read.parquet(clustered)
-            .select("o_orderstatus")
-            .distinct()
-            .count()
-        )
+        # Schema from the written frame, not file inference: a 0-row
+        # write leaves no data files to sniff (round-10 empty-table
+        # parity axis), and pinning the schema is what a production
+        # reader does anyway.
+        back = spark.read.schema(o.schema).parquet(clustered)
+        n_parts = back.select("o_orderstatus").distinct().count()
         assert n_clustered == n_parts, (n_clustered, n_parts)
-        assert n_naive > n_clustered, (n_naive, n_clustered)
+        # The small-files phenomenon needs data to exhibit; an empty
+        # write emits zero files under both layouts.
+        assert n_naive > n_clustered or n_parts == 0, (n_naive, n_clustered)
         out = (
-            spark.read.parquet(clustered)
-            .groupBy("o_orderstatus")
+            back.groupBy("o_orderstatus")
             .agg(
                 F.count(F.lit(1)).alias("n"),
                 F.sum("o_orderkey").cast("long").alias("key_sum"),

@@ -168,16 +168,28 @@ def agg_percentile_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
       {oracle_dsum('l_quantity')} AS sum_qty
     FROM lineitem
     GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    HAVING COUNT(*) > 0
     """,
     tags=("agg", "rollup"),
 )
 def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROLLUP subtotal lattice: (flag,status), (flag), () — Expand operator
-    replicates each input row once per grouping set before one shuffle."""
+    replicates each input row once per grouping set before one shuffle.
+
+    Empty-input policy (round-10 empty-table parity axis): Spark emits 0
+    rows for ROLLUP over empty input while DuckDB keeps the SQL-standard
+    grand-total row at count 0 — both engines filter it (`HAVING
+    COUNT(*) > 0`, a no-op on non-empty input where every materialized
+    grouping set has >= 1 row), so an empty table reports no strata.
+    """
     li = load_table(spark, sf_dir, "lineitem")
-    return li.rollup("l_returnflag", "l_linestatus").agg(
-        F.count(F.lit(1)).alias("n_lines"),
-        dsum("l_quantity", "sum_qty"),
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            dsum("l_quantity", "sum_qty"),
+        )
+        .where(F.col("n_lines") > 0)
     )
 
 
@@ -191,15 +203,23 @@ def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
       {oracle_dsum('o_totalprice')} AS sum_price
     FROM orders
     GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    HAVING COUNT(*) > 0
     """,
     tags=("agg", "cube"),
 )
 def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CUBE: all 4 grouping-set combinations of (status, priority)."""
+    """CUBE: all 4 grouping-set combinations of (status, priority).
+
+    Empty input reports no strata on both engines (`agg_rollup` policy).
+    """
     o = load_table(spark, sf_dir, "orders")
-    return o.cube("o_orderstatus", "o_orderpriority").agg(
-        F.count(F.lit(1)).alias("n_orders"),
-        dsum("o_totalprice", "sum_price"),
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice", "sum_price"),
+        )
+        .where(F.col("n_orders") > 0)
     )
 
 
@@ -214,12 +234,16 @@ def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
       {oracle_dsum('l_extendedprice')} AS sum_price
     FROM lineitem
     GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    HAVING COUNT(*) > 0
     """,
     tags=("agg", "grouping-sets"),
 )
 def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Explicit GROUPING SETS with GROUPING() markers disambiguating
-    "NULL because subtotal" from "NULL in data"."""
+    "NULL because subtotal" from "NULL in data".
+
+    Empty input reports no strata on both engines (`agg_rollup` policy).
+    """
     li = load_table(spark, sf_dir, "lineitem")
     li.createOrReplaceTempView("lineitem_gs")
     return spark.sql(
@@ -232,6 +256,7 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
           {oracle_dsum('l_extendedprice')} AS sum_price
         FROM lineitem_gs
         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        HAVING COUNT(*) > 0
         """
     )
 
@@ -463,6 +488,7 @@ def subquery_not_in_null(spark: SparkSession, sf_dir: str) -> DataFrame:
       {oracle_dsum('value')} AS sum_value
     FROM e
     GROUP BY ROLLUP (b_day, b_hour, b_10m)
+    HAVING COUNT(*) > 0
     """,
     tags=("agg", "rollup", "timeseries"),
 )
@@ -508,6 +534,7 @@ def agg_time_rollup_hypertable(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_events"),
             dsum("value", "sum_value"),
         )
+        .where(F.col("n_events") > 0)
         .select(
             F.coalesce(F.date_format("b_day", fmt), F.lit("ALL")).alias(
                 "bucket_day"
@@ -1243,6 +1270,7 @@ def agg_skew_kurtosis(spark: SparkSession, sf_dir: str) -> DataFrame:
       CAST(COUNT(*) AS BIGINT) AS n_orders
     FROM orders
     GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    HAVING COUNT(*) > 0
     """,
     tags=("agg", "rollup", "distinct"),
 )
@@ -1267,6 +1295,7 @@ def agg_rollup_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count_distinct("o_custkey").alias("n_customers"),
             F.count(F.lit(1)).alias("n_orders"),
         )
+        .where(F.col("n_orders") > 0)
         .select(
             F.coalesce(F.col("o_orderstatus"), F.lit("ALL")).alias("status"),
             F.coalesce(F.col("o_orderpriority"), F.lit("ALL")).alias("priority"),

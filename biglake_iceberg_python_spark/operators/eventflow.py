@@ -2785,20 +2785,28 @@ def ts_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM pu
     )
     SELECT
+      -- NULLIF on every denominator mirrors the Spark side exactly
+      -- (empty/one-variant population, constant covariate); DuckDB's
+      -- bare 0-division is NULL anyway, so this is documentation-grade
+      -- symmetry, not a semantic change.
       n0, n1,
-      (CAST(sy0 AS DOUBLE) / n0 - CAST(sy1 AS DOUBLE) / n1) / 100.0
+      (CAST(sy0 AS DOUBLE) / NULLIF(CAST(n0 AS DOUBLE), 0.0)
+       - CAST(sy1 AS DOUBLE) / NULLIF(CAST(n1 AS DOUBLE), 0.0)) / 100.0
         AS raw_delta,
       (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
-        / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) AS theta,
-      ((CAST(sy0 AS DOUBLE) / n0 - CAST(sy1 AS DOUBLE) / n1)
+        / NULLIF(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx, 0.0)
+        AS theta,
+      ((CAST(sy0 AS DOUBLE) / NULLIF(CAST(n0 AS DOUBLE), 0.0)
+        - CAST(sy1 AS DOUBLE) / NULLIF(CAST(n1 AS DOUBLE), 0.0))
        - (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
-         / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
-         * (CAST(sx0 AS DOUBLE) / n0 - CAST(sx1 AS DOUBLE) / n1)) / 100.0
+         / NULLIF(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx, 0.0)
+         * (CAST(sx0 AS DOUBLE) / NULLIF(CAST(n0 AS DOUBLE), 0.0)
+            - CAST(sx1 AS DOUBLE) / NULLIF(CAST(n1 AS DOUBLE), 0.0))) / 100.0
         AS cuped_delta,
       (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
       * (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
-      / ((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
-         * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy))
+      / NULLIF((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+               * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy), 0.0)
         AS var_reduction_rho_sq
     FROM m
     """,
@@ -2875,25 +2883,31 @@ def events_cuped_adjusted_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("sy1"),
     )
+    # NULLIF every denominator (the events_delta_method discipline): an
+    # empty or one-variant population has n0/n1 = 0 and a constant
+    # covariate has var(X) = 0 — silent NULL ANSI-off but a job-killing
+    # DIVIDE_BY_ZERO under ANSI, where DuckDB yields NULL either way
+    # (round-10 empty-table parity, ANSI axis).
     nd = F.col("n").cast("double")
     cov_n = nd * F.col("sxy") - F.col("sx").cast("double") * F.col("sy")
     varx_n = nd * F.col("sxx") - F.col("sx").cast("double") * F.col("sx")
     vary_n = nd * F.col("syy") - F.col("sy").cast("double") * F.col("sy")
-    raw = (
-        F.col("sy0").cast("double") / F.col("n0")
-        - F.col("sy1").cast("double") / F.col("n1")
-    )
+    n0d = F.nullif(F.col("n0").cast("double"), F.lit(0.0))
+    n1d = F.nullif(F.col("n1").cast("double"), F.lit(0.0))
+    raw = F.col("sy0").cast("double") / n0d - F.col("sy1").cast("double") / n1d
     xdiff = (
-        F.col("sx0").cast("double") / F.col("n0")
-        - F.col("sx1").cast("double") / F.col("n1")
+        F.col("sx0").cast("double") / n0d - F.col("sx1").cast("double") / n1d
     )
+    theta = cov_n / F.nullif(varx_n, F.lit(0.0))
     return m.select(
         "n0",
         "n1",
         (raw / F.lit(100.0)).alias("raw_delta"),
-        (cov_n / varx_n).alias("theta"),
-        ((raw - cov_n / varx_n * xdiff) / F.lit(100.0)).alias("cuped_delta"),
-        (cov_n * cov_n / (varx_n * vary_n)).alias("var_reduction_rho_sq"),
+        theta.alias("theta"),
+        ((raw - theta * xdiff) / F.lit(100.0)).alias("cuped_delta"),
+        (cov_n * cov_n / F.nullif(varx_n * vary_n, F.lit(0.0))).alias(
+            "var_reduction_rho_sq"
+        ),
     )
 
 
@@ -2927,15 +2941,22 @@ def events_cuped_adjusted_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
           AND es >= b.mid), 0) AS BIGINT) AS s_t_post
       FROM e CROSS JOIN b
     )
+    -- NULLIF on each cell count: an empty cell (no events in a
+    -- group-period) is NULL-mean on both engines — silent NULL ANSI-off
+    -- but DIVIDE_BY_ZERO under ANSI (round-10 empty-table parity).
     SELECT n_c_pre, n_c_post, n_t_pre, n_t_post,
-           (CAST(s_t_post AS DOUBLE) / n_t_post
-            - CAST(s_t_pre AS DOUBLE) / n_t_pre) / 100.0 AS treated_delta,
-           (CAST(s_c_post AS DOUBLE) / n_c_post
-            - CAST(s_c_pre AS DOUBLE) / n_c_pre) / 100.0 AS control_delta,
-           ((CAST(s_t_post AS DOUBLE) / n_t_post
-             - CAST(s_t_pre AS DOUBLE) / n_t_pre)
-            - (CAST(s_c_post AS DOUBLE) / n_c_post
-               - CAST(s_c_pre AS DOUBLE) / n_c_pre)) / 100.0 AS did_estimate
+           (CAST(s_t_post AS DOUBLE) / NULLIF(CAST(n_t_post AS DOUBLE), 0.0)
+            - CAST(s_t_pre AS DOUBLE) / NULLIF(CAST(n_t_pre AS DOUBLE), 0.0))
+             / 100.0 AS treated_delta,
+           (CAST(s_c_post AS DOUBLE) / NULLIF(CAST(n_c_post AS DOUBLE), 0.0)
+            - CAST(s_c_pre AS DOUBLE) / NULLIF(CAST(n_c_pre AS DOUBLE), 0.0))
+             / 100.0 AS control_delta,
+           ((CAST(s_t_post AS DOUBLE) / NULLIF(CAST(n_t_post AS DOUBLE), 0.0)
+             - CAST(s_t_pre AS DOUBLE) / NULLIF(CAST(n_t_pre AS DOUBLE), 0.0))
+            - (CAST(s_c_post AS DOUBLE) / NULLIF(CAST(n_c_post AS DOUBLE), 0.0)
+               - CAST(s_c_pre AS DOUBLE)
+                 / NULLIF(CAST(n_c_pre AS DOUBLE), 0.0))) / 100.0
+             AS did_estimate
     FROM m
     """,
     tags=("events", "experimentation", "statistics", "did"),
@@ -2985,13 +3006,18 @@ def events_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         *cell(trt & pre, "n_t_pre", "s_t_pre"),
         *cell(trt & post, "n_t_post", "s_t_post"),
     )
+    # NULLIF each cell count: empty cells must read as NULL means on
+    # both engines, not DIVIDE_BY_ZERO under ANSI (round-10 parity).
+    def _nz(c: str):
+        return F.nullif(F.col(c).cast("double"), F.lit(0.0))
+
     t_delta = (
-        F.col("s_t_post").cast("double") / F.col("n_t_post")
-        - F.col("s_t_pre").cast("double") / F.col("n_t_pre")
+        F.col("s_t_post").cast("double") / _nz("n_t_post")
+        - F.col("s_t_pre").cast("double") / _nz("n_t_pre")
     )
     c_delta = (
-        F.col("s_c_post").cast("double") / F.col("n_c_post")
-        - F.col("s_c_pre").cast("double") / F.col("n_c_pre")
+        F.col("s_c_post").cast("double") / _nz("n_c_post")
+        - F.col("s_c_pre").cast("double") / _nz("n_c_pre")
     )
     return m.select(
         "n_c_pre",

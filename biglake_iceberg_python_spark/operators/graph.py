@@ -643,8 +643,11 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
             row = deg.agg(
                 F.count(F.lit(1)).alias("nv"), F.sum("d").alias("ne")
             ).collect()[0]
-            nv, ne0 = int(row["nv"]), int(row["ne"])
-            k = ne0 // nv + 1
+            # Empty graph: no nodes → k is undefined (NULL), matching the
+            # oracle's 0 // 0 = NULL; the NULL-k peel filter keeps every
+            # round's survivor set empty (round-10 empty-table parity).
+            nv = int(row["nv"])
+            k = int(row["ne"]) // nv + 1 if nv else None
             use_bcast = nv <= _node_broadcast_limit(spark)
         surv = (
             deg.filter(F.col("d") >= k).select("src").localCheckpoint(eager=False)

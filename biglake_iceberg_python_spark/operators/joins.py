@@ -273,9 +273,11 @@ def join_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFram
     with tempfile.TemporaryDirectory(prefix="dpp_") as root:
         path = os.path.join(root, "orders_by_prio")
         o.write.partitionBy("o_orderpriority").parquet(path)
-        fact = spark.read.parquet(path)
+        # Schema pinned from the written frame — file inference fails on
+        # a 0-row write (round-10 empty-table parity axis).
+        fact = spark.read.schema(o.schema).parquet(path)
         dim = (
-            spark.read.parquet(path)
+            spark.read.schema(o.schema).parquet(path)
             .select(F.col("o_orderpriority").alias("prio"))
             .distinct()
             .filter(

@@ -777,6 +777,10 @@ def _nb_oracle(sf_dir: str) -> str:
         | {n_train}
         | {r[2] + r[3] for r in stats if r[2] is not None}
     )
+    # Empty corpus: n_train is 0, which is not a valid ln argument and is
+    # never joined (classtab is empty when classes is) — drop non-positive
+    # args instead of crashing the builder (round-10 empty-table parity).
+    args = {a for a in args if a >= 1}
     body = _NB_WC_SQL.format(documents="documents")
     return f"""
     {body},

@@ -193,6 +193,7 @@ def multimodal_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(MAX(height) AS INTEGER) AS max_height,
            CAST(SUM(c) AS BIGINT) AS checksum_sum
     FROM feat
+    HAVING COUNT(*) > 0
     """,
     tags=("llm", "multimodal", "mapInPandas"),
 )
@@ -203,17 +204,25 @@ def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     The Arrow batch path is the pattern for real decoders (resize, frame
     sample, spectrogram): payload partitions stream through Python workers
     batch-wise; downstream aggregation stays JVM-side.
+
+    Empty-corpus policy: no media strata (the oracle's global agg keeps
+    its COUNT=0 row where Spark's groupBy emits none — both sides filter
+    it, a no-op on any non-empty corpus).
     """
     mm = _with_binary_payload(spark, sf_dir)
     decoded = mm.select("doc_id", "media_type", "payload").mapInPandas(
         _decode_batches, schema=_DECODED_SCHEMA
     )
-    return decoded.groupBy("media_type").agg(
-        F.count(F.lit(1)).alias("n_decoded"),
-        F.sum("payload_bytes").cast("long").alias("total_bytes"),
-        F.min("width").alias("min_width"),
-        F.max("height").alias("max_height"),
-        F.sum("checksum").cast("long").alias("checksum_sum"),
+    return (
+        decoded.groupBy("media_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_decoded"),
+            F.sum("payload_bytes").cast("long").alias("total_bytes"),
+            F.min("width").alias("min_width"),
+            F.max("height").alias("max_height"),
+            F.sum("checksum").cast("long").alias("checksum_sum"),
+        )
+        .where(F.col("n_decoded") > 0)
     )
 
 

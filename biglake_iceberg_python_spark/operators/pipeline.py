@@ -909,8 +909,11 @@ def pack_length_pair_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     bins = pair_bins.unionAll(mid_bins)
+    # Empty corpus: bins is empty so MAX(n) is NULL, but the oracle's
+    # scalar-subquery n_docs is the COUNT, 0 — coalesce (exact: bins is
+    # empty iff documents is, since any doc yields a pair or mid bin).
     return bins.crossJoin(F.broadcast(n)).agg(
-        F.max("n").cast("long").alias("n_docs"),
+        F.coalesce(F.max("n"), F.lit(0)).cast("long").alias("n_docs"),
         F.sum("nb").cast("long").alias("n_bins"),
         F.sum("np").cast("long").alias("n_paired_bins"),
         (F.sum("nb") - F.sum("np")).cast("long").alias("n_singletons"),

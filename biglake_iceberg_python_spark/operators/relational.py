@@ -378,9 +378,14 @@ def util_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         .collect()[0]["n_kept"]
     )
     m = obs.get
+    # Empty scan: the observed SUM is None (NULL), matching the oracle's
+    # SUM over zero rows (round-10 empty-table parity axis).
+    qty = m["qty_dec"]
     return spark.range(1).select(
         F.lit(m["n_scanned"]).cast("long").alias("n_scanned"),
-        F.lit(float(m["qty_dec"])).cast("double").alias("total_qty"),
+        F.lit(None if qty is None else float(qty)).cast("double").alias(
+            "total_qty"
+        ),
         F.lit(m["null_ship_dates"]).cast("long").alias("null_ship_dates"),
         F.lit(n_kept).cast("long").alias("n_kept"),
     )

@@ -398,8 +398,10 @@ def udf_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     partials = o.mapInArrow(
         batch_stats, "n bigint, s bigint, prios array<string>"
     )
+    # coalesce: zero Arrow batches (empty table) must still report
+    # n_rows = 0, the oracle's COUNT(*) (round-10 empty-table parity).
     return partials.agg(
-        F.sum("n").cast("long").alias("n_rows"),
+        F.coalesce(F.sum("n"), F.lit(0)).cast("long").alias("n_rows"),
         F.sum("s").cast("long").alias("sum_key"),
         F.size(F.array_distinct(F.flatten(F.collect_list("prios"))))
         .cast("long")

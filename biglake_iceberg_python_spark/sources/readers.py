@@ -109,7 +109,11 @@ def source_partitioned_write_prune(spark: SparkSession, sf_dir: str) -> DataFram
     o = load_table(spark, sf_dir, "orders")
     out = os.path.join(tempfile.mkdtemp(prefix="src_part_"), "orders_part")
     o.write.partitionBy("o_orderpriority").parquet(out)
-    back = spark.read.parquet(out).filter(F.col("o_orderpriority") == "1-URGENT")
+    # Schema pinned from the written frame — file inference fails on a
+    # 0-row write (round-10 empty-table parity axis).
+    back = spark.read.schema(o.schema).parquet(out).filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
     return back.agg(
         F.count(F.lit(1)).alias("n_urgent"),
         F.count_distinct("o_custkey").alias("n_custs"),
@@ -363,7 +367,9 @@ def source_text_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT
       CAST(COUNT(*) AS BIGINT) AS n_rows,
-      CAST(SUM(corrupt) AS BIGINT) AS n_corrupt,
+      -- COUNT, not SUM: a corrupt-row COUNT over zero rows is 0 on both
+      -- engines where SUM would be NULL (round-10 empty-table parity).
+      CAST(COUNT(CASE WHEN corrupt = 1 THEN 1 END) AS BIGINT) AS n_corrupt,
       CAST(SUM(CASE WHEN corrupt = 0 THEN o_orderkey ELSE NULL END) AS BIGINT)
         AS clean_key_sum,
       CAST(SUM(CASE WHEN corrupt = 0

@@ -163,7 +163,13 @@ def stage_event_chunks(
     if flush_sentinel:
         import pyarrow.compute as pc
 
-        max_us = pc.max(t.column("ts")).cast(pa.int64()).as_py()
+        # Empty stage (0-row events table, or every row dead-lettered):
+        # pc.max is NULL — anchor the sentinel at epoch 0 so the stream
+        # still gets its one watermark-advancing row and terminates with
+        # an empty result, matching the oracle's empty scan. (Round-10
+        # empty-table parity axis: 11 streaming queries crashed here on
+        # None + int.)
+        max_us = pc.max(t.column("ts")).cast(pa.int64()).as_py() or 0
         sentinel_ts = pa.scalar(
             max_us + _SENTINEL_HORIZON_S * 1_000_000, pa.timestamp("us", tz="UTC")
         )

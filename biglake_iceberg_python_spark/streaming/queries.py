@@ -499,9 +499,14 @@ def stream_late_data_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
     LAST_STREAMING_QUERIES["stream_late_data_drop"] = run_stream_to_memory(
         agg, name, "append", ckpt
     )
+    # coalesce: zero surviving windows (empty stage) must report 0
+    # surviving events, the oracle's COUNT(*) (round-10 empty-table
+    # parity axis).
     return spark.table(name).agg(
         F.count(F.lit(1)).alias("n_windows"),
-        F.sum("n_events").cast("long").alias("n_surviving_events"),
+        F.coalesce(F.sum("n_events"), F.lit(0))
+        .cast("long")
+        .alias("n_surviving_events"),
     )
 
 

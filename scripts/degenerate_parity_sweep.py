@@ -136,7 +136,28 @@ def craft_events(d: str) -> None:
     pq.write_table(pa.table(cols), f"{d}/events.parquet")
 
 
+def craft_empty(d: str) -> None:
+    """ALL tables 0-row (schema preserved) — the limit shape of an empty
+    partition / a zero-new-files incremental ingest, which a 100 TB
+    pipeline hits constantly. Hazards this axis targets: driver-side
+    ``collect()[0]`` seeds, literal-map oracle builders derived from an
+    empty corpus (``map()`` with no entries / ``IN ()``), and
+    empty-input aggregate semantics. Policy: empty input → empty (or
+    zero-count) output on BOTH engines, never a raise — the NB
+    empty-train discipline applied engine-wide."""
+    import pyarrow.parquet as pq
+
+    os.makedirs(d)
+    for t in TABLES:
+        pq.write_table(
+            pq.read_table(f"{SF_BASE}/{t}.parquet").slice(0, 0),
+            f"{d}/{t}.parquet",
+        )
+
+
 def reads_table(name, spec, table: str) -> bool:
+    if table == "empty":  # all tables empty — every query is in scope
+        return True
     import inspect
 
     src = inspect.getsource(spec.fn)
@@ -176,6 +197,7 @@ def main() -> int:
         ("documents", craft_documents),
         ("embeddings", craft_embeddings),
         ("events", craft_events),
+        ("empty", craft_empty),
     ]:
         if which not in ("all", table):
             continue

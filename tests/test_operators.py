@@ -2005,6 +2005,61 @@ def test_degenerate_parity_round10_regressions(spark, sf_dir, tmp_path):
         assert result["ok"], (q, {k: v for k, v in result.items() if k != "ok"})
 
 
+def test_empty_table_parity_regressions(spark, sf_dir, tmp_path):
+    """Pin the batch queries the round-10 EMPTY-TABLE parity axis found
+    diverging or crashing when every input table has 0 rows — the limit
+    shape of an empty partition / a zero-new-files incremental ingest,
+    which a 100 TB pipeline hits constantly. Full Spark-vs-DuckDB
+    compare; the all-334-query empty sweep lives in
+    scripts/degenerate_parity_sweep.py --table empty (streaming
+    once-reds — the shared stage_event_chunks None+int guard — are
+    covered there; full replays are too slow for CI). Hazard classes
+    closed: Spark ROLLUP/CUBE emits 0 rows on empty input where DuckDB
+    keeps the SQL-standard grand-total row (both engines now HAVING
+    COUNT(*) > 0); parquet read-back schema inference fails with no data
+    files (readers now plan from the written/metadata schema, as Iceberg
+    does); driver-side seeds int()/float()-ing a NULL aggregate; SUM-of-
+    partial-counts returning NULL where the oracle's COUNT is 0; and a
+    literal-map oracle builder ln()-ing n_train = 0."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from biglake_iceberg_python_spark.plans.check import compare, duckdb_connect
+    from biglake_iceberg_python_spark.plans.registry import resolve_oracle
+
+    d = str(tmp_path / "sf_empty_tables")
+    os.makedirs(d)
+    for t in [
+        "region", "nation", "customer", "supplier", "part", "orders",
+        "lineitem", "events", "documents", "embeddings",
+    ]:
+        pq.write_table(
+            pq.read_table(f"{sf_dir}/{t}.parquet").slice(0, 0),
+            f"{d}/{t}.parquet",
+        )
+    con = duckdb_connect(d)
+    names = [
+        "agg_rollup", "agg_cube", "agg_grouping_sets",
+        "agg_rollup_count_distinct", "agg_time_rollup_hypertable",
+        "multimodal_decode_features", "pack_length_pair_binning",
+        "source_csv_malformed_permissive", "udf_map_in_arrow",
+        "graph_kcore", "util_observe_metrics", "lakehouse_analyze_stats",
+        "ml_naive_bayes_langid", "join_dynamic_partition_pruning",
+        "lakehouse_hidden_partitioning", "lakehouse_partition_evolution",
+        "lakehouse_write_distribution_smallfiles", "lakehouse_zorder_layout",
+        "source_partitioned_write_prune",
+        # ANSI-axis once-reds: empty experiment cells divide by zero
+        # (NULLIF-guarded on both engines; the sweep's ANSI variant
+        # exercises the raise itself).
+        "events_cuped_adjusted_delta", "events_diff_in_diff",
+    ]
+    for q in names:
+        spec = REGISTRY[q]
+        result = compare(spec.fn(spark, d), con, resolve_oracle(spec, d))
+        assert result["ok"], (q, {k: v for k, v in result.items() if k != "ok"})
+
+
 def test_ml_family_tolerates_all_degenerate_embeddings(spark, sf_dir, tmp_path):
     """When EVERY embedding row is NULL/wrong-dim/empty, the validity
     filter empties the table: the seed/init collects come back empty and
