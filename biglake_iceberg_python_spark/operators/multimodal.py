@@ -70,8 +70,12 @@ def decode_image_stub(payload: bytes) -> tuple[int, int, int]:
     if payload[:4] in (b"\x89PNG", b"RIFF", b"\xff\xd8\xff\xe0"):
         raise NotImplementedError("real image codecs not available in this build")
     checksum = 0
-    for b in payload[:64]:
-        checksum = (checksum * 31 + b) % (1 << 31)
+    # Code-point walk, not byte walk: the SQL twin replays the hash with
+    # ord(substr(text, i, 1)) — code points — and on multibyte text a
+    # byte walk diverges (round-10 unicode parity axis). Identical on
+    # ASCII, where byte == code point.
+    for ch in payload.decode("utf-8")[:64]:
+        checksum = (checksum * 31 + ord(ch)) % (1 << 31)
     width = 16 + checksum % 1024
     height = 16 + (checksum // 1024) % 1024
     return width, height, checksum
@@ -129,8 +133,10 @@ def _with_binary_payload(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT
       source,
       CAST(COUNT(*) AS BIGINT) AS n_payloads,
-      CAST(SUM(length(text)) AS BIGINT) AS total_payload_bytes,
-      CAST(MAX(length(text)) AS BIGINT) AS max_payload_bytes,
+      -- strlen, not length: the payload is the UTF-8 ENCODING of text,
+      -- so its size is bytes, not code points (round-10 unicode axis).
+      CAST(SUM(strlen(text)) AS BIGINT) AS total_payload_bytes,
+      CAST(MAX(strlen(text)) AS BIGINT) AS max_payload_bytes,
       min(md5(text)) AS min_payload_md5
     FROM documents
     GROUP BY source
@@ -158,9 +164,10 @@ def multimodal_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "multimodal_decode_features",
     # The decode stub's (width, height, checksum) derivation is a
-    # 31-polynomial rolling hash mod 2^31 over the first 64 payload bytes —
-    # SQL-expressible because the synthetic payloads are ASCII text (byte i
-    # == ord(char i); multimodal_binary_meta's md5 parity pins that), so a
+    # 31-polynomial rolling hash mod 2^31 over the first 64 CODE POINTS of
+    # the decoded payload — SQL-expressible because ord(substr(text, i, 1))
+    # is exactly the stub's ord(ch) on every engine (byte == code point on
+    # ASCII; round-10 unicode axis pinned the multibyte case), so a
     # recursive CTE replays the exact per-doc checksum and the aggregate is
     # hash-checked rather than rows-only.
     oracle="""
@@ -181,7 +188,7 @@ def multimodal_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
       UNION ALL
       SELECT doc_id, CAST(0 AS BIGINT) AS c FROM pref WHERE len = 0
     ), feat AS (
-      SELECT d.doc_id, length(d.text) AS nbytes, k.c,
+      SELECT d.doc_id, strlen(d.text) AS nbytes, k.c,
              16 + k.c % 1024 AS width,
              16 + (k.c // 1024) % 1024 AS height
       FROM documents d JOIN cks k USING (doc_id)
@@ -253,7 +260,15 @@ def _frame_sample_batches(
         for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
             # NULL payload → zero frames, like the oracle's NULL-length
             # join predicate (round-10 degenerate sweep).
-            data = bytes(payload) if payload is not None else b""
+            # Code-point windows, not byte windows: a byte window can
+            # split a multibyte character mid-sequence, which the SQL
+            # twin's substr cannot express (round-10 unicode parity
+            # axis); each frame is md5'd over its UTF-8 re-encoding, the
+            # same bytes DuckDB's md5(substr(..)) hashes. Identical on
+            # ASCII payloads.
+            data = (
+                bytes(payload).decode("utf-8") if payload is not None else ""
+            )
             for i in range(_MAX_FRAMES):
                 start = i * _FRAME_STRIDE
                 if start + _FRAME_LEN > len(data):
@@ -261,7 +276,9 @@ def _frame_sample_batches(
                 frame = data[start : start + _FRAME_LEN]
                 out["doc_id"].append(doc_id)
                 out["frame_idx"].append(i)
-                out["frame_md5"].append(hashlib.md5(frame).hexdigest())
+                out["frame_md5"].append(
+                    hashlib.md5(frame.encode("utf-8")).hexdigest()
+                )
         yield pd.DataFrame(out)
 
 
@@ -287,7 +304,8 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     frame extraction (1 row in → N rows out inside an Arrow batch).
 
     Unlike the decode stub, this operator is fully oracle-checked: the
-    frame windows are byte slices of ASCII text, so DuckDB reproduces them
+    frame windows are code-point slices of the decoded payload, so DuckDB
+    reproduces them
     with substr+md5 — proving the Python-worker path (Arrow transfer, batch
     explode, schema) returns exactly what the declarative twin computes.
     At 100 TB the same pipeline carries real frame tensors; digests/
@@ -303,7 +321,7 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     "multimodal_dedup_payload",
     oracle="""
     WITH h AS (
-      SELECT md5(text) AS ph, COUNT(*) AS cnt, MAX(length(text)) AS nbytes
+      SELECT md5(text) AS ph, COUNT(*) AS cnt, MAX(strlen(text)) AS nbytes
       FROM documents GROUP BY md5(text)
     )
     SELECT
@@ -350,7 +368,7 @@ def multimodal_dedup_payload(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.source,
         len(list_filter(string_split(COALESCE(d.text, ''), ' '), x -> x <> ''))
           AS n_tokens,
-        length(d.text) AS payload_bytes,
+        strlen(d.text) AS payload_bytes,
         CAST(FLOOR(1e6 * sqrt(list_dot_product(e.embedding::DOUBLE[],
                                                e.embedding::DOUBLE[])))
              AS BIGINT) AS norm_micro

@@ -292,7 +292,9 @@ def scalar_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
       CAST(list_contains(words, 'spark') AS INTEGER) AS has_spark,
       COALESCE(array_to_string(list_sort(list_distinct(words)), ','), '')
         AS vocab,
-      COALESCE(array_to_string(list_transform(words, x -> upper(x)), ','), '')
+      COALESCE(array_to_string(list_transform(words,
+        x -> translate(x, 'abcdefghijklmnopqrstuvwxyz',
+                          'ABCDEFGHIJKLMNOPQRSTUVWXYZ')), ','), '')
         AS words_upper,
       CAST(len(list_filter(words, x -> length(x) > 4)) AS INTEGER) AS n_long_words
     FROM toks
@@ -320,9 +322,23 @@ def scalar_array(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(words).alias("n_words"),
         F.array_contains(words, "spark").cast("int").alias("has_spark"),
         F.array_join(F.array_sort(F.array_distinct(words)), ",").alias("vocab"),
-        F.array_join(F.transform(words, lambda x: F.upper(x)), ",").alias(
-            "words_upper"
-        ),
+        # ASCII translate, not upper(): Unicode casing is an ENGINE
+        # convention, not a standard — Spark full-folds upper('ß')='SS',
+        # upper('ﬁ')='FI' where DuckDB maps simply to 'ẞ' / 'ﬁ'
+        # (round-10 unicode parity axis). The a-z translate is the
+        # deterministic cross-engine contract; identical to upper() on
+        # ASCII words.
+        F.array_join(
+            F.transform(
+                words,
+                lambda x: F.translate(
+                    x,
+                    "abcdefghijklmnopqrstuvwxyz",
+                    "ABCDEFGHIJKLMNOPQRSTUVWXYZ",
+                ),
+            ),
+            ",",
+        ).alias("words_upper"),
         F.size(F.filter(words, lambda x: F.length(x) > 4)).alias("n_long_words"),
     )
 
@@ -586,12 +602,16 @@ def scalar_collation(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT
       doc_id,
-      base64(encode(substr(text, 1, 24))) AS b64_prefix,
+      CASE WHEN strlen(substr(text, 1, 24)) <= 57
+           THEN base64(encode(substr(text, 1, 24))) END AS b64_prefix,
       hex(encode(substr(text, 1, 12))) AS hex_prefix,
-      CASE WHEN decode(from_base64(base64(encode(substr(text, 1, 57)))))
+      CASE WHEN strlen(substr(text, 1, 57)) > 57 THEN NULL
+           WHEN decode(from_base64(base64(encode(substr(text, 1, 57)))))
                 = substr(text, 1, 57)
            THEN 1 ELSE 0 END AS roundtrip_ok,
-      CAST(length(base64(encode(substr(text, 1, 57)))) AS BIGINT) AS b64_len
+      CASE WHEN strlen(substr(text, 1, 57)) <= 57
+           THEN CAST(length(base64(encode(substr(text, 1, 57)))) AS BIGINT)
+      END AS b64_len
     FROM documents
     WHERE doc_id < 100
     """,
@@ -605,25 +625,35 @@ def scalar_binary_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
     Both engines produce RFC-4648 base64 with '=' padding and UPPERCASE
     hex, so the encoded strings themselves hash-match (not just their
     lengths); the round-trip flag pins decode(unbase64(base64(x))) = x
-    byte-exactly. Inputs stay ≤57 bytes — Spark's base64 inserts MIME
+    byte-exactly. Inputs stay ≤57 BYTES — Spark's base64 inserts MIME
     line breaks past 76 output chars where DuckDB never does (the one
-    cross-engine divergence in this battery, pinned here by staying under
-    it and documented instead of papered over). Pure codegen string ops.
+    cross-engine divergence in this battery, documented instead of
+    papered over). A char-sliced prefix of multibyte text can exceed the
+    byte cap (round-10 unicode parity axis), so both engines NULL the
+    base64 columns for any slice whose UTF-8 encoding is > 57 bytes — a
+    no-op on ASCII, where 57 chars ARE 57 bytes. Pure codegen string ops.
     """
     d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    enc24 = F.encode(F.substring("text", 1, 24), "UTF-8")
     enc57 = F.encode(F.substring("text", 1, 57), "UTF-8")
+    in_cap = F.length(enc57) <= 57  # length of BINARY = bytes
     return d.select(
         "doc_id",
-        F.base64(F.encode(F.substring("text", 1, 24), "UTF-8")).alias("b64_prefix"),
+        F.when(F.length(enc24) <= 57, F.base64(enc24)).alias("b64_prefix"),
         F.hex(F.encode(F.substring("text", 1, 12), "UTF-8")).alias("hex_prefix"),
         F.when(
-            F.decode(F.unbase64(F.base64(enc57)), "UTF-8")
-            == F.substring("text", 1, 57),
+            in_cap
+            & (
+                F.decode(F.unbase64(F.base64(enc57)), "UTF-8")
+                == F.substring("text", 1, 57)
+            ),
             1,
         )
-        .otherwise(0)
+        .otherwise(F.when(in_cap, 0))
         .alias("roundtrip_ok"),
-        F.length(F.base64(enc57)).cast("long").alias("b64_len"),
+        F.when(in_cap, F.length(F.base64(enc57)).cast("long")).alias(
+            "b64_len"
+        ),
     )
 
 

@@ -201,7 +201,9 @@ def source_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     "source_binaryfile_digest",
     oracle="""
     SELECT doc_id,
-           CAST(octet_length(CAST(text AS BLOB)) AS INTEGER) AS n_bytes,
+           -- strlen = UTF-8 byte count; CAST(text AS BLOB) raises on any
+           -- non-ASCII character (round-10 unicode parity axis).
+           CAST(strlen(text) AS INTEGER) AS n_bytes,
            md5(text) AS digest
     FROM documents
     WHERE doc_id < 20 AND text IS NOT NULL AND text <> ''

@@ -136,6 +136,77 @@ def craft_events(d: str) -> None:
     pq.write_table(pa.table(cols), f"{d}/events.parquet")
 
 
+# Round-10 sixth axis: multibyte/Unicode text — the shapes every real
+# crawl contains and ASCII test data never exercises. Hazard surface:
+# length() semantics (code points vs bytes), Java-vs-RE2 regex classes,
+# locale case mapping (İ, ß, ligatures), combining-form (NFC/NFD)
+# equality, surrogate pairs in substr/BPE character walks.
+_UNICODE_TEXTS = [
+    "héllo wörld café naïve résumé",              # Latin-1 diacritics (NFC)
+    "héllo wörld café naïve",  # same letters, NFD
+    "日本語のテキストです 机器学习 모델 학습",       # CJK + Hangul
+    "مرحبا بالعالم هذا نص عربي للاختبار",          # RTL Arabic
+    "emoji 😀😃 test 👩‍👩‍👧‍👦 zwj family 🇺🇳 flag",  # emoji, ZWJ, regional pair
+    "𝔘𝔫𝔦𝔠𝔬𝔡𝔢 𝕞𝕒𝕥𝕙 𝒷𝑜𝓁𝒹 letters",                # non-BMP (surrogate pairs)
+    "MIXED Case ÄÖÜ ß İstanbul ﬁnal ligature",    # case-mapping hazards
+    "tab\tand nbsp and thin spaces",    # exotic whitespace
+]
+
+
+def craft_unicode(d: str) -> None:
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(d)
+    for t in TABLES:
+        if t != "documents":
+            os.symlink(f"{SF_BASE}/{t}.parquet", f"{d}/{t}.parquet")
+    base = pq.read_table(f"{SF_BASE}/documents.parquet")
+    cols = {n: base[n] for n in base.column_names}
+    texts = cols["text"].to_pylist()
+    for i in range(len(texts)):
+        if i % 3 == 0:
+            texts[i] = _UNICODE_TEXTS[i % len(_UNICODE_TEXTS)]
+    cols["text"] = pa.array(texts, type=pa.string())
+    pq.write_table(pa.table(cols), f"{d}/documents.parquet")
+
+
+def craft_ties(d: str) -> None:
+    """Order-key ties: duplicate event timestamps ACROSS different rows
+    (same ts, different user/type/value) and duplicate document texts
+    under different doc_ids — every window/rank tie-break and every
+    per-group head/lag must be pinned by a unique second key on BOTH
+    engines or the value hashes diverge nondeterministically."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(d)
+    for t in TABLES:
+        if t not in ("events", "documents"):
+            os.symlink(f"{SF_BASE}/{t}.parquet", f"{d}/{t}.parquet")
+    etbl = pq.read_table(f"{SF_BASE}/events.parquet")
+    ecols = {n: etbl[n] for n in etbl.column_names}
+    ts = ecols["ts"].to_pylist()
+    # Collapse each run of 5 timestamps onto its first value: ~80% of
+    # rows tie on ts with at least 4 others while keeping unique
+    # event_ids and mixed users/types/values inside every tie group.
+    for i in range(len(ts)):
+        ts[i] = ts[5 * (i // 5)]
+    ecols["ts"] = pa.array(ts, type=etbl.schema.field("ts").type)
+    pq.write_table(pa.table(ecols), f"{d}/events.parquet")
+    dtbl = pq.read_table(f"{SF_BASE}/documents.parquet")
+    dcols = {n: dtbl[n] for n in dtbl.column_names}
+    texts = dcols["text"].to_pylist()
+    n_chars = dcols["n_chars"].to_pylist()
+    for i in range(len(texts)):
+        src = 7 * (i // 7)
+        texts[i] = texts[src]
+        n_chars[i] = n_chars[src]
+    dcols["text"] = pa.array(texts, type=pa.string())
+    dcols["n_chars"] = pa.array(n_chars, type=dtbl.schema.field("n_chars").type)
+    pq.write_table(pa.table(dcols), f"{d}/documents.parquet")
+
+
 def craft_empty(d: str) -> None:
     """ALL tables 0-row (schema preserved) — the limit shape of an empty
     partition / a zero-new-files incremental ingest, which a 100 TB
@@ -158,6 +229,12 @@ def craft_empty(d: str) -> None:
 def reads_table(name, spec, table: str) -> bool:
     if table == "empty":  # all tables empty — every query is in scope
         return True
+    if table == "unicode":
+        return reads_table(name, spec, "documents")
+    if table == "ties":
+        return reads_table(name, spec, "events") or reads_table(
+            name, spec, "documents"
+        )
     import inspect
 
     src = inspect.getsource(spec.fn)
@@ -198,6 +275,8 @@ def main() -> int:
         ("embeddings", craft_embeddings),
         ("events", craft_events),
         ("empty", craft_empty),
+        ("unicode", craft_unicode),
+        ("ties", craft_ties),
     ]:
         if which not in ("all", table):
             continue

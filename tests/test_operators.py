@@ -2060,6 +2060,61 @@ def test_empty_table_parity_regressions(spark, sf_dir, tmp_path):
         assert result["ok"], (q, {k: v for k, v in result.items() if k != "ok"})
 
 
+def test_unicode_text_parity_regressions(spark, sf_dir, tmp_path):
+    """Pin the 8 queries the round-10 UNICODE parity axis found diverging
+    on multibyte text (diacritics, NFC/NFD, CJK, emoji+ZWJ, RTL,
+    surrogate pairs, case-mapping hazards) — shapes every real crawl
+    contains and ASCII test data never exercises. Full Spark-vs-DuckDB
+    compare; the all-reader sweep is scripts/degenerate_parity_sweep.py
+    --table unicode. Hazard classes closed: byte-length vs code-point
+    length where the payload is the UTF-8 ENCODING of text (DuckDB
+    strlen, not length); byte-vs-code-point walks in the decode stub and
+    frame sampler; Spark's full Unicode case folding (upper('ß')='SS')
+    vs DuckDB's simple mapping ('ẞ') — replaced with the deterministic
+    ASCII translate contract; Spark's MIME line breaks past 76 base64
+    chars — byte-capped with NULL gates on both engines; and a
+    STRING->BLOB oracle cast that raises on any non-ASCII byte."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from biglake_iceberg_python_spark.plans.check import compare, duckdb_connect
+    from biglake_iceberg_python_spark.plans.registry import resolve_oracle
+
+    import sys
+
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, os.path.join(repo_root, "scripts"))
+    from degenerate_parity_sweep import _UNICODE_TEXTS
+
+    d = str(tmp_path / "sf_unicode")
+    os.makedirs(d)
+    for t in [
+        "region", "nation", "customer", "supplier", "part", "orders",
+        "lineitem", "events", "embeddings",
+    ]:
+        os.symlink(f"{sf_dir}/{t}.parquet", f"{d}/{t}.parquet")
+    base = pq.read_table(f"{sf_dir}/documents.parquet")
+    cols = {n: base[n] for n in base.column_names}
+    texts = cols["text"].to_pylist()
+    for i in range(len(texts)):
+        if i % 3 == 0:
+            texts[i] = _UNICODE_TEXTS[i % len(_UNICODE_TEXTS)]
+    cols["text"] = pa.array(texts, type=pa.string())
+    pq.write_table(pa.table(cols), f"{d}/documents.parquet")
+    con = duckdb_connect(d)
+    for q in [
+        "multimodal_binary_meta", "multimodal_decode_features",
+        "multimodal_dedup_payload", "multimodal_frame_sample",
+        "multimodal_training_record", "scalar_array",
+        "scalar_binary_encoding", "source_binaryfile_digest",
+    ]:
+        spec = REGISTRY[q]
+        result = compare(spec.fn(spark, d), con, resolve_oracle(spec, d))
+        assert result["ok"], (q, {k: v for k, v in result.items() if k != "ok"})
+
+
 def test_ml_family_tolerates_all_degenerate_embeddings(spark, sf_dir, tmp_path):
     """When EVERY embedding row is NULL/wrong-dim/empty, the validity
     filter empties the table: the seed/init collects come back empty and
