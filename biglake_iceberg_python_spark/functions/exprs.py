@@ -68,6 +68,27 @@ def ts_s(col: str | Column, alias: str | None = None) -> Column:
 ORACLE_TS_S = "strftime({}, '%Y-%m-%d %H:%M:%S')"
 
 
+def words(col: str | Column = "text") -> Column:
+    """THE whitespace tokenizer — the single source of truth every
+    text-reading operator and module-level ``_words`` alias delegates to
+    (round-10 review finding: the same expression was inlined verbatim at
+    ~20 sites, so the next tokenizer-semantics fix would have to land in
+    all of them or the engines drift — the exact hazard class the
+    degenerate sweeps close).
+
+    COALESCE first (round-10 degenerate parity sweep): a NULL-text doc
+    must tokenize to an EMPTY list on both engines. Unguarded, Spark's
+    ``size(split(NULL))`` is session-dependent (-1 with ANSI off, NULL
+    with ANSI on) while DuckDB's ``len(NULL)`` is NULL — token totals
+    silently diverged on any corpus with NULL documents. The oracle twin
+    is ``string_split(COALESCE(text, ''), ' ')`` with the empty-string
+    filter."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.filter(
+        F.split(F.coalesce(c, F.lit("")), " "), lambda x: x != ""
+    )
+
+
 def adjacent_pairs(ws: Column, combine) -> Column:
     """Adjacent word pairs (bigram instances) via ``zip_with`` over two
     shifted slices — ``combine(a, b)`` builds each pair element.

@@ -40,7 +40,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from biglake_iceberg_python_spark.functions.exprs import adjacent_pairs
+from biglake_iceberg_python_spark.functions.exprs import words, adjacent_pairs
 from biglake_iceberg_python_spark.functions.twophase import two_phase_rank
 from biglake_iceberg_python_spark.operators.dedup import _shingles, _words
 from biglake_iceberg_python_spark.operators.pipeline import (
@@ -680,10 +680,7 @@ def curate_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     the round-10 NULL-corpus parity test, which compares engines rather
     than only checking Spark doesn't crash.
     """
-    fp_words = F.filter(
-        F.split(F.coalesce(F.col("text"), F.lit("")), " "),
-        lambda x: x != "",
-    )
+    fp_words = words("text")
     d = load_table(spark, sf_dir, "documents").select(
         "doc_id",
         "source",
@@ -789,10 +786,7 @@ def curate_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").filter(
         F.col("source").isNotNull() & F.col("lang").isNotNull()
     )
-    ws = F.filter(
-        F.split(F.coalesce(F.col("text"), F.lit("")), " "),
-        lambda x: x != "",
-    )
+    ws = words("text")
     t = d.select(
         "doc_id",
         "source",
@@ -1666,10 +1660,7 @@ def curate_incremental_ingest_bloom(spark: SparkSession, sf_dir: str) -> DataFra
     maybe_dup became NULL (excluded from the NOT-filter), so n_fast_path
     diverged on any corpus with NULL documents.
     """
-    fp_words = F.filter(
-        F.split(F.coalesce(F.col("text"), F.lit("")), " "),
-        lambda x: x != "",
-    )
+    fp_words = words("text")
     d = load_table(spark, sf_dir, "documents").select(
         "doc_id",
         "source",
@@ -1842,12 +1833,8 @@ def _vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     subplan of curate_negative_sampling, split out so the plan test can
     pin its TakeOrderedAndProject shape directly."""
     docs = load_table(spark, sf_dir, "documents")
-    words = docs.select(
-        F.explode(
-            F.filter(F.split(F.coalesce(F.col("text"), F.lit("")), " "), lambda x: x != "")
-        ).alias("word")
-    )
-    counts = words.groupBy("word").agg(F.count(F.lit(1)).alias("c"))
+    exploded = docs.select(F.explode(words("text")).alias("word"))
+    counts = exploded.groupBy("word").agg(F.count(F.lit(1)).alias("c"))
     return counts.orderBy(F.col("c").desc(), "word").limit(500)
 
 
@@ -2066,7 +2053,7 @@ def curate_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     from biglake_iceberg_python_spark.functions.exactlog import micro_nat
 
     d = load_table(spark, sf_dir, "documents")
-    ws = F.filter(F.split(F.coalesce(F.col("text"), F.lit("")), " "), lambda x: x != "")
+    ws = words("text")
     bigs = d.select(
         "doc_id",
         "source",

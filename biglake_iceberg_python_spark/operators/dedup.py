@@ -20,6 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from biglake_iceberg_python_spark.functions.exprs import words
 from biglake_iceberg_python_spark.plans.registry import query
 from biglake_iceberg_python_spark.sources.tables import load_table
 
@@ -42,13 +43,9 @@ _MERSENNE = (1 << 31) - 1
 
 
 def _words(col: str = "text"):
-    # COALESCE first (round-10 degenerate parity sweep): NULL text must
-    # tokenize to an EMPTY list on both engines — see the matching note
-    # on textstats._words; the oracle twins use
-    # string_split(COALESCE(text, ''), ' ').
-    return F.filter(
-        F.split(F.coalesce(F.col(col), F.lit("")), " "), lambda x: x != ""
-    )
+    # Alias for the canonical tokenizer (functions/exprs.words) — one
+    # source of truth for the engine-symmetric NULL-text semantics.
+    return words(col)
 
 
 def _shingles(words_col, n: int = 3):
@@ -695,7 +692,7 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     token totals hash-match the oracle.
     """
     d = load_table(spark, sf_dir, "documents")
-    w = F.filter(F.split(F.coalesce(F.col("text"), F.lit("")), " "), lambda x: x != "")
+    w = words("text")
     base = d.select("doc_id", w.alias("w"), F.size(w).alias("n_tokens")).filter(
         F.col("n_tokens") >= _SUB_K
     )
@@ -1043,10 +1040,7 @@ def dedup_paragraph_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").select(
         "doc_id",
         "source",
-        F.filter(
-            F.split(F.coalesce(F.col("text"), F.lit("")), " "),
-            lambda x: x != "",
-        ).alias("ws"),
+        words("text").alias("ws"),
     )
     chunks = d.select(
         "doc_id",

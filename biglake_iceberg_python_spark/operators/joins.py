@@ -420,7 +420,7 @@ def join_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
         event_type,
         ts,
         last_value(CASE WHEN event_type = 'purchase' THEN ts END IGNORE NULLS)
-          OVER (PARTITION BY user_id ORDER BY ts, event_type
+          OVER (PARTITION BY user_id ORDER BY ts, event_type NULLS LAST
                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_purchase_ts
       FROM events WHERE ts IS NOT NULL
     )
@@ -460,7 +460,7 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = (
         Window.partitionBy("user_id")
-        .orderBy("ts", "event_type")
+        .orderBy(F.col("ts"), F.col("event_type").asc_nulls_last())
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     prev = F.last(
@@ -492,7 +492,7 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         user_id,
         ts,
         last_value(CASE WHEN event_type = 'purchase' THEN ts END IGNORE NULLS)
-          OVER (PARTITION BY user_id ORDER BY ts, event_type
+          OVER (PARTITION BY user_id ORDER BY ts, event_type NULLS LAST
                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
           AS prev_purchase_ts
       FROM events WHERE ts IS NOT NULL
@@ -535,7 +535,7 @@ def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = (
         Window.partitionBy("user_id")
-        .orderBy("ts", "event_type")
+        .orderBy(F.col("ts"), F.col("event_type").asc_nulls_last())
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     prev = F.last(
@@ -896,7 +896,7 @@ def join_hint_strategies(spark: SparkSession, sf_dir: str) -> DataFrame:
         event_type,
         ts,
         first_value(CASE WHEN event_type = 'error' THEN ts END IGNORE NULLS)
-          OVER (PARTITION BY user_id ORDER BY ts, event_type
+          OVER (PARTITION BY user_id ORDER BY ts, event_type NULLS LAST
                 ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
           AS next_error_ts
       FROM events WHERE ts IS NOT NULL
@@ -939,7 +939,7 @@ def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = (
         Window.partitionBy("user_id")
-        .orderBy("ts", "event_type")
+        .orderBy(F.col("ts"), F.col("event_type").asc_nulls_last())
         .rowsBetween(1, Window.unboundedFollowing)
     )
     nxt = F.first(
@@ -1055,12 +1055,12 @@ def join_point_in_time_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
         ts,
         event_type,
         last_value(CASE WHEN event_type = 'purchase' THEN ts END IGNORE NULLS)
-          OVER (PARTITION BY user_id ORDER BY ts, event_type
+          OVER (PARTITION BY user_id ORDER BY ts, event_type NULLS LAST
                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
           AS prev_ts,
         first_value(CASE WHEN event_type = 'purchase' THEN ts END
                     IGNORE NULLS)
-          OVER (PARTITION BY user_id ORDER BY ts, event_type
+          OVER (PARTITION BY user_id ORDER BY ts, event_type NULLS LAST
                 ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
           AS next_ts
       FROM events WHERE ts IS NOT NULL
@@ -1128,12 +1128,12 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     wb = (
         Window.partitionBy("user_id")
-        .orderBy("ts", "event_type")
+        .orderBy(F.col("ts"), F.col("event_type").asc_nulls_last())
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     wf = (
         Window.partitionBy("user_id")
-        .orderBy("ts", "event_type")
+        .orderBy(F.col("ts"), F.col("event_type").asc_nulls_last())
         .rowsBetween(1, Window.unboundedFollowing)
     )
     pts = F.when(F.col("event_type") == "purchase", F.col("ts"))

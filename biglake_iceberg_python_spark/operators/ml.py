@@ -26,6 +26,7 @@ from biglake_iceberg_python_spark.operators.curation import (
     _STOP_SQL,
     _STOPWORDS,
 )
+from biglake_iceberg_python_spark.functions.exprs import words
 from biglake_iceberg_python_spark.plans.registry import query
 from biglake_iceberg_python_spark.sources.tables import load_table
 
@@ -43,10 +44,7 @@ def _quality_features(d: DataFrame) -> DataFrame:
     rejects) — real corpora contain NULL documents, and NULL features
     would otherwise NULL the derived ML label and abort Spark ML's fit
     ("Labels MUST NOT be Null or NaN")."""
-    ws = F.filter(
-        F.split(F.coalesce(F.col("text"), F.lit("")), " "),
-        lambda x: x != "",
-    )
+    ws = words("text")
     return d.select(
         "doc_id",
         "lang",
@@ -879,7 +877,7 @@ def ml_naive_bayes_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").filter(
         F.col("lang").isNotNull()
     )
-    ws = F.filter(F.split(F.coalesce(F.col("text"), F.lit("")), " "), lambda x: x != "")
+    ws = words("text")
     docs = d.select(
         "doc_id",
         "lang",
@@ -1080,7 +1078,7 @@ def ml_pr_curve_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     thousand-point ladder at 100 TB costs nothing more.
     """
     d = load_table(spark, sf_dir, "documents")
-    ws = F.filter(F.split(F.coalesce(F.col("text"), F.lit("")), " "), lambda x: x != "")
+    ws = words("text")
     m = d.select(ws.alias("w")).select(
         F.size("w").alias("n"),
         F.aggregate(
@@ -1218,7 +1216,7 @@ def ml_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(corpus) scan, O(1) state. 100 TB-safe.
     """
     d = load_table(spark, sf_dir, "documents")
-    ws = F.filter(F.split(F.coalesce(F.col("text"), F.lit("")), " "), lambda x: x != "")
+    ws = words("text")
     m = d.select(ws.alias("w")).select(
         F.size("w").alias("n"),
         F.aggregate(

@@ -30,6 +30,7 @@ from pyspark.sql.types import (
     StructType,
 )
 
+from biglake_iceberg_python_spark.functions.exprs import words
 from biglake_iceberg_python_spark.plans.registry import query
 from biglake_iceberg_python_spark.sources.tables import load_table
 
@@ -426,12 +427,7 @@ def multimodal_training_record(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
-    tokens = F.size(
-        F.filter(
-            F.split(F.coalesce(F.decode("payload", "UTF-8"), F.lit("")), " "),
-            lambda x: x != "",
-        )
-    )
+    tokens = F.size(words(F.decode("payload", "UTF-8")))
     rec = mm.join(e, mm["doc_id"] == e["vec_id"]).select(
         F.col("meta.source").alias("source"),
         tokens.alias("n_tokens"),

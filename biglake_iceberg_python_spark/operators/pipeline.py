@@ -41,6 +41,7 @@ from biglake_iceberg_python_spark.operators.dedup import (
     NEAR_DUP_PAIRS_SQL,
     dedup_ngram_jaccard,
 )
+from biglake_iceberg_python_spark.functions.exprs import words
 from biglake_iceberg_python_spark.plans.registry import query
 from biglake_iceberg_python_spark.sources.tables import load_table
 
@@ -320,7 +321,7 @@ def pack_token_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     t = d.select(
         "doc_id",
-        F.size(F.filter(F.split(F.coalesce(F.col("text"), F.lit("")), " "), lambda x: x != "")).alias("n_tok"),
+        F.size(words("text")).alias("n_tok"),
         (F.col("doc_id") / _SHARD_BUCKET_WIDTH).cast("long").alias("bucket"),
     )
     within = F.coalesce(
@@ -421,7 +422,7 @@ def pipeline_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     never materialize.
     """
     d = load_table(spark, sf_dir, "documents")
-    ws = F.filter(F.split(F.coalesce(F.col("text"), F.lit("")), " "), lambda x: x != "")
+    ws = words("text")
     q = d.select(
         "doc_id",
         "lang",
@@ -535,7 +536,7 @@ def pack_padding_waste(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus statistic here.
     """
     d = load_table(spark, sf_dir, "documents")
-    n_tok = F.size(F.filter(F.split(F.coalesce(F.col("text"), F.lit("")), " "), lambda x: x != ""))
+    n_tok = F.size(words("text"))
     b = d.select(n_tok.alias("n_tok")).filter(F.col("n_tok") > 0).select(
         "n_tok",
         (
@@ -679,7 +680,7 @@ def pack_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
     map over the scan, exactly what a 100 TB objective-prep pass must be.
     """
     d = load_table(spark, sf_dir, "documents")
-    w = F.filter(F.split(F.coalesce(F.col("text"), F.lit("")), " "), lambda x: x != "")
+    w = words("text")
     sized = d.select("doc_id", w.alias("w"), F.size(w).alias("n")).filter(
         F.col("n") > _SPAN_LEN
     )
@@ -844,7 +845,7 @@ def pack_length_pair_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     d = load_table(spark, sf_dir, "documents").select(
         "doc_id",
-        F.size(F.filter(F.split(F.coalesce(F.col("text"), F.lit("")), " "), lambda x: x != ""))
+        F.size(words("text"))
         .cast("long")
         .alias("n_tok"),
     )

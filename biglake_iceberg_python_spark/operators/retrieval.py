@@ -28,6 +28,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from biglake_iceberg_python_spark.functions.exprs import words
 from biglake_iceberg_python_spark.plans.registry import query
 from biglake_iceberg_python_spark.sources.tables import load_table
 
@@ -42,16 +43,10 @@ _RRF_C = 60  # the standard reciprocal-rank-fusion constant
 
 
 def _words() -> Column:
-    # COALESCE first (round-10 degenerate sweep): a NULL-text doc must
-    # tokenize to an EMPTY list (dl=0, tf=0, score 0 → filtered) on both
-    # engines. Unguarded, DuckDB excluded NULL docs from sum_dl while
-    # Spark's size(split(NULL)) is session-dependent (-1 with ANSI off,
-    # NULL with ANSI on) — corpus stats, hence EVERY document's idf/avgdl,
-    # drifted between engines on any corpus with NULL documents.
-    return F.filter(
-        F.split(F.coalesce(F.col("text"), F.lit("")), " "),
-        lambda x: x != "",
-    )
+    # Alias for the canonical tokenizer (functions/exprs.words): NULL
+    # text tokenizes to an EMPTY list on both engines, so NULL docs
+    # still count in BM25's sum_dl/avgdl corpus stats.
+    return words("text")
 
 
 def _tf(term: str) -> Column:
@@ -195,12 +190,12 @@ def _dot(a: Column, b: Column) -> Column:
       ORDER BY bm25_micro DESC, doc_id
       LIMIT {_FUSE_DEPTH}
     ), q AS (
-      SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0
+      SELECT embedding::DOUBLE[] AS qv FROM (SELECT * FROM embeddings WHERE len(embedding) = 64 AND len(list_filter(embedding, x -> x IS NULL OR NOT isfinite(x::DOUBLE))) = 0 AND list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0) embeddings WHERE vec_id = 0
     ), cos AS (
       SELECT vec_id AS doc_id,
              list_dot_product(qv, cv)
                / sqrt(list_dot_product(qv, qv) * list_dot_product(cv, cv)) AS cosine
-      FROM (SELECT vec_id, embedding::DOUBLE[] AS cv FROM embeddings WHERE vec_id <> 0)
+      FROM (SELECT vec_id, embedding::DOUBLE[] AS cv FROM (SELECT * FROM embeddings WHERE len(embedding) = 64 AND len(list_filter(embedding, x -> x IS NULL OR NOT isfinite(x::DOUBLE))) = 0 AND list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0) embeddings WHERE vec_id <> 0)
            CROSS JOIN q
     ), vec AS (
       SELECT doc_id, ROW_NUMBER() OVER (ORDER BY cosine DESC, doc_id) AS rank_vec
@@ -247,7 +242,14 @@ def sim_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "rank_bm25")
     )
-    e = load_table(spark, sf_dir, "embeddings")
+    # The shared validity tier (round-10 review finding: this was the one
+    # cosine consumer left reading raw embeddings — a wrong-dimension row
+    # crashes DuckDB's list_dot_product while Spark's zip_with NULL-pads).
+    from biglake_iceberg_python_spark.operators.similarity import (
+        _valid_embeddings,
+    )
+
+    e = _valid_embeddings(spark, sf_dir)
     to_double = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     q = e.filter(F.col("vec_id") == 0).select(to_double.alias("qv"))
     c = e.filter(F.col("vec_id") != 0).select(

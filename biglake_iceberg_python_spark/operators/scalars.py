@@ -18,6 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from biglake_iceberg_python_spark.functions.exprs import words
 from biglake_iceberg_python_spark.plans.registry import query
 from biglake_iceberg_python_spark.sources.tables import load_table
 
@@ -313,15 +314,12 @@ def scalar_array(spark: SparkSession, sf_dir: str) -> DataFrame:
     an EMPTY word list is pinned to '' on both (Spark's array_join([])
     is '' but DuckDB 1.0.0's array_to_string([]) is NULL)."""
     d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 25 == 0)
-    words = F.filter(
-        F.split(F.coalesce(F.col("text"), F.lit("")), " "),
-        lambda x: x != "",
-    )
+    ws_col = words("text")
     return d.select(
         "doc_id",
-        F.size(words).alias("n_words"),
-        F.array_contains(words, "spark").cast("int").alias("has_spark"),
-        F.array_join(F.array_sort(F.array_distinct(words)), ",").alias("vocab"),
+        F.size(ws_col).alias("n_words"),
+        F.array_contains(ws_col, "spark").cast("int").alias("has_spark"),
+        F.array_join(F.array_sort(F.array_distinct(ws_col)), ",").alias("vocab"),
         # ASCII translate, not upper(): Unicode casing is an ENGINE
         # convention, not a standard — Spark full-folds upper('ß')='SS',
         # upper('ﬁ')='FI' where DuckDB maps simply to 'ẞ' / 'ﬁ'
@@ -330,7 +328,7 @@ def scalar_array(spark: SparkSession, sf_dir: str) -> DataFrame:
         # ASCII words.
         F.array_join(
             F.transform(
-                words,
+                ws_col,
                 lambda x: F.translate(
                     x,
                     "abcdefghijklmnopqrstuvwxyz",
@@ -339,7 +337,7 @@ def scalar_array(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             ",",
         ).alias("words_upper"),
-        F.size(F.filter(words, lambda x: F.length(x) > 4)).alias("n_long_words"),
+        F.size(F.filter(ws_col, lambda x: F.length(x) > 4)).alias("n_long_words"),
     )
 
 
@@ -363,9 +361,9 @@ def scalar_array_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
     count shape that underlies every corpus statistic at scale. Generator
     (explode) stays in the JVM; one agg shuffle; top-k via ordered limit."""
     d = load_table(spark, sf_dir, "documents")
-    words = F.filter(F.split(F.coalesce(F.col("text"), F.lit("")), " "), lambda x: x != "")
+    ws_col = words("text")
     return (
-        d.select(F.explode(words).alias("word"))
+        d.select(F.explode(ws_col).alias("word"))
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("freq"))
         .orderBy(F.col("freq").desc(), "word")
@@ -605,7 +603,12 @@ def scalar_collation(spark: SparkSession, sf_dir: str) -> DataFrame:
       CASE WHEN strlen(substr(text, 1, 24)) <= 57
            THEN base64(encode(substr(text, 1, 24))) END AS b64_prefix,
       hex(encode(substr(text, 1, 12))) AS hex_prefix,
-      CASE WHEN strlen(substr(text, 1, 57)) > 57 THEN NULL
+      -- NULL text => NULL verdict on BOTH engines: the Spark side's
+      -- byte-cap gate is NULL-valued for NULL text, while a bare ELSE 0
+      -- here would claim a failed roundtrip for a payload that does not
+      -- exist (round-10 review finding).
+      CASE WHEN text IS NULL THEN NULL
+           WHEN strlen(substr(text, 1, 57)) > 57 THEN NULL
            WHEN decode(from_base64(base64(encode(substr(text, 1, 57)))))
                 = substr(text, 1, 57)
            THEN 1 ELSE 0 END AS roundtrip_ok,
@@ -694,7 +697,7 @@ def scalar_array_reduce(spark: SparkSession, sf_dir: str) -> DataFrame:
     Everything runs in codegen; zero shuffles.
     """
     d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
-    ws = F.filter(F.split(F.coalesce(F.col("text"), F.lit("")), " "), lambda x: x != "")
+    ws = words("text")
     acc0 = F.struct(
         F.lit(0).alias("s"), F.lit(0).alias("m"), F.lit(0).alias("k")
     )

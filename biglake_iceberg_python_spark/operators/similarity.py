@@ -295,8 +295,6 @@ def sim_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH v AS (
       SELECT vec_id, label, embedding::DOUBLE[] AS ev FROM (SELECT * FROM embeddings WHERE len(embedding) = 64 AND len(list_filter(embedding, x -> x IS NULL OR NOT isfinite(x::DOUBLE))) = 0 AND list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0) embeddings
-      WHERE len(embedding) = 64
-        AND list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0
     ), pairs AS (
       SELECT
         a.vec_id AS vec_a, b.vec_id AS vec_b,

@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 from biglake_iceberg_python_spark.functions.exprs import (
     adjacent_pairs,
     oracle_davg,
+    words,
 )
 from biglake_iceberg_python_spark.plans.registry import query
 from biglake_iceberg_python_spark.sources.tables import load_table
@@ -35,15 +36,10 @@ _LANG_MARKERS = {
 
 
 def _words(col: str = "text") -> Column:
-    # COALESCE first (round-10 degenerate parity sweep): a NULL-text doc
-    # must tokenize to an EMPTY list on both engines. Unguarded, Spark's
-    # size(split(NULL)) is session-dependent (-1 with ANSI off, NULL with
-    # ANSI on) while DuckDB's len(NULL) is NULL — token totals silently
-    # diverged on any corpus with NULL documents. The oracle twins carry
-    # the matching string_split(COALESCE(text, ''), ' ').
-    return F.filter(
-        F.split(F.coalesce(F.col(col), F.lit("")), " "), lambda x: x != ""
-    )
+    # Alias for the canonical tokenizer (functions/exprs.words) — one
+    # source of truth; the oracle twins carry the matching
+    # string_split(COALESCE(text, ''), ' ') with the empty filter.
+    return words(col)
 
 
 @query(
@@ -805,7 +801,7 @@ def text_bigram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_id.
     """
     d = load_table(spark, sf_dir, "documents")
-    ws = F.filter(F.split(F.coalesce(F.col("text"), F.lit("")), " "), lambda x: x != "")
+    ws = words("text")
     bigs = d.select(
         "doc_id",
         F.explode(

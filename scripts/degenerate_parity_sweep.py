@@ -120,6 +120,17 @@ def craft_events(d: str) -> None:
 
     null_out("ts", 13, 0)
     null_out("user_id", 13, 1)
+    # Whole users with NO timed events (round-10 review finding): the
+    # scattered i%13 pattern never removes EVERY event of one user, but
+    # that is the shape that inflated the KM at-risk table and the
+    # power-law cohort literal — the Spark side excludes such users via
+    # _timed_events while an unwrapped oracle kept them.
+    tsv = cols["ts"].to_pylist()
+    uv = cols["user_id"].to_pylist()
+    for i in range(n):
+        if uv[i] is not None and uv[i] in (0, 1):
+            tsv[i] = None
+    cols["ts"] = pa.array(tsv, type=tbl.schema.field("ts").type)
     null_out("event_type", 13, 2)
     null_out("value", 13, 3)
     null_out("props", 13, 4)
@@ -193,6 +204,17 @@ def craft_ties(d: str) -> None:
     for i in range(len(ts)):
         ts[i] = ts[5 * (i // 5)]
     ecols["ts"] = pa.array(ts, type=etbl.schema.field("ts").type)
+    # NULL event types INSIDE tie groups: the combined shape neither the
+    # events axis (NULL types, unique ts) nor plain ties (all typed) can
+    # reach — a NULL-type row tied on ts with a typed row flips Spark's
+    # NULLS FIRST against DuckDB's NULLS LAST in any (ts, event_type)
+    # window unless the ordering pins NULLS LAST explicitly (round-10
+    # review finding on the as-of family).
+    et = ecols["event_type"].to_pylist()
+    for i in range(len(et)):
+        if i % 13 == 2:
+            et[i] = None
+    ecols["event_type"] = pa.array(et, type=etbl.schema.field("event_type").type)
     pq.write_table(pa.table(ecols), f"{d}/events.parquet")
     dtbl = pq.read_table(f"{SF_BASE}/documents.parquet")
     dcols = {n: dtbl[n] for n in dtbl.column_names}
@@ -226,6 +248,18 @@ def craft_empty(d: str) -> None:
         )
 
 
+# Helpers that read a table WITHOUT naming it in the query source or a
+# static oracle (builder oracles have spec.oracle = None): a query whose
+# only access path is one of these was silently excluded from its
+# surface's sweep — exactly how two unwrapped builder oracles survived
+# three "clean" events-axis runs (round-10 review finding).
+_TABLE_HELPERS = {
+    "events": ("_timed_events(", "stage_event_chunks("),
+    "documents": ("_words(", "_with_binary_payload("),
+    "embeddings": ("_valid_embeddings(", "_emb("),
+}
+
+
 def reads_table(name, spec, table: str) -> bool:
     if table == "empty":  # all tables empty — every query is in scope
         return True
@@ -239,7 +273,9 @@ def reads_table(name, spec, table: str) -> bool:
 
     src = inspect.getsource(spec.fn)
     sql = spec.oracle or ""
-    return f'"{table}"' in src or table in sql
+    if f'"{table}"' in src or table in sql:
+        return True
+    return any(h in src for h in _TABLE_HELPERS.get(table, ()))
 
 
 def main() -> int:

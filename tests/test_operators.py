@@ -2060,6 +2060,41 @@ def test_empty_table_parity_regressions(spark, sf_dir, tmp_path):
         assert result["ok"], (q, {k: v for k, v in result.items() if k != "ok"})
 
 
+def test_embedding_validity_sql_single_form():
+    """Drift guard (round-10 review finding): the oracle-side embedding
+    validity tier is interpolated into ~19 similarity/ml/multimodal
+    oracles as one canonical predicate string. A future edit to the
+    validity contract applied to SOME sites re-opens the asymmetric
+    crash-vs-drop divergence the tier closed — every occurrence of the
+    full tier must stay byte-identical (the dim-only variant used where
+    zero-norm is valid data, e.g. moment matrices, is exempt: it lacks
+    the list_dot_product norm guard by design)."""
+    import glob
+    import os
+
+    canonical = (
+        "(SELECT * FROM embeddings WHERE len(embedding) = 64 AND "
+        "len(list_filter(embedding, x -> x IS NULL OR NOT "
+        "isfinite(x::DOUBLE))) = 0 AND "
+        "list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0) "
+        "embeddings"
+    )
+    pkg = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "biglake_iceberg_python_spark",
+    )
+    n_full = 0
+    for path in glob.glob(os.path.join(pkg, "**", "*.py"), recursive=True):
+        src = open(path).read()
+        for line in src.splitlines():
+            if "list_dot_product(embedding" not in line:
+                continue
+            # full-tier lines must contain the canonical string verbatim
+            assert canonical in line, (path, line.strip()[:160])
+            n_full += line.count(canonical)
+    assert n_full >= 15, f"expected >=15 full-tier sites, found {n_full}"
+
+
 def test_unicode_text_parity_regressions(spark, sf_dir, tmp_path):
     """Pin the 8 queries the round-10 UNICODE parity axis found diverging
     on multibyte text (diacritics, NFC/NFD, CJK, emoji+ZWJ, RTL,
