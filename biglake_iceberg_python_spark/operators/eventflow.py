@@ -1533,13 +1533,17 @@ _KM_CENSOR_DAYS = 7
 
 _KM_RISK_SQL = """
     WITH span AS (
-      -- ts IS NOT NULL: the module-wide dead-letter wrap (_timed_events);
-      -- an all-NULL-ts user otherwise yields a NULL-lifetime row the
-      -- Spark side excludes entirely (round-10 review finding).
+      -- The FULL module-wide dead-letter wrap (_timed_events): ts IS NOT
+      -- NULL (an all-NULL-ts user otherwise yields a NULL-lifetime row
+      -- the Spark side excludes entirely — round-10 review finding) AND
+      -- the isfinite(value) fold, carried even though this template
+      -- never reads value, so a future value-reading edit inherits the
+      -- parity-verified semantics instead of the NaN/Inf hazard.
       SELECT user_id,
              MIN(({es}) // {day_s}) AS d0,
              MAX(({es}) // {day_s}) AS d1
-      FROM (SELECT * FROM {events} WHERE ts IS NOT NULL) km_e
+      FROM (SELECT * REPLACE (CASE WHEN isfinite(value) THEN value END AS value)
+            FROM {events} WHERE ts IS NOT NULL) km_e
       GROUP BY user_id
     ), horizon AS (
       SELECT MAX(d1) AS dmax FROM span
@@ -3448,11 +3452,12 @@ def events_longest_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _POWERLAW_ACT_SQL = """
     WITH ud AS (
-      -- ts IS NOT NULL: the module-wide dead-letter wrap (_timed_events);
-      -- an all-NULL-ts user otherwise inflates the oracle's cohort
-      -- n_users literal (round-10 review finding).
+      -- The FULL module-wide dead-letter wrap (_timed_events) — see the
+      -- matching note on _KM_RISK_SQL; an all-NULL-ts user otherwise
+      -- inflates the oracle's cohort n_users literal (round-10 review).
       SELECT DISTINCT user_id, ({es}) // 86400 AS day
-      FROM (SELECT * FROM {events} WHERE ts IS NOT NULL) pl_e
+      FROM (SELECT * REPLACE (CASE WHEN isfinite(value) THEN value END AS value)
+            FROM {events} WHERE ts IS NOT NULL) pl_e
     ), fd AS (
       SELECT user_id, MIN(day) AS f FROM ud GROUP BY user_id
     ), coh AS (SELECT COUNT(*) AS n_users FROM fd),

@@ -29,6 +29,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from biglake_iceberg_python_spark.functions.exprs import words
+from biglake_iceberg_python_spark.operators.similarity import _valid_embeddings
 from biglake_iceberg_python_spark.plans.registry import query
 from biglake_iceberg_python_spark.sources.tables import load_table
 
@@ -245,10 +246,6 @@ def sim_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The shared validity tier (round-10 review finding: this was the one
     # cosine consumer left reading raw embeddings — a wrong-dimension row
     # crashes DuckDB's list_dot_product while Spark's zip_with NULL-pads).
-    from biglake_iceberg_python_spark.operators.similarity import (
-        _valid_embeddings,
-    )
-
     e = _valid_embeddings(spark, sf_dir)
     to_double = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     q = e.filter(F.col("vec_id") == 0).select(to_double.alias("qv"))

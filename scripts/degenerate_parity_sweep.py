@@ -248,16 +248,65 @@ def craft_empty(d: str) -> None:
         )
 
 
-# Helpers that read a table WITHOUT naming it in the query source or a
-# static oracle (builder oracles have spec.oracle = None): a query whose
-# only access path is one of these was silently excluded from its
+# Helpers that read a table WITHOUT the query naming it in its own source
+# or a static oracle (builder oracles have spec.oracle = None): a query
+# whose only access path is a helper was silently excluded from its
 # surface's sweep — exactly how two unwrapped builder oracles survived
-# three "clean" events-axis runs (round-10 review finding).
-_TABLE_HELPERS = {
-    "events": ("_timed_events(", "stage_event_chunks("),
-    "documents": ("_words(", "_with_binary_payload("),
-    "embeddings": ("_valid_embeddings(", "_emb("),
-}
+# three "clean" events-axis runs (round-10 review finding). The map is
+# GENERATED (a hand-curated first version shipped a phantom entry and
+# missed four real helpers — second review pass): scan every module in
+# the package for function definitions whose body names a table, then
+# take the transitive closure over the helper call graph so a query
+# reaching a table through any chain of helpers stays in scope.
+_HELPER_TABLES_CACHE: dict | None = None
+
+
+def _helper_tables() -> dict:
+    global _HELPER_TABLES_CACHE
+    if _HELPER_TABLES_CACHE is not None:
+        return _HELPER_TABLES_CACHE
+    import glob
+    import re
+
+    pkg = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "biglake_iceberg_python_spark",
+    )
+    table_re = re.compile(
+        r'"(' + "|".join(TABLES) + r')(?:\.parquet)?"'
+    )
+    funcs: dict[str, str] = {}
+    for path in glob.glob(os.path.join(pkg, "**", "*.py"), recursive=True):
+        src = open(path).read()
+        for m in re.finditer(
+            r"^def (\w+)\(.*?(?=^def |\Z)", src, re.M | re.S
+        ):
+            funcs.setdefault(m.group(1), "")
+            funcs[m.group(1)] += m.group(0)
+    tables = {
+        name: set(table_re.findall(body)) for name, body in funcs.items()
+    }
+    # The generic accessor is not a table-specific helper: its table
+    # argument is a quoted literal AT THE CALL SITE, which the direct
+    # source check already catches — keeping it here would propagate its
+    # internal events-encoding special case to every caller and balloon
+    # each axis to the whole registry.
+    tables["load_table"] = set()
+    # transitive closure: a helper that calls a table-reading helper
+    # reads that table too
+    changed = True
+    while changed:
+        changed = False
+        for name, body in funcs.items():
+            for other, ts in tables.items():
+                if other != name and f"{other}(" in body:
+                    if not ts <= tables[name]:
+                        tables[name] |= ts
+                        changed = True
+    _HELPER_TABLES_CACHE = {
+        name: ts for name, ts in tables.items() if ts
+    }
+    return _HELPER_TABLES_CACHE
 
 
 def reads_table(name, spec, table: str) -> bool:
@@ -275,7 +324,11 @@ def reads_table(name, spec, table: str) -> bool:
     sql = spec.oracle or ""
     if f'"{table}"' in src or table in sql:
         return True
-    return any(h in src for h in _TABLE_HELPERS.get(table, ()))
+    return any(
+        f"{helper}(" in src
+        for helper, ts in _helper_tables().items()
+        if table in ts
+    )
 
 
 def main() -> int:
