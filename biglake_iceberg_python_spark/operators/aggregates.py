@@ -477,7 +477,7 @@ def subquery_not_in_null(spark: SparkSession, sf_dir: str) -> DataFrame:
         date_trunc('hour', ts) AS b_hour,
         time_bucket(INTERVAL '10 minutes', ts) AS b_10m,
         value
-      FROM (SELECT * REPLACE (CASE WHEN isfinite(value) THEN value END AS value) FROM events) events WHERE event_type = 'purchase'
+      FROM (SELECT * REPLACE (CASE WHEN isfinite(value) AND abs(value) < 1.0e4 THEN value END AS value) FROM events) events WHERE event_type = 'purchase'
     )
     SELECT
       COALESCE(strftime(b_day, '%Y-%m-%d %H:%M:%S'), 'ALL') AS bucket_day,
@@ -513,7 +513,9 @@ def agg_time_rollup_hypertable(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn(
             "value",
             F.when(
-                ~F.isnan("value") & (F.abs("value") != F.lit(float("inf"))),
+                ~F.isnan("value")
+                & (F.abs("value") != F.lit(float("inf")))
+                & (F.abs("value") < F.lit(1.0e4)),
                 F.col("value"),
             ),
         )
@@ -837,7 +839,7 @@ def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
                   >= INTERVAL '30 minutes'
              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
              THEN 1 ELSE 0 END AS new_session
-      FROM (SELECT * REPLACE (CASE WHEN isfinite(value) THEN value END AS value) FROM events WHERE ts IS NOT NULL) events
+      FROM (SELECT * REPLACE (CASE WHEN isfinite(value) AND abs(value) < 1.0e4 THEN value END AS value) FROM events WHERE ts IS NOT NULL) events
     ), sessions AS (
       SELECT
         user_id, ts, value,
@@ -879,7 +881,9 @@ def agg_session_window_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn(
             "value",
             F.when(
-                ~F.isnan("value") & (F.abs("value") != F.lit(float("inf"))),
+                ~F.isnan("value")
+                & (F.abs("value") != F.lit(float("inf")))
+                & (F.abs("value") < F.lit(1.0e4)),
                 F.col("value"),
             ),
         )

@@ -61,17 +61,27 @@ def _timed_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         load_table(spark, sf_dir, "events")
         .filter(F.col("ts").isNotNull())
-        # Non-finite measures reduce to NULL — the missing-measure class
-        # this module already handles symmetrically (round-10 NaN/Inf
-        # probe: both engines order NaN ABOVE everything, so NaN slips
-        # every `> 0` guard, then DuckDB's DECIMAL casts raise where
-        # Spark ANSI-off silently NULLs). Oracle twin: the
-        # `* REPLACE (CASE WHEN isfinite(value) ...)` wrap.
+        # Non-finite AND out-of-range measures reduce to NULL — the
+        # missing-measure class this module already handles symmetrically
+        # (round-10 NaN/Inf probe; extended by the round-10 out-of-range
+        # probe: a FINITE 5e16 value overflows the DECIMAL(18,2) cents
+        # cast, which raises in DuckDB and under ANSI while Spark
+        # ANSI-off silently NULLs — crash-vs-garbage again; and even an
+        # in-DECIMAL-range 9e14 value overflows the int64 CENTS SUMS,
+        # where DuckDB's HUGEINT-to-BIGINT cast raises and Spark wraps).
+        # The 1e4 cap is the exact-moment family's int64 BUDGET: it
+        # bounds not just the cast but the sums of squared cents (a kept
+        # value's cents^2 is <= 1e12, so second moments stay far inside
+        # 2^63 at every design scale factor), while still sitting an
+        # order of magnitude above the genuine domain ceiling (~560).
+        # Oracle twin: the `* REPLACE (CASE WHEN isfinite(value) AND
+        # abs(value) < 1.0e4 ...)` wrap on all 61 sites.
         .withColumn(
             "value",
             F.when(
                 ~F.isnan("value")
-                & (F.abs("value") != F.lit(float("inf"))),
+                & (F.abs("value") != F.lit(float("inf")))
+                & (F.abs("value") < F.lit(1.0e4)),
                 F.col("value"),
             ),
         )
@@ -90,7 +100,7 @@ def _events_es(spark: SparkSession, sf_dir: str) -> DataFrame:
     "funnel_conversion",
     oracle=f"""
     WITH e AS (
-      SELECT user_id, event_type, {_ORACLE_ES} AS es FROM (SELECT * REPLACE (CASE WHEN isfinite(value) THEN value END AS value) FROM events WHERE ts IS NOT NULL) events
+      SELECT user_id, event_type, {_ORACLE_ES} AS es FROM (SELECT * REPLACE (CASE WHEN isfinite(value) AND abs(value) < 1.0e4 THEN value END AS value) FROM events WHERE ts IS NOT NULL) events
     ), s1 AS (
       SELECT user_id, MIN(es) AS t1 FROM e
       WHERE event_type = 'view' GROUP BY user_id
@@ -179,7 +189,7 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     "cohort_retention",
     oracle=f"""
     WITH e AS (
-      SELECT DISTINCT user_id, ({_ORACLE_ES}) // {_WEEK_S} AS w FROM (SELECT * REPLACE (CASE WHEN isfinite(value) THEN value END AS value) FROM events WHERE ts IS NOT NULL) events
+      SELECT DISTINCT user_id, ({_ORACLE_ES}) // {_WEEK_S} AS w FROM (SELECT * REPLACE (CASE WHEN isfinite(value) AND abs(value) < 1.0e4 THEN value END AS value) FROM events WHERE ts IS NOT NULL) events
     ), cohort AS (
       SELECT user_id, MIN(w) AS cw FROM e GROUP BY user_id
     )
@@ -222,7 +232,7 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ts_gap_fill_locf",
     oracle=f"""
     WITH e AS (
-      SELECT user_id, ({_ORACLE_ES}) // {_DAY_S} AS day FROM (SELECT * REPLACE (CASE WHEN isfinite(value) THEN value END AS value) FROM events WHERE ts IS NOT NULL) events
+      SELECT user_id, ({_ORACLE_ES}) // {_DAY_S} AS day FROM (SELECT * REPLACE (CASE WHEN isfinite(value) AND abs(value) < 1.0e4 THEN value END AS value) FROM events WHERE ts IS NOT NULL) events
     ), daily AS (
       SELECT user_id, day, COUNT(*) AS n_ev FROM e GROUP BY user_id, day
     ), bounds AS (
@@ -291,7 +301,7 @@ def ts_gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     "events_transition_matrix",
     oracle=f"""
     WITH e AS (
-      SELECT user_id, event_id, event_type, {_ORACLE_ES} AS es FROM (SELECT * REPLACE (CASE WHEN isfinite(value) THEN value END AS value) FROM events WHERE ts IS NOT NULL) events
+      SELECT user_id, event_id, event_type, {_ORACLE_ES} AS es FROM (SELECT * REPLACE (CASE WHEN isfinite(value) AND abs(value) < 1.0e4 THEN value END AS value) FROM events WHERE ts IS NOT NULL) events
     ), pairs AS (
       SELECT
         LAG(event_type) OVER (
@@ -355,7 +365,7 @@ def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     "anomaly_zscore_daily",
     oracle=f"""
     WITH e AS (
-      SELECT user_id, ({_ORACLE_ES}) // {_DAY_S} AS day FROM (SELECT * REPLACE (CASE WHEN isfinite(value) THEN value END AS value) FROM events WHERE ts IS NOT NULL) events
+      SELECT user_id, ({_ORACLE_ES}) // {_DAY_S} AS day FROM (SELECT * REPLACE (CASE WHEN isfinite(value) AND abs(value) < 1.0e4 THEN value END AS value) FROM events WHERE ts IS NOT NULL) events
     ), daily AS (
       SELECT user_id, day, COUNT(*) AS n_ev FROM e GROUP BY user_id, day
     ), stats AS (
@@ -420,7 +430,7 @@ def anomaly_zscore_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     "events_dau_wau_stickiness",
     oracle=f"""
     WITH ud AS (
-      SELECT DISTINCT user_id, ({_ORACLE_ES}) // {_DAY_S} AS day FROM (SELECT * REPLACE (CASE WHEN isfinite(value) THEN value END AS value) FROM events WHERE ts IS NOT NULL) events
+      SELECT DISTINCT user_id, ({_ORACLE_ES}) // {_DAY_S} AS day FROM (SELECT * REPLACE (CASE WHEN isfinite(value) AND abs(value) < 1.0e4 THEN value END AS value) FROM events WHERE ts IS NOT NULL) events
     ), dau AS (
       SELECT day, COUNT(*) AS dau FROM ud GROUP BY day
     ), cover AS (
@@ -565,7 +575,7 @@ def agg_hll_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
         date_diff('second', TIMESTAMP '2024-01-01 00:00:00',
                   date_trunc('second', ts)) AS x,
         CAST(round(CAST(value AS DECIMAL(18,2)) * 100) AS BIGINT) AS y
-      FROM (SELECT * REPLACE (CASE WHEN isfinite(value) THEN value END AS value) FROM events WHERE ts IS NOT NULL) events
+      FROM (SELECT * REPLACE (CASE WHEN isfinite(value) AND abs(value) < 1.0e4 THEN value END AS value) FROM events WHERE ts IS NOT NULL) events
     ), s AS (
       SELECT
         event_type,
@@ -641,7 +651,7 @@ def events_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
                WHEN 'view' THEN 'v' WHEN 'click' THEN 'c'
                WHEN 'purchase' THEN 'p' WHEN 'signup' THEN 's'
                ELSE 'e' END AS ch
-      FROM (SELECT * REPLACE (CASE WHEN isfinite(value) THEN value END AS value) FROM events WHERE ts IS NOT NULL) events
+      FROM (SELECT * REPLACE (CASE WHEN isfinite(value) AND abs(value) < 1.0e4 THEN value END AS value) FROM events WHERE ts IS NOT NULL) events
     ), seqs AS (
       SELECT user_id, string_agg(ch, '' ORDER BY es, event_id) AS seq
       FROM e GROUP BY user_id
@@ -772,7 +782,7 @@ _EWMA_W = [1000000, 700000, 489999, 342999, 240099, 168069, 117648]
         user_id,
         ({_ORACLE_ES}) // {_DAY_S} AS day,
         SUM(CAST(round(CAST(value AS DECIMAL(18,2)) * 100) AS BIGINT)) AS v
-      FROM (SELECT * REPLACE (CASE WHEN isfinite(value) THEN value END AS value) FROM events WHERE ts IS NOT NULL) events
+      FROM (SELECT * REPLACE (CASE WHEN isfinite(value) AND abs(value) < 1.0e4 THEN value END AS value) FROM events WHERE ts IS NOT NULL) events
       GROUP BY user_id, ({_ORACLE_ES}) // {_DAY_S}
     ), w AS (
       SELECT * FROM (VALUES
@@ -862,7 +872,7 @@ def ts_ewma_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
         SUM(CAST(round(CAST(value AS DECIMAL(18,2)) * 100) AS BIGINT)
           * CAST(round(CAST(value AS DECIMAL(18,2)) * 100) AS BIGINT))
           FILTER (WHERE user_id % 2 = 1) AS q1
-      FROM (SELECT * REPLACE (CASE WHEN isfinite(value) THEN value END AS value) FROM events WHERE ts IS NOT NULL) events
+      FROM (SELECT * REPLACE (CASE WHEN isfinite(value) AND abs(value) < 1.0e4 THEN value END AS value) FROM events WHERE ts IS NOT NULL) events
       GROUP BY event_type
     )
     SELECT
@@ -941,7 +951,7 @@ def events_ab_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH first_hour AS (
       SELECT user_id, MIN(({_ORACLE_ES}) // 3600) AS hour
-      FROM (SELECT * REPLACE (CASE WHEN isfinite(value) THEN value END AS value) FROM events WHERE ts IS NOT NULL) events GROUP BY user_id
+      FROM (SELECT * REPLACE (CASE WHEN isfinite(value) AND abs(value) < 1.0e4 THEN value END AS value) FROM events WHERE ts IS NOT NULL) events GROUP BY user_id
     ), hourly_new AS (
       SELECT hour, COUNT(*) AS new_users FROM first_hour GROUP BY hour
     )
@@ -986,7 +996,7 @@ def events_cumulative_uniques(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH c AS (
       SELECT user_id, event_type, COUNT(*) AS cnt
-      FROM (SELECT * REPLACE (CASE WHEN isfinite(value) THEN value END AS value) FROM events WHERE ts IS NOT NULL) events GROUP BY user_id, event_type
+      FROM (SELECT * REPLACE (CASE WHEN isfinite(value) AND abs(value) < 1.0e4 THEN value END AS value) FROM events WHERE ts IS NOT NULL) events GROUP BY user_id, event_type
     ), t AS (
       SELECT user_id, SUM(cnt) AS n, COUNT(*) AS n_types FROM c GROUP BY user_id
     ), terms AS (
@@ -1053,7 +1063,7 @@ def events_user_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
              LEAD(event_type, 1) OVER w AS nxt1,
              LEAD(event_type, 2) OVER w AS nxt2
       FROM (SELECT user_id, event_type, ({_ORACLE_ES}) AS es, event_id
-            FROM (SELECT * REPLACE (CASE WHEN isfinite(value) THEN value END AS value) FROM events WHERE ts IS NOT NULL) events
+            FROM (SELECT * REPLACE (CASE WHEN isfinite(value) AND abs(value) < 1.0e4 THEN value END AS value) FROM events WHERE ts IS NOT NULL) events
             WHERE event_type IS NOT NULL)
       WINDOW w AS (PARTITION BY user_id ORDER BY es, event_id)
     ), tri AS (
@@ -1124,7 +1134,7 @@ def events_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         (({_ORACLE_ES}) // 86400 + 4) % 7 AS dow,
         (({_ORACLE_ES}) % 86400) // 3600 AS hour,
         CAST(round(CAST(value AS DECIMAL(18,2)) * 100) AS BIGINT) AS cents
-      FROM (SELECT * REPLACE (CASE WHEN isfinite(value) THEN value END AS value) FROM events WHERE ts IS NOT NULL) events
+      FROM (SELECT * REPLACE (CASE WHEN isfinite(value) AND abs(value) < 1.0e4 THEN value END AS value) FROM events WHERE ts IS NOT NULL) events
     )
     SELECT
       CAST(dow AS BIGINT) AS dow,
@@ -1172,7 +1182,7 @@ def events_heatmap_hour_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
       -- NULL-key guard on the Spark side (round-10 events parity sweep).
       SELECT event_type,
              CAST(round(CAST(value AS DECIMAL(18,2)) * 100) AS BIGINT) AS cents
-      FROM (SELECT * REPLACE (CASE WHEN isfinite(value) THEN value END AS value) FROM events WHERE ts IS NOT NULL) events
+      FROM (SELECT * REPLACE (CASE WHEN isfinite(value) AND abs(value) < 1.0e4 THEN value END AS value) FROM events WHERE ts IS NOT NULL) events
       WHERE value IS NOT NULL
     ), med AS (
       SELECT event_type, cents,
@@ -1299,7 +1309,7 @@ def events_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         event_type,
         ({_ORACLE_ES}) // {_DAY_S} AS day,
         SUM(CAST(round(CAST(value AS DECIMAL(18,2)) * 100) AS BIGINT)) AS v
-      FROM (SELECT * REPLACE (CASE WHEN isfinite(value) THEN value END AS value) FROM events WHERE ts IS NOT NULL) events
+      FROM (SELECT * REPLACE (CASE WHEN isfinite(value) AND abs(value) < 1.0e4 THEN value END AS value) FROM events WHERE ts IS NOT NULL) events
       GROUP BY event_type, ({_ORACLE_ES}) // {_DAY_S}
     ), lagk AS (
       SELECT a.event_type, l.lag_k, a.v AS x, b.v AS y
@@ -1400,7 +1410,7 @@ def events_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
         user_id % 2 AS variant,
         COUNT(*) FILTER (WHERE event_type = 'purchase') AS k,
         COUNT(*) AS n
-      FROM (SELECT * REPLACE (CASE WHEN isfinite(value) THEN value END AS value) FROM events WHERE ts IS NOT NULL) events
+      FROM (SELECT * REPLACE (CASE WHEN isfinite(value) AND abs(value) < 1.0e4 THEN value END AS value) FROM events WHERE ts IS NOT NULL) events
       GROUP BY user_id % 2
     )
     SELECT
@@ -1458,7 +1468,7 @@ def events_conversion_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH daily AS (
       SELECT event_type, ({_ORACLE_ES}) // {_DAY_S} AS day,
              SUM(CAST(round(CAST(value AS DECIMAL(18,2)) * 100) AS BIGINT)) AS v
-      FROM (SELECT * REPLACE (CASE WHEN isfinite(value) THEN value END AS value) FROM events WHERE ts IS NOT NULL) events GROUP BY event_type, ({_ORACLE_ES}) // {_DAY_S}
+      FROM (SELECT * REPLACE (CASE WHEN isfinite(value) AND abs(value) < 1.0e4 THEN value END AS value) FROM events WHERE ts IS NOT NULL) events GROUP BY event_type, ({_ORACLE_ES}) // {_DAY_S}
     ), tot AS (
       SELECT event_type, SUM(v) AS t, COUNT(*) AS n FROM daily
       GROUP BY event_type
@@ -1542,7 +1552,7 @@ _KM_RISK_SQL = """
       SELECT user_id,
              MIN(({es}) // {day_s}) AS d0,
              MAX(({es}) // {day_s}) AS d1
-      FROM (SELECT * REPLACE (CASE WHEN isfinite(value) THEN value END AS value)
+      FROM (SELECT * REPLACE (CASE WHEN isfinite(value) AND abs(value) < 1.0e4 THEN value END AS value)
             FROM {events} WHERE ts IS NOT NULL) km_e
       GROUP BY user_id
     ), horizon AS (
@@ -1732,7 +1742,7 @@ def events_kaplan_meier_retention(spark: SparkSession, sf_dir: str) -> DataFrame
       SELECT user_id % 2 AS variant, user_id,
              SUM(CAST(round(CAST(value AS DECIMAL(18,2)) * 100) AS BIGINT)) AS x,
              COUNT(*) AS y
-      FROM (SELECT * REPLACE (CASE WHEN isfinite(value) THEN value END AS value) FROM events WHERE ts IS NOT NULL) events WHERE event_type = 'purchase'
+      FROM (SELECT * REPLACE (CASE WHEN isfinite(value) AND abs(value) < 1.0e4 THEN value END AS value) FROM events WHERE ts IS NOT NULL) events WHERE event_type = 'purchase'
       GROUP BY user_id % 2, user_id
     ), m AS (
       SELECT variant,
@@ -1830,7 +1840,7 @@ _ATTR_WINDOW_S = 7 * 86400  # lookback for credit assignment
     "events_attribution_multitouch",
     oracle=f"""
     WITH e AS (
-      SELECT user_id, event_type, event_id, ({_ORACLE_ES}) AS es FROM (SELECT * REPLACE (CASE WHEN isfinite(value) THEN value END AS value) FROM events WHERE ts IS NOT NULL) events
+      SELECT user_id, event_type, event_id, ({_ORACLE_ES}) AS es FROM (SELECT * REPLACE (CASE WHEN isfinite(value) AND abs(value) < 1.0e4 THEN value END AS value) FROM events WHERE ts IS NOT NULL) events
     ), conv AS (
       SELECT user_id, event_id AS conv_id, es AS conv_es
       FROM e WHERE event_type = 'purchase'
@@ -1911,7 +1921,7 @@ _BOOT_B = 50  # resamples; deterministic md5 draws, no RNG
     WITH daily AS (
       SELECT event_type, ({_ORACLE_ES}) // {_DAY_S} AS day,
              SUM(CAST(round(CAST(value AS DECIMAL(18,2)) * 100) AS BIGINT)) AS v
-      FROM (SELECT * REPLACE (CASE WHEN isfinite(value) THEN value END AS value) FROM events WHERE ts IS NOT NULL) events GROUP BY event_type, ({_ORACLE_ES}) // {_DAY_S}
+      FROM (SELECT * REPLACE (CASE WHEN isfinite(value) AND abs(value) < 1.0e4 THEN value END AS value) FROM events WHERE ts IS NOT NULL) events GROUP BY event_type, ({_ORACLE_ES}) // {_DAY_S}
     ), idx AS (
       SELECT event_type, v,
              ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) - 1 AS i,
@@ -2039,7 +2049,7 @@ def events_bootstrap_ci_daily_mean(spark: SparkSession, sf_dir: str) -> DataFram
              ((({_ORACLE_ES}) // 86400 + 4) % 7) * 24
                + (({_ORACLE_ES}) % 86400) // 3600 AS cell,
              CAST(round(CAST(value AS DECIMAL(18,2)) * 100) AS BIGINT) AS v
-      FROM (SELECT * REPLACE (CASE WHEN isfinite(value) THEN value END AS value) FROM events WHERE ts IS NOT NULL) events
+      FROM (SELECT * REPLACE (CASE WHEN isfinite(value) AND abs(value) < 1.0e4 THEN value END AS value) FROM events WHERE ts IS NOT NULL) events
     ), per_cell AS (
       SELECT event_type, cell,
              CAST(COUNT(*) AS DECIMAL(38,0)) AS nc,
@@ -2145,7 +2155,7 @@ _CONC_GAP_S = 30 * 60  # session gap, matches the sessionization queries
     "events_peak_concurrency",
     oracle=f"""
     WITH e AS (
-      SELECT user_id, ({_ORACLE_ES}) AS es FROM (SELECT * REPLACE (CASE WHEN isfinite(value) THEN value END AS value) FROM events WHERE ts IS NOT NULL) events
+      SELECT user_id, ({_ORACLE_ES}) AS es FROM (SELECT * REPLACE (CASE WHEN isfinite(value) AND abs(value) < 1.0e4 THEN value END AS value) FROM events WHERE ts IS NOT NULL) events
     ), flagged AS (
       SELECT user_id, es,
              CASE WHEN es - COALESCE(LAG(es) OVER (PARTITION BY user_id
@@ -2287,7 +2297,7 @@ def events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH daily AS (
       SELECT event_type, ({_ORACLE_ES}) // {_DAY_S} AS day,
              SUM(CAST(round(CAST(value AS DECIMAL(18,2)) * 100) AS BIGINT)) AS v
-      FROM (SELECT * REPLACE (CASE WHEN isfinite(value) THEN value END AS value) FROM events WHERE ts IS NOT NULL) events GROUP BY event_type, ({_ORACLE_ES}) // {_DAY_S}
+      FROM (SELECT * REPLACE (CASE WHEN isfinite(value) AND abs(value) < 1.0e4 THEN value END AS value) FROM events WHERE ts IS NOT NULL) events GROUP BY event_type, ({_ORACLE_ES}) // {_DAY_S}
     )
     SELECT
       a.event_type,
@@ -2350,7 +2360,7 @@ def events_seasonal_naive_backtest(spark: SparkSession, sf_dir: str) -> DataFram
     WITH e AS (
       SELECT user_id, ({_ORACLE_ES}) // {_WEEK_S} AS w,
              CAST(round(CAST(value AS DECIMAL(18,2)) * 100) AS BIGINT) AS cents
-      FROM (SELECT * REPLACE (CASE WHEN isfinite(value) THEN value END AS value) FROM events WHERE ts IS NOT NULL) events WHERE event_type = 'purchase'
+      FROM (SELECT * REPLACE (CASE WHEN isfinite(value) AND abs(value) < 1.0e4 THEN value END AS value) FROM events WHERE ts IS NOT NULL) events WHERE event_type = 'purchase'
     ), cohort AS (
       SELECT user_id, MIN(w) AS cw FROM e GROUP BY user_id
     ), wk AS (
@@ -2423,7 +2433,7 @@ def cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     "funnel_latency_percentiles",
     oracle=f"""
     WITH e AS (
-      SELECT user_id, event_type, ({_ORACLE_ES}) AS es FROM (SELECT * REPLACE (CASE WHEN isfinite(value) THEN value END AS value) FROM events WHERE ts IS NOT NULL) events
+      SELECT user_id, event_type, ({_ORACLE_ES}) AS es FROM (SELECT * REPLACE (CASE WHEN isfinite(value) AND abs(value) < 1.0e4 THEN value END AS value) FROM events WHERE ts IS NOT NULL) events
     ), v AS (
       SELECT user_id, MIN(es) AS t_view FROM e
       WHERE event_type = 'view' GROUP BY user_id
@@ -2522,7 +2532,7 @@ def funnel_latency_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
       -- (round-10 events parity sweep); a typeless series is
       -- unattributable, so both engines drop it.
       SELECT event_type, ({_ORACLE_ES}) // {_DAY_S} AS day
-      FROM (SELECT * REPLACE (CASE WHEN isfinite(value) THEN value END AS value) FROM events WHERE ts IS NOT NULL) events
+      FROM (SELECT * REPLACE (CASE WHEN isfinite(value) AND abs(value) < 1.0e4 THEN value END AS value) FROM events WHERE ts IS NOT NULL) events
       WHERE event_type IS NOT NULL
     ), daily AS (
       SELECT event_type, day, CAST(COUNT(*) AS BIGINT) AS x
@@ -2636,7 +2646,7 @@ def ts_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ts_seasonal_decompose",
     oracle=f"""
     WITH e AS (
-      SELECT event_type, ({_ORACLE_ES}) // {_DAY_S} AS day FROM (SELECT * REPLACE (CASE WHEN isfinite(value) THEN value END AS value) FROM events WHERE ts IS NOT NULL) events
+      SELECT event_type, ({_ORACLE_ES}) // {_DAY_S} AS day FROM (SELECT * REPLACE (CASE WHEN isfinite(value) AND abs(value) < 1.0e4 THEN value END AS value) FROM events WHERE ts IS NOT NULL) events
     ), daily AS (
       SELECT event_type, day, CAST(COUNT(*) AS BIGINT) AS x
       FROM e GROUP BY event_type, day
@@ -2764,7 +2774,7 @@ def ts_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT user_id, {_ORACLE_ES} AS es,
              CAST(round(CAST(value AS DECIMAL(18,2)) * 100) AS BIGINT)
                AS cents
-      FROM (SELECT * REPLACE (CASE WHEN isfinite(value) THEN value END AS value) FROM events WHERE ts IS NOT NULL) events
+      FROM (SELECT * REPLACE (CASE WHEN isfinite(value) AND abs(value) < 1.0e4 THEN value END AS value) FROM events WHERE ts IS NOT NULL) events
     ), b AS (
       SELECT (MIN(es) + MAX(es)) // 2 AS mid FROM e
     ), pu AS (
@@ -2926,7 +2936,7 @@ def events_cuped_adjusted_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT user_id, {_ORACLE_ES} AS es,
              CAST(round(CAST(value AS DECIMAL(18,2)) * 100) AS BIGINT)
                AS cents
-      FROM (SELECT * REPLACE (CASE WHEN isfinite(value) THEN value END AS value) FROM events WHERE ts IS NOT NULL) events
+      FROM (SELECT * REPLACE (CASE WHEN isfinite(value) AND abs(value) < 1.0e4 THEN value END AS value) FROM events WHERE ts IS NOT NULL) events
     ), b AS (
       SELECT (MIN(es) + MAX(es)) // 2 AS mid FROM e
     ), m AS (
@@ -3057,7 +3067,7 @@ def _hw_lnew(xm: str, sp: str, l: str, b: str) -> str:
       -- (round-10 events parity sweep); a typeless series is
       -- unattributable, so both engines drop it.
       SELECT event_type, ({_ORACLE_ES}) // {_DAY_S} AS day
-      FROM (SELECT * REPLACE (CASE WHEN isfinite(value) THEN value END AS value) FROM events WHERE ts IS NOT NULL) events
+      FROM (SELECT * REPLACE (CASE WHEN isfinite(value) AND abs(value) < 1.0e4 THEN value END AS value) FROM events WHERE ts IS NOT NULL) events
       WHERE event_type IS NOT NULL
     ), daily AS (
       SELECT event_type, day, CAST(COUNT(*) AS BIGINT) AS x
@@ -3263,7 +3273,7 @@ _SHAPLEY_W_SQL = ", ".join(
     "events_shapley_attribution",
     oracle=f"""
     WITH conv AS (
-      SELECT user_id, MIN(ts) AS fp FROM (SELECT * REPLACE (CASE WHEN isfinite(value) THEN value END AS value) FROM events WHERE ts IS NOT NULL) events
+      SELECT user_id, MIN(ts) AS fp FROM (SELECT * REPLACE (CASE WHEN isfinite(value) AND abs(value) < 1.0e4 THEN value END AS value) FROM events WHERE ts IS NOT NULL) events
       WHERE event_type = 'purchase' GROUP BY user_id
     ), touched AS (
       SELECT c.user_id,
@@ -3392,7 +3402,7 @@ def events_shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     "events_longest_streak",
     oracle=f"""
     WITH days AS (
-      SELECT DISTINCT user_id, ({_ORACLE_ES}) // 86400 AS day FROM (SELECT * REPLACE (CASE WHEN isfinite(value) THEN value END AS value) FROM events WHERE ts IS NOT NULL) events
+      SELECT DISTINCT user_id, ({_ORACLE_ES}) // 86400 AS day FROM (SELECT * REPLACE (CASE WHEN isfinite(value) AND abs(value) < 1.0e4 THEN value END AS value) FROM events WHERE ts IS NOT NULL) events
     ), isl AS (
       SELECT user_id, day,
              day - DENSE_RANK() OVER (PARTITION BY user_id ORDER BY day)
@@ -3456,7 +3466,7 @@ _POWERLAW_ACT_SQL = """
       -- matching note on _KM_RISK_SQL; an all-NULL-ts user otherwise
       -- inflates the oracle's cohort n_users literal (round-10 review).
       SELECT DISTINCT user_id, ({es}) // 86400 AS day
-      FROM (SELECT * REPLACE (CASE WHEN isfinite(value) THEN value END AS value)
+      FROM (SELECT * REPLACE (CASE WHEN isfinite(value) AND abs(value) < 1.0e4 THEN value END AS value)
             FROM {events} WHERE ts IS NOT NULL) pl_e
     ), fd AS (
       SELECT user_id, MIN(day) AS f FROM ud GROUP BY user_id
@@ -3626,7 +3636,7 @@ def events_retention_powerlaw(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ts_interpolate_linear",
     oracle=f"""
     WITH e AS (
-      SELECT user_id, ({_ORACLE_ES}) // {_DAY_S} AS day FROM (SELECT * REPLACE (CASE WHEN isfinite(value) THEN value END AS value) FROM events WHERE ts IS NOT NULL) events
+      SELECT user_id, ({_ORACLE_ES}) // {_DAY_S} AS day FROM (SELECT * REPLACE (CASE WHEN isfinite(value) AND abs(value) < 1.0e4 THEN value END AS value) FROM events WHERE ts IS NOT NULL) events
     ), daily AS (
       SELECT user_id, day, COUNT(*) AS n_ev FROM e GROUP BY user_id, day
     ), bounds AS (
@@ -3750,7 +3760,7 @@ def ts_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT event_id, value,
              CAST(date_diff('second', TIMESTAMP '1970-01-01',
                             date_trunc('second', ts)) AS BIGINT) AS es
-      FROM (SELECT * REPLACE (CASE WHEN isfinite(value) THEN value END AS value) FROM events WHERE ts IS NOT NULL) events
+      FROM (SELECT * REPLACE (CASE WHEN isfinite(value) AND abs(value) < 1.0e4 THEN value END AS value) FROM events WHERE ts IS NOT NULL) events
       WHERE value IS NOT NULL
     ), st AS (
       SELECT MIN(es) AS mn, MAX(es) AS mx FROM e

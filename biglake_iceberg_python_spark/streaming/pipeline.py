@@ -111,11 +111,20 @@ def stage_event_chunks(
     # NULLs — the missing-measure (NULL value) semantics are already
     # parity-verified, so non-finite folds into that class. Oracle twin:
     # `* REPLACE (CASE WHEN isfinite(value) ...)` in every stream oracle.
+    # is_finite AND |v| < 1e4 (round-10 out-of-range probe): a FINITE
+    # 5e16 measure overflows the DECIMAL(18,2) cents cast — DuckDB and
+    # Spark-ANSI raise, Spark ANSI-off silently NULLs — and even modest
+    # out-of-domain values overflow the exact-moment family's int64 sums
+    # of squared cents (DuckDB's HUGEINT-to-BIGINT cast raises, Spark
+    # wraps). The cap is the int64 moment budget, an order of magnitude
+    # above the genuine domain ceiling (~560). Same fold as
+    # eventflow._timed_events; oracle twin carries the matching cap.
     vidx = t.schema.get_field_index("value")
-    t = t.set_column(
-        vidx, "value", pc.if_else(pc.is_finite(t.column("value")),
-                                  t.column("value"), None)
+    vcol = t.column("value")
+    ok = pc.and_kleene(
+        pc.is_finite(vcol), pc.less(pc.abs(vcol), 1.0e4)
     )
+    t = t.set_column(vidx, "value", pc.if_else(ok, vcol, None))
     idx = t.schema.get_field_index("ts")
     ts_utc = t.column("ts").cast(pa.timestamp("us"), safe=False).cast(
         pa.timestamp("us", tz="UTC")

@@ -44,7 +44,7 @@ LAST_STREAMING_QUERIES: dict[str, object] = {}
       event_type,
       COUNT(*) AS n_events,
       {oracle_dsum('value')} AS sum_value
-    FROM (SELECT * REPLACE (CASE WHEN isfinite(value) THEN value END AS value) FROM events WHERE ts IS NOT NULL) events
+    FROM (SELECT * REPLACE (CASE WHEN isfinite(value) AND abs(value) < 1.0e4 THEN value END AS value) FROM events WHERE ts IS NOT NULL) events
     WHERE event_type IN ('purchase', 'error')
     GROUP BY 1, 2
     """,
@@ -99,7 +99,7 @@ def stream_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         time_bucket(INTERVAL '10 minutes', e.ts)
           - to_minutes(CAST(o.off_min AS BIGINT)) AS window_start,
         e.value
-      FROM (SELECT * REPLACE (CASE WHEN isfinite(value) THEN value END AS value) FROM events WHERE ts IS NOT NULL) e CROSS JOIN offs o
+      FROM (SELECT * REPLACE (CASE WHEN isfinite(value) AND abs(value) < 1.0e4 THEN value END AS value) FROM events WHERE ts IS NOT NULL) e CROSS JOIN offs o
       WHERE e.event_type = 'purchase'
     )
     SELECT
@@ -158,7 +158,7 @@ def stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
                   >= INTERVAL '30 minutes'
              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
              THEN 1 ELSE 0 END AS new_session
-      FROM (SELECT * REPLACE (CASE WHEN isfinite(value) THEN value END AS value) FROM events WHERE ts IS NOT NULL) events
+      FROM (SELECT * REPLACE (CASE WHEN isfinite(value) AND abs(value) < 1.0e4 THEN value END AS value) FROM events WHERE ts IS NOT NULL) events
     ), sessions AS (
       SELECT
         user_id, ts, value,
@@ -223,7 +223,7 @@ def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
       event_type,
       COUNT(*) AS n_events,
       {oracle_dsum('value')} AS sum_value
-    FROM (SELECT * REPLACE (CASE WHEN isfinite(value) THEN value END AS value) FROM events WHERE ts IS NOT NULL) events
+    FROM (SELECT * REPLACE (CASE WHEN isfinite(value) AND abs(value) < 1.0e4 THEN value END AS value) FROM events WHERE ts IS NOT NULL) events
     WHERE event_type IN ('purchase', 'error')
     GROUP BY 1, 2
     """,
@@ -292,7 +292,7 @@ def stream_tumbling_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     "stream_dedup_rocksdb",
     oracle="""
     SELECT event_type, COUNT(*) AS n_unique_events
-    FROM (SELECT * REPLACE (CASE WHEN isfinite(value) THEN value END AS value) FROM events WHERE ts IS NOT NULL) events
+    FROM (SELECT * REPLACE (CASE WHEN isfinite(value) AND abs(value) < 1.0e4 THEN value END AS value) FROM events WHERE ts IS NOT NULL) events
     GROUP BY event_type
     """,
     tags=("streaming", "dedup", "stateful", "watermark", "rocksdb"),
@@ -346,7 +346,7 @@ def stream_dedup_rocksdb(spark: SparkSession, sf_dir: str) -> DataFrame:
     "stream_dedup",
     oracle="""
     SELECT event_type, COUNT(*) AS n_unique_events
-    FROM (SELECT * REPLACE (CASE WHEN isfinite(value) THEN value END AS value) FROM events WHERE ts IS NOT NULL) events
+    FROM (SELECT * REPLACE (CASE WHEN isfinite(value) AND abs(value) < 1.0e4 THEN value END AS value) FROM events WHERE ts IS NOT NULL) events
     GROUP BY event_type
     """,
     tags=("streaming", "dedup", "stateful"),
@@ -379,7 +379,7 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "stream_dedup_within_watermark",
     oracle="""
     SELECT event_type, COUNT(*) AS n_unique_events
-    FROM (SELECT * REPLACE (CASE WHEN isfinite(value) THEN value END AS value) FROM events WHERE ts IS NOT NULL) events
+    FROM (SELECT * REPLACE (CASE WHEN isfinite(value) AND abs(value) < 1.0e4 THEN value END AS value) FROM events WHERE ts IS NOT NULL) events
     GROUP BY event_type
     """,
     tags=("streaming", "dedup", "stateful", "watermark"),
@@ -438,7 +438,7 @@ def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame
       SELECT ts, event_type,
              row_number() OVER (ORDER BY ts, event_id) - 1 AS rn,
              count(*) OVER () AS n
-      FROM (SELECT * REPLACE (CASE WHEN isfinite(value) THEN value END AS value) FROM events WHERE ts IS NOT NULL) events
+      FROM (SELECT * REPLACE (CASE WHEN isfinite(value) AND abs(value) < 1.0e4 THEN value END AS value) FROM events WHERE ts IS NOT NULL) events
     ), chunked AS (
       -- floor((4·rn+3)/n) is the EXACT inverse of the staging's
       -- n*i//4 slice bounds for every n; the simpler floor(4·rn/n)
@@ -582,7 +582,7 @@ def _make_user_upsert(state):
       user_id,
       COUNT(*) AS n_events,
       {oracle_dsum('value')} AS total_value
-    FROM (SELECT * REPLACE (CASE WHEN isfinite(value) THEN value END AS value) FROM events WHERE ts IS NOT NULL) events
+    FROM (SELECT * REPLACE (CASE WHEN isfinite(value) AND abs(value) < 1.0e4 THEN value END AS value) FROM events WHERE ts IS NOT NULL) events
     GROUP BY user_id
     """,
     tags=("streaming", "checkpoint", "recovery", "exactly-once"),
@@ -644,7 +644,7 @@ def stream_restart_exactly_once(spark: SparkSession, sf_dir: str) -> DataFrame:
       user_id,
       COUNT(*) AS n_events,
       {oracle_dsum('value')} AS total_value
-    FROM (SELECT * REPLACE (CASE WHEN isfinite(value) THEN value END AS value) FROM events WHERE ts IS NOT NULL) events
+    FROM (SELECT * REPLACE (CASE WHEN isfinite(value) AND abs(value) < 1.0e4 THEN value END AS value) FROM events WHERE ts IS NOT NULL) events
     GROUP BY user_id
     """,
     tags=("streaming", "foreachBatch", "merge"),
@@ -682,7 +682,7 @@ def stream_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
       COUNT(*) AS n_events,
       CAST(COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS BIGINT)
         AS n_purchases
-    FROM (SELECT * REPLACE (CASE WHEN isfinite(value) THEN value END AS value) FROM events WHERE ts IS NOT NULL) events
+    FROM (SELECT * REPLACE (CASE WHEN isfinite(value) AND abs(value) < 1.0e4 THEN value END AS value) FROM events WHERE ts IS NOT NULL) events
     GROUP BY user_id
     """,
     tags=("streaming", "stateful", "applyInPandasWithState"),
@@ -747,7 +747,7 @@ def stream_custom_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH e AS (
       SELECT user_id,
              CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS sec
-      FROM (SELECT * REPLACE (CASE WHEN isfinite(value) THEN value END AS value) FROM events WHERE ts IS NOT NULL) events
+      FROM (SELECT * REPLACE (CASE WHEN isfinite(value) AND abs(value) < 1.0e4 THEN value END AS value) FROM events WHERE ts IS NOT NULL) events
     ), x AS (
       SELECT user_id, sec,
              CASE WHEN lag(sec) OVER (PARTITION BY user_id ORDER BY sec)
@@ -894,7 +894,7 @@ def stream_stateful_timeout_session(
       e.event_type,
       COUNT(*) AS n_events,
       {oracle_dsum('e.value')} AS sum_value
-    FROM (SELECT * REPLACE (CASE WHEN isfinite(value) THEN value END AS value) FROM events WHERE ts IS NOT NULL) e
+    FROM (SELECT * REPLACE (CASE WHEN isfinite(value) AND abs(value) < 1.0e4 THEN value END AS value) FROM events WHERE ts IS NOT NULL) e
     JOIN customer c ON e.user_id = c.c_custkey
     WHERE e.event_type IN ('purchase', 'error')
     GROUP BY c.c_mktsegment, e.event_type
@@ -937,10 +937,10 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH p AS (
       SELECT user_id, date_trunc('second', ts) AS ts_p, value
-      FROM (SELECT * REPLACE (CASE WHEN isfinite(value) THEN value END AS value) FROM events WHERE ts IS NOT NULL) events WHERE event_type = 'purchase'
+      FROM (SELECT * REPLACE (CASE WHEN isfinite(value) AND abs(value) < 1.0e4 THEN value END AS value) FROM events WHERE ts IS NOT NULL) events WHERE event_type = 'purchase'
     ), e AS (
       SELECT user_id, event_id, date_trunc('second', ts) AS ts_e
-      FROM (SELECT * REPLACE (CASE WHEN isfinite(value) THEN value END AS value) FROM events WHERE ts IS NOT NULL) events WHERE event_type = 'error'
+      FROM (SELECT * REPLACE (CASE WHEN isfinite(value) AND abs(value) < 1.0e4 THEN value END AS value) FROM events WHERE ts IS NOT NULL) events WHERE event_type = 'error'
     )
     SELECT
       p.user_id,
@@ -1022,10 +1022,10 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH p AS (
       SELECT user_id, date_trunc('second', ts) AS ts_p, value
-      FROM (SELECT * REPLACE (CASE WHEN isfinite(value) THEN value END AS value) FROM events WHERE ts IS NOT NULL) events WHERE event_type = 'purchase'
+      FROM (SELECT * REPLACE (CASE WHEN isfinite(value) AND abs(value) < 1.0e4 THEN value END AS value) FROM events WHERE ts IS NOT NULL) events WHERE event_type = 'purchase'
     ), e AS (
       SELECT user_id, date_trunc('second', ts) AS ts_e
-      FROM (SELECT * REPLACE (CASE WHEN isfinite(value) THEN value END AS value) FROM events WHERE ts IS NOT NULL) events WHERE event_type = 'error'
+      FROM (SELECT * REPLACE (CASE WHEN isfinite(value) AND abs(value) < 1.0e4 THEN value END AS value) FROM events WHERE ts IS NOT NULL) events WHERE event_type = 'error'
     ), j AS (
       SELECT p.user_id, p.value, e.user_id AS matched
       FROM p LEFT JOIN e ON p.user_id = e.user_id
@@ -1114,10 +1114,10 @@ def stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH p AS (
       SELECT user_id, date_trunc('second', ts) AS ts_p, value
-      FROM (SELECT * REPLACE (CASE WHEN isfinite(value) THEN value END AS value) FROM events WHERE ts IS NOT NULL) events WHERE event_type = 'purchase'
+      FROM (SELECT * REPLACE (CASE WHEN isfinite(value) AND abs(value) < 1.0e4 THEN value END AS value) FROM events WHERE ts IS NOT NULL) events WHERE event_type = 'purchase'
     ), e AS (
       SELECT user_id, date_trunc('second', ts) AS ts_e
-      FROM (SELECT * REPLACE (CASE WHEN isfinite(value) THEN value END AS value) FROM events WHERE ts IS NOT NULL) events WHERE event_type = 'error'
+      FROM (SELECT * REPLACE (CASE WHEN isfinite(value) AND abs(value) < 1.0e4 THEN value END AS value) FROM events WHERE ts IS NOT NULL) events WHERE event_type = 'error'
     ), j AS (
       SELECT p.ts_p, p.value
       FROM p JOIN e ON p.user_id = e.user_id
@@ -1201,7 +1201,7 @@ def stream_join_then_window(spark: SparkSession, sf_dir: str) -> DataFrame:
       CAST(COUNT(*) AS BIGINT) AS n_events,
       CAST(SUM(CAST(round(CAST(value AS DECIMAL(18,2)) * 100) AS BIGINT))
         AS BIGINT) AS total_cents
-    FROM (SELECT * REPLACE (CASE WHEN isfinite(value) THEN value END AS value) FROM events WHERE ts IS NOT NULL) events
+    FROM (SELECT * REPLACE (CASE WHEN isfinite(value) AND abs(value) < 1.0e4 THEN value END AS value) FROM events WHERE ts IS NOT NULL) events
     GROUP BY event_type
     """,
     tags=("streaming", "sink", "file", "exactly-once"),
@@ -1275,7 +1275,7 @@ def stream_file_sink_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT DISTINCT
         time_bucket(INTERVAL '10 minutes', ts) AS window_start,
         user_id
-      FROM (SELECT * REPLACE (CASE WHEN isfinite(value) THEN value END AS value) FROM events WHERE ts IS NOT NULL) events
+      FROM (SELECT * REPLACE (CASE WHEN isfinite(value) AND abs(value) < 1.0e4 THEN value END AS value) FROM events WHERE ts IS NOT NULL) events
       WHERE event_type IN ('purchase', 'error')
     )
     SELECT
@@ -1330,7 +1330,7 @@ def stream_windowed_dau(spark: SparkSession, sf_dir: str) -> DataFrame:
                  '%Y-%m-%d %H:%M:%S') AS window_start,
         event_type,
         CAST(COUNT(*) AS BIGINT) AS n_events
-      FROM (SELECT * REPLACE (CASE WHEN isfinite(value) THEN value END AS value) FROM events WHERE ts IS NOT NULL) events
+      FROM (SELECT * REPLACE (CASE WHEN isfinite(value) AND abs(value) < 1.0e4 THEN value END AS value) FROM events WHERE ts IS NOT NULL) events
       GROUP BY 1, 2
     ), r AS (
       SELECT window_start, event_type, n_events,

@@ -143,6 +143,20 @@ def craft_events(d: str) -> None:
             vals[i] = float("nan")
         elif i % 13 == 6:
             vals[i] = float("inf")
+        # Out-of-range FINITE measures (round-10 probe): 5e16 overflows
+        # the DECIMAL(18,2) cents cast (DuckDB raises, Spark ANSI-off
+        # NULLs), and even modest out-of-domain values overflow the
+        # exact-moment family's int64 sums of squared cents (DuckDB's
+        # HUGEINT-to-BIGINT cast raises, Spark wraps). Both engines fold
+        # |v| >= 1e4 to NULL at ingestion — the int64 moment budget, one
+        # order of magnitude above the genuine domain ceiling (~560).
+        # 9e3 is just inside the cap and must be KEPT on both.
+        elif i % 13 == 7:
+            vals[i] = 5.0e16
+        elif i % 13 == 8:
+            vals[i] = -2.0e4
+        elif i % 13 == 9:
+            vals[i] = 9.0e3
     cols["value"] = pa.array(vals, type=tbl.schema.field("value").type)
     pq.write_table(pa.table(cols), f"{d}/events.parquet")
 
