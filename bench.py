@@ -76,56 +76,22 @@ def main() -> int:
             except Exception as exc:
                 print(f"# stream pre-stage skip {name}: {exc}", file=sys.stderr)
 
-    # Streaming queries re-stage files and run 6 micro-batches per pass;
-    # their run-to-run spread is large (builder-measured 2.7-25.7s for the
-    # same query), so a single sample chases noise. Median-of-3 per
-    # streaming query. The heaviest BATCH rows get median-of-3 too (round-4
-    # verdict: their ±0.05-0.3s single-sample noise kept generating false
-    # regression flags round-over-round); the remaining batch rows stay
-    # single-run so the feedback loop stays fast.
-    _STREAM_RUNS = 3
-    _SLOW_BATCH = {
-        "graph_kcore",
-        "graph_pagerank",
-        "dedup_minhash_lsh",
-        "dedup_minhash_oph",
-        "dedup_substring_spans",
-        "pricing_summary",
-        "tpch_q21_waiting_supplier",
-        # round-6 verdict #4: apparent r5→r6 regressions with zero code
-        # changes — median-of-3 so the order confound can't masquerade as
-        # a real regression again.
-        "ml_pca_gram",
-        "lakehouse_snapshot_diff",
-        "text_bpe_train_merges",
-        # round-8: single samples ranged 0.97-1.93s on identical code (page
-        # cache + JIT warm-in); median-of-3 keeps the r7→r8 delta honest.
-        "join_shipping_priority",
-        # round-9 (verdict #6): four more single-run rows moved >19%
-        # round-over-round with zero code changes — same noise class.
-        "ml_naive_bayes_langid",
-        "tpch_q9_product_profit",
-        "join_inner",
-        "dedup_paragraph_exact",
-        # round-9: the exact-by-construction rewrite added two bounded
-        # driver collects (structural ~+0.4s) with extra run-to-run
-        # variance — median it so the structural cost reads clean.
-        "text_lm_perplexity",
-        # round-10 (verdict #3): moved +36% r8→r9 with zero code changes —
-        # single-run noise class (text_bpe_train_merges, flagged alongside
-        # it, has been median-of-3 since round 6).
-        "text_bm25_search",
-        # round-10: single-run row read +120% on a settled box while a
-        # controlled same-session A/B of the old vs new form showed the
-        # NEW form 40% FASTER (warm 1.29s vs 2.18s) — noise class, and
-        # the one bench row where a single sample repeatedly misleads.
-        "sim_bruteforce_topk",
-    }
+    # Median-of-3 for EVERY row (round-11, per round-10 verdict #2/#3:
+    # `scalar_array_explode` +32% and `join_broadcast_star` +14% moved as
+    # single-run rows with zero code changes — the same noise class that
+    # had already promoted 17 rows into a hand-curated _SLOW_BATCH set over
+    # six rounds). The single-run class is ended outright: ~30s of extra
+    # bench wall once buys the end of the recurring false-regression
+    # triage, and every row now reports a min/median/max spread so a noisy
+    # host regime is visible in the artifact instead of masquerading as a
+    # code regression. Streaming rows were median-of-3 from round 4
+    # (builder-measured 2.7-25.7s spread on identical code).
+    _RUNS = 3
     timings: dict[str, float] = {}
     spreads: dict[str, dict[str, float]] = {}
     for name in names:
         spec = registry[name]
-        runs = _STREAM_RUNS if ("streaming" in spec.tags or name in _SLOW_BATCH) else 1
+        runs = _RUNS
         samples: list[float] = []
         n = 0
         for _ in range(runs):
@@ -167,7 +133,9 @@ def main() -> int:
             k: v for k, v in spreads.items() if "streaming" in registry[k].tags
         }
         out["slow_batch_spread"] = {
-            k: v for k, v in spreads.items() if k in _SLOW_BATCH
+            k: v
+            for k, v in spreads.items()
+            if "streaming" not in registry[k].tags
         }
     print(json.dumps(out))
     # Truncation-proof headline (round-9 verdict #3: the driver stores only

@@ -118,6 +118,17 @@ class HiddenPartitionedTable:
         staged.write.mode("overwrite").partitionBy(_PCOL).parquet(self.root)
 
     def _scan(self) -> DataFrame:
+        # The schema is table METADATA captured at write time (never file
+        # inference — round-10 empty-table axis). It lives on this handle
+        # only, so a scan through a fresh handle over an existing root has
+        # no metadata to plan from — fail loudly instead of passing
+        # schema=None into the reader (round-11 ADVICE).
+        if self._schema is None:
+            raise ValueError(
+                "no table metadata on this handle: write() before scanning "
+                "(schema is captured at write time, not re-inferred from "
+                "data files)"
+            )
         return self.spark.read.schema(self._schema).parquet(self.root)
 
     def scan_range(self, lower: str, upper_exclusive: str) -> DataFrame:

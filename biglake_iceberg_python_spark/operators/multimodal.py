@@ -74,8 +74,18 @@ def decode_image_stub(payload: bytes) -> tuple[int, int, int]:
     # Code-point walk, not byte walk: the SQL twin replays the hash with
     # ord(substr(text, i, 1)) — code points — and on multibyte text a
     # byte walk diverges (round-10 unicode parity axis). Identical on
-    # ASCII, where byte == code point.
-    for ch in payload.decode("utf-8")[:64]:
+    # ASCII, where byte == code point. The stub's payload contract is
+    # therefore UTF-8 text bytes; any other binary payload is by
+    # definition a real-codec payload, which is this build's explicit
+    # NotImplementedError seam — not a UnicodeDecodeError escaping a
+    # Python worker (round-11 ADVICE).
+    try:
+        data = payload.decode("utf-8")
+    except UnicodeDecodeError as exc:
+        raise NotImplementedError(
+            "non-UTF-8 binary payload: plug in a real codec at this seam"
+        ) from exc
+    for ch in data[:64]:
         checksum = (checksum * 31 + ord(ch)) % (1 << 31)
     width = 16 + checksum % 1024
     height = 16 + (checksum // 1024) % 1024
@@ -266,10 +276,21 @@ def _frame_sample_batches(
             # twin's substr cannot express (round-10 unicode parity
             # axis); each frame is md5'd over its UTF-8 re-encoding, the
             # same bytes DuckDB's md5(substr(..)) hashes. Identical on
-            # ASCII payloads.
-            data = (
-                bytes(payload).decode("utf-8") if payload is not None else ""
-            )
+            # ASCII payloads. Same UTF-8 payload contract as
+            # decode_image_stub: a non-UTF-8 payload is a real-media
+            # payload and surfaces as the explicit codec seam rather
+            # than a stray UnicodeDecodeError (round-11 ADVICE).
+            try:
+                data = (
+                    bytes(payload).decode("utf-8")
+                    if payload is not None
+                    else ""
+                )
+            except UnicodeDecodeError as exc:
+                raise NotImplementedError(
+                    "non-UTF-8 binary payload: plug in a real frame "
+                    "decoder at this seam"
+                ) from exc
             for i in range(_MAX_FRAMES):
                 start = i * _FRAME_STRIDE
                 if start + _FRAME_LEN > len(data):

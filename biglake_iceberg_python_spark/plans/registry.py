@@ -106,86 +106,78 @@ _loaded = False
 # tests/test_oracle_parity.py's full sweep, which runs every registered
 # query against its oracle regardless of ordering.
 #
-# Provenance of this rotation (round 10, per round-9 VERDICT "Next round"
-# #1/#2): CORRECTNESS_r09 came back 46 hash + 3 rows-only (the no-oracle
-# sketches, by design) + 1 red (sql_temp_function, second consecutive round
-# despite a judge-proved tie-free body — this round runs the discriminating
-# experiment: renamed sum column `disc_sum_v10` as a stale-oracle schema
-# canary + pure IEEE floor(x*100+0.5) cents, see operators/relational.py).
-# Every other slot goes to oracle-BEARING names only (r9 lesson: no-oracle
-# names can only return `err: no_oracle` and waste the slot), ordered by
-# staleness computed from CORRECTNESS_r01..r09: the 1 never-driver-verified
-# oracle (multimodal_decode_features — its only window slot, r3, predates
-# its oracle), the 2 r9-rewritten exact-by-construction forms whose last
-# hash-pass predates the rewrite (text_lm_perplexity r6,
-# curate_dsir_select r8), the 9 names last verified in round 1, and 37 of
-# the 43 names last verified in round 3. Deferred to round 11 (r3-stale
-# families whose siblings hash-passed in r5–r8, the lowest-marginal-value
-# residue): sim_knn_classify, sim_label_centroids, sample_hash_stratified,
-# sample_reservoir_pergroup, pack_token_shards, pipeline_corpus_build.
+# Provenance of this rotation (round 11, per round-10 VERDICT "Next round"
+# #1): CORRECTNESS_r10 came back 50/50 hash-matched — with it every one of
+# the 334 oracle-bearing names has a driver hash-pass on record, so
+# FRESHNESS is now the metric. Staleness recomputed from
+# CORRECTNESS_r01..r10 (histogram r3×6 · r4×48 · r5×43 · r6×48 · r7×48 ·
+# r8×45 · r9×46 · r10×50): all 50 slots go to the stalest oracle-bearing
+# names — the 6 r3-stale deferrals from the round-10 rotation, then 44 of
+# the 48 r4-stale names, lakehouse lifecycle first (the reference's own
+# core surface, iceberg_table_creation.py:58-85), then set ops and the UDF
+# tiers per the verdict. Deferred to round 12 (lowest marginal value: the
+# 4 r4-stale streaming names whose nearest siblings hash-passed r10 —
+# stream_dedup/stream_dedup_within_watermark/stream_stream_join/
+# stream_tumbling_window all green in the r10 window):
+# stream_dedup_rocksdb, stream_late_data_drop, stream_stream_left_join,
+# stream_tumbling_update. stream_restart_exactly_once stays in (unique
+# recovery semantics, no r10-verified sibling).
 _PRIORITY_WINDOW = [
-    # the r8+r9 red, rewritten as the discriminating experiment — keep first
-    "sql_temp_function",
-    # only remaining oracle-bearing name with no driver hash-pass on record
-    "multimodal_decode_features",
-    # r9 exact-by-construction rewrites, never driver-verified in that form
-    "text_lm_perplexity",
-    "curate_dsir_select",
-    # r1-stale (9): deferred residue from the round-9 rotation
-    "pricing_summary",
-    "filter_predicates",
-    "projection_compute",
-    "scan_limit_topk",
-    "agg_distinct",
-    "source_csv_roundtrip",
-    "source_json_roundtrip",
-    "source_orc_roundtrip",
-    "source_partitioned_write_prune",
-    # r3-stale scalars (8)
-    "scalar_string",
-    "scalar_datetime",
-    "scalar_datetime_events",
-    "scalar_conditional",
-    "scalar_array",
-    "scalar_array_explode",
-    "scalar_json",
-    "scalar_json_struct",
-    # r3-stale windows (6)
-    "window_ranking",
-    "window_analytic",
-    "window_frames",
-    "window_range_frame",
-    "window_distribution",
-    "window_topk_per_group",
-    # r3-stale streaming batch-twins (9)
-    "stream_tumbling_window",
-    "stream_sliding_window",
-    "stream_session_window",
-    "stream_dedup",
-    "stream_dedup_within_watermark",
-    "stream_custom_stateful",
-    "stream_static_join",
-    "stream_stream_join",
-    "stream_foreachbatch_upsert",
-    # r3-stale text (5)
-    "text_quality_stats",
-    "text_langid",
-    "text_token_count",
-    "text_fingerprint",
-    "text_bigram_novelty",
-    # r3-stale dedup (4)
-    "dedup_exact",
-    "dedup_ngram_jaccard",
-    "dedup_embedding_cosine",
-    "dedup_connected_components",
-    # r3-stale similarity (2)
-    "sim_bruteforce_topk",
-    "sim_ann_ivf",
-    # r3-stale multimodal (2)
-    "multimodal_binary_meta",
-    "multimodal_frame_sample",
-    # r3-stale tpch (1)
-    "tpch_q12_priority_counts",
+    # r3-stale deferrals from round 10 (6)
+    "sim_knn_classify",
+    "sim_label_centroids",
+    "sample_hash_stratified",
+    "sample_reservoir_pergroup",
+    "pack_token_shards",
+    "pipeline_corpus_build",
+    # r4-stale lakehouse lifecycle (23) — the reference's core surface
+    "lakehouse_roundtrip",
+    "lakehouse_tblproperties",
+    "lakehouse_catalog_introspection",
+    "lakehouse_metadata_log",
+    "lakehouse_time_travel",
+    "lakehouse_schema_evolution",
+    "lakehouse_mor_delete",
+    "lakehouse_incremental_read",
+    "lakehouse_rollback",
+    "lakehouse_manifest_pruning",
+    "lakehouse_hidden_partitioning",
+    "lakehouse_branch_tags",
+    "lakehouse_compaction",
+    "lakehouse_scd2_dimension",
+    "lakehouse_insert_overwrite",
+    "lakehouse_delete_where",
+    "lakehouse_update_where",
+    "lakehouse_zorder_layout",
+    "lakehouse_cdc_apply",
+    "lakehouse_bucketed_join",
+    "lakehouse_merge_upsert",
+    "lakehouse_expire_snapshots",
+    "lakehouse_snapshot_diff",
+    # r4-stale set ops (6)
+    "set_union_all",
+    "set_union_distinct",
+    "set_intersect",
+    "set_intersect_all",
+    "set_except",
+    "set_except_all",
+    # r4-stale UDF tiers (6)
+    "udf_python_scalar",
+    "udf_pandas_scalar",
+    "udf_arrow_scalar",
+    "udf_grouped_map",
+    "udf_map_in_arrow",
+    "udf_python_udtf",
+    # r4-stale remainder (9)
+    "scalar_bitwise",
+    "scalar_collation",
+    "scalar_variant",
+    "source_python_datasource",
+    "source_python_datasource_stream",
+    "sql_parameterized",
+    "sql_pipe_syntax",
+    "stream_restart_exactly_once",
+    "util_observe_metrics",
 ]
 
 

@@ -307,13 +307,20 @@ def _helper_tables() -> dict:
     # each axis to the whole registry.
     tables["load_table"] = set()
     # transitive closure: a helper that calls a table-reading helper
-    # reads that table too
+    # reads that table too. Call sites match on a word boundary
+    # (round-11 ADVICE: a bare substring test made helper names that are
+    # suffixes of longer identifiers count as calls — safe direction,
+    # only ever widened scope, but imprecise).
+    call_res = {
+        other: re.compile(rf"(?<![\w.]){re.escape(other)}\(")
+        for other in tables
+    }
     changed = True
     while changed:
         changed = False
         for name, body in funcs.items():
             for other, ts in tables.items():
-                if other != name and f"{other}(" in body:
+                if other != name and call_res[other].search(body):
                     if not ts <= tables[name]:
                         tables[name] |= ts
                         changed = True
@@ -339,7 +346,7 @@ def reads_table(name, spec, table: str) -> bool:
     if f'"{table}"' in src or table in sql:
         return True
     return any(
-        f"{helper}(" in src
+        re.search(rf"(?<![\w.]){re.escape(helper)}\(", src)
         for helper, ts in _helper_tables().items()
         if table in ts
     )
