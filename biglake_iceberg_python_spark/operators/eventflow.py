@@ -589,8 +589,9 @@ def agg_hll_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT
       event_type,
       CAST(n AS BIGINT) AS n_events,
-      CAST(CAST(n * sxy - sx * sy AS DOUBLE)
-           / CAST(n * sxx - sx * sx AS DOUBLE) AS DOUBLE)
+      CAST(CAST(CAST(n * sxy - sx * sy AS HUGEINT) * 1000000000
+                // NULLIF(CAST(n * sxx - sx * sx AS HUGEINT), 0)
+                AS BIGINT) AS DOUBLE) / 1.0e9
         AS slope_cents_per_s
     FROM s
     """,
@@ -604,10 +605,19 @@ def events_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Exactness: x is integer seconds since the corpus epoch, y integer
     cents (the 2-decimal money values scale exactly); all five regression
-    sums accumulate in DECIMAL(38,0), so the only floating-point op is
-    the final slope division on identical exact inputs — the
-    text_zipf_fit discipline applied per group. One map-side-combined
-    shuffle on event_type.
+    sums accumulate in DECIMAL(38,0). The slope is quantized to exact
+    integer NANO-cents-per-second by truncating integer division
+    (Spark ``DIV`` on DECIMAL ≡ DuckDB HUGEINT ``//`` — both truncate
+    toward zero, probed on negatives), then scaled by 1e-9 as the single
+    IEEE op on a small exact integer. The former form divided the two
+    DECIMAL(38,0) sums as doubles — but at sf0.1 the sums exceed 2^53
+    (num ~1.7e16, den ~2.2e20) and the DECIMAL→DOUBLE casts round
+    DIFFERENTLY per engine (found by the round-11 full-registry sf0.1
+    sweep: one-ulp slope divergence). Same class as the
+    sql_temp_function post-mortem: no >2^53 decimal-to-double cast at a
+    hash boundary. Budget: |num|·1e9 < 1e38 holds to ~1e11 events/group
+    at the domain's value/time ranges. One map-side-combined shuffle on
+    event_type.
     """
     e = _timed_events(spark, sf_dir)
     pts = e.select(
@@ -632,12 +642,11 @@ def events_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.col("n").cast("long").alias("n_events"),
         (
-            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
-                "double"
-            )
-            / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
-                "double"
-            )
+            F.expr(
+                "(n * sxy - sx * sy) * 1000000000"
+                " DIV nullif(n * sxx - sx * sx, 0)"
+            ).cast("double")
+            / F.lit(1.0e9)
         ).alias("slope_cents_per_s"),
     )
 

@@ -337,7 +337,15 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=False)
     )
     o1 = ori2.alias("o1")
-    o2 = ori2.alias("o2")
+    # Both wedge sides and the closure set are EDGE-sized — they grow with
+    # the corpus, so they must never broadcast (unlike the node-sized deg
+    # joins above, which the size-adaptive broadcast discipline covers).
+    # Catalyst's size estimate for a checkpointed ExistingRDD undershoots
+    # and picked BroadcastHashJoin here — at sf0.1 in a default-1g-driver
+    # session the broadcast build itself OOMs (found by the round-11
+    # full-registry sf0.1 sweep). hint("merge") pins the shuffled
+    # sort-merge join a 100 TB edge list needs.
+    o2 = ori2.alias("o2").hint("merge")
     wedge = o1.join(
         o2,
         (F.col("o1.u") == F.col("o2.u"))
@@ -349,7 +357,7 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ),
     ).select(F.col("o1.v").alias("x"), F.col("o2.v").alias("y"))
-    closure = ori2.select("u", "v")
+    closure = ori2.select("u", "v").hint("merge")
     tri = wedge.join(
         closure, (F.col("x") == F.col("u")) & (F.col("y") == F.col("v"))
     ).agg(F.count(F.lit(1)).alias("n_triangles"))
@@ -485,11 +493,12 @@ def graph_resource_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranking — while contributing the quadratically dominant wedge
     volume); the cap bounds the fan-out at |E|·cap instead of Σ deg² and
     is applied identically in the oracle, so it is semantics, not
-    approximation drift. The self-join is an equi-join on z over the
-    deg-filtered edge list; the candidate rollup shuffles on the (u,v)
-    pair key with map-side combine; existing edges leave via broadcast-
-    able anti-join on the same key; top-20 is TakeOrderedAndProject — no
-    global sort, nothing corpus-sized after the wedge rollup.
+    approximation drift. The self-join is a shuffled equi-join on z over
+    the deg-filtered edge list; the candidate rollup shuffles on the
+    (u,v) pair key with map-side combine; existing edges leave via a
+    shuffled anti-join on the same pair key (und is edge-sized — it must
+    never broadcast); top-20 is TakeOrderedAndProject — no global sort,
+    nothing corpus-sized after the wedge rollup.
     """
     edges = _edges(spark, sf_dir).localCheckpoint(eager=False)
     und = edges.filter(F.col("src") < F.col("dst")).select(
@@ -510,7 +519,15 @@ def graph_resource_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     e1 = ez.alias("e1")
-    e2 = ez.alias("e2")
+    # ez and und are EDGE-sized (they grow with the corpus): pin the
+    # z-keyed wedge self-join and the (u,v)-keyed anti-join to shuffled
+    # sort-merge joins. Catalyst's undershooting size estimate for the
+    # checkpointed edge list picked BroadcastHashJoin for both — the
+    # broadcast build OOMs a default-1g-driver session at sf0.1 (round-11
+    # sf0.1 sweep finding) and is categorically wrong at 100 TB. The deg
+    # join above stays adaptive: node-sized state is the size-adaptive
+    # broadcast discipline's domain.
+    e2 = ez.alias("e2").hint("merge")
     wedge = e1.join(
         e2,
         (F.col("e1.z") == F.col("e2.z")) & (F.col("e1.nbr") < F.col("e2.nbr")),
@@ -524,7 +541,7 @@ def graph_resource_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("contrib").cast("long").alias("ra_nano"),
     )
     nonedge = cand.join(
-        und,
+        und.hint("merge"),
         (F.col("u") == F.col("a")) & (F.col("v") == F.col("b")),
         "left_anti",
     )

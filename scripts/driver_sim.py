@@ -39,13 +39,23 @@ def main() -> int:
     cores = os.environ.get("SPARK_GRAFT_SIM_CORES", "8")
     parts = os.environ.get("SPARK_GRAFT_SIM_PARTITIONS", cores)
     tz = os.environ.get("SPARK_GRAFT_SIM_TZ", "Asia/Kathmandu")
-    spark = (
+    builder = (
         SparkSession.builder.master(f"local[{cores}]")
         .config("spark.sql.session.timeZone", tz)
         .config("spark.sql.shuffle.partitions", parts)
         .config("spark.default.parallelism", parts)
-        .getOrCreate()
     )
+    # Opt-in heap for ABOVE-driver-scale sweeps (e.g. the round-11 sf0.1
+    # full-registry run): the grading driver compares at sf0.01, where the
+    # plain session's default 1g heap is part of the fidelity being
+    # simulated. 10x the data in the SAME 1g local JVM is a harness
+    # artifact no real deployment has (cluster heap scales with data) —
+    # the graph family's two edge-sized checkpoints + 348 accumulated
+    # query states legitimately exceed it. Leave unset for driver parity.
+    mem = os.environ.get("SPARK_GRAFT_SIM_DRIVER_MEM")
+    if mem:
+        builder = builder.config("spark.driver.memory", mem)
+    spark = builder.getOrCreate()
     registry = load_all()
     names = sys.argv[1:] or list(registry)
     con = duckdb_connect(sf_dir)
