@@ -2796,9 +2796,20 @@ def ts_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT
         CAST(COUNT(*) AS BIGINT) AS n,
         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
-        CAST(SUM(x * y) AS BIGINT) AS sxy,
-        CAST(SUM(x * x) AS BIGINT) AS sxx,
-        CAST(SUM(y * y) AS BIGINT) AS syy,
+        -- second moments of PER-USER sums exceed int64 under in-contract
+        -- data (a heavy user's pre/post cents square; round-11 magnitude
+        -- axis): accumulate in HUGEINT and convert to double through
+        -- VARCHAR, DuckDB's only correctly-rounded INT128->double path
+        -- (the native cast mis-rounds ~1.3% of >2^53 values; probed).
+        -- Spark accumulates DECIMAL(38,0) and BigDecimal->double is
+        -- correctly rounded, so both engines feed the identical doubles
+        -- into the identical IEEE formula sequence.
+        CAST(CAST(SUM(CAST(x AS HUGEINT) * y) AS VARCHAR) AS DOUBLE)
+          AS sxyd,
+        CAST(CAST(SUM(CAST(x AS HUGEINT) * x) AS VARCHAR) AS DOUBLE)
+          AS sxxd,
+        CAST(CAST(SUM(CAST(y AS HUGEINT) * y) AS VARCHAR) AS DOUBLE)
+          AS syyd,
         CAST(COUNT(*) FILTER (WHERE user_id % 2 = 0) AS BIGINT) AS n0,
         CAST(COUNT(*) FILTER (WHERE user_id % 2 = 1) AS BIGINT) AS n1,
         CAST(COALESCE(SUM(x) FILTER (WHERE user_id % 2 = 0), 0) AS BIGINT)
@@ -2820,20 +2831,20 @@ def ts_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
       (CAST(sy0 AS DOUBLE) / NULLIF(CAST(n0 AS DOUBLE), 0.0)
        - CAST(sy1 AS DOUBLE) / NULLIF(CAST(n1 AS DOUBLE), 0.0)) / 100.0
         AS raw_delta,
-      (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
-        / NULLIF(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx, 0.0)
+      (CAST(n AS DOUBLE) * sxyd - CAST(sx AS DOUBLE) * sy)
+        / NULLIF(CAST(n AS DOUBLE) * sxxd - CAST(sx AS DOUBLE) * sx, 0.0)
         AS theta,
       ((CAST(sy0 AS DOUBLE) / NULLIF(CAST(n0 AS DOUBLE), 0.0)
         - CAST(sy1 AS DOUBLE) / NULLIF(CAST(n1 AS DOUBLE), 0.0))
-       - (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
-         / NULLIF(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx, 0.0)
+       - (CAST(n AS DOUBLE) * sxyd - CAST(sx AS DOUBLE) * sy)
+         / NULLIF(CAST(n AS DOUBLE) * sxxd - CAST(sx AS DOUBLE) * sx, 0.0)
          * (CAST(sx0 AS DOUBLE) / NULLIF(CAST(n0 AS DOUBLE), 0.0)
             - CAST(sx1 AS DOUBLE) / NULLIF(CAST(n1 AS DOUBLE), 0.0))) / 100.0
         AS cuped_delta,
-      (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
-      * (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
-      / NULLIF((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
-               * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy), 0.0)
+      (CAST(n AS DOUBLE) * sxyd - CAST(sx AS DOUBLE) * sy)
+      * (CAST(n AS DOUBLE) * sxyd - CAST(sx AS DOUBLE) * sy)
+      / NULLIF((CAST(n AS DOUBLE) * sxxd - CAST(sx AS DOUBLE) * sx)
+               * (CAST(n AS DOUBLE) * syyd - CAST(sy AS DOUBLE) * sy), 0.0)
         AS var_reduction_rho_sq
     FROM m
     """,
@@ -2850,12 +2861,16 @@ def events_cuped_adjusted_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``events_ab_welch_ttest``.
 
     Exactness follows the exact-moment recipe: per-user pre/post cents
-    are int64 sums; n/Σx/Σy/Σxy/Σx²/Σy² and the per-variant partials
-    accumulate as exact integers in ONE aggregation pass; θ, the adjusted
-    delta, and ρ² then derive through an IDENTICAL double-op sequence in
-    both engines (products are taken double×int after an explicit cast —
-    n·Σxy would overflow int64 — every operation IEEE-specified, no
-    libm), so the statistics hash-match bit-for-bit.
+    are int64 sums; n/Σx/Σy and the per-variant partials accumulate as
+    exact int64; the SECOND moments Σxy/Σx²/Σy² accumulate in
+    DECIMAL(38,0)/HUGEINT (per-user sums square — in-contract heavy
+    users push them past int64; round-11 magnitude axis) and convert to
+    double through each engine's correctly-rounded path (Spark
+    BigDecimal→double; DuckDB INT128→VARCHAR→double — the native INT128
+    cast mis-rounds ~1.3% of >2^53 values). θ, the adjusted delta, and
+    ρ² then derive through an IDENTICAL double-op sequence in both
+    engines (every operation IEEE-specified, no libm), so the statistics
+    hash-match bit-for-bit.
 
     Scale shape: one map-side-combined shuffle to the per-user table
     (keyed on user_id — the same partitioning every per-user family
@@ -2888,13 +2903,22 @@ def events_cuped_adjusted_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     v0 = F.col("user_id") % 2 == 0
     v1 = F.col("user_id") % 2 == 1
+    # Per-user sums square in the second moments, so Σxy/Σx²/Σy² exceed
+    # int64 under in-contract data (round-11 magnitude axis: a long*long
+    # product sum would silently WRAP here while the oracle's
+    # HUGEINT→BIGINT pin raises — the worst divergence shape). Accumulate
+    # in DECIMAL(38,0) and convert the final exact sum to double
+    # (BigDecimal→double is correctly rounded; the oracle routes its
+    # HUGEINT through VARCHAR for the same correctly-rounded result).
+    x38 = F.col("x").cast("decimal(38,0)")
+    y38 = F.col("y").cast("decimal(38,0)")
     m = pu.agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum("x").cast("long").alias("sx"),
         F.sum("y").cast("long").alias("sy"),
-        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
-        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
-        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+        F.sum(x38 * F.col("y")).cast("double").alias("sxyd"),
+        F.sum(x38 * F.col("x")).cast("double").alias("sxxd"),
+        F.sum(y38 * F.col("y")).cast("double").alias("syyd"),
         F.count(F.when(v0, 1)).cast("long").alias("n0"),
         F.count(F.when(v1, 1)).cast("long").alias("n1"),
         F.coalesce(F.sum(F.when(v0, F.col("x"))), F.lit(0))
@@ -2916,9 +2940,9 @@ def events_cuped_adjusted_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     # DIVIDE_BY_ZERO under ANSI, where DuckDB yields NULL either way
     # (round-10 empty-table parity, ANSI axis).
     nd = F.col("n").cast("double")
-    cov_n = nd * F.col("sxy") - F.col("sx").cast("double") * F.col("sy")
-    varx_n = nd * F.col("sxx") - F.col("sx").cast("double") * F.col("sx")
-    vary_n = nd * F.col("syy") - F.col("sy").cast("double") * F.col("sy")
+    cov_n = nd * F.col("sxyd") - F.col("sx").cast("double") * F.col("sy")
+    varx_n = nd * F.col("sxxd") - F.col("sx").cast("double") * F.col("sx")
+    vary_n = nd * F.col("syyd") - F.col("sy").cast("double") * F.col("sy")
     n0d = F.nullif(F.col("n0").cast("double"), F.lit(0.0))
     n1d = F.nullif(F.col("n1").cast("double"), F.lit(0.0))
     raw = F.col("sy0").cast("double") / n0d - F.col("sy1").cast("double") / n1d

@@ -22,7 +22,9 @@ still covers them).
 
 from __future__ import annotations
 
+import datetime
 import os
+import re
 import shutil
 import sys
 
@@ -243,6 +245,63 @@ def craft_ties(d: str) -> None:
     pq.write_table(pa.table(dcols), f"{d}/documents.parquet")
 
 
+def craft_magnitude(d: str) -> None:
+    """Ninth axis (round 11): amplified IN-CONTRACT magnitudes. Every
+    event value sits just under the |v| < 1e4 ingest cap and the corpus
+    is replicated 64x (fresh event_ids — the key-uniqueness contract
+    holds; replica k shifts ts by k seconds), so exact integer
+    aggregates — squared-cents moment sums above all — exceed 2^53 per
+    GROUP, the range where an INT128-backed DECIMAL/HUGEINT → DOUBLE
+    conversion is no longer exact. Probed divergence mechanics: DuckDB's
+    INT128 → double path mis-rounds ~1.3% of >2^53 values (up to 2 ulp)
+    while Spark's BigDecimal path is correctly rounded — the same class
+    as the sql_temp_function post-mortem and the round-11
+    events_trend_slope sf0.1 finding. An oracle casting a wide exact sum
+    to DOUBLE must route it through VARCHAR (DuckDB's strtod is
+    correctly rounded; probed 0/4000) or quantize the projection to
+    integers (the trend_slope recipe)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(d)
+    for t in TABLES:
+        if t != "events":
+            os.symlink(f"{SF_BASE}/{t}.parquet", f"{d}/{t}.parquet")
+    tbl = pq.read_table(f"{SF_BASE}/events.parquet")
+    cols = {n: tbl[n].to_pylist() for n in tbl.column_names}
+    n = tbl.num_rows
+    max_id = max(v for v in cols["event_id"] if v is not None)
+    out = {name: [] for name in tbl.column_names}
+    reps = 64
+    for k in range(reps):
+        for i in range(n):
+            out["event_id"].append(
+                cols["event_id"][i] if k == 0 else max_id + 1 + (k - 1) * n + i
+            )
+            ts = cols["ts"][i]
+            out["ts"].append(
+                ts
+                if (k == 0 or ts is None)
+                else ts + datetime.timedelta(seconds=k)
+            )
+            out["user_id"].append(cols["user_id"][i])
+            out["event_type"].append(cols["event_type"][i])
+            # cents in [900000, 999999]: per-row cents^2 ~ 1e12, so a
+            # ~12k-row per-type group sums past 2^53 (9.007e15)
+            cents = 900_000 + (37 * (k * n + i)) % 100_000
+            sign = -1 if (k * n + i) % 7 == 3 else 1
+            out["value"].append(sign * cents / 100.0)
+            out["props"].append(cols["props"][i])
+    schema = tbl.schema
+    pq.write_table(
+        pa.table(
+            {name: pa.array(out[name], type=schema.field(name).type)
+             for name in tbl.column_names}
+        ),
+        f"{d}/events.parquet",
+    )
+
+
 def craft_empty(d: str) -> None:
     """ALL tables 0-row (schema preserved) — the limit shape of an empty
     partition / a zero-new-files incremental ingest, which a 100 TB
@@ -280,7 +339,6 @@ def _helper_tables() -> dict:
     if _HELPER_TABLES_CACHE is not None:
         return _HELPER_TABLES_CACHE
     import glob
-    import re
 
     pkg = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
@@ -335,6 +393,8 @@ def reads_table(name, spec, table: str) -> bool:
         return True
     if table == "unicode":
         return reads_table(name, spec, "documents")
+    if table == "magnitude":
+        return reads_table(name, spec, "events")
     if table == "ties":
         return reads_table(name, spec, "events") or reads_table(
             name, spec, "documents"
@@ -384,6 +444,7 @@ def main() -> int:
         ("documents", craft_documents),
         ("embeddings", craft_embeddings),
         ("events", craft_events),
+        ("magnitude", craft_magnitude),
         ("empty", craft_empty),
         ("unicode", craft_unicode),
         ("ties", craft_ties),
