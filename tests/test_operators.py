@@ -2150,6 +2150,41 @@ def test_unicode_text_parity_regressions(spark, sf_dir, tmp_path):
         assert result["ok"], (q, {k: v for k, v in result.items() if k != "ok"})
 
 
+def test_magnitude_parity_round11_regressions(spark, sf_dir, tmp_path):
+    """Pin the round-11 MAGNITUDE-axis findings: amplified IN-CONTRACT
+    event values (just under the |v| < 1e4 ingest cap, corpus replicated
+    64x with fresh event_ids) push exact integer aggregates past 2^53
+    per group — the range where DuckDB's native INT128->double cast
+    mis-rounds ~1.3% of values (Spark's BigDecimal path and DuckDB's
+    VARCHAR->double are correctly rounded). Once-reds pinned:
+    events_cuped_adjusted_delta (per-user cross moments past int64 — the
+    oracle's HUGEINT->BIGINT pin raised while a long sum would wrap;
+    now DECIMAL(38,0)/HUGEINT with correctly-rounded conversion) and
+    events_trend_slope (the sf0.1 sweep's one-ulp slope divergence; now
+    integer nano-unit division). Full corpus sweep:
+    scripts/degenerate_parity_sweep.py --table magnitude."""
+    import os
+    import sys
+
+    from biglake_iceberg_python_spark.plans.check import compare, duckdb_connect
+    from biglake_iceberg_python_spark.plans.registry import resolve_oracle
+
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, os.path.join(repo_root, "scripts"))
+    from degenerate_parity_sweep import craft_magnitude
+
+    d = str(tmp_path / "sf_magnitude")
+    craft_magnitude(d)
+    con = duckdb_connect(d)
+    for q in [
+        "events_cuped_adjusted_delta", "events_trend_slope",
+        "events_ab_welch_ttest",
+    ]:
+        spec = REGISTRY[q]
+        result = compare(spec.fn(spark, d), con, resolve_oracle(spec, d))
+        assert result["ok"], (q, {k: v for k, v in result.items() if k != "ok"})
+
+
 def test_ml_family_tolerates_all_degenerate_embeddings(spark, sf_dir, tmp_path):
     """When EVERY embedding row is NULL/wrong-dim/empty, the validity
     filter empties the table: the seed/init collects come back empty and

@@ -903,17 +903,34 @@ def test_resource_allocation_caps_hubs_before_wedge_join(spark, sf_dir):
     """The deg<=cap filter must sit BELOW the z-z wedge self-join (the
     fan-out bound depends on filtering first), the wedge join must be an
     equi-join on z (never a cartesian), and top-20 must be
-    TakeOrderedAndProject."""
+    TakeOrderedAndProject. Round 11: the wedge self-join and the und
+    anti-join must be SHUFFLED joins — both sides are edge-sized and an
+    edge list must never broadcast (Catalyst's undershooting
+    ExistingRDD estimate picked broadcast and OOM'd a default-heap
+    session at sf0.1)."""
     plan = plan_of(spark, sf_dir, "graph_resource_allocation")
     assert "TakeOrderedAndProject" in plan
     assert "CartesianProduct" not in plan
     # the cap shows up as a pre-join filter on the degree column
     assert "(deg#" in plan and "<= 256" in plan
-    # wedge join keyed on z: a SortMergeJoin/ShuffledHashJoin with z in
-    # its join keys exists
-    assert ("SortMergeJoin [z#" in plan) or ("ShuffledHashJoin [z#" in plan) or (
-        "BroadcastHashJoin [z#" in plan
-    )
+    # wedge join keyed on z: pinned to a shuffled sort-merge join
+    assert "SortMergeJoin [z#" in plan
+    # the anti-join against existing edges is shuffled, never broadcast
+    anti_lines = [ln for ln in plan.splitlines() if "LeftAnti" in ln]
+    assert anti_lines and all(
+        "SortMergeJoin" in ln for ln in anti_lines
+    ), anti_lines
+
+
+def test_triangle_count_edge_sides_never_broadcast(spark, sf_dir):
+    """Round 11: triangle counting's wedge self-join and closure join
+    consume the ORIENTED EDGE list on both sides — edge-sized, corpus-
+    growing relations that must reach the join via shuffle. Only the
+    node-sized deg joins and the one-row stat tables may broadcast."""
+    plan = plan_of(spark, sf_dir, "graph_triangle_count")
+    assert "CartesianProduct" not in plan
+    # the two merge-hinted joins appear as sort-merge joins on u / (u,v)
+    assert plan.count("SortMergeJoin") >= 2
 
 
 def test_seasonal_decompose_windows_grid_not_corpus(spark, sf_dir):
