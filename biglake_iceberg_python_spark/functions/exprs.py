@@ -29,7 +29,7 @@ _DEC = "decimal(30,6)"
 def dsum(col: str | Column, alias: str | None = None) -> Column:
     """Exact, order-independent sum of a double column, returned as double.
 
-    DuckDB oracle twin: ``CAST(SUM(CAST(x AS DECIMAL(30,6))) AS DOUBLE)``.
+    DuckDB oracle twin: ``CAST(CAST(SUM(CAST(x AS DECIMAL(30,6))) AS STRING) AS DOUBLE)``.
     """
     c = F.col(col) if isinstance(col, str) else col
     out = F.sum(c.cast(_DEC)).cast("double")
@@ -37,8 +37,18 @@ def dsum(col: str | Column, alias: str | None = None) -> Column:
 
 
 def oracle_dsum(expr: str) -> str:
-    """The DuckDB SQL twin of :func:`dsum` for an arbitrary SQL expression."""
-    return f"CAST(SUM(CAST({expr} AS DECIMAL(30,6))) AS DOUBLE)"
+    """The DuckDB SQL twin of :func:`dsum` for an arbitrary SQL expression.
+
+    The exact decimal sum converts to double THROUGH A STRING (the one
+    spelling BOTH engines parse — some call sites interpolate this
+    helper into shared Spark SQL text): DuckDB's
+    native wide-decimal→double cast double-rounds (double(int128) /
+    double(10^scale) — probed 26% mis-rounded once the internal integer
+    exceeds 2^53, which a money sum reaches near sf0.1), and the behavior
+    is engine-build-dependent. The strtod parse is correctly rounded on
+    every build — bit-identical to Spark's BigDecimal.doubleValue path
+    (round-11 magnitude hazard class)."""
+    return f"CAST(CAST(SUM(CAST({expr} AS DECIMAL(30,6))) AS STRING) AS DOUBLE)"
 
 
 def davg(col: str | Column, alias: str | None = None) -> Column:
@@ -49,7 +59,11 @@ def davg(col: str | Column, alias: str | None = None) -> Column:
 
 
 def oracle_davg(expr: str) -> str:
-    return f"CAST(SUM(CAST({expr} AS DECIMAL(30,6))) AS DOUBLE) / COUNT({expr})"
+    """STRING-routed for the same reason as :func:`oracle_dsum`."""
+    return (
+        f"CAST(CAST(SUM(CAST({expr} AS DECIMAL(30,6))) AS STRING) AS DOUBLE)"
+        f" / COUNT({expr})"
+    )
 
 
 def ts_s(col: str | Column, alias: str | None = None) -> Column:

@@ -351,7 +351,7 @@ def lakehouse_catalog_introspection(spark: SparkSession, sf_dir: str) -> DataFra
     "lakehouse_bucketed_join",
     oracle="""
     SELECT o.o_orderpriority, COUNT(*) AS n_lines,
-           CAST(SUM(CAST(l.l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS sum_qty
+           CAST(CAST(SUM(CAST(l.l_quantity AS DECIMAL(30,6))) AS STRING) AS DOUBLE) AS sum_qty
     FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
     GROUP BY o.o_orderpriority
     """,
@@ -453,7 +453,7 @@ def lakehouse_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT
       COALESCE(o_channel, 'unknown') AS channel,
       COUNT(*) AS n,
-      CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS sum_price
+      CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS STRING) AS DOUBLE) AS sum_price
     FROM unioned
     GROUP BY COALESCE(o_channel, 'unknown')
     """,
@@ -516,7 +516,7 @@ def lakehouse_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT
       o_orderstatus,
       CAST(COUNT(*) AS BIGINT) AS n,
-      CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS sum_price
+      CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS STRING) AS DOUBLE) AS sum_price
     FROM orders
     WHERE o_orderstatus IN ('O', 'P')
     GROUP BY o_orderstatus
@@ -645,7 +645,7 @@ def lakehouse_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT
       o_orderpriority,
       CAST(COUNT(*) AS BIGINT) AS n_orders,
-      CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS sum_price
+      CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS STRING) AS DOUBLE) AS sum_price
     FROM orders
     WHERE o_orderdate >= TIMESTAMP '1995-07-01 00:00:00'
       AND o_orderdate <  TIMESTAMP '1996-07-01 00:00:00'
@@ -701,7 +701,7 @@ def lakehouse_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame
     SELECT
       o_orderpriority,
       CAST(COUNT(*) AS BIGINT) AS n_orders,
-      CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS sum_price
+      CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS STRING) AS DOUBLE) AS sum_price
     FROM orders
     WHERE o_orderdate >= TIMESTAMP '1998-03-15 00:00:00'
       AND o_orderdate <  TIMESTAMP '1998-09-15 00:00:00'
@@ -751,7 +751,7 @@ def lakehouse_hidden_partitioning(spark: SparkSession, sf_dir: str) -> DataFrame
     SELECT
       o_orderstatus,
       CAST(COUNT(*) AS BIGINT) AS n_orders,
-      CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS sum_price
+      CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS STRING) AS DOUBLE) AS sum_price
     FROM orders
     WHERE o_orderdate >= TIMESTAMP '1997-03-01 00:00:00'
       AND o_orderdate <  TIMESTAMP '1997-09-01 00:00:00'
@@ -802,7 +802,7 @@ def lakehouse_manifest_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
       CAST(3 AS BIGINT) AS dirs_removed,
       CAST(1 AS BIGINT) AS n_snapshots,
       CAST(COUNT(*) AS BIGINT) AS n_rows,
-      CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS sum_price
+      CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS STRING) AS DOUBLE) AS sum_price
     FROM orders WHERE o_orderstatus = 'F'
     """,
     tags=("lakehouse", "snapshots", "maintenance", "expire"),
@@ -1485,7 +1485,7 @@ def lakehouse_write_audit_publish(spark: SparkSession, sf_dir: str) -> DataFrame
     SELECT
       CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
       CAST(COUNT(*) AS BIGINT) AS n_orders,
-      CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS sum_price
+      CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS STRING) AS DOUBLE) AS sum_price
     FROM orders
     GROUP BY 1
     """,

@@ -266,9 +266,9 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT
       l_returnflag,
-      (CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(30,6))) AS DOUBLE)
-       - CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE)
-         * CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) / COUNT(*))
+      (CAST(CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(30,6))) AS STRING) AS DOUBLE)
+       - CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS STRING) AS DOUBLE)
+         * CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS STRING) AS DOUBLE) / COUNT(*))
       / (COUNT(*) - 1) AS var_qty
     FROM lineitem
     GROUP BY l_returnflag
@@ -1097,14 +1097,19 @@ def scalar_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM lineitem
       GROUP BY l_returnflag
     )
+    -- Wide exact sums convert to double through VARCHAR: DuckDB's native
+    -- INT128->double cast mis-rounds ~1.3% of >2^53 values (sxx/syy/sxy
+    -- exceed 2^53 at sf0.1) and the behavior is engine-BUILD-dependent —
+    -- the strtod parse is correctly rounded on every build, matching
+    -- Spark's BigDecimal path bit-for-bit (round-11 magnitude hazard).
     SELECT
       l_returnflag,
       CAST(n AS BIGINT) AS n_rows,
-      (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-        / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
-               * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+      (CAST(n AS DOUBLE) * CAST(CAST(sxy AS VARCHAR) AS DOUBLE) - CAST(CAST(sx AS VARCHAR) AS DOUBLE) * CAST(CAST(sy AS VARCHAR) AS DOUBLE))
+        / sqrt((CAST(n AS DOUBLE) * CAST(CAST(sxx AS VARCHAR) AS DOUBLE) - CAST(CAST(sx AS VARCHAR) AS DOUBLE) * CAST(CAST(sx AS VARCHAR) AS DOUBLE))
+               * (CAST(n AS DOUBLE) * CAST(CAST(syy AS VARCHAR) AS DOUBLE) - CAST(CAST(sy AS VARCHAR) AS DOUBLE) * CAST(CAST(sy AS VARCHAR) AS DOUBLE)))
         AS corr_qty_price,
-      (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+      (CAST(n AS DOUBLE) * CAST(CAST(sxy AS VARCHAR) AS DOUBLE) - CAST(CAST(sx AS VARCHAR) AS DOUBLE) * CAST(CAST(sy AS VARCHAR) AS DOUBLE))
         / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) / 10000.0
         AS covar_pop_units
     FROM m
@@ -1176,36 +1181,40 @@ def agg_corr_covar(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM lineitem
       GROUP BY l_returnflag
     )
+    -- s2/s3/s4 (power sums of cents) exceed 2^53 (s3 ~2.5e16 and s4
+    -- ~1.25e20 at sf0.1): VARCHAR-routed conversion is correctly
+    -- rounded on any DuckDB build (native INT128->double is not),
+    -- matching Spark's BigDecimal path (round-11 magnitude hazard).
     SELECT
       l_returnflag,
       CAST(n AS BIGINT) AS n_rows,
-      (CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE)
+      (CAST(CAST(s3 AS VARCHAR) AS DOUBLE) / CAST(n AS DOUBLE)
         - 3.0 * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
-              * (CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE))
+              * (CAST(CAST(s2 AS VARCHAR) AS DOUBLE) / CAST(n AS DOUBLE))
         + 2.0 * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
               * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
               * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)))
-      / ((CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)
+      / ((CAST(CAST(s2 AS VARCHAR) AS DOUBLE) / CAST(n AS DOUBLE)
             - (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
             * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)))
-         * sqrt(CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)
+         * sqrt(CAST(CAST(s2 AS VARCHAR) AS DOUBLE) / CAST(n AS DOUBLE)
             - (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
             * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))))
         AS skewness,
-      (CAST(s4 AS DOUBLE) / CAST(n AS DOUBLE)
+      (CAST(CAST(s4 AS VARCHAR) AS DOUBLE) / CAST(n AS DOUBLE)
         - 4.0 * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
-              * (CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE))
+              * (CAST(CAST(s3 AS VARCHAR) AS DOUBLE) / CAST(n AS DOUBLE))
         + 6.0 * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
               * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
-              * (CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE))
+              * (CAST(CAST(s2 AS VARCHAR) AS DOUBLE) / CAST(n AS DOUBLE))
         - 3.0 * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
               * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
               * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
               * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)))
-      / ((CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)
+      / ((CAST(CAST(s2 AS VARCHAR) AS DOUBLE) / CAST(n AS DOUBLE)
           - (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
           * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)))
-         * (CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)
+         * (CAST(CAST(s2 AS VARCHAR) AS DOUBLE) / CAST(n AS DOUBLE)
             - (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
             * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)))) - 3.0
         AS excess_kurtosis

@@ -84,7 +84,7 @@ _ORACLE_RFM = f"""
       CAST(f AS INTEGER) AS f_score,
       CAST(m AS INTEGER) AS m_score,
       CAST(COUNT(*) AS BIGINT) AS n_customers,
-      CAST(SUM(CAST(monetary AS DECIMAL(30,6))) AS DOUBLE) AS segment_value
+      CAST(CAST(SUM(CAST(monetary AS DECIMAL(30,6))) AS STRING) AS DOUBLE) AS segment_value
     FROM scored GROUP BY r, f, m
 """
 
@@ -149,11 +149,11 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT
         l_suppkey, revenue,
         ROW_NUMBER() OVER (ORDER BY revenue DESC, l_suppkey) AS rk,
-        CAST(SUM(CAST(revenue AS DECIMAL(30,6))) OVER (
+        CAST(CAST(SUM(CAST(revenue AS DECIMAL(30,6))) OVER (
           ORDER BY revenue DESC, l_suppkey
-          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS STRING) AS DOUBLE)
           AS cum_revenue,
-        CAST(SUM(CAST(revenue AS DECIMAL(30,6))) OVER () AS DOUBLE)
+        CAST(CAST(SUM(CAST(revenue AS DECIMAL(30,6))) OVER () AS STRING) AS DOUBLE)
           AS total_revenue
       FROM rev
     )

@@ -884,24 +884,28 @@ def ts_ewma_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM (SELECT * REPLACE (CASE WHEN isfinite(value) AND abs(value) < 1.0e4 THEN value END AS value) FROM events WHERE ts IS NOT NULL) events
       GROUP BY event_type
     )
+    -- q0/q1 (sums of squared cents) exceed 2^53 on amplified
+    -- in-contract data: VARCHAR-routed conversion is correctly rounded
+    -- on any DuckDB build (native INT128->double is not), matching
+    -- Spark's path (round-11 magnitude hazard). s0/s1 stay <= ~1e11.
     SELECT
       event_type,
       CAST(n0 AS BIGINT) AS n0, CAST(n1 AS BIGINT) AS n1,
       (CAST(s0 AS DOUBLE) / n0 - CAST(s1 AS DOUBLE) / n1) / 100.0
         AS mean_diff,
       (CAST(s0 AS DOUBLE) / n0 - CAST(s1 AS DOUBLE) / n1)
-        / sqrt(((CAST(q0 AS DOUBLE) - CAST(s0 AS DOUBLE) * s0 / n0) / (n0 - 1)) / n0
-             + ((CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n1) / (n1 - 1)) / n1)
+        / sqrt(((CAST(CAST(q0 AS VARCHAR) AS DOUBLE) - CAST(s0 AS DOUBLE) * s0 / n0) / (n0 - 1)) / n0
+             + ((CAST(CAST(q1 AS VARCHAR) AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n1) / (n1 - 1)) / n1)
         AS t_stat,
-      (((CAST(q0 AS DOUBLE) - CAST(s0 AS DOUBLE) * s0 / n0) / (n0 - 1)) / n0
-       + ((CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n1) / (n1 - 1)) / n1)
-      * (((CAST(q0 AS DOUBLE) - CAST(s0 AS DOUBLE) * s0 / n0) / (n0 - 1)) / n0
-       + ((CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n1) / (n1 - 1)) / n1)
-      / ( (((CAST(q0 AS DOUBLE) - CAST(s0 AS DOUBLE) * s0 / n0) / (n0 - 1)) / n0)
-          * (((CAST(q0 AS DOUBLE) - CAST(s0 AS DOUBLE) * s0 / n0) / (n0 - 1)) / n0)
+      (((CAST(CAST(q0 AS VARCHAR) AS DOUBLE) - CAST(s0 AS DOUBLE) * s0 / n0) / (n0 - 1)) / n0
+       + ((CAST(CAST(q1 AS VARCHAR) AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n1) / (n1 - 1)) / n1)
+      * (((CAST(CAST(q0 AS VARCHAR) AS DOUBLE) - CAST(s0 AS DOUBLE) * s0 / n0) / (n0 - 1)) / n0
+       + ((CAST(CAST(q1 AS VARCHAR) AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n1) / (n1 - 1)) / n1)
+      / ( (((CAST(CAST(q0 AS VARCHAR) AS DOUBLE) - CAST(s0 AS DOUBLE) * s0 / n0) / (n0 - 1)) / n0)
+          * (((CAST(CAST(q0 AS VARCHAR) AS DOUBLE) - CAST(s0 AS DOUBLE) * s0 / n0) / (n0 - 1)) / n0)
           / (n0 - 1)
-        + (((CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n1) / (n1 - 1)) / n1)
-          * (((CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n1) / (n1 - 1)) / n1)
+        + (((CAST(CAST(q1 AS VARCHAR) AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n1) / (n1 - 1)) / n1)
+          * (((CAST(CAST(q1 AS VARCHAR) AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n1) / (n1 - 1)) / n1)
           / (n1 - 1) )
         AS welch_df
     FROM m
@@ -1335,13 +1339,16 @@ def events_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
              SUM(CAST(x AS DECIMAL(38,0)) * y) AS sxy
       FROM lagk GROUP BY event_type, lag_k
     )
+    -- VARCHAR-routed conversions: daily-sum second moments exceed 2^53
+    -- and DuckDB's native INT128->double cast is build-dependently
+    -- mis-rounded; strtod matches Spark's BigDecimal path (round 11).
     SELECT
       event_type,
       CAST(lag_k AS BIGINT) AS lag_k,
       CAST(n AS BIGINT) AS n_pairs,
-      (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-        / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
-               * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+      (CAST(n AS DOUBLE) * CAST(CAST(sxy AS VARCHAR) AS DOUBLE) - CAST(CAST(sx AS VARCHAR) AS DOUBLE) * CAST(CAST(sy AS VARCHAR) AS DOUBLE))
+        / sqrt((CAST(n AS DOUBLE) * CAST(CAST(sxx AS VARCHAR) AS DOUBLE) - CAST(CAST(sx AS VARCHAR) AS DOUBLE) * CAST(CAST(sx AS VARCHAR) AS DOUBLE))
+               * (CAST(n AS DOUBLE) * CAST(CAST(syy AS VARCHAR) AS DOUBLE) - CAST(CAST(sy AS VARCHAR) AS DOUBLE) * CAST(CAST(sy AS VARCHAR) AS DOUBLE)))
         AS acf
     FROM m
     """,
@@ -1763,19 +1770,22 @@ def events_kaplan_meier_retention(spark: SparkSession, sf_dir: str) -> DataFrame
              SUM(CAST(x AS DECIMAL(38,0)) * y) AS sxy
       FROM per_user GROUP BY variant
     )
+    -- VARCHAR-routed conversions: per-user cross moments exceed 2^53 and
+    -- DuckDB's native INT128->double cast is build-dependently
+    -- mis-rounded; strtod matches Spark's BigDecimal path (round 11).
     SELECT
       CAST(variant AS BIGINT) AS variant,
       CAST(n AS BIGINT) AS n_users,
-      CAST(sx AS DOUBLE) / CAST(sy AS DOUBLE) / 100.0 AS revenue_per_order,
+      CAST(CAST(sx AS VARCHAR) AS DOUBLE) / CAST(CAST(sy AS VARCHAR) AS DOUBLE) / 100.0 AS revenue_per_order,
       sqrt(
-        ( (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
-        + (CAST(sx AS DOUBLE) / CAST(sy AS DOUBLE)) * (CAST(sx AS DOUBLE) / CAST(sy AS DOUBLE))
-          * (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
-        - 2.0 * (CAST(sx AS DOUBLE) / CAST(sy AS DOUBLE))
-          * (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+        ( (CAST(CAST(sxx AS VARCHAR) AS DOUBLE) - CAST(CAST(sx AS VARCHAR) AS DOUBLE) * CAST(CAST(sx AS VARCHAR) AS DOUBLE) / CAST(n AS DOUBLE))
+        + (CAST(CAST(sx AS VARCHAR) AS DOUBLE) / CAST(CAST(sy AS VARCHAR) AS DOUBLE)) * (CAST(CAST(sx AS VARCHAR) AS DOUBLE) / CAST(CAST(sy AS VARCHAR) AS DOUBLE))
+          * (CAST(CAST(syy AS VARCHAR) AS DOUBLE) - CAST(CAST(sy AS VARCHAR) AS DOUBLE) * CAST(CAST(sy AS VARCHAR) AS DOUBLE) / CAST(n AS DOUBLE))
+        - 2.0 * (CAST(CAST(sx AS VARCHAR) AS DOUBLE) / CAST(CAST(sy AS VARCHAR) AS DOUBLE))
+          * (CAST(CAST(sxy AS VARCHAR) AS DOUBLE) - CAST(CAST(sx AS VARCHAR) AS DOUBLE) * CAST(CAST(sy AS VARCHAR) AS DOUBLE) / CAST(n AS DOUBLE))
         ) / NULLIF(CAST(n AS DOUBLE) - 1.0, 0.0)
       ) * sqrt(CAST(n AS DOUBLE))
-        / CAST(sy AS DOUBLE) / 100.0 AS delta_se
+        / CAST(CAST(sy AS VARCHAR) AS DOUBLE) / 100.0 AS delta_se
     FROM m
     """,
     tags=("events", "experimentation", "statistics", "delta-method"),
@@ -2084,12 +2094,16 @@ def events_bootstrap_ci_daily_mean(spark: SparkSession, sf_dir: str) -> DataFram
       t.event_type,
       CAST(t.n AS BIGINT) AS n_events,
       CAST(t.k AS BIGINT) AS n_cells,
+      -- t.ss (Σv² per type) exceeds 2^53 on amplified in-contract data:
+      -- VARCHAR-routed conversion = correctly rounded on any DuckDB
+      -- build, matching Spark's BigDecimal path (round 11). s/sc stay
+      -- ≤ ~1e10 — their native casts are exact.
       (b.sum_sc2_over_nc - CAST(t.s AS DOUBLE) * CAST(t.s AS DOUBLE) / CAST(t.n AS DOUBLE))
-        / (CAST(t.ss AS DOUBLE) - CAST(t.s AS DOUBLE) * CAST(t.s AS DOUBLE) / CAST(t.n AS DOUBLE))
+        / (CAST(CAST(t.ss AS VARCHAR) AS DOUBLE) - CAST(t.s AS DOUBLE) * CAST(t.s AS DOUBLE) / CAST(t.n AS DOUBLE))
         AS eta_squared,
       ((b.sum_sc2_over_nc - CAST(t.s AS DOUBLE) * CAST(t.s AS DOUBLE) / CAST(t.n AS DOUBLE))
          / (CAST(t.k AS DOUBLE) - 1.0))
-      / ((CAST(t.ss AS DOUBLE) - b.sum_sc2_over_nc) / (CAST(t.n AS DOUBLE) - CAST(t.k AS DOUBLE)))
+      / ((CAST(CAST(t.ss AS VARCHAR) AS DOUBLE) - b.sum_sc2_over_nc) / (CAST(t.n AS DOUBLE) - CAST(t.k AS DOUBLE)))
         AS f_stat
     FROM tot t JOIN ssb b ON t.event_type = b.event_type
     """,
@@ -3561,12 +3575,15 @@ def _powerlaw_oracle(sf_dir: str) -> str:
     )
     SELECT
       CAST(n AS BIGINT) AS n_points,
-      CAST(num AS DOUBLE) / CAST(denx AS DOUBLE) AS powerlaw_exponent,
+      -- num/denx/deny are HUGEINT products-of-sums past 2^53: VARCHAR-
+      -- routed conversion is correctly rounded on any DuckDB build,
+      -- matching Spark's int64->double path (round-11 magnitude hazard)
+      CAST(CAST(num AS VARCHAR) AS DOUBLE) / CAST(CAST(denx AS VARCHAR) AS DOUBLE) AS powerlaw_exponent,
       ((CAST(sy AS DOUBLE)
-        - (CAST(num AS DOUBLE) / CAST(denx AS DOUBLE)) * CAST(sx AS DOUBLE))
+        - (CAST(CAST(num AS VARCHAR) AS DOUBLE) / CAST(CAST(denx AS VARCHAR) AS DOUBLE)) * CAST(sx AS DOUBLE))
        / CAST(n AS DOUBLE)) / 1e6 AS ln_intercept,
-      (CAST(num AS DOUBLE) / CAST(denx AS DOUBLE))
-        * (CAST(num AS DOUBLE) / CAST(deny AS DOUBLE)) AS r_squared
+      (CAST(CAST(num AS VARCHAR) AS DOUBLE) / CAST(CAST(denx AS VARCHAR) AS DOUBLE))
+        * (CAST(CAST(num AS VARCHAR) AS DOUBLE) / CAST(CAST(deny AS VARCHAR) AS DOUBLE)) AS r_squared
     FROM kk
     """
 

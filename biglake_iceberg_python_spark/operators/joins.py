@@ -244,7 +244,7 @@ def join_broadcast_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o_orderpriority,
            COUNT(*) AS n_orders,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE)
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS STRING) AS DOUBLE)
              AS sum_price
     FROM orders
     WHERE o_orderpriority LIKE '1-%' OR o_orderpriority LIKE '2-%'

@@ -618,12 +618,16 @@ def ml_coreset_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
       l_returnflag,
       l_linestatus,
       CAST(n AS BIGINT) AS n_rows,
-      CAST(num AS DOUBLE) / CAST(denx AS DOUBLE) AS slope_dollars_per_unit,
+      -- num/denx/deny are HUGEINT products-of-sums past 2^53 (already at
+      -- sf0.01): VARCHAR-routed conversion is correctly rounded on any
+      -- DuckDB build — the native INT128->double cast is not — matching
+      -- Spark's BigDecimal path (round-11 magnitude hazard)
+      CAST(CAST(num AS VARCHAR) AS DOUBLE) / CAST(CAST(denx AS VARCHAR) AS DOUBLE) AS slope_dollars_per_unit,
       ((CAST(sy AS DOUBLE)
-        - (CAST(num AS DOUBLE) / CAST(denx AS DOUBLE)) * CAST(sx AS DOUBLE))
+        - (CAST(CAST(num AS VARCHAR) AS DOUBLE) / CAST(CAST(denx AS VARCHAR) AS DOUBLE)) * CAST(sx AS DOUBLE))
        / CAST(n AS DOUBLE)) / 100.0 AS intercept_dollars,
-      (CAST(num AS DOUBLE) / CAST(denx AS DOUBLE))
-        * (CAST(num AS DOUBLE) / CAST(deny AS DOUBLE)) AS r_squared
+      (CAST(CAST(num AS VARCHAR) AS DOUBLE) / CAST(CAST(denx AS VARCHAR) AS DOUBLE))
+        * (CAST(CAST(num AS VARCHAR) AS DOUBLE) / CAST(CAST(deny AS VARCHAR) AS DOUBLE)) AS r_squared
     FROM k
     ORDER BY l_returnflag, l_linestatus
     """,

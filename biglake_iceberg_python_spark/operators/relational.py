@@ -339,7 +339,7 @@ def sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT
       CAST(COUNT(*) AS BIGINT) AS n_scanned,
-      CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS total_qty,
+      CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS STRING) AS DOUBLE) AS total_qty,
       CAST(COUNT(*) FILTER (WHERE l_shipdate IS NULL) AS BIGINT)
         AS null_ship_dates,
       CAST(COUNT(*) FILTER (WHERE l_discount > 0.05) AS BIGINT) AS n_kept
@@ -398,7 +398,7 @@ def util_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
       o_orderstatus,
       o_orderpriority,
       CAST(COUNT(*) AS BIGINT) AS n_orders,
-      CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS total_price
+      CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS STRING) AS DOUBLE) AS total_price
     FROM orders
     GROUP BY ALL
     ORDER BY ALL
@@ -423,7 +423,7 @@ def sql_group_order_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
           o_orderstatus,
           o_orderpriority,
           CAST(COUNT(*) AS BIGINT) AS n_orders,
-          CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE)
+          CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS STRING) AS DOUBLE)
             AS total_price
         FROM orders_gball
         GROUP BY ALL

@@ -896,8 +896,12 @@ def _zipf_oracle(sf_dir: str) -> str:
       CAST(n AS BIGINT) AS n_ranks,
       CAST(sx AS BIGINT) AS sum_log_rank_micro,
       CAST(sy AS BIGINT) AS sum_log_freq_micro,
-      CAST(CAST(n * sxy - sx * sy AS DOUBLE)
-           / CAST(n * sxx - sx * sx AS DOUBLE) AS DOUBLE) AS zipf_exponent
+      -- products-of-sums past 2^53: VARCHAR-routed conversion is
+      -- correctly rounded on any DuckDB build (the native INT128->double
+      -- cast is not), matching Spark's path (round-11 magnitude hazard)
+      CAST(CAST(CAST(n * sxy - sx * sy AS VARCHAR) AS DOUBLE)
+           / CAST(CAST(n * sxx - sx * sx AS VARCHAR) AS DOUBLE) AS DOUBLE)
+        AS zipf_exponent
     FROM s
     """
 

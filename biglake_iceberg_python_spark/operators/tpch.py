@@ -288,7 +288,7 @@ def tpch_q12_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
       100.00 * CAST(SUM(CASE WHEN p.p_type = 'PROMO'
                    THEN CAST({_REV} AS DECIMAL(30,6))
                    ELSE CAST(0 AS DECIMAL(30,6)) END) AS DOUBLE)
-        / CAST(SUM(CAST({_REV} AS DECIMAL(30,6))) AS DOUBLE) AS promo_revenue
+        / CAST(CAST(SUM(CAST({_REV} AS DECIMAL(30,6))) AS STRING) AS DOUBLE) AS promo_revenue
     FROM lineitem l
     JOIN part p ON l.l_partkey = p.p_partkey
     WHERE l.l_shipdate >= TIMESTAMP '1999-03-01 00:00:00'
@@ -520,8 +520,7 @@ def tpch_q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "tpch_q6_revenue_forecast",
     oracle="""
-    SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(30,6)))
-                AS DOUBLE) AS revenue
+    SELECT CAST(CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(30,6))) AS STRING) AS DOUBLE) AS revenue
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1999-01-01 00:00:00'
       AND l_shipdate < TIMESTAMP '2000-01-01 00:00:00'
@@ -639,7 +638,7 @@ def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tpch_q17_small_quantity_revenue",
     oracle="""
     SELECT
-      CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(30,6))) AS DOUBLE) / 7.0
+      CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(30,6))) AS STRING) AS DOUBLE) / 7.0
         AS avg_yearly
     FROM lineitem l
     JOIN part p ON p.p_partkey = l.l_partkey
@@ -703,9 +702,9 @@ def tpch_q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFra
     SELECT
       n.n_name AS nation,
       CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
-      CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+      CAST(CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
                     - p.p_retailprice * l.l_quantity
-               AS DECIMAL(30,6))) AS DOUBLE) AS sum_profit
+               AS DECIMAL(30,6))) AS STRING) AS DOUBLE) AS sum_profit
     FROM lineitem l
     JOIN orders o ON o.o_orderkey = l.l_orderkey
     JOIN part p ON p.p_partkey = l.l_partkey
@@ -817,14 +816,14 @@ def tpch_q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tpch_q22_sales_opportunity",
     oracle="""
     WITH avg_bal AS (
-      SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(30,6))) AS DOUBLE)
+      SELECT CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(30,6))) AS STRING) AS DOUBLE)
                / COUNT(c_acctbal) AS a
       FROM customer WHERE c_acctbal > 0.0
     )
     SELECT
       c.c_nationkey,
       COUNT(*) AS numcust,
-      CAST(SUM(CAST(c.c_acctbal AS DECIMAL(30,6))) AS DOUBLE) AS totacctbal
+      CAST(CAST(SUM(CAST(c.c_acctbal AS DECIMAL(30,6))) AS STRING) AS DOUBLE) AS totacctbal
     FROM customer c, avg_bal
     WHERE c.c_acctbal > avg_bal.a
       AND NOT EXISTS (

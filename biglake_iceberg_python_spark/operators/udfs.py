@@ -47,8 +47,8 @@ def _qty_band_vec(qty: pd.Series) -> pd.Series:
     SELECT
       CAST(floor(l_quantity / 10) AS BIGINT) AS qty_band,
       COUNT(*) AS n,
-      CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax)
-                    AS DECIMAL(30,6))) AS DOUBLE) AS sum_net
+      CAST(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+                    AS DECIMAL(30,6))) AS STRING) AS DOUBLE) AS sum_net
     FROM lineitem
     WHERE l_orderkey % 4 = 0
     GROUP BY 1

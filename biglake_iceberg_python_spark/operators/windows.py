@@ -104,13 +104,13 @@ def window_analytic(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT
       o_custkey,
       o_orderkey,
-      CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6)))
+      CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6)))
         OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS STRING) AS DOUBLE)
         AS running_total,
-      CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6)))
+      CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6)))
         OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
+              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS STRING) AS DOUBLE)
         AS sliding_3_sum,
       COUNT(*) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)

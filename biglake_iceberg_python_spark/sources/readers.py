@@ -38,7 +38,7 @@ def read_json(spark: SparkSession, path: str, schema: str) -> DataFrame:
     "source_csv_roundtrip",
     oracle="""
     SELECT c_mktsegment, COUNT(*) AS n,
-           CAST(SUM(CAST(c_acctbal AS DECIMAL(30,6))) AS DOUBLE) AS sum_bal
+           CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(30,6))) AS STRING) AS DOUBLE) AS sum_bal
     FROM customer
     GROUP BY c_mktsegment
     """,
@@ -68,7 +68,7 @@ def source_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     "source_json_roundtrip",
     oracle="""
     SELECT o_orderstatus, COUNT(*) AS n,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS sum_price
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS STRING) AS DOUBLE) AS sum_price
     FROM orders
     GROUP BY o_orderstatus
     """,
@@ -124,7 +124,7 @@ def source_partitioned_write_prune(spark: SparkSession, sf_dir: str) -> DataFram
     "source_orc_roundtrip",
     oracle="""
     SELECT p_brand, COUNT(*) AS n,
-           CAST(SUM(CAST(p_retailprice AS DECIMAL(30,6))) AS DOUBLE)
+           CAST(CAST(SUM(CAST(p_retailprice AS DECIMAL(30,6))) AS STRING) AS DOUBLE)
              AS sum_price
     FROM part
     GROUP BY p_brand
@@ -154,7 +154,7 @@ def source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     "source_xml_roundtrip",
     oracle="""
     SELECT s_nationkey, COUNT(*) AS n,
-           CAST(SUM(CAST(s_acctbal AS DECIMAL(30,6))) AS DOUBLE) AS sum_bal
+           CAST(CAST(SUM(CAST(s_acctbal AS DECIMAL(30,6))) AS STRING) AS DOUBLE) AS sum_bal
     FROM supplier
     GROUP BY s_nationkey
     """,

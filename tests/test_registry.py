@@ -337,3 +337,27 @@ def test_no_oracle_rounds_a_raw_double():
             if "AS DECIMAL" not in arg.upper():
                 offenders.append((name, arg.strip()[:80]))
     assert not offenders, f"oracle round() on raw DOUBLE: {offenders}"
+
+
+def test_no_oracle_native_wide_decimal_to_double_sum():
+    """Round 11: DuckDB's NATIVE wide-decimal/INT128 -> DOUBLE conversion
+    is mis-rounded for values past 2^53 (probed: 1.3% of DECIMAL(38,0)
+    values, 26% of DECIMAL(30,6) with >2^53 internal integers) and the
+    behavior is engine-BUILD-dependent — the exact failure mode the
+    sql_temp_function post-mortem attributed to the driver's engine
+    builds. Every decimal-sum -> double conversion in an oracle must
+    route through VARCHAR/STRING (strtod is correctly rounded on every
+    build, matching Spark's BigDecimal path). This lint pins the dsum
+    convention: the native form must not reappear."""
+    offenders = []
+    for name, spec in load_all().items():
+        sql = _lint_sql(spec)
+        if sql is None:
+            continue
+        flat = " ".join(sql.split())
+        if "AS DECIMAL(30,6))) AS DOUBLE)" in flat:
+            offenders.append(name)
+    assert not offenders, (
+        f"native wide-decimal->double sum cast (use the VARCHAR route): "
+        f"{offenders}"
+    )
