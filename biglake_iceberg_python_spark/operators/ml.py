@@ -382,11 +382,20 @@ def _pca_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
     # identical len(embedding) = {_PCA_DIM} predicate. Zero-norm vectors
     # STAY — they are valid data points for a moment matrix (unlike the
     # cosine family, whose _valid_embeddings also requires norm > 0).
+    # |component| <= 8 is the quantization contract (round-11 magnitude
+    # class, the embeddings mirror of the events |v| < 1e4 fold): a
+    # FINITE out-of-range component overflows the int64 micro-unit grid
+    # — numpy's astype silently WRAPS while the oracle's BIGINT cast
+    # raises, the worst divergence shape. 8 = the int64 GEMM budget
+    # (8e6 micro-units → pair products <= 6.4e13, 64k-row batch sums
+    # <= 4.2e18 < 2^63) and an order of magnitude above any normalized
+    # embedding's component range. Out-of-range vectors are excluded on
+    # BOTH engines.
     finite = F.forall(
         F.transform("embedding", lambda x: x.cast("double")),
         lambda x: x.isNotNull()
         & ~F.isnan(x)
-        & (F.abs(x) != F.lit(float("inf"))),
+        & (F.abs(x) <= F.lit(8.0)),
     )
     e = (
         load_table(spark, sf_dir, "embeddings")
@@ -412,7 +421,8 @@ def _pca_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
     q AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
           WHERE len(embedding) = {_PCA_DIM}
             AND len(list_filter(embedding,
-                    x -> x IS NULL OR NOT isfinite(x::DOUBLE))) = 0),
+                    x -> x IS NULL OR NOT isfinite(x::DOUBLE)
+                         OR abs(x::DOUBLE) > 8.0)) = 0),
     x AS (
       SELECT vec_id, d.i AS i,
              CAST(floor(v[d.i] * {_PCA_QUANT}) AS BIGINT) AS xi

@@ -397,7 +397,8 @@ def multimodal_dedup_payload(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents d
       JOIN (SELECT * FROM embeddings WHERE len(embedding) = 64
             AND len(list_filter(embedding,
-                    x -> x IS NULL OR NOT isfinite(x::DOUBLE))) = 0) e
+                    x -> x IS NULL OR NOT isfinite(x::DOUBLE)
+                         OR abs(x::DOUBLE) > 8.0)) = 0) e
         ON d.doc_id = e.vec_id
     )
     SELECT
@@ -433,13 +434,17 @@ def multimodal_training_record(spark: SparkSession, sf_dir: str) -> DataFrame:
     # payload tokenizes to zero tokens (round-10 degenerate sweep: the
     # uncoalesced size(split(NULL)) subtracted one token per NULL doc
     # under ANSI-off sessions).
+    # |component| <= 8 is the engine-wide embedding contract (round-11
+    # magnitude class): a FINITE huge component passes every isfinite
+    # tier and then overflows the norm's BIGINT micro-quantization —
+    # DuckDB raises, Spark floors garbage.
     e = load_table(spark, sf_dir, "embeddings").filter(
         (F.size("embedding") == 64)
         & F.forall(
             F.transform("embedding", lambda x: x.cast("double")),
             lambda x: x.isNotNull()
             & ~F.isnan(x)
-            & (F.abs(x) != F.lit(float("inf"))),
+            & (F.abs(x) <= F.lit(8.0)),
         )
     )
     ev = F.transform(F.col("embedding"), lambda x: x.cast("double"))

@@ -75,10 +75,20 @@ def _valid_embeddings(
     everything, so `NaN > 0` and `Inf > 0` are TRUE — and once such a
     vector is in, DuckDB's DECIMAL quantizations raise where Spark
     ANSI-off silently NULLs (crash-vs-garbage). A NULL component counts
-    as non-finite on both sides."""
+    as non-finite on both sides.
+
+    |component| <= 8 is the engine-wide embedding contract (round 11,
+    the embeddings mirror of the events |v| < 1e4 fold): a FINITE huge
+    component (1e19, 1e200) passes every isfinite tier and then
+    overflows the family's integer/DECIMAL quantization grids — IVF
+    centroid micro-units, PQ codebooks, int8 scales, norm micros —
+    where DuckDB raises and Spark wraps or NULLs, the worst divergence
+    shape. 8 is an order of magnitude above any normalized embedding's
+    component range (a unit vector's max |component| is 1) and keeps
+    every downstream quantization inside int64."""
     finite = F.forall(
         _as_double("embedding"),
-        lambda x: x.isNotNull() & ~F.isnan(x) & (F.abs(x) != F.lit(float("inf"))),
+        lambda x: x.isNotNull() & ~F.isnan(x) & (F.abs(x) <= F.lit(8.0)),
     )
     e = load_table(spark, sf_dir, "embeddings").withColumn(
         "_n2", _dot(_as_double("embedding"), _as_double("embedding"))
@@ -91,10 +101,10 @@ def _valid_embeddings(
     oracle=f"""
     WITH q AS (
       SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
-      FROM (SELECT * FROM embeddings WHERE len(embedding) = 64 AND len(list_filter(embedding, x -> x IS NULL OR NOT isfinite(x::DOUBLE))) = 0 AND list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0) embeddings WHERE vec_id < {_N_QUERIES}
+      FROM (SELECT * FROM embeddings WHERE len(embedding) = 64 AND len(list_filter(embedding, x -> x IS NULL OR NOT isfinite(x::DOUBLE) OR abs(x::DOUBLE) > 8.0)) = 0 AND list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0) embeddings WHERE vec_id < {_N_QUERIES}
     ), c AS (
       SELECT vec_id AS cid, label, embedding::DOUBLE[] AS cv
-      FROM (SELECT * FROM embeddings WHERE len(embedding) = 64 AND len(list_filter(embedding, x -> x IS NULL OR NOT isfinite(x::DOUBLE))) = 0 AND list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0) embeddings
+      FROM (SELECT * FROM embeddings WHERE len(embedding) = 64 AND len(list_filter(embedding, x -> x IS NULL OR NOT isfinite(x::DOUBLE) OR abs(x::DOUBLE) > 8.0)) = 0 AND list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0) embeddings
     ), scored AS (
       SELECT
         q.qid, c.cid, c.label,
@@ -250,7 +260,7 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         label,
         generate_subscripts(embedding, 1) AS dim,
         CAST(unnest(embedding) AS DOUBLE) AS comp
-      FROM (SELECT * FROM embeddings WHERE len(embedding) = 64 AND len(list_filter(embedding, x -> x IS NULL OR NOT isfinite(x::DOUBLE))) = 0 AND list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0) embeddings
+      FROM (SELECT * FROM embeddings WHERE len(embedding) = 64 AND len(list_filter(embedding, x -> x IS NULL OR NOT isfinite(x::DOUBLE) OR abs(x::DOUBLE) > 8.0)) = 0 AND list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0) embeddings
     )
     SELECT
       label,
@@ -294,7 +304,7 @@ def sim_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_embedding_cosine",
     oracle="""
     WITH v AS (
-      SELECT vec_id, label, embedding::DOUBLE[] AS ev FROM (SELECT * FROM embeddings WHERE len(embedding) = 64 AND len(list_filter(embedding, x -> x IS NULL OR NOT isfinite(x::DOUBLE))) = 0 AND list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0) embeddings
+      SELECT vec_id, label, embedding::DOUBLE[] AS ev FROM (SELECT * FROM embeddings WHERE len(embedding) = 64 AND len(list_filter(embedding, x -> x IS NULL OR NOT isfinite(x::DOUBLE) OR abs(x::DOUBLE) > 8.0)) = 0 AND list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0) embeddings
     ), pairs AS (
       SELECT
         a.vec_id AS vec_a, b.vec_id AS vec_b,
@@ -368,7 +378,7 @@ _IVF_NPROBE = 6  # lists probed per query
 
 _IVF_ORACLE = f"""
     WITH v AS (
-      SELECT vec_id, label, embedding::DOUBLE[] AS ev FROM (SELECT * FROM embeddings WHERE len(embedding) = 64 AND len(list_filter(embedding, x -> x IS NULL OR NOT isfinite(x::DOUBLE))) = 0 AND list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0) embeddings
+      SELECT vec_id, label, embedding::DOUBLE[] AS ev FROM (SELECT * FROM embeddings WHERE len(embedding) = 64 AND len(list_filter(embedding, x -> x IS NULL OR NOT isfinite(x::DOUBLE) OR abs(x::DOUBLE) > 8.0)) = 0 AND list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0) embeddings
     ), comp AS (
       SELECT vec_id % {_IVF_K} AS list_id,
              generate_subscripts(ev, 1) AS dim,
@@ -530,10 +540,10 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH q AS (
       SELECT vec_id AS qid, embedding::DOUBLE[] AS qv, label AS true_label
-      FROM (SELECT * FROM embeddings WHERE len(embedding) = 64 AND len(list_filter(embedding, x -> x IS NULL OR NOT isfinite(x::DOUBLE))) = 0 AND list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0) embeddings WHERE vec_id < {_N_QUERIES}
+      FROM (SELECT * FROM embeddings WHERE len(embedding) = 64 AND len(list_filter(embedding, x -> x IS NULL OR NOT isfinite(x::DOUBLE) OR abs(x::DOUBLE) > 8.0)) = 0 AND list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0) embeddings WHERE vec_id < {_N_QUERIES}
     ), c AS (
       SELECT vec_id AS cid, label, embedding::DOUBLE[] AS cv
-      FROM (SELECT * FROM embeddings WHERE len(embedding) = 64 AND len(list_filter(embedding, x -> x IS NULL OR NOT isfinite(x::DOUBLE))) = 0 AND list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0) embeddings
+      FROM (SELECT * FROM embeddings WHERE len(embedding) = 64 AND len(list_filter(embedding, x -> x IS NULL OR NOT isfinite(x::DOUBLE) OR abs(x::DOUBLE) > 8.0)) = 0 AND list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0) embeddings
     ), scored AS (
       SELECT
         q.qid, c.cid, c.label,
@@ -600,7 +610,7 @@ def sim_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH comp AS (
       SELECT vec_id, label, generate_subscripts(embedding, 1) AS dim,
              CAST(unnest(embedding) AS DOUBLE) AS x
-      FROM (SELECT * FROM embeddings WHERE len(embedding) = 64 AND len(list_filter(embedding, x -> x IS NULL OR NOT isfinite(x::DOUBLE))) = 0 AND list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0) embeddings
+      FROM (SELECT * FROM embeddings WHERE len(embedding) = 64 AND len(list_filter(embedding, x -> x IS NULL OR NOT isfinite(x::DOUBLE) OR abs(x::DOUBLE) > 8.0)) = 0 AND list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0) embeddings
     ), stats AS (
       SELECT dim, MIN(x) AS lo, MAX(x) AS hi FROM comp GROUP BY dim
     ), coded AS (
@@ -618,7 +628,7 @@ def sim_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM coded GROUP BY vec_id
     ), q AS (
       SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
-      FROM (SELECT * FROM embeddings WHERE len(embedding) = 64 AND len(list_filter(embedding, x -> x IS NULL OR NOT isfinite(x::DOUBLE))) = 0 AND list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0) embeddings WHERE vec_id < {_N_QUERIES}
+      FROM (SELECT * FROM embeddings WHERE len(embedding) = 64 AND len(list_filter(embedding, x -> x IS NULL OR NOT isfinite(x::DOUBLE) OR abs(x::DOUBLE) > 8.0)) = 0 AND list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0) embeddings WHERE vec_id < {_N_QUERIES}
     ), scored AS (
       SELECT qid, cid, label, code_sum, list_dot_product(qv, rv) AS adot
       FROM q CROSS JOIN cand WHERE qid <> cid
@@ -807,7 +817,7 @@ _SEM_T = 0.5  # within-cluster cosine threshold for semantic duplicates
     "dedup_semantic_ivf",
     oracle=f"""
     WITH base AS (
-      SELECT vec_id, embedding::DOUBLE[] AS ev FROM (SELECT * FROM embeddings WHERE len(embedding) = 64 AND len(list_filter(embedding, x -> x IS NULL OR NOT isfinite(x::DOUBLE))) = 0 AND list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0) embeddings
+      SELECT vec_id, embedding::DOUBLE[] AS ev FROM (SELECT * FROM embeddings WHERE len(embedding) = 64 AND len(list_filter(embedding, x -> x IS NULL OR NOT isfinite(x::DOUBLE) OR abs(x::DOUBLE) > 8.0)) = 0 AND list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0) embeddings
     ), v AS (
       -- deterministic planted duplicates: every 50th vector re-enters the
       -- corpus as an exact copy under a high id (paraphrase stand-in)
@@ -953,7 +963,7 @@ _PQ_K = 16  # codes per sub-codebook → 4 codes of 4 bits each per vector
 
 _PQ_ORACLE = f"""
     WITH v AS (
-      SELECT vec_id, embedding::DOUBLE[] AS ev FROM (SELECT * FROM embeddings WHERE len(embedding) = 64 AND len(list_filter(embedding, x -> x IS NULL OR NOT isfinite(x::DOUBLE))) = 0 AND list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0) embeddings
+      SELECT vec_id, embedding::DOUBLE[] AS ev FROM (SELECT * FROM embeddings WHERE len(embedding) = 64 AND len(list_filter(embedding, x -> x IS NULL OR NOT isfinite(x::DOUBLE) OR abs(x::DOUBLE) > 8.0)) = 0 AND list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0) embeddings
     ), sub AS (
       SELECT vec_id, s,
              ev[s * {_PQ_SUBDIM} + 1 : s * {_PQ_SUBDIM} + {_PQ_SUBDIM}] AS sv
@@ -1117,9 +1127,9 @@ _MRL_SHORTLIST = 30
     oracle=f"""
     WITH q AS (
       SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
-      FROM (SELECT * FROM embeddings WHERE len(embedding) = 64 AND len(list_filter(embedding, x -> x IS NULL OR NOT isfinite(x::DOUBLE))) = 0 AND list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0) embeddings WHERE vec_id < {_N_QUERIES}
+      FROM (SELECT * FROM embeddings WHERE len(embedding) = 64 AND len(list_filter(embedding, x -> x IS NULL OR NOT isfinite(x::DOUBLE) OR abs(x::DOUBLE) > 8.0)) = 0 AND list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0) embeddings WHERE vec_id < {_N_QUERIES}
     ), c AS (
-      SELECT vec_id AS cid, embedding::DOUBLE[] AS cv FROM (SELECT * FROM embeddings WHERE len(embedding) = 64 AND len(list_filter(embedding, x -> x IS NULL OR NOT isfinite(x::DOUBLE))) = 0 AND list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0) embeddings
+      SELECT vec_id AS cid, embedding::DOUBLE[] AS cv FROM (SELECT * FROM embeddings WHERE len(embedding) = 64 AND len(list_filter(embedding, x -> x IS NULL OR NOT isfinite(x::DOUBLE) OR abs(x::DOUBLE) > 8.0)) = 0 AND list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0) embeddings
     ), coarse AS (
       SELECT
         q.qid, c.cid, q.qv, c.cv,
@@ -1232,9 +1242,9 @@ _RANGE_TAU = 0.28  # ~p99 of the cosine distribution → a few hits per query
     oracle=f"""
     WITH q AS (
       SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
-      FROM (SELECT * FROM embeddings WHERE len(embedding) = 64 AND len(list_filter(embedding, x -> x IS NULL OR NOT isfinite(x::DOUBLE))) = 0 AND list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0) embeddings WHERE vec_id < {_N_QUERIES}
+      FROM (SELECT * FROM embeddings WHERE len(embedding) = 64 AND len(list_filter(embedding, x -> x IS NULL OR NOT isfinite(x::DOUBLE) OR abs(x::DOUBLE) > 8.0)) = 0 AND list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0) embeddings WHERE vec_id < {_N_QUERIES}
     ), c AS (
-      SELECT vec_id AS cid, label, embedding::DOUBLE[] AS cv FROM (SELECT * FROM embeddings WHERE len(embedding) = 64 AND len(list_filter(embedding, x -> x IS NULL OR NOT isfinite(x::DOUBLE))) = 0 AND list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0) embeddings
+      SELECT vec_id AS cid, label, embedding::DOUBLE[] AS cv FROM (SELECT * FROM embeddings WHERE len(embedding) = 64 AND len(list_filter(embedding, x -> x IS NULL OR NOT isfinite(x::DOUBLE) OR abs(x::DOUBLE) > 8.0)) = 0 AND list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0) embeddings
     )
     SELECT
       q.qid, c.cid, c.label,
@@ -1287,9 +1297,9 @@ def sim_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH q AS (
       SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
-      FROM (SELECT * FROM embeddings WHERE len(embedding) = 64 AND len(list_filter(embedding, x -> x IS NULL OR NOT isfinite(x::DOUBLE))) = 0 AND list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0) embeddings WHERE vec_id < {_N_QUERIES}
+      FROM (SELECT * FROM embeddings WHERE len(embedding) = 64 AND len(list_filter(embedding, x -> x IS NULL OR NOT isfinite(x::DOUBLE) OR abs(x::DOUBLE) > 8.0)) = 0 AND list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0) embeddings WHERE vec_id < {_N_QUERIES}
     ), c AS (
-      SELECT vec_id AS cid, embedding::DOUBLE[] AS cv FROM (SELECT * FROM embeddings WHERE len(embedding) = 64 AND len(list_filter(embedding, x -> x IS NULL OR NOT isfinite(x::DOUBLE))) = 0 AND list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0) embeddings
+      SELECT vec_id AS cid, embedding::DOUBLE[] AS cv FROM (SELECT * FROM embeddings WHERE len(embedding) = 64 AND len(list_filter(embedding, x -> x IS NULL OR NOT isfinite(x::DOUBLE) OR abs(x::DOUBLE) > 8.0)) = 0 AND list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0) embeddings
     ), scored AS (
       SELECT q.qid, c.cid, list_dot_product(q.qv, c.cv) AS dot
       FROM q CROSS JOIN c WHERE q.qid <> c.cid
@@ -1397,10 +1407,10 @@ def _mmr_oracle() -> str:
     )""")
     return f"""
     WITH q AS (
-      SELECT embedding::DOUBLE[] AS qv FROM (SELECT * FROM embeddings WHERE len(embedding) = 64 AND len(list_filter(embedding, x -> x IS NULL OR NOT isfinite(x::DOUBLE))) = 0 AND list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0) embeddings WHERE vec_id = 0
+      SELECT embedding::DOUBLE[] AS qv FROM (SELECT * FROM embeddings WHERE len(embedding) = 64 AND len(list_filter(embedding, x -> x IS NULL OR NOT isfinite(x::DOUBLE) OR abs(x::DOUBLE) > 8.0)) = 0 AND list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0) embeddings WHERE vec_id = 0
     ), c AS (
       SELECT vec_id AS cid, embedding::DOUBLE[] AS cv
-      FROM (SELECT * FROM embeddings WHERE len(embedding) = 64 AND len(list_filter(embedding, x -> x IS NULL OR NOT isfinite(x::DOUBLE))) = 0 AND list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0) embeddings WHERE vec_id <> 0
+      FROM (SELECT * FROM embeddings WHERE len(embedding) = 64 AND len(list_filter(embedding, x -> x IS NULL OR NOT isfinite(x::DOUBLE) OR abs(x::DOUBLE) > 8.0)) = 0 AND list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0) embeddings WHERE vec_id <> 0
     ), scored AS (
       SELECT c.cid, c.cv,
              list_dot_product(q.qv, c.cv)

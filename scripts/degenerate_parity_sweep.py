@@ -92,6 +92,14 @@ def craft_embeddings(d: str) -> None:
             vals[i] = [float("nan")] + vals[i][1:]  # NaN component
         elif i % 11 == 5:
             vals[i] = [float("inf")] + vals[i][1:]  # Inf component
+        # FINITE out-of-range components (round 11): they pass every
+        # isfinite tier, then overflow integer quantization grids —
+        # numpy astype WRAPS where a SQL BIGINT cast raises (the PCA
+        # finding; the embeddings mirror of the events |v| >= 1e4 fold).
+        elif i % 11 == 6:
+            vals[i] = [1.0e200] + vals[i][1:]
+        elif i % 11 == 7:
+            vals[i] = [-1.0e19] + vals[i][1:]
     cols["embedding"] = pa.array(vals, type=tbl.schema.field("embedding").type)
     pq.write_table(pa.table(cols), f"{d}/embeddings.parquet")
 

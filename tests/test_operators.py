@@ -2075,7 +2075,7 @@ def test_embedding_validity_sql_single_form():
     canonical = (
         "(SELECT * FROM embeddings WHERE len(embedding) = 64 AND "
         "len(list_filter(embedding, x -> x IS NULL OR NOT "
-        "isfinite(x::DOUBLE))) = 0 AND "
+        "isfinite(x::DOUBLE) OR abs(x::DOUBLE) > 8.0)) = 0 AND "
         "list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0) "
         "embeddings"
     )
