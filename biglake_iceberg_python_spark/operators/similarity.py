@@ -386,7 +386,7 @@ _IVF_ORACLE = f"""
       FROM v
     ), cmean AS (
       SELECT list_id, dim,
-             CAST(SUM(CAST(comp AS DECIMAL(30,12))) AS DOUBLE) / COUNT(*) AS m
+             CAST(CAST(SUM(CAST(comp AS DECIMAL(30,12))) AS STRING) AS DOUBLE) / COUNT(*) AS m
       FROM comp GROUP BY list_id, dim
     ), cent AS (
       SELECT list_id, list(m ORDER BY dim) AS cv FROM cmean GROUP BY list_id
@@ -831,7 +831,7 @@ _SEM_T = 0.5  # within-cluster cosine threshold for semantic duplicates
       FROM v
     ), cmean AS (
       SELECT list_id, dim,
-             CAST(SUM(CAST(comp AS DECIMAL(30,12))) AS DOUBLE) / COUNT(*) AS m
+             CAST(CAST(SUM(CAST(comp AS DECIMAL(30,12))) AS STRING) AS DOUBLE) / COUNT(*) AS m
       FROM comp GROUP BY list_id, dim
     ), cent AS (
       SELECT list_id, list(m ORDER BY dim) AS cv FROM cmean GROUP BY list_id
@@ -974,7 +974,7 @@ _PQ_ORACLE = f"""
       FROM sub
     ), cmean AS (
       SELECT s, code, dim,
-             CAST(SUM(CAST(c AS DECIMAL(30,12))) AS DOUBLE) / COUNT(*) AS m
+             CAST(CAST(SUM(CAST(c AS DECIMAL(30,12))) AS STRING) AS DOUBLE) / COUNT(*) AS m
       FROM comp GROUP BY s, code, dim
     ), cent AS (
       SELECT s, code, list(m ORDER BY dim) AS cv FROM cmean GROUP BY s, code
@@ -994,7 +994,7 @@ _PQ_ORACLE = f"""
       FROM enc WHERE vec_id < {_N_QUERIES}
     ), adc AS (
       SELECT q.qid, c.vec_id AS cid,
-             CAST(SUM(CAST(qd2 AS DECIMAL(30,12))) AS DOUBLE) AS adc_d2
+             CAST(CAST(SUM(CAST(qd2 AS DECIMAL(30,12))) AS STRING) AS DOUBLE) AS adc_d2
       FROM codes c JOIN qtab q ON q.s = c.s AND q.code = c.code
       WHERE c.vec_id <> q.qid
       GROUP BY q.qid, c.vec_id

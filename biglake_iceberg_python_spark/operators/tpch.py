@@ -127,9 +127,9 @@ def tpch_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT
       o_year,
-      CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN volume
-               ELSE CAST(0 AS DECIMAL(30,6)) END) AS DOUBLE)
-        / CAST(SUM(volume) AS DOUBLE) AS mkt_share
+      CAST(CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN volume
+               ELSE CAST(0 AS DECIMAL(30,6)) END) AS STRING) AS DOUBLE)
+        / CAST(CAST(SUM(volume) AS STRING) AS DOUBLE) AS mkt_share
     FROM all_sales
     GROUP BY o_year
     """,
@@ -285,9 +285,9 @@ def tpch_q12_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tpch_q14_promo_effect",
     oracle=f"""
     SELECT
-      100.00 * CAST(SUM(CASE WHEN p.p_type = 'PROMO'
+      100.00 * CAST(CAST(SUM(CASE WHEN p.p_type = 'PROMO'
                    THEN CAST({_REV} AS DECIMAL(30,6))
-                   ELSE CAST(0 AS DECIMAL(30,6)) END) AS DOUBLE)
+                   ELSE CAST(0 AS DECIMAL(30,6)) END) AS STRING) AS DOUBLE)
         / CAST(CAST(SUM(CAST({_REV} AS DECIMAL(30,6))) AS STRING) AS DOUBLE) AS promo_revenue
     FROM lineitem l
     JOIN part p ON l.l_partkey = p.p_partkey

@@ -98,8 +98,8 @@ def _group_size(price: pd.Series) -> int:
     oracle="""
     SELECT
       l_returnflag, l_linestatus,
-      CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
-               * CAST(l_quantity AS BIGINT)) AS DOUBLE)
+      CAST(CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+               * CAST(l_quantity AS BIGINT)) AS STRING) AS DOUBLE)
         / (100.0 * SUM(CAST(l_quantity AS BIGINT))) AS wavg_price,
       COUNT(*) AS n
     FROM lineitem

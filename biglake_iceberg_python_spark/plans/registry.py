@@ -106,78 +106,76 @@ _loaded = False
 # tests/test_oracle_parity.py's full sweep, which runs every registered
 # query against its oracle regardless of ordering.
 #
-# Provenance of this rotation (round 11, per round-10 VERDICT "Next round"
-# #1): CORRECTNESS_r10 came back 50/50 hash-matched — with it every one of
-# the 334 oracle-bearing names has a driver hash-pass on record, so
-# FRESHNESS is now the metric. Staleness recomputed from
-# CORRECTNESS_r01..r10 (histogram r3×6 · r4×48 · r5×43 · r6×48 · r7×48 ·
-# r8×45 · r9×46 · r10×50): all 50 slots go to the stalest oracle-bearing
-# names — the 6 r3-stale deferrals from the round-10 rotation, then 44 of
-# the 48 r4-stale names, lakehouse lifecycle first (the reference's own
-# core surface, iceberg_table_creation.py:58-85), then set ops and the UDF
-# tiers per the verdict. Deferred to round 12 (lowest marginal value: the
-# 4 r4-stale streaming names whose nearest siblings hash-passed r10 —
-# stream_dedup/stream_dedup_within_watermark/stream_stream_join/
-# stream_tumbling_window all green in the r10 window):
-# stream_dedup_rocksdb, stream_late_data_drop, stream_stream_left_join,
-# stream_tumbling_update. stream_restart_exactly_once stays in (unique
-# recovery semantics, no r10-verified sibling).
+# Provenance of this rotation (round 12, per round-11 VERDICT "Next round"
+# #1/#2): CORRECTNESS_r11 came back 50/50 hash-matched, moving the
+# staleness floor to r4. Staleness recomputed from CORRECTNESS_r01..r11
+# (histogram r4×4 · r5×43 · r6×48 · r7×48 · r8×45 · r9×46 · r10×50 ·
+# r11×50): the 4 r4-stale streaming names deferred from round 11, then the
+# ENTIRE r5-stale cohort (43 names) — which is almost exactly the
+# moment/events family whose oracle strings round 11 rewrote onto the
+# STRING conversion route (`CAST(CAST(sum AS STRING) AS DOUBLE)`), so this
+# window doubles as the rewritten oracles' first DRIVER-BUILD
+# verification (the one axis driver_sim cannot simulate — the r8/r9
+# sql_temp_function lesson). The final 3 slots are verdict #2's
+# discriminating probes: r9/r10-fresh names that carry the deepest
+# round-11 conversion rewrites (HUGEINT second moments, interpolated
+# oracle_dsum, >2^53-at-sf0.01 OLS sums). 4 + 43 + 3 = 50.
 _PRIORITY_WINDOW = [
-    # r3-stale deferrals from round 10 (6)
-    "sim_knn_classify",
-    "sim_label_centroids",
-    "sample_hash_stratified",
-    "sample_reservoir_pergroup",
-    "pack_token_shards",
-    "pipeline_corpus_build",
-    # r4-stale lakehouse lifecycle (23) — the reference's core surface
-    "lakehouse_roundtrip",
-    "lakehouse_tblproperties",
-    "lakehouse_catalog_introspection",
-    "lakehouse_metadata_log",
-    "lakehouse_time_travel",
-    "lakehouse_schema_evolution",
-    "lakehouse_mor_delete",
-    "lakehouse_incremental_read",
-    "lakehouse_rollback",
-    "lakehouse_manifest_pruning",
-    "lakehouse_hidden_partitioning",
-    "lakehouse_branch_tags",
-    "lakehouse_compaction",
-    "lakehouse_scd2_dimension",
-    "lakehouse_insert_overwrite",
-    "lakehouse_delete_where",
-    "lakehouse_update_where",
-    "lakehouse_zorder_layout",
-    "lakehouse_cdc_apply",
-    "lakehouse_bucketed_join",
-    "lakehouse_merge_upsert",
-    "lakehouse_expire_snapshots",
-    "lakehouse_snapshot_diff",
-    # r4-stale set ops (6)
-    "set_union_all",
-    "set_union_distinct",
-    "set_intersect",
-    "set_intersect_all",
-    "set_except",
-    "set_except_all",
-    # r4-stale UDF tiers (6)
-    "udf_python_scalar",
-    "udf_pandas_scalar",
-    "udf_arrow_scalar",
-    "udf_grouped_map",
-    "udf_map_in_arrow",
-    "udf_python_udtf",
-    # r4-stale remainder (9)
-    "scalar_bitwise",
-    "scalar_collation",
-    "scalar_variant",
-    "source_python_datasource",
-    "source_python_datasource_stream",
-    "sql_parameterized",
-    "sql_pipe_syntax",
-    "stream_restart_exactly_once",
-    "util_observe_metrics",
+    # r4-stale streaming deferrals from round 11 (4)
+    "stream_dedup_rocksdb",
+    "stream_late_data_drop",
+    "stream_stream_left_join",
+    "stream_tumbling_update",
+    # r5-stale: moment/events family (19) — STRING-route rewrites first
+    "events_trend_slope",
+    "events_ab_welch_ttest",
+    "events_autocorrelation",
+    "events_ratio_metric_delta_ci",
+    "events_anova_hour_of_week",
+    "events_bootstrap_ci_daily_mean",
+    "events_conversion_wilson_ci",
+    "events_changepoint_cusum",
+    "events_outlier_mad",
+    "events_seasonal_naive_backtest",
+    "events_attribution_multitouch",
+    "events_cumulative_uniques",
+    "events_dau_wau_stickiness",
+    "events_heatmap_hour_dow",
+    "events_path_trigrams",
+    "events_peak_concurrency",
+    "events_sequence_motif",
+    "events_transition_matrix",
+    "events_user_entropy",
+    # r5-stale: moments/inequality/graph/ml (8)
+    "agg_skew_kurtosis",
+    "customer_gini_spend",
+    "customer_theil_index",
+    "supplier_concentration_hhi",
+    "supplier_pareto",
+    "graph_pagerank",
+    "graph_triangle_count",
+    "ml_pca_gram",
+    # r5-stale: curation battery (16)
+    "curate_boilerplate_strip",
+    "curate_dataset_card",
+    "curate_decontaminate",
+    "curate_domain_mix",
+    "curate_expectations",
+    "curate_gopher_filter",
+    "curate_incremental_ingest",
+    "curate_incremental_ingest_bloom",
+    "curate_k_anonymity",
+    "curate_pii_redact",
+    "curate_quality_weighted_sample",
+    "curate_temperature_mix",
+    "curate_train_shards",
+    "curate_url_canonical",
+    "curate_url_refresh_pipeline",
+    "curate_winsorize",
+    # verdict #2 discriminating probes (3) — deepest round-11 rewrites
+    "events_cuped_adjusted_delta",
+    "agg_grouping_sets",
+    "ml_linreg_normal_eq",
 ]
 
 

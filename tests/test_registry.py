@@ -7,6 +7,8 @@ load_all(), and THIS test is what turns the typo into a loud CI failure
 instead of a bricked round.
 """
 
+import re
+
 from biglake_iceberg_python_spark.plans.registry import (
     _PRIORITY_WINDOW,
     load_all,
@@ -339,25 +341,84 @@ def test_no_oracle_rounds_a_raw_double():
     assert not offenders, f"oracle round() on raw DOUBLE: {offenders}"
 
 
+def _cast_sum_double_args(flat: str) -> list[str]:
+    """Every SUM argument appearing as ``CAST(SUM(<arg>) AS DOUBLE)`` in
+    the flattened SQL, found by paren-matching (so CASE-wrapped sums,
+    nested casts, and arbitrary expressions are all captured — the safe
+    form ``CAST(CAST(SUM(..) AS STRING) AS DOUBLE)`` never matches because
+    the SUM's close paren is followed by ``AS STRING``, not ``AS
+    DOUBLE``)."""
+    up = flat.upper()
+    args, i = [], 0
+    while True:
+        j = up.find("CAST(SUM(", i)
+        if j < 0:
+            return args
+        k, depth = j + len("CAST(SUM("), 1
+        while k < len(flat) and depth:
+            if flat[k] == "(":
+                depth += 1
+            elif flat[k] == ")":
+                depth -= 1
+            k += 1
+        if up[k:].lstrip().startswith("AS DOUBLE"):
+            args.append(flat[j + len("CAST(SUM(") : k - 1])
+        i = k
+
+
+def _decimal_typed_aliases(flat: str) -> set[str]:
+    """Column aliases whose defining expression is a DECIMAL cast
+    (``CAST(x AS DECIMAL(p,s)) AS alias`` / ``x::DECIMAL(p,s) AS alias``)
+    — a SUM over such an alias is a wide-decimal sum even though the
+    SUM argument itself never says DECIMAL (the tpch_q8 ``SUM(volume)``
+    shape that escaped the round-11 substring lint)."""
+    up = flat.upper()
+    out = set(
+        re.findall(
+            r"AS\s+DECIMAL\(\s*\d+\s*(?:,\s*\d+\s*)?\)\s*\)\s+AS\s+(\w+)", up
+        )
+    )
+    out |= set(
+        re.findall(r"::DECIMAL\(\s*\d+\s*(?:,\s*\d+\s*)?\)\s+AS\s+(\w+)", up)
+    )
+    return out
+
+
 def test_no_oracle_native_wide_decimal_to_double_sum():
-    """Round 11: DuckDB's NATIVE wide-decimal/INT128 -> DOUBLE conversion
-    is mis-rounded for values past 2^53 (probed: 1.3% of DECIMAL(38,0)
-    values, 26% of DECIMAL(30,6) with >2^53 internal integers) and the
-    behavior is engine-BUILD-dependent — the exact failure mode the
-    sql_temp_function post-mortem attributed to the driver's engine
-    builds. Every decimal-sum -> double conversion in an oracle must
-    route through VARCHAR/STRING (strtod is correctly rounded on every
-    build, matching Spark's BigDecimal path). This lint pins the dsum
-    convention: the native form must not reappear."""
+    """Round 11 (strengthened round 12 per ADVICE): DuckDB's NATIVE
+    wide-decimal/INT128 -> DOUBLE conversion is mis-rounded for values
+    past 2^53 (probed: 1.3% of DECIMAL(38,0) values, 26% of DECIMAL(30,6)
+    with >2^53 internal integers) and the behavior is
+    engine-BUILD-dependent — the exact failure mode the sql_temp_function
+    post-mortem attributed to the driver's engine builds. Every
+    decimal-capable sum -> double conversion in an oracle must route
+    through STRING (strtod is correctly rounded on every build, matching
+    Spark's BigDecimal path).
+
+    The round-11 lint matched only the literal DECIMAL(30,6) substring;
+    this version paren-matches every ``CAST(SUM(..) AS DOUBLE)`` site and
+    flags it when the summand (a) mentions DECIMAL anywhere (any width,
+    CASE-wrapped, nested — a BIGINT product of a decimal cast still sums
+    into DuckDB's HUGEINT and converts through the same INT128 path), or
+    (b) is a bare column whose defining expression is a DECIMAL cast (the
+    tpch_q8 ``SUM(volume)`` shape). Zero exemptions: provably-small sums
+    are cheap to string-route, and a bound proof silently rots when the
+    data contract changes."""
     offenders = []
     for name, spec in load_all().items():
         sql = _lint_sql(spec)
         if sql is None:
             continue
         flat = " ".join(sql.split())
-        if "AS DECIMAL(30,6))) AS DOUBLE)" in flat:
-            offenders.append(name)
+        aliases = _decimal_typed_aliases(flat)
+        for arg in _cast_sum_double_args(flat):
+            tok = arg.strip().upper()
+            if "DECIMAL" in tok or (
+                re.fullmatch(r"[A-Z_][A-Z0-9_.]*", tok)
+                and tok.split(".")[-1] in aliases
+            ):
+                offenders.append((name, arg.strip()[:80]))
     assert not offenders, (
-        f"native wide-decimal->double sum cast (use the VARCHAR route): "
+        f"native wide-decimal->double sum cast (use the STRING route): "
         f"{offenders}"
     )
