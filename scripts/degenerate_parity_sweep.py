@@ -80,26 +80,42 @@ def craft_embeddings(d: str) -> None:
     cols = {n: tbl[n] for n in tbl.column_names}
     vals = cols["embedding"].to_pylist()
     for i in range(len(vals)):
-        if i % 11 == 0:
+        if i % 13 == 0:
             vals[i] = None
-        elif i % 11 == 1:
+        elif i % 13 == 1:
             vals[i] = []
-        elif i % 11 == 2:
+        elif i % 13 == 2:
             vals[i] = vals[i][:10]  # wrong dimension
-        elif i % 11 == 3:
+        elif i % 13 == 3:
             vals[i] = [0.0] * len(vals[i])  # zero norm
-        elif i % 11 == 4:
+        elif i % 13 == 4:
             vals[i] = [float("nan")] + vals[i][1:]  # NaN component
-        elif i % 11 == 5:
+        elif i % 13 == 5:
             vals[i] = [float("inf")] + vals[i][1:]  # Inf component
         # FINITE out-of-range components (round 11): they pass every
         # isfinite tier, then overflow integer quantization grids —
         # numpy astype WRAPS where a SQL BIGINT cast raises (the PCA
         # finding; the embeddings mirror of the events |v| >= 1e4 fold).
-        elif i % 11 == 6:
+        elif i % 13 == 6:
             vals[i] = [1.0e200] + vals[i][1:]
-        elif i % 11 == 7:
+        elif i % 13 == 7:
             vals[i] = [-1.0e19] + vals[i][1:]
+        # The |component| <= 8 contract EDGE (round 12, verdict #5): the
+        # shared validity tier uses <= (abs(x) > 8.0 drops), so +/-8.0
+        # exactly must be KEPT and the next float32-representable
+        # excursion (nextafter(8f) = 8.00000095367...; 8.0000001 would
+        # round BACK to 8.0 on the column's float32 grid) DROPPED — on
+        # both engines. A future refactor of the tier to strict < would
+        # shift this boundary; these rows turn that into a sweep red,
+        # and test_embedding_component_contract_boundary asserts the
+        # keep/drop ground truth directly. Residues 11-12 stay natural
+        # so valid in-range rows remain plentiful.
+        elif i % 13 == 8:
+            vals[i] = [8.0, -8.0] + vals[i][2:]
+        elif i % 13 == 9:
+            vals[i] = [8.00000095367431640625] + vals[i][1:]
+        elif i % 13 == 10:
+            vals[i] = [-8.00000095367431640625] + vals[i][1:]
     cols["embedding"] = pa.array(vals, type=tbl.schema.field("embedding").type)
     pq.write_table(pa.table(cols), f"{d}/embeddings.parquet")
 

@@ -2095,6 +2095,85 @@ def test_embedding_validity_sql_single_form():
     assert n_full >= 15, f"expected >=15 full-tier sites, found {n_full}"
 
 
+def test_embedding_component_contract_boundary(spark, tmp_path):
+    """Probe the |component| <= 8 contract's EDGE exactly once (round-11
+    verdict #5): the shared validity tier uses <= (drop iff abs > 8.0),
+    so +/-8.0 exactly is KEPT and +/-8.0000001 DROPPED — asserted
+    DIRECTLY (not engine-vs-engine, which a symmetric refactor to strict
+    < would pass) on BOTH engines, with Spark under BOTH ANSI modes.
+    The sweep's embeddings axis carries the same shapes permanently;
+    this test is the keep/drop ground truth."""
+    import os
+
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    # The embedding column is float32: 8.0000001 ROUNDS BACK to exactly
+    # 8.0 on that grid (half-ulp at 8 is ~4.8e-7), so the tightest
+    # representable excursion is nextafter(8f) = 8.00000095367431640625.
+    over = float(np.nextafter(np.float32(8.0), np.float32(9.0)))
+    assert over > 8.0
+    dim = 64
+    fill = [0.25] * (dim - 2)
+    rows = {
+        0: [8.0, -8.0] + fill,    # boundary: kept (<=)
+        1: [over, 0.5] + fill,    # one float32 ulp over: dropped
+        2: [-over, 0.5] + fill,   # one float32 ulp under -8: dropped
+        3: [0.5, 0.5] + fill,     # natural in-range: kept
+    }
+    d = str(tmp_path / "sf_boundary")
+    os.makedirs(d)
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(sorted(rows), type=pa.int64()),
+                "label": pa.array([0] * len(rows), type=pa.int32()),
+                "embedding": pa.array(
+                    [rows[k] for k in sorted(rows)],
+                    type=pa.list_(pa.float32()),
+                ),
+            }
+        ),
+        f"{d}/embeddings.parquet",
+    )
+    expected = {0, 3}
+
+    from biglake_iceberg_python_spark.operators.similarity import (
+        _valid_embeddings,
+    )
+
+    prev = spark.conf.get("spark.sql.ansi.enabled")
+    try:
+        for ansi in ("false", "true"):
+            spark.conf.set("spark.sql.ansi.enabled", ansi)
+            kept = {
+                r["vec_id"]
+                for r in _valid_embeddings(spark, d).select("vec_id").collect()
+            }
+            assert kept == expected, (f"spark ansi={ansi}", kept)
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", prev)
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{d}/embeddings.parquet')"
+    )
+    kept = {
+        r[0]
+        for r in con.execute(
+            "SELECT vec_id FROM (SELECT * FROM embeddings WHERE "
+            "len(embedding) = 64 AND len(list_filter(embedding, x -> "
+            "x IS NULL OR NOT isfinite(x::DOUBLE) OR abs(x::DOUBLE) > 8.0"
+            ")) = 0 AND list_dot_product(embedding::DOUBLE[], "
+            "embedding::DOUBLE[]) > 0) embeddings"
+        ).fetchall()
+    }
+    assert kept == expected, ("duckdb", kept)
+
+
 def test_unicode_text_parity_regressions(spark, sf_dir, tmp_path):
     """Pin the 8 queries the round-10 UNICODE parity axis found diverging
     on multibyte text (diacritics, NFC/NFD, CJK, emoji+ZWJ, RTL,
@@ -2183,6 +2262,63 @@ def test_magnitude_parity_round11_regressions(spark, sf_dir, tmp_path):
         spec = REGISTRY[q]
         result = compare(spec.fn(spark, d), con, resolve_oracle(spec, d))
         assert result["ok"], (q, {k: v for k, v in result.items() if k != "ok"})
+
+
+def test_spark_wide_decimal_to_double_correctly_rounded(spark):
+    """Round-12 audit (round-11 verdict #4): the oracle side routes every
+    >2^53-capable decimal-sum -> double conversion through STRING because
+    DuckDB's native INT128 path is build-dependently mis-rounded (1.3% of
+    DECIMAL(38,0), 26% of DECIMAL(30,6)). The SPARK side keeps its native
+    ``.cast("double")`` — this probe is the evidence that that is safe at
+    ANY magnitude, not a bound-by-budget argument: Spark's Decimal.toDouble
+    is BigDecimal.doubleValue(), whose JDK implementation for
+    high-precision values is literally Double.parseDouble(toString()) —
+    the STRING route is built into the Spark side, so the conversion is
+    correctly rounded by construction on any conforming JDK. Probed
+    0/8500 mis-rounded at authoring (4000x DECIMAL(38,0) in [2^53, 2^63),
+    4000x DECIMAL(30,6) with internal integers in [2^53, 2^73), 500
+    SUM-aggregate groups exercising the unsafe-row decimal accumulator);
+    pinned here at reduced size against CPython's float(str) — a
+    correctly-rounded strtod."""
+    import random
+
+    random.seed(12)
+    rows38 = [(str(random.randrange(2**53, 2**63)),) for _ in range(1000)]
+    rows30 = [
+        (f"{random.randrange(2**53, 2**73)}e-6",) for _ in range(1000)
+    ]
+
+    for rows, dtype in [(rows38, "decimal(38,0)"), (rows30, "decimal(30,6)")]:
+        out = (
+            spark.createDataFrame(rows, ["s"])
+            .select(
+                # Re-stringify the decimal so the reference parse sees the
+                # exact decimal value (the 30,6 inputs use e-notation).
+                F.col("s").cast(dtype).cast("string").alias("sv"),
+                F.col("s").cast(dtype).cast("double").alias("d"),
+            )
+            .collect()
+        )
+        bad = [r for r in out if r["d"] != float(r["sv"])]
+        assert not bad, (dtype, bad[:3])
+
+    # The aggregate codepath: exact decimal SUM accumulators -> double.
+    agg = (
+        spark.createDataFrame(rows30, ["s"])
+        .select(
+            F.col("s").cast("decimal(30,6)").alias("v"),
+            (F.monotonically_increasing_id() % 100).alias("g"),
+        )
+        .groupBy("g")
+        .agg(F.sum("v").alias("sv"))
+        .select(
+            F.col("sv").cast("string").alias("s"),
+            F.col("sv").cast("double").alias("d"),
+        )
+        .collect()
+    )
+    bad = [r for r in agg if r["d"] != float(r["s"])]
+    assert not bad, bad[:3]
 
 
 def test_ml_family_tolerates_all_degenerate_embeddings(spark, sf_dir, tmp_path):
