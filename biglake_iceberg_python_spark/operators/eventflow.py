@@ -1144,8 +1144,9 @@ def events_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH e AS (
       SELECT
-        (({_ORACLE_ES}) // 86400 + 4) % 7 AS dow,
-        (({_ORACLE_ES}) % 86400) // 3600 AS hour,
+        (((({_ORACLE_ES}) - ((({_ORACLE_ES}) % 86400 + 86400) % 86400))
+           // 86400 + 4) % 7 + 7) % 7 AS dow,
+        ((({_ORACLE_ES}) % 86400 + 86400) % 86400) // 3600 AS hour,
         CAST(round(CAST(value AS DECIMAL(18,2)) * 100) AS BIGINT) AS cents
       FROM (SELECT * REPLACE (CASE WHEN isfinite(value) AND abs(value) < 1.0e4 THEN value END AS value) FROM events WHERE ts IS NOT NULL) events
     )
@@ -1176,8 +1177,10 @@ def events_heatmap_hour_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("cents"),
     )
     cells = e.select(
-        (((F.col("es") / 86400).cast("long") + 4) % 7).alias("dow"),
-        ((F.col("es") % 86400) / 3600).cast("long").alias("hour"),
+        F.expr("pmod((es - pmod(es, 86400)) DIV 86400 + 4, 7)").alias(
+            "dow"
+        ),
+        F.expr("pmod(es, 86400) DIV 3600").alias("hour"),
         "cents",
     )
     return cells.groupBy("dow", "hour").agg(
@@ -2065,8 +2068,9 @@ def events_bootstrap_ci_daily_mean(spark: SparkSession, sf_dir: str) -> DataFram
     oracle=f"""
     WITH x AS (
       SELECT event_type,
-             ((({_ORACLE_ES}) // 86400 + 4) % 7) * 24
-               + (({_ORACLE_ES}) % 86400) // 3600 AS cell,
+             ((((({_ORACLE_ES}) - ((({_ORACLE_ES}) % 86400 + 86400)
+                  % 86400)) // 86400 + 4) % 7 + 7) % 7) * 24
+               + ((({_ORACLE_ES}) % 86400 + 86400) % 86400) // 3600 AS cell,
              CAST(round(CAST(value AS DECIMAL(18,2)) * 100) AS BIGINT) AS v
       FROM (SELECT * REPLACE (CASE WHEN isfinite(value) AND abs(value) < 1.0e4 THEN value END AS value) FROM events WHERE ts IS NOT NULL) events
     ), per_cell AS (
@@ -2125,9 +2129,9 @@ def events_anova_hour_of_week(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     e = _timed_events(spark, sf_dir).select(
         "event_type",
-        (
-            (((F.expr(_ES).cast("long") / 86400).cast("long") + 4) % 7) * 24
-            + ((F.expr(_ES).cast("long") % 86400) / 3600).cast("long")
+        F.expr(
+            f"pmod((({_ES}) - pmod(({_ES}), 86400)) DIV 86400 + 4, 7) * 24"
+            f" + pmod(({_ES}), 86400) DIV 3600"
         ).alias("cell"),
         F.round(F.col("value").cast("decimal(18,2)") * 100)
         .cast("long")
@@ -2688,7 +2692,7 @@ def ts_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
       WINDOW w AS (PARTITION BY event_type ORDER BY day
                    ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
     ), interior AS (
-      SELECT event_type, day % 7 AS dow, xm - s7 // 7 AS d
+      SELECT event_type, ((day % 7) + 7) % 7 AS dow, xm - s7 // 7 AS d
       FROM win WHERE c7 = 7
     ), seasonal AS (
       SELECT event_type, dow,
@@ -2765,7 +2769,7 @@ def ts_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     interior = win.filter(F.col("c7") == 7).select(
         "event_type",
-        (F.col("day") % 7).alias("dow"),
+        F.expr("pmod(day, 7)").alias("dow"),
         (F.col("xm") - F.expr("s7 DIV 7")).alias("d"),
     )
     seasonal = interior.groupBy("event_type", "dow").agg(
@@ -3135,21 +3139,21 @@ def _hw_lnew(xm: str, sp: str, l: str, b: str) -> str:
       SELECT event_type,
              SUM(xm) // 7 AS l, CAST(0 AS BIGINT) AS b,
              [{", ".join(
-                 f"COALESCE(MAX(CASE WHEN day % 7 = {i} THEN xm END)"
+                 f"COALESCE(MAX(CASE WHEN ((day % 7) + 7) % 7 = {i} THEN xm END)"
                  f" - SUM(xm) // 7, 0)" for i in range(7))}] AS s
       FROM filled WHERE t <= 7 GROUP BY event_type
     ), rec AS (
       SELECT event_type, CAST(7 AS BIGINT) AS t, l, b, s FROM seed
       UNION ALL
       SELECT r.event_type, r.t + 1,
-             {_l("f.xm", "r.s[CAST(f.day % 7 AS INT) + 1]", "r.l", "r.b")},
-             (3 * (({_l("f.xm", "r.s[CAST(f.day % 7 AS INT) + 1]", "r.l",
+             {_l("f.xm", "r.s[CAST(((f.day % 7) + 7) % 7 AS INT) + 1]", "r.l", "r.b")},
+             (3 * (({_l("f.xm", "r.s[CAST(((f.day % 7) + 7) % 7 AS INT) + 1]", "r.l",
                        "r.b")}) - r.l) + 7 * r.b) // 10,
              list_transform([0, 1, 2, 3, 4, 5, 6],
-               i -> CASE WHEN i = CAST(f.day % 7 AS INT)
+               i -> CASE WHEN i = CAST(((f.day % 7) + 7) % 7 AS INT)
                     THEN (2 * (f.xm
                           - ({_l("f.xm",
-                                 "r.s[CAST(f.day % 7 AS INT) + 1]",
+                                 "r.s[CAST(((f.day % 7) + 7) % 7 AS INT) + 1]",
                                  "r.l", "r.b")}))
                           + 8 * r.s[i + 1]) // 10
                     ELSE r.s[i + 1] END)
@@ -3162,7 +3166,7 @@ def _hw_lnew(xm: str, sp: str, l: str, b: str) -> str:
            {", ".join(
                f"CAST(r.s[{i + 1}] AS BIGINT) AS s{i}_milli"
                for i in range(7))},
-           CAST(r.l + 7 * r.b + r.s[CAST(bo.d1 % 7 AS INT) + 1] AS BIGINT)
+           CAST(r.l + 7 * r.b + r.s[CAST(((bo.d1 % 7) + 7) % 7 AS INT) + 1] AS BIGINT)
              AS forecast_7d_milli
     FROM rec r
     JOIN bounds bo ON r.event_type = bo.event_type
@@ -3236,7 +3240,7 @@ def ts_holt_winters_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array(
                 *[
                     F.expr(
-                        f"COALESCE(MAX(CASE WHEN day % 7 = {i} THEN xm END)"
+                        f"COALESCE(MAX(CASE WHEN pmod(day, 7) = {i} THEN xm END)"
                         f" - SUM(xm) DIV 7, 0)"
                     )
                     for i in range(7)
@@ -3250,7 +3254,7 @@ def ts_holt_winters_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sort_array(F.collect_list(F.struct("day", "xm"))).alias("xs"))
     )
     lnew = _hw_lnew(
-        "e.xm", "element_at(acc.s, CAST(e.day % 7 AS INT) + 1)", "acc.l",
+        "e.xm", "element_at(acc.s, CAST(pmod(e.day, 7) AS INT) + 1)", "acc.l",
         "acc.b",
     )
     fold = F.expr(
@@ -3261,7 +3265,7 @@ def ts_holt_winters_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
             'l', {lnew},
             'b', (3 * (({lnew}) - acc.l) + 7 * acc.b) DIV 10,
             's', transform(sequence(0, 6),
-                   i -> IF(i = e.day % 7,
+                   i -> IF(i = pmod(e.day, 7),
                            (2 * (e.xm - ({lnew}))
                             + 8 * element_at(acc.s, CAST(i AS INT) + 1))
                              DIV 10,
@@ -3294,7 +3298,7 @@ def ts_holt_winters_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
             for i in range(7)
         ],
         F.expr(
-            "st.l + 7 * st.b + element_at(st.s, CAST(d1 % 7 AS INT) + 1)"
+            "st.l + 7 * st.b + element_at(st.s, CAST(pmod(d1, 7) AS INT) + 1)"
         ).alias("forecast_7d_milli"),
     )
 
@@ -3817,7 +3821,7 @@ def ts_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), b AS (
       SELECT (es - mn) * 48 // (mx - mn + 1) AS bucket,
              value,
-             (es - mn) * 10000000000 + event_id AS ord
+             CAST(es - mn AS HUGEINT) * 10000000000 + event_id AS ord
       FROM e, st
     )
     SELECT
@@ -3844,13 +3848,16 @@ def ts_downsample_m4(spark: SparkSession, sf_dir: str) -> DataFrame:
     values. First/last use `min_by`/`max_by` (`arg_min`/`arg_max`) on a
     UNIQUE integer ordering key — range-relative epoch seconds scaled by
     1e10 plus the unique event_id (the `agg_extrema_argminmax`
-    determinism trick). Two preconditions bound the key: the time range
-    must span < ~29 years (int64 headroom on es·1e10) AND event_id must
-    stay < 1e10 — past 10B rows the addition bleeds into the seconds
-    digits and the key is no longer lexicographic (es, event_id);
-    re-derive the 1e10 multiplier from the actual max event_id for
-    larger corpora. Bucket assignment is pure integer floor division of
-    range-relative seconds.
+    determinism trick). The key accumulates in DECIMAL(38,0)/HUGEINT
+    (round-12 pre-1970 axis: an 80-year time range puts es·1e10 past
+    int64, where Spark silently WRAPPED while DuckDB raised — the
+    garbage-vs-error shape; 128-bit headroom covers any range to ~29
+    billion years). One precondition remains: event_id < 1e10, or the
+    addition bleeds into the seconds digits and the key is no longer
+    lexicographic (es, event_id) — re-derive the multiplier from the
+    actual max event_id for larger id domains. Bucket assignment is pure
+    integer floor division of range-relative seconds (nonnegative by
+    construction, so //-vs-DIV truncation direction is moot).
 
     Scale shape: one 2-value global agg (map-side partials) broadcasts
     the time range; bucketing is then a map, and the rollup is a single
@@ -3870,7 +3877,9 @@ def ts_downsample_m4(spark: SparkSession, sf_dir: str) -> DataFrame:
             "bucket"
         ),
         "value",
-        F.expr("(es - mn) * 10000000000 + event_id").alias("ord"),
+        F.expr(
+            "CAST(es - mn AS DECIMAL(38,0)) * 10000000000 + event_id"
+        ).alias("ord"),
     )
     return b.groupBy("bucket").agg(
         F.count(F.lit(1)).alias("n_points"),

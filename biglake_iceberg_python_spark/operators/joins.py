@@ -428,7 +428,8 @@ def join_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
       user_id,
       COUNT(*) AS n_events,
       COUNT(prev_purchase_ts) AS n_with_prior_purchase,
-      MAX(date_diff('second', prev_purchase_ts, ts)) AS max_gap_s
+      MAX(date_diff('second', date_trunc('second', prev_purchase_ts),
+                    date_trunc('second', ts))) AS max_gap_s
     FROM w
     GROUP BY user_id
     """,
@@ -450,6 +451,14 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB's ns timestamps agree. Both windows (and the oracle's) order by
     (ts, event_type) so same-instant rows have one canonical order on both
     engines — determinism does not ride on per-user ts uniqueness.
+
+    BOTH sides date_trunc each operand before differencing (round-12
+    pre-1970 axis): DuckDB's raw date_diff truncates a negative-epoch
+    operand toward ZERO (probed: date_diff('second', 23:59:59.3,
+    +1.0s) = 1) while Spark's trunc-then-diff floors (= 2) — raw-vs-trunc
+    was off by one whenever the earlier operand predates 1970 with a
+    sub-second fraction. The trunc'd floor form is identical on both
+    engines for any epoch sign.
     """
     e = load_table(spark, sf_dir, "events").filter(
         # Dead-letter NULL event-times (round-10 events parity
@@ -498,7 +507,8 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events WHERE ts IS NOT NULL
     ), g AS (
       SELECT user_id,
-             date_diff('second', prev_purchase_ts, ts) AS gap_s
+             date_diff('second', date_trunc('second', prev_purchase_ts),
+                       date_trunc('second', ts)) AS gap_s
       FROM w
     )
     SELECT
@@ -909,7 +919,8 @@ def join_hint_strategies(spark: SparkSession, sf_dir: str) -> DataFrame:
                       THEN next_error_ts END) AS BIGINT)
         AS n_with_next_error,
       MAX(CASE WHEN event_type = 'purchase'
-               THEN date_diff('second', ts, next_error_ts) END)
+               THEN date_diff('second', date_trunc('second', ts),
+                              date_trunc('second', next_error_ts)) END)
         AS max_lead_s
     FROM w
     GROUP BY user_id
@@ -1203,7 +1214,12 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT user_id, sid, MIN(es) AS s0, MAX(es) AS s1
       FROM numbered GROUP BY user_id, sid
     ), hours AS (
-      SELECT es // 3600 AS hr, COUNT(*) AS c FROM e GROUP BY hr
+      -- FLOOR division (// truncates toward zero): hour -0.5 must be hr
+      -- -1, or the hr id and its nominal range [hr*3600, hr*3600+3599]
+      -- disagree on pre-1970 epochs (round-12 epoch-straddle axis).
+      SELECT (es - ((es % 3600 + 3600) % 3600)) // 3600 AS hr,
+             COUNT(*) AS c
+      FROM e GROUP BY hr
     ), tot AS (
       SELECT SUM(c) AS total, COUNT(*) AS n_hours FROM hours
     ), busy AS (
@@ -1277,9 +1293,15 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     sessions = numbered.groupBy("user_id", "sid").agg(
         F.min("es").alias("s0"), F.max("es").alias("s1")
     )
-    hours = e.groupBy(F.expr("es DIV 3600").cast("long").alias("hr")).agg(
-        F.count(F.lit(1)).alias("c")
-    )
+    # Floor division (DIV truncates toward zero): pmod makes the operand
+    # an exact multiple first, so the division is truncation-direction-
+    # independent and the hr id matches its nominal [hr*3600, hr*3600+3599]
+    # range for ANY epoch sign (round-12 epoch-straddle axis: trunc'd ids
+    # put pre-1970 seconds into hours whose nominal range excludes them,
+    # and the explode-by-id and predicate-join formulations diverge).
+    hours = e.groupBy(
+        F.expr("(es - pmod(es, 3600)) DIV 3600").cast("long").alias("hr")
+    ).agg(F.count(F.lit(1)).alias("c"))
     tot = hours.agg(
         F.sum("c").alias("total"), F.count(F.lit(1)).alias("n_hours")
     )
@@ -1298,8 +1320,8 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         "s1",
         F.explode(
             F.sequence(
-                F.expr("s0 DIV 3600").cast("long"),
-                F.expr("s1 DIV 3600").cast("long"),
+                F.expr("(s0 - pmod(s0, 3600)) DIV 3600").cast("long"),
+                F.expr("(s1 - pmod(s1, 3600)) DIV 3600").cast("long"),
             )
         ).alias("hr"),
     )

@@ -159,7 +159,8 @@ def window_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
       ) AS events_last_hour
     FROM (
       SELECT user_id, event_id,
-             date_diff('second', TIMESTAMP '1970-01-01 00:00:00', ts) AS epoch_s
+             date_diff('second', TIMESTAMP '1970-01-01 00:00:00',
+                       date_trunc('second', ts)) AS epoch_s
       FROM events
     )
     """,
@@ -168,7 +169,14 @@ def window_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RANGE frame over event time: per event, how many events the same
     user produced in the trailing hour. The range key is epoch seconds
-    (integer) so Spark-µs and DuckDB-ns timestamps agree exactly."""
+    (integer) so Spark-µs and DuckDB-ns timestamps agree exactly.
+
+    Both engines truncate ts to the second BEFORE differencing (the
+    floor form). The previous raw diff-from-epoch was engine-symmetric
+    (both truncate the result toward zero) but semantically warty on
+    pre-1970 timestamps: truncation toward zero maps (-1s, +1s) onto a
+    double-width "second 0", so a trailing-hour frame at the epoch
+    boundary admitted 3601 distinct seconds (round-12 pre-1970 axis)."""
     e = load_table(spark, sf_dir, "events")
     w = (
         Window.partitionBy("user_id")
@@ -178,7 +186,10 @@ def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         e.withColumn(
             "epoch_s",
-            F.expr("timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"),
+            F.expr(
+                "timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00',"
+                " date_trunc('second', ts))"
+            ),
         )
         .select(
             "user_id",

@@ -11,7 +11,9 @@ phantom chunks). This script closes the class: it crafts the degenerate
 corpora and runs the FULL Spark-vs-DuckDB compare for every oracle-bearing
 query that reads the affected table.
 
-Usage:  python scripts/degenerate_parity_sweep.py [--table documents|embeddings|all]
+Usage:  python scripts/degenerate_parity_sweep.py
+            [--table documents|embeddings|events|magnitude|epoch_straddle|
+                     empty|unicode|ties|all]
 
 Exit 0 iff every comparable query matches. Queries whose oracle builders
 derive literal tables are resolved against the crafted corpus (the same
@@ -118,6 +120,46 @@ def craft_embeddings(d: str) -> None:
             vals[i] = [-8.00000095367431640625] + vals[i][1:]
     cols["embedding"] = pa.array(vals, type=tbl.schema.field("embedding").type)
     pq.write_table(pa.table(cols), f"{d}/embeddings.parquet")
+
+
+def craft_epoch_straddle(d: str) -> None:
+    """Epoch-straddling timestamps (round 12, the TENTH axis): shift the
+    ENTIRE events table by one fixed timedelta so the corpus midpoint
+    lands at 1970-01-01 00:00:00 — half the rows get NEGATIVE epochs with
+    their natural sub-second microsecond fractions intact.
+
+    Why a uniform shift and not scattered pre-1970 rows: the scattered
+    probe that motivated this axis conflated two things — (a) genuine
+    negative-epoch arithmetic divergence (DuckDB's raw date_diff
+    truncates a fractional negative operand toward ZERO while the
+    trunc-then-diff form floors: date_diff('second', 23:59:59.3, +1.0s)
+    = 1 vs 2 — the join_asof off-by-one), and (b) artifacts of the
+    scattering itself: 1945-amid-2024 rows are >watermark late (dropping
+    them is DESIGNED streaming semantics, demonstrated by
+    stream_late_data_drop), and an 80-year span turns per-day grids into
+    29k-step recursions (the Holt oracle's recursive CTE is linear in
+    DAYS — a probe pathology, not an engine shape). The uniform shift
+    preserves the natural ~30-day span and the file arrival order, so
+    streaming watermarks and day grids behave exactly as on the natural
+    corpus and every red is a REAL negative-epoch divergence."""
+    import datetime
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    os.makedirs(d)
+    for t in TABLES:
+        if t != "events":
+            os.symlink(f"{SF_BASE}/{t}.parquet", f"{d}/{t}.parquet")
+    tbl = pq.read_table(f"{SF_BASE}/events.parquet")
+    mm = pc.min_max(tbl["ts"]).as_py()
+    mid = mm["min"] + (mm["max"] - mm["min"]) / 2
+    shift = mid - datetime.datetime(1970, 1, 1)
+    cols = {n: tbl[n] for n in tbl.column_names}
+    tsv = [None if v is None else v - shift for v in cols["ts"].to_pylist()]
+    cols["ts"] = pa.array(tsv, type=tbl.schema.field("ts").type)
+    pq.write_table(pa.table(cols), f"{d}/events.parquet")
 
 
 def craft_events(d: str) -> None:
@@ -419,6 +461,18 @@ def reads_table(name, spec, table: str) -> bool:
         return reads_table(name, spec, "documents")
     if table == "magnitude":
         return reads_table(name, spec, "events")
+    if table == "epoch_straddle":
+        # Watermarked streaming is structurally post-epoch in Spark: the
+        # engine initializes the global watermark to epoch 0 ms (not -inf)
+        # and only advances it, so EVERY pre-1970 event-time row is below
+        # the initial watermark and dropped as late in batch 0 — an
+        # engine-level domain boundary, not an operator bug (verified
+        # behaviorally: the straddle corpus halves every streaming count
+        # while the batch twins keep both halves). Batch operators have no
+        # such floor and must be epoch-sign-correct — they stay in scope.
+        return "streaming" not in spec.tags and reads_table(
+            name, spec, "events"
+        )
     if table == "ties":
         return reads_table(name, spec, "events") or reads_table(
             name, spec, "documents"
@@ -469,6 +523,7 @@ def main() -> int:
         ("embeddings", craft_embeddings),
         ("events", craft_events),
         ("magnitude", craft_magnitude),
+        ("epoch_straddle", craft_epoch_straddle),
         ("empty", craft_empty),
         ("unicode", craft_unicode),
         ("ties", craft_ties),

@@ -2264,6 +2264,82 @@ def test_magnitude_parity_round11_regressions(spark, sf_dir, tmp_path):
         assert result["ok"], (q, {k: v for k, v in result.items() if k != "ok"})
 
 
+def test_epoch_parity_round12_regressions(spark, sf_dir, tmp_path):
+    """Pin the round-12 EPOCH-STRADDLE-axis findings: shifting the whole
+    events corpus so half the rows carry NEGATIVE epochs (natural
+    sub-second fractions intact) exposed the truncate-vs-floor division
+    class on pre-1970 timestamps. Once-reds pinned:
+
+    - join_asof (+tolerance/forward): DuckDB's raw date_diff truncates a
+      fractional negative operand toward ZERO while trunc-then-diff
+      floors — the oracle's raw form was off by one second whenever the
+      earlier operand predates 1970; both operands now date_trunc'd.
+    - join_interval_overlap: trunc'd hour ids put pre-1970 seconds into
+      hours whose nominal [hr*3600, hr*3600+3599] range excludes them, so
+      the explode-by-id and predicate-join formulations diverged
+      (negative overlaps); hour ids are now pmod-floor division.
+    - ts_holt_winters_forecast: day % 7 goes NEGATIVE pre-1970 — Spark's
+      element_at raised INVALID_INDEX_OF_ZERO while DuckDB's negative
+      list index silently wraps from the END (crash-vs-garbage); the
+      seasonal slot is now floor-mod on both engines.
+    - events_heatmap_hour_dow / anova: dow/hour labels went negative
+      (engine-symmetric garbage); now floor-day + pmod.
+
+    Separately, an 80-year span pushes ts_downsample_m4's ordering key
+    (es-mn)*1e10 past int64 — Spark silently WRAPPED while DuckDB raised;
+    the key now accumulates in DECIMAL(38,0)/HUGEINT (second corpus
+    below). Full sweep: scripts/degenerate_parity_sweep.py
+    --table epoch_straddle."""
+    import os
+    import sys
+
+    from biglake_iceberg_python_spark.plans.check import compare, duckdb_connect
+    from biglake_iceberg_python_spark.plans.registry import resolve_oracle
+
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, os.path.join(repo_root, "scripts"))
+    from degenerate_parity_sweep import craft_epoch_straddle
+
+    d = str(tmp_path / "sf_epoch_straddle")
+    craft_epoch_straddle(d)
+    con = duckdb_connect(d)
+    for q in [
+        "join_asof", "join_interval_overlap", "ts_holt_winters_forecast",
+        "events_heatmap_hour_dow", "window_range_frame",
+    ]:
+        spec = REGISTRY[q]
+        result = compare(spec.fn(spark, d), con, resolve_oracle(spec, d))
+        assert result["ok"], (q, {k: v for k, v in result.items() if k != "ok"})
+
+    # The M4 ord-key widening needs a WIDE time range, not a straddle:
+    # two bursts 80 years apart put (es-mn)*1e10 at ~2.5e19 > int64.
+    import datetime
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d2 = str(tmp_path / "sf_epoch_wide")
+    os.makedirs(d2)
+    for t in [
+        "region", "nation", "customer", "supplier", "part", "orders",
+        "lineitem", "documents", "embeddings",
+    ]:
+        os.symlink(f"{sf_dir}/{t}.parquet", f"{d2}/{t}.parquet")
+    tbl = pq.read_table(f"{sf_dir}/events.parquet")
+    cols = {n: tbl[n] for n in tbl.column_names}
+    shift = datetime.timedelta(days=80 * 365)
+    tsv = [
+        None if v is None else (v - shift if i % 2 == 0 else v)
+        for i, v in enumerate(cols["ts"].to_pylist())
+    ]
+    cols["ts"] = pa.array(tsv, type=tbl.schema.field("ts").type)
+    pq.write_table(pa.table(cols), f"{d2}/events.parquet")
+    con2 = duckdb_connect(d2)
+    spec = REGISTRY["ts_downsample_m4"]
+    result = compare(spec.fn(spark, d2), con2, resolve_oracle(spec, d2))
+    assert result["ok"], {k: v for k, v in result.items() if k != "ok"}
+
+
 def test_spark_wide_decimal_to_double_correctly_rounded(spark):
     """Round-12 audit (round-11 verdict #4): the oracle side routes every
     >2^53-capable decimal-sum -> double conversion through STRING because
