@@ -141,7 +141,10 @@ def lakehouse_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
       CAST(COUNT(*) AS BIGINT) AS n_rows,
       {oracle_dsum('o_totalprice')} AS sum_price
     FROM orders
-    WHERE NOT (o_totalprice < 100000)
+    -- IS NOT TRUE, not NOT(..): DELETE removes only rows where the
+    -- predicate is TRUE, so a NULL-price row SURVIVES — NOT(NULL) would
+    -- wrongly exclude it from the oracle scan (round-12 warehouse axis)
+    WHERE (o_totalprice < 100000) IS NOT TRUE
     GROUP BY o_orderstatus
     """,
     tags=("lakehouse", "delete", "row-level"),
@@ -423,9 +426,12 @@ def lakehouse_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     with tempfile.TemporaryDirectory(prefix="lh_cmp_") as root:
         t = SnapshotTable(spark, root)
-        for st in ("F", "O", "P"):  # three fragmented appends
+        # Three fragmented appends, split by key hash: hash thirds cover
+        # EVERY row — the previous per-status filters silently dropped
+        # NULL-status rows from the table (round-12 warehouse axis).
+        for i in range(3):
             t.write(
-                o.filter(F.col("o_orderstatus") == st).repartition(6),
+                o.filter(F.pmod(F.hash("o_orderkey"), 3) == i).repartition(6),
                 mode="append",
             )
         before = t.read()
@@ -1445,9 +1451,15 @@ def lakehouse_write_audit_publish(spark: SparkSession, sf_dir: str) -> DataFrame
         violations_a = (
             t.read_incremental(base_id, a_id).filter(audit_rule).count()
         )
-        # PUBLISH: pointer move, no data copied.
+        # PUBLISH: pointer move, no data copied. REJECT must also reset
+        # staging — otherwise a failed batch A stays staged and batch B's
+        # incremental audit re-scans A's rows (round-12 warehouse axis:
+        # the natural corpus never fails batch A, so the missing reset
+        # was latent until degenerate prices exercised this path).
         if violations_a == 0:
             t.fast_forward("main", "staging")
+        else:
+            t.fast_forward("staging", "main")
         main_head = t.current_snapshot_id()
 
         # Batch B arrives through a buggy upstream: odd keys negated.
@@ -1458,8 +1470,13 @@ def lakehouse_write_audit_publish(spark: SparkSession, sf_dir: str) -> DataFrame
             ).otherwise(F.col("o_totalprice")),
         )
         b_id = t.write(bad_batch, mode="append", branch="staging")
+        # AUDIT exactly what the staged commit ADDED: anchor at the last
+        # snapshot id before b (a_id), not at main — read_incremental is
+        # an id-interval scan over the linear log, so a REJECTED batch A
+        # still occupies (main, b] and would pollute a main-anchored
+        # audit (round-12 warehouse axis; latent while A always passed).
         violations_b = (
-            t.read_incremental(main_head, b_id).filter(audit_rule).count()
+            t.read_incremental(a_id, b_id).filter(audit_rule).count()
         )
         if violations_b == 0:
             t.fast_forward("main", "staging")
@@ -1517,7 +1534,11 @@ def lakehouse_incremental_matview(spark: SparkSession, sf_dir: str) -> DataFrame
             F.sum(F.col("o_totalprice").cast("decimal(30,6)")).alias("sum_price"),
         )
 
-    yr = F.year("o_orderdate")
+    # Dateless orders (NULL o_orderdate, a real ingest shape) must not
+    # vanish from the view: plain year predicates are all NULL for them,
+    # so they'd be written to NO batch (round-12 warehouse axis). They
+    # ride with the base load, and the view carries a NULL month group.
+    yr = F.coalesce(F.year("o_orderdate"), F.lit(0))
     with tempfile.TemporaryDirectory(prefix="lh_ivm_") as root:
         src = SnapshotTable(spark, os.path.join(root, "src"))
         mv = SnapshotTable(spark, os.path.join(root, "mv"))
@@ -1525,15 +1546,26 @@ def lakehouse_incremental_matview(spark: SparkSession, sf_dir: str) -> DataFrame
         mv.write(rollup(src.read()))
         for batch_cond in (yr == 1996, yr >= 1997):
             head_new = src.write(o.filter(batch_cond), mode="append")
-            delta = rollup(src.read_incremental(head, head_new))
+            delta = rollup(src.read_incremental(head, head_new)).select(
+                F.col("month").alias("month_d"),
+                F.col("n_orders").alias("n_orders_d"),
+                F.col("sum_price").alias("sum_price_d"),
+            )
             cur = mv.read()
+            # NULL-SAFE merge key: a plain equi-join can never match the
+            # NULL month group, so it would DUPLICATE per refresh instead
+            # of accumulating (round-12 warehouse axis).
             merged = (
-                cur.join(delta, "month", "full_outer")
+                cur.join(
+                    delta,
+                    cur["month"].eqNullSafe(delta["month_d"]),
+                    "full_outer",
+                )
                 .select(
-                    "month",
+                    F.coalesce(cur["month"], delta["month_d"]).alias("month"),
                     (
                         F.coalesce(cur["n_orders"], F.lit(0))
-                        + F.coalesce(delta["n_orders"], F.lit(0))
+                        + F.coalesce(delta["n_orders_d"], F.lit(0))
                     ).alias("n_orders"),
                     (
                         F.coalesce(
@@ -1541,7 +1573,7 @@ def lakehouse_incremental_matview(spark: SparkSession, sf_dir: str) -> DataFrame
                             F.lit(0).cast("decimal(30,6)"),
                         )
                         + F.coalesce(
-                            delta["sum_price"],
+                            delta["sum_price_d"],
                             F.lit(0).cast("decimal(30,6)"),
                         )
                     ).cast("decimal(30,6)").alias("sum_price"),
@@ -1945,12 +1977,19 @@ def lakehouse_incremental_matview_join(
         src_o = SnapshotTable(spark, os.path.join(root, "o"))
         src_c = SnapshotTable(spark, os.path.join(root, "c"))
         mv = SnapshotTable(spark, os.path.join(root, "mv"))
-        o_old_id = src_o.write(o.filter(F.year("o_orderdate") < 1998))
-        c_old_id = src_c.write(c.filter(F.col("c_custkey") % 2 == 0))
+        # coalesce the split keys: NULL o_orderdate / NULL c_custkey rows
+        # satisfy NO plain predicate and would be silently written to
+        # NEITHER batch (round-12 warehouse axis); they ride with the
+        # seed batch (NULL custkey never joins, but the table must still
+        # hold every ingested row).
+        oyr = F.coalesce(F.year("o_orderdate"), F.lit(0))
+        ck2 = F.coalesce(F.pmod(F.col("c_custkey"), 2), F.lit(0))
+        o_old_id = src_o.write(o.filter(oyr < 1998))
+        c_old_id = src_c.write(c.filter(ck2 == 0))
         mv.write(agg_join(src_o.read(), src_c.read()))
 
-        o_new_id = src_o.write(o.filter(F.year("o_orderdate") >= 1998))
-        c_new_id = src_c.write(c.filter(F.col("c_custkey") % 2 == 1))
+        o_new_id = src_o.write(o.filter(oyr >= 1998))
+        c_new_id = src_c.write(c.filter(ck2 == 1))
 
         d_o = src_o.read_incremental(o_old_id, o_new_id)
         d_c = src_c.read_incremental(c_old_id, c_new_id)
@@ -1987,19 +2026,24 @@ def lakehouse_incremental_matview_join(
 @query(
     "lakehouse_gdpr_forget",
     oracle="""
+    -- survivors are rows where the erasure predicate IS NOT TRUE: a
+    -- keyless row is NOT deleted (DELETE removes only TRUE matches), so
+    -- the <> filter — which excludes NULL keys — undercounted n_after
+    -- (round-12 warehouse axis)
     SELECT 'customer' AS table_name,
            CAST(COUNT(*) AS BIGINT) AS n_before,
            CAST(COUNT(*) FILTER (WHERE c_custkey % 97 = 0) AS BIGINT)
              AS n_deleted,
-           CAST(COUNT(*) FILTER (WHERE c_custkey % 97 <> 0) AS BIGINT)
-             AS n_after,
+           CAST(COUNT(*) FILTER (WHERE (c_custkey % 97 = 0) IS NOT TRUE)
+                AS BIGINT) AS n_after,
            CAST(0 AS BIGINT) AS n_orphans
     FROM customer
     UNION ALL
     SELECT 'orders',
            CAST(COUNT(*) AS BIGINT),
            CAST(COUNT(*) FILTER (WHERE o_custkey % 97 = 0) AS BIGINT),
-           CAST(COUNT(*) FILTER (WHERE o_custkey % 97 <> 0) AS BIGINT),
+           CAST(COUNT(*) FILTER (WHERE (o_custkey % 97 = 0) IS NOT TRUE)
+                AS BIGINT),
            CAST(0 AS BIGINT)
     FROM orders
     """,

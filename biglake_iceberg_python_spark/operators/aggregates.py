@@ -918,6 +918,11 @@ def agg_session_window_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         SUM(CAST(l_quantity AS BIGINT))
           OVER (PARTITION BY l_returnflag) AS tot_wt
       FROM lineitem
+      -- a row with no price cannot be ordered and a row with no weight
+      -- cannot count; NULL keys would also trip two_phase_rank's loud
+      -- NULL-ordering-key guard (round-12 warehouse axis)
+      WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL
+        AND l_orderkey IS NOT NULL AND l_returnflag IS NOT NULL
     )
     SELECT
       l_returnflag,
@@ -949,7 +954,15 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     order, so the bucketed cumsum is bit-identical to the naive window.
     Group totals are a separate map-side-combined rollup broadcast back.
     """
-    li = load_table(spark, sf_dir, "lineitem")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        # mirrors the oracle WHERE — see the oracle comment (round-12 axis)
+        F.col("l_extendedprice").isNotNull()
+        & F.col("l_quantity").isNotNull()
+        & F.col("l_orderkey").isNotNull()
+        # flagless rows are unattributable AND their group would vanish
+        # asymmetrically at two_phase_rank's internal equi-join
+        & F.col("l_returnflag").isNotNull()
+    )
     wt = F.col("l_quantity").cast("long")
     cents = (
         F.round(F.col("l_extendedprice").cast("decimal(18,2)") * 100)
@@ -1020,8 +1033,12 @@ def agg_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT
       l_returnflag,
+      -- every row whose try_divide is NULL: zero divisor OR a NULL in
+      -- either operand (round-12 warehouse axis — the zero-only filter
+      -- undercounted once NULL prices/discounts exist)
       CAST(COUNT(*) FILTER (
-        WHERE l_discount = 0
+        WHERE l_discount = 0 OR l_discount IS NULL
+           OR l_extendedprice IS NULL
       ) AS BIGINT) AS n_null_ratio,
       CAST(SUM(CASE WHEN l_discount <> 0
                THEN (200 * CAST(round(CAST(l_extendedprice AS DECIMAL(18,2))

@@ -266,9 +266,10 @@ def basket_copurchase_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .localCheckpoint(eager=False)
     )
-    n = op.select("l_orderkey").distinct().agg(
-        F.count(F.lit(1)).alias("n_orders")
-    )
+    # count_distinct skips a NULL order key like the oracle's
+    # COUNT(DISTINCT); distinct()+COUNT(*) counted the NULL row
+    # (round-12 warehouse axis).
+    n = op.agg(F.count_distinct("l_orderkey").alias("n_orders"))
     pk = (
         op.groupBy("l_partkey")
         .agg(F.count(F.lit(1)).alias("c"))
@@ -675,7 +676,7 @@ def orders_aging_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), tot AS (SELECT SUM(cents) AS t, COUNT(*) AS n FROM s)
     SELECT
       CAST(tot.n AS BIGINT) AS n_customers,
-      CAST(SUM(CASE WHEN s.cents = 0 THEN 0
+      CAST(SUM(CASE WHEN s.cents <= 0 THEN 0
                ELSE CAST(round(1e6 * (CAST(s.cents AS DOUBLE) / tot.t)
                           * ln(CAST(s.cents AS DOUBLE) * tot.n / tot.t))
                     AS BIGINT) END) AS BIGINT) AS theil_micro_nats
@@ -706,7 +707,11 @@ def customer_theil_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tot = s.agg(F.sum("cents").alias("t"), F.count(F.lit(1)).alias("n"))
     share = F.col("cents").cast("double") / F.col("t")
-    term = F.when(F.col("cents") == 0, F.lit(0)).otherwise(
+    # <= 0, not == 0 (round-12 warehouse axis): a refund-heavy customer
+    # can have NEGATIVE net cents, and ln(negative) RAISES in DuckDB while
+    # Spark returns NULL — crash-vs-garbage. Theil is defined on positive
+    # incomes; nonpositive spenders contribute a zero term on both engines.
+    term = F.when(F.col("cents") <= 0, F.lit(0)).otherwise(
         F.round(
             F.lit(1e6)
             * share

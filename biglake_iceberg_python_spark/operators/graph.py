@@ -65,7 +65,14 @@ def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     (same doc-frequency cap as dedup_ngram_jaccard) to bound the quadratic
     term before the shuffle.
     """
-    li = load_table(spark, sf_dir, "lineitem")
+    # NULL keys out (round-12 warehouse axis): the oracle's a.ok = b.ok
+    # self-join never matches a NULL order key, but groupBy would fuse
+    # EVERY keyless line into one mega-group whose pair expansion is
+    # quadratic in its size — both wrong and a scale hazard. NULL pk is
+    # dropped by collect_set anyway; the filter makes it explicit.
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_orderkey").isNotNull() & F.col("l_partkey").isNotNull()
+    )
     # collect_set per order, then expand pairs map-side: one shuffle on ok
     # (map-side combined — duplicates of the same (ok, pk) collapse before
     # the exchange) + one distinct on the pair key. The equivalent items

@@ -487,7 +487,8 @@ def sql_identifier_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM lineitem
     WHERE l_quantity >= 45
     WINDOW w AS (PARTITION BY l_returnflag
-                 ORDER BY l_extendedprice, l_orderkey, l_linenumber)
+                 ORDER BY l_extendedprice NULLS LAST, l_orderkey NULLS LAST,
+                          l_linenumber)
     """,
     tags=("sql", "window", "dialect"),
 )
@@ -516,7 +517,8 @@ def sql_named_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM lineitem_namedw
         WHERE l_quantity >= 45
         WINDOW w AS (PARTITION BY l_returnflag
-                     ORDER BY l_extendedprice, l_orderkey, l_linenumber)
+                     ORDER BY l_extendedprice NULLS LAST,
+                              l_orderkey NULLS LAST, l_linenumber)
         """
     )
 

@@ -183,13 +183,16 @@ def scalar_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
       l_orderkey,
       l_linenumber,
       CAST((CAST(round(CAST(l_extendedprice AS DECIMAL(18,2)) * 100)
-                 AS BIGINT) + 5) // 10 AS DOUBLE) / 10
+                 AS BIGINT)
+            + CASE WHEN l_extendedprice < 0 THEN -5 ELSE 5 END) // 10
+           AS DOUBLE) / 10
         AS price_round1,
       abs(l_discount - 0.05) AS disc_dev,
       CAST(ceil(l_quantity / 7) AS BIGINT) AS qty_ceil,
       CAST(floor(l_extendedprice / 1000) AS BIGINT) AS price_kfloor,
       l_discount * l_discount AS disc_sq,
-      CAST(ln(l_extendedprice) AS REAL) AS price_ln,
+      CASE WHEN l_extendedprice > 0
+           THEN CAST(ln(l_extendedprice) AS REAL) END AS price_ln,
       sqrt(l_quantity) AS qty_sqrt,
       CAST(l_orderkey % 7 AS BIGINT) AS key_mod7
     FROM lineitem
@@ -233,7 +236,12 @@ def scalar_math(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.ceil(F.col("l_quantity") / 7).alias("qty_ceil"),
         F.floor(F.col("l_extendedprice") / 1000).alias("price_kfloor"),
         (F.col("l_discount") * F.col("l_discount")).alias("disc_sq"),
-        F.log(F.col("l_extendedprice")).cast("float").alias("price_ln"),
+        # Domain-guarded on both engines (round-12 warehouse axis): a
+        # negative price (credit line) RAISES in DuckDB's ln while Spark
+        # returns NULL — ln is NULL for nonpositive input on both now.
+        F.when(
+            F.col("l_extendedprice") > 0, F.log(F.col("l_extendedprice"))
+        ).cast("float").alias("price_ln"),
         F.sqrt("l_quantity").alias("qty_sqrt"),
         (F.col("l_orderkey") % 7).cast("long").alias("key_mod7"),
     )

@@ -931,8 +931,14 @@ def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = load_table(spark, sf_dir, "part").filter(
         (F.col("p_type") == "STANDARD") & F.col("p_size").between(10, 30)
     )
+    # try_divide: a zero-quantity line (real shape — cancelled/credit
+    # lines) has no unit cost. DuckDB's double division by zero yields
+    # NULL; Spark ANSI-on RAISES on plain `/` (round-12 warehouse axis),
+    # so try_divide is the engine- and mode-symmetric spelling.
     supply = li.groupBy("l_partkey", "l_suppkey").agg(
-        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost")
+        F.min(
+            F.try_divide(F.col("l_extendedprice"), F.col("l_quantity"))
+        ).alias("unit_cost")
     )
     eligible = (
         supply.join(s, supply.l_suppkey == s.s_suppkey)

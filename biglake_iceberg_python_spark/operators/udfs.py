@@ -32,13 +32,20 @@ _cloudpickle.register_pickle_by_value(_sys.modules[__name__])
 @pandas_udf(DoubleType())
 def _net_price_vec(price: pd.Series, discount: pd.Series, tax: pd.Series) -> pd.Series:
     """Vectorized net price: elementwise IEEE double ops on Arrow batches —
-    bit-identical to the SQL expression in any engine."""
-    return price * (1.0 - discount) * (1.0 + tax)
+    bit-identical to the SQL expression in any engine.
+
+    NULL inputs arrive as NaN; returned through the NULLABLE Float64
+    dtype so Arrow hands Spark a real NULL, matching the SQL
+    expression's NULL (a float64 NaN would instead hit the downstream
+    decimal cast, which raises under ANSI — round-12 warehouse axis)."""
+    return (price * (1.0 - discount) * (1.0 + tax)).astype("Float64")
 
 
 @pandas_udf(LongType())
 def _qty_band_vec(qty: pd.Series) -> pd.Series:
-    return (qty // 10).astype("int64")
+    # Nullable Int64: NULL qty -> NULL band (plain int64 astype raises
+    # IntCastingNaNError on the NaN a NULL arrives as).
+    return (qty // 10).astype("Int64")
 
 
 @query(
@@ -80,9 +87,20 @@ def _weighted_avg_price(price: pd.Series, qty: pd.Series) -> float:
     """GROUPED_AGG worker: quantity-weighted mean price, computed on
     integer cents so the reduction is order-independent (prices carry two
     decimals; cents×qty sums stay < 2^53, exact in float64 in any order —
-    a raw float dot product would vary with Arrow batch order)."""
-    pq = (price * 100).round().astype("int64") * qty.astype("int64")
-    return float(pq.sum()) / (100.0 * float(qty.astype("int64").sum()))
+    a raw float dot product would vary with Arrow batch order).
+
+    NULL discipline mirrors the oracle's SQL sums exactly: the numerator
+    SUM(cents*qty) skips rows where EITHER factor is NULL, the
+    denominator SUM(qty) skips only NULL-qty rows (round-12 warehouse
+    axis — plain astype('int64') raised on the NaN a NULL arrives as)."""
+    both = price.notna() & qty.notna()
+    pq = (price[both] * 100).round().astype("int64") * qty[both].astype(
+        "int64"
+    )
+    den = qty[qty.notna()].astype("int64").sum()
+    if den == 0:  # all-NULL qty group: SQL SUM is NULL -> NULL mean
+        return None
+    return float(pq.sum()) / (100.0 * float(den))
 
 
 @pandas_udf(LongType())
@@ -144,15 +162,21 @@ def _zscore_group(pdf: pd.DataFrame) -> pd.DataFrame:
     """
     import math
 
-    qi = pdf["l_quantity"].round().astype("int64")
-    n = len(qi)
+    # NULL discipline mirrors the oracle exactly (round-12 warehouse
+    # axis): COUNT(*) counts every row, SUM(qi)/SUM(qi*qi) skip NULL
+    # quantities, and a NULL quantity z-scores to NULL (the CASE's THEN
+    # branch on a NULL operand) — via the nullable Float64 dtype so
+    # Arrow hands Spark a real NULL, not NaN.
+    qv = pdf["l_quantity"]
+    qi = qv[qv.notna()].round().astype("int64")
+    n = len(pdf)
     s1 = int(qi.sum())
     s2 = int((qi * qi).sum())
-    mean = s1 / n
     ss = float(s2) - float(s1) * float(s1) / float(n)
     if n > 1 and ss > 0:
+        mean = s1 / n
         std = math.sqrt(ss / (n - 1.0))
-        pdf["qty_z"] = (pdf["l_quantity"] - mean) / std
+        pdf["qty_z"] = ((pdf["l_quantity"] - mean) / std).astype("Float64")
     else:
         pdf["qty_z"] = 0.0
     return pdf[["l_returnflag", "l_orderkey", "l_linenumber", "l_quantity", "qty_z"]]
@@ -201,7 +225,13 @@ def udf_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     3 flags; for high-cardinality keys this is the right tool, for few fat
     keys use window functions instead.
     """
-    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 25 == 0)
+    # Flagless rows dropped symmetrically: the oracle's g JOIN f
+    # USING (l_returnflag) can never match a NULL flag, while groupBy
+    # would keep a NULL group (round-12 warehouse axis) — an unflagged
+    # line is unattributable to a z-score population on either engine.
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_orderkey") % 25 == 0) & F.col("l_returnflag").isNotNull()
+    )
     out_schema = (
         "l_returnflag string, l_orderkey bigint, l_linenumber int, "
         "l_quantity double, qty_z double"
@@ -385,8 +415,15 @@ def udf_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
                         [pc.sum(b.column("o_orderkey")).as_py() or 0],
                         pa.int64(),
                     ),
+                    # drop_null first: COUNT(DISTINCT) skips NULL, while
+                    # pc.unique would count it as a value (round-12
+                    # warehouse axis).
                     "prios": pa.array(
-                        [pc.unique(b.column("o_orderpriority")).to_pylist()],
+                        [
+                            pc.unique(
+                                pc.drop_null(b.column("o_orderpriority"))
+                            ).to_pylist()
+                        ],
                         pa.list_(pa.string()),
                     ),
                 }
@@ -456,7 +493,11 @@ def _asof_cogroup(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
               WHERE f.o_custkey = o.o_custkey AND f.o_orderstatus = 'F'
                 AND f.o_orderdate <= o.o_orderdate) AS BIGINT) AS gap_days
     FROM orders o
+    -- key+time dead-letter (round-12 warehouse axis): an as-of match
+    -- needs both; NULL keys also diverge structurally (the correlated
+    -- equi-predicate never matches NULL while cogroup pairs NULL groups)
     WHERE o.o_orderstatus = 'O'
+      AND o.o_custkey IS NOT NULL AND o.o_orderdate IS NOT NULL
     """,
     tags=("udf", "cogroup", "applyInPandas", "asof"),
 )
@@ -485,10 +526,15 @@ def udf_cogrouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     day = F.datediff(
         F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date")
     ).cast("long")
-    opens = o.filter(F.col("o_orderstatus") == "O").select(
+    # key+time dead-letter on BOTH inputs (round-12 warehouse axis): the
+    # oracle's correlated equi-predicate never matches a NULL custkey,
+    # while cogroup would pair the two NULL groups; a dateless fulfilled
+    # order can never be "latest <= t" (NULL comparison) on either side.
+    keyed = F.col("o_custkey").isNotNull() & F.col("o_orderdate").isNotNull()
+    opens = o.filter((F.col("o_orderstatus") == "O") & keyed).select(
         "o_custkey", "o_orderkey", day.alias("day")
     )
-    fulfilled = o.filter(F.col("o_orderstatus") == "F").select(
+    fulfilled = o.filter((F.col("o_orderstatus") == "F") & keyed).select(
         "o_custkey", day.alias("day")
     )
     out_schema = (
@@ -508,8 +554,11 @@ def udf_cogrouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT
       o_orderstatus,
       CAST(COUNT(*) AS BIGINT) AS n_scored,
-      CAST(SUM(CAST(round(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT)
-               % 97) AS BIGINT) AS score_sum
+      -- floor-mod, not SQL's dividend-sign %: the pandas worker's % IS
+      -- floor-mod, and the two disagree on negative cents (credit
+      -- orders, round-12 warehouse axis)
+      CAST(SUM(((CAST(round(CAST(o_totalprice AS DECIMAL(18,2)) * 100)
+                 AS BIGINT) % 97) + 97) % 97) AS BIGINT) AS score_sum
     FROM orders
     GROUP BY o_orderstatus
     """,
@@ -532,8 +581,10 @@ def udf_pandas_scalar_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
         # one-time init per worker (imagine: load model weights)
         model_modulus = 97
         for s in batches:
-            cents = (s.astype("float64") * 100).round().astype("int64")
-            yield (cents % model_modulus).astype("int64")
+            # Nullable Int64: NULL price -> NULL score (SQL's % on NULL),
+            # not an IntCastingNaNError (round-12 warehouse axis).
+            cents = (s.astype("float64") * 100).round().astype("Int64")
+            yield (cents % model_modulus).astype("Int64")
 
     o = load_table(spark, sf_dir, "orders")
     scored = o.select(
@@ -577,9 +628,13 @@ def udf_pandas_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     @pandas_udf("long")
     def cents_sum(price: pd.Series) -> int:
-        return int(
-            np.rint(price.to_numpy(dtype="float64") * 100).astype("int64").sum()
-        )
+        # SQL SUM skips NULLs and is NULL over an all-NULL partition
+        # (round-12 warehouse axis: np.rint(NaN).astype(int64) wraps).
+        v = price.to_numpy(dtype="float64")
+        v = v[~np.isnan(v)]
+        if len(v) == 0:
+            return None
+        return int(np.rint(v * 100).astype("int64").sum())
 
     @pandas_udf("long")
     def row_count(price: pd.Series) -> int:
@@ -641,6 +696,12 @@ def udf_udtf_polymorphic_analyze(spark: SparkSession, sf_dir: str) -> DataFrame:
             return AnalyzeResult(schema=schema)
 
         def eval(self, price, bounds):
+            # NULL price: every CASE WHEN NULL >= bound is not-TRUE ->
+            # ELSE 0 in the oracle; Python None >= float would raise
+            # (round-12 warehouse axis). Row still counts toward n.
+            if price is None:
+                yield 0, 0, 0
+                return
             bs = [float(b) for b in bounds.split(",")]
             hi = 1 if price >= bs[0] else 0
             mid = 1 if (bs[1] <= price < bs[0]) else 0

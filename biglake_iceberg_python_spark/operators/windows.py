@@ -75,7 +75,8 @@ def window_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
       o_totalprice - COALESCE(LAG(o_totalprice) OVER pw, o_totalprice) AS price_delta
     FROM orders
     WHERE o_custkey < 100
-    WINDOW pw AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    WINDOW pw AS (PARTITION BY o_custkey
+                  ORDER BY o_orderdate NULLS LAST, o_orderkey)
     """,
     tags=("window", "analytic"),
 )
@@ -83,7 +84,12 @@ def window_analytic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """lag/lead/first_value over each customer's order history in date
     order (orderkey tiebreak for determinism)."""
     o = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") < 100)
-    pw = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    pw = Window.partitionBy("o_custkey").orderBy(
+        # NULLS LAST explicitly: Spark defaults NULLS FIRST ascending,
+        # DuckDB NULLS LAST — an undated order diverged in window order
+        # (round-12 warehouse axis); dated history first on both engines.
+        F.col("o_orderdate").asc_nulls_last(), "o_orderkey"
+    )
     lag_price = F.lag("o_totalprice").over(pw)
     return o.select(
         "o_custkey",
@@ -105,14 +111,17 @@ def window_analytic(spark: SparkSession, sf_dir: str) -> DataFrame:
       o_custkey,
       o_orderkey,
       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6)))
-        OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        OVER (PARTITION BY o_custkey
+              ORDER BY o_orderdate NULLS LAST, o_orderkey
               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS STRING) AS DOUBLE)
         AS running_total,
       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6)))
-        OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        OVER (PARTITION BY o_custkey
+              ORDER BY o_orderdate NULLS LAST, o_orderkey
               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS STRING) AS DOUBLE)
         AS sliding_3_sum,
-      COUNT(*) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      COUNT(*) OVER (PARTITION BY o_custkey
+                     ORDER BY o_orderdate NULLS LAST, o_orderkey
                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         AS orders_so_far
     FROM orders
@@ -126,7 +135,8 @@ def window_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     running totals bit-identical across engines regardless of frame
     evaluation order."""
     o = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") < 50)
-    ordering = [F.col("o_orderdate"), F.col("o_orderkey")]
+    # NULLS LAST on both engines — see window_analytic (round-12 axis).
+    ordering = [F.col("o_orderdate").asc_nulls_last(), F.col("o_orderkey")]
     run = (
         Window.partitionBy("o_custkey")
         .orderBy(*ordering)

@@ -403,13 +403,20 @@ def source_csv_malformed_permissive(spark: SparkSession, sf_dir: str) -> DataFra
     with tempfile.TemporaryDirectory(prefix="src_badcsv_") as root:
         path = os.path.join(root, "orders_csv")
         # inject garbage into the price field for a deterministic subset
+        # coalesce to "" so a NULL serializes as an EMPTY FIELD: concat_ws
+        # SKIPS NULL arguments, which wrote short lines that the CSV
+        # parser then flagged as token-count-corrupt instead of parsing
+        # back to NULL (round-12 warehouse axis).
         lines = o.select(
             F.concat_ws(
                 ",",
-                F.col("o_orderkey").cast("string"),
-                F.when(
-                    F.col("o_orderkey") % 50 == 0, F.lit("NOT_A_NUMBER")
-                ).otherwise(F.col("o_totalprice").cast("string")),
+                F.coalesce(F.col("o_orderkey").cast("string"), F.lit("")),
+                F.coalesce(
+                    F.when(
+                        F.col("o_orderkey") % 50 == 0, F.lit("NOT_A_NUMBER")
+                    ).otherwise(F.col("o_totalprice").cast("string")),
+                    F.lit(""),
+                ),
             ).alias("value")
         )
         lines.write.text(path)
@@ -474,8 +481,11 @@ def source_recursive_glob_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey", "o_orderstatus"
     )
     with tempfile.TemporaryDirectory(prefix="src_rec_") as root:
-        for st, sub in (("F", "team_a/2024/01"), ("O", "team_b/deep/nest/x"), ("P", "misc")):
-            o.filter(F.col("o_orderstatus") == st).write.parquet(
+        # scatter by key hash: hash thirds cover EVERY row — per-status
+        # filters silently lost NULL-status rows from the landing zone
+        # (round-12 warehouse axis)
+        for i, sub in ((0, "team_a/2024/01"), (1, "team_b/deep/nest/x"), (2, "misc")):
+            o.filter(F.pmod(F.hash("o_orderkey"), 3) == i).write.parquet(
                 os.path.join(root, sub)
             )
         # landing-zone junk the glob must ignore

@@ -13,7 +13,7 @@ query that reads the affected table.
 
 Usage:  python scripts/degenerate_parity_sweep.py
             [--table documents|embeddings|events|magnitude|epoch_straddle|
-                     empty|unicode|ties|all]
+                     warehouse|empty|unicode|ties|all]
 
 Exit 0 iff every comparable query matches. Queries whose oracle builders
 derive literal tables are resolved against the crafted corpus (the same
@@ -160,6 +160,97 @@ def craft_epoch_straddle(d: str) -> None:
     tsv = [None if v is None else v - shift for v in cols["ts"].to_pylist()]
     cols["ts"] = pa.array(tsv, type=tbl.schema.field("ts").type)
     pq.write_table(pa.table(cols), f"{d}/events.parquet")
+
+
+def craft_warehouse(d: str) -> None:
+    """Degenerate WAREHOUSE tables (round 12, the ELEVENTH axis): the
+    TPC-H lineitem/orders tables are read by 143 oracle-bearing queries
+    and had never been NULL/degenerate-swept (documents/events/embeddings
+    each have axes). Shapes: NULL dims/keys/dates/measures, NEGATIVE
+    prices (credit/refund lines), zero quantities, 0%/100% discounts.
+
+    First run found 28 divergences in six classes (all fixed, each
+    engine-symmetrically): NULLS FIRST/LAST in ordered windows (the r10
+    events class, now on o_orderdate/l_extendedprice); DuckDB ln(negative)
+    RAISES while Spark NULLs (theil, scalar_math); pandas-UDF workers
+    crashing on the NaN a NULL arrives as (IntCastingNaNError /
+    TypeError) or disagreeing with SQL NULL/%-semantics — the whole UDF
+    tier matrix; the NULL-orderkey mega-group in groupBy-based pair
+    expansion vs a self-join that never matches NULL (graph _edges,
+    basket lift — also a quadratic scale hazard); DELETE/erasure
+    survivors being "predicate IS NOT TRUE", not NOT(predicate), and
+    batch splits by status/year predicates silently writing NULL-key rows
+    to NO batch (lakehouse DML + matview + landing-zone scatter), plus a
+    genuine WAP flow bug (rejected batch never reset the staging branch —
+    latent while batch A always passed); concat_ws SKIPPING NULL fields
+    so CSV round-trips flagged short lines as corrupt."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(d)
+    for t in TABLES:
+        if t not in ("lineitem", "orders"):
+            os.symlink(f"{SF_BASE}/{t}.parquet", f"{d}/{t}.parquet")
+
+    li = pq.read_table(f"{SF_BASE}/lineitem.parquet")
+    cols = {n: li[n] for n in li.column_names}
+    n = li.num_rows
+
+    def mutate(name, fn):
+        vals = cols[name].to_pylist()
+        for i in range(n):
+            out = fn(i, vals[i])
+            if out is not ...:
+                vals[i] = out
+        cols[name] = pa.array(vals, type=li.schema.field(name).type)
+
+    mutate("l_shipdate", lambda i, v: None if i % 17 == 0 else ...)
+    mutate("l_returnflag", lambda i, v: None if i % 17 == 1 else ...)
+    mutate("l_linestatus", lambda i, v: None if i % 17 == 2 else ...)
+    mutate(
+        "l_extendedprice",
+        lambda i, v: None
+        if i % 17 == 3
+        else (-abs(v) if i % 17 == 6 and v is not None else ...),
+    )
+    mutate(
+        "l_discount",
+        lambda i, v: None
+        if i % 17 == 4
+        else (1.0 if i % 17 == 8 else (0.0 if i % 17 == 12 else ...)),
+    )
+    mutate(
+        "l_quantity",
+        lambda i, v: None if i % 17 == 5 else (0.0 if i % 17 == 7 else ...),
+    )
+    mutate("l_partkey", lambda i, v: None if i % 17 == 9 else ...)
+    mutate("l_suppkey", lambda i, v: None if i % 17 == 10 else ...)
+    mutate("l_orderkey", lambda i, v: None if i % 17 == 11 else ...)
+    pq.write_table(pa.table(cols), f"{d}/lineitem.parquet")
+
+    o = pq.read_table(f"{SF_BASE}/orders.parquet")
+    ocols = {nm: o[nm] for nm in o.column_names}
+    on = o.num_rows
+
+    def omutate(name, fn):
+        vals = ocols[name].to_pylist()
+        for i in range(on):
+            out = fn(i, vals[i])
+            if out is not ...:
+                vals[i] = out
+        ocols[name] = pa.array(vals, type=o.schema.field(name).type)
+
+    omutate("o_orderdate", lambda i, v: None if i % 13 == 0 else ...)
+    omutate("o_orderpriority", lambda i, v: None if i % 13 == 1 else ...)
+    omutate("o_custkey", lambda i, v: None if i % 13 == 2 else ...)
+    omutate(
+        "o_totalprice",
+        lambda i, v: None
+        if i % 13 == 3
+        else (-abs(v) if i % 13 == 4 and v is not None else ...),
+    )
+    omutate("o_orderstatus", lambda i, v: None if i % 13 == 5 else ...)
+    pq.write_table(pa.table(ocols), f"{d}/orders.parquet")
 
 
 def craft_events(d: str) -> None:
@@ -461,6 +552,10 @@ def reads_table(name, spec, table: str) -> bool:
         return reads_table(name, spec, "documents")
     if table == "magnitude":
         return reads_table(name, spec, "events")
+    if table == "warehouse":
+        return reads_table(name, spec, "lineitem") or reads_table(
+            name, spec, "orders"
+        )
     if table == "epoch_straddle":
         # Watermarked streaming is structurally post-epoch in Spark: the
         # engine initializes the global watermark to epoch 0 ms (not -inf)
@@ -524,6 +619,7 @@ def main() -> int:
         ("events", craft_events),
         ("magnitude", craft_magnitude),
         ("epoch_straddle", craft_epoch_straddle),
+        ("warehouse", craft_warehouse),
         ("empty", craft_empty),
         ("unicode", craft_unicode),
         ("ties", craft_ties),

@@ -2340,6 +2340,55 @@ def test_epoch_parity_round12_regressions(spark, sf_dir, tmp_path):
     assert result["ok"], {k: v for k, v in result.items() if k != "ok"}
 
 
+def test_warehouse_parity_round12_regressions(spark, tmp_path):
+    """Pin the round-12 WAREHOUSE-axis findings (degenerate
+    lineitem/orders: NULL keys/dates/dims/measures, negative prices, zero
+    quantities, 0%/100% discounts — 28 divergences in six classes on
+    first run, one representative pinned per class):
+
+    - window_analytic: NULLS FIRST (Spark) vs NULLS LAST (DuckDB) on the
+      now-NULL-able o_orderdate ordering — explicit NULLS LAST both sides.
+    - scalar_math: DuckDB ln(negative) RAISES while Spark NULLs
+      (crash-vs-garbage) — domain-guarded; the integer half-up rounding
+      formula also gains the away-from-zero branch for negative cents.
+    - udf_grouped_map: pandas astype('int64') raises IntCastingNaNError
+      on the NaN a NULL arrives as — the whole UDF tier now mirrors its
+      oracle's SQL NULL semantics (nullable dtypes, notna masks).
+    - graph_triangle_count: groupBy fused every NULL-orderkey line into
+      one mega-group whose pair expansion is QUADRATIC in its size, while
+      the oracle's self-join never matches NULL — wrong and a scale
+      hazard; keys filtered at the edge builder.
+    - lakehouse_write_audit_publish: a REJECTED batch never reset the
+      staging branch, so the next batch's id-interval incremental audit
+      re-scanned the abandoned rows — latent while batch A always passed.
+    - source_csv_malformed_permissive: concat_ws SKIPS NULL fields, so
+      the CSV round-trip wrote short lines the parser flagged as corrupt
+      — NULLs now serialize as empty fields.
+
+    Full sweep: scripts/degenerate_parity_sweep.py --table warehouse."""
+    import os
+    import sys
+
+    from biglake_iceberg_python_spark.plans.check import compare, duckdb_connect
+    from biglake_iceberg_python_spark.plans.registry import resolve_oracle
+
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, os.path.join(repo_root, "scripts"))
+    from degenerate_parity_sweep import craft_warehouse
+
+    d = str(tmp_path / "sf_warehouse")
+    craft_warehouse(d)
+    con = duckdb_connect(d)
+    for q in [
+        "window_analytic", "scalar_math", "udf_grouped_map",
+        "graph_triangle_count", "lakehouse_write_audit_publish",
+        "source_csv_malformed_permissive",
+    ]:
+        spec = REGISTRY[q]
+        result = compare(spec.fn(spark, d), con, resolve_oracle(spec, d))
+        assert result["ok"], (q, {k: v for k, v in result.items() if k != "ok"})
+
+
 def test_spark_wide_decimal_to_double_correctly_rounded(spark):
     """Round-12 audit (round-11 verdict #4): the oracle side routes every
     >2^53-capable decimal-sum -> double conversion through STRING because
