@@ -1117,8 +1117,13 @@ def lakehouse_branch_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "lakehouse_scd2_dimension",
     oracle="""
-    WITH chg AS (
-      SELECT c_custkey FROM customer WHERE c_custkey % 7 = 0
+    WITH cust AS (
+      -- keyless rows cannot be SCD-tracked and also sit exactly on the
+      -- NOT-IN-vs-anti-join 3VL divergence (round-12 dims axis): both
+      -- engines dead-letter them before versioning
+      SELECT * FROM customer WHERE c_custkey IS NOT NULL
+    ), chg AS (
+      SELECT c_custkey FROM cust WHERE c_custkey % 7 = 0
     )
     SELECT
       seg.c_mktsegment,
@@ -1127,15 +1132,15 @@ def lakehouse_branch_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM (
       -- unchanged customers: one current v1 row
       SELECT c.c_mktsegment, TRUE AS is_current
-      FROM customer c WHERE c.c_custkey NOT IN (SELECT c_custkey FROM chg)
+      FROM cust c WHERE c.c_custkey NOT IN (SELECT c_custkey FROM chg)
       UNION ALL
       -- changed customers: closed-out v1 row under the OLD segment...
       SELECT c.c_mktsegment, FALSE
-      FROM customer c WHERE c.c_custkey IN (SELECT c_custkey FROM chg)
+      FROM cust c WHERE c.c_custkey IN (SELECT c_custkey FROM chg)
       UNION ALL
       -- ...plus a current v2 row under the NEW segment
       SELECT 'RELOCATED', TRUE
-      FROM customer c WHERE c.c_custkey IN (SELECT c_custkey FROM chg)
+      FROM cust c WHERE c.c_custkey IN (SELECT c_custkey FROM chg)
     ) seg
     GROUP BY seg.c_mktsegment
     """,
@@ -1155,7 +1160,10 @@ def lakehouse_scd2_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: changed keys broadcast into the dimension scan (changes
     ≪ dimension), the union is map-side, one accounting shuffle.
     """
-    c = load_table(spark, sf_dir, "customer")
+    # keyless rows dead-lettered — see the oracle CTE note (round-12)
+    c = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_custkey").isNotNull()
+    )
     chg = c.filter(F.col("c_custkey") % 7 == 0).select("c_custkey")
     v1, v2 = F.lit(1), F.lit(2)
     unchanged = c.join(F.broadcast(chg), "c_custkey", "left_anti").select(
@@ -2320,8 +2328,12 @@ def lakehouse_second_engine_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     shutil.rmtree(_SECOND_ENGINE_ROOT, ignore_errors=True)
     t = SnapshotTable(spark, _SECOND_ENGINE_ROOT)
-    t.write(src.filter(F.col("c_custkey") % 2 == 0), mode="append")
-    t.write(src.filter(F.col("c_custkey") % 2 == 1), mode="append")
+    # coalesced split key: a NULL custkey satisfies NEITHER plain %2
+    # predicate and would be committed to NO append — the commit must be
+    # lossless for every ingested row (round-12 dims axis).
+    half = F.coalesce(F.pmod(F.col("c_custkey"), 2), F.lit(0))
+    t.write(src.filter(half == 0), mode="append")
+    t.write(src.filter(half == 1), mode="append")
     cents = F.round(F.col("c_acctbal").cast("decimal(18,2)") * 100).cast("long")
     back = (
         t.read()
@@ -2334,10 +2346,14 @@ def lakehouse_second_engine_read(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("c_custkey").cast("long").alias("max_custkey"),
         )
     )
-    src_n = src.groupBy("c_mktsegment").agg(
+    src_n = src.groupBy(F.col("c_mktsegment").alias("seg_src")).agg(
         F.count(F.lit(1)).alias("n_customers_src")
     )
-    return back.join(src_n, "c_mktsegment").select(
+    # NULL-SAFE segment join: a plain equi-join would drop the NULL
+    # mktsegment group that both engines' GROUP BYs keep (round-12).
+    return back.join(
+        src_n, back["c_mktsegment"].eqNullSafe(src_n["seg_src"])
+    ).select(
         "c_mktsegment",
         "n_customers",
         "n_customers_src",

@@ -748,8 +748,12 @@ def agg_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM customer GROUP BY c_mktsegment, c_nationkey
     ), ranked AS (
       SELECT c_mktsegment, c_nationkey, cnt,
+             -- NULLS LAST: a known nation must win the tie over the
+             -- NULL "unknown" group (Spark asc defaults NULLS FIRST,
+             -- DuckDB NULLS LAST - round-12 dims axis)
              ROW_NUMBER() OVER (PARTITION BY c_mktsegment
-                                ORDER BY cnt DESC, c_nationkey) AS rk
+                                ORDER BY cnt DESC, c_nationkey NULLS LAST)
+               AS rk
       FROM c
     )
     SELECT c_mktsegment,
@@ -775,7 +779,7 @@ def agg_mode_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
     w = Window.partitionBy("c_mktsegment").orderBy(
-        F.col("cnt").desc(), "c_nationkey"
+        F.col("cnt").desc(), F.col("c_nationkey").asc_nulls_last()
     )
     return (
         c.withColumn("rk", F.row_number().over(w))

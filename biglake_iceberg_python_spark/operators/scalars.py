@@ -32,7 +32,9 @@ from biglake_iceberg_python_spark.sources.tables import load_table
       lower(p_brand) AS brand_lower,
       substr(p_name, 1, 5) AS name_prefix,
       length(p_name) AS name_len,
-      concat(p_brand, ':', p_type) AS brand_type,
+      -- concat_ws (skip-NULL) like the Spark side: plain concat treats
+      -- NULL as '' and leaves the separator in (round-12 dims axis)
+      concat_ws(':', p_brand, p_type) AS brand_type,
       trim('  ' || p_type || ' ') AS type_trimmed,
       replace(p_name, ' ', '_') AS name_snake,
       regexp_extract(p_brand, '[0-9]+') AS brand_num,
@@ -766,8 +768,11 @@ def scalar_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = load_table(spark, sf_dir, "part").filter(F.col("p_partkey") % 7 == 0)
     return p.select(
         "p_partkey",
-        F.size(
-            F.regexp_extract_all("p_name", F.lit("[a-z]+"), F.lit(0))
+        # guarded: ANSI-off size(NULL) is -1 while len(NULL) is NULL
+        # (round-12 dims axis)
+        F.when(
+            F.col("p_name").isNotNull(),
+            F.size(F.regexp_extract_all("p_name", F.lit("[a-z]+"), F.lit(0))),
         ).alias("n_words_re"),
         F.regexp_count("p_name", F.lit("[aeiou]+")).alias("n_vowel_runs"),
         F.regexp_extract("p_type", "^[A-Z]+", 0).alias("type_head"),
@@ -776,5 +781,7 @@ def scalar_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("is_metal"),
         F.regexp_replace("p_name", " +", "_").alias("name_snake_re"),
-        F.size(F.split("p_type", " ")).alias("n_type_tokens"),
+        F.when(
+            F.col("p_type").isNotNull(), F.size(F.split("p_type", " "))
+        ).alias("n_type_tokens"),
     )

@@ -255,7 +255,8 @@ def window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
       cume_dist() OVER pw AS cd
     FROM part
     WHERE p_size > 40
-    WINDOW pw AS (PARTITION BY p_brand ORDER BY p_retailprice, p_partkey)
+    WINDOW pw AS (PARTITION BY p_brand
+                  ORDER BY p_retailprice NULLS LAST, p_partkey NULLS LAST)
     """,
     tags=("window", "distribution"),
 )
@@ -271,7 +272,12 @@ def window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     pr = (rk-1)/(n-1), cd = rk/n under this total order) — the form the
     exact-order-statistic queries here already use."""
     p = load_table(spark, sf_dir, "part").filter(F.col("p_size") > 40)
-    pw = Window.partitionBy("p_brand").orderBy("p_retailprice", "p_partkey")
+    # NULLS LAST on both engines (round-12 dims axis: priceless /
+    # keyless parts diverged in rank order).
+    pw = Window.partitionBy("p_brand").orderBy(
+        F.col("p_retailprice").asc_nulls_last(),
+        F.col("p_partkey").asc_nulls_last(),
+    )
     return p.select(
         "p_brand",
         "p_partkey",

@@ -13,7 +13,7 @@ query that reads the affected table.
 
 Usage:  python scripts/degenerate_parity_sweep.py
             [--table documents|embeddings|events|magnitude|epoch_straddle|
-                     warehouse|empty|unicode|ties|all]
+                     warehouse|dims|empty|unicode|ties|all]
 
 Exit 0 iff every comparable query matches. Queries whose oracle builders
 derive literal tables are resolved against the crafted corpus (the same
@@ -251,6 +251,79 @@ def craft_warehouse(d: str) -> None:
     )
     omutate("o_orderstatus", lambda i, v: None if i % 13 == 5 else ...)
     pq.write_table(pa.table(ocols), f"{d}/orders.parquet")
+
+
+def craft_dims(d: str) -> None:
+    """Degenerate DIMENSION tables (round 12, the TWELFTH axis — with it
+    every base table has a degenerate axis): customer / supplier / part
+    get NULL keys, NULL dims, NULL measures, zero sizes, and negative
+    retail prices; nation gets ONE NULL n_regionkey row (a 25-row table —
+    one row probes the region join without starving the star joins);
+    region stays natural (5 rows, each load-bearing).
+
+    First run found 6 divergences (all fixed engine-symmetrically):
+    NULLS FIRST/LAST in the mode tie-break and the distribution window
+    (the standing window class, now on dim columns); DuckDB concat('a',
+    ':', NULL) = 'a:' vs Spark concat_ws skipping NULL (oracle moved to
+    concat_ws); ANSI-off size(NULL) = -1 vs len(NULL) = NULL (guarded);
+    SCD2's NOT-IN-vs-anti-join 3VL on NULL business keys (dead-lettered
+    on both engines — a keyless dimension row cannot be SCD-tracked);
+    and second_engine_read losing NULL-key rows to a plain %2 batch
+    split AND the NULL-segment group to a plain equi-join (coalesced
+    split key + null-safe join)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(d)
+    for t in TABLES:
+        if t not in ("customer", "supplier", "part", "nation"):
+            os.symlink(f"{SF_BASE}/{t}.parquet", f"{d}/{t}.parquet")
+
+    def perturb(table, mods):
+        tbl = pq.read_table(f"{SF_BASE}/{table}.parquet")
+        cols = {n: tbl[n] for n in tbl.column_names}
+        nrows = tbl.num_rows
+        for name, fn in mods:
+            vals = cols[name].to_pylist()
+            for i in range(nrows):
+                out = fn(i, vals[i])
+                if out is not ...:
+                    vals[i] = out
+            cols[name] = pa.array(vals, type=tbl.schema.field(name).type)
+        pq.write_table(pa.table(cols), f"{d}/{table}.parquet")
+
+    perturb("customer", [
+        ("c_custkey", lambda i, v: None if i % 13 == 0 else ...),
+        ("c_mktsegment", lambda i, v: None if i % 13 == 1 else ...),
+        ("c_nationkey", lambda i, v: None if i % 13 == 2 else ...),
+        ("c_acctbal", lambda i, v: None if i % 13 == 3 else ...),
+        ("c_name", lambda i, v: None if i % 13 == 4 else ...),
+    ])
+    perturb("supplier", [
+        ("s_suppkey", lambda i, v: None if i % 11 == 0 else ...),
+        ("s_nationkey", lambda i, v: None if i % 11 == 1 else ...),
+        ("s_acctbal", lambda i, v: None if i % 11 == 2 else ...),
+        ("s_name", lambda i, v: None if i % 11 == 3 else ...),
+    ])
+    perturb("part", [
+        ("p_partkey", lambda i, v: None if i % 13 == 0 else ...),
+        ("p_type", lambda i, v: None if i % 13 == 1 else ...),
+        (
+            "p_size",
+            lambda i, v: None if i % 13 == 2 else (0 if i % 13 == 6 else ...),
+        ),
+        ("p_brand", lambda i, v: None if i % 13 == 3 else ...),
+        (
+            "p_retailprice",
+            lambda i, v: None
+            if i % 13 == 4
+            else (-abs(v) if i % 13 == 5 and v is not None else ...),
+        ),
+        ("p_name", lambda i, v: None if i % 13 == 7 else ...),
+    ])
+    perturb("nation", [
+        ("n_regionkey", lambda i, v: None if i == 3 else ...),
+    ])
 
 
 def craft_events(d: str) -> None:
@@ -552,6 +625,11 @@ def reads_table(name, spec, table: str) -> bool:
         return reads_table(name, spec, "documents")
     if table == "magnitude":
         return reads_table(name, spec, "events")
+    if table == "dims":
+        return any(
+            reads_table(name, spec, t)
+            for t in ("customer", "supplier", "part", "nation")
+        )
     if table == "warehouse":
         return reads_table(name, spec, "lineitem") or reads_table(
             name, spec, "orders"
@@ -620,6 +698,7 @@ def main() -> int:
         ("magnitude", craft_magnitude),
         ("epoch_straddle", craft_epoch_straddle),
         ("warehouse", craft_warehouse),
+        ("dims", craft_dims),
         ("empty", craft_empty),
         ("unicode", craft_unicode),
         ("ties", craft_ties),

@@ -2389,6 +2389,42 @@ def test_warehouse_parity_round12_regressions(spark, tmp_path):
         assert result["ok"], (q, {k: v for k, v in result.items() if k != "ok"})
 
 
+def test_dims_parity_round12_regressions(spark, tmp_path):
+    """Pin the round-12 DIMS-axis findings (degenerate customer /
+    supplier / part / nation — NULL keys/dims/measures, zero sizes,
+    negative retail prices; with this axis every base table has a
+    degenerate sweep). Once-reds pinned: the mode tie-break and the
+    distribution window needed explicit NULLS LAST; scalar_string's
+    oracle moved from concat (NULL -> '' with the separator left in) to
+    concat_ws (skip-NULL, the Spark side's semantics); scalar_regex's
+    size() sites are NULL-guarded (ANSI-off size(NULL) = -1 vs
+    len(NULL) = NULL); SCD2 dead-letters NULL business keys on both
+    engines (the NOT-IN-vs-anti-join 3VL divergence); second_engine_read
+    commits NULL-key rows via a coalesced split key and joins segments
+    null-safely. Full sweep: degenerate_parity_sweep.py --table dims."""
+    import os
+    import sys
+
+    from biglake_iceberg_python_spark.plans.check import compare, duckdb_connect
+    from biglake_iceberg_python_spark.plans.registry import resolve_oracle
+
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, os.path.join(repo_root, "scripts"))
+    from degenerate_parity_sweep import craft_dims
+
+    d = str(tmp_path / "sf_dims")
+    craft_dims(d)
+    con = duckdb_connect(d)
+    for q in [
+        "agg_mode_deterministic", "window_distribution", "scalar_string",
+        "scalar_regex", "lakehouse_scd2_dimension",
+        "lakehouse_second_engine_read",
+    ]:
+        spec = REGISTRY[q]
+        result = compare(spec.fn(spark, d), con, resolve_oracle(spec, d))
+        assert result["ok"], (q, {k: v for k, v in result.items() if k != "ok"})
+
+
 def test_spark_wide_decimal_to_double_correctly_rounded(spark):
     """Round-12 audit (round-11 verdict #4): the oracle side routes every
     >2^53-capable decimal-sum -> double conversion through STRING because
