@@ -106,76 +106,79 @@ _loaded = False
 # tests/test_oracle_parity.py's full sweep, which runs every registered
 # query against its oracle regardless of ordering.
 #
-# Provenance of this rotation (round 12, per round-11 VERDICT "Next round"
-# #1/#2): CORRECTNESS_r11 came back 50/50 hash-matched, moving the
-# staleness floor to r4. Staleness recomputed from CORRECTNESS_r01..r11
-# (histogram r4×4 · r5×43 · r6×48 · r7×48 · r8×45 · r9×46 · r10×50 ·
-# r11×50): the 4 r4-stale streaming names deferred from round 11, then the
-# ENTIRE r5-stale cohort (43 names) — which is almost exactly the
-# moment/events family whose oracle strings round 11 rewrote onto the
-# STRING conversion route (`CAST(CAST(sum AS STRING) AS DOUBLE)`), so this
-# window doubles as the rewritten oracles' first DRIVER-BUILD
-# verification (the one axis driver_sim cannot simulate — the r8/r9
-# sql_temp_function lesson). The final 3 slots are verdict #2's
-# discriminating probes: r9/r10-fresh names that carry the deepest
-# round-11 conversion rewrites (HUGEINT second moments, interpolated
-# oracle_dsum, >2^53-at-sf0.01 OLS sums). 4 + 43 + 3 = 50.
+# Provenance of this rotation (round 13, per round-12 VERDICT "Next round"
+# #1): CORRECTNESS_r12 came back 50/50 hash-matched, moving the staleness
+# floor to r6. Staleness recomputed from CORRECTNESS_r01..r12 (histogram
+# r6×48 · r7×47 · r8×44 · r9×45 · r10×50 · r11×50 · r12×50; 14 rows-only
+# names never hash-pass by design): the ENTIRE r6-stale cohort — 48 names
+# spanning the agg battery (14), the lakehouse DML/metadata family (11,
+# including `lakehouse_write_audit_publish`, whose reject-reset flow round
+# 12 rewrote — verdict #1's first suggested probe lands here naturally),
+# the source/connector battery (9), `sql_lateral_topn`, and the textstats
+# family (13). The final 2 slots are verdict #1's discriminating probes:
+# r7-stale pandas-UDF names whose worker code round 12 rewrote wholesale
+# onto nullable dtypes + notna masks (the warehouse-axis NULL-discipline
+# rewrite) and which the driver build has never compared since.
+# 48 + 2 = 50.
 _PRIORITY_WINDOW = [
-    # r4-stale streaming deferrals from round 11 (4)
-    "stream_dedup_rocksdb",
-    "stream_late_data_drop",
-    "stream_stream_left_join",
-    "stream_tumbling_update",
-    # r5-stale: moment/events family (19) — STRING-route rewrites first
-    "events_trend_slope",
-    "events_ab_welch_ttest",
-    "events_autocorrelation",
-    "events_ratio_metric_delta_ci",
-    "events_anova_hour_of_week",
-    "events_bootstrap_ci_daily_mean",
-    "events_conversion_wilson_ci",
-    "events_changepoint_cusum",
-    "events_outlier_mad",
-    "events_seasonal_naive_backtest",
-    "events_attribution_multitouch",
-    "events_cumulative_uniques",
-    "events_dau_wau_stickiness",
-    "events_heatmap_hour_dow",
-    "events_path_trigrams",
-    "events_peak_concurrency",
-    "events_sequence_motif",
-    "events_transition_matrix",
-    "events_user_entropy",
-    # r5-stale: moments/inequality/graph/ml (8)
-    "agg_skew_kurtosis",
-    "customer_gini_spend",
-    "customer_theil_index",
-    "supplier_concentration_hhi",
-    "supplier_pareto",
-    "graph_pagerank",
-    "graph_triangle_count",
-    "ml_pca_gram",
-    # r5-stale: curation battery (16)
-    "curate_boilerplate_strip",
-    "curate_dataset_card",
-    "curate_decontaminate",
-    "curate_domain_mix",
-    "curate_expectations",
-    "curate_gopher_filter",
-    "curate_incremental_ingest",
-    "curate_incremental_ingest_bloom",
-    "curate_k_anonymity",
-    "curate_pii_redact",
-    "curate_quality_weighted_sample",
-    "curate_temperature_mix",
-    "curate_train_shards",
-    "curate_url_canonical",
-    "curate_url_refresh_pipeline",
-    "curate_winsorize",
-    # verdict #2 discriminating probes (3) — deepest round-11 rewrites
-    "events_cuped_adjusted_delta",
-    "agg_grouping_sets",
-    "ml_linreg_normal_eq",
+    # r6-stale: agg battery (14)
+    "agg_benford_digit_test",
+    "agg_boolean",
+    "agg_corr_covar",
+    "agg_countmin_sketch",
+    "agg_extrema_argminmax",
+    "agg_heavy_hitters",
+    "agg_histogram",
+    "agg_listagg",
+    "agg_mode_deterministic",
+    "agg_rollup_count_distinct",
+    "agg_session_window_batch",
+    "agg_sessionize_events",
+    "agg_unpivot",
+    "agg_weighted_median",
+    # r6-stale: lakehouse DML/metadata family (11) — incl. the round-12
+    # write-audit-publish reject-reset rewrite, first driver-build compare
+    "lakehouse_analyze_stats",
+    "lakehouse_dynamic_partition_overwrite",
+    "lakehouse_gdpr_forget",
+    "lakehouse_incremental_matview",
+    "lakehouse_incremental_matview_join",
+    "lakehouse_metadata_count",
+    "lakehouse_partition_evolution",
+    "lakehouse_row_lineage",
+    "lakehouse_shallow_clone",
+    "lakehouse_write_audit_publish",
+    "lakehouse_write_distribution_smallfiles",
+    # r6-stale: source/connector battery (9)
+    "source_binaryfile_digest",
+    "source_csv_malformed_permissive",
+    "source_parquet_schema_merge",
+    "source_python_datasource_pushdown",
+    "source_python_datasource_stream_write",
+    "source_python_datasource_write",
+    "source_recursive_glob_read",
+    "source_text_lines",
+    "source_xml_roundtrip",
+    # r6-stale: SQL lateral (1)
+    "sql_lateral_topn",
+    # r6-stale: textstats family (13)
+    "text_bm25_search",
+    "text_bpe_encode",
+    "text_bpe_pair_stats",
+    "text_bpe_train_merges",
+    "text_chunk_sliding",
+    "text_heaps_law",
+    "text_heldout_bigram_coverage",
+    "text_js_divergence_sources",
+    "text_kneser_ney_bigram",
+    "text_pmi_cooccurrence",
+    "text_rake_keywords",
+    "text_repetition_stats",
+    "text_vocab_coverage",
+    # verdict #1 discriminating probes (2) — round-12 nullable-dtype
+    # pandas-UDF worker rewrites, never driver-compared since
+    "udf_pandas_window_agg",
+    "udf_cogrouped_map",
 ]
 
 
