@@ -1575,7 +1575,18 @@ def lakehouse_incremental_matview(spark: SparkSession, sf_dir: str) -> DataFrame
                         F.coalesce(cur["n_orders"], F.lit(0))
                         + F.coalesce(delta["n_orders_d"], F.lit(0))
                     ).alias("n_orders"),
-                    (
+                    # SUM-combine semantics, not plain +: a partial that is
+                    # NULL (all contributing prices NULL) is SKIPPED, and
+                    # the result is NULL only when BOTH partials are
+                    # NULL/absent — coalescing NULL to 0 unconditionally
+                    # would surface an all-NULL month as 0.0 while the
+                    # oracle's SUM(decimal) is NULL (round-13 ADVICE).
+                    F.when(
+                        cur["sum_price"].isNull()
+                        & delta["sum_price_d"].isNull(),
+                        F.lit(None).cast("decimal(30,6)"),
+                    )
+                    .otherwise(
                         F.coalesce(
                             cur["sum_price"],
                             F.lit(0).cast("decimal(30,6)"),
@@ -1584,7 +1595,9 @@ def lakehouse_incremental_matview(spark: SparkSession, sf_dir: str) -> DataFrame
                             delta["sum_price_d"],
                             F.lit(0).cast("decimal(30,6)"),
                         )
-                    ).cast("decimal(30,6)").alias("sum_price"),
+                    )
+                    .cast("decimal(30,6)")
+                    .alias("sum_price"),
                 )
             )
             mv.write(merged, mode="overwrite")

@@ -94,6 +94,8 @@ def _weighted_avg_price(price: pd.Series, qty: pd.Series) -> float:
     denominator SUM(qty) skips only NULL-qty rows (round-12 warehouse
     axis — plain astype('int64') raised on the NaN a NULL arrives as)."""
     both = price.notna() & qty.notna()
+    if not both.any():  # numerator SUM over empty set is SQL NULL (e.g.
+        return None  # all-NULL prices with non-NULL qty; round-13 ADVICE)
     pq = (price[both] * 100).round().astype("int64") * qty[both].astype(
         "int64"
     )

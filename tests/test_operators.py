@@ -2425,6 +2425,73 @@ def test_dims_parity_round12_regressions(spark, tmp_path):
         assert result["ok"], (q, {k: v for k, v in result.items() if k != "ok"})
 
 
+def test_all_null_measure_group_round13_advice(spark, tmp_path):
+    """Pin the round-13 ADVICE closures — a GROUP whose measure is
+    entirely NULL (every price NULL while quantities/dates are not),
+    a shape the warehouse axis's scattered-NULL residues cannot produce:
+
+    - udf_pandas_grouped_agg: the GROUPED_AGG worker's numerator selects
+      no rows, so its sum is SQL NULL, not 0 — wavg_price must be NULL
+      for that group (was 0.0).
+    - lakehouse_incremental_matview: the view merge must distinguish
+      'row absent on one side of the full-outer join' (identity 0) from
+      'present with NULL partial sum' (SUM-combine skips it; NULL only
+      when BOTH partials are NULL) — an all-NULL month surfaced as 0.0.
+    """
+    import os
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from biglake_iceberg_python_spark.plans.check import compare, duckdb_connect
+    from biglake_iceberg_python_spark.plans.registry import resolve_oracle
+
+    d = str(tmp_path / "sf_allnull_group")
+    os.makedirs(d)
+    for t in [
+        "region", "nation", "customer", "supplier", "part", "events",
+        "documents", "embeddings",
+    ]:
+        os.symlink(f"/root/testdata/sf0.001/{t}.parquet", f"{d}/{t}.parquet")
+
+    li = pq.read_table("/root/testdata/sf0.001/lineitem.parquet")
+    cols = {n: li[n] for n in li.column_names}
+    flags = cols["l_returnflag"].to_pylist()
+    prices = cols["l_extendedprice"].to_pylist()
+    # every 'R' line loses its price -> both (R,F)/(R,O) groups all-NULL
+    prices = [None if f == "R" else p for f, p in zip(flags, prices)]
+    cols["l_extendedprice"] = pa.array(
+        prices, type=li.schema.field("l_extendedprice").type
+    )
+    pq.write_table(pa.table(cols), f"{d}/lineitem.parquet")
+
+    o = pq.read_table("/root/testdata/sf0.001/orders.parquet")
+    ocols = {n: o[n] for n in o.column_names}
+    dates = ocols["o_orderdate"].to_pylist()
+    totals = ocols["o_totalprice"].to_pylist()
+    # one whole month (base batch, year < 1996) loses every total
+    totals = [
+        None if (dt is not None and dt.year == 1995 and dt.month == 3) else v
+        for dt, v in zip(dates, totals)
+    ]
+    assert sum(
+        1 for dt in dates
+        if dt is not None and dt.year == 1995 and dt.month == 3
+    ) > 0, "crafted month absent from sf0.001 orders"
+    ocols["o_totalprice"] = pa.array(
+        totals, type=o.schema.field("o_totalprice").type
+    )
+    pq.write_table(pa.table(ocols), f"{d}/orders.parquet")
+
+    con = duckdb_connect(d)
+    for q in ["udf_pandas_grouped_agg", "lakehouse_incremental_matview"]:
+        spec = REGISTRY[q]
+        result = compare(spec.fn(spark, d), con, resolve_oracle(spec, d))
+        assert result["ok"], (q, {k: v for k, v in result.items() if k != "ok"})
+    shutil.rmtree(d, ignore_errors=True)
+
+
 def test_spark_wide_decimal_to_double_correctly_rounded(spark):
     """Round-12 audit (round-11 verdict #4): the oracle side routes every
     >2^53-capable decimal-sum -> double conversion through STRING because

@@ -341,10 +341,45 @@ def test_no_oracle_rounds_a_raw_double():
     assert not offenders, f"oracle round() on raw DOUBLE: {offenders}"
 
 
+def _skip_filter_over(up: str, k: int) -> int:
+    """Advance past any ``FILTER (...)`` / ``OVER (...)`` / ``OVER name``
+    clauses following an aggregate's close paren, returning the index of
+    whatever comes next (round-13 ADVICE: without this, windowed or
+    filtered decimal sums like ``CAST(SUM(x) OVER w AS DOUBLE)`` would
+    silently escape the lint)."""
+    while True:
+        m = re.match(r"\s*FILTER\s*\(", up[k:])
+        if m:
+            k, depth = k + m.end(), 1
+            while k < len(up) and depth:
+                if up[k] == "(":
+                    depth += 1
+                elif up[k] == ")":
+                    depth -= 1
+                k += 1
+            continue
+        m = re.match(r"\s*OVER\s*\(", up[k:])
+        if m:
+            k, depth = k + m.end(), 1
+            while k < len(up) and depth:
+                if up[k] == "(":
+                    depth += 1
+                elif up[k] == ")":
+                    depth -= 1
+                k += 1
+            continue
+        m = re.match(r"\s*OVER\s+([A-Z_][A-Z0-9_]*)", up[k:])
+        if m:
+            k += m.end()
+            continue
+        return k
+
+
 def _cast_sum_double_args(flat: str) -> list[str]:
-    """Every SUM argument appearing as ``CAST(SUM(<arg>) AS DOUBLE)`` in
-    the flattened SQL, found by paren-matching (so CASE-wrapped sums,
-    nested casts, and arbitrary expressions are all captured — the safe
+    """Every SUM argument appearing as ``CAST(SUM(<arg>) [FILTER (...)]
+    [OVER (...)|OVER name] AS DOUBLE)`` in the flattened SQL, found by
+    paren-matching (so CASE-wrapped sums, nested casts, windowed and
+    filtered sums, and arbitrary expressions are all captured — the safe
     form ``CAST(CAST(SUM(..) AS STRING) AS DOUBLE)`` never matches because
     the SUM's close paren is followed by ``AS STRING``, not ``AS
     DOUBLE``)."""
@@ -361,7 +396,7 @@ def _cast_sum_double_args(flat: str) -> list[str]:
             elif flat[k] == ")":
                 depth -= 1
             k += 1
-        if up[k:].lstrip().startswith("AS DOUBLE"):
+        if up[_skip_filter_over(up, k):].lstrip().startswith("AS DOUBLE"):
             args.append(flat[j + len("CAST(SUM(") : k - 1])
         i = k
 
@@ -382,6 +417,26 @@ def _decimal_typed_aliases(flat: str) -> set[str]:
         re.findall(r"::DECIMAL\(\s*\d+\s*(?:,\s*\d+\s*)?\)\s+AS\s+(\w+)", up)
     )
     return out
+
+
+def test_cast_sum_double_matcher_sees_filter_and_over():
+    """Pin the round-13 ADVICE closure: the paren-matcher must catch
+    windowed (`OVER (...)` / `OVER name`) and filtered (`FILTER (...)`)
+    decimal sums, not just the bare `CAST(SUM(x) AS DOUBLE)` shape — and
+    still never match the safe STRING route."""
+    hits = _cast_sum_double_args(
+        "CAST(SUM(CAST(a AS DECIMAL(30,6))) OVER (PARTITION BY k ORDER BY t)"
+        " AS DOUBLE), "
+        "CAST(SUM(b::DECIMAL(18,2)) FILTER (WHERE b > 0) AS DOUBLE), "
+        "CAST(SUM(c) OVER w AS DOUBLE), "
+        "CAST(SUM(d) FILTER (WHERE d IS NOT NULL) OVER w AS DOUBLE), "
+        "CAST(CAST(SUM(e) OVER w AS STRING) AS DOUBLE)"
+    )
+    assert len(hits) == 4, hits
+    assert hits[0].startswith("CAST(a AS DECIMAL")
+    assert hits[1].startswith("b::DECIMAL")
+    assert hits[2] == "c"
+    assert hits[3] == "d"
 
 
 def test_no_oracle_native_wide_decimal_to_double_sum():
