@@ -259,7 +259,13 @@ def craft_dims(d: str) -> None:
     get NULL keys, NULL dims, NULL measures, zero sizes, and negative
     retail prices; nation gets ONE NULL n_regionkey row (a 25-row table —
     one row probes the region join without starving the star joins);
-    region stays natural (5 rows, each load-bearing).
+    region (round 13, verdict #3 — closing the last uncovered base
+    table) keeps its 5 natural rows LOAD-BEARING and gains two APPENDED
+    degenerate rows instead of mutations: a fully-NULL row (NULL
+    r_regionkey + NULL r_name — the NULL join key / NULL label shape)
+    and an orphan key no nation references (dangling-dimension shape:
+    outer joins must surface it, inner joins must drop it, on both
+    engines).
 
     First run found 6 divergences (all fixed engine-symmetrically):
     NULLS FIRST/LAST in the mode tie-break and the distribution window
@@ -276,8 +282,26 @@ def craft_dims(d: str) -> None:
 
     os.makedirs(d)
     for t in TABLES:
-        if t not in ("customer", "supplier", "part", "nation"):
+        if t not in ("customer", "supplier", "part", "nation", "region"):
             os.symlink(f"{SF_BASE}/{t}.parquet", f"{d}/{t}.parquet")
+
+    reg = pq.read_table(f"{SF_BASE}/region.parquet").replace_schema_metadata(
+        None
+    )
+    extra = pa.table(
+        {
+            "r_regionkey": pa.array(
+                [None, 99], type=reg.schema.field("r_regionkey").type
+            ),
+            "r_name": pa.array(
+                [None, "ORPHANIA"], type=reg.schema.field("r_name").type
+            ),
+        }
+    )
+    pq.write_table(
+        pa.concat_tables([reg.select(extra.column_names), extra]),
+        f"{d}/region.parquet",
+    )
 
     def perturb(table, mods):
         tbl = pq.read_table(f"{SF_BASE}/{table}.parquet")
@@ -628,7 +652,7 @@ def reads_table(name, spec, table: str) -> bool:
     if table == "dims":
         return any(
             reads_table(name, spec, t)
-            for t in ("customer", "supplier", "part", "nation")
+            for t in ("customer", "supplier", "part", "nation", "region")
         )
     if table == "warehouse":
         return reads_table(name, spec, "lineitem") or reads_table(
