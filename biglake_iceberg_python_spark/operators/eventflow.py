@@ -940,22 +940,44 @@ def events_ab_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(v0, cents * cents)).alias("q0"),
         F.sum(F.when(v1, cents * cents)).alias("q1"),
     )
-    n0d, n1d = F.col("n0").cast("double"), F.col("n1").cast("double")
     s0d, s1d = F.col("s0").cast("double"), F.col("s1").cast("double")
     q0d, q1d = F.col("q0").cast("double"), F.col("q1").cast("double")
-    se0 = ((q0d - s0d * F.col("s0") / F.col("n0")) / (F.col("n0") - 1)) / F.col("n0")
-    se1 = ((q1d - s1d * F.col("s1") / F.col("n1")) / (F.col("n1") - 1)) / F.col("n1")
-    mean_diff = s0d / F.col("n0") - s1d / F.col("n1")
+    # Every divisor below is EXACTLY zero on degenerate-but-legal inputs —
+    # n−1 = 0 for a singleton variant, n = 0 for a one-variant group,
+    # se = 0 for zero-variance spend — and Spark 4's ANSI mode raises
+    # DIVIDE_BY_ZERO even for DOUBLE/DOUBLE where DuckDB (and ANSI-off
+    # Spark) return NULL. try_divide is NULL on 0-divisor in BOTH modes
+    # and value-identical otherwise (round-13 singular axis; the tpch_q2
+    # recipe).
+    se0 = F.try_divide(
+        F.try_divide(
+            q0d - F.try_divide(s0d * F.col("s0"), F.col("n0")),
+            F.col("n0") - 1,
+        ),
+        F.col("n0"),
+    )
+    se1 = F.try_divide(
+        F.try_divide(
+            q1d - F.try_divide(s1d * F.col("s1"), F.col("n1")),
+            F.col("n1") - 1,
+        ),
+        F.col("n1"),
+    )
+    mean_diff = F.try_divide(s0d, F.col("n0")) - F.try_divide(
+        s1d, F.col("n1")
+    )
     se = se0 + se1
     return m.select(
         "event_type",
         "n0",
         "n1",
         (mean_diff / F.lit(100.0)).alias("mean_diff"),
-        (mean_diff / F.sqrt(se)).alias("t_stat"),
-        (se * se / (se0 * se0 / (F.col("n0") - 1) + se1 * se1 / (F.col("n1") - 1))).alias(
-            "welch_df"
-        ),
+        F.try_divide(mean_diff, F.sqrt(se)).alias("t_stat"),
+        F.try_divide(
+            se * se,
+            F.try_divide(se0 * se0, F.col("n0") - 1)
+            + F.try_divide(se1 * se1, F.col("n1") - 1),
+        ).alias("welch_df"),
     )
 
 
@@ -2163,14 +2185,22 @@ def events_anova_hour_of_week(spark: SparkSession, sf_dir: str) -> DataFrame:
     ssd = F.col("ss").cast("double")
     kd = F.col("k").cast("double")
     b = F.col("sum_sc2_over_nc")
+    # Zero-capable divisors (round-13 singular axis): total SS = 0 for
+    # zero-variance spend (eta's denominator), k = 1 / n = k for a
+    # one-cell or one-event type (F's df divisors). Spark 4 ANSI raises
+    # DIVIDE_BY_ZERO on DOUBLE/0 where DuckDB returns NULL — try_divide
+    # restores NULL parity in both ANSI modes. n itself is never 0 (the
+    # group exists), so sd*sd/nd stays a plain divide.
     return tot.join(ssb, "event_type").select(
         "event_type",
         F.col("n").cast("long").alias("n_events"),
         F.col("k").cast("long").alias("n_cells"),
-        ((b - sd * sd / nd) / (ssd - sd * sd / nd)).alias("eta_squared"),
-        (
-            ((b - sd * sd / nd) / (kd - F.lit(1.0)))
-            / ((ssd - b) / (nd - kd))
+        F.try_divide(b - sd * sd / nd, ssd - sd * sd / nd).alias(
+            "eta_squared"
+        ),
+        F.try_divide(
+            F.try_divide(b - sd * sd / nd, kd - F.lit(1.0)),
+            F.try_divide(ssd - b, nd - kd),
         ).alias("f_stat"),
     )
 

@@ -12,8 +12,8 @@ corpora and runs the FULL Spark-vs-DuckDB compare for every oracle-bearing
 query that reads the affected table.
 
 Usage:  python scripts/degenerate_parity_sweep.py
-            [--table documents|embeddings|events|magnitude|epoch_straddle|
-                     warehouse|dims|empty|unicode|ties|all]
+            [--table documents|embeddings|events|magnitude|singular|
+                     epoch_straddle|warehouse|dims|empty|unicode|ties|all]
 
 Exit 0 iff every comparable query matches. Queries whose oracle builders
 derive literal tables are resolved against the crafted corpus (the same
@@ -350,6 +350,52 @@ def craft_dims(d: str) -> None:
     ])
 
 
+def craft_singular(d: str) -> None:
+    """Zero-variance / singleton statistics (round 13, the THIRTEENTH
+    axis): every event `value` becomes the SAME constant and a slice of
+    rows moves to fresh single-event users. Every hand-rolled second-
+    moment denominator in the stats family is now exactly zero — Welch's
+    pooled se, CUPED's var(pre), ANOVA's within-group variance, the
+    autocorrelation normalizer, MAD (all deviations 0), CUSUM's sd — and
+    every per-user aggregate sees n=1 groups (var_samp's n-1 = 0). The
+    engines' raw built-ins agree here (probed: both NULL stddev_samp at
+    n=1 and corr/skew/kurtosis at zero variance), so any red is a
+    DERIVED-FORMULA divergence: a 0/0 or x/0 evaluated as DOUBLE division
+    (Spark NULL vs DuckDB engine-versioned inf/NaN/NULL), or an
+    asymmetric guard. Event TIMES are untouched — no reordering, so
+    watermarked streaming twins stay in their natural regime (the epoch
+    axis lesson: time perturbation artifacts masquerade as stat bugs)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(d)
+    for t in TABLES:
+        if t != "events":
+            os.symlink(f"{SF_BASE}/{t}.parquet", f"{d}/{t}.parquet")
+    tbl = pq.read_table(f"{SF_BASE}/events.parquet")
+    cols = {n: tbl[n] for n in tbl.column_names}
+    n = tbl.num_rows
+    cols["value"] = pa.array(
+        [42.0] * n, type=tbl.schema.field("value").type
+    )
+    uv = cols["user_id"].to_pylist()
+    base = max(v for v in uv if v is not None) + 1
+    fresh = 0
+    for i in range(n):
+        if i % 11 == 0 and uv[i] is not None:
+            uv[i] = base + fresh  # one-event user: every per-user n=1 path
+            fresh += 1
+    cols["user_id"] = pa.array(uv, type=tbl.schema.field("user_id").type)
+    # Singleton GROUP (distinct from singleton user): exactly one row of
+    # a fresh event_type — every groupBy(event_type) stats path sees an
+    # n=1 group, and the A/B split leaves its OTHER variant empty
+    # (var_samp n-1 = 0 on one side, no rows at all on the other).
+    ev = cols["event_type"].to_pylist()
+    ev[n // 2] = "unicorn"
+    cols["event_type"] = pa.array(ev, type=tbl.schema.field("event_type").type)
+    pq.write_table(pa.table(cols), f"{d}/events.parquet")
+
+
 def craft_events(d: str) -> None:
     """NULL ts / user_id / event_type / value / props interleaved — the
     shapes a real event stream delivers (late ingestion writes NULL
@@ -649,6 +695,8 @@ def reads_table(name, spec, table: str) -> bool:
         return reads_table(name, spec, "documents")
     if table == "magnitude":
         return reads_table(name, spec, "events")
+    if table == "singular":
+        return reads_table(name, spec, "events")
     if table == "dims":
         return any(
             reads_table(name, spec, t)
@@ -720,6 +768,7 @@ def main() -> int:
         ("embeddings", craft_embeddings),
         ("events", craft_events),
         ("magnitude", craft_magnitude),
+        ("singular", craft_singular),
         ("epoch_straddle", craft_epoch_straddle),
         ("warehouse", craft_warehouse),
         ("dims", craft_dims),

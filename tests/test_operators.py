@@ -2492,6 +2492,43 @@ def test_all_null_measure_group_round13_advice(spark, tmp_path):
     shutil.rmtree(d, ignore_errors=True)
 
 
+def test_singular_parity_round13_regressions(spark, tmp_path):
+    """Pin the round-13 SINGULAR-axis findings (zero-variance constant
+    measure + singleton users + a one-row event_type): Spark 4's ANSI
+    mode raises DIVIDE_BY_ZERO even for DOUBLE/DOUBLE where DuckDB (and
+    ANSI-off Spark) return NULL, so every hand-rolled statistic whose
+    denominator can be EXACTLY zero on legal data must route through
+    try_divide. Found live: events_ab_welch_ttest (se = 0 at zero
+    variance; n−1 = 0 / n = 0 on the singleton/one-variant group) and
+    events_anova_hour_of_week (total SS = 0; k−1 = 0 / n−k = 0 on a
+    one-cell type). Full sweep: degenerate_parity_sweep.py --table
+    singular under SPARK_GRAFT_SWEEP_ANSI=1."""
+    import os
+    import sys
+
+    from biglake_iceberg_python_spark.plans.check import compare, duckdb_connect
+    from biglake_iceberg_python_spark.plans.registry import resolve_oracle
+
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, os.path.join(repo_root, "scripts"))
+    from degenerate_parity_sweep import craft_singular
+
+    d = str(tmp_path / "sf_singular")
+    craft_singular(d)
+    con = duckdb_connect(d)
+    prev = spark.conf.get("spark.sql.ansi.enabled")
+    spark.conf.set("spark.sql.ansi.enabled", "true")
+    try:
+        for q in ["events_ab_welch_ttest", "events_anova_hour_of_week"]:
+            spec = REGISTRY[q]
+            result = compare(spec.fn(spark, d), con, resolve_oracle(spec, d))
+            assert result["ok"], (
+                q, {k: v for k, v in result.items() if k != "ok"},
+            )
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", prev)
+
+
 def test_spark_wide_decimal_to_double_correctly_rounded(spark):
     """Round-12 audit (round-11 verdict #4): the oracle side routes every
     >2^53-capable decimal-sum -> double conversion through STRING because
