@@ -12,7 +12,7 @@ corpora and runs the FULL Spark-vs-DuckDB compare for every oracle-bearing
 query that reads the affected table.
 
 Usage:  python scripts/degenerate_parity_sweep.py
-            [--table documents|embeddings|events|magnitude|singular|
+            [--table documents|embeddings|events|magnitude|singular|oneday|
                      epoch_straddle|warehouse|dims|empty|unicode|ties|all]
 
 Exit 0 iff every comparable query matches. Queries whose oracle builders
@@ -396,6 +396,38 @@ def craft_singular(d: str) -> None:
     pq.write_table(pa.table(cols), f"{d}/events.parquet")
 
 
+def craft_oneday(d: str) -> None:
+    """Single-day time domain (round 13, the FOURTEENTH axis — the
+    time-series sibling of `singular`): events SLICED to the one calendar
+    day with the most rows, order preserved. Every per-day rollup now has
+    exactly ONE point — the regime between the empty axis (aggregates
+    never evaluate) and the natural corpus (plenty of days): trend
+    slope's n·Σx²−(Σx)² is exactly 0, autocorrelation has no lag-1 pair,
+    seasonal-naive backtests have no prior week, Holt-Winters has one
+    observation, DAU/WAU windows collapse. A SLICE, not a date collapse:
+    collapsing dates re-orders event time against file order and
+    masquerades watermark late-drops as stat bugs (the epoch-axis
+    lesson)."""
+    import collections
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(d)
+    for t in TABLES:
+        if t != "events":
+            os.symlink(f"{SF_BASE}/{t}.parquet", f"{d}/{t}.parquet")
+    tbl = pq.read_table(f"{SF_BASE}/events.parquet")
+    tsv = tbl["ts"].to_pylist()
+    days = collections.Counter(v.date() for v in tsv if v is not None)
+    keep_day = max(days, key=lambda k: (days[k], k))
+    mask = pa.array(
+        [v is not None and v.date() == keep_day for v in tsv],
+        type=pa.bool_(),
+    )
+    pq.write_table(tbl.filter(mask), f"{d}/events.parquet")
+
+
 def craft_events(d: str) -> None:
     """NULL ts / user_id / event_type / value / props interleaved — the
     shapes a real event stream delivers (late ingestion writes NULL
@@ -697,6 +729,8 @@ def reads_table(name, spec, table: str) -> bool:
         return reads_table(name, spec, "events")
     if table == "singular":
         return reads_table(name, spec, "events")
+    if table == "oneday":
+        return reads_table(name, spec, "events")
     if table == "dims":
         return any(
             reads_table(name, spec, t)
@@ -769,6 +803,7 @@ def main() -> int:
         ("events", craft_events),
         ("magnitude", craft_magnitude),
         ("singular", craft_singular),
+        ("oneday", craft_oneday),
         ("epoch_straddle", craft_epoch_straddle),
         ("warehouse", craft_warehouse),
         ("dims", craft_dims),
