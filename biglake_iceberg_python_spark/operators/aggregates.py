@@ -1172,9 +1172,13 @@ def agg_corr_covar(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.select(
         "l_returnflag",
         F.col("n").cast("long").alias("n_rows"),
-        (
-            (nd * sxyd - sxd * syd)
-            / F.sqrt((nd * sxxd - sxd * sxd) * (nd * syyd - syd * syd))
+        # try_divide: a zero-variance measure (all-constant qty or price)
+        # makes √(denx·deny) exactly 0 — Spark 4 ANSI raises
+        # DIVIDE_BY_ZERO on DOUBLE/0 where DuckDB and ANSI-off Spark
+        # return NULL (round-13 flatline axis).
+        F.try_divide(
+            nd * sxyd - sxd * syd,
+            F.sqrt((nd * sxxd - sxd * sxd) * (nd * syyd - syd * syd)),
         ).alias("corr_qty_price"),
         ((nd * sxyd - sxd * syd) / (nd * nd) / F.lit(10000.0)).alias(
             "covar_pop_units"
@@ -1277,15 +1281,20 @@ def agg_skew_kurtosis(spark: SparkSession, sf_dir: str) -> DataFrame:
     # var^1.5 as var * sqrt(var): IEEE multiply is exact and sqrt is
     # correctly rounded, whereas pow(x, 1.5) is libm-dependent (JVM vs
     # DuckDB last-ulp drift — same class as round 4's scalar_math red).
-    skew = (m3 - F.lit(3.0) * m1 * m2 + F.lit(2.0) * m1 * m1 * m1) / (
-        var * F.sqrt(var)
+    # try_divide: zero-variance input makes var^1.5 / var² exactly 0 —
+    # Spark 4 ANSI raises DIVIDE_BY_ZERO on DOUBLE/0 where DuckDB and
+    # ANSI-off Spark return NULL (round-13 flatline axis).
+    skew = F.try_divide(
+        m3 - F.lit(3.0) * m1 * m2 + F.lit(2.0) * m1 * m1 * m1,
+        var * F.sqrt(var),
     )
-    kurt = (
+    kurt = F.try_divide(
         m4
         - F.lit(4.0) * m1 * m3
         + F.lit(6.0) * m1 * m1 * m2
-        - F.lit(3.0) * m1 * m1 * m1 * m1
-    ) / (var * var) - F.lit(3.0)
+        - F.lit(3.0) * m1 * m1 * m1 * m1,
+        var * var,
+    ) - F.lit(3.0)
     return m.select(
         "l_returnflag",
         F.col("n").cast("long").alias("n_rows"),

@@ -702,22 +702,27 @@ def ml_linreg_normal_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST(n AS DECIMAL(38,0)) * sxx - sx * sx").alias("denx"),
         F.expr("CAST(n AS DECIMAL(38,0)) * syy - sy * sy").alias("deny"),
     )
+    # try_divide: a constant regressor (or constant response) makes
+    # denx (or deny) exactly 0 — the singular-Gram case. Spark 4 ANSI
+    # raises DIVIDE_BY_ZERO on DOUBLE/0 where DuckDB and ANSI-off Spark
+    # return NULL; NULL slope/intercept/R² is the correct undefined-fit
+    # readout on both engines (round-13 flatline axis).
     return k.select(
         "l_returnflag",
         "l_linestatus",
         F.col("n").cast("long").alias("n_rows"),
-        F.expr("CAST(num AS DOUBLE) / CAST(denx AS DOUBLE)").alias(
+        F.expr("try_divide(CAST(num AS DOUBLE), CAST(denx AS DOUBLE))").alias(
             "slope_dollars_per_unit"
         ),
         F.expr(
             "((CAST(sy AS DOUBLE)"
-            " - (CAST(num AS DOUBLE) / CAST(denx AS DOUBLE))"
+            " - try_divide(CAST(num AS DOUBLE), CAST(denx AS DOUBLE))"
             "   * CAST(sx AS DOUBLE))"
             " / CAST(n AS DOUBLE)) / 100.0"
         ).alias("intercept_dollars"),
         F.expr(
-            "(CAST(num AS DOUBLE) / CAST(denx AS DOUBLE))"
-            " * (CAST(num AS DOUBLE) / CAST(deny AS DOUBLE))"
+            "try_divide(CAST(num AS DOUBLE), CAST(denx AS DOUBLE))"
+            " * try_divide(CAST(num AS DOUBLE), CAST(deny AS DOUBLE))"
         ).alias("r_squared"),
     ).orderBy("l_returnflag", "l_linestatus")
 

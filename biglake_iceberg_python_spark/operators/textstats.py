@@ -976,13 +976,17 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("long").alias("n_ranks"),
         F.col("sx").cast("long").alias("sum_log_rank_micro"),
         F.col("sy").cast("long").alias("sum_log_freq_micro"),
-        (
+        # try_divide: a single-type corpus has a ONE-rank head, so the
+        # regression denominator n·Σx²−(Σx)² is exactly 0 — Spark 4 ANSI
+        # raises DIVIDE_BY_ZERO on DOUBLE/0 where DuckDB and ANSI-off
+        # Spark return NULL (round-13 monodoc axis).
+        F.try_divide(
             (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
                 "double"
-            )
-            / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+            ),
+            (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
                 "double"
-            )
+            ),
         ).alias("zipf_exponent"),
     )
 

@@ -13,7 +13,8 @@ query that reads the affected table.
 
 Usage:  python scripts/degenerate_parity_sweep.py
             [--table documents|embeddings|events|magnitude|singular|oneday|
-                     epoch_straddle|warehouse|dims|empty|unicode|ties|all]
+                     monodoc|epoch_straddle|warehouse|flatline|dims|empty|
+                     unicode|ties|all]
 
 Exit 0 iff every comparable query matches. Queries whose oracle builders
 derive literal tables are resolved against the crafted corpus (the same
@@ -160,6 +161,47 @@ def craft_epoch_straddle(d: str) -> None:
     tsv = [None if v is None else v - shift for v in cols["ts"].to_pylist()]
     cols["ts"] = pa.array(tsv, type=tbl.schema.field("ts").type)
     pq.write_table(pa.table(cols), f"{d}/events.parquet")
+
+
+def craft_flatline(d: str) -> None:
+    """Constant warehouse measures (round 13, the SIXTEENTH axis — the
+    TPC-H twin of `singular`): every lineitem quantity / extendedprice /
+    discount and every order totalprice becomes the SAME constant, with
+    all KEYS natural (constant join keys would mega-group every join —
+    a probe pathology, not an engine shape). Second-moment denominators
+    across the warehouse stats family are now exactly zero: the OLS
+    normal equations' n·Σx²−(Σx)² (singular Gram matrix), Pearson's
+    √(denx·deny), skew/kurtosis's sd³/sd⁴, z-scores' sd — the ANSI
+    DOUBLE/0 class the singular axis exposed on events, now on the
+    lineitem/orders formulas. No NULLs here: the warehouse axis owns
+    those; this axis isolates ZERO VARIANCE."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(d)
+    for t in TABLES:
+        if t not in ("lineitem", "orders"):
+            os.symlink(f"{SF_BASE}/{t}.parquet", f"{d}/{t}.parquet")
+
+    li = pq.read_table(f"{SF_BASE}/lineitem.parquet")
+    cols = {n: li[n] for n in li.column_names}
+    n = li.num_rows
+    for name, const in [
+        ("l_quantity", 7.0),
+        ("l_extendedprice", 100.0),
+        ("l_discount", 0.05),
+    ]:
+        cols[name] = pa.array(
+            [const] * n, type=li.schema.field(name).type
+        )
+    pq.write_table(pa.table(cols), f"{d}/lineitem.parquet")
+
+    o = pq.read_table(f"{SF_BASE}/orders.parquet")
+    ocols = {nm: o[nm] for nm in o.column_names}
+    ocols["o_totalprice"] = pa.array(
+        [1000.0] * o.num_rows, type=o.schema.field("o_totalprice").type
+    )
+    pq.write_table(pa.table(ocols), f"{d}/orders.parquet")
 
 
 def craft_warehouse(d: str) -> None:
@@ -394,6 +436,39 @@ def craft_singular(d: str) -> None:
     ev[n // 2] = "unicorn"
     cols["event_type"] = pa.array(ev, type=tbl.schema.field("event_type").type)
     pq.write_table(pa.table(cols), f"{d}/events.parquet")
+
+
+def craft_monodoc(d: str) -> None:
+    """Constant-corpus text (round 13, the FIFTEENTH axis — the text
+    twin of `singular`): every document becomes the SAME 30-token
+    single-type string. The whole text-statistics surface degenerates at
+    once — vocabulary = 1 type (Zipf's head table is ONE rank: the
+    log-log regression's n·Σx²−(Σx)² is exactly 0), Heaps' new-type curve
+    is flat after doc 1, the bigram LM has one seen bigram, per-source
+    distributions are IDENTICAL (JSD exactly 0), BM25's only term has
+    df = N — and the dedup family faces its worst case: all 500 docs are
+    EXACT duplicates of each other, one LSH bucket holding the entire
+    corpus (a 500-clique, ~125k pairs — legitimately quadratic output
+    both engines must agree on, and a scale-shaped probe of the
+    candidate-pair path). lang/source/doc_id stay natural so groupings
+    survive; n_chars tracks the new text (the ties-axis consistency
+    rule)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(d)
+    for t in TABLES:
+        if t != "documents":
+            os.symlink(f"{SF_BASE}/{t}.parquet", f"{d}/{t}.parquet")
+    tbl = pq.read_table(f"{SF_BASE}/documents.parquet")
+    cols = {n: tbl[n] for n in tbl.column_names}
+    n = tbl.num_rows
+    text = ("solo " * 30).strip()
+    cols["text"] = pa.array([text] * n, type=pa.string())
+    cols["n_chars"] = pa.array(
+        [len(text)] * n, type=tbl.schema.field("n_chars").type
+    )
+    pq.write_table(pa.table(cols), f"{d}/documents.parquet")
 
 
 def craft_oneday(d: str) -> None:
@@ -731,12 +806,14 @@ def reads_table(name, spec, table: str) -> bool:
         return reads_table(name, spec, "events")
     if table == "oneday":
         return reads_table(name, spec, "events")
+    if table == "monodoc":
+        return reads_table(name, spec, "documents")
     if table == "dims":
         return any(
             reads_table(name, spec, t)
             for t in ("customer", "supplier", "part", "nation", "region")
         )
-    if table == "warehouse":
+    if table in ("warehouse", "flatline"):
         return reads_table(name, spec, "lineitem") or reads_table(
             name, spec, "orders"
         )
@@ -804,8 +881,10 @@ def main() -> int:
         ("magnitude", craft_magnitude),
         ("singular", craft_singular),
         ("oneday", craft_oneday),
+        ("monodoc", craft_monodoc),
         ("epoch_straddle", craft_epoch_straddle),
         ("warehouse", craft_warehouse),
+        ("flatline", craft_flatline),
         ("dims", craft_dims),
         ("empty", craft_empty),
         ("unicode", craft_unicode),

@@ -2529,6 +2529,59 @@ def test_singular_parity_round13_regressions(spark, tmp_path):
         spark.conf.set("spark.sql.ansi.enabled", prev)
 
 
+def test_monodoc_flatline_parity_round13_regressions(spark, tmp_path):
+    """Pin the round-13 MONODOC and FLATLINE axis findings — the text and
+    TPC-H twins of the singular axis's ANSI DOUBLE/0 class:
+
+    - monodoc (every document the same single-type string):
+      text_zipf_fit's one-rank head makes the log-log regression
+      denominator n·Σx²−(Σx)² exactly 0.
+    - flatline (constant lineitem/orders measures, natural keys):
+      agg_corr_covar's √(denx·deny), agg_skew_kurtosis's var^1.5 / var²,
+      and ml_linreg_normal_eq's singular Gram denx/deny are all exactly 0.
+
+    Spark 4 ANSI raises DIVIDE_BY_ZERO on DOUBLE/0 where DuckDB and
+    ANSI-off Spark return NULL — all four routes now try_divide. Full
+    sweeps: degenerate_parity_sweep.py --table monodoc|flatline under
+    SPARK_GRAFT_SWEEP_ANSI=1."""
+    import os
+    import sys
+
+    from biglake_iceberg_python_spark.plans.check import compare, duckdb_connect
+    from biglake_iceberg_python_spark.plans.registry import resolve_oracle
+
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, os.path.join(repo_root, "scripts"))
+    from degenerate_parity_sweep import craft_flatline, craft_monodoc
+
+    prev = spark.conf.get("spark.sql.ansi.enabled")
+    spark.conf.set("spark.sql.ansi.enabled", "true")
+    try:
+        d1 = str(tmp_path / "sf_monodoc")
+        craft_monodoc(d1)
+        con1 = duckdb_connect(d1)
+        spec = REGISTRY["text_zipf_fit"]
+        result = compare(spec.fn(spark, d1), con1, resolve_oracle(spec, d1))
+        assert result["ok"], (
+            "text_zipf_fit",
+            {k: v for k, v in result.items() if k != "ok"},
+        )
+
+        d2 = str(tmp_path / "sf_flatline")
+        craft_flatline(d2)
+        con2 = duckdb_connect(d2)
+        for q in [
+            "agg_corr_covar", "agg_skew_kurtosis", "ml_linreg_normal_eq",
+        ]:
+            spec = REGISTRY[q]
+            result = compare(spec.fn(spark, d2), con2, resolve_oracle(spec, d2))
+            assert result["ok"], (
+                q, {k: v for k, v in result.items() if k != "ok"},
+            )
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", prev)
+
+
 def test_spark_wide_decimal_to_double_correctly_rounded(spark):
     """Round-12 audit (round-11 verdict #4): the oracle side routes every
     >2^53-capable decimal-sum -> double conversion through STRING because
