@@ -500,7 +500,10 @@ def ml_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
             (
                 c + 1,
                 float(evals[c]),
-                float(evals[c] / total),
+                # rank-zero covariance (all vectors identical): total
+                # variance is 0 and the ratio is undefined — None, not
+                # the NaN a raw 0/0 produces (round-13 monovec probe)
+                float(evals[c] / total) if total > 0.0 else None,
                 top_dim + 1,
                 float(vec[top_dim]),
             )

@@ -13,8 +13,8 @@ query that reads the affected table.
 
 Usage:  python scripts/degenerate_parity_sweep.py
             [--table documents|embeddings|events|magnitude|singular|oneday|
-                     monodoc|epoch_straddle|warehouse|flatline|dims|empty|
-                     unicode|ties|all]
+                     monodoc|monovec|epoch_straddle|warehouse|flatline|dims|
+                     empty|unicode|ties|all]
 
 Exit 0 iff every comparable query matches. Queries whose oracle builders
 derive literal tables are resolved against the crafted corpus (the same
@@ -120,6 +120,37 @@ def craft_embeddings(d: str) -> None:
         elif i % 13 == 10:
             vals[i] = [-8.00000095367431640625] + vals[i][1:]
     cols["embedding"] = pa.array(vals, type=tbl.schema.field("embedding").type)
+    pq.write_table(pa.table(cols), f"{d}/embeddings.parquet")
+
+
+def craft_monovec(d: str) -> None:
+    """Constant embeddings (round 13, the SEVENTEENTH axis — the vector
+    twin of `singular`): every vector becomes the SAME in-contract
+    64-dim float32 vector. The similarity family faces TOTAL ties
+    (cosine = 1 for every pair — every top-k cut must be pinned by a
+    deterministic second key on both engines), IVF's k-means sees one
+    point repeated 500× (all-but-one cluster empty), PQ's sub-codebooks
+    collapse, and the PCA family's covariance/Gram matrix is RANK ZERO
+    (power iteration on the zero matrix; eigenvalue 0 denominators).
+    Components are a mix of signs/magnitudes within |x| <= 8 so norms
+    are healthy — the degeneracy is ACROSS vectors, not within one."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(d)
+    for t in TABLES:
+        if t != "embeddings":
+            os.symlink(f"{SF_BASE}/{t}.parquet", f"{d}/{t}.parquet")
+    tbl = pq.read_table(f"{SF_BASE}/embeddings.parquet")
+    cols = {n: tbl[n] for n in tbl.column_names}
+    dim = len(tbl["embedding"][0].as_py())
+    vec = [
+        float(f"{(((i * 37) % 15) - 7) * 0.5:.1f}") or 0.5
+        for i in range(dim)
+    ]
+    cols["embedding"] = pa.array(
+        [vec] * tbl.num_rows, type=tbl.schema.field("embedding").type
+    )
     pq.write_table(pa.table(cols), f"{d}/embeddings.parquet")
 
 
@@ -808,6 +839,8 @@ def reads_table(name, spec, table: str) -> bool:
         return reads_table(name, spec, "events")
     if table == "monodoc":
         return reads_table(name, spec, "documents")
+    if table == "monovec":
+        return reads_table(name, spec, "embeddings")
     if table == "dims":
         return any(
             reads_table(name, spec, t)
@@ -882,6 +915,7 @@ def main() -> int:
         ("singular", craft_singular),
         ("oneday", craft_oneday),
         ("monodoc", craft_monodoc),
+        ("monovec", craft_monovec),
         ("epoch_straddle", craft_epoch_straddle),
         ("warehouse", craft_warehouse),
         ("flatline", craft_flatline),
