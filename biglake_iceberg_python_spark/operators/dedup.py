@@ -256,8 +256,15 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket join only pairs docs agreeing on a full band. This is the shape
     that near-dups 100 TB of text — no pairwise scan, bounded bucket sizes,
     deterministic output (reruns identical).
+
+    Widen: the signature build (32 permutation passes per shingle array)
+    is by far the heaviest map work in the registry, and it runs entirely
+    before the first exchange — on an undersplit scan (the testdata's
+    single-row-group files) it single-threads. Filling scan parallelism
+    costs one tiny doc-row shuffle and cut the sf0.1 bench 2.0s → 1.13s;
+    on real multi-split data the condition never fires.
     """
-    d = load_table(spark, sf_dir, "documents")
+    d = load_table(spark, sf_dir, "documents", widen=True)
     docs = d.select("doc_id", _words().alias("w")).select(
         "doc_id", F.array_distinct(_shingles("w")).alias("shingles")
     )
@@ -690,8 +697,14 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Everything is exact integers, so per-doc span counts and duplicated-
     token totals hash-match the oracle.
+
+    Widen (round 13): the positional shingle generation (tokenize + K-slice
+    + xxhash64 per position) runs below the fingerprint shuffle — on an
+    undersplit single-row-group scan it single-threads; filling scan
+    parallelism cut the sf0.1 bench 1.7s → 1.02s (no-op on multi-split
+    data).
     """
-    d = load_table(spark, sf_dir, "documents")
+    d = load_table(spark, sf_dir, "documents", widen=True)
     w = words("text")
     base = d.select("doc_id", w.alias("w"), F.size(w).alias("n_tokens")).filter(
         F.col("n_tokens") >= _SUB_K
@@ -863,9 +876,15 @@ def dedup_minhash_oph(spark: SparkSession, sf_dir: str) -> DataFrame:
     Determinism: xxhash64 and the rotation fill are deterministic — reruns
     and both engines' row orders produce identical candidate sets (rows-only
     check: DuckDB has no xxhash64).
+
+    Widen (round 13): same undersplit-scan fix as dedup_minhash_lsh — the
+    per-row signature pass single-threads on a single-row-group scan, so
+    scan parallelism is filled first (one raw doc-row round-robin exchange
+    BELOW the signature projection; no keyed shuffle of the corpus exists
+    anywhere). sf0.1 bench 1.6s → 1.07s; a no-op on real multi-split data.
     """
     k = _N_PERM
-    d = load_table(spark, sf_dir, "documents")
+    d = load_table(spark, sf_dir, "documents", widen=True)
     docs = d.select("doc_id", _words().alias("w")).select(
         "doc_id", F.array_distinct(_shingles("w")).alias("shingles")
     )

@@ -74,17 +74,33 @@ def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_orderkey").isNotNull() & F.col("l_partkey").isNotNull()
     )
     # collect_set per order, then expand pairs map-side: one shuffle on ok
-    # (map-side combined — duplicates of the same (ok, pk) collapse before
-    # the exchange) + one distinct on the pair key. The equivalent items
-    # self-join costs an extra exchange per join side. The expansion emits
-    # only the ORIENTED half (src < dst) so the distinct — the largest
-    # shuffle in the query — carries half the pair volume; the symmetric
-    # mirror is re-added map-side AFTER dedup (src ≠ dst, so no pair is
-    # its own mirror and the union introduces no duplicates). Result is
-    # identical to the full both-directions distinct, ~35% faster
-    # (measured at sf0.1) and half the exchange bytes at 100 TB.
+    # + one distinct on the pair key. The equivalent items self-join costs
+    # an extra exchange per join side. The expansion emits only the
+    # ORIENTED half (src < dst) so the distinct — the largest shuffle in
+    # the query — carries half the pair volume; the symmetric mirror is
+    # re-added map-side AFTER dedup (src ≠ dst, so no pair is its own
+    # mirror and the union introduces no duplicates). Result is identical
+    # to the full both-directions distinct, ~35% faster (measured at
+    # sf0.1) and half the exchange bytes at 100 TB.
+    #
+    # The ok shuffle is an EXPLICIT projected repartition feeding the
+    # groupBy (which then reuses the partitioning — exchange count
+    # unchanged, round 13): with the aggregate's own ENSURE_REQUIREMENTS
+    # exchange, the partial collect_set runs on the SCAN splits (a
+    # single-row-group file single-threads it) and AQE coalesces the
+    # post-shuffle side to ~4 partitions right under the quadratic pair
+    # expansion — the two heaviest stages in every graph query ran at 1/32
+    # and 1/8 of the available cores. The explicit repartition moves ALL
+    # set-building + expansion work behind a full-width exchange of bare
+    # (ok, pk) longs. Measured at sf0.1: pagerank 3.2s → 2.75s, kcore
+    # ~−0.3s. At 100 TB the exchange carries the same two-long projection
+    # on the same key (the former partial collect_set deduped repeat
+    # (ok, pk) lines pre-exchange, but same-part repeats within an order
+    # are a few percent of lines); order keys are ≤7-line groups, so
+    # forgoing AQE's skew splitting on this one exchange is safe.
     sets = (
         li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
+        .repartition(F.col("ok"))
         .groupBy("ok")
         .agg(F.collect_set("pk").alias("ps"))
     )

@@ -59,8 +59,14 @@ def _spark_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Stage 1: one aggregation row (N, Σdl, df per term) — broadcast.
     Stage 2: map-side tf + score, no shuffle until the caller's top-k.
+
+    Widen (round 13): both corpus passes (stats + scoring) tokenize and
+    count term frequencies map-side; on the testdata's single-row-group
+    scan they single-thread. Filling scan parallelism (one doc-row
+    round-robin exchange, a no-op on multi-split data) cut the sf0.1
+    bench 0.67s → 0.45s.
     """
-    d = load_table(spark, sf_dir, "documents")
+    d = load_table(spark, sf_dir, "documents", widen=True)
     per_doc = d.select(
         "doc_id",
         F.size(_words()).alias("dl"),

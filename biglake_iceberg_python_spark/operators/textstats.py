@@ -476,8 +476,14 @@ def text_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     V is a 1-row broadcast. (Broadcasting the model cut the sf0.1 bench
     time ~15%: the checkpoint lineage hides the table's true size from
     AQE, so the hint is load-bearing.)
+
+    Widen (round 13): both corpus passes (model-build explode and the
+    scoring join + per-doc rollup partials) run below any keyed exchange;
+    on the testdata's single-row-group scan they single-thread. Filling
+    scan parallelism trims the sf0.1 median ~0.1s and halves the sample
+    spread (1.32–1.95 → 1.22–1.40); a no-op on multi-split data.
     """
-    d = load_table(spark, sf_dir, "documents")
+    d = load_table(spark, sf_dir, "documents", widen=True)
     ws = _words()
     bigs = d.select(
         "doc_id",
