@@ -92,15 +92,21 @@ def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     # expansion — the two heaviest stages in every graph query ran at 1/32
     # and 1/8 of the available cores. The explicit repartition moves ALL
     # set-building + expansion work behind a full-width exchange of bare
-    # (ok, pk) longs. Measured at sf0.1: pagerank 3.2s → 2.75s, kcore
-    # ~−0.3s. At 100 TB the exchange carries the same two-long projection
-    # on the same key (the former partial collect_set deduped repeat
+    # (ok, pk) longs, and PINS the partition count to the configured
+    # shuffle parallelism (repartition(col) alone is still AQE-coalescable
+    # — measured: the explosion stage still collapsed to 5 partitions;
+    # advisory sizing sees the ~5 MB of grouped sets flowing IN, not the
+    # ~40× pair volume the explosion emits). Measured at sf0.1: pagerank
+    # 3.2s → 2.2s, kcore 2.9s → 2.1s. At 100 TB the exchange carries the
+    # same two-long projection on the same key at the cluster-sized
+    # shuffle.partitions (the former partial collect_set deduped repeat
     # (ok, pk) lines pre-exchange, but same-part repeats within an order
     # are a few percent of lines); order keys are ≤7-line groups, so
     # forgoing AQE's skew splitting on this one exchange is safe.
+    n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
     sets = (
         li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
-        .repartition(F.col("ok"))
+        .repartition(n_shuffle, F.col("ok"))
         .groupBy("ok")
         .agg(F.collect_set("pk").alias("ps"))
     )
