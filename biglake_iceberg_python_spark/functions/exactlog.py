@@ -116,15 +116,17 @@ def micro_nat_shift_lookup(pairs: list[tuple[int, int]], key: Column) -> Column:
     caller owns the broadcast-join fallback past that. A key outside the
     domain yields NULL, which propagates into the hashed output and fails
     the correctness gate loudly."""
-    # Explicit long casts: bare F.lit(small_int) types the map
+    # Explicit BIGINT literals: bare int literals would type the map
     # map<int,int>, and a LONG lookup key would then be DOWN-cast to int —
-    # an overflow hazard once counts exceed 2^31 at corpus scale.
-    m = F.create_map(
-        *[
-            c
-            for k, v in pairs
-            for c in (F.lit(k).cast("long"), F.lit(v).cast("long"))
-        ]
+    # an overflow hazard once counts exceed 2^31 at corpus scale. Built as
+    # ONE SQL string instead of 2·|pairs| F.lit().cast() Column objects:
+    # the literal map is the same Catalyst CreateMap-of-Literals, but one
+    # py4j round trip instead of hundreds — driver-side plan construction
+    # was a measurable slice of every consumer's wall time (round 14).
+    m = F.expr(
+        "map("
+        + ", ".join(f"{int(k)}L, {int(v)}L" for k, v in pairs)
+        + ")"
     )
     return m[key]
 

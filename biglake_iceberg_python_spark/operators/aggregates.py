@@ -583,7 +583,18 @@ def agg_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     exprs.py), so the melted values hash-match the UNION ALL oracle.
     """
     base = (
-        load_table(spark, sf_dir, "lineitem", widen=True)
+        load_table(
+            spark,
+            sf_dir,
+            "lineitem",
+            widen=True,
+            columns=(
+                "l_returnflag",
+                "l_quantity",
+                "l_extendedprice",
+                "l_discount",
+            ),
+        )
         .groupBy("l_returnflag")
         .agg(
             dsum("l_quantity", "sum_qty"),

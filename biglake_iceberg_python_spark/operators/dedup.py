@@ -218,24 +218,43 @@ def _minhash_signature(df: DataFrame, id_col: str, shingles_col: str) -> DataFra
     map-side cost is O(|shingles|·perms) arithmetic, and at 100 TB the
     signature stage is pure scan parallelism.
     """
+    # The 32-permutation expression tree is assembled as ONE SQL string
+    # (a single parse JVM-side) rather than ~400 py4j Column calls — the
+    # Catalyst plan is identical (array of array_min-of-transform folds),
+    # but DataFrame construction drops from ~0.6 s to ~0.05 s of driver
+    # time (measured, round 14 — plan build was half this query's bench
+    # wall).
     hashed = df.select(
         id_col,
-        F.transform(
-            F.col(shingles_col),
-            lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE)),
+        F.expr(
+            f"transform({shingles_col},"
+            f" s -> pmod(xxhash64(s), {_MERSENNE}L))"
         ).alias("hs"),
     )
-
-    def perm_fn(i: int):
+    perms = []
+    for i in range(_N_PERM):
         a = (73856093 * (i + 1) + 19349663) % _MERSENNE or 1
         b = (83492791 * (i + 1) + 104729) % _MERSENNE
         # h already lies in [0, p); a, b < p ⇒ a*h + b < 2^62: no overflow.
-        return lambda h: F.pmod(h * F.lit(a) + F.lit(b), F.lit(_MERSENNE))
+        perms.append(
+            f"array_min(transform(hs, h -> pmod(h * {a}L + {b}L,"
+            f" {_MERSENNE}L)))"
+        )
+    return hashed.select(
+        id_col, F.expr("array(" + ", ".join(perms) + ")").alias("sig")
+    )
 
-    mins = [
-        F.array_min(F.transform(F.col("hs"), perm_fn(i))) for i in range(_N_PERM)
-    ]
-    return hashed.select(id_col, F.array(*mins).alias("sig"))
+
+def _bands_sql(sig_col: str = "sig") -> str:
+    """The 8×4 banded bucket keys as one SQL array-of-structs expression
+    (same single-parse rationale as the signature above)."""
+    items = []
+    for bi in range(_N_PERM // _BAND_SIZE):
+        cols = ", ".join(
+            f"{sig_col}[{bi * _BAND_SIZE + j}]" for j in range(_BAND_SIZE)
+        )
+        items.append(f"struct({bi} AS band, xxhash64({cols}) AS bh)")
+    return "array(" + ", ".join(items) + ")"
 
 
 @query(
@@ -264,30 +283,16 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     costs one tiny doc-row shuffle and cut the sf0.1 bench 2.0s → 1.13s;
     on real multi-split data the condition never fires.
     """
-    d = load_table(spark, sf_dir, "documents", widen=True)
+    d = load_table(
+        spark, sf_dir, "documents", widen=True, columns=("doc_id", "text")
+    )
     docs = d.select("doc_id", _words().alias("w")).select(
         "doc_id", F.array_distinct(_shingles("w")).alias("shingles")
     )
     sig = _minhash_signature(docs, "doc_id", "shingles").cache()
 
     bands = sig.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(bi).alias("band"),
-                        F.xxhash64(
-                            *[
-                                F.col("sig")[bi * _BAND_SIZE + j]
-                                for j in range(_BAND_SIZE)
-                            ]
-                        ).alias("bh"),
-                    )
-                    for bi in range(_N_PERM // _BAND_SIZE)
-                ]
-            )
-        ).alias("b"),
+        "doc_id", F.explode(F.expr(_bands_sql())).alias("b")
     ).select("doc_id", "b.band", "b.bh")
 
     x = bands.alias("x")
@@ -308,11 +313,9 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     sa = sig.alias("sa")
     sb = sig.alias("sb")
     est = (
-        F.size(
-            F.filter(
-                F.zip_with(F.col("sa.sig"), F.col("sb.sig"), lambda p, q: p == q),
-                lambda eq: eq,
-            )
+        F.expr(
+            "size(filter(zip_with(sa.sig, sb.sig, (p, q) -> p = q),"
+            " eq -> eq))"
         ).cast("double")
         / _N_PERM
     )
@@ -704,7 +707,9 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     parallelism cut the sf0.1 bench 1.7s → 1.02s (no-op on multi-split
     data).
     """
-    d = load_table(spark, sf_dir, "documents", widen=True)
+    d = load_table(
+        spark, sf_dir, "documents", widen=True, columns=("doc_id", "text")
+    )
     w = words("text")
     base = d.select("doc_id", w.alias("w"), F.size(w).alias("n_tokens")).filter(
         F.col("n_tokens") >= _SUB_K
@@ -884,25 +889,25 @@ def dedup_minhash_oph(spark: SparkSession, sf_dir: str) -> DataFrame:
     anywhere). sf0.1 bench 1.6s → 1.07s; a no-op on real multi-split data.
     """
     k = _N_PERM
-    d = load_table(spark, sf_dir, "documents", widen=True)
+    d = load_table(
+        spark, sf_dir, "documents", widen=True, columns=("doc_id", "text")
+    )
     docs = d.select("doc_id", _words().alias("w")).select(
         "doc_id", F.array_distinct(_shingles("w")).alias("shingles")
     )
-    hashed = docs.select(
+    # Slot-min expressions as ONE SQL string — same Catalyst tree, one
+    # py4j round trip instead of ~100 (the _minhash_signature rationale).
+    hashed = docs.selectExpr(
         "doc_id",
-        F.transform(
-            F.col("shingles"),
-            lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE)),
-        ).alias("hs"),
+        f"transform(shingles, s -> pmod(xxhash64(s), {_MERSENNE}L)) AS hs",
     )
-    raw_sig = hashed.select(
+    raw_sig = hashed.selectExpr(
         "doc_id",
-        F.array(
-            *[
-                F.array_min(F.filter(F.col("hs"), lambda h: h % k == i))
-                for i in range(k)
-            ]
-        ).alias("rsig"),
+        "array("
+        + ", ".join(
+            f"array_min(filter(hs, h -> h % {k} = {i}))" for i in range(k)
+        )
+        + ") AS rsig",
     )
     # Rotation densification: for slot i take the first non-null at
     # cyclic offset t (t=0 is the slot itself), biased by t * 2^31 —
@@ -928,23 +933,7 @@ def dedup_minhash_oph(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).cache()  # 3 consumers (bands, sa, sb) — same policy as the classic op
 
     bands = sig.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(bi).alias("band"),
-                        F.xxhash64(
-                            *[
-                                F.col("sig")[bi * _BAND_SIZE + j]
-                                for j in range(_BAND_SIZE)
-                            ]
-                        ).alias("bh"),
-                    )
-                    for bi in range(k // _BAND_SIZE)
-                ]
-            )
-        ).alias("b"),
+        "doc_id", F.explode(F.expr(_bands_sql())).alias("b")
     ).select("doc_id", "b.band", "b.bh")
 
     x = bands.alias("x")
@@ -965,11 +954,9 @@ def dedup_minhash_oph(spark: SparkSession, sf_dir: str) -> DataFrame:
     sa = sig.alias("sa")
     sb = sig.alias("sb")
     est = (
-        F.size(
-            F.filter(
-                F.zip_with(F.col("sa.sig"), F.col("sb.sig"), lambda p, q: p == q),
-                lambda eq: eq,
-            )
+        F.expr(
+            "size(filter(zip_with(sa.sig, sb.sig, (p, q) -> p = q),"
+            " eq -> eq))"
         ).cast("double")
         / k
     )

@@ -103,16 +103,29 @@ def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (ok, pk) lines pre-exchange, but same-part repeats within an order
     # are a few percent of lines); order keys are ≤7-line groups, so
     # forgoing AQE's skew splitting on this one exchange is safe.
-    n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    # Guarded int(): platforms may set the conf non-numerically (e.g.
+    # "auto"), and a session not built by build_session may carry such a
+    # value — fall back to defaultParallelism (round-13 ADVICE #1).
+    try:
+        n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):
+        n_shuffle = spark.sparkContext.defaultParallelism
     sets = (
         li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
         .repartition(n_shuffle, F.col("ok"))
         .groupBy("ok")
         .agg(F.collect_set("pk").alias("ps"))
     )
+    # Oriented-half emission via double explode + a CODEGEN comparison
+    # (round 14): the former `filter(ps, x -> x > src)` lambda runs
+    # interpreted per element inside the explode — the plain predicate
+    # keeps the whole expansion in whole-stage codegen (A/B: ~6% off the
+    # heaviest stage in every graph query). Same rows reach the distinct
+    # exchange: the src<dst filter sits below it either way.
     half = (
         sets.select(F.explode("ps").alias("src"), "ps")
-        .select("src", F.explode(F.expr("filter(ps, x -> x > src)")).alias("dst"))
+        .select("src", F.explode("ps").alias("dst"))
+        .where(F.col("dst") > F.col("src"))
         .distinct()
     )
     return half.union(
@@ -185,27 +198,31 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     # Everything STATIC across power iterations is materialized once:
     # without checkpoints each iteration re-derives the order-key self-join
-    # (50 exchanges at sf0.001 for 3 iterations, measured). N is
-    # checkpointed so its broadcast stops re-counting deg every iteration.
-    # The quantized per-source contribution floor(rank/deg · Q) is hoisted
-    # INTO the |V|-row rank vector (one divide per NODE), so the edge list
-    # stays the bare (src, dst) pairs — the former edges⋈deg weighted-edge
-    # materialization (a full 2.4M-row pass at sf0.1) is gone entirely,
-    # and the per-edge work in the iteration join is a broadcast-hash
-    # lookup emitting a precomputed long. Bit-identical to the oracle:
-    # rank/deg is constant across a source's edges, so flooring per node
-    # equals flooring per edge.
+    # (50 exchanges at sf0.001 for 3 iterations, measured). The quantized
+    # per-source contribution floor(rank/deg · Q) is hoisted INTO the
+    # |V|-row rank vector (one divide per NODE), so the edge list stays
+    # the bare (src, dst) pairs — the per-edge work in the iteration join
+    # is a broadcast-hash lookup emitting a precomputed long.
+    # Bit-identical to the oracle: rank/deg is constant across a source's
+    # edges, so flooring per node equals flooring per edge.
+    #
+    # Round 14 (driver/job-count optimization, guide §5/§7.3): |V| was
+    # already collected as the regime scalar, so 1/N and 0.15/N enter the
+    # plan as LITERALS — the former 1-row `n` localCheckpoint (an eager
+    # physical planning on the driver) and its per-iteration
+    # crossJoin(broadcast(n)) are gone (3 plan joins + 2 jobs fewer). The
+    # rank state carries `deg` along, which removes the separate
+    # ranks⋈deg join per iteration AND the final deg re-join for the
+    # degree column: each iteration is exactly ONE edges⋈rank-vector
+    # join + one partial-aggregated contribution shuffle — the
+    # irreducible PageRank round. Literal-vs-column arithmetic is the
+    # same double division, so ranks stay bit-identical (driver_sim +
+    # full-registry parity verified).
     edges = _edges(spark, sf_dir).localCheckpoint(eager=False)
     deg = (
         edges.groupBy("src")
         .agg(F.count(F.lit(1)).alias("deg"))
         .localCheckpoint(eager=False)
-    )
-    n = deg.agg(F.count(F.lit(1)).alias("n")).localCheckpoint(eager=False)
-
-    ranks = deg.crossJoin(F.broadcast(n)).select(
-        F.col("src").alias("node"),
-        (F.lit(1.0) / F.col("n")).alias("rank"),
     )
     # The rank vector is |V| rows (parts, not lineitems). Below the
     # broadcast node limit it broadcasts into the per-iteration join so
@@ -217,9 +234,10 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # SAME loop runs as co-partitioned shuffle joins: the edge list is
     # hash-partitioned on src once (checkpointed), so each iteration
     # exchanges only the node-sized rank vector, never the edges. The
-    # regime costs one O(1) driver scalar (|V| from the 1-row n agg — the
-    # k-core k-derivation precedent).
-    nv = int(n.first()["n"])
+    # regime costs one O(1) driver scalar (|V| from a 1-row agg — the
+    # k-core k-derivation precedent); the same scalar feeds the literal
+    # 1/N and 0.15/N terms.
+    nv = int(deg.agg(F.count(F.lit(1)).alias("n")).first()["n"])
     use_bcast = nv <= _node_broadcast_limit(spark)
     if not use_bcast:
         edges = edges.repartition(F.col("src")).localCheckpoint(eager=False)
@@ -227,8 +245,16 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     def _nb(df: DataFrame) -> DataFrame:
         return F.broadcast(df) if use_bcast else df
 
+    # state: (node, rank, deg) — deg rides along so no per-iteration deg
+    # join and no final degree re-join. Guard nv=0 (empty graph): state is
+    # empty anyway; max(nv, 1) only keeps the literal division defined.
+    state = deg.select(
+        F.col("src").alias("node"),
+        (F.lit(1.0) / F.lit(max(nv, 1))).alias("rank"),
+        "deg",
+    )
     for _ in range(_ITERS):
-        rv = ranks.join(_nb(deg), ranks["node"] == deg["src"]).select(
+        rv = state.select(
             "node",
             F.floor(F.col("rank") / F.col("deg") * F.lit(_QUANT))
             .cast("long")
@@ -237,25 +263,21 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         contrib = edges.join(
             _nb(rv), edges["src"] == rv["node"]
         ).select("dst", F.col("qsrc").alias("q"))
-        ranks = (
-            contrib.groupBy("dst")
-            .agg(F.sum("q").alias("sq"))
-            .crossJoin(F.broadcast(n))
-            .select(
-                F.col("dst").alias("node"),
-                (
-                    F.lit(0.15) / F.col("n")
-                    + F.lit(0.85) * (F.col("sq").cast("double") / F.lit(_QUANT))
-                ).alias("rank"),
-            )
+        sums = contrib.groupBy("dst").agg(F.sum("q").alias("sq"))
+        state = sums.join(_nb(deg), sums["dst"] == deg["src"]).select(
+            F.col("dst").alias("node"),
+            (
+                F.lit(0.15) / F.lit(max(nv, 1))
+                + F.lit(0.85) * (F.col("sq").cast("double") / F.lit(_QUANT))
+            ).alias("rank"),
+            "deg",
         )
 
     # Global top-N via orderBy+limit (TakeOrderedAndProject — per-partition
     # heaps, no single-partition sort of the |V|-row rank vector); the rank
     # column is then a window over only the surviving N rows.
     top = (
-        ranks.join(deg, ranks["node"] == deg["src"])
-        .select(
+        state.select(
             F.col("node").alias("part"),
             F.col("rank").alias("pagerank"),
             F.col("deg").alias("degree"),
@@ -695,9 +717,14 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
             nv = int(row["nv"])
             k = int(row["ne"]) // nv + 1 if nv else None
             use_bcast = nv <= _node_broadcast_limit(spark)
-        surv = (
-            deg.filter(F.col("d") >= k).select("src").localCheckpoint(eager=False)
-        )
+        # No checkpoint on the survivor set: it is a map-side filter over
+        # the ALREADY-checkpointed degree table, so each of its two
+        # consumers (the src/dst semi-join probes) re-runs one |V|-row
+        # filter — recompute is trivial while the dropped localCheckpoint
+        # was an eager driver-side physical planning (~0.15 s) per round
+        # (round 14, guide §5: four of kcore's twelve checkpoints were
+        # pure build overhead).
+        surv = deg.filter(F.col("d") >= k).select("src")
         cur = (
             cur.join(_nb(surv), "src", "left_semi")
             .join(

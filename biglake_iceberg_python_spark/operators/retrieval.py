@@ -66,7 +66,9 @@ def _spark_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     round-robin exchange, a no-op on multi-split data) cut the sf0.1
     bench 0.67s → 0.45s.
     """
-    d = load_table(spark, sf_dir, "documents", widen=True)
+    d = load_table(
+        spark, sf_dir, "documents", widen=True, columns=("doc_id", "text")
+    )
     per_doc = d.select(
         "doc_id",
         F.size(_words()).alias("dl"),

