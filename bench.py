@@ -42,7 +42,29 @@ def main() -> int:
         )
         return 2
 
-    spark = build_session("bench")
+    # Optional per-query stage attribution (round-13 verdict #7): with
+    # SPARK_GRAFT_BENCH_EVENTLOG=1 the session writes a Spark event log
+    # and, AFTER the one-line JSON (stderr only — the stdout contract is
+    # byte-identical), prints per-query job/stage summaries: task counts
+    # and max single-task time make "parallelises at scale" auditable
+    # without a bigger SF. Default OFF so the driver's timed runs carry
+    # zero extra instrumentation.
+    log_dir = None
+    if os.environ.get("SPARK_GRAFT_BENCH_EVENTLOG"):
+        import tempfile
+
+        log_dir = tempfile.mkdtemp(prefix="bench_eventlog_")
+        spark = build_session(
+            "bench",
+            extra_conf={
+                "spark.eventLog.enabled": "true",
+                "spark.eventLog.dir": log_dir,
+                "spark.eventLog.compress": "false",
+                "spark.eventLog.rolling.enabled": "false",
+            },
+        )
+    else:
+        spark = build_session("bench")
     # Warm-up: JVM + whole-stage-codegen compilation, one pass of every
     # selected query at the tiny sf (never the bench data itself) — each
     # query's generated code is distinct, so warming only one plan leaves
@@ -89,8 +111,10 @@ def main() -> int:
     _RUNS = 3
     timings: dict[str, float] = {}
     spreads: dict[str, dict[str, float]] = {}
+    windows: list[tuple[str, int, float, float]] = []
     for name in names:
         spec = registry[name]
+        spark.sparkContext.setJobDescription(f"bench:{name}")
         runs = _RUNS
         samples: list[float] = []
         n = 0
@@ -105,7 +129,10 @@ def main() -> int:
             t0 = time.time()
             df = spec.fn(spark, sf_dir)
             n = len(df.collect())
-            samples.append(round(time.time() - t0, 3))
+            t1 = time.time()
+            samples.append(round(t1 - t0, 3))
+            windows.append((name, len(samples) - 1, t0, t1))
+        spark.sparkContext.setJobDescription(None)
         samples.sort()
         timings[name] = samples[len(samples) // 2]
         if runs > 1:
@@ -146,7 +173,44 @@ def main() -> int:
     # per-query map, losing metric/value). This compact line is the last
     # thing printed, so it always survives tail truncation.
     print(f"TOTAL {total}s n={len(timings)} sf={sf} rc=0")
+    if log_dir:
+        _print_stage_summaries(spark, log_dir, windows)
     return 0
+
+
+def _print_stage_summaries(spark, log_dir: str, windows) -> None:
+    """Per-query job/stage attribution to STDERR (opt-in via
+    SPARK_GRAFT_BENCH_EVENTLOG; the stdout contract is untouched)."""
+    import glob as _glob
+
+    from biglake_iceberg_python_spark.plans.eventlog import (
+        parse_event_log,
+        summarize_window,
+    )
+
+    spark.stop()  # flush the event log
+    logs = sorted(
+        _glob.glob(os.path.join(log_dir, "*")), key=os.path.getmtime
+    )
+    if not logs:
+        return
+    jobs = parse_event_log(logs[-1])
+    print("# --- per-query stage attribution (median sample) ---", file=sys.stderr)
+    for name, run, t0, t1 in windows:
+        s = summarize_window(jobs, t0, t1)
+        top = s["top_stage"]
+        top_txt = (
+            f" top-stage: tasks={top['n_tasks']}"
+            f" sum={top['task_sum']}s max_task={top['task_max']}s"
+            if top
+            else ""
+        )
+        print(
+            f"# {name}[{run}]: jobs={s['n_jobs']} job_wall={s['job_wall']}s"
+            f" gaps={s['gap']}s stages={s['n_stages']}"
+            f" tasks={s['n_tasks']}{top_txt}",
+            file=sys.stderr,
+        )
 
 
 if __name__ == "__main__":

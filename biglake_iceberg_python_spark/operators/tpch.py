@@ -808,6 +808,13 @@ def tpch_q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     # clustering), so the plan is Expand-free with 2 exchanges instead of
     # 3 and shuffles 1× rows instead of 3×. Identical results (verified
     # row-for-row); sf0.1 bench 0.96s → 0.67s.
+    #
+    # Deliberately NOT pinned to a partition count (round-13 ADVICE #2,
+    # round-14 A/B: pinning measured ~15% SLOWER at sf0.1): unlike the
+    # graph pair expansion, nothing below this exchange multiplies rows —
+    # both aggregation levels only shrink the data — so AQE's advisory
+    # coalescing of the post-exchange side is the right behavior and the
+    # repartition exists purely to let one exchange serve two group-bys.
     pairs = (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .select("l_orderkey", "l_suppkey", late_supp.alias("late_supp"))

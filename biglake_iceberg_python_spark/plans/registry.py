@@ -106,79 +106,85 @@ _loaded = False
 # tests/test_oracle_parity.py's full sweep, which runs every registered
 # query against its oracle regardless of ordering.
 #
-# Provenance of this rotation (round 13, per round-12 VERDICT "Next round"
-# #1): CORRECTNESS_r12 came back 50/50 hash-matched, moving the staleness
-# floor to r6. Staleness recomputed from CORRECTNESS_r01..r12 (histogram
-# r6×48 · r7×47 · r8×44 · r9×45 · r10×50 · r11×50 · r12×50; 14 rows-only
-# names never hash-pass by design): the ENTIRE r6-stale cohort — 48 names
-# spanning the agg battery (14), the lakehouse DML/metadata family (11,
-# including `lakehouse_write_audit_publish`, whose reject-reset flow round
-# 12 rewrote — verdict #1's first suggested probe lands here naturally),
-# the source/connector battery (9), `sql_lateral_topn`, and the textstats
-# family (13). The final 2 slots are verdict #1's discriminating probes:
-# r7-stale pandas-UDF names whose worker code round 12 rewrote wholesale
-# onto nullable dtypes + notna masks (the warehouse-axis NULL-discipline
-# rewrite) and which the driver build has never compared since.
-# 48 + 2 = 50.
+# Provenance of this rotation (round 14, per round-13 VERDICT "Next round"
+# #2): the optimization rounds touched query internals that only the
+# driver's official t2 hash-match can certify, so the window leads with
+# every round-13/14-optimized path, then fills with the stalest cohort.
+# Staleness recomputed from CORRECTNESS_r01..r13 (histogram r3x4 / r5x5 /
+# r7x45 / r8x46 / r9x48 / r10x50 / r11x50 / r12x50 / r13x50; the r3/r5
+# residue is the rows-only/approximate set that never hash-passes by
+# design -- rows-only names have windowed before: r03 carried
+# dedup_minhash_lsh, r08 dedup_minhash_oph).
+#   * 16 optimized/touched paths: the round-13 verdict's 11 (q21, graph x4,
+#     dedup x3, text_lm_perplexity, sim_hybrid_rrf -- plus the shared-bm25
+#     inheritor curate_quality_weighted_sample) and the round-14 rewrites
+#     (BPE trainer/encoder driver-literal argmax, bm25/agg_unpivot widen
+#     projection, stream_tumbling_window as the events schema-cache probe).
+#   * 3 r3-stale + 5 r5-stale (the full remaining pre-r7 residue).
+#   * 26 of the 45 r7-stale names, preferring families whose shared
+#     helpers round 14 touched (dedup tokenizer/shingle consumers x7),
+#     then the pandas-UDF x3, streaming x5, similarity x8 and as-of x3
+#     batteries. 16 + 8 + 26 = 50.
 _PRIORITY_WINDOW = [
-    # r6-stale: agg battery (14)
-    "agg_benford_digit_test",
-    "agg_boolean",
-    "agg_corr_covar",
-    "agg_countmin_sketch",
-    "agg_extrema_argminmax",
-    "agg_heavy_hitters",
-    "agg_histogram",
-    "agg_listagg",
-    "agg_mode_deterministic",
-    "agg_rollup_count_distinct",
-    "agg_session_window_batch",
-    "agg_sessionize_events",
-    "agg_unpivot",
-    "agg_weighted_median",
-    # r6-stale: lakehouse DML/metadata family (11) — incl. the round-12
-    # write-audit-publish reject-reset rewrite, first driver-build compare
-    "lakehouse_analyze_stats",
-    "lakehouse_dynamic_partition_overwrite",
-    "lakehouse_gdpr_forget",
-    "lakehouse_incremental_matview",
-    "lakehouse_incremental_matview_join",
-    "lakehouse_metadata_count",
-    "lakehouse_partition_evolution",
-    "lakehouse_row_lineage",
-    "lakehouse_shallow_clone",
-    "lakehouse_write_audit_publish",
-    "lakehouse_write_distribution_smallfiles",
-    # r6-stale: source/connector battery (9)
-    "source_binaryfile_digest",
-    "source_csv_malformed_permissive",
-    "source_parquet_schema_merge",
-    "source_python_datasource_pushdown",
-    "source_python_datasource_stream_write",
-    "source_python_datasource_write",
-    "source_recursive_glob_read",
-    "source_text_lines",
-    "source_xml_roundtrip",
-    # r6-stale: SQL lateral (1)
-    "sql_lateral_topn",
-    # r6-stale: textstats family (13)
-    "text_bm25_search",
-    "text_bpe_encode",
-    "text_bpe_pair_stats",
+    # round-13/14 optimized paths (16)
+    "tpch_q21_waiting_supplier",
+    "graph_pagerank",
+    "graph_kcore",
+    "graph_triangle_count",
+    "graph_resource_allocation",
+    "dedup_minhash_lsh",
+    "dedup_minhash_oph",
+    "dedup_substring_spans",
+    "text_lm_perplexity",
+    "sim_hybrid_rrf",
+    "curate_quality_weighted_sample",
     "text_bpe_train_merges",
-    "text_chunk_sliding",
-    "text_heaps_law",
-    "text_heldout_bigram_coverage",
-    "text_js_divergence_sources",
-    "text_kneser_ney_bigram",
-    "text_pmi_cooccurrence",
-    "text_rake_keywords",
-    "text_repetition_stats",
-    "text_vocab_coverage",
-    # verdict #1 discriminating probes (2) — round-12 nullable-dtype
-    # pandas-UDF worker rewrites, never driver-compared since
-    "udf_pandas_window_agg",
-    "udf_cogrouped_map",
+    "text_bpe_encode",
+    "text_bm25_search",
+    "agg_unpivot",
+    "stream_tumbling_window",
+    # r3-stale residue (3)
+    "agg_approx",
+    "dedup_simhash",
+    "sim_ann_lsh",
+    # r5-stale residue (5)
+    "ml_coreset_kcenter",
+    "ml_kmeans_embeddings",
+    "ml_logistic_newton",
+    "ml_pca_power",
+    "ml_quality_distill",
+    # r7-stale: dedup family (7) -- consumers of the round-14-touched
+    # tokenizer/shingle/load helpers
+    "dedup_cluster_representative",
+    "dedup_containment",
+    "dedup_fuzzy_levenshtein",
+    "dedup_lsh_tuning_curve",
+    "dedup_paragraph_exact",
+    "dedup_semantic_ivf",
+    "dedup_trigram_similarity",
+    # r7-stale: pandas-UDF battery (3)
+    "udf_pandas_grouped_agg",
+    "udf_pandas_scalar_iter",
+    "udf_udtf_polymorphic_analyze",
+    # r7-stale: streaming battery (5)
+    "stream_file_sink_manifest",
+    "stream_join_then_window",
+    "stream_stateful_timeout_session",
+    "stream_topk_trending",
+    "stream_windowed_dau",
+    # r7-stale: similarity battery (8)
+    "sim_ivf_index_persisted",
+    "sim_matryoshka_rescore",
+    "sim_mips_transform",
+    "sim_mmr_diversify",
+    "sim_pq_adc",
+    "sim_quantize_int8",
+    "sim_range_search",
+    "sim_recall_eval",
+    # r7-stale: as-of join family (3)
+    "join_asof_forward",
+    "join_asof_nearest",
+    "join_asof_tolerance",
 ]
 
 

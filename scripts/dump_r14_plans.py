@@ -23,10 +23,14 @@ from biglake_iceberg_python_spark.session import build_session  # noqa: E402
 TARGETS = [
     "dedup_minhash_lsh",
     "dedup_minhash_oph",
+    "dedup_substring_spans",
+    "text_bm25_search",
     "text_bpe_train_merges",
+    "text_bpe_encode",
     "text_lm_perplexity",
     "graph_pagerank",
     "graph_kcore",
+    "agg_unpivot",
 ]
 
 

@@ -16,7 +16,6 @@ from __future__ import annotations
 
 import argparse
 import glob
-import json
 import os
 import sys
 import tempfile
@@ -25,89 +24,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def parse_event_log(path: str) -> list[dict]:
-    """Event log → list of job dicts with stage summaries."""
-    jobs: dict[int, dict] = {}
-    stages: dict[int, dict] = {}
-    tasks: dict[int, list[float]] = {}
-    if os.path.isdir(path):  # Spark 4 rolling event-log dir (eventlog_v2_*)
-        parts = sorted(
-            p for p in glob.glob(os.path.join(path, "*"))
-            if os.path.basename(p).startswith("events_")
-        )
-    else:
-        parts = [path]
-    for part in parts:
-        _parse_one(part, jobs, stages, tasks)
-    out = []
-    for jid in sorted(jobs):
-        j = jobs[jid]
-        if "t1" not in j:
-            continue
-        st = []
-        for sid in sorted(j["stages"]):
-            if sid not in stages:
-                continue  # skipped stage (reused exchange)
-            s = stages[sid]
-            ts = tasks.get(sid, [])
-            st.append(
-                {
-                    "sid": sid,
-                    "name": s["name"],
-                    "wall": round(s["t1"] - s["t0"], 3),
-                    "n_tasks": s["n_tasks"],
-                    "task_sum": round(sum(ts), 3),
-                    "task_max": round(max(ts), 3) if ts else 0.0,
-                }
-            )
-        out.append(
-            {
-                "id": jid,
-                "desc": j["desc"],
-                "t0": j["t0"],
-                "wall": round(j["t1"] - j["t0"], 3),
-                "stages": st,
-            }
-        )
-    return out
-
-
-def _parse_one(path: str, jobs: dict, stages: dict, tasks: dict) -> None:
-    with open(path) as fh:
-        for line in fh:
-            try:
-                ev = json.loads(line)
-            except json.JSONDecodeError:
-                continue
-            kind = ev.get("Event")
-            if kind == "SparkListenerJobStart":
-                jid = ev["Job ID"]
-                jobs[jid] = {
-                    "id": jid,
-                    "desc": (ev.get("Properties") or {}).get(
-                        "spark.job.description", ""
-                    ),
-                    "t0": ev["Submission Time"] / 1000.0,
-                    "stages": [s["Stage ID"] for s in ev.get("Stage Infos", [])],
-                }
-            elif kind == "SparkListenerJobEnd":
-                jid = ev["Job ID"]
-                if jid in jobs:
-                    jobs[jid]["t1"] = ev["Completion Time"] / 1000.0
-            elif kind == "SparkListenerStageCompleted":
-                si = ev["Stage Info"]
-                sid = si["Stage ID"]
-                stages[sid] = {
-                    "name": si.get("Name", ""),
-                    "n_tasks": si.get("Number of Tasks", 0),
-                    "t0": si.get("Submission Time", 0) / 1000.0,
-                    "t1": si.get("Completion Time", 0) / 1000.0,
-                }
-            elif kind == "SparkListenerTaskEnd":
-                sid = ev["Stage ID"]
-                ti = ev.get("Task Info", {})
-                dur = (ti.get("Finish Time", 0) - ti.get("Launch Time", 0)) / 1000.0
-                tasks.setdefault(sid, []).append(dur)
+from biglake_iceberg_python_spark.plans.eventlog import parse_event_log
 
 
 def main() -> int:

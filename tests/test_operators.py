@@ -2725,3 +2725,90 @@ def test_array_to_string_family_null_text_parity(spark, sf_dir, tmp_path):
         spec = REGISTRY[q]
         result = compare(spec.fn(spark, d), con, spec.oracle)
         assert result["ok"], (q, {k: v for k, v in result.items() if k != "ok"})
+
+
+def test_bpe_trainer_mid_chain_empty_round_matches_oracle(spark, sf_dir, tmp_path):
+    """Round-14 edge of the driver-literal argmax rewrite: a corpus whose
+    pair table goes EMPTY mid-chain (every word fully merged after round 1)
+    must leave the remaining merge rounds empty AND empty the final type
+    table — the oracle's ``t{r+1} = t{r} CROSS JOIN b{r}`` goes empty when
+    the argmax CTE is, and text_bpe_encode joins that final table."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from biglake_iceberg_python_spark.plans.check import compare, duckdb_connect
+
+    d = str(tmp_path / "sf_bpe_dry")
+    os.makedirs(d)
+    for t in [
+        "region", "nation", "customer", "supplier", "part", "orders",
+        "lineitem", "events", "embeddings",
+    ]:
+        os.symlink(f"{sf_dir}/{t}.parquet", f"{d}/{t}.parquet")
+    base = pq.read_table(f"{sf_dir}/documents.parquet")
+    cols = {n: base[n] for n in base.column_names}
+    # Every document is the two-char word "ab": round 1 merges a+b into a
+    # single token, so round 2 finds no adjacent pairs anywhere.
+    cols["text"] = pa.array(
+        ["ab ab ab"] * base.num_rows, type=pa.string()
+    )
+    pq.write_table(pa.table(cols), f"{d}/documents.parquet")
+    con = duckdb_connect(d)
+    for q in ("text_bpe_train_merges", "text_bpe_encode"):
+        spec = REGISTRY[q]
+        result = compare(spec.fn(spark, d), con, spec.oracle)
+        assert result["ok"], (q, {k: v for k, v in result.items() if k != "ok"})
+    merges = REGISTRY["text_bpe_train_merges"].fn(spark, d).collect()
+    assert len(merges) == 1  # exactly the a+b merge, then the chain dries
+
+
+def test_load_table_schema_cache_invalidates_on_rewrite(spark, tmp_path):
+    """The round-14 footer-schema cache must key on file identity: a table
+    rewritten in place (new mtime/size) gets a FRESH inference, never the
+    stale schema."""
+    import os
+    import time as _time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from biglake_iceberg_python_spark.sources.tables import load_table
+
+    d = str(tmp_path / "sf_schema_cache")
+    os.makedirs(d)
+    path = f"{d}/part.parquet"
+    pq.write_table(pa.table({"p_partkey": pa.array([1, 2], pa.int64())}), path)
+    assert load_table(spark, d, "part").columns == ["p_partkey"]
+    _time.sleep(0.02)
+    pq.write_table(
+        pa.table(
+            {
+                "p_partkey": pa.array([1], pa.int64()),
+                "p_name": pa.array(["x"], pa.string()),
+            }
+        ),
+        path,
+    )
+    assert load_table(spark, d, "part").columns == ["p_partkey", "p_name"]
+
+
+def test_scan_split_estimate_matches_degeneracy_semantics(spark, sf_dir):
+    """The widen trigger's file-size split estimate (replacing the
+    df.rdd.getNumPartitions driver hop) must say 1 split for a small single
+    file and scale with size/maxPartitionBytes for a large one."""
+    from biglake_iceberg_python_spark.sources.tables import (
+        _scan_split_estimate,
+        _size_bytes,
+    )
+
+    assert _size_bytes("134217728") == 128 << 20
+    assert _size_bytes("128m") == 128 << 20
+    assert _size_bytes("128MB") == 128 << 20
+    assert _size_bytes("1g") == 1 << 30
+    small = f"{sf_dir}/documents.parquet"
+    assert _scan_split_estimate(spark, small) == 1
+    # a path that does not exist must not crash the loader (spark.read
+    # raises its own error later)
+    assert _scan_split_estimate(spark, f"{sf_dir}/nope.parquet") == 1
