@@ -1825,13 +1825,14 @@ def text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle building the word-type table (same budget as every text
     query); all six training rounds run on the TYPE table (vocabulary-
     sized — orders of magnitude below the corpus), each round = one
-    pair-count shuffle + a 1-row argmax (TakeOrdered) broadcast into a
-    map-side replace. localCheckpoint per round keeps the plan linear in
-    rounds. This is exactly how industrial BPE trainers distribute
-    (type-level counting, driver-coordinated argmax) — at a 1M-type
-    vocabulary each round's pair table is ~10M rows, trivial for a
-    cluster. Token arrays never explode per-occurrence: frequency
-    weighting carries occurrence counts.
+    pair-count shuffle whose 1-row argmax is COLLECTED and applied as
+    literal strings in a map-side replace (round 14 — see _bpe_train for
+    the plan-shape rationale; the former TakeOrdered-broadcast-crossJoin
+    forced a localCheckpoint per round). This is exactly how industrial
+    BPE trainers distribute (type-level counting, driver-coordinated
+    argmax) — at a 1M-type vocabulary each round's pair table is ~10M
+    rows, trivial for a cluster. Token arrays never explode
+    per-occurrence: frequency weighting carries occurrence counts.
     """
     _, merges = _bpe_train(spark, sf_dir)
     return spark.createDataFrame(
